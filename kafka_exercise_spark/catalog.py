@@ -1,0 +1,91 @@
+"""Dataset catalog: register parquet tables as named views.
+
+The reference's "catalog" is the Kafka broker's topic namespace plus ksqlDB's
+stream/table registry (reference README.md:155-199 `show topics/streams`);
+schemas come from Schema Registry. Here the catalog is Spark's own: each
+parquet table under a scale-factor directory is registered as a temp view so
+both the DataFrame API and ``spark.sql`` resolve it. Schema is read from
+parquet footers (columnar, self-describing — strictly stronger than the
+reference's registry-inferred Avro).
+
+Scale note: views are lazy — registration reads footers only. Filters and
+projections expressed on these views push down to the parquet scan (Catalyst
+``PushedFilters`` / ``ReadSchema``), which is what makes a 100 TB scan of a
+3-column projection read 3 columns, not 40.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+#: Columns stored as parquet TIMESTAMP(NANOS); Spark reads them as long
+#: (session conf spark.sql.legacy.parquet.nanosAsLong) and we restore
+#: TimestampType here with integer division (no double round-trip — epoch
+#: nanos exceed 2^53 and would lose precision through a float).
+NANO_TS_COLUMNS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Lazy DataFrame over one parquet table, nano-timestamps restored.
+
+    Robust to the caller's session conf: if ``name`` has TIMESTAMP(NANOS)
+    columns, ``spark.sql.legacy.parquet.nanosAsLong`` is required for the scan
+    itself, so we set it on the fly (it is a static-read conf consulted per
+    query, not a session-construction-time conf). The long column is then
+    converted JVM-side with integer division — no double round-trip, since
+    epoch nanos exceed 2^53.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    # Deterministic semantics regardless of the caller's session: UTC
+    # formatting (the reference passes 'UTC' explicitly, README.md:212) and
+    # the nanos-as-long read path. Both are runtime-settable SQL confs.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if name in NANO_TS_COLUMNS:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(table_path(sf_dir, name))
+    for col in NANO_TS_COLUMNS.get(name, ()):
+        if col in df.columns and isinstance(df.schema[col].dataType, LongType):
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    return df
+
+
+def register_tables(
+    spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, tables: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    """Register every table in ``sf_dir`` as a temp view; returns the frames.
+
+    Missing files are skipped so smaller fixture dirs still register.
+    """
+    out: dict[str, DataFrame] = {}
+    for name in tables:
+        path = table_path(sf_dir, name)
+        if not os.path.exists(path):
+            continue
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

@@ -1,0 +1,157 @@
+"""Reference-parity query operators (SURVEY.md §2.2 / §2.3), Spark-first.
+
+The reference declares four persistent/transient queries over the customer
+stream (reference README.md:180-347). The driver's fixtures have no
+``customers`` table, so each operator is expressed over the equivalent fixture
+column (FIXTURES.md §2): ``events.ts`` plays ``dt_update`` (event-time),
+``orders.o_orderdate`` plays ``nascimento`` (the birthdate the jovens filter
+cuts on), ``event_type`` plays the categorical key.
+
+Every function takes (spark, sf_dir) and returns a lazy DataFrame — these are
+the ``queries()`` entries wired in ``__spark_entry__.py`` with DuckDB oracles.
+
+Scale posture: all operators are narrow projections/filters (no shuffle) except
+the grouped counts, which shuffle once on the group key with map-side partial
+aggregation — the minimum possible. Filters and projections reach the parquet
+scan (PushedFilters / ReadSchema pruning).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_exercise_spark.catalog import load_table
+from kafka_exercise_spark.functions import datetostring, timestamptostring
+
+#: The jovens cutoff (reference README.md:238 uses '2000-01-01' on birthdates);
+#: orders span 1995-2001 so this cutoff selects a proper subset either way.
+JOVENS_CUTOFF = "1998-06-01"
+
+
+def custstream_pretty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection + alias + both datetime formatters.
+
+    Parity: the transient push query at reference README.md:210-213 —
+    ``SELECT nome, telefone, email, DATETOSTRING(nascimento,'yyyy-MM-dd') AS
+    dt_nascimento, TIMESTAMPTOSTRING(dt_update,'yyyy-MM-dd HH:mm:ss.SSS','UTC')
+    AS dt_updt_conv FROM custstream EMIT CHANGES;`` (§2.2 P1, P3, P4, P5).
+    """
+    events = load_table(spark, sf_dir, "events")
+    return events.select(
+        F.col("event_id"),
+        F.col("user_id"),
+        F.col("event_type"),
+        datetostring("ts").alias("dt_event"),
+        timestamptostring("ts").alias("ts_conv"),
+    )
+
+
+def select_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full projection — ``SELECT * FROM custstream EMIT CHANGES;``
+    (reference README.md:204, §2.2 P2)."""
+    return load_table(spark, sf_dir, "nation").select("*")
+
+
+def jovens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter on a formatted-date string comparison (the CSAS 'jovens').
+
+    Parity: reference README.md:233-239 — project, format dates to strings,
+    keep rows whose formatted date >= literal (§2.2 P1, P4-P6, P8). The
+    reference compares ISO-formatted *strings* lexicographically, which equals
+    the date comparison; we express the filter on the raw column so Catalyst
+    pushes a timestamp-range predicate into the parquet scan instead of
+    evaluating a format function per row.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.filter(
+        F.col("o_orderdate") >= F.lit(JOVENS_CUTOFF).cast("timestamp")
+    ).select(
+        F.col("o_orderkey"),
+        F.col("o_custkey"),
+        F.col("o_orderstatus"),
+        F.col("o_totalprice"),
+        datetostring("o_orderdate").alias("dt_order"),
+        timestamptostring("o_orderdate").alias("dt_updt"),
+    )
+
+
+def idadeclass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN classification (the CSAS 'idadeclass').
+
+    Parity: reference README.md:258-265 — ``CASE WHEN
+    DATETOSTRING(nascimento,'yyyy-MM-dd') >= '2000-01-01' THEN 'JOVEM' ELSE
+    'ADULTO' END AS idadecat`` (§2.2 P7). Same string-comparison shape; the
+    predicate folds to a timestamp comparison for scan pushdown.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        F.col("o_orderkey"),
+        F.col("o_custkey"),
+        F.when(
+            F.col("o_orderdate") >= F.lit(JOVENS_CUTOFF).cast("timestamp"), "JOVEM"
+        )
+        .otherwise("ADULTO")
+        .alias("idadecat"),
+        datetostring("o_orderdate").alias("dt_order"),
+    )
+
+
+def groupby_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Un-windowed grouped count — §2.3 A1-A2 in isolation.
+
+    One shuffle on the group key; partial (map-side) aggregation halves the
+    shuffled bytes. At 100 TB this is the textbook low-cardinality agg: ~5
+    groups → AQE coalesces post-shuffle partitions to a handful.
+    """
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(F.count("event_type").alias("contagem"))
+
+
+def idadecont(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window (30 s) grouped count — the CTAS 'idadecont'.
+
+    Parity: reference README.md:271-276 — ``CREATE TABLE idadecont AS SELECT
+    idadecat, count(idadecat) AS contagem FROM idadeclass WINDOW TUMBLING
+    (SIZE 30 SECONDS) GROUP BY idadecat EMIT CHANGES;`` (§2.3 A1-A5). Batch
+    form: the final state of the continuously-updated table. The streaming
+    form (update-mode emission, watermark) lives in streaming/pipeline.py; the
+    "streaming final state == this batch result" equivalence is tested in
+    tests/test_streaming.py.
+
+    The window struct is flattened to ``window_start``/``window_end`` strings
+    so the result is hash-comparable with the DuckDB oracle (FIXTURES.md §4).
+    Spark's windows are epoch-aligned, so window_start = floor(epoch/30)*30.
+    """
+    events = load_table(spark, sf_dir, "events")
+    win = events.groupBy(
+        F.window("ts", "30 seconds").alias("w"), F.col("event_type").alias("idadecat")
+    ).agg(F.count("*").alias("contagem"))
+    return win.select(
+        timestamptostring(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        timestamptostring(F.col("w.end"), "yyyy-MM-dd HH:mm:ss").alias("window_end"),
+        "idadecat",
+        "contagem",
+    )
+
+
+def jovens_epoch_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The jovens projection over the *Avro wire representation* of dates.
+
+    The reference's stream sees ``nascimento`` as int days-since-epoch and
+    ``dt_update`` as bigint epoch-millis (reference README.md:207, 212); this
+    entry exercises the epoch-int decode path of the formatters (§2.2 P4-P5)
+    by first encoding the fixture timestamp to the wire ints, then formatting
+    back — a round-trip proof of the decode helpers.
+    """
+    events = load_table(spark, sf_dir, "events")
+    wire = events.select(
+        "event_id",
+        F.datediff(F.to_date("ts"), F.to_date(F.lit("1970-01-01"))).alias("d_days"),
+        F.unix_millis(F.col("ts")).alias("ts_ms"),
+    )
+    return wire.select(
+        "event_id",
+        datetostring("d_days", epoch_days=True).alias("dt_event"),
+        timestamptostring("ts_ms", epoch_millis=True).alias("ts_conv"),
+    )

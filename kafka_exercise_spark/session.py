@@ -1,0 +1,63 @@
+"""SparkSession factory.
+
+Pins the settings the engine's semantics depend on:
+
+- ``spark.sql.session.timeZone=UTC``: the reference formats timestamps with an
+  explicit 'UTC' argument (reference README.md:212, TIMESTAMPTOSTRING(...,
+  'UTC')); pinning the session zone makes ``date_format`` reproduce that and
+  makes results independent of the host zone.
+- AQE on (runtime coalescing, skew-join splitting) — the 100 TB posture: plans
+  are declared logically and re-optimized at runtime from real shuffle stats.
+- ``spark.sql.shuffle.partitions``: sized for the local harness; on a real
+  cluster AQE coalesces or you size ≈ 2-3× total cores. Never hot-loop
+  hand-tuned — AQE owns the runtime number.
+- Arrow enabled for the few Pandas-UDF code paths (vector ops, multimodal).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "kafka_exercise_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's pinned semantics."""
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions if shuffle_partitions is not None else DEFAULT_CPUS),
+        )
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # The driver fixtures store events.ts as parquet TIMESTAMP(NANOS),
+        # which Spark has no native type for; read as long and convert in
+        # catalog.load_table (nanos -> micros, JVM-side).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.shuffle.spill.compress", "true")
+        .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+        .config("spark.sql.streaming.stateStore.providerClass",
+                "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    if master is not None:
+        builder = builder.master(master)
+    elif not os.environ.get("SPARK_GRAFT_NO_MASTER"):
+        builder = builder.master(f"local[{DEFAULT_CPUS}]")
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
