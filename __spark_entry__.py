@@ -15,7 +15,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from kafka_exercise_spark.operators import pipeline_ops
+from kafka_exercise_spark.operators import pipeline_ops, relational
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
@@ -43,6 +43,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "idadecont": pipeline_ops.idadecont,
         # §2.2 P4/P5 epoch-int wire variants (Avro days/millis decode)
         "jovens_epoch_wire": pipeline_ops.jovens_epoch_wire,
+        # ---- stage E: relational surface beyond the reference (§2.5) ----
+        "q1_pricing_summary": relational.q1_pricing_summary,
+        "q3_shipping_priority": relational.q3_shipping_priority,
+        "q5_local_supplier": relational.q5_local_supplier,
+        "join_customer_orders": relational.join_customer_orders,
+        "sort_topk": relational.sort_topk,
+        "distinct_mktsegments": relational.distinct_mktsegments,
+        "set_ops_nations": relational.set_ops_nations,
+        "semi_anti_join": relational.semi_anti_join,
+        "having_filter": relational.having_filter,
+        "window_rank_orders": relational.window_rank_orders,
+        "json_extract_events": relational.json_extract_events,
+        "agg_stats_events": relational.agg_stats_events,
     }
 
 
@@ -90,5 +103,116 @@ def oracle_sql() -> dict[str, str]:
                    strftime(ts, '%Y-%m-%d') AS dt_event,
                    strftime(ts, '%Y-%m-%d %H:%M:%S.%g') AS ts_conv
             FROM events
+        """,
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+                       AS sum_charge,
+                   round(avg(l_quantity), 6) AS avg_qty,
+                   round(avg(l_extendedprice), 6) AS avg_price,
+                   round(avg(l_discount), 6) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q3_shipping_priority": """
+            SELECT l.l_orderkey AS o_orderkey,
+                   strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+                   o.o_orderpriority,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND o.o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+            GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+            ORDER BY revenue DESC, o_orderkey ASC
+            LIMIT 10
+        """,
+        "q5_local_supplier": """
+            SELECT n.n_name,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                           AND s.s_nationkey = c.c_nationkey
+            WHERE r.r_name = 'ASIA'
+              AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+            GROUP BY n.n_name
+        """,
+        "join_customer_orders": """
+            SELECT c.c_custkey, c.c_name, c.c_mktsegment,
+                   count(*) AS n_orders,
+                   round(sum(o.o_totalprice), 2) AS total_spend
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_custkey, c.c_name, c.c_mktsegment
+        """,
+        "sort_topk": """
+            SELECT o_orderkey, o_custkey, o_totalprice,
+                   strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+            FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey ASC
+            LIMIT 10
+        """,
+        "distinct_mktsegments": "SELECT DISTINCT c_mktsegment FROM customer",
+        "set_ops_nations": """
+            SELECT nationkey, count(*) AS surplus FROM (
+                SELECT c_nationkey AS nationkey FROM customer
+                EXCEPT ALL
+                SELECT s_nationkey AS nationkey FROM supplier
+            ) GROUP BY nationkey
+        """,
+        "semi_anti_join": """
+            SELECT bucket, count(*) AS n_customers FROM (
+                SELECT 'with_orders' AS bucket, c_custkey FROM customer
+                WHERE c_custkey IN
+                    (SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')
+                UNION ALL
+                SELECT 'without_orders' AS bucket, c_custkey FROM customer
+                WHERE c_custkey NOT IN
+                    (SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')
+            ) GROUP BY bucket
+        """,
+        "having_filter": """
+            SELECT o_custkey, count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS spend
+            FROM orders GROUP BY o_custkey HAVING count(*) >= 12
+        """,
+        "window_rank_orders": """
+            SELECT o_custkey, o_orderkey, o_totalprice, rn, rnk, running_spend
+            FROM (
+                SELECT o_custkey, o_orderkey, o_totalprice,
+                       row_number() OVER w AS rn,
+                       rank() OVER w AS rnk,
+                       round(sum(o_totalprice) OVER w, 2) AS running_spend
+                FROM orders
+                WINDOW w AS (PARTITION BY o_custkey
+                             ORDER BY o_totalprice DESC, o_orderkey ASC)
+            ) WHERE rn <= 3
+        """,
+        "json_extract_events": """
+            SELECT event_type,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                        AS BIGINT) AS sum_k,
+                   max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+            FROM events GROUP BY event_type
+        """,
+        "agg_stats_events": """
+            SELECT event_type,
+                   round(min(value), 2) AS min_value,
+                   round(max(value), 2) AS max_value,
+                   round(avg(value), 6) AS avg_value,
+                   round(stddev_samp(value), 6) AS std_value,
+                   count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type
         """,
     }

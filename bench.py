@@ -1,0 +1,53 @@
+"""Benchmark harness: run the engine's headline queries and print ONE JSON line.
+
+Reads ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]``. Each query is forced end-to-end with the noop
+sink (full execution, no driver collect — the same shape a cluster run has).
+Output: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from kafka_exercise_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def run() -> dict:
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = entrymod.queries()
+    timings: dict[str, float] = {}
+    # JVM/codegen warm-up on an unrelated trivial job so q1 isn't charged
+    # session startup cost.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    for name, fn in queries.items():
+        t0 = time.perf_counter()
+        try:
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 4)
+        except Exception as e:  # noqa: BLE001
+            print(f"bench: {name} failed: {e}", file=sys.stderr)
+            timings[name] = -1.0
+    m = re.search(r"sf([\d.]+)", SF_DIR)
+    return {
+        "metric": "total_query_wall_sec",
+        "value": round(sum(t for t in timings.values() if t >= 0), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(m.group(1)) if m else None,
+    }
+
+
+if __name__ == "__main__":
+    print(json.dumps(run()))

@@ -1,0 +1,79 @@
+"""Stage-E relational operators (SURVEY.md §2.5 beyond-reference surface)."""
+
+from __future__ import annotations
+
+from kafka_exercise_spark.operators import relational
+
+
+def test_q1_groups_and_totals(spark, sf_dir):
+    rows = relational.q1_pricing_summary(spark, sf_dir).collect()
+    assert 1 <= len(rows) <= 6  # |returnflag| x |linestatus|
+    for r in rows:
+        assert r["count_order"] > 0
+        assert r["sum_disc_price"] <= r["sum_base_price"]
+        assert r["sum_charge"] >= r["sum_disc_price"]
+
+
+def test_q3_topk_ordering(spark, sf_dir):
+    rows = relational.q3_shipping_priority(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 10
+    revs = [r["revenue"] for r in rows]
+    assert revs == sorted(revs, reverse=True)
+
+
+def test_q5_revenue_positive(spark, sf_dir):
+    rows = relational.q5_local_supplier(spark, sf_dir).collect()
+    for r in rows:
+        assert r["revenue"] > 0
+
+
+def test_join_customer_orders_conservation(spark, sf_dir):
+    df = relational.join_customer_orders(spark, sf_dir)
+    total = df.groupBy().sum("n_orders").collect()[0][0]
+    assert total == spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+
+
+def test_sort_topk_is_global_max(spark, sf_dir):
+    rows = relational.sort_topk(spark, sf_dir).collect()
+    assert len(rows) == 10
+    top = spark.read.parquet(f"{sf_dir}/orders.parquet").agg(
+        {"o_totalprice": "max"}
+    ).collect()[0][0]
+    assert rows[0]["o_totalprice"] == top
+
+
+def test_set_ops_surplus_counts(spark, sf_dir):
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    rows = relational.set_ops_nations(spark, sf_dir).collect()
+    # surplus for one spot-checked nation = customers - suppliers there
+    nk = rows[0]["nationkey"]
+    c = cust.filter(cust.c_nationkey == nk).count()
+    s = supp.filter(supp.s_nationkey == nk).count()
+    assert rows[0]["surplus"] == c - s
+
+
+def test_semi_anti_partition_customers(spark, sf_dir):
+    rows = {r["bucket"]: r["n_customers"] for r in
+            relational.semi_anti_join(spark, sf_dir).collect()}
+    n_cust = spark.read.parquet(f"{sf_dir}/customer.parquet").count()
+    assert sum(rows.values()) == n_cust
+    assert rows.get("with_orders", 0) > 0
+
+
+def test_window_rank_bounded(spark, sf_dir):
+    df = relational.window_rank_orders(spark, sf_dir)
+    assert df.filter(df.rn > 3).count() == 0
+    first = df.filter(df.rn == 1)
+    assert first.count() == df.select("o_custkey").distinct().count()
+
+
+def test_json_extract_values(spark, sf_dir):
+    rows = relational.json_extract_events(spark, sf_dir).collect()
+    assert rows and all(r["max_k"] is not None for r in rows)
+
+
+def test_agg_stats_sanity(spark, sf_dir):
+    for r in relational.agg_stats_events(spark, sf_dir).collect():
+        assert r["min_value"] <= r["avg_value"] <= r["max_value"]
+        assert r["n_users"] > 0
