@@ -15,7 +15,14 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from kafka_exercise_spark.operators import pipeline_ops, relational
+from kafka_exercise_spark.operators import (
+    dedup,
+    multimodal,
+    pipeline_ops,
+    relational,
+    similarity,
+    textops,
+)
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
@@ -56,7 +63,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_rank_orders": relational.window_rank_orders,
         "json_extract_events": relational.json_extract_events,
         "agg_stats_events": relational.agg_stats_events,
+        # ---- north star: text analysis over documents ----
+        "text_token_stats": textops.text_token_stats,
+        "text_quality_score": textops.text_quality_score,
+        "text_langid": textops.text_langid,
+        "doc_fingerprint": textops.doc_fingerprint,
+        # ---- north star: deduplication ----
+        "dedup_exact": dedup.dedup_exact,
+        "minhash_signatures": dedup.minhash_signatures,
+        "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
+        "dedup_simhash": dedup.dedup_simhash,
+        "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
+        "dedup_embedding_cosine": dedup.dedup_embedding_cosine,
+        # ---- north star: similarity search ----
+        "ann_cosine_topk": similarity.ann_cosine_topk,
+        "ann_lsh_bucketed": similarity.ann_lsh_bucketed,  # rows-only (LSH)
+        # ---- north star: multimodal binary columns ----
+        "multimodal_meta": multimodal.multimodal_meta,
+        "multimodal_features": multimodal.multimodal_features,
     }
+
+
+# ---- shared DuckDB SQL fragments (mirror functions/text.py exactly) ----
+_TOKS = "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != '')"
+_CANON = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+_SHINGLES = (
+    "CASE WHEN len(tok) >= 2 THEN list_distinct(list_transform("
+    "generate_series(1, len(tok) - 1), i -> tok[i] || ' ' || tok[i + 1]))"
+    " ELSE []::VARCHAR[] END"
+)
+_QSTOPS = "['the','a','of','and','to','in','is','that','it','for']"
+
+
+def _mh(i: int) -> str:
+    """DuckDB twin of functions.text.md5_hash64(shingle, seed=i) min-folded."""
+    return (
+        "list_min(list_transform(sh, "
+        f"x -> ('0x' || substr(md5('{i}:' || x), 1, 15))::BIGINT))"
+    )
+
+
+_MH_COLS = ",\n                   ".join(f"{_mh(i)} AS mh{i}" for i in range(8))
+_MH_LIST = "[" + ", ".join(_mh(i) for i in range(8)) + "]"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -214,5 +262,190 @@ def oracle_sql() -> dict[str, str]:
                    round(stddev_samp(value), 6) AS std_value,
                    count(DISTINCT user_id) AS n_users
             FROM events GROUP BY event_type
+        """,
+        "text_token_stats": f"""
+            WITH t AS (SELECT doc_id, n_chars, text, {_TOKS} AS tok FROM documents)
+            SELECT doc_id, n_chars,
+                   len(tok)::BIGINT AS n_ws_tokens,
+                   len(list_distinct(tok))::BIGINT AS n_unique_tokens,
+                   len(regexp_extract_all(text,
+                       '[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]'))::BIGINT AS n_bpe_tokens,
+                   length(text)::BIGINT AS len_text
+            FROM t
+        """,
+        "text_quality_score": f"""
+            WITH t AS (SELECT doc_id, text, {_TOKS} AS tok FROM documents),
+            r AS (
+              SELECT doc_id,
+                CASE WHEN len(tok) > 0 THEN
+                  len(list_filter(tok, x -> list_contains({_QSTOPS}, x))) / len(tok)
+                ELSE 0.0 END AS stop_ratio,
+                CASE WHEN len(tok) > 0 THEN
+                  len(list_distinct(tok)) / len(tok)
+                ELSE 0.0 END AS uniq_ratio,
+                CASE WHEN length(text) > 0 THEN
+                  len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) / length(text)
+                ELSE 0.0 END AS punct_ratio,
+                least(length(text) / 500.0, 1.0) AS len_norm
+              FROM t)
+            SELECT doc_id,
+                   round(stop_ratio, 6) AS stopword_ratio,
+                   round(uniq_ratio, 6) AS unique_ratio,
+                   round(punct_ratio, 6) AS punct_ratio,
+                   round(len_norm, 6) AS length_norm,
+                   round(0.4 * stop_ratio + 0.3 * uniq_ratio + 0.3 * len_norm, 6)
+                       AS quality_score
+            FROM r
+        """,
+        "text_langid": f"""
+            WITH t AS (SELECT doc_id, lang, {_TOKS} AS tok FROM documents),
+            h AS (
+              SELECT doc_id, lang,
+                len(list_filter(tok, x -> list_contains(
+                    ['the','a','of','and','to','in','is','that'], x))) AS hits_en,
+                len(list_filter(tok, x -> list_contains(
+                    ['der','die','das','und','ist','nicht','ein','zu'], x))) AS hits_de,
+                len(list_filter(tok, x -> list_contains(
+                    ['el','la','de','que','y','en','un','es'], x))) AS hits_es,
+                len(list_filter(tok, x -> list_contains(
+                    ['le','la','et','les','des','un','une','est'], x))) AS hits_fr
+              FROM t)
+            SELECT doc_id, lang AS labeled_lang,
+                   hits_en::BIGINT AS hits_en, hits_de::BIGINT AS hits_de,
+                   hits_es::BIGINT AS hits_es, hits_fr::BIGINT AS hits_fr,
+                   CASE
+                     WHEN hits_en > 0 AND hits_en >= greatest(hits_de, hits_es, hits_fr)
+                          THEN 'en'
+                     WHEN hits_de > 0 AND hits_de >= greatest(hits_es, hits_fr)
+                          THEN 'de'
+                     WHEN hits_es > 0 AND hits_es >= hits_fr THEN 'es'
+                     WHEN hits_fr > 0 THEN 'fr'
+                     ELSE 'unknown'
+                   END AS detected_lang
+            FROM h
+        """,
+        "doc_fingerprint": f"""
+            WITH c AS (SELECT doc_id, {_CANON} AS canon FROM documents)
+            SELECT doc_id,
+                   md5(canon) AS fingerprint_md5,
+                   ('0x' || substr(md5(canon), 1, 15))::BIGINT AS fingerprint64,
+                   length(canon)::BIGINT AS canon_len
+            FROM c
+        """,
+        "dedup_exact": f"""
+            WITH c AS (SELECT doc_id,
+                ('0x' || substr(md5({_CANON}), 1, 15))::BIGINT AS fp
+                FROM documents)
+            SELECT fp, min(doc_id) AS survivor_doc_id, count(*) AS n_copies
+            FROM c GROUP BY fp
+        """,
+        "minhash_signatures": f"""
+            WITH t AS (SELECT doc_id, {_TOKS} AS tok FROM documents),
+            s AS (SELECT doc_id, {_SHINGLES} AS sh FROM t)
+            SELECT doc_id,
+                   {_MH_COLS}
+            FROM s
+        """,
+        "dedup_minhash_lsh": f"""
+            WITH t AS (SELECT doc_id, {_TOKS} AS tok FROM documents),
+            s AS (SELECT doc_id, {_SHINGLES} AS sh FROM t),
+            sig AS (SELECT doc_id, sh, {_MH_LIST} AS mh FROM s),
+            bands AS (
+              SELECT doc_id, u.b AS band,
+                     mh[2*u.b + 1]::VARCHAR || '_' || mh[2*u.b + 2]::VARCHAR AS key
+              FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b) u),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+            verified AS (
+              SELECT id_a, id_b,
+                     len(list_intersect(sa.sh, sb.sh))::BIGINT AS n_common,
+                     round(len(list_intersect(sa.sh, sb.sh)) /
+                           (len(sa.sh) + len(sb.sh)
+                            - len(list_intersect(sa.sh, sb.sh))), 6) AS jaccard
+              FROM cand
+              JOIN s sa ON sa.doc_id = id_a
+              JOIN s sb ON sb.doc_id = id_b)
+            SELECT id_a, id_b, n_common, jaccard
+            FROM verified WHERE jaccard >= 0.08
+        """,
+        "dedup_simhash": f"""
+            WITH t AS (SELECT doc_id,
+                           list_distinct({_TOKS}) AS tok FROM documents),
+            hv AS (SELECT doc_id,
+                          unnest(list_transform(tok,
+                              x -> ('0x' || substr(md5(x), 1, 15))::BIGINT)) AS h
+                   FROM t),
+            n AS (SELECT doc_id, count(*) AS n FROM hv GROUP BY doc_id),
+            v AS (SELECT doc_id, u.b AS b,
+                         count(*) FILTER ((h >> u.b) & 1 = 1) AS ones
+                  FROM hv CROSS JOIN (SELECT unnest(range(0, 60)) AS b) u
+                  GROUP BY doc_id, u.b),
+            sh AS (SELECT v.doc_id,
+                          sum(CASE WHEN ones * 2 > n.n
+                                   THEN (1::BIGINT << b) ELSE 0 END) AS simhash
+                   FROM v JOIN n USING (doc_id) GROUP BY v.doc_id)
+            SELECT sh.doc_id, simhash::BIGINT AS simhash, n.n::BIGINT AS n_tokens
+            FROM sh JOIN n USING (doc_id)
+        """,
+        "dedup_ngram_jaccard": f"""
+            WITH d AS (SELECT * FROM documents WHERE source = 'src0'),
+            t AS (SELECT doc_id, {_TOKS} AS tok FROM d),
+            s AS (SELECT doc_id, {_SHINGLES} AS sh FROM t),
+            inv AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS sg FROM s),
+            shared AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     a.n_sh AS n_a, b.n_sh AS n_b, count(*) AS n_common
+              FROM inv a JOIN inv b ON a.sg = b.sg AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh)
+            SELECT id_a, id_b, n_common,
+                   round(n_common / (n_a + n_b - n_common), 6) AS jaccard
+            FROM shared
+            WHERE round(n_common / (n_a + n_b - n_common), 6) >= 0.08
+        """,
+        "dedup_embedding_cosine": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                b.embedding::DOUBLE[]), 6) AS cos
+            FROM embeddings a JOIN embeddings b
+              ON a.vec_id < b.vec_id AND a.label = 0 AND b.label = 0
+            WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                               b.embedding::DOUBLE[]), 6) >= 0.25
+        """,
+        "ann_cosine_topk": """
+            WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+                       FROM embeddings WHERE vec_id < 5),
+            s AS (SELECT q.query_id, e.vec_id,
+                         round(list_cosine_similarity(e.embedding::DOUBLE[], q.qe),
+                               9) AS c
+                  FROM embeddings e CROSS JOIN q
+                  WHERE e.vec_id <> q.query_id),
+            r AS (SELECT query_id, vec_id, c,
+                         row_number() OVER (PARTITION BY query_id
+                                            ORDER BY c DESC, vec_id ASC) AS rnk
+                  FROM s)
+            SELECT query_id, vec_id AS neighbor_id, round(c, 6) AS cos,
+                   rnk AS "rank"
+            FROM r WHERE rnk <= 10
+        """,
+        "multimodal_meta": """
+            SELECT doc_id, 'text/plain' AS media_type,
+                   octet_length(encode(text))::BIGINT AS n_bytes,
+                   sha256(text) AS sha256_hex
+            FROM documents
+        """,
+        "multimodal_features": """
+            SELECT doc_id,
+                   octet_length(encode(text))::BIGINT AS n_bytes,
+                   sha256(text) AS sha256_hex,
+                   (16777216 * ord(substr(text, 1, 1))
+                    + 65536 * ord(substr(text, 2, 1))
+                    + 256 * ord(substr(text, 3, 1))
+                    + ord(substr(text, 4, 1)))::BIGINT AS head4_be,
+                   (list_sum(list_transform(generate_series(1, length(text)),
+                                            i -> ord(substr(text, i, 1)))) % 997
+                   )::BIGINT AS byte_sum_mod
+            FROM documents
         """,
     }

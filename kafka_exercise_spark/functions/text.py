@@ -1,0 +1,76 @@
+"""Text-analysis building blocks — all JVM-side (no Python UDFs in the path).
+
+Everything here composes built-in ``pyspark.sql.functions`` / higher-order
+array functions so the hot path stays inside whole-stage codegen. The hash
+primitive is md5-based (not xxhash64) so every derived value is reproducible
+in the DuckDB oracle: ``H(s) = int(md5(s)[:15], 16)`` — 60 bits, always
+positive in a signed 64-bit long, identical in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def tokens(col: Column | str) -> Column:
+    """Lowercased whitespace tokens, empties removed."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.lower(c), r"\s+"), lambda x: x != "")
+
+
+def md5_hash64(col: Column | str, seed: int | None = None) -> Column:
+    """Deterministic 60-bit positive hash, oracle-reproducible.
+
+    DuckDB twin: ``('0x' || substr(md5(s), 1, 15))::BIGINT``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    if seed is not None:
+        c = F.concat(F.lit(f"{seed}:"), c)
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def shingles(tok: Column, n: int) -> Column:
+    """Token n-gram shingles (space-joined), distinct.
+
+    Guarded so docs shorter than ``n`` yield an empty array — Spark's
+    ``sequence(1, 0)`` would otherwise count *down*.
+    """
+    return F.when(
+        F.size(tok) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(tok) - n + 1),
+                lambda i: F.concat_ws(" ", F.slice(tok, i, n)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def normalized_text(col: Column | str) -> Column:
+    """Canonical form for fingerprinting: lowercase, collapse non-alnum runs
+    to single spaces, trim."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), r"[^a-z0-9]+", " "))
+
+
+#: Tiny per-language stopword profiles for the n-gram/stopword language-ID
+#: heuristic. Deliberately small and hard-coded: the heuristic must be
+#: reproducible in ANSI SQL for the oracle.
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "that"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "es"),
+    "fr": ("le", "la", "et", "les", "des", "un", "une", "est"),
+}
+
+#: Stopwords for the quality score's stopword-ratio component.
+QUALITY_STOPWORDS: tuple[str, ...] = (
+    "the", "a", "of", "and", "to", "in", "is", "that", "it", "for",
+)
+
+
+def profile_hits(tok: Column, words: tuple[str, ...]) -> Column:
+    """Count of tokens (with multiplicity) that appear in ``words``."""
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(tok, lambda t: F.array_contains(arr, t)))

@@ -1,0 +1,229 @@
+"""Deduplication operators over ``documents`` / ``embeddings`` (north star).
+
+Five dedup families, each expressed for 100 TB first and demonstrated on the
+fixtures:
+
+- **Exact** — hash-groupBy on a canonical-form fingerprint. One shuffle on a
+  60-bit int key; survivors = min(doc_id) per group.
+- **MinHash signatures + LSH banding** — per-doc signatures are a pure map
+  (array ops, no shuffle); banding turns near-dup search from O(n²) into a
+  groupBy on (band, band-key): only docs sharing a band key ever meet. The
+  candidate pairs are then *verified* with exact Jaccard, so false positives
+  from banding never escape.
+- **SimHash** — 60-bit rotation-tolerant fingerprint; Hamming-adjacent
+  buckets via band keys of the simhash. Here: per-doc simhash as a pure map.
+- **n-gram Jaccard** — exact pairwise similarity via a shared-shingle
+  self-join (inverted index shape). This is the *verify* stage of the LSH
+  pipeline; run standalone it is O(Σ df²), so the standalone query scopes to
+  one ``source`` partition — at 100 TB you never run it unfiltered.
+- **Embedding cosine** — near-dup by semantic similarity. Standalone form
+  scopes one label bucket (the IVF cell shape); the ANN module owns the
+  general path.
+
+All hashes are md5-derived (functions/text.py) so every stage is
+value-reproducible in the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_exercise_spark.catalog import load_table
+from kafka_exercise_spark.functions.text import (
+    md5_hash64,
+    normalized_text,
+    shingles,
+    tokens,
+)
+from kafka_exercise_spark.functions.vectors import cosine
+
+N_MINHASH = 8  # signature length
+LSH_BANDS = 4  # bands of r = N_MINHASH / LSH_BANDS rows
+SHINGLE_N = 2  # bigram shingles (fixture vocab is tiny; prose would use 5)
+JACCARD_THRESHOLD = 0.08  # fixtures top out ≈0.12 — keeps the result non-empty
+COSINE_DUP_THRESHOLD = 0.25  # fixture label-0 bucket tops out ≈0.38
+
+
+def _with_shingles(docs: DataFrame) -> DataFrame:
+    return docs.withColumn("sh", shingles(tokens(F.col("text")), SHINGLE_N))
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups: canonical fingerprint → min(doc_id) survivor +
+    duplicate count. (Fixture texts are all unique, so every group has
+    n_copies = 1 — the oracle still checks all 500 fingerprint values.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", md5_hash64(normalized_text(F.col("text"))).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("survivor_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document MinHash signature, one column per seed.
+
+    Pure map-side: ``array_min(transform(shingles, s → H(seed:s)))`` — no
+    explode, no shuffle, codegen'd. At 100 TB this is a single scan.
+    """
+    docs = _with_shingles(load_table(spark, sf_dir, "documents"))
+
+    # NB: the lambda must be unary — pyspark passes the array *index* as a
+    # second lambda argument, so a default-arg closure (lambda s, i=i: ...)
+    # would silently hash with the element position as the seed.
+    def seeded(i: int):
+        return lambda s: md5_hash64(s, seed=i)
+
+    sig_cols = [
+        F.array_min(F.transform(F.col("sh"), seeded(i))).alias(f"mh{i}")
+        for i in range(N_MINHASH)
+    ]
+    return docs.select("doc_id", *sig_cols)
+
+
+def _band_keys(sig: DataFrame) -> DataFrame:
+    """Signature → (doc_id, band, key) rows; key = concat of the band's rows."""
+    r = N_MINHASH // LSH_BANDS
+    bands = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                "_", *[F.col(f"mh{b * r + j}") for j in range(r)]
+            ).alias("key"),
+        )
+        for b in range(LSH_BANDS)
+    ]
+    return sig.select(
+        "doc_id", F.explode(F.array(*bands)).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs, verified with exact Jaccard.
+
+    Candidates come from a self-join on (band, key) — the shuffle is on the
+    band key, never all-pairs. Verification joins the two shingle sets back
+    and computes exact Jaccard; only pairs ≥ threshold survive. Distinct
+    de-dups pairs that collide in several bands.
+    """
+    docs = _with_shingles(load_table(spark, sf_dir, "documents"))
+    sig = minhash_signatures(spark, sf_dir)
+    bands = _band_keys(sig)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    sh = docs.select("doc_id", "sh")
+    return (
+        cand.join(sh.withColumnsRenamed({"doc_id": "id_a", "sh": "sh_a"}), "id_a")
+        .join(sh.withColumnsRenamed({"doc_id": "id_b", "sh": "sh_b"}), "id_b")
+        .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")).cast("long"))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.size("sh_a") + F.size("sh_b") - F.col("n_common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("id_a", "id_b", "n_common", "jaccard")
+    )
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash per document from distinct-token hashes.
+
+    Expressed without explode: for each bit, count tokens with that bit set
+    via a codegen'd array fold; bit goes 1 if set-count > half the tokens
+    (majority vote — equivalent to the ±1 sum formulation). One scan, no
+    shuffle.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = F.array_distinct(tokens(F.col("text")))
+    hashed = docs.select(
+        "doc_id", F.transform(tok, lambda t: md5_hash64(t)).alias("hs")
+    )
+    # majority-vote each of the 60 bits, fold into one long
+    def bit_set(bit: int):
+        # unary lambda — see the seeded() note in minhash_signatures
+        return lambda h: F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1
+
+    simhash = F.lit(0).cast("long")
+    for bit in range(60):
+        ones = F.size(F.filter(F.col("hs"), bit_set(bit)))
+        simhash = simhash + F.when(
+            ones * 2 > F.size(F.col("hs")), F.shiftleft(F.lit(1).cast("long"), bit)
+        ).otherwise(F.lit(0).cast("long"))
+    return hashed.select(
+        "doc_id",
+        simhash.alias("simhash"),
+        F.size("hs").cast("long").alias("n_tokens"),
+    )
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact pairwise n-gram Jaccard via a shared-shingle inverted index,
+    scoped to one ``source`` partition (standalone form; the LSH pipeline is
+    the unscoped scale path)."""
+    docs = _with_shingles(
+        load_table(spark, sf_dir, "documents").filter(F.col("source") == "src0")
+    )
+    inv = docs.select("doc_id", F.size("sh").alias("n_sh"), F.explode("sh").alias("s"))
+    a, b = inv.alias("a"), inv.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
+        .agg(F.count("*").alias("n_common"))
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("id_a", "id_b", "n_common", "jaccard")
+    )
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs within one label bucket (IVF-cell shape).
+
+    The bucket restriction is the scale story: cosine dedup over 100 TB is
+    always bucketed (IVF/LSH) so each cell's pairwise check is bounded; the
+    unbucketed form would be a cross join.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("label") == 0)
+    a = emb.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb")
+    )
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cos",
+            F.round(cosine(F.col("va").cast("array<double>"),
+                           F.col("vb").cast("array<double>")), 6),
+        )
+        .filter(F.col("cos") >= COSINE_DUP_THRESHOLD)
+        .select("id_a", "id_b", "cos")
+    )

@@ -1,0 +1,122 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+The pattern for image/audio/video at 100 TB: the payload is an opaque
+``binary`` column (or a lake URI for > ~1 MB blobs), metadata is typed
+columns, and decode/feature-extraction runs as Arrow-batched Pandas UDFs via
+``mapInPandas`` so each executor processes record batches, not rows.
+
+The container has no image/audio libraries, so the *decode* step is stubbed
+(NotImplementedError behind ``decode_stub``) and feature extraction uses a
+deterministic byte-level fake. The Spark-side plumbing — schema, binary
+handling, Arrow batch shape, partition behavior — is real and tested.
+
+Fixture mapping: ``documents.text`` encoded to bytes stands in for a media
+payload (same plumbing, checkable values).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from kafka_exercise_spark.catalog import load_table
+
+if TYPE_CHECKING:
+    import pandas as pd
+
+
+def decode_stub(payload: bytes) -> object:
+    """Placeholder for a real media decode (PIL.Image.open / av.open / ...).
+
+    STUB: the decode libraries are not in this container. The surrounding
+    plumbing (binary column → mapInPandas batches → typed features) is the
+    real deliverable; swap this function for the real decoder in production.
+    """
+    raise NotImplementedError(
+        "media decode requires an image/audio library not present here"
+    )
+
+
+def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → (doc_id, payload binary, media_type, n_bytes): the opaque
+    payload + typed-metadata shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.lit("text/plain").alias("media_type"),
+        F.octet_length(F.encode(F.col("text"), "UTF-8")).cast("long").alias("n_bytes"),
+    )
+
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("sha256_hex", StringType()),
+        StructField("head4_be", LongType()),  # first 4 payload bytes, big-endian
+        StructField("byte_sum_mod", LongType()),
+    ]
+)
+
+
+def _extract_features(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+    """Arrow-batched feature extraction (the mapInPandas worker fn).
+
+    Deterministic byte-level "features" stand in for decode+embed; a real
+    pipeline calls ``decode_stub``'s replacement here, once per record, with
+    the whole batch resident as a pandas column of bytes.
+    """
+    import hashlib
+
+    import pandas as pd
+
+    for pdf in batches:
+        payloads = pdf["payload"]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": payloads.map(len),
+                "sha256_hex": payloads.map(
+                    lambda b: hashlib.sha256(bytes(b)).hexdigest()
+                ),
+                "head4_be": payloads.map(
+                    lambda b: int.from_bytes(bytes(b[:4]).ljust(4, b"\0"), "big")
+                ),
+                "byte_sum_mod": payloads.map(lambda b: sum(bytes(b)) % 997),
+            }
+        )
+
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas feature extraction over the binary payload column.
+
+    Values are independently checkable: sha256/byte math reproduce in the
+    DuckDB oracle from the text column — so the Arrow round-trip itself is
+    value-verified, not just schema-verified.
+    """
+    return media_table(spark, sf_dir).mapInPandas(
+        _extract_features, schema=FEATURE_SCHEMA
+    )
+
+
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JVM-side metadata over the binary column (no Python): byte length +
+    sha256 — the cheap pre-filter pass before any expensive decode."""
+    media = media_table(spark, sf_dir)
+    return media.select(
+        "doc_id",
+        "media_type",
+        "n_bytes",
+        F.sha2(F.col("payload"), 256).alias("sha256_hex"),
+    )

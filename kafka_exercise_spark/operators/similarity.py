@@ -1,0 +1,120 @@
+"""Similarity search over the ``embeddings`` table (driver north star).
+
+Two tiers, as a real 100 TB pipeline would ship them:
+
+- **Brute-force cosine top-k** (oracle-checked): broadcast the query set,
+  score every vector JVM-side, per-query top-k via ranked window. Exact; the
+  baseline every ANN variant is measured against. Cost is one scan per query
+  batch — fine when |queries| is small, the shape used for eval/probing.
+- **LSH-bucketed ANN** (scale path): deterministic random-hyperplane
+  signatures partition vectors into 2^H buckets; a query probes only its own
+  bucket. Recall vs the brute-force baseline is asserted in tests, the
+  driver check is rows-only (bucketing is not expressible in ANSI SQL).
+
+Vector math is JVM higher-order functions (functions/vectors.py). A Pandas
+UDF variant is deliberately absent from the hot path: at 64 dims the codegen
+loop beats Arrow round-trips; it wins only at ≥ ~1k dims.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kafka_exercise_spark.catalog import load_table
+from kafka_exercise_spark.functions.vectors import cosine, dot
+
+N_QUERIES = 5  # vec_id < 5 are the demo query set
+TOP_K = 10
+N_HYPERPLANES = 6  # 64 buckets
+EMBED_DIM = 64
+
+
+def _embeddings_double(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
+    )
+
+
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k neighbors (cosine) for the demo query set.
+
+    The query side is broadcast — the big side streams through unshuffled.
+    Ranking rounds to 9 decimals with a vec_id tie-break so the cut is
+    deterministic and oracle-stable.
+    """
+    emb = _embeddings_double(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
+    )
+    scored = (
+        emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .withColumn("c", F.round(cosine(F.col("emb"), F.col("q_emb")), 9))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("c"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(F.col("c"), 6).alias("cos"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def _hyperplanes() -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (no RNG state — pure formula,
+    reproducible across sessions and engines)."""
+    return [
+        [math.sin(0.7 * h * EMBED_DIM + 1.3 * i + 0.5) for i in range(EMBED_DIM)]
+        for h in range(N_HYPERPLANES)
+    ]
+
+
+def lsh_bucket(col: F.Column) -> F.Column:
+    """Random-hyperplane LSH bucket id for an array<double> column."""
+    bucket = F.lit(0)
+    for h, plane in enumerate(_hyperplanes()):
+        proj = dot(col, F.array(*[F.lit(v) for v in plane]))
+        bucket = bucket + F.when(proj > 0, F.lit(1 << h)).otherwise(F.lit(0))
+    return bucket
+
+
+def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k: probe only the query's hyperplane bucket.
+
+    The bucket id is a pure map over each side; the join is
+    bucket-equi + broadcast queries, so the scored candidate set is
+    |bucket| not |all|. At 100 TB the vectors side would additionally be
+    written bucket-partitioned so a probe scans one partition.
+    """
+    emb = _embeddings_double(spark, sf_dir).withColumn("bucket", lsh_bucket(F.col("emb")))
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    scored = (
+        emb.join(
+            F.broadcast(q),
+            (F.col("bucket") == F.col("q_bucket"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .withColumn("c", F.round(cosine(F.col("emb"), F.col("q_emb")), 9))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("c"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(F.col("c"), 6).alias("cos"),
+            "rank",
+            "bucket",
+        )
+    )

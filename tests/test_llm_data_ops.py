@@ -1,0 +1,129 @@
+"""North-star LLM-data operators: text analysis, dedup, similarity, multimodal."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from kafka_exercise_spark.operators import dedup, multimodal, similarity, textops
+
+
+def test_token_stats_bounds(spark, sf_dir):
+    for r in textops.text_token_stats(spark, sf_dir).collect():
+        assert 0 < r["n_unique_tokens"] <= r["n_ws_tokens"]
+        assert r["n_bpe_tokens"] >= r["n_ws_tokens"]  # punct splits add tokens
+        assert r["len_text"] > 0
+
+
+def test_quality_score_range(spark, sf_dir):
+    for r in textops.text_quality_score(spark, sf_dir).collect():
+        assert 0.0 <= r["quality_score"] <= 1.0
+        assert 0.0 <= r["stopword_ratio"] <= 1.0
+        assert 0.0 < r["unique_ratio"] <= 1.0
+
+
+def test_langid_deterministic_labels(spark, sf_dir):
+    rows = textops.text_langid(spark, sf_dir).collect()
+    allowed = {"en", "de", "es", "fr", "unknown"}
+    assert {r["detected_lang"] for r in rows} <= allowed
+
+
+def test_fingerprint_unique_per_distinct_text(spark, sf_dir):
+    df = textops.doc_fingerprint(spark, sf_dir)
+    n_docs = df.count()
+    assert df.select("fingerprint_md5").distinct().count() == n_docs
+
+
+def test_dedup_exact_finds_planted_duplicates(spark, sf_dir):
+    """Plant real duplicates (fixtures have none) and check grouping."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.count()
+    doubled = docs.unionAll(
+        docs.limit(10).withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    )
+    doubled.createOrReplaceTempView("documents_doubled")
+    from kafka_exercise_spark.functions.text import md5_hash64, normalized_text
+
+    grouped = (
+        doubled.select("doc_id", md5_hash64(normalized_text(F.col("text"))).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count("*").alias("n_copies"), F.min("doc_id").alias("survivor"))
+    )
+    assert grouped.filter("n_copies = 2").count() == 10
+    assert grouped.count() == n  # 10 dup groups fold back into originals
+    # survivors of dup groups are the original ids, not the planted ones
+    assert grouped.filter("n_copies = 2").filter("survivor >= 1000000").count() == 0
+
+
+def test_minhash_similar_docs_share_bands(spark, sf_dir):
+    """A doc is always a near-dup of itself under LSH banding."""
+    sig = dedup.minhash_signatures(spark, sf_dir)
+    assert sig.count() == spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    # signatures are stable: same input -> same signature
+    a = sig.orderBy("doc_id").limit(5).collect()
+    b = dedup.minhash_signatures(spark, sf_dir).orderBy("doc_id").limit(5).collect()
+    assert a == b
+
+
+def test_lsh_pairs_subset_of_exact(spark, sf_dir):
+    """Every LSH-verified pair must truly exceed the Jaccard threshold."""
+    for r in dedup.dedup_minhash_lsh(spark, sf_dir).collect():
+        assert r["jaccard"] >= dedup.JACCARD_THRESHOLD
+        assert r["id_a"] < r["id_b"]
+
+
+def test_simhash_close_for_similar_token_sets(spark, sf_dir):
+    rows = dedup.dedup_simhash(spark, sf_dir).limit(20).collect()
+    assert all(0 <= r["simhash"] < (1 << 60) for r in rows)
+
+
+def test_ann_topk_shape_and_order(spark, sf_dir):
+    df = similarity.ann_cosine_topk(spark, sf_dir)
+    rows = df.collect()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == set(range(similarity.N_QUERIES))
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        cs = [r["cos"] for r in rs]
+        assert cs == sorted(cs, reverse=True)
+        assert all(r["neighbor_id"] != q for r in rs)
+
+
+def test_ann_lsh_recall_vs_brute_force(spark, sf_dir):
+    """Bucketed ANN returns a subset of vectors; its hits must be genuine
+    brute-force neighbors when they appear (same cosine values)."""
+    brute = {
+        (r["query_id"], r["neighbor_id"]): r["cos"]
+        for r in similarity.ann_cosine_topk(spark, sf_dir).collect()
+    }
+    lsh = similarity.ann_lsh_bucketed(spark, sf_dir).collect()
+    assert lsh, "LSH should return candidates (query bucket contains itself)"
+    hits = [r for r in lsh if (r["query_id"], r["neighbor_id"]) in brute]
+    for r in hits:
+        assert abs(brute[(r["query_id"], r["neighbor_id"])] - r["cos"]) < 1e-9
+
+
+def test_multimodal_features_match_python(spark, sf_dir):
+    """The Arrow/mapInPandas path reproduces plain-Python byte math."""
+    feats = {
+        r["doc_id"]: r
+        for r in multimodal.multimodal_features(spark, sf_dir).collect()
+    }
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(5).collect()
+    for d in docs:
+        raw = d["text"].encode("utf-8")
+        f = feats[d["doc_id"]]
+        assert f["n_bytes"] == len(raw)
+        assert f["sha256_hex"] == hashlib.sha256(raw).hexdigest()
+        assert f["byte_sum_mod"] == sum(raw) % 997
+
+
+def test_multimodal_decode_is_stubbed():
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_stub(b"\x89PNG")

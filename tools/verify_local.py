@@ -39,8 +39,6 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = df[c].map(
                 lambda v: tuple(v) if isinstance(v, (list, tuple)) else v
             )
-        elif pd.api.types.is_float_dtype(df[c]):
-            df[c] = df[c].round(6)
     return df.sort_values(list(df.columns), ignore_index=True)
 
 
@@ -55,9 +53,8 @@ def compare(name: str, spark_df, duck_df) -> list[str]:
     s, d = normalize(spark_df), normalize(duck_df)
     if len(s) == len(d):
         try:
-            pd.testing.assert_frame_equal(
-                s, d, check_dtype=False, check_exact=False, rtol=1e-6, atol=1e-9
-            )
+            # exact: the driver hashes values, so near-equal is not equal
+            pd.testing.assert_frame_equal(s, d, check_dtype=False, check_exact=True)
         except AssertionError as e:
             problems.append(f"values: {str(e).splitlines()[-1][:300]}")
     return problems
