@@ -23,6 +23,7 @@ from kafka_exercise_spark.operators import (
     similarity,
     textops,
 )
+from kafka_exercise_spark.streaming import pipeline as streaming_pipeline
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
@@ -81,6 +82,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- north star: multimodal binary columns ----
         "multimodal_meta": multimodal.multimodal_meta,
         "multimodal_features": multimodal.multimodal_features,
+        # ---- §2.4 streaming semantics, driver-checkable bounded forms ----
+        # real StreamExecution run (micro-batches + state store + watermark);
+        # final state ≡ batch agg, so the oracle is plain SQL
+        "streaming_idadecont_replay": streaming_pipeline.streaming_idadecont_replay,
+        # §2.1 S3 — timestamp-mode CDC poll from a persisted high-water mark
+        "incremental_source_snapshot": streaming_pipeline.incremental_source_snapshot,
     }
 
 
@@ -447,5 +454,20 @@ def oracle_sql() -> dict[str, str]:
                                             i -> ord(substr(text, i, 1)))) % 997
                    )::BIGINT AS byte_sum_mod
             FROM documents
+        """,
+        "streaming_idadecont_replay": """
+            SELECT strftime(time_bucket(INTERVAL 30 SECONDS, ts),
+                            '%Y-%m-%d %H:%M:%S') AS window_start,
+                   strftime(time_bucket(INTERVAL 30 SECONDS, ts)
+                            + INTERVAL 30 SECONDS,
+                            '%Y-%m-%d %H:%M:%S') AS window_end,
+                   CASE WHEN value >= 100 THEN 'JOVEM' ELSE 'ADULTO' END
+                       AS idadecat,
+                   count(*) AS contagem
+            FROM events GROUP BY 1, 2, 3
+        """,
+        "incremental_source_snapshot": """
+            SELECT event_id, user_id, event_type, value, props
+            FROM events WHERE ts > TIMESTAMP '2024-01-16 00:00:00'
         """,
     }

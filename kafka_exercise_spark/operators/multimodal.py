@@ -70,44 +70,44 @@ FEATURE_SCHEMA = StructType(
 )
 
 
-def _extract_features(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
-    """Arrow-batched feature extraction (the mapInPandas worker fn).
-
-    Deterministic byte-level "features" stand in for decode+embed; a real
-    pipeline calls ``decode_stub``'s replacement here, once per record, with
-    the whole batch resident as a pandas column of bytes.
-    """
-    import hashlib
-
-    import pandas as pd
-
-    for pdf in batches:
-        payloads = pdf["payload"]
-        yield pd.DataFrame(
-            {
-                "doc_id": pdf["doc_id"],
-                "n_bytes": payloads.map(len),
-                "sha256_hex": payloads.map(
-                    lambda b: hashlib.sha256(bytes(b)).hexdigest()
-                ),
-                "head4_be": payloads.map(
-                    lambda b: int.from_bytes(bytes(b[:4]).ljust(4, b"\0"), "big")
-                ),
-                "byte_sum_mod": payloads.map(lambda b: sum(bytes(b)) % 997),
-            }
-        )
-
-
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas feature extraction over the binary payload column.
 
     Values are independently checkable: sha256/byte math reproduce in the
     DuckDB oracle from the text column — so the Arrow round-trip itself is
     value-verified, not just schema-verified.
+
+    The worker function is a nested closure on purpose: cloudpickle then
+    serializes it BY VALUE, so Python workers never need this package on
+    their import path (module-level functions pickle by reference and fail
+    on executors whose PYTHONPATH lacks the repo).
     """
-    return media_table(spark, sf_dir).mapInPandas(
-        _extract_features, schema=FEATURE_SCHEMA
-    )
+
+    def extract(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        # Deterministic byte-level "features" stand in for decode+embed; a
+        # real pipeline calls decode_stub's replacement here with the whole
+        # Arrow batch resident as a pandas column of bytes.
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": payloads.map(len),
+                    "sha256_hex": payloads.map(
+                        lambda b: hashlib.sha256(bytes(b)).hexdigest()
+                    ),
+                    "head4_be": payloads.map(
+                        lambda b: int.from_bytes(bytes(b[:4]).ljust(4, b"\0"), "big")
+                    ),
+                    "byte_sum_mod": payloads.map(lambda b: sum(bytes(b)) % 997),
+                }
+            )
+
+    return media_table(spark, sf_dir).mapInPandas(extract, schema=FEATURE_SCHEMA)
 
 
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:

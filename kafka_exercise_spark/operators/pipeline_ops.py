@@ -29,6 +29,58 @@ from kafka_exercise_spark.functions import datetostring, timestamptostring
 JOVENS_CUTOFF = "1998-06-01"
 
 
+# ---- transformations (DataFrame -> DataFrame) ----
+# Factored out so the streaming layer (streaming/pipeline.py) applies the
+# *same* logic to readStream frames — the reference's CSAS/CTAS are
+# stream-resident versions of these exact projections (README.md:233, 258,
+# 271); stream/batch parity is by construction, tested by bounded replay.
+
+
+def custstream_pretty_transform(events: DataFrame) -> DataFrame:
+    return events.select(
+        F.col("event_id"),
+        F.col("user_id"),
+        F.col("event_type"),
+        datetostring("ts").alias("dt_event"),
+        timestamptostring("ts").alias("ts_conv"),
+    )
+
+
+def idadeclass_transform(events: DataFrame, cutoff_value: float = 100.0) -> DataFrame:
+    """Stream-shaped CASE classifier on events (value >= cutoff ⇒ 'JOVEM')."""
+    return events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("value") >= cutoff_value, "JOVEM")
+        .otherwise("ADULTO")
+        .alias("idadecat"),
+    )
+
+
+def idadecont_transform(
+    classified: DataFrame, watermark_delay: str | None = None
+) -> DataFrame:
+    """Tumbling 30 s count by idadecat (reference README.md:271-276).
+
+    ``watermark_delay`` set ⇒ streaming form (state eviction enabled);
+    None ⇒ batch form. Same plan otherwise — the parity the reference's
+    stream/table duality promises.
+    """
+    src = classified
+    if watermark_delay is not None:
+        src = src.withWatermark("ts", watermark_delay)
+    win = src.groupBy(
+        F.window("ts", "30 seconds").alias("w"), F.col("idadecat")
+    ).agg(F.count("*").alias("contagem"))
+    return win.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        "idadecat",
+        "contagem",
+    )
+
+
 def custstream_pretty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Projection + alias + both datetime formatters.
 
@@ -38,13 +90,7 @@ def custstream_pretty(spark: SparkSession, sf_dir: str) -> DataFrame:
     AS dt_updt_conv FROM custstream EMIT CHANGES;`` (§2.2 P1, P3, P4, P5).
     """
     events = load_table(spark, sf_dir, "events")
-    return events.select(
-        F.col("event_id"),
-        F.col("user_id"),
-        F.col("event_type"),
-        datetostring("ts").alias("dt_event"),
-        timestamptostring("ts").alias("ts_conv"),
-    )
+    return custstream_pretty_transform(events)
 
 
 def select_star(spark: SparkSession, sf_dir: str) -> DataFrame:

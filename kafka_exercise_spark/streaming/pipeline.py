@@ -1,0 +1,181 @@
+"""Persistent-query manager + the reference topology as streaming plans.
+
+The reference runs three persistent queries forever on the ksqlDB server
+(CSAS ``jovens`` README.md:233, CSAS ``idadeclass`` README.md:258, CTAS
+``idadecont`` README.md:271), each feeding a topic/sink. Here each is a
+Structured Streaming query with its own checkpoint — ``PipelineManager``
+tracks them by name, the engine-side analog of ``show queries`` /
+``show connectors`` (README.md:167-175).
+
+Watermark policy (SURVEY.md §7 risk 3 / §2.4 T4): the reference declares no
+grace period and inherits ksqlDB's implicit 24 h. We make it explicit and
+configurable (default "1 minute") — an intentional, documented divergence:
+unbounded implicit state is exactly what breaks at 100 TB.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from kafka_exercise_spark.operators.pipeline_ops import (
+    custstream_pretty_transform,
+    idadeclass_transform,
+    idadecont_transform,
+)
+from kafka_exercise_spark.streaming import sinks
+
+DEFAULT_WATERMARK = "1 minute"
+
+
+@dataclass
+class PipelineManager:
+    """Named persistent queries over one SparkSession."""
+
+    spark: SparkSession
+    checkpoint_root: str
+    queries: dict[str, StreamingQuery] = field(default_factory=dict)
+
+    def _ckpt(self, name: str) -> str:
+        return f"{self.checkpoint_root}/{name}"
+
+    def register(self, name: str, query: StreamingQuery) -> StreamingQuery:
+        self.queries[name] = query
+        return query
+
+    def start_jovens(
+        self, events: DataFrame, out_path: str, flush_size: int = 10,
+        trigger_once: bool = False,
+    ) -> StreamingQuery:
+        """CSAS jovens analog: project+format+filter → parquet lake path
+        (reference README.md:233-239 + connect_s3_sink_jovens.config)."""
+        pretty = custstream_pretty_transform(events)
+        young = pretty.filter(pretty.dt_event >= "2024-01-15")
+        return self.register(
+            "jovens",
+            sinks.parquet_sink(
+                young, out_path, self._ckpt("jovens"), "jovens",
+                max_records_per_file=flush_size, trigger_once=trigger_once,
+            ),
+        )
+
+    def start_idadecont(
+        self,
+        events: DataFrame,
+        out_path: str,
+        watermark: str = DEFAULT_WATERMARK,
+        trigger_once: bool = False,
+    ) -> StreamingQuery:
+        """CTAS idadecont analog: classify → watermark → tumbling 30 s count
+        → keyed JSON export (reference README.md:271-276 +
+        connect_s3_sink_count.config:18)."""
+        classified = idadeclass_transform(events)
+        counted = idadecont_transform(classified, watermark_delay=watermark)
+        return self.register(
+            "idadecont",
+            sinks.keyed_json_sink(
+                counted, out_path, self._ckpt("idadecont"), "idadecont",
+                key_cols=["idadecat", "window_start", "window_end"],
+                trigger_once=trigger_once,
+            ),
+        )
+
+    def start_push_query(
+        self, df: DataFrame, name: str, output_mode: str = "append",
+        trigger_once: bool = False,
+    ) -> StreamingQuery:
+        """Transient push query (EMIT CHANGES to a client, README.md:204):
+        memory sink queryable as ``spark.table(name)``."""
+        return self.register(
+            name, sinks.memory_sink(df, name, output_mode, trigger_once=trigger_once)
+        )
+
+    def stop_all(self) -> None:
+        for q in self.queries.values():
+            if q.isActive:
+                q.stop()
+        self.queries.clear()
+
+
+# ---- driver-contract entries (bounded, self-contained runs) ----
+
+
+def streaming_idadecont_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CTAS idadecont topology run as a REAL streaming query over a
+    bounded replay of ``events``, returning the final state.
+
+    This is the driver-checkable form of SURVEY.md §2.4: source →
+    watermark → tumbling 30 s count → sink, executed by StreamExecution
+    (micro-batches, state store), not the batch planner. Because streaming
+    final state ≡ batch aggregation (the Structured Streaming model), the
+    DuckDB oracle is the plain windowed GROUP BY.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from kafka_exercise_spark.catalog import load_table
+    from kafka_exercise_spark.streaming.sources import file_stream
+
+    work = tempfile.mkdtemp(prefix="idadecont_replay_")
+    src_dir = os.path.join(work, "src")
+    events = load_table(spark, sf_dir, "events")
+    events.write.mode("overwrite").parquet(src_dir)
+
+    name = "idadecont_replay_contract"
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    stream = file_stream(spark, src_dir, events.schema, max_files_per_trigger=None)
+    counted = idadecont_transform(
+        idadeclass_transform(stream), watermark_delay=DEFAULT_WATERMARK
+    )
+    query = (
+        counted.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(300)
+    from kafka_exercise_spark.functions import timestamptostring
+
+    # window bounds as strings — same hash-stable shape as the batch
+    # idadecont entry (FIXTURES.md §4)
+    result = spark.table(name).select(
+        timestamptostring("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        timestamptostring("window_end", "yyyy-MM-dd HH:mm:ss").alias("window_end"),
+        "idadecat",
+        "contagem",
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    return result
+
+
+def incremental_source_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The timestamp-mode incremental source (SURVEY.md §2.1 S3) polled once
+    from a persisted high-water mark — returns exactly the rows with a
+    cursor beyond the mark, the connector's ``WHERE dt_update > :hwm``
+    capture (reference connect_postgres.config:9-10)."""
+    import json
+    import os
+    import tempfile
+
+    from kafka_exercise_spark.sources.incremental import TimestampModeSource
+
+    state = os.path.join(tempfile.mkdtemp(prefix="hwm_"), "state.json")
+    with open(state, "w") as f:
+        json.dump({"hwm": "2024-01-16 00:00:00", "cursor_col": "ts"}, f)
+
+    def reader(s: SparkSession) -> DataFrame:
+        from kafka_exercise_spark.catalog import load_table
+
+        return load_table(s, sf_dir, "events")
+
+    src = TimestampModeSource(spark, reader, cursor_col="ts", state_path=state)
+    return src.poll_once().select(
+        "event_id", "user_id", "event_type", "value", "props"
+    )

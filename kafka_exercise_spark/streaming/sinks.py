@@ -1,0 +1,103 @@
+"""Streaming sinks (SURVEY.md §2.1 S5-S8).
+
+- **parquet_sink** — checkpointed append to a lake path; ``flush.size``
+  parity via ``maxRecordsPerFile`` (reference connect_s3_sink_jovens.config:6
+  rolls a file every 10 records). Exactly-once from the file-sink manifest.
+- **keyed_json_sink** — the S7 analog (connect_s3_sink_count.config:18
+  ``store.kafka.keys: true``): an update-mode aggregate drained as JSON
+  objects *including the record key columns*. Spark's file sink is
+  append-only, so this is ``foreachBatch`` writing each micro-batch's
+  updates — the documented pattern for changelog→file export.
+- **console_sink / memory_sink** — S8 inspection surfaces
+  (reference README.md:180, 204).
+
+Every sink takes an explicit checkpoint dir: the engine-side analog of the
+Connect offsets topic (reference docker-compose.yml:70-76).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StreamingQuery
+
+
+def parquet_sink(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    name: str,
+    max_records_per_file: int = 10,
+    trigger_once: bool = False,
+    processing_time: str | None = None,
+) -> StreamingQuery:
+    writer = (
+        df.writeStream.format("parquet")
+        .queryName(name)
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .option("maxRecordsPerFile", max_records_per_file)
+        .outputMode("append")
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    elif processing_time:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
+
+
+def keyed_json_sink(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    name: str,
+    key_cols: list[str],
+    trigger_once: bool = False,
+) -> StreamingQuery:
+    """foreachBatch JSON writer for update-mode aggregates.
+
+    Each micro-batch's changed rows land as ``batch=<id>`` JSON files with
+    the key columns first (the reference exports changelog records with
+    their Kafka keys). Idempotent per batch id: re-running a batch
+    overwrites its own directory, preserving exactly-once on retry.
+    """
+
+    ordered = key_cols + [c for c in df.columns if c not in key_cols]
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.select(*ordered)
+            .write.mode("overwrite")
+            .json(os.path.join(path, f"batch={batch_id}"))
+        )
+
+    writer = (
+        df.writeStream.foreachBatch(write_batch)
+        .queryName(name)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def memory_sink(
+    df: DataFrame, name: str, output_mode: str = "append", trigger_once: bool = False
+) -> StreamingQuery:
+    """In-memory table sink — the push-query surface (README.md:204)."""
+    writer = df.writeStream.format("memory").queryName(name).outputMode(output_mode)
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def console_sink(df: DataFrame, name: str, output_mode: str = "append") -> StreamingQuery:
+    return (
+        df.writeStream.format("console")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("truncate", "false")
+        .start()
+    )

@@ -1,0 +1,81 @@
+"""Streaming sources behind one small interface (SURVEY.md §2.1 S1/S4, §7 C).
+
+Three source families, mirroring the reference topology:
+
+- **file_stream** — checkpointable parquet-directory stream; with
+  ``maxFilesPerTrigger`` it replays bounded fixtures as micro-batches (the
+  test strategy of SURVEY.md §5), and unbounded it is the bronze-landing
+  consumer (the engine-side analog of subscribing to the Kafka topic the
+  JDBC connector feeds, reference README.md:186).
+- **rate_stream** — synthetic generator analog of ``make_fake_data.py``
+  (reference make_fake_data.py:53-81): rows/sec offered load with derived
+  deterministic columns.
+- **kafka_stream** — the real topic source (reference README.md:180-186),
+  declared but import-gated: no broker exists in this container, so it
+  builds the reader config without starting it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+def file_stream(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    max_files_per_trigger: int | None = 1,
+) -> DataFrame:
+    """Parquet-directory micro-batch stream.
+
+    At scale this is the standard lake-landing pattern: each micro-batch
+    picks up newly committed files; exactly-once via the file-source log +
+    sink checkpoint.
+    """
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def rate_stream(
+    spark: SparkSession, rows_per_second: int = 2, event_types: int = 5
+) -> DataFrame:
+    """Synthetic event stream ≙ the Faker generator's offered-load shape
+    (reference make_fake_data.py:28-31 defaults to 2 rows/s). Deterministic
+    column derivations — no RNG, so replays are reproducible."""
+    raw = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+        .load()
+    )
+    return raw.select(
+        F.col("value").alias("event_id"),
+        F.col("timestamp").alias("ts"),
+        (F.col("value") % 100).alias("user_id"),
+        F.concat(F.lit("type_"), (F.col("value") % event_types)).alias("event_type"),
+        (F.pmod(F.col("value") * 37, 200) / F.lit(1.0)).alias("value"),
+        F.to_json(F.struct((F.col("value") % 97).alias("k"))).alias("props"),
+    )
+
+
+def kafka_stream(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+) -> DataFrame:
+    """Kafka topic source (reference README.md:186 CREATE STREAM ... WITH
+    kafka_topic=...). Returns the raw key/value frame; decode with
+    ``from_avro``/``from_json`` downstream. Requires the spark-sql-kafka
+    package on a real deployment — constructing the reader needs no broker,
+    starting it does."""
+    return (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
