@@ -102,11 +102,18 @@ _SHINGLES = (
 _QSTOPS = "['the','a','of','and','to','in','is','that','it','for']"
 
 
+_MINHASH_A = (1299721, 15485863, 32452843, 49979687,
+              67867967, 86028121, 104395301, 122949823)
+_MINHASH_B = (7, 101, 1009, 10007, 100003, 1000003, 10000019, 100000007)
+
+
 def _mh(i: int) -> str:
-    """DuckDB twin of functions.text.md5_hash64(shingle, seed=i) min-folded."""
+    """DuckDB twin of functions.text minhash_derive(minhash_base(x), i),
+    min-folded over the shingle array (one md5 + universal-hash derivation)."""
+    base = "(('0x' || substr(md5(x), 1, 15))::BIGINT & 2147483647)"
     return (
         "list_min(list_transform(sh, "
-        f"x -> ('0x' || substr(md5('{i}:' || x), 1, 15))::BIGINT))"
+        f"x -> ({base} * {_MINHASH_A[i]} + {_MINHASH_B[i]}) % 2147483647))"
     )
 
 

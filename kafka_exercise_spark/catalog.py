@@ -73,6 +73,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def scale_partitions(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Spread a small-file table across the cluster for CPU-heavy per-row ops.
+
+    The fixture tables are single parquet files → a single scan task, which
+    serializes regex/hash-heavy operators on one core regardless of cluster
+    size. One cheap round-robin shuffle of the raw rows buys full-width
+    parallelism. At 100 TB inputs arrive as thousands of files and this is a
+    no-op decision — the helper exists for the small-file edge, which also
+    shows up in practice as the "last small partition" of a filtered branch.
+    """
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
 def register_tables(
     spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, tables: tuple[str, ...] = TABLES
 ) -> dict[str, DataFrame]:

@@ -30,6 +30,26 @@ def md5_hash64(col: Column | str, seed: int | None = None) -> Column:
     return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
 
 
+#: Universal-hash family for MinHash: mh_i(s) = (A[i]·b + B[i]) mod M where
+#: b = md5_hash64(s) & (M-1 range). ONE md5 per shingle, k cheap integer
+#: derivations — vs k md5 calls. M = 2^31-1 keeps every product ≤ 2^58,
+#: overflow-free in a signed 64-bit long in both Spark and DuckDB.
+MINHASH_MOD = 2147483647
+MINHASH_A = (1299721, 15485863, 32452843, 49979687,
+             67867967, 86028121, 104395301, 122949823)
+MINHASH_B = (7, 101, 1009, 10007, 100003, 1000003, 10000019, 100000007)
+
+
+def minhash_base(col: Column | str) -> Column:
+    """31-bit base hash a shingle is reduced to before seed derivation."""
+    return md5_hash64(col).bitwiseAND(F.lit(MINHASH_MOD))
+
+
+def minhash_derive(base: Column, i: int) -> Column:
+    """i-th universal-hash derivation of a 31-bit base hash."""
+    return (base * MINHASH_A[i] + MINHASH_B[i]) % MINHASH_MOD
+
+
 def shingles(tok: Column, n: int) -> Column:
     """Token n-gram shingles (space-joined), distinct.
 

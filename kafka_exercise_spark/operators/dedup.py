@@ -29,9 +29,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kafka_exercise_spark.catalog import load_table
+from kafka_exercise_spark.catalog import load_table, scale_partitions
 from kafka_exercise_spark.functions.text import (
     md5_hash64,
+    minhash_base,
+    minhash_derive,
     normalized_text,
     shingles,
     tokens,
@@ -70,19 +72,23 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pure map-side: ``array_min(transform(shingles, s → H(seed:s)))`` — no
     explode, no shuffle, codegen'd. At 100 TB this is a single scan.
     """
-    docs = _with_shingles(load_table(spark, sf_dir, "documents"))
+    docs = _with_shingles(
+        scale_partitions(load_table(spark, sf_dir, "documents"), spark)
+    )
+    # ONE md5 per shingle, k cheap universal-hash derivations (functions/
+    # text.py MINHASH_*) — an 8× cut of the dominant hash cost.
+    # NB: lambdas passed to transform must be unary — pyspark binds a second
+    # lambda parameter to the array index.
+    based = docs.withColumn("hb", F.transform(F.col("sh"), minhash_base))
 
-    # NB: the lambda must be unary — pyspark passes the array *index* as a
-    # second lambda argument, so a default-arg closure (lambda s, i=i: ...)
-    # would silently hash with the element position as the seed.
-    def seeded(i: int):
-        return lambda s: md5_hash64(s, seed=i)
+    def derive(i: int):
+        return lambda b: minhash_derive(b, i)
 
     sig_cols = [
-        F.array_min(F.transform(F.col("sh"), seeded(i))).alias(f"mh{i}")
+        F.array_min(F.transform(F.col("hb"), derive(i))).alias(f"mh{i}")
         for i in range(N_MINHASH)
     ]
-    return docs.select("doc_id", *sig_cols)
+    return based.select("doc_id", *sig_cols)
 
 
 def _band_keys(sig: DataFrame) -> DataFrame:
@@ -110,7 +116,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     and computes exact Jaccard; only pairs ≥ threshold survive. Distinct
     de-dups pairs that collide in several bands.
     """
-    docs = _with_shingles(load_table(spark, sf_dir, "documents"))
+    docs = _with_shingles(
+        scale_partitions(load_table(spark, sf_dir, "documents"), spark)
+    )
     sig = minhash_signatures(spark, sf_dir)
     bands = _band_keys(sig)
     a, b = bands.alias("a"), bands.alias("b")
@@ -150,22 +158,25 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     (majority vote — equivalent to the ±1 sum formulation). One scan, no
     shuffle.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = scale_partitions(load_table(spark, sf_dir, "documents"), spark)
     tok = F.array_distinct(tokens(F.col("text")))
     hashed = docs.select(
         "doc_id", F.transform(tok, lambda t: md5_hash64(t)).alias("hs")
     )
-    # majority-vote each of the 60 bits, fold into one long
-    def bit_set(bit: int):
-        # unary lambda — see the seeded() note in minhash_signatures
-        return lambda h: F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1
-
-    simhash = F.lit(0).cast("long")
-    for bit in range(60):
-        ones = F.size(F.filter(F.col("hs"), bit_set(bit)))
-        simhash = simhash + F.when(
-            ones * 2 > F.size(F.col("hs")), F.shiftleft(F.lit(1).cast("long"), bit)
-        ).otherwise(F.lit(0).cast("long"))
+    # majority-vote each of the 60 bits, folded by a runtime loop over
+    # sequence(0,59) — a compact expression tree. (The unrolled 60-term
+    # alternative compiles a huge plan; the loop form plans in milliseconds
+    # and runs the same arithmetic.)
+    simhash = F.expr(
+        """
+        aggregate(
+            sequence(0, 59),
+            0L,
+            (acc, b) -> acc + IF(
+                size(filter(hs, h -> (shiftright(h, b) & 1) = 1)) * 2 > size(hs),
+                shiftleft(1L, b), 0L))
+        """
+    )
     return hashed.select(
         "doc_id",
         simhash.alias("simhash"),

@@ -49,8 +49,16 @@ def decode_stub(payload: bytes) -> object:
 
 def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents → (doc_id, payload binary, media_type, n_bytes): the opaque
-    payload + typed-metadata shape."""
-    docs = load_table(spark, sf_dir, "documents")
+    payload + typed-metadata shape.
+
+    Partitioning: a *moderate* width (8), not full parallelism — each first
+    use of a partition forks a Python worker that imports pandas (~1 s);
+    32 cold workers for a small table costs more than it buys. Long-lived
+    clusters amortize worker start-up, small benches do not.
+    """
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        min(8, spark.sparkContext.defaultParallelism)
+    )
     return docs.select(
         "doc_id",
         F.encode(F.col("text"), "UTF-8").alias("payload"),

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kafka_exercise_spark.catalog import load_table
+from kafka_exercise_spark.catalog import load_table, scale_partitions
 from kafka_exercise_spark.functions.text import (
     LANG_PROFILES,
     QUALITY_STOPWORDS,
@@ -29,7 +29,7 @@ BPE_REGEX = "[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]"
 
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document token counts: whitespace tokens + BPE-ish regex tokens."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = scale_partitions(load_table(spark, sf_dir, "documents"), spark)
     tok = tokens(F.col("text"))
     return docs.select(
         "doc_id",
@@ -49,7 +49,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     rules): enough stopwords to look like prose, lexical diversity, and a
     length floor.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = scale_partitions(load_table(spark, sf_dir, "documents"), spark)
     tok = tokens(F.col("text"))
     n_tok = F.size(tok)
     stop_ratio = F.when(
@@ -83,7 +83,7 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     noise — the point is the deterministic heuristic, checked value-for-value
     against the SQL oracle.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = scale_partitions(load_table(spark, sf_dir, "documents"), spark)
     tok = tokens(F.col("text"))
     hit_cols = [
         profile_hits(tok, words).alias(f"hits_{lang}")
