@@ -1,0 +1,134 @@
+"""Physical-plan inspection: the scale-audit surface of the engine.
+
+The reference declares queries and trusts a closed engine to plan them
+(reference README.md:180-347 — ksqlDB statements, no EXPLAIN anywhere).
+Our engine exposes the opposite posture: every operator's physical plan is
+inspectable, and the properties that decide whether a plan survives a 100 TB
+scale-up are *pinned by tests* (tests/test_plans.py):
+
+- filters and column pruning reach the parquet scan (``pushed_filters`` /
+  ``read_schema_columns``),
+- dimension joins are broadcast, fact-fact joins are not cartesian
+  (``broadcast_join_count`` / ``has_cartesian_product``),
+- the hot path stays JVM-side (``python_eval_count`` == 0 outside the
+  explicitly Pandas-UDF-backed multimodal ops),
+- shuffle count matches the algebraic minimum for the query
+  (``shuffle_exchange_count``).
+
+Everything here reads Spark's own formatted explain output; nothing mutates
+the plan. Works on classic (JVM) PySpark sessions, which is what this engine
+targets; guarded to raise a clear error under Spark Connect.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+_PYTHON_EVAL_NODES = (
+    "BatchEvalPython",
+    "ArrowEvalPython",
+    "MapInPandas",
+    "FlatMapGroupsInPandas",
+    "AggregateInPandas",
+    "WindowInPandas",
+    "PythonMapInArrow",
+)
+
+
+def explain_str(df: DataFrame, mode: str = "formatted") -> str:
+    """The string ``df.explain(mode)`` would print.
+
+    Uses the JVM QueryExecution directly because the public API only prints.
+    """
+    try:
+        jqe = df._jdf.queryExecution()
+        jvm = df.sparkSession._jvm
+        emode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+        return jqe.explainString(emode)
+    except AttributeError as exc:  # Spark Connect has no _jdf
+        raise RuntimeError(
+            "plan inspection requires a classic (JVM) SparkSession"
+        ) from exc
+
+
+def shuffle_exchange_count(df: DataFrame) -> int:
+    """Number of shuffle Exchange operators (broadcast exchanges excluded).
+
+    This is THE scale number: each shuffle rewrites the stream to the
+    cluster. A 100 TB plan lives or dies on this count.
+    """
+    plan = explain_str(df, "simple")
+    return len(re.findall(r"(?<!Broadcast)Exchange (?:hashpartitioning|rangepartitioning|RoundRobinPartitioning|SinglePartition)", plan))
+
+
+def broadcast_join_count(df: DataFrame) -> int:
+    """Number of broadcast hash/nested-loop joins in the physical plan."""
+    plan = explain_str(df, "simple")
+    return len(re.findall(r"BroadcastHashJoin|BroadcastNestedLoopJoin", plan))
+
+
+def has_cartesian_product(df: DataFrame) -> bool:
+    """True if the plan contains an unconstrained CartesianProduct."""
+    return "CartesianProduct" in explain_str(df, "simple")
+
+
+def python_eval_count(df: DataFrame) -> int:
+    """Number of Python-execution operators (row or Arrow) in the plan.
+
+    0 means the whole query runs JVM-side (codegen / vectorized) — the
+    required state for every hot-path operator in this engine.
+    """
+    plan = explain_str(df, "simple")
+    return sum(plan.count(node) for node in _PYTHON_EVAL_NODES)
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """Non-empty ``PushedFilters: [...]`` bodies, one raw string per scan.
+
+    Non-empty entries prove predicates reached the parquet reader instead of
+    being evaluated post-scan. (Bodies are kept whole — filter literals may
+    contain commas, e.g. ``EqualTo(c_mktsegment,BUILDING)``.)
+    """
+    plan = explain_str(df, "formatted")
+    return [
+        m.group(1).strip()
+        for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", plan)
+        if m.group(1).strip()
+    ]
+
+
+def read_schema_columns(df: DataFrame) -> list[list[str]]:
+    """Column list of each parquet ``ReadSchema`` in the plan (pruning proof).
+
+    A scan whose ReadSchema carries columns the query never uses failed
+    column pruning — at 100 TB that is IO measured in extra terabytes.
+    """
+    plan = explain_str(df, "formatted")
+    schemas: list[list[str]] = []
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+        body = m.group(1)
+        cols = [c.split(":", 1)[0].strip() for c in body.split(",") if c.strip()]
+        schemas.append(cols)
+    return schemas
+
+
+def wholestage_codegen_spans(df: DataFrame) -> int:
+    """Number of distinct WholeStageCodegen stages in the plan."""
+    plan = explain_str(df, "formatted")
+    ids = set(re.findall(r"codegen id : (\d+)", plan))
+    return len(ids)
+
+
+def plan_report(df: DataFrame) -> dict:
+    """One-stop structured audit of a DataFrame's physical plan."""
+    return {
+        "shuffles": shuffle_exchange_count(df),
+        "broadcast_joins": broadcast_join_count(df),
+        "cartesian": has_cartesian_product(df),
+        "python_eval_nodes": python_eval_count(df),
+        "pushed_filters": pushed_filters(df),
+        "read_schemas": read_schema_columns(df),
+        "codegen_spans": wholestage_codegen_spans(df),
+    }

@@ -1,0 +1,142 @@
+"""Pin the physical-plan properties that decide 100 TB viability.
+
+These tests are the scale audit: they fail if a code change silently
+introduces an extra shuffle, drops predicate pushdown, un-broadcasts a
+dimension join, or moves a hot-path operator into Python. The properties
+asserted here hold at any scale factor because they are plan-shape facts,
+not data facts.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from kafka_exercise_spark.operators import (
+    dedup,
+    multimodal,
+    pipeline_ops,
+    relational,
+    similarity,
+    textops,
+)
+from kafka_exercise_spark.plans import (
+    broadcast_join_count,
+    has_cartesian_product,
+    pushed_filters,
+    python_eval_count,
+    read_schema_columns,
+    shuffle_exchange_count,
+)
+
+
+def test_jovens_is_scan_only(spark, sf_dir):
+    """Filter+format pipeline: no shuffle, predicate pushed to parquet."""
+    df = pipeline_ops.jovens(spark, sf_dir)
+    assert shuffle_exchange_count(df) == 0
+    assert python_eval_count(df) == 0
+    assert any("GreaterThanOrEqual(o_orderdate" in f for f in pushed_filters(df))
+
+
+def test_jovens_prunes_columns(spark, sf_dir):
+    """orders has 9 columns; jovens reads exactly the 5 it needs."""
+    df = pipeline_ops.jovens(spark, sf_dir)
+    (cols,) = read_schema_columns(df)
+    assert sorted(cols) == [
+        "o_custkey",
+        "o_orderdate",
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+    ]
+
+
+def test_q1_single_shuffle_pushdown(spark, sf_dir):
+    """Grouped agg = exactly one shuffle (partial → final); filter pushed."""
+    df = relational.q1_pricing_summary(spark, sf_dir)
+    assert shuffle_exchange_count(df) == 1
+    assert python_eval_count(df) == 0
+    assert any("l_shipdate" in f for f in pushed_filters(df))
+    # column pruning: lineitem is 16 columns, q1 needs 7
+    (cols,) = read_schema_columns(df)
+    assert len(cols) == 7
+
+
+def test_q3_broadcasts_dimensions(spark, sf_dir):
+    """Dim filters (customer/orders) broadcast; no cartesian product."""
+    df = relational.q3_shipping_priority(spark, sf_dir)
+    assert broadcast_join_count(df) >= 1
+    assert not has_cartesian_product(df)
+    assert any("EqualTo(c_mktsegment,BUILDING)" in f for f in pushed_filters(df))
+    # join + agg + topk still only needs the one aggregation shuffle locally
+    assert shuffle_exchange_count(df) <= 2
+
+
+def test_q5_six_table_join_no_cartesian(spark, sf_dir):
+    df = relational.q5_local_supplier(spark, sf_dir)
+    assert not has_cartesian_product(df)
+    assert broadcast_join_count(df) >= 3
+    assert python_eval_count(df) == 0
+
+
+def test_window_rank_single_shuffle(spark, sf_dir):
+    """Ranking window: one hash shuffle on the partition key, no more."""
+    df = relational.window_rank_orders(spark, sf_dir)
+    assert shuffle_exchange_count(df) == 1
+    assert python_eval_count(df) == 0
+
+
+def test_sort_topk_no_global_sort(spark, sf_dir):
+    """LIMIT+ORDER BY must plan TakeOrderedAndProject, not a full sort."""
+    from kafka_exercise_spark.plans import explain_str
+
+    df = relational.sort_topk(spark, sf_dir)
+    plan = explain_str(df, "simple")
+    assert "TakeOrderedAndProject" in plan
+    assert shuffle_exchange_count(df) == 0
+
+
+@pytest.mark.parametrize(
+    "fn",
+    [
+        textops.text_token_stats,
+        textops.text_quality_score,
+        textops.text_langid,
+        textops.doc_fingerprint,
+        dedup.minhash_signatures,
+        dedup.dedup_simhash,
+    ],
+    ids=lambda f: f.__name__,
+)
+def test_text_and_hash_ops_stay_jvm_side(spark, sf_dir, fn):
+    """Token/hash-heavy operators run entirely in codegen — zero Python."""
+    df = fn(spark, sf_dir)
+    assert python_eval_count(df) == 0
+
+
+def test_minhash_lsh_no_cartesian(spark, sf_dir):
+    """LSH self-join joins on band keys — never a cartesian product."""
+    df = dedup.dedup_minhash_lsh(spark, sf_dir)
+    assert not has_cartesian_product(df)
+    assert python_eval_count(df) == 0
+
+
+def test_ann_bruteforce_is_broadcast(spark, sf_dir):
+    """Tiny query set × big corpus: the query side must broadcast."""
+    df = similarity.ann_cosine_topk(spark, sf_dir)
+    assert broadcast_join_count(df) >= 1
+    assert python_eval_count(df) == 0
+
+
+def test_multimodal_is_the_only_python_path(spark, sf_dir):
+    """Pandas-UDF decode plumbing is explicitly Python (and only it)."""
+    df = multimodal.multimodal_features(spark, sf_dir)
+    assert python_eval_count(df) >= 1
+
+
+def test_exact_dedup_pushes_projection(spark, sf_dir):
+    """Fingerprint groupBy reads only doc_id+text from documents."""
+    df = dedup.dedup_exact(spark, sf_dir)
+    schemas = read_schema_columns(df)
+    assert schemas, "expected a parquet scan"
+    for cols in schemas:
+        assert set(cols) <= {"doc_id", "text"}
