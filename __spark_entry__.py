@@ -16,6 +16,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from kafka_exercise_spark.operators import (
+    analytic,
     dedup,
     multimodal,
     pipeline_ops,
@@ -64,6 +65,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_rank_orders": relational.window_rank_orders,
         "json_extract_events": relational.json_extract_events,
         "agg_stats_events": relational.agg_stats_events,
+        # ---- stage E: analytic layer (rollup/cube, sketches, time joins) ----
+        "rollup_orders": analytic.rollup_orders,
+        "cube_events_day": analytic.cube_events_day,
+        "approx_aggs_events": analytic.approx_aggs_events,
+        "stats_ext_events": analytic.stats_ext_events,
+        "asof_join_events": analytic.asof_join_events,
+        "range_join_tiers": analytic.range_join_tiers,
+        "session_window_events": analytic.session_window_events,
+        "sliding_window_events": analytic.sliding_window_events,
         # ---- north star: text analysis over documents ----
         "text_token_stats": textops.text_token_stats,
         "text_quality_score": textops.text_quality_score,
@@ -276,6 +286,95 @@ def oracle_sql() -> dict[str, str]:
                    round(stddev_samp(value), 6) AS std_value,
                    count(DISTINCT user_id) AS n_users
             FROM events GROUP BY event_type
+        """,
+        "rollup_orders": """
+            SELECT o_orderstatus, o_orderpriority,
+                   GROUPING(o_orderstatus, o_orderpriority)::BIGINT AS gid,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS spend
+            FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        """,
+        "cube_events_day": """
+            WITH e AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+                              value FROM events)
+            SELECT event_type, day,
+                   GROUPING(event_type, day)::BIGINT AS gid,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS sum_value
+            FROM e GROUP BY CUBE(event_type, day)
+        """,
+        "approx_aggs_events": """
+            SELECT event_type,
+                   count(DISTINCT user_id) AS n_users_exact,
+                   true AS hll_within_5pct,
+                   round(quantile_cont(value, 0.5), 4) AS p50_exact_r,
+                   true AS p50_within_tol
+            FROM events GROUP BY event_type
+        """,
+        "stats_ext_events": """
+            WITH e AS (SELECT event_type, value,
+                CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+                FROM events)
+            SELECT event_type,
+                   round(var_samp(value), 4) AS var_value,
+                   round(corr(value, k), 4) AS corr_value_k,
+                   round(covar_samp(value, k), 4) AS covar_value_k,
+                   round(quantile_cont(value, 0.5), 4) AS median_value
+            FROM e GROUP BY event_type
+        """,
+        "asof_join_events": """
+            WITH p AS (
+              SELECT user_id, ts, arg_max(event_id, event_id) AS p_event_id,
+                     arg_max(value, event_id) AS p_value
+              FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts),
+            e AS (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'error')
+            SELECT e.event_id, e.user_id,
+                   strftime(e.ts, '%Y-%m-%d %H:%M:%S.%g') AS ts_str,
+                   p.p_event_id AS asof_event_id,
+                   round(p.p_value, 2) AS asof_value
+            FROM e ASOF LEFT JOIN p
+              ON e.user_id = p.user_id AND e.ts >= p.ts
+        """,
+        "range_join_tiers": """
+            WITH tiers(lo, hi, tier) AS (VALUES
+                (0.0, 2.5, 'low'), (2.5, 5.0, 'mid'),
+                (5.0, 7.5, 'high'), (7.5, 1e18, 'extreme'))
+            SELECT tier, count(*) AS n_events,
+                   round(avg(value), 4) AS avg_value
+            FROM events JOIN tiers ON value >= lo AND value < hi
+            GROUP BY tier
+        """,
+        "session_window_events": """
+            WITH f AS (
+              SELECT user_id, ts, value,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR ts - lag(ts) OVER w >= INTERVAL 4 HOURS
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+            s AS (SELECT user_id, ts, value,
+                         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                          ROWS UNBOUNDED PRECEDING) AS sid
+                  FROM f)
+            SELECT user_id,
+                   strftime(min(ts), '%Y-%m-%d %H:%M:%S.%g') AS session_start,
+                   strftime(max(ts) + INTERVAL 4 HOURS,
+                            '%Y-%m-%d %H:%M:%S.%g') AS session_end,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS session_value
+            FROM s GROUP BY user_id, sid
+        """,
+        "sliding_window_events": """
+            WITH w AS (SELECT event_type,
+                    unnest([time_bucket(INTERVAL 30 SECONDS, ts),
+                            time_bucket(INTERVAL 30 SECONDS, ts)
+                            - INTERVAL 30 SECONDS]) AS ws
+                  FROM events)
+            SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+                   strftime(ws + INTERVAL 60 SECONDS,
+                            '%Y-%m-%d %H:%M:%S') AS window_end,
+                   event_type, count(*) AS n_events
+            FROM w GROUP BY 1, 2, 3
         """,
         "text_token_stats": f"""
             WITH t AS (SELECT doc_id, n_chars, text, {_TOKS} AS tok FROM documents)

@@ -1,0 +1,244 @@
+"""Analytic operators beyond the reference surface — stage E continued.
+
+The reference's aggregate surface is a single COUNT over one key with one
+tumbling window (reference README.md:271-276); SURVEY.md §2.5 lists the
+absences. This module adds the analytic layer a warehouse engine is expected
+to have — multi-level aggregation (ROLLUP/CUBE), sketch-based approximate
+aggregates, statistical aggregates, event-time as-of and range joins, and
+session/sliding windows — each expressed as the plan that survives 100 TB:
+
+- ROLLUP/CUBE expand in the partial aggregate (Spark plans an Expand node
+  before the shuffle), so the cost is one shuffle regardless of level count.
+- Approximate aggregates (HyperLogLog++, KLL-style quantile sketch) are the
+  scale path for distinct-count/percentile: fixed-size sketch per partition,
+  merged at the driver-free reduce. Their *estimates* are engine-specific, so
+  the oracle checks a within-tolerance flag against the exact value instead
+  of the raw estimate (the claim under test is the accuracy contract).
+- The as-of join is the union + partitioned carry-forward formulation: one
+  shuffle on the key, no range explosion, no per-row lookup — the standard
+  scalable rewrite of "most recent matching row at or before t".
+- The range join broadcasts the tier table (a handful of rows) — a
+  BroadcastNestedLoopJoin over an interval predicate, never a cartesian
+  against a shuffled side.
+- Session windows use Spark's native ``session_window`` (merging state
+  machine in the agg operator); sliding windows use ``window(size, slide)``
+  (each row expands to size/slide buckets map-side).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kafka_exercise_spark.catalog import load_table
+
+TS_FMT = "yyyy-MM-dd HH:mm:ss.SSS"
+SESSION_GAP = "4 hours"
+
+
+def rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (status, priority): per-pair, per-status, grand total.
+
+    One Expand + one shuffle; grouping_id disambiguates aggregation level
+    (and NULL-valued group keys) exactly like SQL GROUPING().
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("spend"),
+        )
+    )
+
+
+def cube_events_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (event_type, day): all four aggregation levels in one pass."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+        .cube("event_type", "day")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+def approx_aggs_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates with their accuracy contract as the checked value.
+
+    approx_count_distinct (HyperLogLog++) and percentile_approx are THE
+    100 TB forms of COUNT(DISTINCT)/percentile — constant memory, one pass,
+    mergeable. Estimates are engine-specific, so the oracle-checkable output
+    is (exact value, |estimate − exact| within tolerance): the flag proves
+    the sketch ran and met its rsd/accuracy bound, value-hash-stably.
+    """
+    events = load_table(spark, sf_dir, "events")
+    agg = events.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_users_exact"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_approx"),
+        F.expr("percentile(value, 0.5D)").alias("p50_exact"),
+        F.percentile_approx("value", 0.5, 10000).alias("p50_approx"),
+    )
+    return agg.select(
+        "event_type",
+        "n_users_exact",
+        (
+            F.abs(F.col("n_users_approx") - F.col("n_users_exact"))
+            <= F.greatest(
+                F.ceil(F.col("n_users_exact") * 0.05), F.lit(2)
+            )
+        ).alias("hll_within_5pct"),
+        F.round("p50_exact", 4).alias("p50_exact_r"),
+        (F.abs(F.col("p50_approx") - F.col("p50_exact")) <= F.lit(0.5)).alias(
+            "p50_within_tol"
+        ),
+    )
+
+
+def stats_ext_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment surface: variance, correlation, covariance, median."""
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "k", F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    )
+    return events.groupBy("event_type").agg(
+        F.round(F.var_samp("value"), 4).alias("var_value"),
+        F.round(F.corr("value", "k"), 4).alias("corr_value_k"),
+        F.round(F.covar_samp("value", "k"), 4).alias("covar_value_k"),
+        F.round(F.expr("percentile(value, 0.5D)"), 4).alias("median_value"),
+    )
+
+
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each error event ⟵ the latest same-user purchase at ts ≤ t.
+
+    Spark has no ASOF JOIN operator; the scalable formulation is the sorted
+    carry-forward: union both sides, one shuffle on user_id, one in-partition
+    sort on (ts, side, event_id), then last(..., ignorenulls) carries the
+    most recent purchase forward into each error row. Cost: one shuffle +
+    one sort — no range-condition join explosion, no per-row probe. Ties:
+    a purchase at exactly the error's ts matches (sorts first); concurrent
+    purchases resolve to the highest event_id (the sort's last writer).
+    """
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("side"),
+        F.col("event_id").alias("p_event_id"),
+        F.col("value").alias("p_value"),
+        F.lit(None).cast("bigint").alias("event_id"),
+    )
+    errors = events.filter(F.col("event_type") == "error").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("side"),
+        F.lit(None).cast("bigint").alias("p_event_id"),
+        F.lit(None).cast("double").alias("p_value"),
+        "event_id",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side", "p_event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = purchases.unionByName(errors).select(
+        "user_id",
+        "ts",
+        "side",
+        "event_id",
+        F.last("p_event_id", ignorenulls=True).over(w).alias("asof_event_id"),
+        F.last("p_value", ignorenulls=True).over(w).alias("asof_value"),
+    )
+    return merged.filter(F.col("side") == 1).select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", TS_FMT).alias("ts_str"),
+        "asof_event_id",
+        F.round("asof_value", 2).alias("asof_value"),
+    )
+
+
+#: (lo, hi, tier) — value ∈ [lo, hi) buckets for the range join.
+VALUE_TIERS = (
+    (0.0, 2.5, "low"),
+    (2.5, 5.0, "mid"),
+    (5.0, 7.5, "high"),
+    (7.5, 1e18, "extreme"),
+)
+
+
+def range_join_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join: events banded into broadcast value tiers.
+
+    The tier table is rows-of-constants — broadcast it and the inequality
+    join is a per-row scan of 4 intervals (BroadcastNestedLoopJoin), the
+    right plan at any fact size. Never shuffle a fact table for an interval
+    lookup against a constant-sized dimension.
+    """
+    events = load_table(spark, sf_dir, "events")
+    tiers = spark.createDataFrame(
+        list(VALUE_TIERS), schema="lo double, hi double, tier string"
+    )
+    return (
+        events.join(
+            F.broadcast(tiers),
+            (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")),
+            "inner",
+        )
+        .groupBy("tier")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+    )
+
+
+def session_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sessionization with a 4 h inactivity gap (native operator).
+
+    ``session_window`` runs as a merging aggregate: sessions build map-side
+    and merge across the one shuffle on (user_id), so state is bounded by
+    open sessions, not events — the same operator Structured Streaming uses
+    for streaming sessionization. End bound = last event + gap (exclusive).
+    """
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.session_window("ts", SESSION_GAP), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("session_window.start", TS_FMT).alias("session_start"),
+            F.date_format("session_window.end", TS_FMT).alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def sliding_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping window count: 60 s windows sliding every 30 s, per type.
+
+    Each row expands to size/slide = 2 window assignments map-side, then one
+    grouped count — the overlap factor, not the window count, is the cost
+    multiplier, so a 1 h window sliding by 30 min costs the same 2×.
+    """
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "60 seconds", "30 seconds"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            F.date_format("window.end", "yyyy-MM-dd HH:mm:ss").alias("window_end"),
+            "event_type",
+            "n_events",
+        )
+    )

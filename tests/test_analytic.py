@@ -1,0 +1,105 @@
+"""Semantic + plan checks for the analytic operator layer."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kafka_exercise_spark.catalog import load_table
+from kafka_exercise_spark.operators import analytic
+from kafka_exercise_spark.plans import (
+    broadcast_join_count,
+    has_cartesian_product,
+    python_eval_count,
+    shuffle_exchange_count,
+)
+
+
+def test_rollup_levels_sum_consistently(spark, sf_dir):
+    # plan facts first, on the uncached frame (a cached relation re-serializes
+    # its stored plan into explain output and double-counts exchanges)
+    df = analytic.rollup_orders(spark, sf_dir)
+    assert shuffle_exchange_count(df) == 1
+    assert python_eval_count(df) == 0
+    df = df.cache()
+    total = df.filter(F.col("gid") == 3).collect()
+    per_status = df.filter(F.col("gid") == 1).agg(F.sum("n_orders")).collect()
+    assert len(total) == 1
+    assert total[0]["n_orders"] == per_status[0][0]
+    df.unpersist()
+
+
+def test_cube_has_all_four_levels(spark, sf_dir):
+    gids = {
+        r["gid"]
+        for r in analytic.cube_events_day(spark, sf_dir).select("gid").distinct().collect()
+    }
+    assert gids == {0, 1, 2, 3}
+
+
+def test_approx_aggs_meet_accuracy_contract(spark, sf_dir):
+    rows = analytic.approx_aggs_events(spark, sf_dir).collect()
+    assert rows
+    assert all(r["hll_within_5pct"] for r in rows)
+    assert all(r["p50_within_tol"] for r in rows)
+
+
+def test_asof_join_matches_latest_prior_purchase(spark, sf_dir):
+    """Brute-force re-derivation for a sample of error events."""
+    events = load_table(spark, sf_dir, "events").cache()
+    out = {
+        r["event_id"]: (r["asof_event_id"], r["user_id"])
+        for r in analytic.asof_join_events(spark, sf_dir).collect()
+    }
+    errors = events.filter(F.col("event_type") == "error").limit(20).collect()
+    purchases = events.filter(F.col("event_type") == "purchase").collect()
+    assert out
+    for e in errors:
+        prior = [
+            p
+            for p in purchases
+            if p["user_id"] == e["user_id"] and p["ts"] <= e["ts"]
+        ]
+        want = (
+            max(prior, key=lambda p: (p["ts"], p["event_id"]))["event_id"]
+            if prior
+            else None
+        )
+        assert out[e["event_id"]][0] == want
+    events.unpersist()
+
+
+def test_asof_join_is_single_shuffle(spark, sf_dir):
+    df = analytic.asof_join_events(spark, sf_dir)
+    # union + window = one hash shuffle on user_id; no join node at all
+    assert shuffle_exchange_count(df) == 1
+    assert python_eval_count(df) == 0
+
+
+def test_range_join_broadcasts_tiers(spark, sf_dir):
+    df = analytic.range_join_tiers(spark, sf_dir)
+    assert broadcast_join_count(df) >= 1
+    assert not has_cartesian_product(df)
+    n = load_table(spark, sf_dir, "events").count()
+    assert df.agg(F.sum("n_events")).collect()[0][0] == n
+
+
+def test_session_windows_disjoint_per_user(spark, sf_dir):
+    rows = analytic.session_window_events(spark, sf_dir).collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(
+            (r["session_start"], r["session_end"])
+        )
+    assert rows
+    for spans in by_user.values():
+        spans.sort()
+        for (_, prev_end), (nxt_start, _) in zip(spans, spans[1:]):
+            # next session starts at/after the previous gap-extended end
+            assert nxt_start >= prev_end
+
+
+def test_sliding_window_double_counts(spark, sf_dir):
+    """size/slide = 2 ⇒ every event lands in exactly two windows."""
+    df = analytic.sliding_window_events(spark, sf_dir)
+    n = load_table(spark, sf_dir, "events").count()
+    assert df.agg(F.sum("n_events")).collect()[0][0] == 2 * n
