@@ -25,6 +25,7 @@ from kafka_exercise_spark.operators import (
     textops,
 )
 from kafka_exercise_spark.streaming import pipeline as streaming_pipeline
+from kafka_exercise_spark.streaming import stateful as streaming_stateful
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
@@ -98,6 +99,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_idadecont_replay": streaming_pipeline.streaming_idadecont_replay,
         # §2.1 S3 — timestamp-mode CDC poll from a persisted high-water mark
         "incremental_source_snapshot": streaming_pipeline.incremental_source_snapshot,
+        # §2.5 absences, filled: stream-stream interval join (watermarked),
+        # cross-batch streaming dedup, custom GroupState operator
+        "streaming_join_replay": streaming_stateful.streaming_join_replay,
+        "streaming_dedup_replay": streaming_stateful.streaming_dedup_replay,
+        "streaming_user_state_replay": (
+            streaming_stateful.streaming_user_state_replay
+        ),
     }
 
 
@@ -575,5 +583,24 @@ def oracle_sql() -> dict[str, str]:
         "incremental_source_snapshot": """
             SELECT event_id, user_id, event_type, value, props
             FROM events WHERE ts > TIMESTAMP '2024-01-16 00:00:00'
+        """,
+        "streaming_join_replay": """
+            WITH c AS (SELECT user_id, ts FROM events
+                       WHERE event_type = 'click'),
+            p AS (SELECT user_id, ts, value FROM events
+                  WHERE event_type = 'purchase')
+            SELECT c.user_id, count(*) AS n_conversions,
+                   round(sum(p.value), 2) AS conv_value
+            FROM c JOIN p ON c.user_id = p.user_id
+               AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 15 MINUTES
+            GROUP BY c.user_id
+        """,
+        "streaming_dedup_replay": """
+            SELECT DISTINCT user_id, event_type FROM events
+        """,
+        "streaming_user_state_replay": """
+            SELECT user_id, count(*) AS n_events,
+                   round(sum(value), 2) AS sum_value
+            FROM events GROUP BY user_id
         """,
     }

@@ -1,0 +1,215 @@
+"""Stateful streaming beyond the reference: joins, dedup, custom state.
+
+The reference's only stateful operator is the windowed count (reference
+README.md:271-276); SURVEY.md §2.5 lists stream-stream joins and any custom
+state as absent. This module adds the three stateful families a streaming
+engine needs, each as a REAL StreamExecution run over a bounded replay whose
+final result is batch-equivalent (the Structured Streaming model), so the
+driver can oracle-check them with plain SQL:
+
+- **stream-stream interval join** — conversion attribution: purchases within
+  15 min after a click by the same user. Both sides watermarked + a time-range
+  condition, which is what bounds join state at scale: each side keeps only
+  rows inside the watermark-relative range, evicted as the watermark advances.
+- **streaming dedup** — ``dropDuplicates`` on a key subset across
+  micro-batches (state-store backed). The bounded contract run keeps state
+  unbounded for exactness; production uses ``dropDuplicatesWithinWatermark``
+  so state ages out — both are exercised in tests/test_streaming_stateful.py.
+- **custom stateful operator** — ``applyInPandasWithState``: per-user running
+  aggregate held in an explicit GroupState, the escape hatch for semantics
+  windowed aggregation can't express (the engine-side analog of writing a
+  Kafka Streams Processor, which the reference's closed images do
+  internally).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+from collections.abc import Iterable, Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from kafka_exercise_spark.catalog import load_table
+from kafka_exercise_spark.streaming.sources import file_stream
+
+CONVERSION_WINDOW = "15 minutes"
+
+
+def _events_replay(
+    spark: SparkSession, sf_dir: str, n_files: int = 8
+) -> tuple[str, str, StructType]:
+    """Land events as an n-file parquet dir for replay; returns
+    (workdir, src_dir, schema)."""
+    work = tempfile.mkdtemp(prefix="stateful_replay_")
+    src = os.path.join(work, "src")
+    events = load_table(spark, sf_dir, "events")
+    events.repartition(n_files).write.mode("overwrite").parquet(src)
+    return work, src, events.schema
+
+
+def _fresh_memory_query(spark: SparkSession, name: str) -> None:
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+
+
+def conversion_join(
+    clicks: DataFrame, purchases: DataFrame, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Stream-stream inner join: purchase ≤ 15 min after same-user click.
+
+    The time-range predicate is load-bearing: it lets Spark derive state
+    eviction bounds for BOTH sides from the watermarks, so join state is
+    O(rows in the 15-minute band), not O(stream). Without it a
+    stream-stream join must hold every row forever.
+    """
+    c = (
+        clicks.withWatermark("ts", watermark)
+        .select(
+            F.col("user_id"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+    )
+    p = (
+        purchases.withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("value").alias("p_value"),
+        )
+    )
+    return c.join(
+        p,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr(f"INTERVAL {CONVERSION_WINDOW}")),
+        "inner",
+    )
+
+
+def streaming_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver contract: the conversion join run by StreamExecution over a
+    bounded replay, aggregated per user. Final rows ≡ the batch interval
+    join, so the oracle is plain SQL."""
+    work, src, schema = _events_replay(spark, sf_dir)
+    name = "conversion_join_contract"
+    _fresh_memory_query(spark, name)
+    stream = file_stream(spark, src, schema, max_files_per_trigger=None)
+    joined = conversion_join(
+        stream.filter(F.col("event_type") == "click"),
+        stream.filter(F.col("event_type") == "purchase"),
+    )
+    query = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(300)
+    result = (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_conversions"),
+            F.round(F.sum("p_value"), 2).alias("conv_value"),
+        )
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    return result
+
+
+def streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver contract: cross-batch streaming dedup of (user_id, event_type).
+
+    Replays events as 4 micro-batches (8 files, 2 per trigger) so the dedup
+    state store genuinely carries keys across batches; the emitted set is
+    exactly the batch DISTINCT. Key-only projection keeps the surviving-row
+    choice (which is arrival-order-dependent) out of the checked value.
+    """
+    work, src, schema = _events_replay(spark, sf_dir)
+    name = "dedup_contract"
+    _fresh_memory_query(spark, name)
+    stream = file_stream(spark, src, schema, max_files_per_trigger=2)
+    deduped = (
+        stream.select("user_id", "event_type").dropDuplicates(
+            ["user_id", "event_type"]
+        )
+    )
+    query = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(300)
+    result = spark.table(name).select("user_id", "event_type")
+    shutil.rmtree(work, ignore_errors=True)
+    return result
+
+
+#: output / state schemas for the custom stateful operator
+_USER_STATE_OUTPUT = "user_id bigint, n_events bigint, sum_value double"
+_USER_STATE_SCHEMA = "n bigint, s double"
+
+
+def _user_state_fn(key: tuple, pdfs: Iterable, state) -> Iterator:
+    """Per-user running (count, sum) held in GroupState; emits the updated
+    totals once per batch the user appears in."""
+    import pandas as pd
+
+    n, s = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        s += float(pdf["value"].sum())
+    state.update((n, s))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "sum_value": [s]}
+    )
+
+
+def user_running_state(events: DataFrame) -> DataFrame:
+    """applyInPandasWithState: per-user running (n_events, sum_value)."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _user_state_fn,
+        outputStructType=_USER_STATE_OUTPUT,
+        stateStructType=_USER_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+
+
+def streaming_user_state_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver contract: the custom stateful operator over a single-batch
+    replay — exactly one emission per user, equal to the batch aggregate.
+
+    (Multi-batch incremental emission is exercised in tests, where the
+    per-batch trajectory, not just the final state, is asserted.)
+    """
+    work, src, schema = _events_replay(spark, sf_dir, n_files=1)
+    name = "user_state_contract"
+    _fresh_memory_query(spark, name)
+    stream = file_stream(spark, src, schema, max_files_per_trigger=None)
+    out = user_running_state(stream)
+    query = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(300)
+    result = spark.table(name).select(
+        "user_id", "n_events", F.round("sum_value", 2).alias("sum_value")
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    return result
