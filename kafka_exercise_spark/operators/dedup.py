@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from kafka_exercise_spark.catalog import load_table, scale_partitions
 from kafka_exercise_spark.functions.text import (
@@ -66,15 +67,8 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document MinHash signature, one column per seed.
-
-    Pure map-side: ``array_min(transform(shingles, s → H(seed:s)))`` — no
-    explode, no shuffle, codegen'd. At 100 TB this is a single scan.
-    """
-    docs = _with_shingles(
-        scale_partitions(load_table(spark, sf_dir, "documents"), spark)
-    )
+def _signatures_from(docs: DataFrame) -> DataFrame:
+    """MinHash signature columns from a shingled frame (map-only subtree)."""
     # ONE md5 per shingle, k cheap universal-hash derivations (functions/
     # text.py MINHASH_*) — an 8× cut of the dominant hash cost.
     # NB: lambdas passed to transform must be unary — pyspark binds a second
@@ -89,6 +83,19 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i in range(N_MINHASH)
     ]
     return based.select("doc_id", *sig_cols)
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document MinHash signature, one column per seed.
+
+    Pure map-side: ``array_min(transform(shingles, s → H(seed:s)))`` — no
+    explode, no shuffle, codegen'd. At 100 TB this is a single scan.
+    """
+    return _signatures_from(
+        _with_shingles(
+            scale_partitions(load_table(spark, sf_dir, "documents"), spark)
+        )
+    )
 
 
 def _band_keys(sig: DataFrame) -> DataFrame:
@@ -115,11 +122,29 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     band key, never all-pairs. Verification joins the two shingle sets back
     and computes exact Jaccard; only pairs ≥ threshold survive. Distinct
     de-dups pairs that collide in several bands.
+
+    The shingled frame feeds FOUR subtrees (both self-join sides, both
+    verify sides). Persisting it — pruned to (doc_id, sh) and SERIALIZED —
+    executes the scan+tokenize+hash pipeline once instead of four times;
+    serialized storage matters because deserialized caching of large string
+    arrays explodes into per-element JVM objects (measured ~5× slower to
+    fill). The persist is lazy and the cache entry is keyed by canonical
+    plan, so repeated calls reuse one entry per sf_dir rather than
+    accumulating. At 100 TB the same design holds: persist (or checkpoint
+    to the lake) the shingled/signature table, which is also what
+    incremental dedup reuses.
     """
-    docs = _with_shingles(
-        scale_partitions(load_table(spark, sf_dir, "documents"), spark)
+    docs = (
+        _with_shingles(
+            scale_partitions(load_table(spark, sf_dir, "documents"), spark)
+        )
+        .select("doc_id", "sh")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    sig = minhash_signatures(spark, sf_dir)
+    # Eager fill: the band self-join's two sides otherwise race the lazy
+    # cache and each computes (and stores) the pipeline concurrently.
+    docs.count()
+    sig = _signatures_from(docs)
     bands = _band_keys(sig)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
@@ -132,7 +157,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .distinct()
     )
-    sh = docs.select("doc_id", "sh")
+    # Broadcast the shingle lookup into both verify joins: candidate pairs
+    # then never shuffle, and the doc→shingles map ships once per executor.
+    # (At 100 TB the shingle table outgrows broadcast — drop the hint and
+    # these become shuffled hash joins on doc_id, still no re-scan thanks
+    # to the persist.)
+    sh = F.broadcast(docs.select("doc_id", "sh"))
     return (
         cand.join(sh.withColumnsRenamed({"doc_id": "id_a", "sh": "sh_a"}), "id_a")
         .join(sh.withColumnsRenamed({"doc_id": "id_b", "sh": "sh_b"}), "id_b")

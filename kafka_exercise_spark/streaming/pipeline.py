@@ -132,15 +132,18 @@ def streaming_idadecont_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     counted = idadecont_transform(
         idadeclass_transform(stream), watermark_delay=DEFAULT_WATERMARK
     )
-    query = (
-        counted.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .option("checkpointLocation", os.path.join(work, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination(300)
+    from kafka_exercise_spark.streaming.tuning import bounded_replay_conf
+
+    with bounded_replay_conf(spark):
+        query = (
+            counted.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination(300)
     from kafka_exercise_spark.functions import timestamptostring
 
     # window bounds as strings — same hash-stable shape as the batch

@@ -35,6 +35,7 @@ from pyspark.sql.types import StructType
 
 from kafka_exercise_spark.catalog import load_table
 from kafka_exercise_spark.streaming.sources import file_stream
+from kafka_exercise_spark.streaming.tuning import bounded_replay_conf
 
 CONVERSION_WINDOW = "15 minutes"
 
@@ -104,15 +105,16 @@ def streaming_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream.filter(F.col("event_type") == "click"),
         stream.filter(F.col("event_type") == "purchase"),
     )
-    query = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", os.path.join(work, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination(300)
+    with bounded_replay_conf(spark):
+        query = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination(300)
     result = (
         spark.table(name)
         .groupBy("user_id")
@@ -142,15 +144,16 @@ def streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             ["user_id", "event_type"]
         )
     )
-    query = (
-        deduped.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", os.path.join(work, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination(300)
+    with bounded_replay_conf(spark):
+        query = (
+            deduped.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination(300)
     result = spark.table(name).select("user_id", "event_type")
     shutil.rmtree(work, ignore_errors=True)
     return result
@@ -199,15 +202,16 @@ def streaming_user_state_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     _fresh_memory_query(spark, name)
     stream = file_stream(spark, src, schema, max_files_per_trigger=None)
     out = user_running_state(stream)
-    query = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .option("checkpointLocation", os.path.join(work, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination(300)
+    with bounded_replay_conf(spark):
+        query = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination(300)
     result = spark.table(name).select(
         "user_id", "n_events", F.round("sum_value", 2).alias("sum_value")
     )
