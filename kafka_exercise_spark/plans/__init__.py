@@ -2,6 +2,7 @@ from kafka_exercise_spark.plans.inspect import (
     broadcast_join_count,
     explain_str,
     has_cartesian_product,
+    partition_filters,
     plan_report,
     pushed_filters,
     python_eval_count,
@@ -14,6 +15,7 @@ __all__ = [
     "broadcast_join_count",
     "explain_str",
     "has_cartesian_product",
+    "partition_filters",
     "plan_report",
     "pushed_filters",
     "python_eval_count",

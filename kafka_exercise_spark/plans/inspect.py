@@ -99,6 +99,20 @@ def pushed_filters(df: DataFrame) -> list[str]:
     ]
 
 
+def partition_filters(df: DataFrame) -> list[str]:
+    """Non-empty ``PartitionFilters: [...]`` bodies, one per scan.
+
+    Non-empty entries prove the scan prunes directory partitions before
+    reading any file — the layout-level analog of predicate pushdown.
+    """
+    plan = explain_str(df, "formatted")
+    return [
+        m.group(1).strip()
+        for m in re.finditer(r"PartitionFilters: \[([^\]]*)\]", plan)
+        if m.group(1).strip()
+    ]
+
+
 def read_schema_columns(df: DataFrame) -> list[list[str]]:
     """Column list of each parquet ``ReadSchema`` in the plan (pruning proof).
 

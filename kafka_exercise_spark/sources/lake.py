@@ -1,0 +1,74 @@
+"""Lake layout: partitioned landing + bucketed tables (the 100 TB layer).
+
+The reference's "lake" is a flat S3 prefix per topic with 10-record files
+(reference connect_s3_sink_jovens.config:6,12) — no partitioning, no
+clustering, nothing for a reader to prune on. At warehouse scale, layout IS
+the query plan: this module owns the two layout contracts the engine's
+operators rely on, with the plan-visible guarantees pinned in
+tests/test_lake.py:
+
+- **Partitioned landing** (``write_partitioned`` / ``scan with a partition
+  predicate``): directory-encoded partition columns; a filter on them shows
+  up as ``PartitionFilters`` in the scan and prunes whole directories
+  before any IO. A date-partitioned 100 TB events table turns a one-day
+  query into a ~0.3 TB scan.
+- **Bucketed tables** (``write_bucketed``): pre-shuffled clustering on the
+  join/agg key. Two tables bucketed on the same key with the same bucket
+  count join with ZERO exchanges — at 100 TB that deletes the single most
+  expensive stage of fact-fact joins. (Spark's bucketing needs
+  ``saveAsTable``; the files carry bucket ids the planner trusts.)
+
+Both writers are thin on purpose — layout decisions (columns, counts)
+belong to the caller; the helpers encode only the mechanics plus the sizing
+rules of thumb documented on each function.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    max_records_per_file: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Land a frame with directory-encoded partition columns.
+
+    Sizing: pick partition columns with enough cardinality to prune but few
+    enough distinct values that each directory holds ≥ one full parquet
+    row group (128 MB-ish); high-cardinality keys belong in bucketing or
+    file-level sorting (min/max skipping), never in partitionBy.
+    """
+    writer = df.write.mode(mode).partitionBy(*partition_cols)
+    if max_records_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int,
+    sort_col: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Save as a bucketed (optionally sorted) table.
+
+    Sizing: n_buckets ≈ table_size / target_partition_size (aim 128-256 MB
+    per bucket at the largest consumer); both sides of a co-located join
+    must agree on (bucket_col, n_buckets). sort_col pre-sorts within
+    buckets so sort-merge joins skip their sort too.
+    """
+    writer = df.write.mode(mode).bucketBy(n_buckets, bucket_col)
+    if sort_col is not None:
+        writer = writer.sortBy(sort_col)
+    writer.saveAsTable(table)
+
+
+def read_table(spark: SparkSession, table: str) -> DataFrame:
+    """Catalog read of a saved (bucketed) table."""
+    return spark.table(table)
