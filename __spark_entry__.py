@@ -64,6 +64,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_anti_join": relational.semi_anti_join,
         "having_filter": relational.having_filter,
         "window_rank_orders": relational.window_rank_orders,
+        "outer_join_customers_orders": relational.outer_join_customers_orders,
+        "pivot_orders_status": relational.pivot_orders_status,
+        "unpivot_event_stats": relational.unpivot_event_stats,
+        "grouping_sets_orders": relational.grouping_sets_orders,
+        "cross_join_region_pairs": relational.cross_join_region_pairs,
         "json_extract_events": relational.json_extract_events,
         "agg_stats_events": relational.agg_stats_events,
         # ---- stage E: analytic layer (rollup/cube, sketches, time joins) ----
@@ -277,6 +282,51 @@ def oracle_sql() -> dict[str, str]:
                 WINDOW w AS (PARTITION BY o_custkey
                              ORDER BY o_totalprice DESC, o_orderkey ASC)
             ) WHERE rn <= 3
+        """,
+        "outer_join_customers_orders": """
+            WITH cust AS (SELECT c_custkey, c_name FROM customer
+                          WHERE c_mktsegment = 'AUTOMOBILE'),
+            ords AS (SELECT o_custkey, count(*) AS n_orders,
+                            round(sum(o_totalprice), 2) AS spend
+                     FROM orders WHERE o_orderstatus = 'P'
+                     GROUP BY o_custkey)
+            SELECT coalesce(c_custkey, o_custkey) AS custkey,
+                   c_name, n_orders, spend
+            FROM cust FULL OUTER JOIN ords ON c_custkey = o_custkey
+        """,
+        "pivot_orders_status": """
+            SELECT o_orderpriority,
+                   count(*) FILTER (o_orderstatus = 'F') AS n_f,
+                   count(*) FILTER (o_orderstatus = 'O') AS n_o,
+                   count(*) FILTER (o_orderstatus = 'P') AS n_p
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "unpivot_event_stats": """
+            WITH wide AS (
+              SELECT event_type,
+                     round(min(value), 4) AS min_value,
+                     round(max(value), 4) AS max_value,
+                     round(avg(value), 4) AS avg_value
+              FROM events GROUP BY event_type)
+            SELECT event_type, 'min_value' AS stat, min_value AS stat_value
+              FROM wide
+            UNION ALL
+            SELECT event_type, 'max_value', max_value FROM wide
+            UNION ALL
+            SELECT event_type, 'avg_value', avg_value FROM wide
+        """,
+        "grouping_sets_orders": """
+            SELECT o_orderstatus, o_orderpriority,
+                   GROUPING(o_orderstatus, o_orderpriority)::BIGINT AS gid,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS spend
+            FROM orders
+            GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """,
+        "cross_join_region_pairs": """
+            SELECT a.r_name AS src_region, b.r_name AS dst_region
+            FROM region a CROSS JOIN region b
+            WHERE a.r_name != b.r_name
         """,
         "json_extract_events": """
             SELECT event_type,

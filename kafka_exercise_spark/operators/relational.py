@@ -256,6 +256,115 @@ def window_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def outer_join_customers_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join with both-sided null surface.
+
+    AUTOMOBILE customers ⟗ per-customer 'P'-order rollups: unmatched rows
+    survive from BOTH sides. Plan-wise a full outer can't broadcast — it
+    shuffles both sides on the key (the only correct distribution for
+    full-outer semantics); the agg side is pre-reduced so the shuffle moves
+    one row per customer, not one per order.
+    """
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "AUTOMOBILE")
+        .select("c_custkey", "c_name")
+    )
+    ords = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "P")
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("spend"),
+        )
+    )
+    return cust.join(
+        ords, cust.c_custkey == ords.o_custkey, "full_outer"
+    ).select(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+        "c_name",
+        "n_orders",
+        "spend",
+    )
+
+
+def pivot_orders_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: order counts per priority × status as columns.
+
+    The pivot value list is explicit — at scale an implicit pivot runs an
+    extra distinct pass over the data just to discover column names.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderpriority",
+            F.col("F").alias("n_f"),
+            F.col("O").alias("n_o"),
+            F.col("P").alias("n_p"),
+        )
+    )
+
+
+def unpivot_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): wide per-type stats → long (type, stat, value)."""
+    events = load_table(spark, sf_dir, "events")
+    wide = events.groupBy("event_type").agg(
+        F.round(F.min("value"), 4).alias("min_value"),
+        F.round(F.max("value"), 4).alias("max_value"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+    )
+    return wide.unpivot(
+        ["event_type"],
+        ["min_value", "max_value", "avg_value"],
+        "stat",
+        "stat_value",
+    )
+
+
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS — the general form rollup/cube specialize.
+
+    Exposed through spark.sql (the DataFrame API has only rollup/cube);
+    the plan is the same single Expand + one shuffle.
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "gs_orders_view"
+    )
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT)
+                   AS gid,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS spend
+        FROM gs_orders_view
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    )
+
+
+def cross_join_region_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit CROSS JOIN of two constant-sized dims (5 × 5 = 25 routes).
+
+    Cartesian products are legitimate exactly here: both sides tiny and the
+    product is the semantics. Anything larger must be a keyed join — the
+    plan audit (tests/test_plans.py) forbids CartesianProduct elsewhere.
+    """
+    region = load_table(spark, sf_dir, "region").select(
+        F.col("r_name").alias("src_region")
+    )
+    dst = load_table(spark, sf_dir, "region").select(
+        F.col("r_name").alias("dst_region")
+    )
+    return region.crossJoin(dst).filter(
+        F.col("src_region") != F.col("dst_region")
+    )
+
+
 def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON extraction over events.props (FIXTURES.md §2 stage-E surface).
 

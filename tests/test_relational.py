@@ -77,3 +77,42 @@ def test_agg_stats_sanity(spark, sf_dir):
     for r in relational.agg_stats_events(spark, sf_dir).collect():
         assert r["min_value"] <= r["avg_value"] <= r["max_value"]
         assert r["n_users"] > 0
+
+
+def test_outer_join_keeps_both_sides(spark, sf_dir):
+    rows = relational.outer_join_customers_orders(spark, sf_dir).collect()
+    # unmatched customers (no P orders) and unmatched order-groups
+    # (non-AUTOMOBILE customers) must both survive
+    assert any(r["n_orders"] is None for r in rows)
+    assert any(r["c_name"] is None for r in rows)
+    assert all(r["custkey"] is not None for r in rows)
+
+
+def test_pivot_counts_sum_to_total(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    df = relational.pivot_orders_status(spark, sf_dir)
+    total = df.agg(
+        F.sum(F.coalesce("n_f", F.lit(0))
+              + F.coalesce("n_o", F.lit(0))
+              + F.coalesce("n_p", F.lit(0)))
+    ).collect()[0][0]
+    assert total == spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+
+
+def test_unpivot_is_3x_types(spark, sf_dir):
+    df = relational.unpivot_event_stats(spark, sf_dir)
+    n_types = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_type").distinct().count()
+    )
+    assert df.count() == 3 * n_types
+
+
+def test_grouping_sets_has_exactly_two_levels(spark, sf_dir):
+    gids = {
+        r["gid"]
+        for r in relational.grouping_sets_orders(spark, sf_dir)
+        .select("gid").distinct().collect()
+    }
+    assert gids == {1, 2}
