@@ -1,0 +1,130 @@
+"""S1→S2→S3→S6 end-to-end: generator → source dir → timestamp-mode CDC →
+registered sink, driven through the Connect-REST-shaped registry."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_exercise_spark.connectors import (
+    JDBC_SOURCE_CLASS,
+    JSON_FORMAT,
+    PARQUET_FORMAT,
+    S3_SINK_CLASS,
+    ConnectorRegistry,
+)
+from kafka_exercise_spark.sources import generator
+
+
+@pytest.fixture()
+def workdir():
+    d = tempfile.mkdtemp(prefix="connector_test_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_generator_is_deterministic_and_shaped(spark):
+    a = generator.customers_batch(spark, 50, tick=3)
+    b = generator.customers_batch(spark, 50, tick=3)
+    assert a.columns == [
+        "nome", "sexo", "endereco", "telefone", "email",
+        "foto", "nascimento", "profissao", "dt_update",
+    ]
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    # dt_update is strictly increasing across ticks
+    t3_max = a.agg(F.max("dt_update")).collect()[0][0]
+    t4_min = (
+        generator.customers_batch(spark, 50, tick=4)
+        .agg(F.min("dt_update")).collect()[0][0]
+    )
+    assert t4_min > t3_max
+
+
+def _source_payload(src_dir: str, state: str) -> dict:
+    # field vocabulary of reference connect_postgres.config
+    return {
+        "name": "psg-customers-source",
+        "config": {
+            "connector.class": JDBC_SOURCE_CLASS,
+            "mode": "timestamp",
+            "timestamp.column.name": "dt_update",
+            "table.whitelist": "public.customers",
+            "topic.prefix": "psg-",
+            "poll.interval.ms": "500",
+            "connection.url": f"parquet://{src_dir}",
+            "offsets.path": state,
+        },
+    }
+
+
+def _sink_payload(root: str, fmt: str, topic: str = "psg-customers") -> dict:
+    # field vocabulary of reference connect_s3_sink_*.config
+    return {
+        "name": f"sink-{topic}",
+        "config": {
+            "connector.class": S3_SINK_CLASS,
+            "format.class": fmt,
+            "flush.size": "10",
+            "topics": topic,
+            "topics.dir": "raw-data/kafka",
+            "local.root": root,
+        },
+    }
+
+
+def test_registry_lifecycle_and_cdc_flow(spark, workdir):
+    src_dir = os.path.join(workdir, "customers")
+    state = os.path.join(workdir, "offsets.json")
+    generator.append_ticks(spark, src_dir, n=40, ticks=2)
+
+    reg = ConnectorRegistry(spark)
+    reg.register(_source_payload(src_dir, state))
+    reg.register(_sink_payload(workdir, PARQUET_FORMAT))
+    assert reg.list() == ["psg-customers-source", "sink-psg-customers"]
+    assert reg.status("psg-customers-source")["state"] == "RUNNING"
+
+    # poll 1: full snapshot (no hwm yet)
+    moved = reg.run_source_to_sink(
+        "psg-customers-source", "sink-psg-customers", polls=1
+    )
+    assert moved == 80
+
+    # new ticks arrive; poll again — ONLY the delta moves (hwm persisted)
+    generator.append_ticks(spark, src_dir, n=40, ticks=1, start_tick=2)
+    moved = reg.run_source_to_sink(
+        "psg-customers-source", "sink-psg-customers", polls=1
+    )
+    assert moved == 40
+
+    # landed data: complete, no duplicates
+    sink_path = f"{workdir}/raw-data/kafka/psg-customers"
+    landed = spark.read.parquet(sink_path)
+    assert landed.count() == 120
+    assert landed.select("email").distinct().count() == 120
+    # flush.size parity: no file holds more than 10 records
+    files = [
+        f for f in os.listdir(sink_path)
+        if f.endswith(".parquet") and not f.startswith(".")
+    ]
+    assert len(files) >= 12
+
+
+def test_paused_connector_moves_nothing(spark, workdir):
+    src_dir = os.path.join(workdir, "customers")
+    state = os.path.join(workdir, "offsets.json")
+    generator.append_ticks(spark, src_dir, n=10, ticks=1)
+    reg = ConnectorRegistry(spark)
+    reg.register(_source_payload(src_dir, state))
+    reg.register(_sink_payload(workdir, JSON_FORMAT))
+    reg.pause("sink-psg-customers")
+    assert reg.run_source_to_sink(
+        "psg-customers-source", "sink-psg-customers", polls=1
+    ) == 0
+    reg.resume("sink-psg-customers")
+    assert reg.run_source_to_sink(
+        "psg-customers-source", "sink-psg-customers", polls=1
+    ) == 10
