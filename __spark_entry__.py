@@ -90,11 +90,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": dedup.minhash_signatures,
         "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
         "dedup_simhash": dedup.dedup_simhash,
+        "dedup_simhash_pairs": dedup.dedup_simhash_pairs,
         "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
         "dedup_embedding_cosine": dedup.dedup_embedding_cosine,
         # ---- north star: similarity search ----
         "ann_cosine_topk": similarity.ann_cosine_topk,
         "ann_lsh_bucketed": similarity.ann_lsh_bucketed,  # rows-only (LSH)
+        "ann_ivf_topk": similarity.ann_ivf_topk,  # rows-only (KMeans IVF)
         # ---- north star: multimodal binary columns ----
         "multimodal_meta": multimodal.multimodal_meta,
         "multimodal_features": multimodal.multimodal_features,
@@ -559,6 +561,34 @@ def oracle_sql() -> dict[str, str]:
                    FROM v JOIN n USING (doc_id) GROUP BY v.doc_id)
             SELECT sh.doc_id, simhash::BIGINT AS simhash, n.n::BIGINT AS n_tokens
             FROM sh JOIN n USING (doc_id)
+        """,
+        "dedup_simhash_pairs": f"""
+            WITH t AS (SELECT doc_id,
+                           list_distinct({_TOKS}) AS tok FROM documents),
+            hv AS (SELECT doc_id,
+                          unnest(list_transform(tok,
+                              x -> ('0x' || substr(md5(x), 1, 15))::BIGINT)) AS h
+                   FROM t),
+            n AS (SELECT doc_id, count(*) AS n FROM hv GROUP BY doc_id),
+            v AS (SELECT doc_id, u.b AS b,
+                         count(*) FILTER ((h >> u.b) & 1 = 1) AS ones
+                  FROM hv CROSS JOIN (SELECT unnest(range(0, 60)) AS b) u
+                  GROUP BY doc_id, u.b),
+            sh AS (SELECT v.doc_id,
+                          sum(CASE WHEN ones * 2 > n.n
+                                   THEN (1::BIGINT << b) ELSE 0 END)::BIGINT
+                              AS simhash
+                   FROM v JOIN n USING (doc_id) GROUP BY v.doc_id),
+            bands AS (SELECT doc_id, simhash, u.b AS band,
+                             (simhash >> (u.b * 15)) & 32767 AS key
+                      FROM sh CROSS JOIN (SELECT unnest(range(0, 4)) AS b) u),
+            cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                            a.simhash AS sa, b.simhash AS sb
+                     FROM bands a JOIN bands b
+                       ON a.band = b.band AND a.key = b.key
+                      AND a.doc_id < b.doc_id)
+            SELECT id_a, id_b, bit_count(xor(sa, sb))::BIGINT AS hamming
+            FROM cand WHERE bit_count(xor(sa, sb)) <= 2
         """,
         "dedup_ngram_jaccard": f"""
             WITH d AS (SELECT * FROM documents WHERE source = 'src0'),

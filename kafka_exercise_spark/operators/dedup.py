@@ -214,6 +214,75 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SIMHASH_BANDS = 4  # 15 bits each over the 60-bit fingerprint
+# Near-dup cut: the fixtures' tiny vocabulary compresses Hamming space
+# (prose-scale corpora would use ~3-8 of 64 bits), so the demo threshold is
+# tight to keep precision meaningful.
+HAMMING_MAX = 2
+
+
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup PAIRS via Hamming-band blocking.
+
+    A pair within Hamming distance d of a 60-bit simhash agrees exactly on
+    ≥ (bands − d) of 4 15-bit bands for d < 4... more usefully: any pair
+    with d ≤ 3 collides on at least one band (pigeonhole), so banding the
+    fingerprint into 4 keys turns near-dup search into an equi-join, same
+    shape as the MinHash LSH path. Collided candidates are then verified
+    with the exact popcount of XOR; the band stage only bounds recall for
+    d > 3, never precision. One fingerprint scan, one band self-join.
+
+    The fingerprint column is persisted (eagerly, tiny: two longs per doc)
+    before banding: without the boundary Catalyst inlines the 60-bit fold
+    expression into every downstream use — including the per-join-row
+    popcount over ~3M band collisions — which measures ~10× slower than
+    computing the 5000 fingerprints once.
+    """
+    sig = (
+        dedup_simhash(spark, sf_dir)
+        .select("doc_id", "simhash")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sig.count()
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright(F.col("simhash"), b * 15)
+            .bitwiseAND(F.lit((1 << 15) - 1))
+            .alias("key"),
+        )
+        for b in range(SIMHASH_BANDS)
+    ]
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.array(*band_structs)).alias("bk"),
+    ).select("doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a, b = bands.alias("a"), bands.alias("b")
+    # Verify INLINE at the join output: popcount-of-xor is a few cycles, so
+    # filter the (possibly huge) collision stream before the distinct —
+    # de-duplicating survivors is orders of magnitude cheaper than
+    # de-duplicating candidates. (MinHash-LSH does the opposite because its
+    # verification joins arrays back in — there dedup-before-verify wins.)
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= HAMMING_MAX)
+        .distinct()
+    )
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact pairwise n-gram Jaccard via a shared-shingle inverted index,
     scoped to one ``source`` partition (standalone form; the LSH pipeline is

@@ -84,6 +84,87 @@ def lsh_bucket(col: F.Column) -> F.Column:
     return bucket
 
 
+N_IVF_CELLS = 16
+N_PROBE = 4
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: KMeans coarse quantizer, probe the n nearest cells.
+
+    Index build = train KMeans(k=16, fixed seed) on the corpus and assign
+    every vector to its nearest centroid (pure JVM expression once the
+    centroids are literals). Query = rank centroids per query, probe the
+    top-4 cells, exact-score only their members. Probing 4/16 cells scans
+    ~25% of the corpus; recall vs the brute-force baseline is asserted in
+    tests (driver check is rows-only — KMeans is not ANSI-SQL).
+
+    At 100 TB: train on a sample (KMeans cost is per-training-row, recall
+    changes little), store the cell id as a partition column so a probe
+    reads n_probe partitions, re-train only on drift.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    emb = _embeddings_double(spark, sf_dir)
+    train = emb.select(array_to_vector(F.col("emb")).alias("features"))
+    # maxIter low: IVF recall barely moves after a few Lloyd iterations and
+    # training cost is the index-build bottleneck
+    model = KMeans(
+        k=N_IVF_CELLS, seed=42, maxIter=5, featuresCol="features"
+    ).fit(train)
+    centers = [c.tolist() for c in model.clusterCenters()]
+
+    def l2sq(col: F.Column, center: list[float]) -> F.Column:
+        c = F.array(*[F.lit(v) for v in center])
+        return F.aggregate(
+            F.zip_with(col, c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    dists = F.array(*[l2sq(F.col("emb"), c) for c in centers])
+    assigned = emb.withColumn(
+        "cell", (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+    )
+    # per-query: the N_PROBE nearest cells
+    q = assigned.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
+    )
+    q_dists = F.array(*[l2sq(F.col("q_emb"), c) for c in centers])
+    q_cells = q.withColumn(
+        "probe_cells",
+        F.slice(
+            F.transform(
+                F.array_sort(
+                    F.transform(
+                        q_dists,
+                        lambda d, i: F.struct(d.alias("d"), i.alias("cell")),
+                    )
+                ),
+                lambda s: s["cell"],
+            ),
+            1,
+            N_PROBE,
+        ),
+    ).select("query_id", "q_emb", F.explode("probe_cells").alias("probe_cell"))
+    scored = assigned.join(
+        F.broadcast(q_cells),
+        (F.col("cell") == F.col("probe_cell"))
+        & (F.col("vec_id") != F.col("query_id")),
+    ).withColumn("c", F.round(cosine(F.col("emb"), F.col("q_emb")), 9))
+    w = Window.partitionBy("query_id").orderBy(F.desc("c"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(F.col("c"), 6).alias("cos"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
 def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-k: probe only the query's hyperplane bucket.
 

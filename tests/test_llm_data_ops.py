@@ -127,3 +127,33 @@ def test_multimodal_decode_is_stubbed():
 
     with pytest.raises(NotImplementedError):
         multimodal.decode_stub(b"\x89PNG")
+
+
+def test_ann_ivf_recall_vs_brute_force(spark, sf_dir):
+    """Probing 4/16 IVF cells must recover most exact neighbors."""
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ann_cosine_topk(spark, sf_dir).collect()
+    }
+    ivf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ann_ivf_topk(spark, sf_dir).collect()
+    }
+    assert len(ivf & exact) / len(exact) >= 0.5
+    # every query answered with a full top-k
+    from collections import Counter
+
+    per_q = Counter(q for q, _ in ivf)
+    assert all(n == similarity.TOP_K for n in per_q.values())
+
+
+def test_simhash_pairs_verified_by_popcount(spark, sf_dir):
+    sigs = {
+        r["doc_id"]: r["simhash"]
+        for r in dedup.dedup_simhash(spark, sf_dir).collect()
+    }
+    rows = dedup.dedup_simhash_pairs(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        want = bin(sigs[r["id_a"]] ^ sigs[r["id_b"]]).count("1")
+        assert r["hamming"] == want <= dedup.HAMMING_MAX
