@@ -22,6 +22,7 @@ from kafka_exercise_spark.operators import (
     pipeline_ops,
     relational,
     similarity,
+    skew,
     textops,
 )
 from kafka_exercise_spark.streaming import pipeline as streaming_pipeline
@@ -64,6 +65,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_anti_join": relational.semi_anti_join,
         "having_filter": relational.having_filter,
         "window_rank_orders": relational.window_rank_orders,
+        "q13_order_distribution": relational.q13_order_distribution,
+        "q16_supplier_cnt": relational.q16_supplier_cnt,
+        "q18_large_orders": relational.q18_large_orders,
+        "q22_dormant_customers": relational.q22_dormant_customers,
+        "salted_agg_events": skew.salted_agg_events,
         "outer_join_customers_orders": relational.outer_join_customers_orders,
         "pivot_orders_status": relational.pivot_orders_status,
         "unpivot_event_stats": relational.unpivot_event_stats,
@@ -284,6 +290,48 @@ def oracle_sql() -> dict[str, str]:
                 WINDOW w AS (PARTITION BY o_custkey
                              ORDER BY o_totalprice DESC, o_orderkey ASC)
             ) WHERE rn <= 3
+        """,
+        "q13_order_distribution": """
+            SELECT c_count, count(*) AS custdist FROM (
+                SELECT c_custkey, count(o_orderkey) AS c_count
+                FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+                GROUP BY c_custkey
+            ) GROUP BY c_count
+        """,
+        "q16_supplier_cnt": """
+            SELECT p_brand, p_size,
+                   count(DISTINCT l_suppkey) AS supplier_cnt
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_size <= 15
+            GROUP BY p_brand, p_size
+        """,
+        "q18_large_orders": """
+            SELECT c_name, c_custkey, o_orderkey,
+                   strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+                   o_totalprice,
+                   round(total_qty, 2) AS total_qty
+            FROM orders
+            JOIN (SELECT l_orderkey, sum(l_quantity) AS total_qty
+                  FROM lineitem GROUP BY l_orderkey
+                  HAVING sum(l_quantity) > 250) big
+              ON o_orderkey = big.l_orderkey
+            JOIN customer ON o_custkey = c_custkey
+        """,
+        "q22_dormant_customers": """
+            SELECT c_nationkey, count(*) AS numcust,
+                   round(sum(c_acctbal), 2) AS totacctbal
+            FROM customer
+            WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                               WHERE c_acctbal > 0)
+              AND NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_orderstatus = 'F')
+            GROUP BY c_nationkey
+        """,
+        "salted_agg_events": """
+            SELECT event_type, count(*) AS n_rows,
+                   round(sum(value), 2) AS sum_value
+            FROM events GROUP BY event_type
         """,
         "outer_join_customers_orders": """
             WITH cust AS (SELECT c_custkey, c_name FROM customer

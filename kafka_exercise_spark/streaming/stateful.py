@@ -164,25 +164,32 @@ _USER_STATE_OUTPUT = "user_id bigint, n_events bigint, sum_value double"
 _USER_STATE_SCHEMA = "n bigint, s double"
 
 
-def _user_state_fn(key: tuple, pdfs: Iterable, state) -> Iterator:
-    """Per-user running (count, sum) held in GroupState; emits the updated
-    totals once per batch the user appears in."""
-    import pandas as pd
-
-    n, s = state.get if state.exists else (0, 0.0)
-    for pdf in pdfs:
-        n += len(pdf)
-        s += float(pdf["value"].sum())
-    state.update((n, s))
-    yield pd.DataFrame(
-        {"user_id": [key[0]], "n_events": [n], "sum_value": [s]}
-    )
-
-
 def user_running_state(events: DataFrame) -> DataFrame:
-    """applyInPandasWithState: per-user running (n_events, sum_value)."""
+    """applyInPandasWithState: per-user running (n_events, sum_value).
+
+    The state function is a nested closure on purpose: cloudpickle then
+    serializes it BY VALUE, so Python workers never need this package on
+    their import path (a module-level function pickles by reference and
+    fails on executors whose PYTHONPATH lacks the repo — e.g. a consumer
+    importing ``__spark_entry__`` from outside the repo root).
+    """
+
+    def user_state_fn(key: tuple, pdfs: Iterable, state) -> Iterator:
+        # per-user running (count, sum) held in GroupState; emits the
+        # updated totals once per batch the user appears in
+        import pandas as pd
+
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+        state.update((n, s))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [s]}
+        )
+
     return events.groupBy("user_id").applyInPandasWithState(
-        _user_state_fn,
+        user_state_fn,
         outputStructType=_USER_STATE_OUTPUT,
         stateStructType=_USER_STATE_SCHEMA,
         outputMode="update",
