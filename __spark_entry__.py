@@ -65,9 +65,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_anti_join": relational.semi_anti_join,
         "having_filter": relational.having_filter,
         "window_rank_orders": relational.window_rank_orders,
+        "q4_order_priority": relational.q4_order_priority,
+        "q6_forecast_revenue": relational.q6_forecast_revenue,
+        "q7_volume_shipping": relational.q7_volume_shipping,
+        "q8_market_share": relational.q8_market_share,
+        "q9_product_profit": relational.q9_product_profit,
+        "q10_returned_items": relational.q10_returned_items,
+        "q12_priority_class": relational.q12_priority_class,
         "q13_order_distribution": relational.q13_order_distribution,
+        "q14_promo_effect": relational.q14_promo_effect,
+        "q15_top_supplier": relational.q15_top_supplier,
         "q16_supplier_cnt": relational.q16_supplier_cnt,
+        "q17_small_qty_revenue": relational.q17_small_qty_revenue,
         "q18_large_orders": relational.q18_large_orders,
+        "q19_disjunctive_join": relational.q19_disjunctive_join,
+        "q21_waiting_supplier": relational.q21_waiting_supplier,
         "q22_dormant_customers": relational.q22_dormant_customers,
         "salted_agg_events": skew.salted_agg_events,
         "outer_join_customers_orders": relational.outer_join_customers_orders,
@@ -290,6 +302,168 @@ def oracle_sql() -> dict[str, str]:
                 WINDOW w AS (PARTITION BY o_custkey
                              ORDER BY o_totalprice DESC, o_orderkey ASC)
             ) WHERE rn <= 3
+        """,
+        "q4_order_priority": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+              AND o_orderdate < TIMESTAMP '1997-04-01'
+              AND EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey
+                            AND l_shipdate >= o_orderdate + INTERVAL 30 DAY)
+            GROUP BY o_orderpriority
+        """,
+        "q6_forecast_revenue": """
+            SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+              AND l_discount BETWEEN 0.05 AND 0.07
+              AND l_quantity < 24
+        """,
+        "q7_volume_shipping": """
+            SELECT supp_nation, cust_nation, l_year,
+                   round(sum(volume), 2) AS revenue
+            FROM (
+                SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                       year(l_shipdate) AS l_year,
+                       l_extendedprice * (1 - l_discount) AS volume
+                FROM lineitem
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN orders ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation n1 ON s_nationkey = n1.n_nationkey
+                JOIN nation n2 ON c_nationkey = n2.n_nationkey
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate < TIMESTAMP '1998-01-01'
+                  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+            ) GROUP BY supp_nation, cust_nation, l_year
+        """,
+        "q8_market_share": """
+            SELECT o_year,
+                   round(sum(CASE WHEN supp_nation = 'NATION_3'
+                                  THEN volume ELSE 0 END) / sum(volume), 6)
+                       AS mkt_share
+            FROM (
+                SELECT year(o_orderdate) AS o_year,
+                       l_extendedprice * (1 - l_discount) AS volume,
+                       n1.n_name AS supp_nation
+                FROM lineitem
+                JOIN part ON l_partkey = p_partkey
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN orders ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation n1 ON s_nationkey = n1.n_nationkey
+                JOIN nation n2 ON c_nationkey = n2.n_nationkey
+                JOIN region ON n2.n_regionkey = r_regionkey
+                WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+                  AND o_orderdate >= TIMESTAMP '1996-01-01'
+                  AND o_orderdate < TIMESTAMP '1998-01-01'
+            ) GROUP BY o_year
+        """,
+        "q9_product_profit": """
+            SELECT n_name AS nation, year(l_shipdate) AS o_year,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS sum_profit
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE p_type = 'PROMO'
+            GROUP BY n_name, year(l_shipdate)
+        """,
+        "q10_returned_items": """
+            SELECT c_custkey, c_name, c_acctbal, n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1997-01-01'
+              AND o_orderdate < TIMESTAMP '1997-04-01'
+            GROUP BY c_custkey, c_name, c_acctbal, n_name
+            ORDER BY revenue DESC, c_custkey ASC LIMIT 20
+        """,
+        "q12_priority_class": """
+            SELECT l_linestatus,
+                   sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS high_line_count,
+                   sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+            GROUP BY l_linestatus
+        """,
+        "q14_promo_effect": """
+            SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                 THEN l_extendedprice * (1 - l_discount)
+                                 ELSE 0 END)
+                         / sum(l_extendedprice * (1 - l_discount)), 6)
+                       AS promo_revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+              AND l_shipdate < TIMESTAMP '1997-10-01'
+        """,
+        "q15_top_supplier": """
+            SELECT s_suppkey, s_name, total_revenue
+            FROM supplier
+            JOIN (SELECT l_suppkey AS supplier_no,
+                         round(sum(l_extendedprice * (1 - l_discount)), 2)
+                             AS total_revenue
+                  FROM lineitem
+                  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                    AND l_shipdate < TIMESTAMP '1997-04-01'
+                  GROUP BY l_suppkey) rev
+              ON s_suppkey = supplier_no
+            ORDER BY total_revenue DESC, s_suppkey ASC LIMIT 1
+        """,
+        "q17_small_qty_revenue": """
+            SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN (SELECT l_partkey AS a_partkey, avg(l_quantity) AS avg_qty
+                  FROM lineitem GROUP BY l_partkey) a
+              ON l_partkey = a_partkey
+            WHERE p_brand = 'Brand#11' AND l_quantity < 0.5 * avg_qty
+        """,
+        "q19_disjunctive_join": """
+            SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+                   AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+                   AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 20 AND 30)
+        """,
+        "q21_waiting_supplier": """
+            SELECT s_suppkey, s_name, count(*) AS numwait
+            FROM (
+                SELECT l_suppkey
+                FROM (
+                    SELECT l_suppkey, l_shipdate, max_ship, min_ship,
+                           sum(CASE WHEN l_shipdate = max_ship
+                                    THEN 1 ELSE 0 END)
+                               OVER (PARTITION BY l_orderkey) AS n_last
+                    FROM (
+                        SELECT l_orderkey, l_suppkey, l_shipdate,
+                               max(l_shipdate) OVER (PARTITION BY l_orderkey)
+                                   AS max_ship,
+                               min(l_shipdate) OVER (PARTITION BY l_orderkey)
+                                   AS min_ship
+                        FROM lineitem
+                        JOIN orders ON l_orderkey = o_orderkey
+                        WHERE o_orderstatus = 'F'
+                    )
+                )
+                WHERE l_shipdate = max_ship AND n_last = 1
+                  AND min_ship < max_ship
+            )
+            JOIN supplier ON l_suppkey = s_suppkey
+            GROUP BY s_suppkey, s_name
         """,
         "q13_order_distribution": """
             SELECT c_count, count(*) AS custdist FROM (

@@ -95,6 +95,62 @@ def test_sort_topk_no_global_sort(spark, sf_dir):
     assert shuffle_exchange_count(df) == 0
 
 
+def test_q6_scan_only_full_pushdown(spark, sf_dir):
+    """Q6 is the pushdown litmus test: all predicates reach the scan, the
+    global agg needs no data shuffle, and only 4 columns are read."""
+    df = relational.q6_forecast_revenue(spark, sf_dir)
+    assert python_eval_count(df) == 0
+    filters = pushed_filters(df)
+    assert any("l_shipdate" in f for f in filters)
+    assert any("l_discount" in f for f in filters)
+    assert any("l_quantity" in f for f in filters)
+    (cols,) = read_schema_columns(df)
+    assert sorted(cols) == [
+        "l_discount",
+        "l_extendedprice",
+        "l_quantity",
+        "l_shipdate",
+    ]
+
+
+def test_q19_disjunction_stays_hash_join(spark, sf_dir):
+    """OR-of-ANDs with a common equi-key must plan a (broadcast) hash join
+    with a post-join filter — never a nested-loop/cartesian product."""
+    df = relational.q19_disjunctive_join(spark, sf_dir)
+    assert not has_cartesian_product(df)
+    assert broadcast_join_count(df) >= 1
+    assert python_eval_count(df) == 0
+
+
+def test_q21_single_shuffle_window_rewrite(spark, sf_dir):
+    """The double-EXISTS correlation is rewritten to one window pass: one
+    hash shuffle on l_orderkey (plus the final small agg), no fact
+    self-join."""
+    df = relational.q21_waiting_supplier(spark, sf_dir)
+    assert not has_cartesian_product(df)
+    assert shuffle_exchange_count(df) <= 2
+    assert python_eval_count(df) == 0
+
+
+@pytest.mark.parametrize(
+    "fn",
+    [
+        relational.q7_volume_shipping,
+        relational.q8_market_share,
+        relational.q9_product_profit,
+        relational.q10_returned_items,
+        relational.q17_small_qty_revenue,
+    ],
+    ids=lambda f: f.__name__,
+)
+def test_star_joins_broadcast_no_cartesian(spark, sf_dir, fn):
+    """Multi-way star joins: dims broadcast, no cartesian, no Python."""
+    df = fn(spark, sf_dir)
+    assert not has_cartesian_product(df)
+    assert broadcast_join_count(df) >= 2
+    assert python_eval_count(df) == 0
+
+
 @pytest.mark.parametrize(
     "fn",
     [
