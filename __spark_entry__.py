@@ -65,12 +65,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_anti_join": relational.semi_anti_join,
         "having_filter": relational.having_filter,
         "window_rank_orders": relational.window_rank_orders,
+        "q2_min_cost_supplier": relational.q2_min_cost_supplier,
         "q4_order_priority": relational.q4_order_priority,
         "q6_forecast_revenue": relational.q6_forecast_revenue,
         "q7_volume_shipping": relational.q7_volume_shipping,
         "q8_market_share": relational.q8_market_share,
         "q9_product_profit": relational.q9_product_profit,
         "q10_returned_items": relational.q10_returned_items,
+        "q11_important_stock": relational.q11_important_stock,
         "q12_priority_class": relational.q12_priority_class,
         "q13_order_distribution": relational.q13_order_distribution,
         "q14_promo_effect": relational.q14_promo_effect,
@@ -79,6 +81,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_small_qty_revenue": relational.q17_small_qty_revenue,
         "q18_large_orders": relational.q18_large_orders,
         "q19_disjunctive_join": relational.q19_disjunctive_join,
+        "q20_potential_promotion": relational.q20_potential_promotion,
         "q21_waiting_supplier": relational.q21_waiting_supplier,
         "q22_dormant_customers": relational.q22_dormant_customers,
         "salted_agg_events": skew.salted_agg_events,
@@ -303,6 +306,23 @@ def oracle_sql() -> dict[str, str]:
                              ORDER BY o_totalprice DESC, o_orderkey ASC)
             ) WHERE rn <= 3
         """,
+        "q2_min_cost_supplier": """
+            SELECT s_acctbal, s_name, n_name, p_partkey
+            FROM (
+                SELECT p_partkey, s_acctbal, s_name, n_name,
+                       min(s_acctbal) OVER (PARTITION BY p_partkey) AS min_bal
+                FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+                JOIN part ON l_partkey = p_partkey
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation ON s_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+                WHERE r_name = 'EUROPE' AND p_size = 15
+                  AND p_type = 'STANDARD'
+            )
+            WHERE s_acctbal = min_bal
+            ORDER BY s_acctbal DESC, n_name ASC, s_name ASC, p_partkey ASC
+            LIMIT 100
+        """,
         "q4_order_priority": """
             SELECT o_orderpriority, count(*) AS order_count
             FROM orders
@@ -386,6 +406,22 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c_custkey, c_name, c_acctbal, n_name
             ORDER BY revenue DESC, c_custkey ASC LIMIT 20
         """,
+        "q11_important_stock": """
+            SELECT l_partkey, round(sum(l_extendedprice * l_quantity), 2)
+                       AS part_value
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE n_name = 'NATION_5'
+            GROUP BY l_partkey
+            HAVING sum(l_extendedprice * l_quantity) > (
+                SELECT 0.001 * sum(l_extendedprice * l_quantity)
+                FROM lineitem
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation ON s_nationkey = n_nationkey
+                WHERE n_name = 'NATION_5')
+            ORDER BY part_value DESC, l_partkey ASC
+        """,
         "q12_priority_class": """
             SELECT l_linestatus,
                    sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
@@ -438,6 +474,21 @@ def oracle_sql() -> dict[str, str]:
                    AND l_quantity BETWEEN 10 AND 20)
                OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
                    AND l_quantity BETWEEN 20 AND 30)
+        """,
+        "q20_potential_promotion": """
+            SELECT s_suppkey, s_name
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE n_name = 'NATION_1'
+              AND s_suppkey IN (
+                SELECT l_suppkey
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                WHERE p_name LIKE 'small%'
+                  AND l_shipdate >= TIMESTAMP '1997-01-01'
+                  AND l_shipdate < TIMESTAMP '1998-01-01'
+                GROUP BY l_suppkey, l_partkey
+                HAVING sum(l_quantity) > 40)
+            ORDER BY s_suppkey
         """,
         "q21_waiting_supplier": """
             SELECT s_suppkey, s_name, count(*) AS numwait

@@ -867,3 +867,121 @@ def agg_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.stddev_samp("value"), 6).alias("std_value"),
         F.count_distinct("user_id").alias("n_users"),
     )
+
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated-min subquery → per-group window min.
+
+    (Adapted: the fixtures have no partsupp — the supply relation is the
+    DISTINCT (l_partkey, l_suppkey) pairs of lineitem, and s_acctbal stands
+    in for ps_supplycost.) The correlated ``= (SELECT min ...)`` is one
+    window pass over the already-joined supply rows: no second scan, no
+    self-join. Region/nation/supplier and the filtered part list broadcast;
+    the only wide shuffles are the supply DISTINCT and the window
+    repartition on p_partkey. At 100 TB the supply pairs would be a
+    bucketed derived table so both drop to zero.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    supply = li.select("l_partkey", "l_suppkey").distinct()
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    supp_eu = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("s_suppkey", "s_acctbal", "s_name", "n_name")
+    )
+    parts = (
+        load_table(spark, sf_dir, "part")
+        .filter((F.col("p_size") == 15) & (F.col("p_type") == "STANDARD"))
+        .select("p_partkey")
+    )
+    joined = supply.join(
+        F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey")
+    ).join(F.broadcast(supp_eu), F.col("l_suppkey") == F.col("s_suppkey"))
+    w = Window.partitionBy("p_partkey")
+    return (
+        joined.withColumn("min_bal", F.min("s_acctbal").over(w))
+        .filter(F.col("s_acctbal") == F.col("min_bal"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey")
+        .orderBy(
+            F.desc("s_acctbal"), F.asc("n_name"), F.asc("s_name"), F.asc("p_partkey")
+        )
+        .limit(100)
+    )
+
+
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-group value vs a global scalar-subquery threshold.
+
+    (Adapted: value(part) = Σ l_extendedprice·l_quantity over one nation's
+    suppliers, standing in for ps_supplycost·ps_availqty.) The global total
+    is the re-aggregated per-part result — computed once, broadcast as a
+    1-row cross join, never a driver collect. Supplier side broadcasts;
+    lineitem shuffles once on l_partkey.
+    """
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_5"
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .select("s_suppkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("raw_value")
+        )
+    )
+    total = per_part.agg(F.sum("raw_value").alias("total_value"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("raw_value") > 0.001 * F.col("total_value"))
+        .select(
+            "l_partkey", F.round(F.col("raw_value"), 2).alias("part_value")
+        )
+        .orderBy(F.desc("part_value"), F.asc("l_partkey"))
+    )
+
+
+def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: nested IN/EXISTS chain → agg-filter → semi join.
+
+    Suppliers in one nation that shipped > 40 units of some 'small%' part
+    in 1997. The inner aggregate groups by (suppkey, partkey); the HAVING
+    filter collapses to a distinct supplier set that semi-joins supplier.
+    Part list broadcasts into the fact scan; the only wide shuffle is the
+    inner groupBy.
+    """
+    parts = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").startswith("small"))
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    qualified = (
+        li.join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 40)
+        .select("l_suppkey")
+        .distinct()
+    )
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_1"
+    )
+    return (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(qualified, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )

@@ -196,3 +196,35 @@ def test_exact_dedup_pushes_projection(spark, sf_dir):
     assert schemas, "expected a parquet scan"
     for cols in schemas:
         assert set(cols) <= {"doc_id", "text"}
+
+
+def test_q2_supply_distinct_then_broadcast_dims(spark, sf_dir):
+    """Q2: every dimension (part/supplier/nation/region) broadcasts; the
+    wide shuffles are only the supply DISTINCT and the window repartition."""
+    df = relational.q2_min_cost_supplier(spark, sf_dir)
+    assert not has_cartesian_product(df)
+    assert broadcast_join_count(df) >= 2
+    assert python_eval_count(df) == 0
+
+
+def test_q11_global_threshold_no_collect(spark, sf_dir):
+    """Q11: the global total joins back as a broadcast scalar — the plan
+    contains the threshold as a join, not a driver-side collected literal.
+    The per-part agg feeds both the threshold and the output; AQE must
+    compute its shuffle once (ReusedExchange), not scan the fact twice.
+    Pinned to sf0.01: at sf0.001 the result is empty and AQE collapses the
+    whole plan to EmptyRelation, leaving no exchange to reuse."""
+    df = relational.q11_important_stock(spark, "/root/testdata/sf0.01")
+    assert python_eval_count(df) == 0
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in executed
+
+
+def test_q20_semi_join_chain(spark, sf_dir):
+    """Q20: part list broadcasts into the fact scan; supplier side ends in
+    a semi join — no duplicate-producing inner join on the qualified set."""
+    df = relational.q20_potential_promotion(spark, sf_dir)
+    assert not has_cartesian_product(df)
+    assert broadcast_join_count(df) >= 1
+    assert python_eval_count(df) == 0
