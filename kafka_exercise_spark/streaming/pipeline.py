@@ -116,19 +116,20 @@ def streaming_idadecont_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from kafka_exercise_spark.catalog import load_table
-    from kafka_exercise_spark.streaming.sources import file_stream
+    from kafka_exercise_spark.streaming.sources import (
+        file_stream,
+        land_events_replay,
+    )
 
-    work = tempfile.mkdtemp(prefix="idadecont_replay_")
-    src_dir = os.path.join(work, "src")
-    events = load_table(spark, sf_dir, "events")
-    events.write.mode("overwrite").parquet(src_dir)
+    # shared memoized landing (one write per session+sf); ckpt stays fresh
+    src_dir, schema = land_events_replay(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="idadecont_replay_ckpt_")
 
     name = "idadecont_replay_contract"
     for q in spark.streams.active:
         if q.name == name:
             q.stop()
-    stream = file_stream(spark, src_dir, events.schema, max_files_per_trigger=None)
+    stream = file_stream(spark, src_dir, schema, max_files_per_trigger=None)
     counted = idadecont_transform(
         idadeclass_transform(stream), watermark_delay=DEFAULT_WATERMARK
     )

@@ -33,8 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
-from kafka_exercise_spark.catalog import load_table
-from kafka_exercise_spark.streaming.sources import file_stream
+from kafka_exercise_spark.streaming.sources import file_stream, land_events_replay
 from kafka_exercise_spark.streaming.tuning import bounded_replay_conf
 
 CONVERSION_WINDOW = "15 minutes"
@@ -43,13 +42,16 @@ CONVERSION_WINDOW = "15 minutes"
 def _events_replay(
     spark: SparkSession, sf_dir: str, n_files: int = 8
 ) -> tuple[str, str, StructType]:
-    """Land events as an n-file parquet dir for replay; returns
-    (workdir, src_dir, schema)."""
-    work = tempfile.mkdtemp(prefix="stateful_replay_")
-    src = os.path.join(work, "src")
-    events = load_table(spark, sf_dir, "events")
-    events.repartition(n_files).write.mode("overwrite").parquet(src)
-    return work, src, events.schema
+    """Bounded-replay inputs: (ckpt_workdir, src_dir, schema).
+
+    The landing dir is memoized per (sf_dir, n_files) and shared across
+    every replay entry (sources.land_events_replay); only the checkpoint
+    dir — which StreamExecution mutates — is fresh per call. Callers
+    rmtree the returned workdir, never the shared landing.
+    """
+    src, schema = land_events_replay(spark, sf_dir, n_files)
+    work = tempfile.mkdtemp(prefix="stateful_replay_ckpt_")
+    return work, src, schema
 
 
 def _fresh_memory_query(spark: SparkSession, name: str) -> None:
@@ -204,7 +206,9 @@ def streaming_user_state_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Multi-batch incremental emission is exercised in tests, where the
     per-batch trajectory, not just the final state, is asserted.)
     """
-    work, src, schema = _events_replay(spark, sf_dir, n_files=1)
+    # Shares the 8-file landing with the other replays; the query still
+    # runs as ONE batch because no maxFilesPerTrigger is set below.
+    work, src, schema = _events_replay(spark, sf_dir)
     name = "user_state_contract"
     _fresh_memory_query(spark, name)
     stream = file_stream(spark, src, schema, max_files_per_trigger=None)
