@@ -21,6 +21,7 @@ from kafka_exercise_spark.operators import (
     multimodal,
     pipeline_ops,
     relational,
+    sampling,
     similarity,
     skew,
     textops,
@@ -114,6 +115,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": dedup.dedup_simhash_pairs,
         "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
         "dedup_embedding_cosine": dedup.dedup_embedding_cosine,
+        # benchmark decontamination: corpus×eval n-gram overlap
+        "decontaminate_ngram": dedup.decontaminate_ngram,
+        # ---- north star: deterministic sampling / splitting / mixing ----
+        "sample_hash_stratified": sampling.sample_hash_stratified,
+        "split_train_valid_test": sampling.split_train_valid_test,
+        "domain_mix_resample": sampling.domain_mix_resample,
         # ---- north star: similarity search ----
         "ann_cosine_topk": similarity.ann_cosine_topk,
         "ann_lsh_bucketed": similarity.ann_lsh_bucketed,  # rows-only (LSH)
@@ -886,6 +893,55 @@ def oracle_sql() -> dict[str, str]:
               ON a.vec_id < b.vec_id AND a.label = 0 AND b.label = 0
             WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
                                                b.embedding::DOUBLE[]), 6) >= 0.25
+        """,
+        "decontaminate_ngram": f"""
+            WITH t AS (SELECT doc_id, {_TOKS} AS tok FROM documents),
+            s AS (SELECT doc_id, {_SHINGLES} AS sh FROM t),
+            inv AS (SELECT doc_id, unnest(sh) AS sg FROM s),
+            b AS (SELECT doc_id AS bench_id, sg FROM inv WHERE doc_id < 50),
+            c AS (SELECT doc_id, sg FROM inv WHERE doc_id >= 50)
+            SELECT c.doc_id, b.bench_id, count(*) AS n_shared
+            FROM c JOIN b ON c.sg = b.sg
+            GROUP BY c.doc_id, b.bench_id
+            HAVING count(*) >= 8
+        """,
+        "sample_hash_stratified": """
+            WITH d AS (
+              SELECT source, doc_id,
+                     ('0x' || substr(md5('sample:' || doc_id), 1, 15))::BIGINT
+                         % 100 AS b,
+                     ((regexp_extract(source, '(\\d+)', 1)::INT % 4) + 1) * 5
+                         AS rate_pct
+              FROM documents)
+            SELECT source, rate_pct, count(*) AS n_docs,
+                   sum(CASE WHEN b < rate_pct THEN 1 ELSE 0 END) AS n_sampled,
+                   min(CASE WHEN b < rate_pct THEN doc_id END) AS first_sampled
+            FROM d GROUP BY source, rate_pct
+        """,
+        "split_train_valid_test": """
+            WITH d AS (
+              SELECT *,
+                     ('0x' || substr(md5('split:' || doc_id), 1, 15))::BIGINT
+                         % 100 AS b
+              FROM documents)
+            SELECT CASE WHEN b < 80 THEN 'train'
+                        WHEN b < 90 THEN 'valid'
+                        ELSE 'test' END AS split,
+                   count(*) AS n_docs,
+                   sum(n_chars) AS total_chars,
+                   count(DISTINCT source) AS n_sources
+            FROM d GROUP BY 1
+        """,
+        "domain_mix_resample": """
+            WITH d AS (
+              SELECT source, doc_id,
+                     (regexp_extract(source, '(\\d+)', 1)::INT % 3) + 1
+                         AS weight
+              FROM documents)
+            SELECT source, weight,
+                   count(DISTINCT doc_id) AS n_docs_in,
+                   (count(*) * weight)::BIGINT AS n_rows_out
+            FROM d GROUP BY source, weight
         """,
         "ann_cosine_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe

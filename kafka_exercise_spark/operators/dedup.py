@@ -337,3 +337,40 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos") >= COSINE_DUP_THRESHOLD)
         .select("id_a", "id_b", "cos")
     )
+
+
+BENCHMARK_MAX_DOC_ID = 50  # fixture stand-in for the eval/benchmark set
+DECONTAM_MIN_SHARED = 8  # shared distinct shingles to flag contamination
+
+
+def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing n-gram evidence with
+    an eval set.
+
+    The training-data op every pretraining pipeline runs before training:
+    find corpus documents that overlap a benchmark/eval suite so they can be
+    dropped. Docs with doc_id < 50 stand in for the benchmark; a corpus doc
+    is flagged when it shares ≥ 8 distinct shingles with a benchmark doc.
+
+    Scale shape: the benchmark inverted index (shingle → bench doc) is tiny
+    — eval suites are thousands of docs, not billions — so it BROADCASTS,
+    and the corpus side is one scan + explode + broadcast-hash join + one
+    agg shuffle on (doc_id, bench_id). The corpus is never self-joined and
+    never shuffled by shingle.
+    """
+    docs = _with_shingles(
+        scale_partitions(load_table(spark, sf_dir, "documents"), spark)
+    ).select("doc_id", "sh")
+    bench_inv = (
+        docs.filter(F.col("doc_id") < BENCHMARK_MAX_DOC_ID)
+        .select(F.col("doc_id").alias("bench_id"), F.explode("sh").alias("sg"))
+    )
+    corpus_inv = docs.filter(F.col("doc_id") >= BENCHMARK_MAX_DOC_ID).select(
+        "doc_id", F.explode("sh").alias("sg")
+    )
+    return (
+        corpus_inv.join(F.broadcast(bench_inv), "sg")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= DECONTAM_MIN_SHARED)
+    )

@@ -1,0 +1,110 @@
+"""Deterministic sampling / splitting / mixing for training-data pipelines.
+
+At 100 TB, sampling decisions must be (a) reproducible across reruns and
+cluster sizes, (b) computable row-locally with no shuffle, and (c) auditable.
+RNG-based sampling (``df.sample``) fails all three — partition order changes
+the sample. The standard fix, used here throughout, is **hash-bucket
+sampling**: bucket = H(salt, key) mod 100, keep buckets below the rate. The
+decision is a pure function of the row key, so it survives reruns, repartitions
+and engine changes — and the DuckDB oracle reproduces it bit-for-bit
+(md5-derived, functions/text.py:22-30).
+
+Three first-class ops:
+
+- **Stratified hash sampling** — per-stratum rates (per ``source`` here);
+  the map side tags rows, a single agg audits realized rates.
+- **Train/valid/test split** — disjoint hash buckets (80/10/10) on a salted
+  key; different salt than sampling so the two decisions are independent.
+- **Domain-mix resampling** — integer upsampling by per-source weight via
+  ``explode(sequence(1, w))``: a narrow (no-shuffle) operator; fractional
+  parts would add one hash-sampled extra copy (same primitive as above).
+
+All three are pure map-side + one small audit aggregation: at 100 TB each is
+a single scan with no data shuffle before the final per-stratum rollup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_exercise_spark.catalog import load_table
+from kafka_exercise_spark.functions.text import md5_hash64
+
+
+def _hash_bucket(key: F.Column, salt: str, buckets: int = 100) -> F.Column:
+    """Stable bucket in [0, buckets): md5-derived, salt-separated."""
+    return F.pmod(
+        md5_hash64(F.concat(F.lit(f"{salt}:"), key.cast("string"))), F.lit(buckets)
+    )
+
+
+def _source_num(col: F.Column) -> F.Column:
+    """Numeric suffix of the fixture's source tag ('src7' → 7)."""
+    return F.regexp_extract(col, r"(\d+)", 1).cast("int")
+
+
+def sample_hash_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source stratified sample with deterministic hash buckets.
+
+    Rates vary by stratum (5/10/15/20 % keyed off the source id — a stand-in
+    for "keep more of the high-quality domain"). Output audits each stratum:
+    total docs, docs kept, the configured rate, and the first kept doc_id
+    (a value-level probe that the *membership*, not just the count, is
+    deterministic).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    rate = (F.pmod(_source_num(F.col("source")), F.lit(4)) + 1) * 5
+    keep = _hash_bucket(F.col("doc_id"), "sample") < rate
+    return (
+        docs.select("source", "doc_id", rate.alias("rate_pct"), keep.alias("keep"))
+        .groupBy("source", "rate_pct")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_sampled"),
+            F.min(F.when(F.col("keep"), F.col("doc_id"))).alias("first_sampled"),
+        )
+    )
+
+
+def split_train_valid_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjoint 80/10/10 train/valid/test split by salted hash bucket.
+
+    The salt differs from the sampling salt, so split membership is
+    independent of sample membership. Audit output per split: doc count,
+    total chars (size balance), distinct sources (stratification balance).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    b = _hash_bucket(F.col("doc_id"), "split")
+    split = (
+        F.when(b < 80, "train").when(b < 90, "valid").otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), "n_chars", "source")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.count_distinct("source").alias("n_sources"),
+        )
+    )
+
+
+def domain_mix_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted domain mixing by integer upsampling (1-3 copies per source).
+
+    ``explode(sequence(1, w))`` replicates rows JVM-side with no shuffle —
+    the scalable form of "repeat domain D w times in the training mix".
+    Output audits in-vs-out row counts per source. (Fractional weights
+    compose with hash sampling: w=2.3 → 2 copies + keep a 30 % hash sample
+    of a third.)
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.pmod(_source_num(F.col("source")), F.lit(3)) + 1
+    exploded = docs.select(
+        "source", "doc_id", w.alias("weight")
+    ).withColumn("copy", F.explode(F.sequence(F.lit(1), F.col("weight"))))
+    return exploded.groupBy("source", "weight").agg(
+        F.count_distinct("doc_id").alias("n_docs_in"),
+        F.count("*").alias("n_rows_out"),
+    )

@@ -1,0 +1,72 @@
+"""Deterministic sampling / splitting / mixing + decontamination.
+
+These are correctness properties of the hash-bucket design (reproducibility,
+disjointness, rate realization) plus the plan-shape facts that make them
+100 TB-safe (map-side only, no Python, benchmark side broadcast).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kafka_exercise_spark.operators import dedup, sampling
+from kafka_exercise_spark.plans import (
+    broadcast_join_count,
+    python_eval_count,
+    shuffle_exchange_count,
+)
+
+
+def test_sample_is_deterministic_and_rate_bounded(spark, sf_dir):
+    a = sampling.sample_hash_stratified(spark, sf_dir).collect()
+    b = sampling.sample_hash_stratified(spark, sf_dir).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    for row in a:
+        assert 0 <= row.n_sampled <= row.n_docs
+        assert row.rate_pct in (5, 10, 15, 20)
+
+
+def test_split_partitions_corpus_disjointly(spark, sf_dir):
+    rows = {r.split: r for r in sampling.split_train_valid_test(spark, sf_dir).collect()}
+    from kafka_exercise_spark.catalog import load_table
+
+    total = load_table(spark, sf_dir, "documents").count()
+    assert sum(r.n_docs for r in rows.values()) == total
+    assert rows["train"].n_docs > rows["valid"].n_docs
+    assert rows["train"].n_docs > rows["test"].n_docs
+
+
+def test_resample_multiplies_by_weight(spark, sf_dir):
+    for r in sampling.domain_mix_resample(spark, sf_dir).collect():
+        assert r.n_rows_out == r.n_docs_in * r.weight
+        assert r.weight in (1, 2, 3)
+
+
+def test_sampling_ops_are_map_side_single_agg(spark, sf_dir):
+    """One scan, only the audit-agg shuffles, zero Python — per op.
+
+    Ops with a distinct aggregate (n_sources / n_docs_in) plan the standard
+    two-phase distinct: partial-distinct exchange on (group, distinct key)
+    then the final group exchange — both over the tiny audit rows, never a
+    re-shuffle of the corpus. Hence the bound is 2, not 1.
+    """
+    for fn in (
+        sampling.sample_hash_stratified,
+        sampling.split_train_valid_test,
+        sampling.domain_mix_resample,
+    ):
+        df = fn(spark, sf_dir)
+        assert python_eval_count(df) == 0, fn.__name__
+        assert shuffle_exchange_count(df) <= 2, fn.__name__
+
+
+def test_decontaminate_broadcasts_benchmark_index(spark, sf_dir):
+    """The eval-set inverted index broadcasts; the corpus is never
+    self-joined or shuffled by shingle."""
+    df = dedup.decontaminate_ngram(spark, sf_dir)
+    assert python_eval_count(df) == 0
+    assert broadcast_join_count(df) >= 1
+    rows = df.collect()
+    for r in rows:
+        assert r.n_shared >= dedup.DECONTAM_MIN_SHARED
+        assert r.bench_id < dedup.BENCHMARK_MAX_DOC_ID <= r.doc_id
