@@ -160,13 +160,16 @@ _MINHASH_A = (1299721, 15485863, 32452843, 49979687,
 _MINHASH_B = (7, 101, 1009, 10007, 100003, 1000003, 10000019, 100000007)
 
 
+#: 60-bit md5 reduction of each shingle — twin of dedup._with_hashed_shingles.
+_HSH = "list_transform(sh, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT)"
+
+
 def _mh(i: int) -> str:
-    """DuckDB twin of functions.text minhash_derive(minhash_base(x), i),
-    min-folded over the shingle array (one md5 + universal-hash derivation)."""
-    base = "(('0x' || substr(md5(x), 1, 15))::BIGINT & 2147483647)"
+    """DuckDB twin of functions.text minhash_derive(hb & MOD, i), min-folded
+    over the hashed-shingle array (universal-hash derivation off ``hb``)."""
     return (
-        "list_min(list_transform(sh, "
-        f"x -> ({base} * {_MINHASH_A[i]} + {_MINHASH_B[i]}) % 2147483647))"
+        "list_min(list_transform(hb, "
+        f"h -> ((h & 2147483647) * {_MINHASH_A[i]} + {_MINHASH_B[i]}) % 2147483647))"
     )
 
 
@@ -794,18 +797,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_signatures": f"""
             WITH t AS (SELECT doc_id, {_TOKS} AS tok FROM documents),
-            s AS (SELECT doc_id, {_SHINGLES} AS sh FROM t)
+            s AS (SELECT doc_id, {_SHINGLES} AS sh FROM t),
+            h AS (SELECT doc_id, {_HSH} AS hb FROM s)
             SELECT doc_id,
                    {_MH_COLS}
-            FROM s
+            FROM h
         """,
         "dedup_minhash_lsh": f"""
             WITH t AS (SELECT doc_id, {_TOKS} AS tok FROM documents),
             s AS (SELECT doc_id, {_SHINGLES} AS sh FROM t),
-            sig AS (SELECT doc_id, sh, {_MH_LIST} AS mh FROM s),
+            h AS (SELECT doc_id, {_HSH} AS hb FROM s),
+            sig AS (SELECT doc_id, hb, {_MH_LIST} AS mh FROM h),
             bands AS (
               SELECT doc_id, u.b AS band,
-                     mh[2*u.b + 1]::VARCHAR || '_' || mh[2*u.b + 2]::VARCHAR AS key
+                     mh[2*u.b + 1] * 2147483648 + mh[2*u.b + 2] AS key
               FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b) u),
             cand AS (
               SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -813,13 +818,13 @@ def oracle_sql() -> dict[str, str]:
                 ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
             verified AS (
               SELECT id_a, id_b,
-                     len(list_intersect(sa.sh, sb.sh))::BIGINT AS n_common,
-                     round(len(list_intersect(sa.sh, sb.sh)) /
-                           (len(sa.sh) + len(sb.sh)
-                            - len(list_intersect(sa.sh, sb.sh))), 6) AS jaccard
+                     len(list_intersect(ha.hb, hb2.hb))::BIGINT AS n_common,
+                     round(len(list_intersect(ha.hb, hb2.hb)) /
+                           (len(ha.hb) + len(hb2.hb)
+                            - len(list_intersect(ha.hb, hb2.hb))), 6) AS jaccard
               FROM cand
-              JOIN s sa ON sa.doc_id = id_a
-              JOIN s sb ON sb.doc_id = id_b)
+              JOIN h ha ON ha.doc_id = id_a
+              JOIN h hb2 ON hb2.doc_id = id_b)
             SELECT id_a, id_b, n_common, jaccard
             FROM verified WHERE jaccard >= 0.08
         """,
@@ -874,7 +879,8 @@ def oracle_sql() -> dict[str, str]:
             WITH d AS (SELECT * FROM documents WHERE source = 'src0'),
             t AS (SELECT doc_id, {_TOKS} AS tok FROM d),
             s AS (SELECT doc_id, {_SHINGLES} AS sh FROM t),
-            inv AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS sg FROM s),
+            h AS (SELECT doc_id, {_HSH} AS hb FROM s),
+            inv AS (SELECT doc_id, len(hb) AS n_sh, unnest(hb) AS sg FROM h),
             shared AS (
               SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                      a.n_sh AS n_a, b.n_sh AS n_b, count(*) AS n_common
@@ -897,7 +903,8 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate_ngram": f"""
             WITH t AS (SELECT doc_id, {_TOKS} AS tok FROM documents),
             s AS (SELECT doc_id, {_SHINGLES} AS sh FROM t),
-            inv AS (SELECT doc_id, unnest(sh) AS sg FROM s),
+            h AS (SELECT doc_id, {_HSH} AS hb FROM s),
+            inv AS (SELECT doc_id, unnest(hb) AS sg FROM h),
             b AS (SELECT doc_id AS bench_id, sg FROM inv WHERE doc_id < 50),
             c AS (SELECT doc_id, sg FROM inv WHERE doc_id >= 50)
             SELECT c.doc_id, b.bench_id, count(*) AS n_shared

@@ -32,8 +32,8 @@ from pyspark.storagelevel import StorageLevel
 
 from kafka_exercise_spark.catalog import load_table, scale_partitions
 from kafka_exercise_spark.functions.text import (
+    MINHASH_MOD,
     md5_hash64,
-    minhash_base,
     minhash_derive,
     normalized_text,
     shingles,
@@ -52,6 +52,23 @@ def _with_shingles(docs: DataFrame) -> DataFrame:
     return docs.withColumn("sh", shingles(tokens(F.col("text")), SHINGLE_N))
 
 
+def _with_hashed_shingles(docs: DataFrame) -> DataFrame:
+    """(doc_id, hb): per-doc distinct shingles reduced to 60-bit hashes.
+
+    Everything downstream of shingling (signatures, band keys, inverted
+    indexes, exact-Jaccard verification) only needs set identity, never the
+    shingle text — so the ~40-byte strings are hashed to 8-byte longs at the
+    scan and all joins/shuffles/intersections run on longs. The DuckDB
+    oracles apply the identical md5 reduction, so results match exactly even
+    in the (negligible, 60-bit) collision case.
+    """
+    # unary lambda on purpose: transform would otherwise bind the array
+    # index to md5_hash64's seed parameter
+    return _with_shingles(docs).select(
+        "doc_id", F.transform(F.col("sh"), lambda s: md5_hash64(s)).alias("hb")
+    )
+
+
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup groups: canonical fingerprint → min(doc_id) survivor +
     duplicate count. (Fixture texts are all unique, so every group has
@@ -67,19 +84,24 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _signatures_from(docs: DataFrame) -> DataFrame:
-    """MinHash signature columns from a shingled frame (map-only subtree)."""
-    # ONE md5 per shingle, k cheap universal-hash derivations (functions/
-    # text.py MINHASH_*) — an 8× cut of the dominant hash cost.
-    # NB: lambdas passed to transform must be unary — pyspark binds a second
-    # lambda parameter to the array index.
-    based = docs.withColumn("hb", F.transform(F.col("sh"), minhash_base))
+def _signatures_from(hashed: DataFrame) -> DataFrame:
+    """MinHash signature columns from a hashed-shingle frame (map-only).
+
+    ONE md5 per shingle (already paid in ``hb``), k cheap universal-hash
+    derivations off the 31-bit base (functions/text.py MINHASH_*) — an 8×
+    cut of the dominant hash cost vs k md5 calls.
+    NB: lambdas passed to transform must be unary — pyspark binds a second
+    lambda parameter to the array index.
+    """
+    based = hashed.withColumn(
+        "mb", F.transform(F.col("hb"), lambda h: h.bitwiseAND(F.lit(MINHASH_MOD)))
+    )
 
     def derive(i: int):
         return lambda b: minhash_derive(b, i)
 
     sig_cols = [
-        F.array_min(F.transform(F.col("hb"), derive(i))).alias(f"mh{i}")
+        F.array_min(F.transform(F.col("mb"), derive(i))).alias(f"mh{i}")
         for i in range(N_MINHASH)
     ]
     return based.select("doc_id", *sig_cols)
@@ -92,27 +114,36 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode, no shuffle, codegen'd. At 100 TB this is a single scan.
     """
     return _signatures_from(
-        _with_shingles(
+        _with_hashed_shingles(
             scale_partitions(load_table(spark, sf_dir, "documents"), spark)
         )
     )
 
 
 def _band_keys(sig: DataFrame) -> DataFrame:
-    """Signature → (doc_id, band, key) rows; key = concat of the band's rows."""
+    """Signature → (doc_id, band, key) rows.
+
+    The band key packs the band's r=2 31-bit minhash rows into ONE long
+    (``mh0·2³¹ + mh1`` — injective, ≤ 62 bits): the self-join shuffles and
+    compares 8-byte integers instead of concatenated strings.
+    """
     r = N_MINHASH // LSH_BANDS
-    bands = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.concat_ws(
-                "_", *[F.col(f"mh{b * r + j}") for j in range(r)]
-            ).alias("key"),
-        )
-        for b in range(LSH_BANDS)
-    ]
-    return sig.select(
-        "doc_id", F.explode(F.array(*bands)).alias("bk")
-    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    assert r == 2, "numeric band key packs exactly two 31-bit rows"
+    # The generator's child is a LITERAL band-index array; the key is
+    # computed after the explode from pass-through mh columns. Exploding an
+    # array built over the signature expressions instead would inline their
+    # higher-order lambdas into the generate, where they evaluate
+    # interpreted per output row.
+    exploded = sig.withColumn(
+        "band", F.explode(F.array(*[F.lit(b) for b in range(LSH_BANDS)]))
+    )
+    key = F.lit(None).cast("long")
+    for b in range(LSH_BANDS - 1, -1, -1):
+        key = F.when(
+            F.col("band") == b,
+            F.col(f"mh{b * r}") * F.lit(1 << 31) + F.col(f"mh{b * r + 1}"),
+        ).otherwise(key)
+    return exploded.select("doc_id", "band", key.alias("key"))
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -123,22 +154,22 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     and computes exact Jaccard; only pairs ≥ threshold survive. Distinct
     de-dups pairs that collide in several bands.
 
-    The shingled frame feeds FOUR subtrees (both self-join sides, both
-    verify sides). Persisting it — pruned to (doc_id, sh) and SERIALIZED —
-    executes the scan+tokenize+hash pipeline once instead of four times;
-    serialized storage matters because deserialized caching of large string
-    arrays explodes into per-element JVM objects (measured ~5× slower to
-    fill). The persist is lazy and the cache entry is keyed by canonical
-    plan, so repeated calls reuse one entry per sf_dir rather than
-    accumulating. At 100 TB the same design holds: persist (or checkpoint
-    to the lake) the shingled/signature table, which is also what
-    incremental dedup reuses.
+    The hashed-shingle frame (doc_id, array<long>) feeds FOUR subtrees (both
+    self-join sides, both verify sides). Persisting it — SERIALIZED —
+    executes the scan+tokenize+hash pipeline once instead of four times, and
+    long arrays store ~5× denser than the shingle strings they replace.
+    Verification intersects the 8-byte hashes, not strings: same Jaccard
+    (the oracle hashes identically), a fraction of the compare cost. The
+    persist is lazy and the cache entry is keyed by canonical plan, so
+    repeated calls reuse one entry per sf_dir rather than accumulating. At
+    100 TB the same design holds: persist (or checkpoint to the lake) the
+    hashed-shingle/signature table, which is also what incremental dedup
+    reuses.
     """
     docs = (
-        _with_shingles(
+        _with_hashed_shingles(
             scale_partitions(load_table(spark, sf_dir, "documents"), spark)
         )
-        .select("doc_id", "sh")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # Eager fill: the band self-join's two sides otherwise race the lazy
@@ -157,21 +188,21 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .distinct()
     )
-    # Broadcast the shingle lookup into both verify joins: candidate pairs
-    # then never shuffle, and the doc→shingles map ships once per executor.
-    # (At 100 TB the shingle table outgrows broadcast — drop the hint and
-    # these become shuffled hash joins on doc_id, still no re-scan thanks
-    # to the persist.)
-    sh = F.broadcast(docs.select("doc_id", "sh"))
+    # Broadcast the hashed-shingle lookup into both verify joins: candidate
+    # pairs then never shuffle, and the doc→hashes map ships once per
+    # executor. (At 100 TB the hash table outgrows broadcast — drop the
+    # hint and these become shuffled hash joins on doc_id, still no re-scan
+    # thanks to the persist.)
+    sh = F.broadcast(docs)
     return (
-        cand.join(sh.withColumnsRenamed({"doc_id": "id_a", "sh": "sh_a"}), "id_a")
-        .join(sh.withColumnsRenamed({"doc_id": "id_b", "sh": "sh_b"}), "id_b")
-        .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")).cast("long"))
+        cand.join(sh.withColumnsRenamed({"doc_id": "id_a", "hb": "hb_a"}), "id_a")
+        .join(sh.withColumnsRenamed({"doc_id": "id_b", "hb": "hb_b"}), "id_b")
+        .withColumn("n_common", F.size(F.array_intersect("hb_a", "hb_b")).cast("long"))
         .withColumn(
             "jaccard",
             F.round(
                 F.col("n_common")
-                / (F.size("sh_a") + F.size("sh_b") - F.col("n_common")),
+                / (F.size("hb_a") + F.size("hb_b") - F.col("n_common")),
                 6,
             ),
         )
@@ -287,11 +318,27 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact pairwise n-gram Jaccard via a shared-shingle inverted index,
     scoped to one ``source`` partition (standalone form; the LSH pipeline is
     the unscoped scale path)."""
+    # scale_partitions AFTER the filter: the scoped slice arrives as one
+    # parquet split, and without the spread the per-shingle work runs on a
+    # single task. Hash AFTER the explode, not before: exploding a
+    # higher-order ``transform`` column evaluates the lambda interpreted
+    # (outside codegen) per output row — hashing the exploded scalar is a
+    # flat codegen expression and measures ~10× faster.
     docs = _with_shingles(
-        load_table(spark, sf_dir, "documents").filter(F.col("source") == "src0")
+        scale_partitions(
+            load_table(spark, sf_dir, "documents").filter(F.col("source") == "src0"),
+            spark,
+        )
     )
-    inv = docs.select("doc_id", F.size("sh").alias("n_sh"), F.explode("sh").alias("s"))
-    a, b = inv.alias("a"), inv.alias("b")
+    inv = docs.select(
+        "doc_id", F.size("sh").alias("n_sh"), F.explode("sh").alias("sg")
+    ).select("doc_id", "n_sh", md5_hash64(F.col("sg")).alias("s"))
+    # shuffle_hash pinned: an inverted-index self-join must partition by
+    # shingle so the Σ df² pair expansion runs parallel per shingle bucket.
+    # Left alone, Catalyst sees a small (hashed, 8-byte-keyed) index and
+    # broadcasts — collapsing the expensive expansion onto the probe side's
+    # few input tasks; at 100 TB the index could never broadcast anyway.
+    a, b = inv.alias("a"), inv.hint("shuffle_hash").alias("b")
     return (
         a.join(
             b,
@@ -356,17 +403,18 @@ def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     — eval suites are thousands of docs, not billions — so it BROADCASTS,
     and the corpus side is one scan + explode + broadcast-hash join + one
     agg shuffle on (doc_id, bench_id). The corpus is never self-joined and
-    never shuffled by shingle.
+    never shuffled by shingle; the index and probe side carry 8-byte
+    shingle hashes, not strings.
     """
-    docs = _with_shingles(
+    docs = _with_hashed_shingles(
         scale_partitions(load_table(spark, sf_dir, "documents"), spark)
-    ).select("doc_id", "sh")
+    )
     bench_inv = (
         docs.filter(F.col("doc_id") < BENCHMARK_MAX_DOC_ID)
-        .select(F.col("doc_id").alias("bench_id"), F.explode("sh").alias("sg"))
+        .select(F.col("doc_id").alias("bench_id"), F.explode("hb").alias("sg"))
     )
     corpus_inv = docs.filter(F.col("doc_id") >= BENCHMARK_MAX_DOC_ID).select(
-        "doc_id", F.explode("sh").alias("sg")
+        "doc_id", F.explode("hb").alias("sg")
     )
     return (
         corpus_inv.join(F.broadcast(bench_inv), "sg")
