@@ -107,6 +107,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_score": textops.text_quality_score,
         "text_langid": textops.text_langid,
         "doc_fingerprint": textops.doc_fingerprint,
+        "quality_repetition": textops.quality_repetition,
+        "pii_redact": textops.pii_redact,
         # ---- north star: deduplication ----
         "dedup_exact": dedup.dedup_exact,
         "minhash_signatures": dedup.minhash_signatures,
@@ -115,6 +117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": dedup.dedup_simhash_pairs,
         "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
         "dedup_embedding_cosine": dedup.dedup_embedding_cosine,
+        "dedup_components": dedup.dedup_components,
         # benchmark decontamination: corpus×eval n-gram overlap
         "decontaminate_ngram": dedup.decontaminate_ngram,
         # ---- north star: deterministic sampling / splitting / mixing ----
@@ -175,6 +178,37 @@ def _mh(i: int) -> str:
 
 _MH_COLS = ",\n                   ".join(f"{_mh(i)} AS mh{i}" for i in range(8))
 _MH_LIST = "[" + ", ".join(_mh(i) for i in range(8)) + "]"
+
+
+#: The full MinHash-LSH pair pipeline as a CTE chain (shared by the LSH
+#: query and the connected-components query built on its pairs).
+_LSH_CTES = """t AS (SELECT doc_id, {toks} AS tok FROM documents),
+            s AS (SELECT doc_id, {shingles} AS sh FROM t),
+            h AS (SELECT doc_id, {hsh} AS hb FROM s),
+            sig AS (SELECT doc_id, hb, {mh_list} AS mh FROM h),
+            bands AS (
+              SELECT doc_id, u.b AS band,
+                     mh[2*u.b + 1] * 2147483648 + mh[2*u.b + 2] AS key
+              FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b) u),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+            verified AS (
+              SELECT id_a, id_b,
+                     len(list_intersect(ha.hb, hb2.hb))::BIGINT AS n_common,
+                     round(len(list_intersect(ha.hb, hb2.hb)) /
+                           (len(ha.hb) + len(hb2.hb)
+                            - len(list_intersect(ha.hb, hb2.hb))), 6) AS jaccard
+              FROM cand
+              JOIN h ha ON ha.doc_id = id_a
+              JOIN h hb2 ON hb2.doc_id = id_b)"""
+
+
+def _lsh_ctes() -> str:
+    return _LSH_CTES.format(
+        toks=_TOKS, shingles=_SHINGLES, hsh=_HSH, mh_list=_MH_LIST
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -788,6 +822,48 @@ def oracle_sql() -> dict[str, str]:
                    length(canon)::BIGINT AS canon_len
             FROM c
         """,
+        "quality_repetition": f"""
+            WITH t AS (SELECT doc_id, {_TOKS} AS tok FROM documents),
+            g AS (SELECT doc_id,
+              CASE WHEN len(tok) >= 2 THEN list_transform(
+                generate_series(1, len(tok) - 1),
+                i -> tok[i] || ' ' || tok[i + 1])
+              ELSE []::VARCHAR[] END AS g2,
+              CASE WHEN len(tok) >= 3 THEN list_transform(
+                generate_series(1, len(tok) - 2),
+                i -> tok[i] || ' ' || tok[i + 1] || ' ' || tok[i + 2])
+              ELSE []::VARCHAR[] END AS g3
+              FROM t)
+            SELECT doc_id,
+                   len(g2)::BIGINT AS n_2grams,
+                   CASE WHEN len(g2) > 0
+                        THEN round(1 - len(list_distinct(g2)) / len(g2), 6)
+                        ELSE 0.0 END AS dup_frac_2,
+                   len(g3)::BIGINT AS n_3grams,
+                   CASE WHEN len(g3) > 0
+                        THEN round(1 - len(list_distinct(g3)) / len(g3), 6)
+                        ELSE 0.0 END AS dup_frac_3,
+                   (CASE WHEN len(g2) > 0
+                         THEN round(1 - len(list_distinct(g2)) / len(g2), 6)
+                         ELSE 0.0 END) > 0.05 AS flagged
+            FROM g
+        """,
+        "pii_redact": """
+            SELECT doc_id,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'
+                   ))::BIGINT AS n_emails,
+                   len(regexp_extract_all(text,
+                       '\\+?[0-9][0-9()\\- ]{6,}[0-9]'
+                   ))::BIGINT AS n_phones,
+                   regexp_replace(
+                       regexp_replace(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                           '<EMAIL>', 'g'),
+                       '\\+?[0-9][0-9()\\- ]{6,}[0-9]',
+                       '<PHONE>', 'g') AS redacted_text
+            FROM documents
+        """,
         "dedup_exact": f"""
             WITH c AS (SELECT doc_id,
                 ('0x' || substr(md5({_CANON}), 1, 15))::BIGINT AS fp
@@ -804,29 +880,29 @@ def oracle_sql() -> dict[str, str]:
             FROM h
         """,
         "dedup_minhash_lsh": f"""
-            WITH t AS (SELECT doc_id, {_TOKS} AS tok FROM documents),
-            s AS (SELECT doc_id, {_SHINGLES} AS sh FROM t),
-            h AS (SELECT doc_id, {_HSH} AS hb FROM s),
-            sig AS (SELECT doc_id, hb, {_MH_LIST} AS mh FROM h),
-            bands AS (
-              SELECT doc_id, u.b AS band,
-                     mh[2*u.b + 1] * 2147483648 + mh[2*u.b + 2] AS key
-              FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b) u),
-            cand AS (
-              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-              FROM bands a JOIN bands b
-                ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
-            verified AS (
-              SELECT id_a, id_b,
-                     len(list_intersect(ha.hb, hb2.hb))::BIGINT AS n_common,
-                     round(len(list_intersect(ha.hb, hb2.hb)) /
-                           (len(ha.hb) + len(hb2.hb)
-                            - len(list_intersect(ha.hb, hb2.hb))), 6) AS jaccard
-              FROM cand
-              JOIN h ha ON ha.doc_id = id_a
-              JOIN h hb2 ON hb2.doc_id = id_b)
+            WITH {_lsh_ctes()}
             SELECT id_a, id_b, n_common, jaccard
             FROM verified WHERE jaccard >= 0.08
+        """,
+        "dedup_components": f"""
+            WITH RECURSIVE {_lsh_ctes()},
+            pairs AS (SELECT id_a, id_b FROM verified WHERE jaccard >= 0.08),
+            und AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                    UNION ALL
+                    SELECT id_b, id_a FROM pairs),
+            reach AS (
+              SELECT src, dst FROM und
+              UNION
+              SELECT r.src, u.dst FROM reach r
+              JOIN und u ON r.dst = u.src
+              WHERE u.dst != r.src),
+            comp AS (
+              SELECT src AS doc_id, least(src, min(dst)) AS comp
+              FROM reach GROUP BY src)
+            SELECT doc_id, comp,
+                   count(*) OVER (PARTITION BY comp) AS comp_size,
+                   doc_id = comp AS is_survivor
+            FROM comp
         """,
         "dedup_simhash": f"""
             WITH t AS (SELECT doc_id,

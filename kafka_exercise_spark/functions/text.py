@@ -50,21 +50,26 @@ def minhash_derive(base: Column, i: int) -> Column:
     return (base * MINHASH_A[i] + MINHASH_B[i]) % MINHASH_MOD
 
 
-def shingles(tok: Column, n: int) -> Column:
-    """Token n-gram shingles (space-joined), distinct.
+def shingles_all(tok: Column, n: int) -> Column:
+    """Token n-gram shingles (space-joined), WITH multiplicity — the form
+    repetition metrics need.
 
     Guarded so docs shorter than ``n`` yield an empty array — Spark's
     ``sequence(1, 0)`` would otherwise count *down*.
     """
     return F.when(
         F.size(tok) >= n,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size(tok) - n + 1),
-                lambda i: F.concat_ws(" ", F.slice(tok, i, n)),
-            )
+        F.transform(
+            F.sequence(F.lit(1), F.size(tok) - n + 1),
+            lambda i: F.concat_ws(" ", F.slice(tok, i, n)),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def shingles(tok: Column, n: int) -> Column:
+    """Token n-gram shingles (space-joined), distinct — the set form the
+    dedup/Jaccard family works on."""
+    return F.array_distinct(shingles_all(tok, n))
 
 
 def normalized_text(col: Column | str) -> Column:

@@ -422,3 +422,78 @@ def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= DECONTAM_MIN_SHARED)
     )
+
+
+#: Min-label propagation rounds before declaring non-convergence. CC
+#: converges in graph-diameter rounds; near-dup clusters are shallow (docs
+#: similar to a common template are mutually banded), so 25 is generous.
+CC_MAX_ITERS = 25
+
+
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the near-dup pair graph: pairs → duplicate
+    GROUPS → survivor choice — the step that turns pairwise LSH output into
+    an actionable keep/drop list.
+
+    Min-label propagation as a driver loop of DataFrame joins: every node
+    starts labeled with its own id; each round sends labels across edges and
+    keeps the per-node min; fixpoint when no label changes. Each round is
+    one join + one min-aggregate on the EDGE list only (the corpus itself is
+    never touched after pair generation), localCheckpoint()ed to truncate
+    lineage so round N's plan doesn't replay rounds 1..N-1. At 100 TB the
+    same loop holds — the edge list is O(near-dup pairs), orders of
+    magnitude smaller than the corpus; for adversarially long chains swap
+    the body for the large-star/small-star alternation (same loop shape,
+    provably O(log n) rounds), and checkpoint() to the lake instead of
+    locally for executor-loss safety.
+
+    Output: one row per document that appears in ≥1 near-dup pair, its
+    component id (= min doc_id in the component), the component size, and
+    is_survivor (true for the canonical doc kept per group). Singleton docs
+    are excluded (they are trivially their own survivors).
+    """
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("id_a", "id_b")
+    edges = (
+        pairs.union(pairs.select(F.col("id_b"), F.col("id_a")))
+        .toDF("src", "dst")
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(CC_MAX_ITERS):
+        msgs = edges.join(
+            labels.withColumnRenamed("id", "src"), "src"
+        ).select(F.col("dst").alias("id"), "comp")
+        new = (
+            labels.union(msgs)
+            .groupBy("id")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint()
+        )
+        changed = (
+            new.withColumnRenamed("comp", "new_comp")
+            .join(labels, "id")
+            .filter(F.col("new_comp") != F.col("comp"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"dedup_components: no fixpoint in {CC_MAX_ITERS} rounds"
+        )
+    sizes = labels.groupBy("comp").agg(F.count("*").alias("comp_size"))
+    return (
+        labels.join(sizes, "comp")
+        .select(
+            F.col("id").alias("doc_id"),
+            "comp",
+            "comp_size",
+            (F.col("id") == F.col("comp")).alias("is_survivor"),
+        )
+    )

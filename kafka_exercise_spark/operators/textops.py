@@ -121,3 +121,68 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         md5_hash64(canon).alias("fingerprint64"),
         F.length(canon).cast("long").alias("canon_len"),
     )
+
+
+#: Within-doc repetition flag threshold: ~top-20% most-repetitive fixture
+#: docs (Gopher-style "fraction of duplicate n-grams" pre-filter).
+REPETITION_FLAG_FRAC_2 = 0.05
+
+#: PII patterns — deliberately RE2-safe (no backrefs/lookaround) so the
+#: DuckDB oracle runs the IDENTICAL pattern. Email, then phone-like digit
+#: runs (7+ digits allowing separators).
+EMAIL_REGEX = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PHONE_REGEX = "\\+?[0-9][0-9()\\- ]{6,}[0-9]"
+
+
+def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition metrics (Gopher-style duplicate-n-gram
+    fraction): dup_frac_n = 1 − distinct/total over 2- and 3-gram shingles
+    WITH multiplicity, plus a flag at the 2-gram threshold.
+
+    Map-only per-row array arithmetic — one pruned parquet scan, zero
+    shuffles, fully codegen'd; at 100 TB this is scan-throughput-bound like
+    the rest of the quality family.
+    """
+    from kafka_exercise_spark.functions.text import shingles_all  # noqa: PLC0415
+
+    docs = scale_partitions(load_table(spark, sf_dir, "documents"), spark)
+    tok = tokens(F.col("text"))
+    g2, g3 = shingles_all(tok, 2), shingles_all(tok, 3)
+
+    def dup_frac(g: F.Column) -> F.Column:
+        n = F.size(g)
+        return F.when(
+            n > 0, F.round(F.lit(1) - F.size(F.array_distinct(g)) / n, 6)
+        ).otherwise(F.lit(0.0))
+
+    return docs.select(
+        "doc_id",
+        F.size(g2).cast("long").alias("n_2grams"),
+        dup_frac(g2).alias("dup_frac_2"),
+        F.size(g3).cast("long").alias("n_3grams"),
+        dup_frac(g3).alias("dup_frac_3"),
+    ).withColumn("flagged", F.col("dup_frac_2") > REPETITION_FLAG_FRAC_2)
+
+
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub pass: count and redact email / phone-shaped spans.
+
+    Emails are replaced first (their local parts can contain digits), then
+    phone-like digit runs. Pure regexp_count/regexp_replace projection —
+    JVM-side, no shuffle; the patterns are RE2-compatible so the DuckDB
+    oracle applies byte-identical rules. (The synthetic fixtures contain no
+    PII — counts are 0 and text passes through — behavior on PII-bearing
+    rows is pinned by unit test.)
+    """
+    docs = scale_partitions(load_table(spark, sf_dir, "documents"), spark)
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("text"), F.lit(EMAIL_REGEX), F.lit("<EMAIL>")),
+        F.lit(PHONE_REGEX),
+        F.lit("<PHONE>"),
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(EMAIL_REGEX)).cast("long").alias("n_emails"),
+        F.regexp_count(F.col("text"), F.lit(PHONE_REGEX)).cast("long").alias("n_phones"),
+        redacted.alias("redacted_text"),
+    )

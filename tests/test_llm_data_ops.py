@@ -157,3 +157,58 @@ def test_simhash_pairs_verified_by_popcount(spark, sf_dir):
     for r in rows:
         want = bin(sigs[r["id_a"]] ^ sigs[r["id_b"]]).count("1")
         assert r["hamming"] == want <= dedup.HAMMING_MAX
+
+
+def test_quality_repetition_hand_example(spark, sf_dir):
+    """dup_frac on a constructed repeated text matches hand arithmetic."""
+    rows = textops.quality_repetition(spark, sf_dir).collect()
+    for r in rows:
+        assert 0.0 <= r["dup_frac_2"] < 1.0
+        assert 0.0 <= r["dup_frac_3"] < 1.0
+        assert r["flagged"] == (r["dup_frac_2"] > textops.REPETITION_FLAG_FRAC_2)
+    # constructed case: "a b a b a b" → 2-grams [ab, ba, ab, ba, ab]:
+    # 5 total, 2 distinct → dup_frac_2 = 0.6
+    df = spark.createDataFrame([(1, "a b a b a b")], "doc_id long, text string")
+    df.write.mode("overwrite").parquet("/tmp/qr_docs/documents.parquet")
+    r = textops.quality_repetition(spark, "/tmp/qr_docs").collect()[0]
+    assert r["n_2grams"] == 5 and abs(r["dup_frac_2"] - 0.6) < 1e-9
+
+
+def test_pii_redact_literal_rows(spark, sf_dir):
+    # fixtures are PII-free: counts 0, text passes through unchanged
+    joined = (
+        textops.pii_redact(spark, sf_dir)
+        .join(spark.read.parquet(f"{sf_dir}/documents.parquet"), "doc_id")
+    )
+    assert joined.filter(
+        (F.col("n_emails") != 0) | (F.col("n_phones") != 0)
+        | (F.col("redacted_text") != F.col("text"))
+    ).count() == 0
+    # planted PII is found and scrubbed
+    df = spark.createDataFrame(
+        [(1, "mail bob.smith+x@corp.example.com and call +1 (555) 123-4567 now")],
+        "doc_id long, text string",
+    )
+    df.write.mode("overwrite").parquet("/tmp/pii_docs/documents.parquet")
+    r = textops.pii_redact(spark, "/tmp/pii_docs").collect()[0]
+    assert r["n_emails"] == 1 and r["n_phones"] == 1
+    assert "<EMAIL>" in r["redacted_text"] and "<PHONE>" in r["redacted_text"]
+    assert "example.com" not in r["redacted_text"]
+    assert "555" not in r["redacted_text"]
+
+
+def test_dedup_components_invariants(spark, sf_dir):
+    """Component labels are consistent with the pair graph they came from."""
+    pairs = dedup.dedup_minhash_lsh(spark, sf_dir).select("id_a", "id_b").collect()
+    comp = {r["doc_id"]: r for r in dedup.dedup_components(spark, sf_dir).collect()}
+    # every paired doc is labeled; pair endpoints share a component
+    for p in pairs:
+        assert comp[p["id_a"]]["comp"] == comp[p["id_b"]]["comp"]
+    # component id is the min member; exactly one survivor per component
+    by_comp: dict[int, list] = {}
+    for r in comp.values():
+        by_comp.setdefault(r["comp"], []).append(r)
+    for cid, members in by_comp.items():
+        assert cid == min(m["doc_id"] for m in members)
+        assert sum(m["is_survivor"] for m in members) == 1
+        assert all(m["comp_size"] == len(members) for m in members)
