@@ -170,8 +170,11 @@ def test_text_and_hash_ops_stay_jvm_side(spark, sf_dir, fn):
 
 
 def test_minhash_lsh_no_cartesian(spark, sf_dir):
-    """LSH self-join joins on band keys — never a cartesian product."""
-    df = dedup.dedup_minhash_lsh(spark, sf_dir)
+    """LSH self-join joins on band keys — never a cartesian product.
+
+    Asserted on the un-materialized plan builder: the public
+    dedup_minhash_lsh wrapper checkpoints, which would hide the join."""
+    df = dedup._lsh_pairs_plan(spark, sf_dir)
     assert not has_cartesian_product(df)
     assert python_eval_count(df) == 0
 
