@@ -109,6 +109,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": textops.doc_fingerprint,
         "quality_repetition": textops.quality_repetition,
         "pii_redact": textops.pii_redact,
+        "corpus_ngram_counts": textops.corpus_ngram_counts,
+        "tfidf_top_terms": textops.tfidf_top_terms,
+        "doc_length_histogram": textops.doc_length_histogram,
         # ---- north star: deduplication ----
         "dedup_exact": dedup.dedup_exact,
         "minhash_signatures": dedup.minhash_signatures,
@@ -128,6 +131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": similarity.ann_cosine_topk,
         "ann_lsh_bucketed": similarity.ann_lsh_bucketed,  # rows-only (LSH)
         "ann_ivf_topk": similarity.ann_ivf_topk,  # rows-only (KMeans IVF)
+        "embedding_outliers": similarity.embedding_outliers,
         # ---- north star: multimodal binary columns ----
         "multimodal_meta": multimodal.multimodal_meta,
         "multimodal_features": multimodal.multimodal_features,
@@ -863,6 +867,73 @@ def oracle_sql() -> dict[str, str]:
                        '\\+?[0-9][0-9()\\- ]{6,}[0-9]',
                        '<PHONE>', 'g') AS redacted_text
             FROM documents
+        """,
+        "corpus_ngram_counts": f"""
+            WITH t AS (SELECT doc_id, {_TOKS} AS tok FROM documents),
+            g AS (SELECT unnest(
+              CASE WHEN len(tok) >= 2 THEN list_transform(
+                generate_series(1, len(tok) - 1),
+                i -> tok[i] || ' ' || tok[i + 1])
+              ELSE []::VARCHAR[] END) AS ngram FROM t)
+            SELECT ngram, count(*)::BIGINT AS n_occurrences
+            FROM g GROUP BY ngram
+            ORDER BY n_occurrences DESC, ngram
+            LIMIT 50
+        """,
+        "tfidf_top_terms": f"""
+            WITH t AS (SELECT doc_id, {_TOKS} AS tok FROM documents),
+            x AS (SELECT doc_id, unnest(tok) AS term FROM t),
+            tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+                   FROM x GROUP BY doc_id, term),
+            dfq AS (SELECT term, count(*)::BIGINT AS doc_freq
+                    FROM tf GROUP BY term),
+            n AS (SELECT count(*) AS n_docs FROM documents),
+            s AS (SELECT doc_id, term, tf, doc_freq,
+                         round(tf * (ln((n_docs + 1) / (doc_freq + 1)) + 1),
+                               6) AS tfidf
+                  FROM tf JOIN dfq USING (term) CROSS JOIN n),
+            r AS (SELECT *, row_number() OVER (
+                    PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
+                  FROM s)
+            SELECT doc_id, term, tf, doc_freq, tfidf FROM r WHERE rk <= 3
+        """,
+        "doc_length_histogram": """
+            SELECT CAST(floor(n_chars / 100) AS BIGINT) AS bucket,
+                   count(*)::BIGINT AS n_docs,
+                   min(n_chars) AS min_chars,
+                   max(n_chars) AS max_chars,
+                   CAST(floor(n_chars / 100) AS BIGINT) * 100 AS bucket_lo
+            FROM documents
+            GROUP BY CAST(floor(n_chars / 100) AS BIGINT)
+        """,
+        "embedding_outliers": """
+            WITH u AS (
+              SELECT unnest(embedding)::DOUBLE AS v,
+                     unnest(generate_series(1, len(embedding))) AS pos
+              FROM embeddings),
+            cent AS (SELECT pos, avg(v) AS c FROM u GROUP BY pos),
+            centarr AS (SELECT list(c ORDER BY pos) AS centroid FROM cent),
+            sc AS (
+              SELECT vec_id, label,
+                     round(sqrt(list_sum(list_transform(embedding,
+                           x -> x::DOUBLE * x::DOUBLE))), 6) AS l2_norm,
+                     round(sqrt(list_sum(list_transform(
+                           generate_series(1, len(embedding)),
+                           i -> (embedding[i]::DOUBLE - centroid[i])
+                              * (embedding[i]::DOUBLE - centroid[i])))),
+                           6) AS dist_centroid
+              FROM embeddings CROSS JOIN centarr),
+            st AS (SELECT avg(dist_centroid) AS mu,
+                          stddev_samp(dist_centroid) AS sigma
+                   FROM sc)
+            SELECT vec_id, label, l2_norm, dist_centroid,
+                   CASE WHEN sigma > 0
+                        THEN round((dist_centroid - mu) / sigma, 6)
+                        ELSE 0.0 END AS z,
+                   abs(CASE WHEN sigma > 0
+                            THEN round((dist_centroid - mu) / sigma, 6)
+                            ELSE 0.0 END) > 2.0 AS is_outlier
+            FROM sc CROSS JOIN st
         """,
         "dedup_exact": f"""
             WITH c AS (SELECT doc_id,

@@ -250,3 +250,67 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bucket",
         )
     )
+
+
+#: |z| beyond which an embedding's norm marks it an outlier.
+OUTLIER_Z = 2.0
+
+
+def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-quality audit: per-vector L2 norm (catches un-normalized /
+    truncated vectors — the fixtures come back exactly 1.0) plus z-scored
+    distance from the corpus centroid, outlier flag at |z| > ``OUTLIER_Z``
+    — the cheap pre-filter that catches off-manifold vectors before they
+    poison ANN indexes or dedup thresholds.
+
+    The centroid is a posexplode → per-dimension avg (one shuffle of D
+    rows per task thanks to partial aggregation), reassembled into an array
+    and broadcast; distances are then a map-only fold per row. σ = 0
+    (all-identical corpus) degrades to z = 0 rather than dividing by zero.
+    At 100 TB: two scans — one for the centroid, one scoring — both
+    scan-bound; persist the centroid row if the audit re-runs.
+    """
+    emb = _embeddings_double(spark, sf_dir)
+    centroid = (
+        emb.select(F.posexplode("emb").alias("pos", "v"))
+        .groupBy("pos")
+        .agg(F.avg("v").alias("c"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda s: s["c"],
+            ).alias("centroid")
+        )
+    )
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with(F.col("emb"), F.col("centroid"), lambda x, c: (x - c) * (x - c)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    scored = emb.crossJoin(F.broadcast(centroid)).select(
+        "vec_id",
+        "label",
+        F.round(
+            F.sqrt(F.aggregate(F.col("emb"), F.lit(0.0), lambda a, x: a + x * x)),
+            6,
+        ).alias("l2_norm"),
+        F.round(dist, 6).alias("dist_centroid"),
+    )
+    stats = scored.agg(
+        F.avg("dist_centroid").alias("mu"),
+        F.stddev_samp("dist_centroid").alias("sigma"),
+    )
+    return (
+        scored.crossJoin(F.broadcast(stats))
+        .withColumn(
+            "z",
+            F.when(
+                F.col("sigma") > 0,
+                F.round((F.col("dist_centroid") - F.col("mu")) / F.col("sigma"), 6),
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn("is_outlier", F.abs(F.col("z")) > OUTLIER_Z)
+        .select("vec_id", "label", "l2_norm", "dist_centroid", "z", "is_outlier")
+    )

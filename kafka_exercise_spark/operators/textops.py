@@ -186,3 +186,105 @@ def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count(F.col("text"), F.lit(PHONE_REGEX)).cast("long").alias("n_phones"),
         redacted.alias("redacted_text"),
     )
+
+
+#: Corpus-level vocabulary report size (top-N by frequency).
+TOP_NGRAMS = 50
+
+#: TF-IDF terms kept per document.
+TFIDF_TOP_K = 3
+
+#: Document-length histogram bucket width (chars).
+LENGTH_BUCKET_CHARS = 100
+
+
+def corpus_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide bigram frequency table, top ``TOP_NGRAMS`` — the
+    vocabulary/phrase audit every corpus build starts with.
+
+    Explode → groupBy: the classic word-count shape. Partial (map-side)
+    aggregation combines within each scan task before the single shuffle on
+    the n-gram key, and the top-N is a TakeOrdered (per-partition heaps →
+    driver merge of N·P rows), never a global sort. At 100 TB hot n-grams
+    skew the shuffle — the map-side combine is what absorbs it (every task
+    pre-sums its copy of "of the"); residual skew is one AQE split away.
+    Ordering (count desc, ngram asc) is total, so the cut is deterministic.
+    """
+    from kafka_exercise_spark.functions.text import shingles_all  # noqa: PLC0415
+
+    docs = scale_partitions(load_table(spark, sf_dir, "documents"), spark)
+    g2 = shingles_all(tokens(F.col("text")), 2)
+    return (
+        docs.select(F.explode(g2).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count("*").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("ngram"))
+        .limit(TOP_NGRAMS)
+    )
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-``TFIDF_TOP_K`` TF-IDF terms per document — the keyword profile
+    used for topic tagging / domain mixing decisions.
+
+    tf from one explode+groupBy on (doc_id, term); document frequency from a
+    second groupBy on the *already aggregated* tf table (never re-touching
+    the corpus); idf = ln((N+1)/(df+1)) + 1 (smoothed). The df table and the
+    one-row corpus count are broadcast, so the per-(doc, term) stream joins
+    them map-side without a shuffle — at 100 TB the vocabulary table is
+    orders smaller than the corpus (above broadcast size it becomes one
+    shuffled join on term, same plan otherwise). Per-doc top-k is a ranked
+    window partitioned by doc_id with a (score, term) total order.
+    """
+    docs = scale_partitions(load_table(spark, sf_dir, "documents"), spark)
+    tf = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("doc_freq"))
+    ndocs = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(ndocs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log((F.col("n_docs") + 1) / (F.col("doc_freq") + 1))
+                    + F.lit(1.0)
+                ),
+                6,
+            ),
+        )
+    )
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TFIDF_TOP_K)
+        .select("doc_id", "term", "tf", "doc_freq", "tfidf")
+    )
+
+
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length distribution in ``LENGTH_BUCKET_CHARS``-wide buckets
+    — the first sanity plot of any corpus intake, and the input to
+    truncation/packing decisions.
+
+    Pure integer arithmetic (floor-div bucket ids) → groupBy: exact,
+    fp-free, one shuffle with map-side combine; output is O(#buckets).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.floor(F.col("n_chars") / LENGTH_BUCKET_CHARS)
+    return (
+        docs.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .withColumn("bucket_lo", F.col("bucket") * LENGTH_BUCKET_CHARS)
+    )

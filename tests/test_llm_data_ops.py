@@ -212,3 +212,70 @@ def test_dedup_components_invariants(spark, sf_dir):
         assert cid == min(m["doc_id"] for m in members)
         assert sum(m["is_survivor"] for m in members) == 1
         assert all(m["comp_size"] == len(members) for m in members)
+
+
+def test_corpus_ngram_counts_topk(spark, sf_dir):
+    rows = textops.corpus_ngram_counts(spark, sf_dir).collect()
+    assert 0 < len(rows) <= textops.TOP_NGRAMS
+    counts = [r["n_occurrences"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    # total occurrences can't exceed the corpus 2-gram count
+    from kafka_exercise_spark.catalog import load_table
+    from kafka_exercise_spark.functions.text import shingles_all, tokens
+    total = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.size(shingles_all(tokens(F.col("text")), 2)).alias("n"))
+        .agg(F.sum("n"))
+        .first()[0]
+    )
+    assert sum(counts) <= total
+
+
+def test_tfidf_top_terms_shape(spark, sf_dir):
+    rows = textops.tfidf_top_terms(spark, sf_dir).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    n_docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    )
+    assert len(by_doc) == n_docs
+    for members in by_doc.values():
+        assert 1 <= len(members) <= textops.TFIDF_TOP_K
+        scores = [m["tfidf"] for m in members]
+        assert scores == sorted(scores, reverse=True)
+        for m in members:
+            assert m["tf"] >= 1 and 1 <= m["doc_freq"] <= n_docs
+
+
+def test_doc_length_histogram_partitions_corpus(spark, sf_dir):
+    rows = textops.doc_length_histogram(spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sum(r["n_docs"] for r in rows) == docs
+    w = textops.LENGTH_BUCKET_CHARS
+    for r in rows:
+        assert r["bucket_lo"] == r["bucket"] * w
+        assert r["bucket_lo"] <= r["min_chars"] <= r["max_chars"] < r["bucket_lo"] + w
+
+
+def test_embedding_outliers_fixture_and_planted(spark, sf_dir):
+    rows = similarity.embedding_outliers(spark, sf_dir).collect()
+    # fixture embeddings are unit-normalized; z is centered
+    assert all(abs(r["l2_norm"] - 1.0) < 1e-6 for r in rows)
+    assert all(r["is_outlier"] == (abs(r["z"]) > similarity.OUTLIER_Z) for r in rows)
+    assert abs(sum(r["z"] for r in rows) / len(rows)) < 0.01
+    # planted far-away vector gets flagged
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(49, 4)).astype("float32")
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    vecs = [[float(x) for x in v] for v in base] + [[100.0, 0.0, 0.0, 0.0]]
+    df = spark.createDataFrame(
+        [(i, v, 0) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    df.write.mode("overwrite").parquet("/tmp/emb_out/embeddings.parquet")
+    out = {r["vec_id"]: r for r in
+           similarity.embedding_outliers(spark, "/tmp/emb_out").collect()}
+    assert out[49]["is_outlier"] and not out[0]["is_outlier"]
