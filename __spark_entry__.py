@@ -121,12 +121,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
         "dedup_embedding_cosine": dedup.dedup_embedding_cosine,
         "dedup_components": dedup.dedup_components,
+        # incoming-batch × corpus band probe (no corpus self-join)
+        "dedup_incremental": dedup.dedup_incremental,
         # benchmark decontamination: corpus×eval n-gram overlap
         "decontaminate_ngram": dedup.decontaminate_ngram,
         # ---- north star: deterministic sampling / splitting / mixing ----
         "sample_hash_stratified": sampling.sample_hash_stratified,
         "split_train_valid_test": sampling.split_train_valid_test,
         "domain_mix_resample": sampling.domain_mix_resample,
+        "pack_sequences": sampling.pack_sequences,
         # ---- north star: similarity search ----
         "ann_cosine_topk": similarity.ann_cosine_topk,
         "ann_lsh_bucketed": similarity.ann_lsh_bucketed,  # rows-only (LSH)
@@ -975,6 +978,28 @@ def oracle_sql() -> dict[str, str]:
                    doc_id = comp AS is_survivor
             FROM comp
         """,
+        "dedup_incremental": f"""
+            WITH {_lsh_ctes()},
+            srcmap AS (SELECT doc_id, source FROM documents),
+            ci AS (
+              SELECT DISTINCT a.doc_id AS new_doc_id, b.doc_id AS old_doc_id
+              FROM bands a
+              JOIN bands b ON a.band = b.band AND a.key = b.key
+              JOIN srcmap sa ON sa.doc_id = a.doc_id
+              JOIN srcmap sb ON sb.doc_id = b.doc_id
+              WHERE sa.source = 'src0' AND sb.source != 'src0'),
+            vi AS (
+              SELECT new_doc_id, old_doc_id,
+                     len(list_intersect(hn.hb, ho.hb))::BIGINT AS n_common,
+                     round(len(list_intersect(hn.hb, ho.hb)) /
+                           (len(hn.hb) + len(ho.hb)
+                            - len(list_intersect(hn.hb, ho.hb))), 6) AS jaccard
+              FROM ci
+              JOIN h hn ON hn.doc_id = new_doc_id
+              JOIN h ho ON ho.doc_id = old_doc_id)
+            SELECT new_doc_id, old_doc_id, n_common, jaccard
+            FROM vi WHERE jaccard >= 0.08
+        """,
         "dedup_simhash": f"""
             WITH t AS (SELECT doc_id,
                            list_distinct({_TOKS}) AS tok FROM documents),
@@ -1096,6 +1121,21 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT doc_id) AS n_docs_in,
                    (count(*) * weight)::BIGINT AS n_rows_out
             FROM d GROUP BY source, weight
+        """,
+        "pack_sequences": f"""
+            WITH t AS (SELECT doc_id, doc_id % 8 AS shard,
+                              len({_TOKS})::BIGINT AS n_tok
+                       FROM documents),
+            c AS (SELECT doc_id, shard, n_tok,
+                         (sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING))::BIGINT AS cum_tok
+                  FROM t)
+            SELECT doc_id, shard, n_tok, cum_tok,
+                   CAST(floor((cum_tok - n_tok) / 2048) AS BIGINT) AS seq_bin,
+                   cum_tok - n_tok
+                     - CAST(floor((cum_tok - n_tok) / 2048) AS BIGINT) * 2048
+                     AS offset_in_bin
+            FROM c
         """,
         "ann_cosine_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe

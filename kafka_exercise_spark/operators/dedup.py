@@ -555,3 +555,62 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("id") == F.col("comp")).alias("is_survivor"),
         )
     )
+
+
+#: The fixture source treated as the "incoming batch" for incremental dedup.
+INCREMENTAL_NEW_SOURCE = "src0"
+
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup check: an INCOMING batch against the EXISTING
+    corpus — the shape every continuously-ingesting 100 TB pipeline actually
+    runs (the full self-join happens once; every day after is this).
+
+    Both sides get the same shingle→signature→band treatment, but the join
+    is new-bands × old-bands on (band, key) — the corpus NEVER self-joins,
+    so cost is O(batch) probes into the band index, not O(corpus²). In
+    production the old side's bands/shingles are a persisted index table
+    (the materialization dedup_minhash_lsh already demonstrates); here both
+    sides derive from the fixture split by ``source``. Verification is
+    exact Jaccard on the hashed shingle sets, new side broadcast (a daily
+    batch is orders smaller than the corpus).
+
+    Output: (new_doc_id, old_doc_id, n_common, jaccard) — the reject/link
+    list for the incoming batch.
+    """
+    docs = scale_partitions(load_table(spark, sf_dir, "documents"), spark)
+    is_new = F.col("source") == INCREMENTAL_NEW_SOURCE
+    new_h = _with_hashed_shingles(docs.filter(is_new))
+    old_h = _with_hashed_shingles(docs.filter(~is_new))
+    new_bands = _band_keys(_signatures_from(new_h)).withColumnsRenamed(
+        {"doc_id": "new_doc_id"}
+    )
+    old_bands = _band_keys(_signatures_from(old_h)).withColumnsRenamed(
+        {"doc_id": "old_doc_id"}
+    )
+    cand = (
+        F.broadcast(new_bands)
+        .join(old_bands, ["band", "key"])
+        .select("new_doc_id", "old_doc_id")
+        .distinct()
+    )
+    return (
+        cand.join(
+            F.broadcast(new_h.withColumnsRenamed({"doc_id": "new_doc_id", "hb": "hb_new"})),
+            "new_doc_id",
+        )
+        .join(old_h.withColumnsRenamed({"doc_id": "old_doc_id", "hb": "hb_old"}), "old_doc_id")
+        .withColumn(
+            "n_common", F.size(F.array_intersect("hb_new", "hb_old")).cast("long")
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.size("hb_new") + F.size("hb_old") - F.col("n_common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("new_doc_id", "old_doc_id", "n_common", "jaccard")
+    )

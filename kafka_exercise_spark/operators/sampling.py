@@ -108,3 +108,57 @@ def domain_mix_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("doc_id").alias("n_docs_in"),
         F.count("*").alias("n_rows_out"),
     )
+
+
+#: Token budget per packed training sequence.
+PACK_BUDGET_TOKENS = 2048
+
+#: Packing shards — the unit of window parallelism (and, in production, of
+#: output file layout).
+PACK_SHARDS = 8
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sequence packing: assign every document a (shard,
+    seq_bin, offset) so fixed-token-budget training sequences can be
+    assembled by concatenating each bin in doc_id order — the step between
+    "deduped corpus" and "batches the trainer reads".
+
+    Contiguous-fill packing per shard: running token total over doc_id
+    order, bin = floor(tokens-before-this-doc / budget); a doc that crosses
+    a budget boundary belongs to the bin it starts in (assemblers overflow
+    into the next sequence). Everything is exact integer arithmetic over a
+    windowed cumulative sum, so the layout is bit-reproducible across
+    reruns, partitionings and engines — the same guarantee the rest of this
+    module gives. The window partitions by shard (pmod of doc_id): N shards
+    = N independent window tasks, so at 100 TB parallelism is chosen by
+    shard count (thousands, aligned to output files), never a global sort.
+    """
+    from kafka_exercise_spark.functions.text import tokens  # noqa: PLC0415
+
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(tokens(F.col("text"))).cast("long")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    budget = F.lit(PACK_BUDGET_TOKENS)
+    return (
+        docs.select(
+            "doc_id",
+            F.pmod(F.col("doc_id"), F.lit(PACK_SHARDS)).alias("shard"),
+            n_tok.alias("n_tok"),
+        )
+        .withColumn("cum_tok", F.sum("n_tok").over(w))
+        .withColumn(
+            "seq_bin",
+            F.floor((F.col("cum_tok") - F.col("n_tok")) / budget),
+        )
+        .withColumn(
+            "offset_in_bin",
+            F.col("cum_tok") - F.col("n_tok") - F.col("seq_bin") * budget,
+        )
+    )

@@ -279,3 +279,50 @@ def test_embedding_outliers_fixture_and_planted(spark, sf_dir):
     out = {r["vec_id"]: r for r in
            similarity.embedding_outliers(spark, "/tmp/emb_out").collect()}
     assert out[49]["is_outlier"] and not out[0]["is_outlier"]
+
+
+def test_dedup_incremental_matches_full_lsh_cross_source(spark, sf_dir):
+    """The batch-vs-corpus probe finds exactly the full self-join's
+    cross-source pairs — no extras, none missed."""
+    inc = dedup.dedup_incremental(spark, sf_dir).collect()
+    src = {
+        r["doc_id"]: r["source"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "source").collect()
+    }
+    for r in inc:
+        assert src[r["new_doc_id"]] == dedup.INCREMENTAL_NEW_SOURCE
+        assert src[r["old_doc_id"]] != dedup.INCREMENTAL_NEW_SOURCE
+        assert r["jaccard"] >= dedup.JACCARD_THRESHOLD
+    full = dedup.dedup_minhash_lsh(spark, sf_dir).collect()
+    want = {
+        frozenset((r["id_a"], r["id_b"]))
+        for r in full
+        if (src[r["id_a"]] == dedup.INCREMENTAL_NEW_SOURCE)
+        != (src[r["id_b"]] == dedup.INCREMENTAL_NEW_SOURCE)
+    }
+    got = {frozenset((r["new_doc_id"], r["old_doc_id"])) for r in inc}
+    assert got == want
+
+
+def test_pack_sequences_layout_invariants(spark, sf_dir):
+    from kafka_exercise_spark.operators import sampling
+
+    rows = sampling.pack_sequences(spark, sf_dir).collect()
+    budget = sampling.PACK_BUDGET_TOKENS
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        assert r["shard"] == r["doc_id"] % sampling.PACK_SHARDS
+        assert 0 <= r["offset_in_bin"] < budget
+        by_shard.setdefault(r["shard"], []).append(r)
+    for members in by_shard.values():
+        members.sort(key=lambda r: r["doc_id"])
+        cum = 0
+        prev_bin = 0
+        for r in members:
+            assert r["seq_bin"] == cum // budget
+            assert r["offset_in_bin"] == cum - r["seq_bin"] * budget
+            cum += r["n_tok"]
+            assert r["cum_tok"] == cum
+            assert r["seq_bin"] >= prev_bin
+            prev_bin = r["seq_bin"]
