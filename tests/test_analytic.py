@@ -103,3 +103,47 @@ def test_sliding_window_double_counts(spark, sf_dir):
     df = analytic.sliding_window_events(spark, sf_dir)
     n = load_table(spark, sf_dir, "events").count()
     assert df.agg(F.sum("n_events")).collect()[0][0] == 2 * n
+
+
+def test_user_event_gaps_single_shuffle_and_exact(spark, sf_dir):
+    df = analytic.user_event_gaps(spark, sf_dir)
+    # window sort + per-user agg share ONE exchange on user_id; JVM-only
+    assert shuffle_exchange_count(df) == 1
+    assert python_eval_count(df) == 0
+    rows = {r["user_id"]: r for r in df.collect()}
+    events = load_table(spark, sf_dir, "events")
+    uid = min(rows)
+    ts = sorted(
+        r["ts"]
+        for r in events.filter(F.col("user_id") == uid).select("ts").collect()
+    )
+    gaps = [
+        (b - a).total_seconds() for a, b in zip(ts, ts[1:])
+    ]
+    got = rows[uid]
+    assert got["n_events"] == len(ts)
+    assert got["n_gaps"] == len(gaps)
+    assert abs(got["max_gap_s"] - max(gaps)) < 1e-3
+    assert abs(got["avg_gap_s"] - sum(gaps) / len(gaps)) < 1e-3
+
+
+def test_funnel_ordered_monotone_and_broadcast(spark, sf_dir):
+    df = analytic.funnel_ordered(spark, sf_dir)
+    # the shrinking frontier broadcasts into each stage join; events never
+    # feeds a cartesian and nothing drops to Python
+    assert broadcast_join_count(df) >= 2
+    assert not has_cartesian_product(df)
+    assert python_eval_count(df) == 0
+    rows = sorted(df.collect(), key=lambda r: r["stage"])
+    assert [r["step"] for r in rows] == list(analytic.FUNNEL_STEPS)
+    counts = [r["n_users"] for r in rows]
+    assert counts[0] >= counts[1] >= counts[2]
+    # stage 1 = distinct signup users, by definition
+    events = load_table(spark, sf_dir, "events")
+    n_signup = (
+        events.filter(F.col("event_type") == "signup")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert counts[0] == n_signup
