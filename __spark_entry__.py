@@ -150,6 +150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # cross-batch streaming dedup, custom GroupState operator
         "streaming_join_replay": streaming_stateful.streaming_join_replay,
         "streaming_dedup_replay": streaming_stateful.streaming_dedup_replay,
+        "streaming_session_replay": streaming_stateful.streaming_session_replay,
         "streaming_user_state_replay": (
             streaming_stateful.streaming_user_state_replay
         ),
@@ -1237,6 +1238,25 @@ def oracle_sql() -> dict[str, str]:
         """,
         "streaming_dedup_replay": """
             SELECT DISTINCT user_id, event_type FROM events
+        """,
+        "streaming_session_replay": """
+            WITH f AS (
+              SELECT user_id, ts, value,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR ts - lag(ts) OVER w >= INTERVAL 4 HOURS
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+            s AS (SELECT user_id, ts, value,
+                         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                          ROWS UNBOUNDED PRECEDING) AS sid
+                  FROM f)
+            SELECT user_id,
+                   strftime(min(ts), '%Y-%m-%d %H:%M:%S.%g') AS session_start,
+                   strftime(max(ts) + INTERVAL 4 HOURS,
+                            '%Y-%m-%d %H:%M:%S.%g') AS session_end,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS session_value
+            FROM s GROUP BY user_id, sid
         """,
         "streaming_user_state_replay": """
             SELECT user_id, count(*) AS n_events,

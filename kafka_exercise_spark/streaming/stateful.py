@@ -228,3 +228,81 @@ def streaming_user_state_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(work, ignore_errors=True)
     return result
+
+
+def streaming_session_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows under REAL streaming execution (append mode).
+
+    The batch twin is ``analytic.session_window_events`` (same 4 h gap, same
+    output shape); here the merging session state machine runs inside
+    StreamExecution with a watermark, and sessions are only emitted once the
+    watermark passes their end — the production semantics for streaming
+    sessionization.
+
+    Append mode only emits CLOSED sessions, and a bounded replay ends before
+    the watermark passes the last real session. So the landing appends a
+    SENTINEL event (user_id = -1) far enough in the future — after every
+    possible session end plus the watermark delay — in a file whose mtime
+    puts it in a later micro-batch. The sentinel advances the watermark,
+    Spark's no-data flush batch closes every real session, and the
+    sentinel's own (still-open) session is dropped by the user_id filter.
+    At scale the same pattern is a heartbeat topic/row that keeps watermarks
+    moving through traffic gaps.
+    """
+    from kafka_exercise_spark.catalog import load_table
+    from kafka_exercise_spark.operators.analytic import SESSION_GAP, TS_FMT
+
+    events = load_table(spark, sf_dir, "events")
+    n_files = 8
+    work = tempfile.mkdtemp(prefix="session_replay_")
+    land = os.path.join(work, "src")
+    events.repartition(n_files).write.mode("overwrite").parquet(land)
+
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    import datetime
+
+    before = {f for f in os.listdir(land) if f.endswith(".parquet")}
+    sentinel_ts = max_ts + datetime.timedelta(hours=5)  # > gap 4 h + delay
+    sentinel = spark.createDataFrame(
+        [(-1, sentinel_ts, -1, "sentinel", 0.0, None)], schema=events.schema
+    )
+    sentinel.coalesce(1).write.mode("append").parquet(land)
+    # mtime decides micro-batch order in the file source: push ONLY the
+    # sentinel's part file strictly after the landing's
+    import time as _time
+
+    later = _time.time() + 60
+    for f in os.listdir(land):
+        if f.endswith(".parquet") and f not in before:
+            os.utime(os.path.join(land, f), (later, later))
+
+    name = "session_replay_contract"
+    _fresh_memory_query(spark, name)
+    stream = file_stream(spark, land, events.schema, max_files_per_trigger=n_files)
+    sess = (
+        stream.withWatermark("ts", "1 minute")
+        .groupBy(F.session_window("ts", SESSION_GAP), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+    )
+    with bounded_replay_conf(spark):
+        query = (
+            sess.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination(300)
+    result = spark.table(name).filter(F.col("user_id") >= 0).select(
+        "user_id",
+        F.date_format("session_window.start", TS_FMT).alias("session_start"),
+        F.date_format("session_window.end", TS_FMT).alias("session_end"),
+        "n_events",
+        "session_value",
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    return result

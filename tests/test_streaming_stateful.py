@@ -142,3 +142,18 @@ def test_user_state_incremental_trajectory(spark, sf_dir):
             assert min(counts) < want[uid]
     # with 2 batches over this fixture, most users appear in both
     assert multi > 0
+
+
+def test_streaming_session_replay_equals_batch(spark, sf_dir):
+    """Streaming sessionization (append mode, watermark-closed) must equal
+    the batch session_window aggregation — including that every REAL
+    session is flushed by the sentinel-advanced watermark and the sentinel's
+    own open session never leaks into the result."""
+    from kafka_exercise_spark.operators import analytic
+
+    st = stateful.streaming_session_replay(spark, sf_dir).cache()
+    assert st.filter(F.col("user_id") < 0).count() == 0
+    batch = analytic.session_window_events(spark, sf_dir)
+    assert st.exceptAll(batch).count() == 0
+    assert batch.exceptAll(st).count() == 0
+    st.unpersist()
