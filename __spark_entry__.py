@@ -137,6 +137,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_bucketed": similarity.ann_lsh_bucketed,  # rows-only (LSH)
         "ann_ivf_topk": similarity.ann_ivf_topk,  # rows-only (KMeans IVF)
         "embedding_outliers": similarity.embedding_outliers,
+        # int8 scalar quantization + reconstruction-quality audit
+        "embedding_quantize": similarity.embedding_quantize,
         # ---- north star: multimodal binary columns ----
         "multimodal_meta": multimodal.multimodal_meta,
         "multimodal_features": multimodal.multimodal_features,
@@ -1190,6 +1192,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, vec_id AS neighbor_id, round(c, 6) AS cos,
                    rnk AS "rank"
             FROM r WHERE rnk <= 10
+        """,
+        "embedding_quantize": """
+            WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+                       FROM embeddings),
+            s AS (SELECT vec_id, label, v,
+                         list_max(list_transform(v, x -> abs(x))) / 127.0
+                             AS scale
+                  FROM e),
+            d AS (SELECT vec_id, label, v, scale,
+                         list_transform(v, x -> round(x / scale) * scale)
+                             AS dq
+                  FROM s)
+            SELECT vec_id, label,
+                   round(scale, 9) AS scale,
+                   round(list_max(list_transform(
+                       list_zip(v, dq),
+                       p -> abs(p[1] - p[2]))), 9)
+                       AS max_abs_err,
+                   round(round(list_cosine_similarity(v, dq), 9), 6)
+                       AS cos_recon
+            FROM d
         """,
         "multimodal_meta": """
             SELECT doc_id, 'text/plain' AS media_type,

@@ -314,3 +314,41 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("is_outlier", F.abs(F.col("z")) > OUTLIER_Z)
         .select("vec_id", "label", "l2_norm", "dist_centroid", "z", "is_outlier")
     )
+
+
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 scalar quantization + reconstruction audit.
+
+    The storage lever for a 100 TB embedding store: float32 → int8 is a 4×
+    cut (scale factor stored per vector), and the audit proves the recall
+    cost is negligible before committing the corpus to it. Entirely
+    JVM-side higher-order expressions — quantize, dequantize, and error in
+    ONE map-only projection: no shuffle, no UDF, scales linearly with the
+    scan. Emits per vector: the scale, the max absolute reconstruction
+    error (∞-norm), and the cosine between original and dequantized vector.
+    """
+    emb = _embeddings_double(spark, sf_dir)
+    with_scale = emb.withColumn(
+        "scale",
+        F.array_max(F.transform("emb", lambda x: F.abs(x))) / F.lit(127.0),
+    )
+    dq = F.transform(
+        "emb", lambda x: F.round(x / F.col("scale")) * F.col("scale")
+    )
+    out = (
+        with_scale.withColumn("dq", dq)
+        .withColumn(
+            "max_abs_err",
+            F.array_max(
+                F.zip_with("emb", "dq", lambda a, b: F.abs(a - b))
+            ),
+        )
+        .withColumn("c", F.round(cosine(F.col("emb"), F.col("dq")), 9))
+    )
+    return out.select(
+        "vec_id",
+        "label",
+        F.round("scale", 9).alias("scale"),
+        F.round("max_abs_err", 9).alias("max_abs_err"),
+        F.round("c", 6).alias("cos_recon"),
+    )

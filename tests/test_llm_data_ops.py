@@ -326,3 +326,22 @@ def test_pack_sequences_layout_invariants(spark, sf_dir):
             assert r["cum_tok"] == cum
             assert r["seq_bin"] >= prev_bin
             prev_bin = r["seq_bin"]
+
+
+def test_embedding_quantize_bounds_and_map_only(spark, sf_dir):
+    from kafka_exercise_spark.plans import (
+        python_eval_count,
+        shuffle_exchange_count,
+    )
+
+    df = similarity.embedding_quantize(spark, sf_dir)
+    # quantize/dequantize/audit is ONE map-only projection: no shuffle,
+    # nothing drops to Python
+    assert shuffle_exchange_count(df) == 0
+    assert python_eval_count(df) == 0
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        # round() error is at most half a quantization step
+        assert r["max_abs_err"] <= r["scale"] / 2 + 1e-9
+        assert r["cos_recon"] > 0.999
