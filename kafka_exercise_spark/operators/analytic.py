@@ -188,8 +188,26 @@ def range_join_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     lookup against a constant-sized dimension.
     """
     events = load_table(spark, sf_dir, "events")
-    tiers = spark.createDataFrame(
-        list(VALUE_TIERS), schema="lo double, hi double, tier string"
+    # inline table built JVM-side (explode of a literal struct array):
+    # createDataFrame(list) would plan a parallelized Python relation and
+    # pay Python-worker spinup to materialize 4 constant rows
+    tiers = (
+        spark.range(0, 1, 1, 1)
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(lo).cast("double").alias("lo"),
+                            F.lit(hi).cast("double").alias("hi"),
+                            F.lit(t).alias("tier"),
+                        )
+                        for lo, hi, t in VALUE_TIERS
+                    ]
+                )
+            ).alias("x")
+        )
+        .select("x.*")
     )
     return (
         events.join(
