@@ -39,7 +39,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
+    """One entry per implemented operator from SURVEY.md §2.
+
+    Ordering note: the driver's correctness pass covers the first 50 entries,
+    so the dict leads with the reference-parity pipeline (§2.2-2.3), then the
+    streaming/LLM-data families that r02 left oracle-unverified, and pushes
+    the TPC-H relational sweep (all hash-green in CORRECTNESS_r02) to the
+    tail where re-verification adds the least information.
+    """
     return {
         # §2.2 P1/P3/P4/P5 — projection, alias, DATETOSTRING, TIMESTAMPTOSTRING
         "custstream_pretty": pipeline_ops.custstream_pretty,
@@ -55,9 +62,69 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "idadecont": pipeline_ops.idadecont,
         # §2.2 P4/P5 epoch-int wire variants (Avro days/millis decode)
         "jovens_epoch_wire": pipeline_ops.jovens_epoch_wire,
-        # ---- stage E: relational surface beyond the reference (§2.5) ----
+        # ---- §2.4 streaming semantics, driver-checkable bounded forms ----
+        # real StreamExecution run (micro-batches + state store + watermark);
+        # final state ≡ batch agg, so the oracle is plain SQL
+        "streaming_idadecont_replay": streaming_pipeline.streaming_idadecont_replay,
+        # §2.1 S3 — timestamp-mode CDC poll from a persisted high-water mark
+        "incremental_source_snapshot": streaming_pipeline.incremental_source_snapshot,
+        # §2.5 absences, filled: stream-stream interval join (watermarked),
+        # cross-batch streaming dedup, custom GroupState operator
+        "streaming_join_replay": streaming_stateful.streaming_join_replay,
+        "streaming_dedup_replay": streaming_stateful.streaming_dedup_replay,
+        "streaming_session_replay": streaming_stateful.streaming_session_replay,
+        "streaming_user_state_replay": (
+            streaming_stateful.streaming_user_state_replay
+        ),
+        # ---- analytic entries left uncovered by the r02 correctness cap ----
+        "session_window_events": analytic.session_window_events,
+        "sliding_window_events": analytic.sliding_window_events,
+        "user_event_gaps": analytic.user_event_gaps,
+        "funnel_ordered": analytic.funnel_ordered,
+        # ---- north star: deduplication ----
+        "dedup_exact": dedup.dedup_exact,
+        "minhash_signatures": dedup.minhash_signatures,
+        "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
+        "dedup_simhash": dedup.dedup_simhash,
+        "dedup_simhash_pairs": dedup.dedup_simhash_pairs,
+        "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
+        "dedup_embedding_cosine": dedup.dedup_embedding_cosine,
+        "dedup_components": dedup.dedup_components,
+        # incoming-batch × corpus band probe (no corpus self-join)
+        "dedup_incremental": dedup.dedup_incremental,
+        # benchmark decontamination: corpus×eval n-gram overlap
+        "decontaminate_ngram": dedup.decontaminate_ngram,
+        # ---- north star: text analysis over documents ----
+        "text_token_stats": textops.text_token_stats,
+        "text_quality_score": textops.text_quality_score,
+        "text_langid": textops.text_langid,
+        "doc_fingerprint": textops.doc_fingerprint,
+        "quality_repetition": textops.quality_repetition,
+        "pii_redact": textops.pii_redact,
+        "corpus_ngram_counts": textops.corpus_ngram_counts,
+        "tfidf_top_terms": textops.tfidf_top_terms,
+        "doc_length_histogram": textops.doc_length_histogram,
+        # ---- north star: deterministic sampling / splitting / mixing ----
+        "sample_hash_stratified": sampling.sample_hash_stratified,
+        "split_train_valid_test": sampling.split_train_valid_test,
+        "domain_mix_resample": sampling.domain_mix_resample,
+        "pack_sequences": sampling.pack_sequences,
+        # ---- north star: similarity search ----
+        "ann_cosine_topk": similarity.ann_cosine_topk,
+        "ann_lsh_bucketed": similarity.ann_lsh_bucketed,  # rows-only (LSH)
+        "ann_ivf_topk": similarity.ann_ivf_topk,  # rows-only (KMeans IVF)
+        "embedding_outliers": similarity.embedding_outliers,
+        # int8 scalar quantization + reconstruction-quality audit
+        "embedding_quantize": similarity.embedding_quantize,
+        # ---- north star: multimodal binary columns ----
+        "multimodal_meta": multimodal.multimodal_meta,
+        "multimodal_features": multimodal.multimodal_features,
+        # ---- fixed since r02: DuckDB HUGEINT-vs-BIGINT oracle typing ----
+        "q12_priority_class": relational.q12_priority_class,
+        # ---- stage E flagships (rest of the sweep re-proven in r02) ----
         "q1_pricing_summary": relational.q1_pricing_summary,
         "q3_shipping_priority": relational.q3_shipping_priority,
+        # ---- stage E: relational surface beyond the reference (§2.5) ----
         "q5_local_supplier": relational.q5_local_supplier,
         "join_customer_orders": relational.join_customer_orders,
         "sort_topk": relational.sort_topk,
@@ -74,7 +141,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q9_product_profit": relational.q9_product_profit,
         "q10_returned_items": relational.q10_returned_items,
         "q11_important_stock": relational.q11_important_stock,
-        "q12_priority_class": relational.q12_priority_class,
         "q13_order_distribution": relational.q13_order_distribution,
         "q14_promo_effect": relational.q14_promo_effect,
         "q15_top_supplier": relational.q15_top_supplier,
@@ -100,62 +166,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_ext_events": analytic.stats_ext_events,
         "asof_join_events": analytic.asof_join_events,
         "range_join_tiers": analytic.range_join_tiers,
-        "session_window_events": analytic.session_window_events,
-        "sliding_window_events": analytic.sliding_window_events,
-        "user_event_gaps": analytic.user_event_gaps,
-        "funnel_ordered": analytic.funnel_ordered,
-        # ---- north star: text analysis over documents ----
-        "text_token_stats": textops.text_token_stats,
-        "text_quality_score": textops.text_quality_score,
-        "text_langid": textops.text_langid,
-        "doc_fingerprint": textops.doc_fingerprint,
-        "quality_repetition": textops.quality_repetition,
-        "pii_redact": textops.pii_redact,
-        "corpus_ngram_counts": textops.corpus_ngram_counts,
-        "tfidf_top_terms": textops.tfidf_top_terms,
-        "doc_length_histogram": textops.doc_length_histogram,
-        # ---- north star: deduplication ----
-        "dedup_exact": dedup.dedup_exact,
-        "minhash_signatures": dedup.minhash_signatures,
-        "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
-        "dedup_simhash": dedup.dedup_simhash,
-        "dedup_simhash_pairs": dedup.dedup_simhash_pairs,
-        "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
-        "dedup_embedding_cosine": dedup.dedup_embedding_cosine,
-        "dedup_components": dedup.dedup_components,
-        # incoming-batch × corpus band probe (no corpus self-join)
-        "dedup_incremental": dedup.dedup_incremental,
-        # benchmark decontamination: corpus×eval n-gram overlap
-        "decontaminate_ngram": dedup.decontaminate_ngram,
-        # ---- north star: deterministic sampling / splitting / mixing ----
-        "sample_hash_stratified": sampling.sample_hash_stratified,
-        "split_train_valid_test": sampling.split_train_valid_test,
-        "domain_mix_resample": sampling.domain_mix_resample,
-        "pack_sequences": sampling.pack_sequences,
-        # ---- north star: similarity search ----
-        "ann_cosine_topk": similarity.ann_cosine_topk,
-        "ann_lsh_bucketed": similarity.ann_lsh_bucketed,  # rows-only (LSH)
-        "ann_ivf_topk": similarity.ann_ivf_topk,  # rows-only (KMeans IVF)
-        "embedding_outliers": similarity.embedding_outliers,
-        # int8 scalar quantization + reconstruction-quality audit
-        "embedding_quantize": similarity.embedding_quantize,
-        # ---- north star: multimodal binary columns ----
-        "multimodal_meta": multimodal.multimodal_meta,
-        "multimodal_features": multimodal.multimodal_features,
-        # ---- §2.4 streaming semantics, driver-checkable bounded forms ----
-        # real StreamExecution run (micro-batches + state store + watermark);
-        # final state ≡ batch agg, so the oracle is plain SQL
-        "streaming_idadecont_replay": streaming_pipeline.streaming_idadecont_replay,
-        # §2.1 S3 — timestamp-mode CDC poll from a persisted high-water mark
-        "incremental_source_snapshot": streaming_pipeline.incremental_source_snapshot,
-        # §2.5 absences, filled: stream-stream interval join (watermarked),
-        # cross-batch streaming dedup, custom GroupState operator
-        "streaming_join_replay": streaming_stateful.streaming_join_replay,
-        "streaming_dedup_replay": streaming_stateful.streaming_dedup_replay,
-        "streaming_session_replay": streaming_stateful.streaming_session_replay,
-        "streaming_user_state_replay": (
-            streaming_stateful.streaming_user_state_replay
-        ),
     }
 
 
@@ -480,10 +490,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q12_priority_class": """
             SELECT l_linestatus,
-                   sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                            THEN 1 ELSE 0 END) AS high_line_count,
-                   sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                            THEN 1 ELSE 0 END) AS low_line_count
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             WHERE l_shipdate >= TIMESTAMP '1997-01-01'
               AND l_shipdate < TIMESTAMP '1998-01-01'
@@ -1133,7 +1143,8 @@ def oracle_sql() -> dict[str, str]:
                          AS rate_pct
               FROM documents)
             SELECT source, rate_pct, count(*) AS n_docs,
-                   sum(CASE WHEN b < rate_pct THEN 1 ELSE 0 END) AS n_sampled,
+                   CAST(sum(CASE WHEN b < rate_pct THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_sampled,
                    min(CASE WHEN b < rate_pct THEN doc_id END) AS first_sampled
             FROM d GROUP BY source, rate_pct
         """,
@@ -1147,7 +1158,7 @@ def oracle_sql() -> dict[str, str]:
                         WHEN b < 90 THEN 'valid'
                         ELSE 'test' END AS split,
                    count(*) AS n_docs,
-                   sum(n_chars) AS total_chars,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
                    count(DISTINCT source) AS n_sources
             FROM d GROUP BY 1
         """,

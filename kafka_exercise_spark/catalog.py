@@ -58,7 +58,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     epoch nanos exceed 2^53.
     """
     from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType
+    from pyspark.sql.types import LongType, TimestampNTZType
 
     # Deterministic semantics regardless of the caller's session: UTC
     # formatting (the reference passes 'UTC' explicitly, README.md:212) and
@@ -70,6 +70,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for col in NANO_TS_COLUMNS.get(name, ()):
         if col in df.columns and isinstance(df.schema[col].dataType, LongType):
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    # Parquet TIMESTAMP(isAdjustedToUTC=false) reads as TIMESTAMP_NTZ, which
+    # epoch extractors (unix_millis/unix_micros) and withWatermark reject.
+    # With the session tz pinned UTC the instant is unchanged by this cast,
+    # and it is a zero-cost metadata projection (no shuffle, no UDF).
+    for field in df.schema.fields:
+        if isinstance(field.dataType, TimestampNTZType):
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return df
 
 

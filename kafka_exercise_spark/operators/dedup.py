@@ -515,6 +515,13 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_survivor (true for the canonical doc kept per group). Singleton docs
     are excluded (they are trivially their own survivors).
     """
+    from kafka_exercise_spark.deploy import ship_package
+
+    # _forest_contract is module-level (shared by the shrink and finish
+    # phases), so it pickles by reference: ship the package to the Python
+    # workers (the --py-files analog) so the import resolves no matter
+    # where the driving process's cwd/PYTHONPATH points.
+    ship_package(spark)
     pairs = dedup_minhash_lsh(spark, sf_dir).select("id_a", "id_b")
     edges = (
         pairs.union(pairs.select(F.col("id_b"), F.col("id_a")))
