@@ -62,6 +62,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "idadecont": pipeline_ops.idadecont,
         # §2.2 P4/P5 epoch-int wire variants (Avro days/millis decode)
         "jovens_epoch_wire": pipeline_ops.jovens_epoch_wire,
+        # §2.1 S4 — real Avro binary encode→decode→format round trip
+        "avro_wire_roundtrip": pipeline_ops.avro_wire_roundtrip,
         # ---- §2.4 streaming semantics, driver-checkable bounded forms ----
         # real StreamExecution run (micro-batches + state store + watermark);
         # final state ≡ batch agg, so the oracle is plain SQL
@@ -276,6 +278,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id,
                    strftime(ts, '%Y-%m-%d') AS dt_event,
                    strftime(ts, '%Y-%m-%d %H:%M:%S.%g') AS ts_conv
+            FROM events
+            WHERE strftime(ts, '%Y-%m-%d') >= '2024-01-10'
+        """,
+        "avro_wire_roundtrip": """
+            SELECT event_id,
+                   strftime(ts, '%Y-%m-%d') AS dt_event,
+                   strftime(ts, '%Y-%m-%d %H:%M:%S.%g') AS ts_conv,
+                   event_type, value
             FROM events
         """,
         "q1_pricing_summary": """

@@ -3,8 +3,13 @@
 Reads ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
 ``local[$SPARK_GRAFT_CPUS]``. Each query is forced end-to-end with the noop
 sink (full execution, no driver collect — the same shape a cluster run has).
-Output: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+
+Per-query wall time swings ±30% between identical runs on a busy host
+(GC, page cache, Python-worker reuse), which makes single-shot numbers
+useless for round-over-round regression detection — so every query is run
+``$SPARK_GRAFT_BENCH_REPEATS`` times (default 3) and the MEDIAN is
+reported. Output: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: median_sec}, "repeats": n, "sf": ...}.
 """
 
 from __future__ import annotations
@@ -12,8 +17,11 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
+
+REPEATS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -57,20 +65,31 @@ def run() -> dict:
                 fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
             except Exception:  # noqa: BLE001 — warm-up only
                 pass
-    for name, fn in queries.items():
-        t0 = time.perf_counter()
-        try:
-            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - t0, 4)
-        except Exception as e:  # noqa: BLE001
-            print(f"bench: {name} failed: {e}", file=sys.stderr)
-            timings[name] = -1.0
+    # Whole-set passes (not per-query back-to-back repeats): consecutive
+    # repeats of one query would hit a hot page cache/JIT state unlike what
+    # any fresh run sees; interleaving passes keeps each sample honest while
+    # the median still cancels host noise.
+    samples: dict[str, list[float]] = {name: [] for name in queries}
+    for _ in range(REPEATS):
+        for name, fn in queries.items():
+            t0 = time.perf_counter()
+            try:
+                fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+                samples[name].append(time.perf_counter() - t0)
+            except Exception as e:  # noqa: BLE001
+                print(f"bench: {name} failed: {e}", file=sys.stderr)
+                samples[name].append(-1.0)
+    timings = {
+        name: round(statistics.median(ts), 4) if all(t >= 0 for t in ts) else -1.0
+        for name, ts in samples.items()
+    }
     m = re.search(r"sf([\d.]+)", SF_DIR)
     return {
         "metric": "total_query_wall_sec",
         "value": round(sum(t for t in timings.values() if t >= 0), 4),
         "unit": "sec",
         "queries": timings,
+        "repeats": REPEATS,
         "sf": float(m.group(1)) if m else None,
     }
 

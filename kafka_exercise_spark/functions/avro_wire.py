@@ -1,0 +1,295 @@
+"""Avro binary wire codec — the reference's on-the-wire value format.
+
+The reference runs ``value_format='AVRO'`` end-to-end (reference
+README.md:186, docker-compose.yml:78 schema-registry): every Kafka record
+value is an Avro *binary-encoded* record, with DATE as int days-since-epoch
+and TIMESTAMP as long epoch-millis (reference README.md:207, 212 — the
+``DATETOSTRING``/``TIMESTAMPTOSTRING`` calls exist precisely because the
+wire carries epoch ints).
+
+Spark's own ``from_avro``/``to_avro`` live in the external spark-avro jar,
+which is absent here — so this module implements the Avro 1.x binary
+encoding (https://avro.apache.org/docs/1.12.0/specification/ — public spec)
+in pure Python and runs it as Arrow-batched ``mapInPandas``. This is the
+documented "genuinely can't express in built-ins" case for a Python path:
+a byte-level codec with no Catalyst equivalent in this container. When the
+spark-avro jar IS on the classpath (any real deployment), ``use_jvm_avro``
+reports True and callers should prefer ``pyspark.sql.avro.functions`` —
+same bytes, JVM speed; the pure-Python path then remains the spec oracle.
+
+Binary encoding implemented (complete for the reference's schema surface):
+ - int/long: zigzag + base-128 varint
+ - float/double: little-endian IEEE-754
+ - boolean: single byte; null: zero bytes
+ - string/bytes: varint byte-length prefix + payload
+ - union ["null", T]: varint branch index, then the branch value
+ - record: field values concatenated in schema order
+ - logical types: date (int days), timestamp-millis (long epoch ms)
+
+Schemas are plain Avro JSON record schemas (the format Schema Registry
+serves), parsed by ``parse_schema``.
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+from collections.abc import Iterator
+from dataclasses import dataclass
+from typing import TYPE_CHECKING, Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+if TYPE_CHECKING:
+    import pandas as pd
+
+# ---- schema model ----
+
+_PRIMITIVES = {"null", "boolean", "int", "long", "float", "double", "bytes", "string"}
+
+#: Avro logical type -> (base type, semantic tag used by the codec)
+_LOGICAL = {
+    ("int", "date"): "date",
+    ("long", "timestamp-millis"): "timestamp-millis",
+    ("long", "timestamp-micros"): "timestamp-micros",
+}
+
+
+@dataclass(frozen=True)
+class AvroField:
+    name: str
+    type: str  # primitive name or logical tag from _LOGICAL
+    nullable: bool  # True ⇒ wire type is union ["null", type]
+
+
+def parse_schema(schema_json: str | dict) -> list[AvroField]:
+    """Parse an Avro JSON record schema into the codec's field list.
+
+    Covers the reference's schema surface: records of primitives, nullable
+    unions, and date/timestamp logical types. Anything else raises — better
+    a loud error than silently mis-decoded bytes.
+    """
+    sch = json.loads(schema_json) if isinstance(schema_json, str) else schema_json
+    if sch.get("type") != "record":
+        raise ValueError(f"top-level schema must be a record, got {sch.get('type')}")
+    fields: list[AvroField] = []
+    for f in sch["fields"]:
+        ftype, nullable = f["type"], False
+        if isinstance(ftype, list):  # union
+            branches = [b for b in ftype if b != "null"]
+            if len(branches) != 1 or "null" not in ftype:
+                raise ValueError(f"only ['null', T] unions supported: {ftype}")
+            ftype, nullable = branches[0], True
+        if isinstance(ftype, dict):
+            base, logical = ftype.get("type"), ftype.get("logicalType")
+            tag = _LOGICAL.get((base, logical))
+            if tag is None:
+                raise ValueError(f"unsupported complex/logical type: {ftype}")
+            ftype = tag
+        elif ftype not in _PRIMITIVES:
+            raise ValueError(f"unsupported type: {ftype}")
+        fields.append(AvroField(f["name"], ftype, nullable))
+    return fields
+
+
+# ---- primitive codecs (spec §binary encoding) ----
+
+
+def _zigzag(n: int) -> int:
+    return (n << 1) ^ (n >> 63)
+
+
+def _unzigzag(n: int) -> int:
+    return (n >> 1) ^ -(n & 1)
+
+
+def encode_long(n: int) -> bytes:
+    """Zigzag + base-128 varint (spec: int and long share this encoding)."""
+    z = _zigzag(n) & 0xFFFFFFFFFFFFFFFF
+    out = bytearray()
+    while True:
+        b = z & 0x7F
+        z >>= 7
+        if z:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def decode_long(buf: bytes, pos: int) -> tuple[int, int]:
+    """Returns (value, new_pos)."""
+    shift = z = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        z |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return _unzigzag(z), pos
+        shift += 7
+
+
+def _encode_string(v: str) -> bytes:
+    raw = v.encode("utf-8")
+    return encode_long(len(raw)) + raw
+
+
+_ENCODERS = {
+    "null": lambda v: b"",
+    "boolean": lambda v: b"\x01" if v else b"\x00",
+    "int": encode_long,
+    "long": encode_long,
+    "date": encode_long,
+    "timestamp-millis": encode_long,
+    "timestamp-micros": encode_long,
+    "float": lambda v: struct.pack("<f", v),
+    "double": lambda v: struct.pack("<d", v),
+    "string": _encode_string,
+    "bytes": lambda v: encode_long(len(v)) + bytes(v),
+}
+
+
+def _decode_value(ftype: str, buf: bytes, pos: int) -> tuple[Any, int]:
+    if ftype == "null":
+        return None, pos
+    if ftype == "boolean":
+        return buf[pos] == 1, pos + 1
+    if ftype in ("int", "long", "date", "timestamp-millis", "timestamp-micros"):
+        return decode_long(buf, pos)
+    if ftype == "float":
+        return struct.unpack_from("<f", buf, pos)[0], pos + 4
+    if ftype == "double":
+        return struct.unpack_from("<d", buf, pos)[0], pos + 8
+    if ftype in ("string", "bytes"):
+        n, pos = decode_long(buf, pos)
+        raw = buf[pos : pos + n]
+        return (raw.decode("utf-8") if ftype == "string" else raw), pos + n
+    raise ValueError(f"unsupported type: {ftype}")
+
+
+def encode_record(row: dict[str, Any], fields: list[AvroField]) -> bytes:
+    """One datum → Avro binary (no container/framing — the Kafka value
+    layout, minus the schema-registry 5-byte header; see ``WIRE_HEADER``)."""
+    out = bytearray()
+    for f in fields:
+        v = row[f.name]
+        if f.nullable:
+            if v is None:
+                out += b"\x00"  # union branch 0 = null
+                continue
+            out += b"\x02"  # union branch 1 (zigzag varint of 1)
+        out += _ENCODERS[f.type](v)
+    return bytes(out)
+
+
+def decode_record(buf: bytes, fields: list[AvroField]) -> dict[str, Any]:
+    pos, row = 0, {}
+    for f in fields:
+        if f.nullable:
+            branch, pos = decode_long(buf, pos)
+            if branch == 0:
+                row[f.name] = None
+                continue
+        row[f.name], pos = _decode_value(f.type, buf, pos)
+    if pos != len(buf):
+        raise ValueError(f"trailing bytes: consumed {pos} of {len(buf)}")
+    return row
+
+
+#: Confluent wire framing: magic byte 0 + big-endian int32 schema id, then
+#: the Avro binary body (public Confluent serde format). The reference's
+#: records carry this header because its producer is the Connect Avro
+#: converter pointed at Schema Registry (docker-compose.yml:78).
+WIRE_HEADER = struct.Struct(">bI")
+
+
+def frame_confluent(body: bytes, schema_id: int) -> bytes:
+    return WIRE_HEADER.pack(0, schema_id) + body
+
+
+def unframe_confluent(payload: bytes) -> tuple[int, bytes]:
+    magic, schema_id = WIRE_HEADER.unpack_from(payload, 0)
+    if magic != 0:
+        raise ValueError(f"bad magic byte {magic}")
+    return schema_id, payload[WIRE_HEADER.size :]
+
+
+# ---- Spark surface: Arrow-batched encode/decode over DataFrames ----
+
+_SPARK_TYPES = {
+    "boolean": "boolean",
+    "int": "int",
+    "long": "long",
+    "float": "float",
+    "double": "double",
+    "string": "string",
+    "bytes": "binary",
+    "date": "int",  # wire representation: days since epoch
+    "timestamp-millis": "long",  # epoch millis
+    "timestamp-micros": "long",
+}
+
+
+def _wire_schema_ddl(fields: list[AvroField]) -> str:
+    return ", ".join(f"{f.name} {_SPARK_TYPES[f.type]}" for f in fields)
+
+
+def avro_encode(df: DataFrame, schema_json: str, out_col: str = "value") -> DataFrame:
+    """Typed columns → one Avro-binary column (the to_avro analog).
+
+    Expects wire-typed inputs (date as int days, timestamp as epoch long) —
+    produce them JVM-side (``unix_millis``/``datediff``) so Python only does
+    the byte packing. Arrow-batched; codec state (parsed schema) is built
+    once per partition, not per row.
+    """
+    from kafka_exercise_spark.deploy import ship_package
+
+    ship_package(df.sparkSession)  # codec fns pickle by reference
+    fields = parse_schema(schema_json)
+    cols = [f.name for f in fields]
+
+    def enc(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import pandas as pd
+
+        for pdf in batches:
+            rows = pdf[cols].to_dict("records")
+            yield pd.DataFrame(
+                {out_col: [encode_record(r, fields) for r in rows]}
+            )
+
+    return df.mapInPandas(enc, schema=f"{out_col} binary")
+
+
+def avro_decode(
+    df: DataFrame, schema_json: str, value_col: str = "value"
+) -> DataFrame:
+    """Avro-binary column → typed wire columns (the from_avro analog)."""
+    from kafka_exercise_spark.deploy import ship_package
+
+    ship_package(df.sparkSession)  # codec fns pickle by reference
+    fields = parse_schema(schema_json)
+    ddl = _wire_schema_ddl(fields)
+
+    def dec(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import pandas as pd
+
+        for pdf in batches:
+            decoded = [decode_record(bytes(b), fields) for b in pdf[value_col]]
+            yield pd.DataFrame(decoded, columns=[f.name for f in fields])
+
+    return df.mapInPandas(dec, schema=ddl)
+
+
+def use_jvm_avro(spark) -> bool:
+    """True when the spark-avro jar is loadable — then prefer
+    ``pyspark.sql.avro.functions.from_avro/to_avro`` (JVM, codegen) and keep
+    this module as the spec oracle. Absent in this container; present on any
+    real deployment that processes Avro topics."""
+    try:
+        spark._jvm.java.lang.Class.forName(  # noqa: SLF001
+            "org.apache.spark.sql.avro.AvroDataToCatalyst"
+        )
+        return True
+    except Exception:  # noqa: BLE001
+        return False

@@ -188,7 +188,9 @@ def jovens_epoch_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``dt_update`` as bigint epoch-millis (reference README.md:207, 212); this
     entry exercises the epoch-int decode path of the formatters (§2.2 P4-P5)
     by first encoding the fixture timestamp to the wire ints, then formatting
-    back — a round-trip proof of the decode helpers.
+    back — a round-trip proof of the decode helpers — and applies the jovens
+    string-``>=`` predicate on the formatted value (reference README.md:238),
+    so the whole wire path decode→format→filter is oracle-checked end-to-end.
     """
     events = load_table(spark, sf_dir, "events")
     wire = events.select(
@@ -196,8 +198,63 @@ def jovens_epoch_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff(F.to_date("ts"), F.to_date(F.lit("1970-01-01"))).alias("d_days"),
         F.unix_millis(F.col("ts")).alias("ts_ms"),
     )
-    return wire.select(
+    formatted = wire.select(
         "event_id",
         datetostring("d_days", epoch_days=True).alias("dt_event"),
         timestamptostring("ts_ms", epoch_millis=True).alias("ts_conv"),
+    )
+    # ISO strings compare lexicographically == chronologically, the exact
+    # semantics the reference's jovens CSAS relies on (README.md:233-239).
+    return formatted.filter(F.col("dt_event") >= "2024-01-10")
+
+
+#: The reference's per-record value schema shape (Schema Registry JSON):
+#: epoch-int logical types on the wire, nullable string for the free-form
+#: field (reference README.md:205-212 — nascimento int days, dt_update
+#: epoch-millis).
+AVRO_EVENTS_SCHEMA = """
+{
+  "type": "record", "name": "event", "fields": [
+    {"name": "event_id", "type": "long"},
+    {"name": "d_days", "type": {"type": "int", "logicalType": "date"}},
+    {"name": "ts_ms", "type": {"type": "long", "logicalType": "timestamp-millis"}},
+    {"name": "event_type", "type": ["null", "string"]},
+    {"name": "value", "type": "double"}
+  ]
+}
+"""
+
+
+def avro_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → Avro binary → decode → format: the reference's actual topic
+    path (§2.1 S4 + §2.2 P4/P5), end-to-end through real wire bytes.
+
+    The reference's consumers never see typed columns — they see Avro binary
+    records whose DATE/TIMESTAMP fields are epoch ints (reference
+    README.md:186, 207, 212). This entry produces those bytes with the
+    spec-conformant codec (functions/avro_wire.py), decodes them back, and
+    formats with the epoch-wire formatters — so the oracle checks the full
+    encode→decode→format pipeline, not just the formatters. Encode inputs
+    are computed JVM-side (``datediff``/``unix_millis``); Python handles
+    byte packing only, Arrow-batched.
+    """
+    from kafka_exercise_spark.functions.avro_wire import avro_decode, avro_encode
+
+    events = load_table(spark, sf_dir, "events")
+    wire_in = events.select(
+        F.col("event_id").cast("long"),
+        F.datediff(F.to_date("ts"), F.to_date(F.lit("1970-01-01")))
+        .cast("int")
+        .alias("d_days"),
+        F.unix_millis(F.col("ts")).alias("ts_ms"),
+        "event_type",
+        F.col("value").cast("double"),
+    )
+    decoded = avro_decode(avro_encode(wire_in, AVRO_EVENTS_SCHEMA), AVRO_EVENTS_SCHEMA)
+    return decoded.select(
+        "event_id",
+        datetostring("d_days", epoch_days=True).alias("dt_event"),
+        timestamptostring("ts_ms", epoch_millis=True).alias("ts_conv"),
+        "event_type",
+        "value",
     )
