@@ -83,6 +83,70 @@ def keyed_json_sink(
     return writer.start()
 
 
+def avro_topic_sink(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    name: str,
+    schema_json: str,
+    schema_id: int = 1,
+    trigger_once: bool = False,
+) -> StreamingQuery:
+    """CSAS → Avro-valued topic, materialized as a binary ``value`` landing.
+
+    The reference's CSAS output (``CREATE STREAM jovens WITH
+    (value_format='AVRO') AS SELECT …``, reference README.md:233-239) is a
+    Kafka topic of Confluent-framed Avro binary values (keyless stream —
+    keyed changelog export is S7/``keyed_json_sink``). This sink produces
+    byte-identical payloads into a parquet landing of one binary ``value``
+    column — exactly what ``writeStream.format("kafka")`` would publish, so
+    pointing at a real broker is a format-only swap. Encoding uses the
+    spec-pinned pure-Python codec (functions/avro_wire.py); with the
+    spark-avro jar present, swap in ``to_avro`` JVM-side (``use_jvm_avro``).
+
+    foreachBatch keeps the wire encode Arrow-batched (never row-at-a-time):
+    each micro-batch is encoded, framed with the Confluent header, and
+    written append-mode.
+    """
+    from pyspark.sql import functions as F
+
+    from kafka_exercise_spark.functions.avro_wire import avro_encode, frame_confluent
+
+    header = frame_confluent(b"", schema_id)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        encoded = avro_encode(batch_df, schema_json, out_col="value")
+        framed = encoded.select(
+            F.concat(F.lit(bytearray(header)), F.col("value")).alias("value")
+        )
+        framed.write.mode("append").parquet(path)
+
+    writer = (
+        df.writeStream.foreachBatch(write_batch)
+        .queryName(name)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_avro_topic(spark, path: str, schema_json: str) -> DataFrame:
+    """Decode a landed Avro topic dir back to typed wire columns — the
+    consumer side of ``avro_topic_sink`` (S4's decode applied to the S5
+    landing)."""
+    from pyspark.sql import functions as F
+
+    from kafka_exercise_spark.functions.avro_wire import WIRE_HEADER, avro_decode
+
+    raw = spark.read.parquet(path)
+    body = raw.select(
+        F.expr(f"substring(value, {WIRE_HEADER.size + 1})").alias("value")
+    )
+    return avro_decode(body, schema_json)
+
+
 def memory_sink(
     df: DataFrame, name: str, output_mode: str = "append", trigger_once: bool = False
 ) -> StreamingQuery:

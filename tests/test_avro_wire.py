@@ -160,6 +160,60 @@ def test_spark_roundtrip_identity(spark, sf_dir):
     assert decoded.filter(F.col("event_type").isNull()).count() > 0
 
 
+def test_streaming_avro_topic_sink_roundtrip(spark, sf_dir, tmp_path):
+    """S5 end-to-end: CSAS replay → Confluent-framed Avro binary landing →
+    consumer decode == the batch projection. Proves the streaming sink
+    writes real wire bytes, not a typed-columns approximation."""
+    from kafka_exercise_spark.catalog import load_table
+    from kafka_exercise_spark.streaming import sinks
+    from kafka_exercise_spark.streaming.sources import file_stream, land_events_replay
+
+    src_dir, schema = land_events_replay(spark, sf_dir, n_files=4)
+    stream = file_stream(spark, src_dir, schema, max_files_per_trigger=2)
+    wire_shape = stream.select(
+        F.col("event_id").cast("long"),
+        F.datediff(F.to_date("ts"), F.to_date(F.lit("1970-01-01")))
+        .cast("int")
+        .alias("d_days"),
+        F.unix_millis("ts").alias("ts_ms"),
+        "event_type",
+        F.col("value").cast("double"),
+    )
+    out = str(tmp_path / "topic")
+    q = sinks.avro_topic_sink(
+        wire_shape,
+        out,
+        checkpoint=str(tmp_path / "ck"),
+        name="avro_csas",
+        schema_json=SPARK_SCHEMA,
+        schema_id=7,
+        trigger_once=True,
+    )
+    q.awaitTermination(120)
+
+    raw = spark.read.parquet(out)
+    first = bytes(raw.first().value)
+    from kafka_exercise_spark.functions.avro_wire import unframe_confluent
+
+    schema_id, _body = unframe_confluent(first)
+    assert schema_id == 7
+
+    decoded = sinks.read_avro_topic(spark, out, SPARK_SCHEMA)
+    events = load_table(spark, sf_dir, "events")
+    batch = events.select(
+        F.col("event_id").cast("long"),
+        F.datediff(F.to_date("ts"), F.to_date(F.lit("1970-01-01")))
+        .cast("int")
+        .alias("d_days"),
+        F.unix_millis("ts").alias("ts_ms"),
+        "event_type",
+        F.col("value").cast("double"),
+    )
+    assert decoded.count() == batch.count()
+    assert decoded.exceptAll(batch).count() == 0
+    assert batch.exceptAll(decoded).count() == 0
+
+
 def test_jvm_avro_gate_reports_absence(spark):
     # this container has no spark-avro jar; on a deployment that does, the
     # JVM fast path is preferred and this flips to True

@@ -56,9 +56,17 @@ def test_idadecont_window_arithmetic(spark, sf_dir):
 
 
 def test_epoch_wire_roundtrip_matches_typed(spark, sf_dir):
-    typed = pipeline_ops.custstream_pretty(spark, sf_dir).select(
-        "event_id", "dt_event", "ts_conv"
+    from pyspark.sql import functions as F
+
+    # jovens_epoch_wire applies the reference's jovens string predicate on
+    # the formatted value; apply the same cut to the typed path so equality
+    # checks the decode+format round trip itself.
+    typed = (
+        pipeline_ops.custstream_pretty(spark, sf_dir)
+        .select("event_id", "dt_event", "ts_conv")
+        .filter(F.col("dt_event") >= "2024-01-10")
     )
     wire = pipeline_ops.jovens_epoch_wire(spark, sf_dir)
+    assert wire.count() > 0
     assert typed.exceptAll(wire).count() == 0
     assert wire.exceptAll(typed).count() == 0
