@@ -64,6 +64,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jovens_epoch_wire": pipeline_ops.jovens_epoch_wire,
         # §2.1 S4 — real Avro binary encode→decode→format round trip
         "avro_wire_roundtrip": pipeline_ops.avro_wire_roundtrip,
+        # ksql dialect layer: the reference's CLI statements run VERBATIM
+        # (generator topic → wire-int presentation → DATETOSTRING/
+        # TIMESTAMPTOSTRING SQL functions → CSAS / windowed CTAS)
+        "ksql_jovens": pipeline_ops.ksql_jovens,
+        "ksql_idadecont": pipeline_ops.ksql_idadecont,
         # ---- §2.4 streaming semantics, driver-checkable bounded forms ----
         # real StreamExecution run (micro-batches + state store + watermark);
         # final state ≡ batch agg, so the oracle is plain SQL
@@ -123,10 +128,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": multimodal.multimodal_features,
         # ---- fixed since r02: DuckDB HUGEINT-vs-BIGINT oracle typing ----
         "q12_priority_class": relational.q12_priority_class,
-        # ---- stage E flagships (rest of the sweep re-proven in r02) ----
+        # ---- stage E: relational surface (fully hash-proven in r02) ----
         "q1_pricing_summary": relational.q1_pricing_summary,
         "q3_shipping_priority": relational.q3_shipping_priority,
-        # ---- stage E: relational surface beyond the reference (§2.5) ----
         "q5_local_supplier": relational.q5_local_supplier,
         "join_customer_orders": relational.join_customer_orders,
         "sort_topk": relational.sort_topk,
@@ -169,6 +173,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_events": analytic.asof_join_events,
         "range_join_tiers": analytic.range_join_tiers,
     }
+
+
+#: DuckDB replica of the deterministic generator (sources/generator.py) —
+#: every column is the same pure function of row id i, so the ksql-dialect
+#: entries get real value-hash oracles despite having no fixture input.
+_GEN_CTE = """g AS (SELECT unnest(range(500)) AS i),
+            cust AS (SELECT
+                'Customer ' || i AS nome,
+                CASE WHEN i % 2 = 0 THEN 'M' ELSE 'F' END AS sexo,
+                '+1-555-' || lpad(((i * 7919) % 10000)::VARCHAR, 4, '0')
+                    AS telefone,
+                'customer' || i || '@example.com' AS email,
+                ['engineer','teacher','nurse','analyst','farmer'][(i % 5) + 1]
+                    AS profissao,
+                DATE '1950-01-01' + ((i * 4391) % 20000)::INT AS nascimento,
+                TIMESTAMP '2024-01-01 00:00:00' + to_microseconds(i)
+                    AS dt_update
+              FROM g)"""
 
 
 # ---- shared DuckDB SQL fragments (mirror functions/text.py exactly) ----
@@ -287,6 +309,26 @@ def oracle_sql() -> dict[str, str]:
                    strftime(ts, '%Y-%m-%d %H:%M:%S.%g') AS ts_conv,
                    event_type, value
             FROM events
+        """,
+        "ksql_jovens": f"""
+            WITH {_GEN_CTE}
+            SELECT nome, sexo, telefone, email, profissao,
+                   strftime(nascimento, '%Y-%m-%d') AS dt_nascimento,
+                   strftime(dt_update, '%Y-%m-%d %H:%M:%S.%g') AS dt_updt
+            FROM cust
+            WHERE strftime(nascimento, '%Y-%m-%d') >= '2000-01-01'
+        """,
+        "ksql_idadecont": f"""
+            WITH {_GEN_CTE},
+            cl AS (SELECT CASE WHEN strftime(nascimento, '%Y-%m-%d')
+                                    >= '2000-01-01'
+                               THEN 'JOVEM' ELSE 'ADULTO' END AS idadecat,
+                          epoch_ms(dt_update) AS ms
+                   FROM cust)
+            SELECT (ms // 30000) * 30000 AS windowstart,
+                   (ms // 30000) * 30000 + 30000 AS windowend,
+                   idadecat, count(*)::BIGINT AS contagem
+            FROM cl GROUP BY 1, 2, 3
         """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,

@@ -1,0 +1,277 @@
+"""ksqlDB dialect façade: run the reference's statements verbatim.
+
+The reference's user-facing surface is a ksqlDB CLI session (reference
+README.md:155-347): ``show topics/streams/connectors``, ``print <topic>``,
+``CREATE STREAM … WITH (…)``, CSAS/CTAS with ``DATETOSTRING`` /
+``TIMESTAMPTOSTRING`` / ``CASE WHEN`` / ``WINDOW TUMBLING`` and ``EMIT
+CHANGES``. This module lets those statements execute unchanged against the
+Spark engine, so a reference user can paste their session into
+``KsqlEngine.execute`` and get the same results.
+
+Design — translate, don't interpret:
+
+- **Dialect scalar functions are real Spark SQL functions.** ``CREATE
+  TEMPORARY FUNCTION DATETOSTRING(d INT, fmt STRING) RETURNS STRING RETURN
+  date_format(…)`` — Catalyst inlines the body into the caller's plan
+  (constant-folds literal calls, joins whole-stage codegen). Zero Python in
+  the hot path; the functions take the *wire* types ksqlDB presents (Avro
+  date = int days, timestamp = bigint epoch-millis — reference README.md:
+  "todas as colunas de data estão nos formatos INT ou BIGINT").
+- **Statements are rewritten to Spark SQL text** and executed with
+  ``spark.sql`` over temp views — batch frames and streaming frames alike
+  (Spark SQL composes over streaming temp views, so the same CSAS text is
+  the streaming pipeline when the topic is bound to ``readStream``).
+- ``WINDOW TUMBLING (SIZE n unit)`` becomes a ``window(timestamp_millis
+  (rowtime), 'n unit')`` GROUP BY key, and the result exposes ksqlDB's
+  implicit ``WINDOWSTART``/``WINDOWEND`` epoch-ms columns.
+- ``ROWTIME``: ksqlDB's record-timestamp pseudocolumn; ``register_topic``
+  materializes it from a designated event-time column.
+
+Scope = the reference's dialect subset. Anything outside it raises with a
+clear message rather than mis-executing (the full relational surface is
+available as plain Spark SQL through the same session).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: Dialect scalar functions, registered once per session as SQL UDFs —
+#: Catalyst inlines the RETURN expression at every call site.
+_DIALECT_FUNCTIONS = (
+    # Avro date wire form: int days since epoch (reference README.md:207)
+    """CREATE OR REPLACE TEMPORARY FUNCTION DATETOSTRING(d INT, fmt STRING)
+       RETURNS STRING
+       RETURN date_format(date_add(DATE'1970-01-01', d), fmt)""",
+    # Avro timestamp wire form: bigint epoch millis, explicit zone
+    # (reference README.md:212 TIMESTAMPTOSTRING(dt_update, fmt, 'UTC'))
+    """CREATE OR REPLACE TEMPORARY FUNCTION
+           TIMESTAMPTOSTRING(t BIGINT, fmt STRING, tz STRING)
+       RETURNS STRING
+       RETURN date_format(from_utc_timestamp(timestamp_millis(t), tz), fmt)""",
+)
+
+
+def register_dialect_functions(spark: SparkSession) -> None:
+    for ddl in _DIALECT_FUNCTIONS:
+        spark.sql(ddl)
+
+
+@dataclass
+class _Relation:
+    name: str  # registered (lowercase) stream/table name
+    kafka_topic: str
+    value_format: str
+    windowed: bool = False
+    kind: str = "stream"  # 'stream' | 'table'
+
+
+@dataclass
+class KsqlEngine:
+    """One CLI session: a topic namespace + stream/table registry.
+
+    ``connectors`` may be a ``ConnectorRegistry`` (connectors.py) so
+    ``show connectors;`` reports the engine's registered source/sink
+    connectors exactly like the reference session does.
+    """
+
+    spark: SparkSession
+    connectors: object | None = None
+    _topics: dict[str, DataFrame] = field(default_factory=dict)
+    _relations: dict[str, _Relation] = field(default_factory=dict)
+
+    def __post_init__(self) -> None:
+        register_dialect_functions(self.spark)
+
+    # ---- registration (the engine-side analog of topic creation) ----
+
+    def register_topic(
+        self,
+        name: str,
+        df: DataFrame,
+        rowtime_col: str | None = None,
+        date_wire_cols: tuple[str, ...] = (),
+        ts_wire_cols: tuple[str, ...] = (),
+    ) -> None:
+        """Bind a topic name to a frame (batch or streaming).
+
+        ``rowtime_col`` supplies ksqlDB's ROWTIME pseudocolumn (record
+        timestamp, epoch ms). ``date_wire_cols``/``ts_wire_cols`` are typed
+        date/timestamp columns to present in Avro wire form (int days /
+        bigint millis) — how ksqlDB's schema-registry decode shows them.
+        """
+        out = df
+        # rowtime first — it must read the column's ORIGINAL type (a long
+        # column is already epoch-ms; cast(bigint AS timestamp) would
+        # misread millis as seconds after the wire conversion below)
+        if rowtime_col is not None:
+            src = df.schema[rowtime_col].dataType.typeName()
+            rowtime = (
+                F.col(rowtime_col)
+                if src in ("long", "bigint")
+                else F.unix_millis(F.col(rowtime_col).cast("timestamp"))
+            )
+            out = out.withColumn("rowtime", rowtime)
+        for c in date_wire_cols:
+            out = out.withColumn(
+                c,
+                F.datediff(F.to_date(F.col(c)), F.to_date(F.lit("1970-01-01"))).cast(
+                    "int"
+                ),
+            )
+        for c in ts_wire_cols:
+            out = out.withColumn(c, F.unix_millis(F.col(c).cast("timestamp")))
+        self._topics[name] = out
+
+    # ---- the CLI ----
+
+    def execute(self, statement: str):
+        """Execute one ksql statement; returns a DataFrame for queries/
+        ``print``, a list of dict rows for ``show``/``describe``, and the
+        created relation name for DDL."""
+        stmt = statement.strip().rstrip(";").strip()
+        low = re.sub(r"\s+", " ", stmt.lower())
+        if low.startswith("show "):
+            return self._show(low.removeprefix("show ").strip())
+        if low.startswith("print "):
+            return self._print_topic(stmt.split(None, 1)[1].strip().strip("'\""))
+        if low.startswith("describe "):
+            return self._describe(stmt.split(None, 1)[1].strip())
+        if low.startswith(("create stream", "create table")):
+            return self._create(stmt)
+        if low.startswith(("drop stream", "drop table")):
+            name = stmt.split()[2].lower()
+            rel = self._relations.pop(name, None)
+            self.spark.catalog.dropTempView(name)
+            return rel.name if rel else name
+        if low.startswith("select"):
+            return self._query(stmt)
+        raise NotImplementedError(
+            f"outside the reference's ksql dialect subset: {stmt[:60]!r} "
+            "(use spark.sql for the full relational surface)"
+        )
+
+    # ---- SHOW / PRINT / DESCRIBE ----
+
+    def _show(self, what: str):
+        if what == "topics":
+            return [
+                {"Kafka Topic": t, "Partitions": 1, "Partition Replicas": 1}
+                for t in sorted(self._topics)
+            ]
+        if what in ("streams", "tables"):
+            kind = what[:-1]
+            return [
+                {
+                    f"{kind.capitalize()} Name": r.name.upper(),
+                    "Kafka Topic": r.kafka_topic,
+                    "Key Format": "KAFKA",
+                    "Value Format": r.value_format,
+                    "Windowed": r.windowed,
+                }
+                for r in self._relations.values()
+                if r.kind == kind
+            ]
+        if what == "connectors":
+            if self.connectors is None:
+                return []
+            return [
+                {
+                    "Connector Name": name,
+                    "Type": self.connectors.status(name).get("type", ""),
+                    "Status": self.connectors.status(name).get("state", ""),
+                }
+                for name in self.connectors.list()
+            ]
+        if what == "queries":
+            return [
+                {"Query ID": f"CSAS_{r.name.upper()}", "Sink": r.name.upper()}
+                for r in self._relations.values()
+            ]
+        raise NotImplementedError(f"show {what}")
+
+    def _print_topic(self, topic: str) -> DataFrame:
+        return self._topics[topic]
+
+    def _describe(self, name: str):
+        df = self.spark.table(name.lower())
+        return [{"Field": f.name, "Type": f.dataType.simpleString()} for f in df.schema]
+
+    # ---- DDL ----
+
+    _CREATE_RE = re.compile(
+        r"create\s+(stream|table)\s+(\w+)\s*"
+        r"(?:with\s*\((?P<props>[^)]*)\))?\s*"
+        r"(?:as\s+(?P<select>select\b.*))?$",
+        re.IGNORECASE | re.DOTALL,
+    )
+
+    def _create(self, stmt: str):
+        m = self._CREATE_RE.match(stmt)
+        if not m:
+            raise NotImplementedError(f"unparsed CREATE: {stmt[:80]!r}")
+        kind, name = m.group(1).lower(), m.group(2).lower()
+        props = dict(
+            re.findall(r"(\w+)\s*=\s*'([^']*)'", m.group("props") or "")
+        )
+        topic = props.get("kafka_topic", name)
+        fmt = props.get("value_format", "AVRO").upper()
+        select = m.group("select")
+        if select is None:
+            # source stream over an existing topic (reference README.md:186)
+            df = self._topics[topic]
+        else:
+            df, windowed = self._rewrite_select(select)
+            self._topics.setdefault(topic, df)  # CSAS auto-creates the topic
+            rel = _Relation(name, topic, fmt, windowed=windowed, kind=kind)
+            self._relations[name] = rel
+            df.createOrReplaceTempView(name)
+            return name
+        self._relations[name] = _Relation(name, topic, fmt, kind=kind)
+        df.createOrReplaceTempView(name)
+        return name
+
+    # ---- SELECT rewrite ----
+
+    _WINDOW_RE = re.compile(
+        r"\bwindow\s+tumbling\s*\(\s*size\s+(\d+)\s+(\w+?)s?\s*\)", re.IGNORECASE
+    )
+    _EMIT_RE = re.compile(r"\bemit\s+changes\s*$", re.IGNORECASE)
+
+    def _rewrite_select(self, select: str) -> tuple[DataFrame, bool]:
+        """ksql SELECT → Spark SQL text → DataFrame; returns (df, windowed)."""
+        sql = self._EMIT_RE.sub("", select.strip()).strip()
+        windowed = False
+        wm = self._WINDOW_RE.search(sql)
+        if wm:
+            windowed = True
+            size, unit = int(wm.group(1)), wm.group(2).lower()
+            sql = self._WINDOW_RE.sub("", sql)
+            # ksql's windowed table keys on (group keys, window); expose the
+            # implicit WINDOWSTART/WINDOWEND epoch-ms columns it carries.
+            win_expr = f"window(timestamp_millis(rowtime), '{size} {unit}s')"
+            gm = re.search(r"\bgroup\s+by\s+(.*)$", sql, re.IGNORECASE | re.DOTALL)
+            if not gm:
+                raise NotImplementedError("WINDOW TUMBLING without GROUP BY")
+            sql = (
+                sql[: gm.start()]
+                + f"group by {win_expr}, "
+                + gm.group(1)
+            )
+            sql = re.sub(
+                r"^select\s",
+                "select unix_millis(window.start) AS windowstart, "
+                "unix_millis(window.end) AS windowend, ",
+                sql,
+                count=1,
+                flags=re.IGNORECASE,
+            )
+        return self.spark.sql(sql), windowed
+
+    def _query(self, stmt: str) -> DataFrame:
+        df, _ = self._rewrite_select(stmt)
+        return df

@@ -258,3 +258,75 @@ def avro_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "value",
     )
+
+
+GEN_ROWS = 500  # generator tick size for the ksql-dialect oracle entries
+
+
+def _ksql_session(spark: SparkSession):
+    """A ksql CLI session over one deterministic generator tick — the exact
+    reference topology (S1 generator → topic → ksql statements)."""
+    from kafka_exercise_spark.ksql import KsqlEngine
+    from kafka_exercise_spark.sources.generator import customers_batch
+
+    eng = KsqlEngine(spark)
+    eng.register_topic(
+        "psg-customers",
+        customers_batch(spark, GEN_ROWS, tick=0),
+        rowtime_col="dt_update",
+        date_wire_cols=("nascimento",),
+        ts_wire_cols=("dt_update",),
+    )
+    eng.execute(
+        "create stream custstream WITH (kafka_topic='psg-customers', "
+        "value_format='AVRO');"
+    )
+    return eng
+
+
+def ksql_jovens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's jovens CSAS, executed VERBATIM through the ksql
+    dialect layer (reference README.md:233-239, text unchanged). The oracle
+    replicates the deterministic generator in SQL, so the hash check covers
+    generator → wire-int presentation → dialect functions → filter.
+    ``sf_dir`` is unused: the input is the S1 generator, as in the
+    reference."""
+    eng = _ksql_session(spark)
+    eng.execute(
+        "create stream jovens WITH (kafka_topic='jovens', value_format='AVRO') AS "
+        "select nome, sexo, telefone, email, profissao, "
+        "DATETOSTRING(nascimento, 'yyyy-MM-dd') as dt_nascimento, "
+        "TIMESTAMPTOSTRING(dt_update, 'yyyy-MM-dd HH:mm:ss.SSS', 'UTC') as dt_updt "
+        "from custstream "
+        "WHERE DATETOSTRING(nascimento, 'yyyy-MM-dd') >= '2000-01-01' "
+        "emit changes;"
+    )
+    return spark.table("jovens")
+
+
+def ksql_idadecont(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's idadeclass CSAS + idadecont windowed CTAS, executed
+    verbatim (reference README.md:258-276); returns the windowed table with
+    ksql's implicit WINDOWSTART/WINDOWEND epoch-ms keys."""
+    eng = _ksql_session(spark)
+    eng.execute(
+        "create stream idadeclass WITH (kafka_topic='idadeclass', "
+        "value_format='AVRO') AS "
+        "select nome, telefone, email, profissao, "
+        "CASE "
+        "WHEN DATETOSTRING(nascimento, 'yyyy-MM-dd') >= '2000-01-01' THEN 'JOVEM' "
+        "ELSE 'ADULTO' END AS idadecat, "
+        "rowtime "
+        "from custstream "
+        "emit changes;"
+    )
+    eng.execute(
+        "create table idadecont WITH (kafka_topic='idadecont', "
+        "value_format='AVRO') AS "
+        "select idadecat, count(idadecat) as contagem "
+        "from idadeclass "
+        "window tumbling (size 30 seconds) "
+        "group by idadecat "
+        "emit changes;"
+    )
+    return spark.table("idadecont")

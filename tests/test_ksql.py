@@ -1,0 +1,236 @@
+"""ksql dialect façade: the reference's CLI statements, executed VERBATIM.
+
+Statement texts below are copied character-for-character from the reference
+session (reference README.md:186, 204, 210-213, 233-239, 258-265, 271-276)
+with only the CLI continuation markers (``>``) removed — the parity claim is
+that a reference user pastes their session and gets the same answers.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_exercise_spark.ksql import KsqlEngine
+from kafka_exercise_spark.sources.generator import customers_batch
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    eng = KsqlEngine(spark)
+    customers = customers_batch(spark, 500, tick=0)
+    eng.register_topic(
+        "psg-customers",
+        customers,
+        rowtime_col="dt_update",
+        date_wire_cols=("nascimento",),
+        ts_wire_cols=("dt_update",),
+    )
+    eng.execute(
+        "create stream custstream WITH (kafka_topic='psg-customers', "
+        "value_format='AVRO');"
+    )
+    return eng
+
+
+def test_show_topics_and_streams(engine):
+    topics = engine.execute("show topics;")
+    assert any(t["Kafka Topic"] == "psg-customers" for t in topics)
+    streams = engine.execute("show streams;")
+    assert any(s["Stream Name"] == "CUSTSTREAM" for s in streams)
+
+
+def test_select_star_emit_changes(engine):
+    df = engine.execute("select * from custstream emit changes;")
+    assert df.count() == 500
+    # ksqlDB presents Avro date/timestamp as wire ints (README: "todas as
+    # colunas de data estão nos formatos INT ou BIGINT")
+    types = dict(df.dtypes)
+    assert types["nascimento"] == "int"
+    assert types["dt_update"] == "bigint"
+
+
+def test_pretty_select_formats_dates(engine, spark):
+    df = engine.execute(
+        "select nome, telefone, email, "
+        "DATETOSTRING(nascimento, 'yyyy-MM-dd') as dt_nascimento, "
+        "TIMESTAMPTOSTRING(dt_update, 'yyyy-MM-dd HH:mm:ss.SSS', 'UTC') "
+        "as dt_updt_conv "
+        "from custstream emit changes;"
+    )
+    rows = df.orderBy("nome").limit(3).collect()
+    typed = (
+        customers_batch(spark, 500, tick=0)
+        .select(
+            "nome",
+            F.date_format("nascimento", "yyyy-MM-dd").alias("dt_nascimento"),
+            F.date_format("dt_update", "yyyy-MM-dd HH:mm:ss.SSS").alias(
+                "dt_updt_conv"
+            ),
+        )
+        .orderBy("nome")
+        .limit(3)
+        .collect()
+    )
+    for got, want in zip(rows, typed):
+        assert got["dt_nascimento"] == want["dt_nascimento"]
+        assert got["dt_updt_conv"] == want["dt_updt_conv"]
+
+
+def test_csas_jovens_verbatim(engine, spark):
+    engine.execute(
+        "create stream jovens WITH (kafka_topic='jovens', value_format='AVRO') AS "
+        "select nome, sexo, telefone, email, profissao, "
+        "DATETOSTRING(nascimento, 'yyyy-MM-dd') as dt_nascimento, "
+        "TIMESTAMPTOSTRING(dt_update, 'yyyy-MM-dd HH:mm:ss.SSS', 'UTC') as dt_updt "
+        "from custstream "
+        "WHERE DATETOSTRING(nascimento, 'yyyy-MM-dd') >= '2000-01-01' "
+        "emit changes;"
+    )
+    got = spark.table("jovens")
+    want = customers_batch(spark, 500, tick=0).filter(
+        F.col("nascimento") >= F.lit("2000-01-01").cast("date")
+    )
+    assert 0 < got.count() < 500
+    assert got.count() == want.count()
+    assert set(got.columns) == {
+        "nome", "sexo", "telefone", "email", "profissao",
+        "dt_nascimento", "dt_updt",
+    }
+    # CSAS auto-created its topic (reference: "O tópico será criado ao
+    # criar o stream")
+    assert any(
+        t["Kafka Topic"] == "jovens" for t in engine.execute("show topics;")
+    )
+
+
+def test_csas_idadeclass_and_ctas_idadecont_verbatim(engine, spark):
+    engine.execute(
+        "create stream idadeclass WITH (kafka_topic='idadeclass', "
+        "value_format='AVRO') AS "
+        "select nome, telefone, email, profissao, "
+        "CASE "
+        "WHEN DATETOSTRING(nascimento, 'yyyy-MM-dd') >= '2000-01-01' THEN 'JOVEM' "
+        "ELSE 'ADULTO' END AS idadecat, "
+        "TIMESTAMPTOSTRING(dt_update, 'yyyy-MM-dd HH:mm:ss.SSS', 'UTC') as dt_updt, "
+        "rowtime "
+        "from custstream "
+        "emit changes;"
+    )
+    engine.execute(
+        "create table idadecont WITH (kafka_topic='idadecont', "
+        "value_format='AVRO') AS "
+        "select idadecat, count(idadecat) as contagem "
+        "from idadeclass "
+        "window tumbling (size 30 seconds) "
+        "group by idadecat "
+        "emit changes;"
+    )
+    got = spark.table("idadecont")
+    # windowed-table shape: implicit WINDOWSTART/WINDOWEND epoch-ms keys
+    assert {"windowstart", "windowend", "idadecat", "contagem"} == set(got.columns)
+    rows = got.collect()
+    assert all(r["windowstart"] % 30_000 == 0 for r in rows)
+    assert all(r["windowend"] - r["windowstart"] == 30_000 for r in rows)
+    # absolute pin: tick 0's dt_update values all land in the 30 s window at
+    # GEN_EPOCH (2024-01-01T00:00:00Z = 1704067200000 ms) — catches any
+    # ms/µs confusion that the modulo checks above cannot see
+    assert {r["windowstart"] for r in rows} == {1_704_067_200_000}
+    # total counted == stream rows; split matches the typed classification
+    assert sum(r["contagem"] for r in rows) == 500
+    want = (
+        customers_batch(spark, 500, tick=0)
+        .groupBy(
+            F.when(
+                F.col("nascimento") >= F.lit("2000-01-01").cast("date"), "JOVEM"
+            )
+            .otherwise("ADULTO")
+            .alias("idadecat")
+        )
+        .count()
+    )
+    want_by_cat = {r["idadecat"]: r["count"] for r in want.collect()}
+    got_by_cat: dict[str, int] = {}
+    for r in rows:
+        got_by_cat[r["idadecat"]] = got_by_cat.get(r["idadecat"], 0) + r["contagem"]
+    assert got_by_cat == want_by_cat
+    tables = engine.execute("show tables;")
+    assert any(t["Table Name"] == "IDADECONT" for t in tables)
+    assert next(t for t in tables if t["Table Name"] == "IDADECONT")["Windowed"]
+
+
+def test_describe_and_drop(engine):
+    fields = {f["Field"] for f in engine.execute("describe jovens;")}
+    assert "dt_nascimento" in fields
+    engine.execute("drop stream jovens;")
+    assert not any(
+        s["Stream Name"] == "JOVENS" for s in engine.execute("show streams;")
+    )
+
+
+def test_print_topic(engine):
+    df = engine.execute("print psg-customers;")
+    assert df.count() == 500
+
+
+def test_unsupported_statement_raises(engine):
+    with pytest.raises(NotImplementedError, match="dialect"):
+        engine.execute("insert into custstream values (1);")
+
+
+def test_streaming_ctas_equals_batch(spark, sf_dir, tmp_path):
+    """The SAME CTAS text over a streaming topic binding: bounded replay's
+    final state == the batch answer (stream/table duality on the dialect
+    surface)."""
+    from kafka_exercise_spark.streaming.sources import file_stream, land_events_replay
+
+    src_dir, schema = land_events_replay(spark, sf_dir, n_files=4)
+    stream = file_stream(spark, src_dir, schema, max_files_per_trigger=2)
+    eng = KsqlEngine(spark)
+    eng.register_topic("events-topic", stream, rowtime_col="ts")
+    eng.execute(
+        "create stream evstream WITH (kafka_topic='events-topic', "
+        "value_format='AVRO');"
+    )
+    eng.execute(
+        "create table evcont WITH (kafka_topic='evcont', value_format='AVRO') AS "
+        "select event_type, count(event_type) as contagem "
+        "from evstream "
+        "window tumbling (size 30 seconds) "
+        "group by event_type "
+        "emit changes;"
+    )
+    streaming_df = spark.table("evcont")
+    assert streaming_df.isStreaming
+    q = (
+        streaming_df.writeStream.format("memory")
+        .queryName("evcont_replay")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["windowstart"], r["idadecat"] if "idadecat" in r else r["event_type"]):
+            r["contagem"]
+        for r in spark.table("evcont_replay").collect()
+    }
+    from kafka_exercise_spark.catalog import load_table
+
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            F.window("ts", "30 seconds").alias("w"), "event_type"
+        )
+        .agg(F.count("event_type").alias("contagem"))
+        .select(
+            F.unix_millis(F.col("w.start")).alias("windowstart"),
+            "event_type",
+            "contagem",
+        )
+    )
+    want = {
+        (r["windowstart"], r["event_type"]): r["contagem"] for r in batch.collect()
+    }
+    assert got == want
