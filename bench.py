@@ -52,19 +52,10 @@ def run() -> dict:
         .mode("overwrite")
         .save()
     )
-    # JIT-warm every expression shape the timed queries compile: run the
-    # whole query set once against the smallest fixture. First execution of
-    # a shape otherwise pays codegen + interpreter fallback + JIT that a
-    # long-lived cluster never sees per-query; warming at sf0.001 costs
-    # seconds and leaves the codegen cache hot for the timed sf run (shapes
-    # are scale-independent).
-    warm_dir = os.path.join(os.path.dirname(SF_DIR.rstrip("/")), "sf0.001")
-    if os.path.isdir(warm_dir) and warm_dir != SF_DIR.rstrip("/"):
-        for name, fn in queries.items():
-            try:
-                fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
-            except Exception:  # noqa: BLE001 — warm-up only
-                pass
+    # No separate per-query JIT-warm pass: with REPEATS >= 3 the first timed
+    # pass carries the codegen/JIT cold cost for each shape and the MEDIAN
+    # discards it ([cold, warm, warm] -> warm) — one fewer full sweep of
+    # wall-clock than warming at sf0.001 separately.
     # Whole-set passes (not per-query back-to-back repeats): consecutive
     # repeats of one query would hit a hot page cache/JIT state unlike what
     # any fresh run sees; interleaving passes keeps each sample honest while

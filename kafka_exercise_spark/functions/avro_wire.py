@@ -281,6 +281,153 @@ def avro_decode(
     return df.mapInPandas(dec, schema=ddl)
 
 
+# ---- schema compatibility (Schema Registry semantics) ----
+#
+# The reference's sinks declare ``schema.compatibility: FULL``
+# (reference connect_s3_sink_jovens.config:7) — Schema Registry rejects a
+# new writer schema unless it is both BACKWARD compatible (new readers read
+# old data) and FORWARD compatible (old readers read new data). The rules
+# below implement the Avro spec's schema-resolution subset matching this
+# codec's type surface: a reader resolves a writer field by name; a reader
+# field missing from the writer needs a default; writer fields unknown to
+# the reader are skipped; numeric types promote int→long→float→double.
+
+#: writer type -> reader types it may promote to (Avro spec resolution)
+_PROMOTIONS = {
+    "int": {"int", "long", "float", "double"},
+    "long": {"long", "float", "double"},
+    "float": {"float", "double"},
+    "double": {"double"},
+    "string": {"string"},
+    "bytes": {"bytes"},
+    "boolean": {"boolean"},
+    "null": {"null"},
+    "date": {"date"},
+    "timestamp-millis": {"timestamp-millis"},
+    "timestamp-micros": {"timestamp-micros"},
+}
+
+
+def _fields_with_defaults(schema_json: str | dict) -> dict[str, tuple[AvroField, bool]]:
+    sch = json.loads(schema_json) if isinstance(schema_json, str) else schema_json
+    parsed = {f.name: f for f in parse_schema(sch)}
+    has_default = {f["name"]: "default" in f for f in sch["fields"]}
+    return {n: (parsed[n], has_default[n]) for n in parsed}
+
+
+def can_read(writer_schema: str | dict, reader_schema: str | dict) -> list[str]:
+    """Avro schema resolution: can ``reader_schema`` decode data written
+    with ``writer_schema``? Returns the list of incompatibilities (empty =
+    compatible)."""
+    writer = _fields_with_defaults(writer_schema)
+    reader = _fields_with_defaults(reader_schema)
+    problems: list[str] = []
+    for name, (rf, r_default) in reader.items():
+        if name not in writer:
+            # nullable union fields default to null implicitly only when a
+            # default is declared; the spec requires an explicit default
+            if not r_default:
+                problems.append(
+                    f"reader field '{name}' absent from writer and has no default"
+                )
+            continue
+        wf = writer[name][0]
+        if rf.type not in _PROMOTIONS[wf.type]:
+            problems.append(
+                f"field '{name}': writer {wf.type} not readable as {rf.type}"
+            )
+        if wf.nullable and not rf.nullable:
+            problems.append(
+                f"field '{name}': writer nullable, reader non-nullable"
+            )
+    return problems
+
+
+def check_compatibility(
+    old_schema: str | dict, new_schema: str | dict, mode: str = "FULL"
+) -> list[str]:
+    """Schema Registry compatibility gate for a proposed ``new_schema``.
+
+    BACKWARD = new schema (as reader) can read old data; FORWARD = old
+    schema (as reader) can read new data; FULL = both — the reference's
+    declared level. Returns incompatibilities (empty = accepted).
+    """
+    mode = mode.upper()
+    problems: list[str] = []
+    if mode in ("BACKWARD", "FULL"):
+        problems += [f"BACKWARD: {p}" for p in can_read(old_schema, new_schema)]
+    if mode in ("FORWARD", "FULL"):
+        problems += [f"FORWARD: {p}" for p in can_read(new_schema, old_schema)]
+    if mode not in ("BACKWARD", "FORWARD", "FULL", "NONE"):
+        raise ValueError(f"unknown compatibility mode: {mode}")
+    return problems
+
+
+class IncompatibleSchemaError(ValueError):
+    """Raised when a schema registration violates the subject's compat mode."""
+
+
+class SchemaRegistry:
+    """In-process Schema Registry: versioned subjects + compat-gated writes.
+
+    The reference runs Confluent Schema Registry (docker-compose.yml
+    schema-registry service) and its sinks declare ``schema.compatibility``
+    levels; this is the engine-side same contract: ``register`` refuses a
+    new version that violates the subject's mode, ids are global and stable,
+    and ``frame_confluent`` embeds them in the wire header so any consumer
+    can resolve the writer schema from the bytes alone.
+    """
+
+    def __init__(self, default_mode: str = "FULL") -> None:
+        self._default_mode = default_mode
+        self._modes: dict[str, str] = {}
+        self._subjects: dict[str, list[int]] = {}
+        self._by_id: dict[int, str] = {}
+        self._next_id = 1
+
+    def set_mode(self, subject: str, mode: str) -> None:
+        if mode.upper() not in ("BACKWARD", "FORWARD", "FULL", "NONE"):
+            raise ValueError(f"unknown compatibility mode: {mode}")
+        self._modes[subject] = mode.upper()
+
+    def register(self, subject: str, schema_json: str | dict) -> int:
+        """Register a schema version; returns its global id.
+
+        Re-registering a byte-identical schema returns the existing id
+        (Schema Registry semantics). An incompatible evolution raises
+        ``IncompatibleSchemaError`` listing every violated rule.
+        """
+        canonical = json.dumps(
+            json.loads(schema_json) if isinstance(schema_json, str) else schema_json,
+            sort_keys=True,
+        )
+        versions = self._subjects.setdefault(subject, [])
+        for sid in versions:
+            if self._by_id[sid] == canonical:
+                return sid
+        if versions:
+            mode = self._modes.get(subject, self._default_mode)
+            latest = self._by_id[versions[-1]]
+            problems = check_compatibility(latest, canonical, mode)
+            if problems:
+                raise IncompatibleSchemaError(
+                    f"subject {subject!r} mode {mode}: " + "; ".join(problems)
+                )
+        sid = self._next_id
+        self._next_id += 1
+        self._by_id[sid] = canonical
+        versions.append(sid)
+        return sid
+
+    def latest(self, subject: str) -> tuple[int, str]:
+        sid = self._subjects[subject][-1]
+        return sid, self._by_id[sid]
+
+    def get(self, schema_id: int) -> str:
+        """Resolve a writer schema from a wire-header id."""
+        return self._by_id[schema_id]
+
+
 def use_jvm_avro(spark) -> bool:
     """True when the spark-avro jar is loadable — then prefer
     ``pyspark.sql.avro.functions.from_avro/to_avro`` (JVM, codegen) and keep

@@ -160,6 +160,73 @@ def test_spark_roundtrip_identity(spark, sf_dir):
     assert decoded.filter(F.col("event_type").isNull()).count() > 0
 
 
+def _schema(fields: list[dict]) -> dict:
+    return {"type": "record", "name": "r", "fields": fields}
+
+
+def test_schema_compatibility_full_gate():
+    """Schema Registry FULL semantics (reference
+    connect_s3_sink_jovens.config:7): add-with-default passes, add-without-
+    default is FORWARD-ok but BACKWARD... inverted — pin each direction."""
+    from kafka_exercise_spark.functions.avro_wire import check_compatibility
+
+    v1 = _schema([{"name": "a", "type": "long"}])
+    # adding a field WITH a default: new reader fills it from the default
+    # (BACKWARD ok) and old reader skips it (FORWARD ok) -> FULL accepts
+    v2 = _schema(
+        [{"name": "a", "type": "long"}, {"name": "b", "type": "long", "default": 0}]
+    )
+    assert check_compatibility(v1, v2, "FULL") == []
+    # adding a field WITHOUT a default: new reader cannot decode old rows
+    v3 = _schema([{"name": "a", "type": "long"}, {"name": "b", "type": "long"}])
+    assert any("BACKWARD" in p for p in check_compatibility(v1, v3, "FULL"))
+    assert check_compatibility(v1, v3, "FORWARD") == []
+    # removing a field without default breaks FORWARD (old reader needs it)
+    assert any("FORWARD" in p for p in check_compatibility(v3, v1, "FULL"))
+    # numeric promotion: int writer -> long reader is BACKWARD-legal only
+    v_int = _schema([{"name": "a", "type": "int"}])
+    v_long = _schema([{"name": "a", "type": "long"}])
+    assert check_compatibility(v_int, v_long, "BACKWARD") == []
+    assert any(
+        "not readable" in p for p in check_compatibility(v_int, v_long, "FULL")
+    )
+    # nullable widening: writer nullable, reader non-nullable is unsafe
+    v_nullable = _schema([{"name": "a", "type": ["null", "long"], "default": None}])
+    assert any(
+        "nullable" in p for p in check_compatibility(v_nullable, v1, "BACKWARD")
+    )
+
+
+def test_schema_registry_lifecycle():
+    """Versioned subjects, stable ids, identical-schema dedup, FULL gate,
+    per-subject mode override, wire-id resolution."""
+    from kafka_exercise_spark.functions.avro_wire import (
+        IncompatibleSchemaError,
+        SchemaRegistry,
+    )
+
+    reg = SchemaRegistry()  # default FULL, the reference's declared level
+    v1 = _schema([{"name": "a", "type": "long"}])
+    sid1 = reg.register("jovens-value", v1)
+    assert reg.register("jovens-value", v1) == sid1  # idempotent
+    v2 = _schema(
+        [{"name": "a", "type": "long"}, {"name": "b", "type": "long", "default": 0}]
+    )
+    sid2 = reg.register("jovens-value", v2)
+    assert sid2 != sid1
+    assert reg.latest("jovens-value")[0] == sid2
+    # FULL rejects add-without-default …
+    v3 = _schema([{"name": "a", "type": "long"}, {"name": "c", "type": "long"}])
+    with pytest.raises(IncompatibleSchemaError, match="BACKWARD"):
+        reg.register("jovens-value", v3)
+    # … but a NONE-mode subject accepts anything
+    reg.set_mode("scratch-value", "NONE")
+    reg.register("scratch-value", v1)
+    reg.register("scratch-value", _schema([{"name": "x", "type": "string"}]))
+    # wire-header id resolves to the writer schema
+    assert '"b"' in reg.get(sid2)
+
+
 def test_streaming_avro_topic_sink_roundtrip(spark, sf_dir, tmp_path):
     """S5 end-to-end: CSAS replay → Confluent-framed Avro binary landing →
     consumer decode == the batch projection. Proves the streaming sink

@@ -231,3 +231,29 @@ def test_q20_semi_join_chain(spark, sf_dir):
     assert not has_cartesian_product(df)
     assert broadcast_join_count(df) >= 1
     assert python_eval_count(df) == 0
+
+
+def test_ksql_dialect_queries_stay_jvm_side(spark, sf_dir):
+    """The dialect layer's SQL UDFs (DATETOSTRING/TIMESTAMPTOSTRING) are
+    inlined by Catalyst — a full verbatim CSAS plans with ZERO Python nodes
+    and zero shuffles (pure project+filter over the generator range)."""
+    df = pipeline_ops.ksql_jovens(spark, sf_dir)
+    assert python_eval_count(df) == 0
+    assert shuffle_exchange_count(df) == 0
+
+
+def test_ksql_windowed_ctas_single_shuffle(spark, sf_dir):
+    """WINDOW TUMBLING rewrite: one hash aggregation = one shuffle on
+    (window, key), partial aggregation map-side — the minimum for a
+    grouped count, same as the hand-built idadecont."""
+    df = pipeline_ops.ksql_idadecont(spark, sf_dir)
+    assert python_eval_count(df) == 0
+    assert shuffle_exchange_count(df) == 1
+
+
+def test_avro_codec_is_declared_python_path(spark, sf_dir):
+    """The Avro wire codec is the documented Python path (no JVM codec in
+    this container): exactly the encode and decode mapInPandas stages, with
+    the epoch-int wire columns computed JVM-side before the encode."""
+    df = pipeline_ops.avro_wire_roundtrip(spark, sf_dir)
+    assert python_eval_count(df) == 2
