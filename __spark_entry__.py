@@ -123,11 +123,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_outliers": similarity.embedding_outliers,
         # int8 scalar quantization + reconstruction-quality audit
         "embedding_quantize": similarity.embedding_quantize,
+        # ---- fixed since r02: DuckDB HUGEINT-vs-BIGINT oracle typing ----
+        "q12_priority_class": relational.q12_priority_class,
         # ---- north star: multimodal binary columns ----
         "multimodal_meta": multimodal.multimodal_meta,
         "multimodal_features": multimodal.multimodal_features,
-        # ---- fixed since r02: DuckDB HUGEINT-vs-BIGINT oracle typing ----
-        "q12_priority_class": relational.q12_priority_class,
         # ---- stage E: relational surface (fully hash-proven in r02) ----
         "q1_pricing_summary": relational.q1_pricing_summary,
         "q3_shipping_priority": relational.q3_shipping_priority,

@@ -262,20 +262,38 @@ def avro_encode(df: DataFrame, schema_json: str, out_col: str = "value") -> Data
 
 
 def avro_decode(
-    df: DataFrame, schema_json: str, value_col: str = "value"
+    df: DataFrame, schema_json: str, value_col: str = "value", mode: str = "FAILFAST"
 ) -> DataFrame:
-    """Avro-binary column → typed wire columns (the from_avro analog)."""
+    """Avro-binary column → typed wire columns (the from_avro analog).
+
+    ``mode`` mirrors ``from_avro``'s option: FAILFAST (default) raises on
+    the first malformed record; PERMISSIVE emits an all-null row for it and
+    keeps going — the right setting when draining a long-lived topic where
+    a handful of corrupt producer records must not kill the pipeline.
+    """
     from kafka_exercise_spark.deploy import ship_package
 
     ship_package(df.sparkSession)  # codec fns pickle by reference
     fields = parse_schema(schema_json)
     ddl = _wire_schema_ddl(fields)
+    permissive = mode.upper() == "PERMISSIVE"
+    if not permissive and mode.upper() != "FAILFAST":
+        raise ValueError(f"mode must be FAILFAST or PERMISSIVE, got {mode!r}")
+    null_row = {f.name: None for f in fields}
 
     def dec(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         import pandas as pd
 
         for pdf in batches:
-            decoded = [decode_record(bytes(b), fields) for b in pdf[value_col]]
+            decoded = []
+            for b in pdf[value_col]:
+                if permissive:
+                    try:
+                        decoded.append(decode_record(bytes(b), fields))
+                    except (ValueError, IndexError, UnicodeDecodeError):
+                        decoded.append(null_row)
+                else:
+                    decoded.append(decode_record(bytes(b), fields))
             yield pd.DataFrame(decoded, columns=[f.name for f in fields])
 
     return df.mapInPandas(dec, schema=ddl)

@@ -72,3 +72,51 @@ def write_bucketed(
 def read_table(spark: SparkSession, table: str) -> DataFrame:
     """Catalog read of a saved (bucketed) table."""
     return spark.table(table)
+
+
+def compact_landing(
+    spark: SparkSession,
+    path: str,
+    target_records_per_file: int,
+    partition_cols: list[str] | None = None,
+) -> tuple[int, int]:
+    """Rewrite a small-files landing into right-sized files; returns
+    (files_before, files_after).
+
+    The reference's sink rolls a file every 10 records (reference
+    connect_s3_sink_jovens.config:6 ``flush.size: 10``) — correct for
+    latency, catastrophic for readers at scale: a year of 2-rows/s landing
+    is ~6M tiny objects, and every scan pays per-file open/footer costs.
+    Compaction is the standard second stage: read the landing, rewrite at
+    target file size, atomically swap. Here the swap is
+    write-to-side-dir + rename (single-FS move); on object stores the same
+    shape runs as write-new-prefix + repoint-table/manifest.
+
+    Readers running mid-compaction see the old prefix (the swap is the
+    atomic step); streaming consumers of the landing should instead compact
+    downstream-of-checkpoint paths only.
+    """
+    import glob
+    import os
+    import shutil
+
+    before = len(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
+    df = spark.read.parquet(path)
+    # file count = ceil(rows / target): repartitioning wider than that
+    # would re-create small files, narrower would exceed the target size
+    n_files = max(1, -(-df.count() // target_records_per_file))
+    side = path.rstrip("/") + ".compacting"
+    writer = (
+        df.repartition(n_files)
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", target_records_per_file)
+    )
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(side)
+    old = path.rstrip("/") + ".old"
+    os.rename(path, old)
+    os.rename(side, path)
+    shutil.rmtree(old)
+    after = len(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
+    return before, after

@@ -197,6 +197,35 @@ def test_schema_compatibility_full_gate():
     )
 
 
+def test_permissive_decode_survives_corrupt_records(spark):
+    """PERMISSIVE mode: malformed wire bytes become an all-null row instead
+    of killing the job (FAILFAST raises — the from_avro option contract)."""
+    fields_schema = json.dumps(
+        _schema([{"name": "k", "type": "long"}, {"name": "s", "type": "string"}])
+    )
+    from kafka_exercise_spark.functions.avro_wire import (
+        AvroField,
+        encode_record,
+    )
+
+    good = encode_record(
+        {"k": 7, "s": "ok"},
+        [AvroField("k", "long", False), AvroField("s", "string", False)],
+    )
+    corrupt = b"\xff\xff\xff"  # unterminated varint / truncated
+    df = spark.createDataFrame(
+        [(bytearray(good),), (bytearray(corrupt),)], "value binary"
+    )
+    out = avro_decode(df, fields_schema, mode="PERMISSIVE").collect()
+    rows = {(r.k, r.s) for r in out}
+    assert (7, "ok") in rows
+    assert (None, None) in rows
+    with pytest.raises(Exception):  # noqa: B017 — failfast surfaces the codec error
+        avro_decode(df, fields_schema, mode="FAILFAST").collect()
+    with pytest.raises(ValueError, match="PERMISSIVE"):
+        avro_decode(df, fields_schema, mode="lenient")
+
+
 def test_schema_registry_lifecycle():
     """Versioned subjects, stable ids, identical-schema dedup, FULL gate,
     per-subject mode override, wire-id resolution."""

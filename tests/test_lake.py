@@ -122,3 +122,22 @@ def test_bucketed_aggregation_is_shuffle_free(spark, sf_dir):
         )
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_compact_landing_collapses_small_files(spark, sf_dir, tmp_path):
+    """flush.size=10 landings compact to ceil(rows/target) files with
+    identical content — the mandatory second stage behind the reference's
+    10-record sink files."""
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    path = str(tmp_path / "landing")
+    # simulate the reference sink: many 10-record files
+    events.repartition(4).write.option("maxRecordsPerFile", 10).parquet(path)
+    n_rows = events.count()
+    before, after = lake.compact_landing(spark, path, target_records_per_file=500)
+    assert before > after
+    assert after == -(-n_rows // 500)
+    compacted = spark.read.parquet(path)
+    assert compacted.count() == n_rows
+    assert compacted.exceptAll(events).count() == 0
