@@ -150,6 +150,15 @@ class KsqlEngine:
             return rel.name if rel else name
         if low.startswith("select"):
             return self._query(stmt)
+        if low.startswith("explain "):
+            from kafka_exercise_spark.plans import explain_str
+
+            target = stmt.split(None, 1)[1]
+            if target.lower().lstrip().startswith("select"):
+                df, _ = self._rewrite_select(target)
+            else:  # EXPLAIN <stream/table name>
+                df = self.spark.table(target.strip().lower())
+            return explain_str(df, "formatted")
         raise NotImplementedError(
             f"outside the reference's ksql dialect subset: {stmt[:60]!r} "
             "(use spark.sql for the full relational surface)"

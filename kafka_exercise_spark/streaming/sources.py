@@ -93,6 +93,39 @@ def rate_stream(
     )
 
 
+def avro_topic_stream(
+    spark: SparkSession,
+    path: str,
+    schema_json: str,
+    max_files_per_trigger: int | None = 1,
+    mode: str = "FAILFAST",
+) -> DataFrame:
+    """Streaming consumer of an Avro-valued topic landing — the S4 chain
+    (subscribe → Avro decode) in streaming form.
+
+    Reads the Confluent-framed binary ``value`` records that
+    ``sinks.avro_topic_sink`` lands (or any Kafka-dump with that layout),
+    strips the 5-byte registry header JVM-side, and decodes the Avro body
+    per micro-batch with the spec-pinned codec. Against a live broker the
+    only change is the reader (``kafka_stream`` instead of the file
+    source) — the decode half is identical.
+    """
+    from pyspark.sql.types import BinaryType, StructField, StructType
+
+    from kafka_exercise_spark.functions.avro_wire import WIRE_HEADER, avro_decode
+
+    raw = file_stream(
+        spark,
+        path,
+        StructType([StructField("value", BinaryType())]),
+        max_files_per_trigger=max_files_per_trigger,
+    )
+    body = raw.select(
+        F.expr(f"substring(value, {WIRE_HEADER.size + 1})").alias("value")
+    )
+    return avro_decode(body, schema_json, mode=mode)
+
+
 def kafka_stream(
     spark: SparkSession,
     bootstrap_servers: str,

@@ -310,6 +310,70 @@ def test_streaming_avro_topic_sink_roundtrip(spark, sf_dir, tmp_path):
     assert batch.exceptAll(decoded).count() == 0
 
 
+def test_streaming_avro_consumer_decodes_topic(spark, sf_dir, tmp_path):
+    """S4 streaming chain: the Avro landing consumed AS A STREAM, decoded
+    per micro-batch, aggregated — final state == the batch aggregate over
+    the typed source. Closes the loop: produce wire bytes (S5) and consume
+    them (S4) entirely through real wire format, streaming end to end."""
+    from kafka_exercise_spark.catalog import load_table
+    from kafka_exercise_spark.streaming import sinks
+    from kafka_exercise_spark.streaming.sources import (
+        avro_topic_stream,
+        file_stream,
+        land_events_replay,
+    )
+
+    src_dir, schema = land_events_replay(spark, sf_dir, n_files=4)
+    stream = file_stream(spark, src_dir, schema, max_files_per_trigger=4)
+    wire_shape = stream.select(
+        F.col("event_id").cast("long"),
+        F.datediff(F.to_date("ts"), F.to_date(F.lit("1970-01-01")))
+        .cast("int")
+        .alias("d_days"),
+        F.unix_millis("ts").alias("ts_ms"),
+        "event_type",
+        F.col("value").cast("double"),
+    )
+    topic_dir = str(tmp_path / "topic")
+    q = sinks.avro_topic_sink(
+        wire_shape,
+        topic_dir,
+        checkpoint=str(tmp_path / "ck_sink"),
+        name="producer",
+        schema_json=SPARK_SCHEMA,
+        trigger_once=True,
+    )
+    q.awaitTermination(120)
+
+    consumer = avro_topic_stream(
+        spark, topic_dir, SPARK_SCHEMA, max_files_per_trigger=2
+    )
+    agg = consumer.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 3).alias("sv")
+    )
+    q2 = (
+        agg.writeStream.format("memory")
+        .queryName("avro_consumer_agg")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck_cons"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    got = {
+        (r["event_type"], r["n"], r["sv"])
+        for r in spark.table("avro_consumer_agg").collect()
+    }
+    want = {
+        (r["event_type"], r["n"], r["sv"])
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 3).alias("sv"))
+        .collect()
+    }
+    assert got == want
+
+
 def test_jvm_avro_gate_reports_absence(spark):
     # this container has no spark-avro jar; on a deployment that does, the
     # JVM fast path is preferred and this flips to True

@@ -173,6 +173,17 @@ def test_print_topic(engine):
     assert df.count() == 500
 
 
+def test_explain_surfaces_physical_plan(engine):
+    """ksqlDB's EXPLAIN, answered with Spark's formatted physical plan —
+    and the dialect functions are inlined, so no Python eval nodes."""
+    plan = engine.execute(
+        "explain select nome, DATETOSTRING(nascimento, 'yyyy-MM-dd') as d "
+        "from custstream emit changes;"
+    )
+    assert "Physical Plan" in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
+
+
 def test_unsupported_statement_raises(engine):
     with pytest.raises(NotImplementedError, match="dialect"):
         engine.execute("insert into custstream values (1);")
