@@ -178,7 +178,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: DuckDB replica of the deterministic generator (sources/generator.py) —
 #: every column is the same pure function of row id i, so the ksql-dialect
 #: entries get real value-hash oracles despite having no fixture input.
-_GEN_CTE = """g AS (SELECT unnest(range(500)) AS i),
+#: Row count derives from pipeline_ops.GEN_ROWS so the two sides cannot
+#: silently desynchronize.
+_GEN_CTE = f"""g AS (SELECT unnest(range({pipeline_ops.GEN_ROWS})) AS i),
             cust AS (SELECT
                 'Customer ' || i AS nome,
                 CASE WHEN i % 2 = 0 THEN 'M' ELSE 'F' END AS sexo,

@@ -208,6 +208,33 @@ def frame_confluent(body: bytes, schema_id: int) -> bytes:
     return WIRE_HEADER.pack(0, schema_id) + body
 
 
+def unframe_column(value_col: str = "value", mode: str = "FAILFAST"):
+    """JVM-side Confluent unframing expression: validates the magic byte
+    and strips the 5-byte header. FAILFAST raises on a non-Avro record
+    (clear framing error instead of a confusing codec failure downstream);
+    PERMISSIVE nulls it, which the permissive decoder then turns into an
+    all-null row. Returns a Column."""
+    from pyspark.sql import functions as F
+
+    ok = F.expr(f"substring({value_col}, 1, 1) = X'00'")
+    body = F.expr(f"substring({value_col}, {WIRE_HEADER.size + 1})")
+    if mode.upper() == "PERMISSIVE":
+        return F.when(ok, body).otherwise(F.lit(None)).alias(value_col)
+    return (
+        F.when(ok, body)
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("not a Confluent-framed Avro record (magic byte "),
+                    F.hex(F.expr(f"substring({value_col}, 1, 1)")),
+                    F.lit(" != 00)"),
+                )
+            )
+        )
+        .alias(value_col)
+    )
+
+
 def unframe_confluent(payload: bytes) -> tuple[int, bytes]:
     magic, schema_id = WIRE_HEADER.unpack_from(payload, 0)
     if magic != 0:
@@ -247,15 +274,37 @@ def avro_encode(df: DataFrame, schema_json: str, out_col: str = "value") -> Data
 
     ship_package(df.sparkSession)  # codec fns pickle by reference
     fields = parse_schema(schema_json)
-    cols = [f.name for f in fields]
 
     def enc(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         import pandas as pd
 
+        int_like = {
+            "int", "long", "date", "timestamp-millis", "timestamp-micros"
+        }
         for pdf in batches:
-            rows = pdf[cols].to_dict("records")
+            # Arrow->pandas represents nulls in numeric columns as NaN and
+            # widens ints to float64; normalize per field so the codec sees
+            # Python ints and real None (for a NULLABLE field NaN means
+            # null; a non-nullable double keeps NaN as a value, which Avro
+            # encodes fine).
+            data: dict[str, list] = {}
+            for f in fields:
+                s = pdf[f.name]
+                if f.nullable:
+                    s = s.astype(object).where(s.notna(), None)
+                if f.type in int_like:
+                    s = s.map(lambda v: v if v is None else int(v))
+                data[f.name] = list(s)
+            n = len(pdf)
             yield pd.DataFrame(
-                {out_col: [encode_record(r, fields) for r in rows]}
+                {
+                    out_col: [
+                        encode_record(
+                            {f.name: data[f.name][i] for f in fields}, fields
+                        )
+                        for i in range(n)
+                    ]
+                }
             )
 
     return df.mapInPandas(enc, schema=f"{out_col} binary")
@@ -288,9 +337,18 @@ def avro_decode(
             decoded = []
             for b in pdf[value_col]:
                 if permissive:
+                    # struct.error (truncated float/double) and TypeError
+                    # (null value / tombstone) are corrupt-record shapes
+                    # too, not just bad varints/lengths
                     try:
                         decoded.append(decode_record(bytes(b), fields))
-                    except (ValueError, IndexError, UnicodeDecodeError):
+                    except (
+                        ValueError,
+                        IndexError,
+                        UnicodeDecodeError,
+                        TypeError,
+                        struct.error,
+                    ):
                         decoded.append(null_row)
                 else:
                     decoded.append(decode_record(bytes(b), fields))
@@ -401,6 +459,9 @@ class SchemaRegistry:
         self._modes: dict[str, str] = {}
         self._subjects: dict[str, list[int]] = {}
         self._by_id: dict[int, str] = {}
+        self._id_by_schema: dict[str, int] = {}  # ids are GLOBAL: same
+        # canonical schema -> same id under any subject (Confluent
+        # semantics — wire headers stay byte-identical across subjects)
         self._next_id = 1
 
     def set_mode(self, subject: str, mode: str) -> None:
@@ -420,9 +481,9 @@ class SchemaRegistry:
             sort_keys=True,
         )
         versions = self._subjects.setdefault(subject, [])
-        for sid in versions:
-            if self._by_id[sid] == canonical:
-                return sid
+        existing = self._id_by_schema.get(canonical)
+        if existing is not None and existing in versions:
+            return existing
         if versions:
             mode = self._modes.get(subject, self._default_mode)
             latest = self._by_id[versions[-1]]
@@ -431,11 +492,13 @@ class SchemaRegistry:
                 raise IncompatibleSchemaError(
                     f"subject {subject!r} mode {mode}: " + "; ".join(problems)
                 )
-        sid = self._next_id
-        self._next_id += 1
-        self._by_id[sid] = canonical
-        versions.append(sid)
-        return sid
+        if existing is None:
+            existing = self._next_id
+            self._next_id += 1
+            self._by_id[existing] = canonical
+            self._id_by_schema[canonical] = existing
+        versions.append(existing)
+        return existing
 
     def latest(self, subject: str) -> tuple[int, str]:
         sid = self._subjects[subject][-1]

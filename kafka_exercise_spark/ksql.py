@@ -144,7 +144,11 @@ class KsqlEngine:
         if low.startswith(("create stream", "create table")):
             return self._create(stmt)
         if low.startswith(("drop stream", "drop table")):
-            name = stmt.split()[2].lower()
+            toks = stmt.split()
+            if_exists = [t.lower() for t in toks[2:4]] == ["if", "exists"]
+            name = (toks[4] if if_exists else toks[2]).lower()
+            if name not in self._relations and not if_exists:
+                raise KeyError(f"no stream/table named {name!r}")
             rel = self._relations.pop(name, None)
             self.spark.catalog.dropTempView(name)
             return rel.name if rel else name

@@ -95,26 +95,43 @@ def compact_landing(
     Readers running mid-compaction see the old prefix (the swap is the
     atomic step); streaming consumers of the landing should instead compact
     downstream-of-checkpoint paths only.
+
+    Crash recovery: a run killed between the two swap renames leaves
+    ``<path>.old`` holding the data and ``path`` missing; the next call
+    restores it before compacting, and stale ``.old``/``.compacting`` dirs
+    from completed or aborted runs are cleared up front — re-running after
+    any crash converges.
     """
     import glob
     import os
     import shutil
 
-    before = len(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
-    df = spark.read.parquet(path)
-    # file count = ceil(rows / target): repartitioning wider than that
-    # would re-create small files, narrower would exceed the target size
-    n_files = max(1, -(-df.count() // target_records_per_file))
     side = path.rstrip("/") + ".compacting"
-    writer = (
-        df.repartition(n_files)
-        .write.mode("overwrite")
-        .option("maxRecordsPerFile", target_records_per_file)
-    )
-    if partition_cols:
-        writer = writer.partitionBy(*partition_cols)
-    writer.parquet(side)
     old = path.rstrip("/") + ".old"
+    if not os.path.exists(path) and os.path.exists(old):
+        os.rename(old, path)  # crashed mid-swap last run: restore
+    shutil.rmtree(side, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+
+    before = len(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
+    # persist: the frame is read twice (count to size the file count, then
+    # the rewrite) — one scan of millions of tiny files is the job's whole
+    # cost, so don't pay it twice
+    df = spark.read.parquet(path).persist()
+    try:
+        # file count = ceil(rows / target): repartitioning wider than that
+        # would re-create small files, narrower would exceed the target
+        n_files = max(1, -(-df.count() // target_records_per_file))
+        writer = (
+            df.repartition(n_files)
+            .write.mode("overwrite")
+            .option("maxRecordsPerFile", target_records_per_file)
+        )
+        if partition_cols:
+            writer = writer.partitionBy(*partition_cols)
+        writer.parquet(side)
+    finally:
+        df.unpersist()
     os.rename(path, old)
     os.rename(side, path)
     shutil.rmtree(old)

@@ -106,7 +106,10 @@ def avro_topic_sink(
 
     foreachBatch keeps the wire encode Arrow-batched (never row-at-a-time):
     each micro-batch is encoded, framed with the Confluent header, and
-    written append-mode.
+    written to its own ``batch-<id>`` directory with overwrite — a replayed
+    micro-batch (failure between sink write and checkpoint commit)
+    overwrites its own output instead of appending duplicates, preserving
+    the exactly-once the Kafka sink gets from checkpointed offsets.
     """
     from pyspark.sql import functions as F
 
@@ -119,7 +122,9 @@ def avro_topic_sink(
         framed = encoded.select(
             F.concat(F.lit(bytearray(header)), F.col("value")).alias("value")
         )
-        framed.write.mode("append").parquet(path)
+        framed.write.mode("overwrite").parquet(
+            os.path.join(path, f"batch-{batch_id}")
+        )
 
     writer = (
         df.writeStream.foreachBatch(write_batch)
@@ -132,19 +137,18 @@ def avro_topic_sink(
     return writer.start()
 
 
-def read_avro_topic(spark, path: str, schema_json: str) -> DataFrame:
+def read_avro_topic(
+    spark, path: str, schema_json: str, mode: str = "FAILFAST"
+) -> DataFrame:
     """Decode a landed Avro topic dir back to typed wire columns — the
     consumer side of ``avro_topic_sink`` (S4's decode applied to the S5
-    landing)."""
-    from pyspark.sql import functions as F
+    landing). The Confluent magic byte is validated JVM-side before any
+    body bytes reach the codec."""
+    from kafka_exercise_spark.functions.avro_wire import avro_decode, unframe_column
 
-    from kafka_exercise_spark.functions.avro_wire import WIRE_HEADER, avro_decode
-
-    raw = spark.read.parquet(path)
-    body = raw.select(
-        F.expr(f"substring(value, {WIRE_HEADER.size + 1})").alias("value")
-    )
-    return avro_decode(body, schema_json)
+    raw = spark.read.option("recursiveFileLookup", "true").parquet(path)
+    body = raw.select(unframe_column("value", mode=mode))
+    return avro_decode(body, schema_json, mode=mode)
 
 
 def memory_sink(

@@ -112,17 +112,15 @@ def avro_topic_stream(
     """
     from pyspark.sql.types import BinaryType, StructField, StructType
 
-    from kafka_exercise_spark.functions.avro_wire import WIRE_HEADER, avro_decode
+    from kafka_exercise_spark.functions.avro_wire import avro_decode, unframe_column
 
     raw = file_stream(
         spark,
-        path,
+        os.path.join(path, "batch-*"),  # avro_topic_sink's per-batch dirs
         StructType([StructField("value", BinaryType())]),
         max_files_per_trigger=max_files_per_trigger,
     )
-    body = raw.select(
-        F.expr(f"substring(value, {WIRE_HEADER.size + 1})").alias("value")
-    )
+    body = raw.select(unframe_column("value", mode=mode))
     return avro_decode(body, schema_json, mode=mode)
 
 

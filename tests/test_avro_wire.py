@@ -197,6 +197,43 @@ def test_schema_compatibility_full_gate():
     )
 
 
+def test_nullable_numeric_columns_roundtrip(spark):
+    """Arrow→pandas turns nullable int64 columns into float64 with NaN for
+    null; the encoder must still produce real Avro longs and null-branch
+    unions (regression: NaN was hitting the non-null branch)."""
+    schema = json.dumps(
+        _schema(
+            [
+                {"name": "k", "type": ["null", "long"]},
+                {"name": "d", "type": ["null", "double"]},
+            ]
+        )
+    )
+    df = spark.createDataFrame(
+        [(1, 1.5), (None, None), (2**53 + 1, 0.25), (None, 3.0)],
+        "k long, d double",
+    )
+    out = avro_decode(avro_encode(df, schema), schema)
+    got = {(r.k, r.d) for r in out.collect()}
+    assert got == {(1, 1.5), (None, None), (2**53 + 1, 0.25), (None, 3.0)}
+    types = dict(out.dtypes)
+    assert types["k"] == "bigint"  # exact long, not a float round-trip
+
+
+def test_permissive_decode_catches_truncated_double(spark):
+    """A record truncated inside a double field raises struct.error — the
+    PERMISSIVE path must absorb it (regression: only ValueError family was
+    caught)."""
+    schema = json.dumps(_schema([{"name": "d", "type": "double"}]))
+    good = encode_record({"d": 2.5}, [AvroField("d", "double", False)])
+    truncated = good[:3]  # mid-double
+    df = spark.createDataFrame(
+        [(bytearray(good),), (bytearray(truncated),)], "value binary"
+    )
+    out = avro_decode(df, schema, mode="PERMISSIVE").collect()
+    assert {r.d for r in out} == {2.5, None}
+
+
 def test_permissive_decode_survives_corrupt_records(spark):
     """PERMISSIVE mode: malformed wire bytes become an all-null row instead
     of killing the job (FAILFAST raises — the from_avro option contract)."""
@@ -254,6 +291,9 @@ def test_schema_registry_lifecycle():
     reg.register("scratch-value", _schema([{"name": "x", "type": "string"}]))
     # wire-header id resolves to the writer schema
     assert '"b"' in reg.get(sid2)
+    # ids are GLOBAL: the same canonical schema under another subject gets
+    # the SAME id (wire headers byte-identical across subjects)
+    assert reg.register("idadeclass-value", v1) == sid1
 
 
 def test_streaming_avro_topic_sink_roundtrip(spark, sf_dir, tmp_path):
@@ -287,7 +327,7 @@ def test_streaming_avro_topic_sink_roundtrip(spark, sf_dir, tmp_path):
     )
     q.awaitTermination(120)
 
-    raw = spark.read.parquet(out)
+    raw = spark.read.option("recursiveFileLookup", "true").parquet(out)
     first = bytes(raw.first().value)
     from kafka_exercise_spark.functions.avro_wire import unframe_confluent
 

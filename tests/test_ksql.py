@@ -168,6 +168,12 @@ def test_describe_and_drop(engine):
     )
 
 
+def test_drop_if_exists_semantics(engine):
+    engine.execute("drop stream if exists no_such_stream;")  # no-op, no error
+    with pytest.raises(KeyError, match="no_such"):
+        engine.execute("drop stream no_such_stream;")
+
+
 def test_print_topic(engine):
     df = engine.execute("print psg-customers;")
     assert df.count() == 500

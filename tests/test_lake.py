@@ -141,3 +141,18 @@ def test_compact_landing_collapses_small_files(spark, sf_dir, tmp_path):
     compacted = spark.read.parquet(path)
     assert compacted.count() == n_rows
     assert compacted.exceptAll(events).count() == 0
+
+
+def test_compact_landing_recovers_from_mid_swap_crash(spark, sf_dir, tmp_path):
+    """A crash between the swap renames leaves <path>.old holding the data
+    and path missing; the next run restores and completes."""
+    events = load_table(spark, sf_dir, "events").select("event_id", "value")
+    path = str(tmp_path / "landing")
+    events.repartition(2).write.option("maxRecordsPerFile", 10).parquet(path)
+    n_rows = events.count()
+    os.rename(path, path + ".old")  # simulated mid-swap crash state
+    before, after = lake.compact_landing(spark, path, target_records_per_file=500)
+    assert spark.read.parquet(path).count() == n_rows
+    assert after == -(-n_rows // 500)
+    assert not os.path.exists(path + ".old")
+    assert not os.path.exists(path + ".compacting")
