@@ -128,6 +128,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- north star: multimodal binary columns ----
         "multimodal_meta": multimodal.multimodal_meta,
         "multimodal_features": multimodal.multimodal_features,
+        # unigram-entropy quality signal (outside the 50-entry correctness
+        # window; proven by tools/verify_local + pytest)
+        "text_token_entropy": textops.text_token_entropy,
         # ---- stage E: relational surface (fully hash-proven in r02) ----
         "q1_pricing_summary": relational.q1_pricing_summary,
         "q3_shipping_priority": relational.q3_shipping_priority,
@@ -1278,6 +1281,22 @@ def oracle_sql() -> dict[str, str]:
                    round(round(list_cosine_similarity(v, dq), 9), 6)
                        AS cos_recon
             FROM d
+        """,
+        "text_token_entropy": f"""
+            WITH t AS (SELECT doc_id, {_TOKS} AS tok FROM documents),
+            w AS (SELECT doc_id, tok, len(tok) AS n,
+                         list_distinct(tok) AS uniq FROM t),
+            e AS (SELECT doc_id, n, len(uniq) AS n_unique,
+                         -list_sum(list_transform(uniq,
+                             u -> (len(list_filter(tok, x -> x = u)) / n)
+                                  * log2(len(list_filter(tok, x -> x = u)) / n)))
+                             AS h
+                  FROM w)
+            SELECT doc_id, n::BIGINT AS n_tokens, n_unique::BIGINT AS n_unique,
+                   round(h, 6) AS entropy,
+                   CASE WHEN n_unique > 1 THEN round(h / log2(n_unique), 6)
+                        ELSE 0.0 END AS entropy_norm
+            FROM e
         """,
         "multimodal_meta": """
             SELECT doc_id, 'text/plain' AS media_type,

@@ -288,3 +288,52 @@ def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("bucket_lo", F.col("bucket") * LENGTH_BUCKET_CHARS)
     )
+
+
+def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram (token) Shannon entropy — the diversity signal
+    data-curation pipelines threshold on (template spam and boilerplate sit
+    at low entropy; natural text at high).
+
+    Entirely JVM higher-order expressions, zero shuffle: per row, distinct
+    tokens × occurrence counts via ``filter``/``size``, then
+    -Σ p·log2 p folded with ``aggregate``. O(distinct × len) per document,
+    scan-bound — at 100 TB this is a map-only pass like the other quality
+    scores. ``entropy_norm`` divides by log2(n_unique) (0 when a doc has a
+    single distinct token), bounding the score to [0, 1] independent of
+    vocabulary size.
+    """
+    docs = scale_partitions(load_table(spark, sf_dir, "documents"), spark)
+    tok = tokens(F.col("text"))
+    with_tok = docs.select("doc_id", tok.alias("tok")).withColumn(
+        "n", F.size("tok")
+    )
+    uniq = F.array_distinct(F.col("tok"))
+    # counts aligned with uniq's order: both engines iterate first-occurrence
+    # order, keeping the float summation sequence identical for hashing
+    counts = F.transform(
+        uniq, lambda t: F.size(F.filter(F.col("tok"), lambda x: x == t))
+    )
+    entropy = -F.aggregate(
+        counts,
+        F.lit(0.0),
+        lambda acc, c: acc
+        + (c / F.col("n")) * F.log2(c / F.col("n")),
+    )
+    return (
+        with_tok.withColumn("n_unique", F.size(uniq))
+        .withColumn("entropy", F.round(entropy, 6))
+        .withColumn(
+            "entropy_norm",
+            F.when(F.col("n_unique") > 1,
+                   F.round(entropy / F.log2(F.col("n_unique")), 6))
+            .otherwise(F.lit(0.0)),
+        )
+        .select(
+            "doc_id",
+            F.col("n").cast("long").alias("n_tokens"),
+            F.col("n_unique").cast("long").alias("n_unique"),
+            "entropy",
+            "entropy_norm",
+        )
+    )

@@ -345,3 +345,32 @@ def test_embedding_quantize_bounds_and_map_only(spark, sf_dir):
         # round() error is at most half a quantization step
         assert r["max_abs_err"] <= r["scale"] / 2 + 1e-9
         assert r["cos_recon"] > 0.999
+
+
+def test_token_entropy_bounds_and_extremes(spark, sf_dir):
+    """0 <= entropy <= log2(n_unique); entropy_norm in [0, 1]; a repeated
+    single token scores 0 (the boilerplate signal the filter exists for)."""
+    import math
+
+    from kafka_exercise_spark.operators import textops
+
+    rows = textops.text_token_entropy(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["entropy"] <= math.log2(max(r["n_unique"], 2)) + 1e-6
+        assert 0.0 <= r["entropy_norm"] <= 1.0 + 1e-9
+    # synthetic extremes through the same expression pipeline
+    df = spark.createDataFrame(
+        [(1, "spam spam spam spam"), (2, "a b c d")], "doc_id long, text string"
+    )
+    df.createOrReplaceTempView("documents_tmp")
+    import kafka_exercise_spark.operators.textops as t
+    from unittest import mock
+
+    with mock.patch.object(
+        t, "load_table", lambda spark, sf_dir, name: df
+    ):
+        got = {r["doc_id"]: r for r in t.text_token_entropy(spark, sf_dir).collect()}
+    assert got[1]["entropy"] == 0.0 and got[1]["entropy_norm"] == 0.0
+    assert abs(got[2]["entropy"] - 2.0) < 1e-6  # 4 equiprobable tokens
+    assert abs(got[2]["entropy_norm"] - 1.0) < 1e-6

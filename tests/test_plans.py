@@ -158,6 +158,7 @@ def test_star_joins_broadcast_no_cartesian(spark, sf_dir, fn):
         textops.text_quality_score,
         textops.text_langid,
         textops.doc_fingerprint,
+        textops.text_token_entropy,
         dedup.minhash_signatures,
         dedup.dedup_simhash,
     ],
