@@ -1,0 +1,128 @@
+"""Empirical scaling check: do the headline plans scale ~linearly in rows?
+
+Builds k-times-replicated copies of the sf0.1 ``events`` and ``documents``
+tables under /tmp (ids offset per copy; document texts perturbed per copy so
+near-dup structure doesn't densify quadratically; event times shifted a day
+per copy so window counts scale instead of stacking), then times one
+representative query per plan family at 1x/4x/8x:
+
+- scan-bound map-only            quality_repetition
+- shuffle aggregation (window)   idadecont
+- banded self-join               dedup_minhash_lsh
+- analytic window function       session_window_events
+
+Linear-ish growth (ratio ~= k) is the pass signal: it means no hidden
+all-pairs blowup, no driver-side bottleneck, no partition-count cliff —
+the local[32] proxy for "the plan survives a cluster-scale fan-out".
+
+Usage: python tools/scale_experiment.py [reps]
+Prints one JSON line: {query: {"x1": s, "x4": s, "x8": s}}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from kafka_exercise_spark.catalog import TABLES, load_table, table_path
+from kafka_exercise_spark.operators import dedup, pipeline_ops, textops, analytic
+from kafka_exercise_spark.session import get_spark
+
+BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+WORK = "/tmp/spark_graft_scale"
+
+QUERIES = {
+    "quality_repetition": textops.quality_repetition,
+    "idadecont": pipeline_ops.idadecont,
+    "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
+    "session_window_events": analytic.session_window_events,
+}
+
+
+def build_scaled(spark, k: int) -> str:
+    out = os.path.join(WORK, f"x{k}")
+    if os.path.exists(os.path.join(out, "_DONE")):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out)
+    ev = load_table(spark, BASE, "events")
+    n_ev = ev.count()
+    docs = load_table(spark, BASE, "documents")
+    n_docs = docs.count()
+    ev_parts = [
+        ev.select(
+            (F.col("event_id") + F.lit(i * n_ev)).alias("event_id"),
+            (F.col("ts") + F.make_interval(days=F.lit(i))).alias("ts"),
+            (F.col("user_id") + F.lit(i * 10_000)).alias("user_id"),
+            "event_type",
+            "value",
+            "props",
+        )
+        for i in range(k)
+    ]
+    ev_k = ev_parts[0]
+    for p in ev_parts[1:]:
+        ev_k = ev_k.unionByName(p)
+    ev_k.write.parquet(os.path.join(out, "events.parquet"))
+    doc_parts = [
+        docs.select(
+            (F.col("doc_id") + F.lit(i * n_docs)).alias("doc_id"),
+            "source",
+            # per-copy suffix: copies are NOT near-dups of each other, so
+            # pair structure scales linearly, not quadratically
+            F.concat(F.col("text"), F.lit(f" uniqcopy{i}")).alias("text"),
+            *[c for c in docs.columns if c not in ("doc_id", "source", "text")],
+        )
+        for i in range(k)
+    ]
+    doc_k = doc_parts[0]
+    for p in doc_parts[1:]:
+        doc_k = doc_k.unionByName(p)
+    doc_k.write.parquet(os.path.join(out, "documents.parquet"))
+    for t in TABLES:
+        src = table_path(BASE, t)
+        dst = table_path(out, t)
+        if t not in ("events", "documents") and os.path.exists(src):
+            os.symlink(src, dst)
+    open(os.path.join(out, "_DONE"), "w").close()
+    return out
+
+
+def main() -> None:
+    reps = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    spark = get_spark("scale_experiment")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # warm JVM
+    # warm each query SHAPE on the tiny fixture: codegen/JIT are
+    # scale-independent, and per-dir memos (localCheckpoint) stay cold for
+    # the timed dirs — so timings below measure data volume, not compilation
+    warm = "/root/testdata/sf0.01"
+    for fn in QUERIES.values():
+        fn(spark, warm).write.format("noop").mode("overwrite").save()
+    dirs = {1: BASE}
+    for k in (4, 8):
+        dirs[k] = build_scaled(spark, k)
+    results: dict[str, dict[str, float]] = {}
+    for name, fn in QUERIES.items():
+        results[name] = {}
+        for k, d in dirs.items():
+            ts = []
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                fn(spark, d).write.format("noop").mode("overwrite").save()
+                ts.append(time.perf_counter() - t0)
+            # FIRST rep: queries that memoize (localCheckpoint) would report
+            # a cache hit on later reps; the cold run is the honest number.
+            results[name][f"x{k}"] = round(ts[0], 3)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()
