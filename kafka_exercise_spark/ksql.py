@@ -195,7 +195,8 @@ class KsqlEngine:
             return [
                 {
                     "Connector Name": name,
-                    "Type": self.connectors.status(name).get("type", ""),
+                    # reference CLI prints SOURCE/SINK uppercase
+                    "Type": self.connectors.status(name).get("type", "").upper(),
                     "Status": self.connectors.status(name).get("state", ""),
                 }
                 for name in self.connectors.list()

@@ -168,6 +168,39 @@ def test_describe_and_drop(engine):
     )
 
 
+def test_show_connectors_reports_registry(spark, tmp_path):
+    """`show connectors;` over a live ConnectorRegistry mirrors the
+    reference's output shape (name / type / RUNNING status)."""
+    from kafka_exercise_spark.connectors import (
+        JDBC_SOURCE_CLASS,
+        ConnectorRegistry,
+    )
+    from kafka_exercise_spark.sources.generator import append_ticks
+
+    src_dir = str(tmp_path / "customers")
+    append_ticks(spark, src_dir, n=5, ticks=1)
+    reg = ConnectorRegistry(spark)
+    reg.register(
+        {
+            "name": "psg-connector",
+            "config": {
+                "connector.class": JDBC_SOURCE_CLASS,
+                "mode": "timestamp",
+                "timestamp.column.name": "dt_update",
+                "table.whitelist": "public.customers",
+                "topic.prefix": "psg-",
+                "connection.url": f"parquet://{src_dir}",
+                "offsets.path": str(tmp_path / "offsets.json"),
+            },
+        }
+    )
+    eng = KsqlEngine(spark, connectors=reg)
+    rows = eng.execute("show connectors;")
+    assert rows == [
+        {"Connector Name": "psg-connector", "Type": "SOURCE", "Status": "RUNNING"}
+    ]
+
+
 def test_drop_if_exists_semantics(engine):
     engine.execute("drop stream if exists no_such_stream;")  # no-op, no error
     with pytest.raises(KeyError, match="no_such"):
