@@ -1155,19 +1155,25 @@ def oracle_sql() -> dict[str, str]:
             FROM cand WHERE bit_count(xor(sa, sb)) <= 2
         """,
         "dedup_ngram_jaccard": f"""
-            WITH d AS (SELECT * FROM documents WHERE source = 'src0'),
-            t AS (SELECT doc_id, {_TOKS} AS tok FROM d),
+            WITH t AS (SELECT doc_id, {_TOKS} AS tok FROM documents),
             s AS (SELECT doc_id, {_SHINGLES} AS sh FROM t),
             h AS (SELECT doc_id, {_HSH} AS hb FROM s),
-            inv AS (SELECT doc_id, len(hb) AS n_sh, unnest(hb) AS sg FROM h),
-            shared AS (
-              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                     a.n_sh AS n_a, b.n_sh AS n_b, count(*) AS n_common
-              FROM inv a JOIN inv b ON a.sg = b.sg AND a.doc_id < b.doc_id
-              GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh)
-            SELECT id_a, id_b, n_common,
+            inv AS (SELECT doc_id, unnest(hb) AS sg FROM h),
+            dfc AS (SELECT sg, count(*) AS df FROM inv GROUP BY sg),
+            rare AS (SELECT doc_id, inv.sg FROM inv
+                     JOIN dfc USING (sg) WHERE df <= 100),
+            cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                     FROM rare a JOIN rare b
+                       ON a.sg = b.sg AND a.doc_id < b.doc_id),
+            v AS (SELECT id_a, id_b,
+                         len(list_intersect(ha.hb, hb2.hb)) AS n_common,
+                         len(ha.hb) AS n_a, len(hb2.hb) AS n_b
+                  FROM cand
+                  JOIN h ha ON ha.doc_id = id_a
+                  JOIN h hb2 ON hb2.doc_id = id_b)
+            SELECT id_a, id_b, n_common::BIGINT AS n_common,
                    round(n_common / (n_a + n_b - n_common), 6) AS jaccard
-            FROM shared
+            FROM v
             WHERE round(n_common / (n_a + n_b - n_common), 6) >= 0.08
         """,
         "dedup_embedding_cosine": """

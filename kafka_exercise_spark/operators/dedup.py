@@ -337,46 +337,64 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Document-frequency ceiling for candidate-generating shingles. A shingle
+#: appearing in more than this many documents contributes df² candidate
+#: pairs while carrying almost no discriminative signal — boilerplate.
+NGRAM_DF_MAX = 100
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact pairwise n-gram Jaccard via a shared-shingle inverted index,
-    scoped to one ``source`` partition (standalone form; the LSH pipeline is
-    the unscoped scale path)."""
-    # scale_partitions AFTER the filter: the scoped slice arrives as one
-    # parquet split, and without the spread the per-shingle work runs on a
-    # single task. Hash AFTER the explode, not before: exploding a
-    # higher-order ``transform`` column evaluates the lambda interpreted
-    # (outside codegen) per output row — hashing the exploded scalar is a
-    # flat codegen expression and measures ~10× faster.
-    docs = _with_shingles(
-        scale_partitions(
-            load_table(spark, sf_dir, "documents").filter(F.col("source") == "src0"),
-            spark,
-        )
-    )
-    inv = docs.select(
-        "doc_id", F.size("sh").alias("n_sh"), F.explode("sh").alias("sg")
-    ).select("doc_id", "n_sh", md5_hash64(F.col("sg")).alias("s"))
-    # shuffle_hash pinned: an inverted-index self-join must partition by
-    # shingle so the Σ df² pair expansion runs parallel per shingle bucket.
-    # Left alone, Catalyst sees a small (hashed, 8-byte-keyed) index and
-    # broadcasts — collapsing the expensive expansion onto the probe side's
-    # few input tasks; at 100 TB the index could never broadcast anyway.
-    a, b = inv.alias("a"), inv.hint("shuffle_hash").alias("b")
-    return (
+    """Exact pairwise n-gram Jaccard over the WHOLE corpus, with candidate
+    generation bounded by shingle document frequency.
+
+    The naive inverted-index self-join is O(Σ df²) over all shingles — one
+    boilerplate shingle shared by 10⁶ documents alone yields 10¹² pairs.
+    The standard fix (common-crawl-style dedup): only shingles with
+    df ≤ ``NGRAM_DF_MAX`` GENERATE candidates (expansion per shingle is
+    ≤ DF_MAX², total ≤ DF_MAX × Σ df — linear in corpus size), then the
+    VERIFY step computes the exact Jaccard on the pairs' full shingle sets,
+    so emitted values are exact. The documented recall trade: a pair
+    sharing only ubiquitous shingles is never proposed — at threshold-level
+    Jaccard such pairs are boilerplate collisions, exactly what dedup
+    should not link. The DuckDB oracle mirrors the same df bound, so the
+    driver hash-checks this semantics precisely.
+    """
+    # Hash inside _with_hashed_shingles (flat codegen), not per exploded
+    # row; hb arrays are distinct-element sets, so |array_intersect| is the
+    # true shared-shingle count.
+    docs = _with_hashed_shingles(
+        scale_partitions(load_table(spark, sf_dir, "documents"), spark)
+    ).select("doc_id", "hb")
+    inv = docs.select("doc_id", F.explode("hb").alias("s"))
+    dfc = inv.groupBy("s").agg(F.count("*").alias("df"))
+    rare = inv.join(dfc.filter(F.col("df") <= NGRAM_DF_MAX), "s")
+    # shuffle_hash pinned: the candidate self-join must partition by
+    # shingle so the bounded df² expansion runs parallel per shingle
+    # bucket; the index could never broadcast at 100 TB.
+    a, b = rare.alias("a"), rare.hint("shuffle_hash").alias("b")
+    cand = (
         a.join(
             b,
             (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .groupBy(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            F.col("a.n_sh").alias("n_a"),
-            F.col("b.n_sh").alias("n_b"),
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    ha = docs.withColumnsRenamed({"doc_id": "id_a", "hb": "hb_a"})
+    hb = docs.withColumnsRenamed({"doc_id": "id_b", "hb": "hb_b"})
+    return (
+        cand.join(ha, "id_a")
+        .join(hb, "id_b")
+        .withColumn(
+            "n_common", F.size(F.array_intersect("hb_a", "hb_b")).cast("long")
         )
-        .agg(F.count("*").alias("n_common"))
         .withColumn(
             "jaccard",
-            F.round(F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6),
+            F.round(
+                F.col("n_common")
+                / (F.size("hb_a") + F.size("hb_b") - F.col("n_common")),
+                6,
+            ),
         )
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("id_a", "id_b", "n_common", "jaccard")
