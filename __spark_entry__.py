@@ -1161,7 +1161,7 @@ def oracle_sql() -> dict[str, str]:
             inv AS (SELECT doc_id, unnest(hb) AS sg FROM h),
             dfc AS (SELECT sg, count(*) AS df FROM inv GROUP BY sg),
             rare AS (SELECT doc_id, inv.sg FROM inv
-                     JOIN dfc USING (sg) WHERE df <= 100),
+                     JOIN dfc USING (sg) WHERE df <= {dedup.NGRAM_DF_MAX}),
             cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
                      FROM rare a JOIN rare b
                        ON a.sg = b.sg AND a.doc_id < b.doc_id),
@@ -1291,12 +1291,14 @@ def oracle_sql() -> dict[str, str]:
         "text_token_entropy": f"""
             WITH t AS (SELECT doc_id, {_TOKS} AS tok FROM documents),
             w AS (SELECT doc_id, tok, len(tok) AS n,
-                         list_distinct(tok) AS uniq FROM t),
+                         list_sort(list_distinct(tok)) AS uniq FROM t),
             e AS (SELECT doc_id, n, len(uniq) AS n_unique,
-                         -list_sum(list_transform(uniq,
-                             u -> (len(list_filter(tok, x -> x = u)) / n)
-                                  * log2(len(list_filter(tok, x -> x = u)) / n)))
-                             AS h
+                         CASE WHEN n > 0 THEN
+                             -coalesce(list_sum(list_transform(uniq,
+                                 u -> (len(list_filter(tok, x -> x = u)) / n)
+                                      * log2(len(list_filter(tok, x -> x = u))
+                                             / n))), 0.0)
+                         ELSE 0.0 END AS h
                   FROM w)
             SELECT doc_id, n::BIGINT AS n_tokens, n_unique::BIGINT AS n_unique,
                    round(h, 6) AS entropy,

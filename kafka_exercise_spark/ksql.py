@@ -192,15 +192,18 @@ class KsqlEngine:
         if what == "connectors":
             if self.connectors is None:
                 return []
-            return [
-                {
-                    "Connector Name": name,
-                    # reference CLI prints SOURCE/SINK uppercase
-                    "Type": self.connectors.status(name).get("type", "").upper(),
-                    "Status": self.connectors.status(name).get("state", ""),
-                }
-                for name in self.connectors.list()
-            ]
+            rows = []
+            for name in self.connectors.list():
+                st = self.connectors.status(name)
+                rows.append(
+                    {
+                        "Connector Name": name,
+                        # reference CLI prints SOURCE/SINK uppercase
+                        "Type": st.get("type", "").upper(),
+                        "Status": st.get("state", ""),
+                    }
+                )
+            return rows
         if what == "queries":
             return [
                 {"Query ID": f"CSAS_{r.name.upper()}", "Sink": r.name.upper()}

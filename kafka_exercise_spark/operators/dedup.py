@@ -12,10 +12,11 @@ fixtures:
   from banding never escape.
 - **SimHash** — 60-bit rotation-tolerant fingerprint; Hamming-adjacent
   buckets via band keys of the simhash. Here: per-doc simhash as a pure map.
-- **n-gram Jaccard** — exact pairwise similarity via a shared-shingle
-  self-join (inverted index shape). This is the *verify* stage of the LSH
-  pipeline; run standalone it is O(Σ df²), so the standalone query scopes to
-  one ``source`` partition — at 100 TB you never run it unfiltered.
+- **n-gram Jaccard** — exact pairwise similarity over the whole corpus.
+  Naively the inverted-index self-join is O(Σ df²); the standalone query
+  bounds it by letting only shingles with df ≤ ``NGRAM_DF_MAX`` generate
+  candidates (expansion linear in corpus size) and verifying exact Jaccard
+  on each candidate's full shingle sets — emitted values stay exact.
 - **Embedding cosine** — near-dup by semantic similarity. Standalone form
   scopes one label bucket (the IVF cell shape); the ANN module owns the
   general path.

@@ -308,18 +308,22 @@ def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_tok = docs.select("doc_id", tok.alias("tok")).withColumn(
         "n", F.size("tok")
     )
-    uniq = F.array_distinct(F.col("tok"))
-    # counts aligned with uniq's order: both engines iterate first-occurrence
-    # order, keeping the float summation sequence identical for hashing
+    # SORTED distinct tokens: array_distinct/list_distinct disagree on
+    # element order across engines, and float summation order changes
+    # low-order bits — sorting pins an identical fold sequence on both
+    # sides so round(·, 6) hashes deterministically.
+    uniq = F.array_sort(F.array_distinct(F.col("tok")))
     counts = F.transform(
         uniq, lambda t: F.size(F.filter(F.col("tok"), lambda x: x == t))
     )
-    entropy = -F.aggregate(
-        counts,
-        F.lit(0.0),
-        lambda acc, c: acc
-        + (c / F.col("n")) * F.log2(c / F.col("n")),
-    )
+    entropy = F.when(
+        F.col("n") > 0,
+        -F.aggregate(
+            counts,
+            F.lit(0.0),
+            lambda acc, c: acc + (c / F.col("n")) * F.log2(c / F.col("n")),
+        ),
+    ).otherwise(F.lit(0.0))
     return (
         with_tok.withColumn("n_unique", F.size(uniq))
         .withColumn("entropy", F.round(entropy, 6))

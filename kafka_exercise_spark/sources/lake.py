@@ -74,6 +74,46 @@ def read_table(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
 
 
+def swap_side_dir(path: str) -> str:
+    """Staging-directory name for an atomic dir replacement of ``path``."""
+    return path.rstrip("/") + ".staging"
+
+
+def recover_swap_state(path: str) -> None:
+    """Converge any crashed prior swap of ``path``.
+
+    A writer killed between the two commit renames leaves ``<path>.old``
+    holding the live data with ``path`` missing — restore it; stale
+    ``.old``/``.staging`` dirs from aborted runs are cleared so the next
+    swap starts clean. Call before reading ``path`` for a rewrite.
+    """
+    import os
+    import shutil
+
+    old = path.rstrip("/") + ".old"
+    if not os.path.exists(path) and os.path.exists(old):
+        os.rename(old, path)
+    shutil.rmtree(swap_side_dir(path), ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def commit_dir_swap(path: str) -> None:
+    """Atomically replace ``path`` with its written ``.staging`` dir.
+
+    The rename pair is the commit point; crash windows in between are
+    healed by ``recover_swap_state`` on the next run. Single-FS rename —
+    on object stores the same shape is write-new-prefix + repoint-manifest.
+    """
+    import os
+    import shutil
+
+    old = path.rstrip("/") + ".old"
+    if os.path.exists(path):
+        os.rename(path, old)
+    os.rename(swap_side_dir(path), path)
+    shutil.rmtree(old, ignore_errors=True)
+
+
 def compact_landing(
     spark: SparkSession,
     path: str,
@@ -96,23 +136,13 @@ def compact_landing(
     atomic step); streaming consumers of the landing should instead compact
     downstream-of-checkpoint paths only.
 
-    Crash recovery: a run killed between the two swap renames leaves
-    ``<path>.old`` holding the data and ``path`` missing; the next call
-    restores it before compacting, and stale ``.old``/``.compacting`` dirs
-    from completed or aborted runs are cleared up front — re-running after
-    any crash converges.
+    Crash recovery via ``recover_swap_state``/``commit_dir_swap`` —
+    re-running after a crash at any point converges.
     """
     import glob
     import os
-    import shutil
 
-    side = path.rstrip("/") + ".compacting"
-    old = path.rstrip("/") + ".old"
-    if not os.path.exists(path) and os.path.exists(old):
-        os.rename(old, path)  # crashed mid-swap last run: restore
-    shutil.rmtree(side, ignore_errors=True)
-    shutil.rmtree(old, ignore_errors=True)
-
+    recover_swap_state(path)
     before = len(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
     # persist: the frame is read twice (count to size the file count, then
     # the rewrite) — one scan of millions of tiny files is the job's whole
@@ -129,11 +159,9 @@ def compact_landing(
         )
         if partition_cols:
             writer = writer.partitionBy(*partition_cols)
-        writer.parquet(side)
+        writer.parquet(swap_side_dir(path))
     finally:
         df.unpersist()
-    os.rename(path, old)
-    os.rename(side, path)
-    shutil.rmtree(old)
+    commit_dir_swap(path)
     after = len(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
     return before, after

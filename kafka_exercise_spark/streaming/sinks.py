@@ -173,24 +173,23 @@ def upsert_store_sink(
     Iceberg) runs transactionally with file-level pruning; on plain parquet
     the rewrite is O(store) per batch, correct for modest keyed state (an
     aggregate changelog: |keys| rows, not |events|). Single-writer by
-    construction (one streaming query owns the store); the swap is the
-    atomic step, crash recovery mirrors compact_landing (stale ``.old`` /
-    ``.staging`` cleared, missing store restored from ``.old``).
+    construction (one streaming query owns the store); the swap/crash
+    recovery is the shared ``recover_swap_state``/``commit_dir_swap``
+    machinery from sources/lake.py.
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
+    from kafka_exercise_spark.sources.lake import (
+        commit_dir_swap,
+        recover_swap_state,
+        swap_side_dir,
+    )
+
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         stamped = batch_df.withColumn("_batch", F.lit(batch_id))
-        old = store_path.rstrip("/") + ".old"
-        staging = store_path.rstrip("/") + ".staging"
-        import shutil
-
-        if not os.path.exists(store_path) and os.path.exists(old):
-            os.rename(old, store_path)  # crashed mid-swap: restore
-        shutil.rmtree(staging, ignore_errors=True)
-        shutil.rmtree(old, ignore_errors=True)
+        recover_swap_state(store_path)
         if os.path.exists(store_path):
             merged = spark.read.parquet(store_path).unionByName(stamped)
         else:
@@ -201,11 +200,8 @@ def upsert_store_sink(
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
-        latest.write.mode("overwrite").parquet(staging)
-        if os.path.exists(store_path):
-            os.rename(store_path, old)
-        os.rename(staging, store_path)
-        shutil.rmtree(old, ignore_errors=True)
+        latest.write.mode("overwrite").parquet(swap_side_dir(store_path))
+        commit_dir_swap(store_path)
 
     writer = (
         df.writeStream.foreachBatch(write_batch)

@@ -155,4 +155,4 @@ def test_compact_landing_recovers_from_mid_swap_crash(spark, sf_dir, tmp_path):
     assert spark.read.parquet(path).count() == n_rows
     assert after == -(-n_rows // 500)
     assert not os.path.exists(path + ".old")
-    assert not os.path.exists(path + ".compacting")
+    assert not os.path.exists(path + ".staging")

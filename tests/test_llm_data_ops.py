@@ -363,7 +363,6 @@ def test_token_entropy_bounds_and_extremes(spark, sf_dir):
     df = spark.createDataFrame(
         [(1, "spam spam spam spam"), (2, "a b c d")], "doc_id long, text string"
     )
-    df.createOrReplaceTempView("documents_tmp")
     import kafka_exercise_spark.operators.textops as t
     from unittest import mock
 

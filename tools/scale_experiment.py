@@ -15,8 +15,10 @@ Linear-ish growth (ratio ~= k) is the pass signal: it means no hidden
 all-pairs blowup, no driver-side bottleneck, no partition-count cliff —
 the local[32] proxy for "the plan survives a cluster-scale fan-out".
 
-Usage: python tools/scale_experiment.py [reps]
-Prints one JSON line: {query: {"x1": s, "x4": s, "x8": s}}.
+Usage: python tools/scale_experiment.py
+Prints one JSON line: {query: {"x1": s, "x4": s, "x8": s}} — one cold run
+per (query, scale); all three rungs read build_scaled output so storage
+format is identical and ratios measure data volume only.
 """
 
 from __future__ import annotations
@@ -78,7 +80,17 @@ def build_scaled(spark, k: int) -> str:
             # per-copy suffix: copies are NOT near-dups of each other, so
             # pair structure scales linearly, not quadratically
             F.concat(F.col("text"), F.lit(f" uniqcopy{i}")).alias("text"),
-            *[c for c in docs.columns if c not in ("doc_id", "source", "text")],
+            *[
+                # n_chars re-derived so the scaled fixture stays
+                # self-consistent with the perturbed text
+                F.length(F.concat(F.col("text"), F.lit(f" uniqcopy{i}")))
+                .cast(docs.schema["n_chars"].dataType)
+                .alias("n_chars")
+                if c == "n_chars"
+                else F.col(c)
+                for c in docs.columns
+                if c not in ("doc_id", "source", "text")
+            ],
         )
         for i in range(k)
     ]
@@ -96,7 +108,6 @@ def build_scaled(spark, k: int) -> str:
 
 
 def main() -> None:
-    reps = int(sys.argv[1]) if len(sys.argv) > 1 else 2
     spark = get_spark("scale_experiment")
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # warm JVM
@@ -106,21 +117,18 @@ def main() -> None:
     warm = "/root/testdata/sf0.01"
     for fn in QUERIES.values():
         fn(spark, warm).write.format("noop").mode("overwrite").save()
-    dirs = {1: BASE}
-    for k in (4, 8):
-        dirs[k] = build_scaled(spark, k)
+    # the 1x baseline goes through build_scaled too: identical storage
+    # format (timestamp encoding, file layout) on every rung, so ratios
+    # measure data volume only. One timed run per (query, scale) — repeats
+    # would hit per-dir localCheckpoint memos and report cache hits.
+    dirs = {k: build_scaled(spark, k) for k in (1, 4, 8)}
     results: dict[str, dict[str, float]] = {}
     for name, fn in QUERIES.items():
         results[name] = {}
         for k, d in dirs.items():
-            ts = []
-            for _ in range(reps):
-                t0 = time.perf_counter()
-                fn(spark, d).write.format("noop").mode("overwrite").save()
-                ts.append(time.perf_counter() - t0)
-            # FIRST rep: queries that memoize (localCheckpoint) would report
-            # a cache hit on later reps; the cold run is the honest number.
-            results[name][f"x{k}"] = round(ts[0], 3)
+            t0 = time.perf_counter()
+            fn(spark, d).write.format("noop").mode("overwrite").save()
+            results[name][f"x{k}"] = round(time.perf_counter() - t0, 3)
     print(json.dumps(results))
 
 
