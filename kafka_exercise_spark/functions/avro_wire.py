@@ -33,6 +33,7 @@ serves), parsed by ``parse_schema``.
 from __future__ import annotations
 
 import json
+import os
 import struct
 from collections.abc import Iterator
 from dataclasses import dataclass
@@ -454,8 +455,11 @@ class SchemaRegistry:
     can resolve the writer schema from the bytes alone.
     """
 
-    def __init__(self, default_mode: str = "FULL") -> None:
+    def __init__(
+        self, default_mode: str = "FULL", state_path: str | None = None
+    ) -> None:
         self._default_mode = default_mode
+        self._state_path = state_path
         self._modes: dict[str, str] = {}
         self._subjects: dict[str, list[int]] = {}
         self._by_id: dict[int, str] = {}
@@ -463,11 +467,42 @@ class SchemaRegistry:
         # canonical schema -> same id under any subject (Confluent
         # semantics — wire headers stay byte-identical across subjects)
         self._next_id = 1
+        if state_path is not None and os.path.exists(state_path):
+            self._load()
+
+    def _load(self) -> None:
+        with open(self._state_path) as f:
+            state = json.load(f)
+        self._modes = state["modes"]
+        self._subjects = state["subjects"]
+        self._by_id = {int(k): v for k, v in state["by_id"].items()}
+        self._id_by_schema = {v: k for k, v in self._by_id.items()}
+        self._next_id = state["next_id"]
+
+    def _save(self) -> None:
+        """Persist registry state — the durability the real Schema Registry
+        gets from its ``_schemas`` Kafka topic. Atomic tmp+rename, same
+        no-torn-state contract as the CDC high-water mark file."""
+        if self._state_path is None:
+            return
+        tmp = self._state_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(
+                {
+                    "modes": self._modes,
+                    "subjects": self._subjects,
+                    "by_id": self._by_id,
+                    "next_id": self._next_id,
+                },
+                f,
+            )
+        os.replace(tmp, self._state_path)
 
     def set_mode(self, subject: str, mode: str) -> None:
         if mode.upper() not in ("BACKWARD", "FORWARD", "FULL", "NONE"):
             raise ValueError(f"unknown compatibility mode: {mode}")
         self._modes[subject] = mode.upper()
+        self._save()
 
     def register(self, subject: str, schema_json: str | dict) -> int:
         """Register a schema version; returns its global id.
@@ -498,6 +533,7 @@ class SchemaRegistry:
             self._by_id[existing] = canonical
             self._id_by_schema[canonical] = existing
         versions.append(existing)
+        self._save()
         return existing
 
     def latest(self, subject: str) -> tuple[int, str]:

@@ -296,6 +296,38 @@ def test_schema_registry_lifecycle():
     assert reg.register("idadeclass-value", v1) == sid1
 
 
+def test_schema_registry_persists_across_restarts(tmp_path):
+    """state_path gives the registry the durability the real one gets from
+    its _schemas topic: ids, versions, and modes survive a reopen, and the
+    compat gate still holds against the reloaded history."""
+    from kafka_exercise_spark.functions.avro_wire import (
+        IncompatibleSchemaError,
+        SchemaRegistry,
+    )
+
+    state = str(tmp_path / "registry.json")
+    v1 = _schema([{"name": "a", "type": "long"}])
+    v2 = _schema(
+        [{"name": "a", "type": "long"}, {"name": "b", "type": "long", "default": 0}]
+    )
+    reg = SchemaRegistry(state_path=state)
+    sid1 = reg.register("jovens-value", v1)
+    reg.set_mode("scratch-value", "NONE")
+
+    reopened = SchemaRegistry(state_path=state)
+    assert reopened.register("jovens-value", v1) == sid1  # same id, no dup
+    sid2 = reopened.register("jovens-value", v2)
+    assert sid2 != sid1
+    assert reopened.latest("jovens-value")[0] == sid2
+    assert reopened._modes["scratch-value"] == "NONE"
+    bad = _schema([{"name": "a", "type": "long"}, {"name": "c", "type": "long"}])
+    with pytest.raises(IncompatibleSchemaError):
+        reopened.register("jovens-value", bad)
+    # third process sees both versions
+    third = SchemaRegistry(state_path=state)
+    assert third.get(sid2) == third.latest("jovens-value")[1]
+
+
 def test_streaming_avro_topic_sink_roundtrip(spark, sf_dir, tmp_path):
     """S5 end-to-end: CSAS replay → Confluent-framed Avro binary landing →
     consumer decode == the batch projection. Proves the streaming sink
