@@ -119,6 +119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- north star: similarity search ----
         "ann_cosine_topk": similarity.ann_cosine_topk,
         "ann_lsh_bucketed": similarity.ann_lsh_bucketed,  # rows-only (LSH)
+        "ann_lsh_multiprobe": similarity.ann_lsh_multiprobe,  # rows-only
         "ann_ivf_topk": similarity.ann_ivf_topk,  # rows-only (KMeans IVF)
         "embedding_outliers": similarity.embedding_outliers,
         # int8 scalar quantization + reconstruction-quality audit

@@ -252,6 +252,56 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN: each query probes its own bucket plus every
+    bucket at Hamming distance 1 (one hyperplane flipped).
+
+    The standard recall lever for hyperplane LSH: a near neighbor lands in
+    a different bucket exactly when one (or more) projection straddles the
+    boundary, and single-bit flips cover the by-far-likeliest case. Cost is
+    (H+1)/2^H of the corpus per query (7/64 here ≈ 11%) instead of 1/2^H —
+    still a bucket-pruned scan, never all-pairs; recall@k rises toward
+    brute force (asserted in tests). The probe set is built by exploding a
+    literal array of the H+1 XOR masks per query — pure JVM, one
+    bucket-equi broadcast join, the same plan family as single-probe.
+
+    At 100 TB: identical layout story as ``ann_lsh_bucketed`` (vectors
+    written bucket-partitioned; a multi-probe query reads H+1 partitions).
+    """
+    emb = _embeddings_double(spark, sf_dir).withColumn(
+        "bucket", lsh_bucket(F.col("emb"))
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    masks = F.array(*[F.lit(m) for m in [0] + [1 << h for h in range(N_HYPERPLANES)]])
+    probes = q.select(
+        "query_id",
+        "q_emb",
+        F.explode(
+            F.transform(masks, lambda m: F.col("q_bucket").bitwiseXOR(m))
+        ).alias("probe_bucket"),
+    )
+    scored = emb.join(
+        F.broadcast(probes),
+        (F.col("bucket") == F.col("probe_bucket"))
+        & (F.col("vec_id") != F.col("query_id")),
+    ).withColumn("c", F.round(cosine(F.col("emb"), F.col("q_emb")), 9))
+    w = Window.partitionBy("query_id").orderBy(F.desc("c"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(F.col("c"), 6).alias("cos"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
 #: |z| beyond which an embedding's norm marks it an outlier.
 OUTLIER_Z = 2.0
 

@@ -107,6 +107,30 @@ def test_ann_lsh_recall_vs_brute_force(spark, sf_dir):
         assert abs(brute[(r["query_id"], r["neighbor_id"])] - r["cos"]) < 1e-9
 
 
+def test_ann_multiprobe_recall_dominates_single_probe(spark, sf_dir):
+    """Hamming-1 multi-probe must (a) return genuine cosine values, (b)
+    recall at least every brute-force top-k hit single-probe finds, and
+    (c) scan only bucket-pruned candidates (still never all-pairs)."""
+    brute = {
+        (r["query_id"], r["neighbor_id"]): r["cos"]
+        for r in similarity.ann_cosine_topk(spark, sf_dir).collect()
+    }
+    single = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ann_lsh_bucketed(spark, sf_dir).collect()
+    }
+    multi_rows = similarity.ann_lsh_multiprobe(spark, sf_dir).collect()
+    multi = {(r["query_id"], r["neighbor_id"]) for r in multi_rows}
+    single_hits = single & set(brute)
+    multi_hits = multi & set(brute)
+    assert single_hits <= multi_hits  # multi-probe never loses a hit
+    assert len(multi_hits) >= len(single_hits)
+    for r in multi_rows:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in brute:
+            assert abs(brute[key] - r["cos"]) < 1e-9
+
+
 def test_multimodal_features_match_python(spark, sf_dir):
     """The Arrow/mapInPandas path reproduces plain-Python byte math."""
     feats = {
