@@ -257,32 +257,62 @@ class KsqlEngine:
     _WINDOW_RE = re.compile(
         r"\bwindow\s+tumbling\s*\(\s*size\s+(\d+)\s+(\w+?)s?\s*\)", re.IGNORECASE
     )
+    _HOPPING_RE = re.compile(
+        r"\bwindow\s+hopping\s*\(\s*size\s+(\d+)\s+(\w+?)s?\s*,"
+        r"\s*advance\s+by\s+(\d+)\s+(\w+?)s?\s*\)",
+        re.IGNORECASE,
+    )
+    _SESSION_RE = re.compile(
+        r"\bwindow\s+session\s*\(\s*(\d+)\s+(\w+?)s?\s*\)", re.IGNORECASE
+    )
     _EMIT_RE = re.compile(r"\bemit\s+changes\s*$", re.IGNORECASE)
+
+    def _window_expr(self, sql: str) -> tuple[str, str | None, str]:
+        """Strip any ksql WINDOW clause.
+
+        Returns (sql, Spark window expression, implicit struct column name —
+        ``window`` for tumbling/hopping, ``session_window`` for session).
+        """
+        if m := self._HOPPING_RE.search(sql):
+            size, su = m.group(1), m.group(2).lower()
+            adv, au = m.group(3), m.group(4).lower()
+            return (
+                self._HOPPING_RE.sub("", sql),
+                f"window(timestamp_millis(rowtime), '{size} {su}s', '{adv} {au}s')",
+                "window",
+            )
+        if m := self._SESSION_RE.search(sql):
+            gap, gu = m.group(1), m.group(2).lower()
+            return (
+                self._SESSION_RE.sub("", sql),
+                f"session_window(timestamp_millis(rowtime), '{gap} {gu}s')",
+                "session_window",
+            )
+        if m := self._WINDOW_RE.search(sql):
+            size, su = m.group(1), m.group(2).lower()
+            return (
+                self._WINDOW_RE.sub("", sql),
+                f"window(timestamp_millis(rowtime), '{size} {su}s')",
+                "window",
+            )
+        return sql, None, ""
 
     def _rewrite_select(self, select: str) -> tuple[DataFrame, bool]:
         """ksql SELECT → Spark SQL text → DataFrame; returns (df, windowed)."""
         sql = self._EMIT_RE.sub("", select.strip()).strip()
-        windowed = False
-        wm = self._WINDOW_RE.search(sql)
-        if wm:
-            windowed = True
-            size, unit = int(wm.group(1)), wm.group(2).lower()
-            sql = self._WINDOW_RE.sub("", sql)
+        sql, win_expr, win_col = self._window_expr(sql)
+        windowed = win_expr is not None
+        if windowed:
             # ksql's windowed table keys on (group keys, window); expose the
             # implicit WINDOWSTART/WINDOWEND epoch-ms columns it carries.
-            win_expr = f"window(timestamp_millis(rowtime), '{size} {unit}s')"
             gm = re.search(r"\bgroup\s+by\s+(.*)$", sql, re.IGNORECASE | re.DOTALL)
             if not gm:
-                raise NotImplementedError("WINDOW TUMBLING without GROUP BY")
-            sql = (
-                sql[: gm.start()]
-                + f"group by {win_expr}, "
-                + gm.group(1)
-            )
+                raise NotImplementedError("ksql WINDOW clause without GROUP BY")
+            sql = sql[: gm.start()] + f"group by {win_expr}, " + gm.group(1)
             sql = re.sub(
                 r"^select\s",
-                "select unix_millis(window.start) AS windowstart, "
-                "unix_millis(window.end) AS windowend, ",
+                f"select unix_millis({win_col}.start) AS windowstart, "
+                f"unix_millis({win_col}.end) AS windowend, ",
                 sql,
                 count=1,
                 flags=re.IGNORECASE,

@@ -212,6 +212,39 @@ def test_print_topic(engine):
     assert df.count() == 500
 
 
+def test_hopping_and_session_windows(engine, spark):
+    """WINDOW HOPPING / WINDOW SESSION — the rest of ksqlDB's window
+    family, beyond the reference tutorial's TUMBLING."""
+    engine.execute(
+        "create table hopcont WITH (kafka_topic='hopcont') AS "
+        "select sexo, count(sexo) as contagem from custstream "
+        "window hopping (size 30 seconds, advance by 10 seconds) "
+        "group by sexo emit changes;"
+    )
+    hop = spark.table("hopcont").collect()
+    # a 30s/10s hop: every event lands in 3 overlapping windows
+    assert all(r["windowend"] - r["windowstart"] == 30_000 for r in hop)
+    starts = sorted({r["windowstart"] for r in hop})
+    assert len(starts) == 3
+    assert all(b - a == 10_000 for a, b in zip(starts, starts[1:]))
+    # rows in one tick all fall within one second -> every window holds all
+    per_window = {}
+    for r in hop:
+        per_window[r["windowstart"]] = per_window.get(r["windowstart"], 0) + r["contagem"]
+    assert set(per_window.values()) == {500}
+
+    engine.execute(
+        "create table sesscont WITH (kafka_topic='sesscont') AS "
+        "select sexo, count(sexo) as contagem from custstream "
+        "window session (300 seconds) "
+        "group by sexo emit changes;"
+    )
+    sess = spark.table("sesscont").collect()
+    # all tick-0 events are microseconds apart -> one session per key
+    assert len(sess) == 2
+    assert sum(r["contagem"] for r in sess) == 500
+
+
 def test_explain_surfaces_physical_plan(engine):
     """ksqlDB's EXPLAIN, answered with Spark's formatted physical plan —
     and the dialect functions are inlined, so no Python eval nodes."""
