@@ -134,6 +134,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_bucketed": similarity.ann_lsh_bucketed,
         "ann_lsh_multiprobe": similarity.ann_lsh_multiprobe,
         "ann_ivf_topk": similarity.ann_ivf_topk,
+        # array<float> block encoding through real Avro wire bytes
+        "avro_embeddings_roundtrip": pipeline_ops.avro_embeddings_roundtrip,
         # ---- stage E: relational surface (fully hash-proven in r02) ----
         "q1_pricing_summary": relational.q1_pricing_summary,
         "q3_shipping_priority": relational.q3_shipping_priority,
@@ -317,6 +319,15 @@ def oracle_sql() -> dict[str, str]:
                    strftime(ts, '%Y-%m-%d %H:%M:%S.%g') AS ts_conv,
                    event_type, value
             FROM events
+        """,
+        "avro_embeddings_roundtrip": """
+            SELECT vec_id, label,
+                   len(embedding)::BIGINT AS dim,
+                   round(embedding[1]::DOUBLE, 6) AS e_first,
+                   round(embedding[-1]::DOUBLE, 6) AS e_last,
+                   round(list_sum(list_transform(embedding,
+                       x -> x::DOUBLE * x::DOUBLE)), 6) AS sumsq
+            FROM embeddings
         """,
         "ksql_jovens": f"""
             WITH {_GEN_CTE}

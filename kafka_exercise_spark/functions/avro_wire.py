@@ -67,9 +67,11 @@ class AvroField:
 def parse_schema(schema_json: str | dict) -> list[AvroField]:
     """Parse an Avro JSON record schema into the codec's field list.
 
-    Covers the reference's schema surface: records of primitives, nullable
-    unions, and date/timestamp logical types. Anything else raises — better
-    a loud error than silently mis-decoded bytes.
+    Covers the reference's schema surface plus arrays of primitives
+    (``array:<item>`` tags — the embedding-transport case): records of
+    primitives, nullable unions, date/timestamp logical types,
+    ``{"type": "array", "items": <primitive>}``. Anything else raises —
+    better a loud error than silently mis-decoded bytes.
     """
     sch = json.loads(schema_json) if isinstance(schema_json, str) else schema_json
     if sch.get("type") != "record":
@@ -84,10 +86,16 @@ def parse_schema(schema_json: str | dict) -> list[AvroField]:
             ftype, nullable = branches[0], True
         if isinstance(ftype, dict):
             base, logical = ftype.get("type"), ftype.get("logicalType")
-            tag = _LOGICAL.get((base, logical))
-            if tag is None:
-                raise ValueError(f"unsupported complex/logical type: {ftype}")
-            ftype = tag
+            if base == "array":
+                items = ftype.get("items")
+                if items not in _PRIMITIVES or items == "null":
+                    raise ValueError(f"unsupported array items type: {items}")
+                ftype = f"array:{items}"
+            else:
+                tag = _LOGICAL.get((base, logical))
+                if tag is None:
+                    raise ValueError(f"unsupported complex/logical type: {ftype}")
+                ftype = tag
         elif ftype not in _PRIMITIVES:
             raise ValueError(f"unsupported type: {ftype}")
         fields.append(AvroField(f["name"], ftype, nullable))
@@ -151,7 +159,49 @@ _ENCODERS = {
 }
 
 
+#: Python-side casts so numpy scalars coming out of Arrow batches encode
+#: with exact integer/float semantics.
+_ITEM_CASTS = {
+    "int": int,
+    "long": int,
+    "float": float,
+    "double": float,
+    "string": str,
+    "boolean": bool,
+    "bytes": bytes,
+}
+
+
+def _encode_array(items_type: str, v) -> bytes:
+    """Avro array block encoding: varint count + items, 0-count terminator.
+
+    Single-block form (valid per spec; multi-block and negative-count
+    block-size forms are accepted on decode)."""
+    enc, cast = _ENCODERS[items_type], _ITEM_CASTS[items_type]
+    if len(v) == 0:
+        return b"\x00"
+    return (
+        encode_long(len(v)) + b"".join(enc(cast(x)) for x in v) + b"\x00"
+    )
+
+
+def _decode_array(items_type: str, buf: bytes, pos: int) -> tuple[list, int]:
+    out: list = []
+    while True:
+        count, pos = decode_long(buf, pos)
+        if count == 0:
+            return out, pos
+        if count < 0:  # spec: negative count is followed by the block size
+            count = -count
+            _size, pos = decode_long(buf, pos)
+        for _ in range(count):
+            item, pos = _decode_value(items_type, buf, pos)
+            out.append(item)
+
+
 def _decode_value(ftype: str, buf: bytes, pos: int) -> tuple[Any, int]:
+    if ftype.startswith("array:"):
+        return _decode_array(ftype.removeprefix("array:"), buf, pos)
     if ftype == "null":
         return None, pos
     if ftype == "boolean":
@@ -180,7 +230,10 @@ def encode_record(row: dict[str, Any], fields: list[AvroField]) -> bytes:
                 out += b"\x00"  # union branch 0 = null
                 continue
             out += b"\x02"  # union branch 1 (zigzag varint of 1)
-        out += _ENCODERS[f.type](v)
+        if f.type.startswith("array:"):
+            out += _encode_array(f.type.removeprefix("array:"), v)
+        else:
+            out += _ENCODERS[f.type](v)
     return bytes(out)
 
 
@@ -259,8 +312,14 @@ _SPARK_TYPES = {
 }
 
 
+def _spark_type(tag: str) -> str:
+    if tag.startswith("array:"):
+        return f"array<{_SPARK_TYPES[tag.removeprefix('array:')]}>"
+    return _SPARK_TYPES[tag]
+
+
 def _wire_schema_ddl(fields: list[AvroField]) -> str:
-    return ", ".join(f"{f.name} {_SPARK_TYPES[f.type]}" for f in fields)
+    return ", ".join(f"{f.name} {_spark_type(f.type)}" for f in fields)
 
 
 def avro_encode(df: DataFrame, schema_json: str, out_col: str = "value") -> DataFrame:
@@ -409,7 +468,18 @@ def can_read(writer_schema: str | dict, reader_schema: str | dict) -> list[str]:
                 )
             continue
         wf = writer[name][0]
-        if rf.type not in _PROMOTIONS[wf.type]:
+        w_t, r_t = wf.type, rf.type
+        if w_t.startswith("array:") or r_t.startswith("array:"):
+            w_item = w_t.removeprefix("array:")
+            r_item = r_t.removeprefix("array:")
+            compatible = (
+                w_t.startswith("array:")
+                and r_t.startswith("array:")
+                and r_item in _PROMOTIONS[w_item]
+            )
+        else:
+            compatible = r_t in _PROMOTIONS[w_t]
+        if not compatible:
             problems.append(
                 f"field '{name}': writer {wf.type} not readable as {rf.type}"
             )

@@ -260,6 +260,51 @@ def avro_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Avro wire schema for the embeddings table — array<float> transport.
+AVRO_EMBEDDINGS_SCHEMA = """
+{
+  "type": "record", "name": "embedding", "fields": [
+    {"name": "vec_id", "type": "long"},
+    {"name": "label", "type": "long"},
+    {"name": "embedding", "type": {"type": "array", "items": "float"}}
+  ]
+}
+"""
+
+
+def avro_embeddings_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings through real Avro wire bytes (array<float> block
+    encoding) and back — the transport path for shipping vector columns
+    between services; float32 items are exact through the 4-byte encoding.
+
+    Output is a scalar fingerprint of each round-tripped vector (dim,
+    first/last element, ordered sum of squares) so the oracle compares
+    plain numeric columns; the exact whole-array equality is pinned in
+    tests/test_avro_wire.py.
+    """
+    from kafka_exercise_spark.functions.avro_wire import avro_decode, avro_encode
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("long"),
+        F.col("label").cast("long"),
+        F.col("embedding").cast("array<float>"),
+    )
+    decoded = avro_decode(
+        avro_encode(emb, AVRO_EMBEDDINGS_SCHEMA), AVRO_EMBEDDINGS_SCHEMA
+    )
+    d = F.col("embedding").cast("array<double>")
+    return decoded.select(
+        "vec_id",
+        "label",
+        F.size("embedding").cast("long").alias("dim"),
+        F.round(F.element_at(d, 1), 6).alias("e_first"),
+        F.round(F.element_at(d, -1), 6).alias("e_last"),
+        F.round(
+            F.aggregate(d, F.lit(0.0), lambda acc, x: acc + x * x), 6
+        ).alias("sumsq"),
+    )
+
+
 GEN_ROWS = 500  # generator tick size for the ksql-dialect oracle entries
 
 

@@ -197,6 +197,61 @@ def test_schema_compatibility_full_gate():
     )
 
 
+def test_array_block_encoding_golden_and_roundtrip():
+    """Avro array = varint count + items + 0 terminator; negative-count
+    blocks (with byte size) accepted on decode per spec."""
+    fields = [AvroField("a", "array:long", False)]
+    body = encode_record({"a": [1, 2]}, fields)
+    assert body == b"\x04\x02\x04\x00"  # count 2, items 1,2 (zigzag), end
+    assert decode_record(body, fields) == {"a": [1, 2]}
+    assert encode_record({"a": []}, fields) == b"\x00"
+    # negative-count block form: -2 (zigzag 0x03), size 2 bytes, items, end
+    alt = b"\x03\x04\x02\x04\x00"
+    assert decode_record(alt, fields) == {"a": [1, 2]}
+    # nullable array: null branch and value branch
+    nf = [AvroField("a", "array:float", True)]
+    assert decode_record(encode_record({"a": None}, nf), nf) == {"a": None}
+    got = decode_record(encode_record({"a": [1.5, -2.25]}, nf), nf)
+    assert got == {"a": [1.5, -2.25]}
+
+
+def test_embeddings_roundtrip_through_avro_wire(spark, sf_dir):
+    """array<float> embeddings survive the wire byte-for-byte — the
+    transport story for multimodal/embedding columns."""
+    schema = json.dumps(
+        _schema(
+            [
+                {"name": "vec_id", "type": "long"},
+                {"name": "label", "type": "long"},
+                {"name": "embedding", "type": {"type": "array", "items": "float"}},
+            ]
+        )
+    )
+    from kafka_exercise_spark.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("long"),
+        F.col("label").cast("long"),
+        F.col("embedding").cast("array<float>"),
+    )
+    decoded = avro_decode(avro_encode(emb, schema), schema)
+    assert decoded.schema == emb.schema
+    assert decoded.exceptAll(emb).count() == 0
+    assert emb.exceptAll(decoded).count() == 0
+
+
+def test_array_schema_compatibility():
+    from kafka_exercise_spark.functions.avro_wire import check_compatibility
+
+    v_f = _schema([{"name": "e", "type": {"type": "array", "items": "float"}}])
+    v_d = _schema([{"name": "e", "type": {"type": "array", "items": "double"}}])
+    v_s = _schema([{"name": "e", "type": {"type": "array", "items": "string"}}])
+    assert check_compatibility(v_f, v_d, "BACKWARD") == []  # float->double ok
+    assert check_compatibility(v_f, v_s, "BACKWARD") != []
+    v_scalar = _schema([{"name": "e", "type": "float"}])
+    assert check_compatibility(v_scalar, v_f, "BACKWARD") != []
+
+
 def test_nullable_numeric_columns_roundtrip(spark):
     """Arrow→pandas turns nullable int64 columns into float64 with NaN for
     null; the encoder must still produce real Avro longs and null-branch
