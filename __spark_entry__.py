@@ -136,6 +136,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": similarity.ann_ivf_topk,
         # array<float> block encoding through real Avro wire bytes
         "avro_embeddings_roundtrip": pipeline_ops.avro_embeddings_roundtrip,
+        # end-to-end keep/drop curation decision, one map-only pass
+        "curation_pipeline": textops.curation_pipeline,
         # ---- stage E: relational surface (fully hash-proven in r02) ----
         "q1_pricing_summary": relational.q1_pricing_summary,
         "q3_shipping_priority": relational.q3_shipping_priority,
@@ -1319,6 +1321,38 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN n_unique > 1 THEN round(h / log2(n_unique), 6)
                         ELSE 0.0 END AS entropy_norm
             FROM e
+        """,
+        "curation_pipeline": f"""
+            WITH t AS (SELECT doc_id, text, {_TOKS} AS tok FROM documents),
+            r AS (
+              SELECT doc_id, len(tok) AS n_tokens,
+                round(
+                  0.4 * (CASE WHEN len(tok) > 0 THEN
+                    len(list_filter(tok, x -> list_contains({_QSTOPS}, x)))
+                        / len(tok) ELSE 0.0 END)
+                  + 0.3 * (CASE WHEN len(tok) > 0 THEN
+                    len(list_distinct(tok)) / len(tok) ELSE 0.0 END)
+                  + 0.3 * least(length(text) / 500.0, 1.0), 6) AS q,
+                round(CASE WHEN length(text) > 0 THEN
+                  len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]'))
+                      / length(text)
+                ELSE 0.0 END, 6) AS p
+              FROM t),
+            d AS (
+              SELECT doc_id, n_tokens, q, p,
+                concat_ws(',',
+                  CASE WHEN n_tokens < {textops.CURATION_MIN_TOKENS}
+                       THEN 'too_short' END,
+                  CASE WHEN q < {textops.CURATION_MIN_QUALITY}
+                       THEN 'low_quality' END,
+                  CASE WHEN p > {textops.CURATION_MAX_PUNCT}
+                       THEN 'high_punct' END) AS reasons
+              FROM r)
+            SELECT doc_id, n_tokens::BIGINT AS n_tokens,
+                   q AS quality_score, p AS punct_ratio,
+                   reasons = '' AS keep,
+                   reasons AS reject_reasons
+            FROM d
         """,
         "multimodal_meta": """
             SELECT doc_id, 'text/plain' AS media_type,

@@ -341,3 +341,54 @@ def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "entropy_norm",
         )
     )
+
+
+#: Curation thresholds — the keep/drop policy of `curation_pipeline`.
+#: Calibrated to the fixture distribution (quality spans ~0.21-0.45,
+#: token counts 10-99) so both branches are exercised; a real corpus
+#: re-tunes these against its own signal histograms.
+CURATION_MIN_TOKENS = 30
+CURATION_MIN_QUALITY = 0.35
+CURATION_MAX_PUNCT = 0.10
+
+
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end keep/drop curation decision, ONE map-only pass.
+
+    The composition a real pretraining pipeline runs per document: compute
+    the cheap signals (token count, quality score, punctuation ratio) and
+    fold them into a keep flag plus an auditable comma-joined reject-reason
+    string. Everything is a per-row expression over one scan — no joins
+    between signal passes, no shuffle; at 100 TB this runs at scan speed
+    and the reasons column is what makes filter-rate dashboards and policy
+    debugging possible downstream.
+    """
+    docs = scale_partitions(load_table(spark, sf_dir, "documents"), spark)
+    tok = tokens(F.col("text"))
+    n_tok = F.size(tok)
+    stop_ratio = F.when(
+        n_tok > 0, profile_hits(tok, QUALITY_STOPWORDS) / n_tok
+    ).otherwise(F.lit(0.0))
+    uniq_ratio = F.when(
+        n_tok > 0, F.size(F.array_distinct(tok)) / n_tok
+    ).otherwise(F.lit(0.0))
+    punct_ratio = F.when(
+        F.length("text") > 0,
+        F.regexp_count(F.col("text"), F.lit("[^a-zA-Z0-9\\s]")) / F.length("text"),
+    ).otherwise(F.lit(0.0))
+    len_norm = F.least(F.length("text") / F.lit(500.0), F.lit(1.0))
+    quality = 0.4 * stop_ratio + 0.3 * uniq_ratio + 0.3 * len_norm
+    reasons = F.concat_ws(
+        ",",
+        F.when(n_tok < CURATION_MIN_TOKENS, F.lit("too_short")),
+        F.when(F.round(quality, 6) < CURATION_MIN_QUALITY, F.lit("low_quality")),
+        F.when(F.round(punct_ratio, 6) > CURATION_MAX_PUNCT, F.lit("high_punct")),
+    )
+    return docs.select(
+        "doc_id",
+        n_tok.cast("long").alias("n_tokens"),
+        F.round(quality, 6).alias("quality_score"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        (reasons == "").alias("keep"),
+        reasons.alias("reject_reasons"),
+    )

@@ -397,3 +397,35 @@ def test_token_entropy_bounds_and_extremes(spark, sf_dir):
     assert got[1]["entropy"] == 0.0 and got[1]["entropy_norm"] == 0.0
     assert abs(got[2]["entropy"] - 2.0) < 1e-6  # 4 equiprobable tokens
     assert abs(got[2]["entropy_norm"] - 1.0) < 1e-6
+
+
+def test_curation_pipeline_decisions(spark, sf_dir):
+    """keep <=> no reject reasons; every reason is from the known set and
+    implied by its threshold; plan is map-only (no shuffle, no Python)."""
+    from kafka_exercise_spark.operators import textops
+    from kafka_exercise_spark.plans import python_eval_count, shuffle_exchange_count
+
+    df = textops.curation_pipeline(spark, sf_dir)
+    assert python_eval_count(df) == 0
+    # the only exchange is scale_partitions' round-robin small-file spread
+    # (a no-op decision at real scale) — no aggregation/join shuffle exists
+    assert shuffle_exchange_count(df) <= 1
+    rows = df.collect()
+    assert rows
+    known = {"too_short", "low_quality", "high_punct"}
+    for r in rows:
+        reasons = set(r["reject_reasons"].split(",")) - {""}
+        assert r["keep"] == (not reasons)
+        assert reasons <= known
+        assert ("too_short" in reasons) == (
+            r["n_tokens"] < textops.CURATION_MIN_TOKENS
+        )
+        assert ("low_quality" in reasons) == (
+            r["quality_score"] < textops.CURATION_MIN_QUALITY
+        )
+        assert ("high_punct" in reasons) == (
+            r["punct_ratio"] > textops.CURATION_MAX_PUNCT
+        )
+    # the fixture should exercise both branches
+    kept = sum(1 for r in rows if r["keep"])
+    assert 0 < kept < len(rows)
