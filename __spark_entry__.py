@@ -138,6 +138,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "avro_embeddings_roundtrip": pipeline_ops.avro_embeddings_roundtrip,
         # end-to-end keep/drop curation decision, one map-only pass
         "curation_pipeline": textops.curation_pipeline,
+        # ksql dialect stream-stream JOIN ... WITHIN (interval equi-join)
+        "ksql_join_within": pipeline_ops.ksql_join_within,
+        # Bloom-prefilter decontamination (exact output; bloom cuts cost)
+        "decontaminate_bloom": dedup.decontaminate_bloom,
         # ---- stage E: relational surface (fully hash-proven in r02) ----
         "q1_pricing_summary": relational.q1_pricing_summary,
         "q3_shipping_priority": relational.q3_shipping_priority,
@@ -1353,6 +1357,32 @@ def oracle_sql() -> dict[str, str]:
                    reasons = '' AS keep,
                    reasons AS reject_reasons
             FROM d
+        """,
+        "decontaminate_bloom": f"""
+            WITH t AS (SELECT doc_id, {_TOKS} AS tok FROM documents),
+            s AS (SELECT doc_id, {_SHINGLES} AS sh FROM t),
+            h AS (SELECT doc_id, {_HSH} AS hb FROM s),
+            ev AS (SELECT DISTINCT unnest(hb) AS sg FROM h WHERE doc_id < 50),
+            corpus AS (SELECT doc_id, len(hb)::BIGINT AS n_shingles, hb
+                       FROM h WHERE doc_id >= 50),
+            ex AS (SELECT doc_id, n_shingles, unnest(hb) AS sg FROM corpus),
+            agg AS (SELECT doc_id, n_shingles, count(*) AS n_eval_hits
+                    FROM ex JOIN ev USING (sg)
+                    GROUP BY doc_id, n_shingles)
+            SELECT doc_id, n_shingles, n_eval_hits,
+                   round(n_eval_hits / n_shingles, 6) AS eval_ratio,
+                   n_eval_hits >= 8 AS contaminated
+            FROM agg
+        """,
+        "ksql_join_within": """
+            SELECT c.user_id AS user_id, c.event_id AS click_id,
+                   p.event_id AS purchase_id, p.value AS purchase_value
+            FROM (SELECT user_id, event_id, epoch_ms(ts) AS rowtime
+                  FROM events WHERE event_type = 'click') c
+            JOIN (SELECT user_id, event_id, value, epoch_ms(ts) AS rowtime
+                  FROM events WHERE event_type = 'purchase') p
+              ON c.user_id = p.user_id
+             AND p.rowtime BETWEEN c.rowtime - 0 AND c.rowtime + 600000
         """,
         "multimodal_meta": """
             SELECT doc_id, 'text/plain' AS media_type,

@@ -53,6 +53,17 @@ _DIALECT_FUNCTIONS = (
            TIMESTAMPTOSTRING(t BIGINT, fmt STRING, tz STRING)
        RETURNS STRING
        RETURN date_format(from_utc_timestamp(timestamp_millis(t), tz), fmt)""",
+    # Inverses of the two formatters (ksqlDB's STRINGTOTIMESTAMP /
+    # STRINGTODATE return the same wire ints the decode path presents)
+    """CREATE OR REPLACE TEMPORARY FUNCTION
+           STRINGTOTIMESTAMP(s STRING, fmt STRING, tz STRING)
+       RETURNS BIGINT
+       RETURN unix_millis(to_utc_timestamp(to_timestamp(s, fmt), tz))""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION STRINGTODATE(s STRING, fmt STRING)
+       RETURNS INT
+       RETURN datediff(to_date(s, fmt), DATE'1970-01-01')""",
+    # ksqlDB MASK needs no shim: Spark's built-in mask() has identical
+    # defaults (uppercase -> 'X', lowercase -> 'x', digit -> 'n').
 )
 
 
@@ -297,9 +308,103 @@ class KsqlEngine:
             )
         return sql, None, ""
 
+    # ---- ksql aggregate-function spellings → Spark SQL equivalents ----
+    # Offset order ≙ arrival order; with one partition (reference
+    # README.md:99) that is rowtime order, so *_BY_OFFSET keys on rowtime.
+    _AGG_REWRITES = (
+        (
+            re.compile(r"\blatest_by_offset\s*\(\s*([^()]+?)\s*\)", re.IGNORECASE),
+            r"max_by(\1, rowtime)",
+        ),
+        (
+            re.compile(r"\bearliest_by_offset\s*\(\s*([^()]+?)\s*\)", re.IGNORECASE),
+            r"min_by(\1, rowtime)",
+        ),
+        (
+            re.compile(
+                r"\btopk\s*\(\s*([^(),]+?)\s*,\s*(\d+)\s*\)", re.IGNORECASE
+            ),
+            r"slice(reverse(array_sort(collect_list(\1))), 1, \2)",
+        ),
+        (
+            re.compile(r"\bcount_distinct\s*\(\s*([^()]+?)\s*\)", re.IGNORECASE),
+            r"count(DISTINCT \1)",
+        ),
+        # value -> occurrence-count map; the duplicated collect_list is one
+        # physical aggregation (Catalyst dedupes identical agg expressions)
+        (
+            re.compile(r"\bhistogram\s*\(\s*([^()]+?)\s*\)", re.IGNORECASE),
+            r"map_from_entries(transform(array_distinct(collect_list(\1)),"
+            r" v -> struct(v, size(filter(collect_list(\1), y -> y = v)))))",
+        ),
+    )
+
+    _TIME_UNIT_MS = {
+        "millisecond": 1,
+        "second": 1000,
+        "minute": 60_000,
+        "hour": 3_600_000,
+        "day": 86_400_000,
+    }
+
+    #: ``[LEFT [OUTER]] JOIN <rel> [<alias>] WITHIN <n> <unit> |
+    #:  WITHIN (<n> <unit>, <m> <unit>) ON`` — ksql stream-stream joins.
+    _WITHIN_RE = re.compile(
+        r"\bjoin\s+(?P<rel>\w+)(?:\s+(?!on\b|within\b)(?P<alias>\w+))?"
+        r"\s+within\s+(?:\(\s*(?P<before>\d+)\s+(?P<bu>\w+?)s?\s*,"
+        r"\s*(?P<after>\d+)\s+(?P<au>\w+?)s?\s*\)|(?P<n>\d+)\s+(?P<u>\w+?)s?)"
+        r"\s+on\s",
+        re.IGNORECASE,
+    )
+    _FROM_RE = re.compile(
+        r"\bfrom\s+(?P<rel>\w+)"
+        r"(?:\s+(?!left\b|right\b|full\b|inner\b|outer\b|join\b|where\b"
+        r"|group\b|window\b|emit\b|partition\b)(?P<alias>\w+))?",
+        re.IGNORECASE,
+    )
+
+    def _rewrite_within_join(self, sql: str) -> str:
+        """Stream-stream ``JOIN … WITHIN`` → plain join + rowtime interval.
+
+        ksqlDB's WITHIN bounds how far apart the two records' timestamps may
+        be (`WITHIN (b, a)`: left.ts - b <= right.ts <= left.ts + a; the
+        single-duration form is symmetric). The Spark translation ANDs that
+        interval onto the join condition — in streaming form this is exactly
+        the watermarked interval join Structured Streaming plans natively
+        (streaming/stateful.py streaming_join_replay)."""
+        m = self._WITHIN_RE.search(sql)
+        if not m:
+            return sql
+        fm = self._FROM_RE.search(sql)
+        if not fm:
+            raise NotImplementedError("WITHIN join without a FROM relation")
+        left = fm.group("alias") or fm.group("rel")
+        right = m.group("alias") or m.group("rel")
+
+        def _ms(n: str, unit: str) -> int:
+            u = unit.lower().rstrip("s")
+            if u not in self._TIME_UNIT_MS:
+                raise NotImplementedError(f"WITHIN unit {unit!r}")
+            return int(n) * self._TIME_UNIT_MS[u]
+
+        if m.group("n"):
+            before = after = _ms(m.group("n"), m.group("u"))
+        else:
+            before = _ms(m.group("before"), m.group("bu"))
+            after = _ms(m.group("after"), m.group("au"))
+        rhs = m.group("rel") + (f" {m.group('alias')}" if m.group("alias") else "")
+        cond = (
+            f"{right}.rowtime BETWEEN {left}.rowtime - {before} "
+            f"AND {left}.rowtime + {after} AND "
+        )
+        return sql[: m.start()] + f"join {rhs} on {cond}" + sql[m.end() :]
+
     def _rewrite_select(self, select: str) -> tuple[DataFrame, bool]:
         """ksql SELECT → Spark SQL text → DataFrame; returns (df, windowed)."""
         sql = self._EMIT_RE.sub("", select.strip()).strip()
+        sql = self._rewrite_within_join(sql)
+        for pat, repl in self._AGG_REWRITES:
+            sql = pat.sub(repl, sql)
         sql, win_expr, win_col = self._window_expr(sql)
         windowed = win_expr is not None
         if windowed:

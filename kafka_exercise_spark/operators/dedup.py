@@ -466,6 +466,96 @@ def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Bloom prefilter geometry for decontaminate_bloom: 2^17 bits (16 KB as
+#: 2048 longs) × 4 probes. At ~15k eval shingles the load factor is ~0.45
+#: → ~2% false-positive rate, i.e. the explode+join below the filter sees
+#: ~2% of corpus shingles plus true hits instead of all of them.
+BLOOM_BITS = 1 << 17
+BLOOM_K = 4
+
+
+def _bloom_probe_positions(h: int) -> list[int]:
+    """Kirsch-Mitzenmacher double hashing: k positions from one 60-bit
+    shingle hash. Twin of the JVM-side expressions in decontaminate_bloom —
+    the two MUST stay identical or the prefilter drops true hits."""
+    h1 = h & 0xFFFFFFFF
+    h2 = ((h >> 28) | 1) & 0xFFFFFFFF
+    return [(h1 + i * h2) % BLOOM_BITS for i in range(BLOOM_K)]
+
+
+def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc eval contamination via a broadcast Bloom prefilter + exact
+    verify — the production decontamination shape at corpus scale.
+
+    decontaminate_ngram (above) broadcast-joins EVERY corpus shingle
+    against the eval inverted index; at 100 TB that explode is the
+    dominant cost even though the join itself is map-side. Here the eval
+    set is folded into a 16 KB bit set shipped inside the plan as an
+    array<bigint> literal, and a JVM-side ``filter(hb, bloom_pass)``
+    drops ~98% of corpus shingles BEFORE the explode — the filter is pure
+    whole-stage-codegen integer math (shift/mask on the literal array),
+    no shuffle, no Python. Survivors (true hits + ~2% false positives)
+    are exact-verified with the broadcast eval-shingle join, so the
+    OUTPUT is exact — the Bloom stage changes cost, never results, which
+    is what makes a plain-SQL oracle possible.
+
+    Driver-side bound: the distinct eval shingle hashes are collected once
+    to build the bit set — bounded by the eval suite's size (thousands of
+    docs by definition, same bound decontaminate_ngram's broadcast relies
+    on), never by corpus size.
+
+    Output: one row per contaminated-or-touching corpus doc — distinct
+    eval-shingle hits, its shingle count, the hit ratio, and the
+    contamination flag at the DECONTAM_MIN_SHARED threshold.
+    """
+    docs = _with_hashed_shingles(
+        scale_partitions(load_table(spark, sf_dir, "documents"), spark)
+    )
+    eval_sh = (
+        docs.filter(F.col("doc_id") < BENCHMARK_MAX_DOC_ID)
+        .select(F.explode("hb").alias("sg"))
+        .distinct()
+    )
+    # build the bit set (driver-side, eval-suite-bounded)
+    words = [0] * (BLOOM_BITS // 64)
+    for (h,) in eval_sh.collect():
+        for p in _bloom_probe_positions(h):
+            words[p // 64] |= 1 << (p % 64)
+    bf = F.lit([w - (1 << 64) if w >= (1 << 63) else w for w in words])
+
+    def bloom_pass(sg):
+        h1 = sg.bitwiseAND(F.lit(0xFFFFFFFF))
+        h2 = F.shiftrightunsigned(sg, 28).bitwiseOR(F.lit(1)).bitwiseAND(
+            F.lit(0xFFFFFFFF)
+        )
+        ok = F.lit(True)
+        for i in range(BLOOM_K):
+            p = F.pmod(h1 + F.lit(i) * h2, F.lit(BLOOM_BITS))
+            word = F.element_at(bf, (p / F.lit(64)).cast("int") + F.lit(1))
+            ok = ok & (F.bit_get(word, F.pmod(p, F.lit(64)).cast("int")) == 1)
+        return ok
+
+    corpus = docs.filter(F.col("doc_id") >= BENCHMARK_MAX_DOC_ID).select(
+        "doc_id",
+        F.size("hb").cast("bigint").alias("n_shingles"),
+        F.explode(F.filter("hb", bloom_pass)).alias("sg"),
+    )
+    return (
+        corpus.join(F.broadcast(eval_sh), "sg")  # exact verify: kills FPs
+        .groupBy("doc_id", "n_shingles")
+        .agg(F.count("*").alias("n_eval_hits"))
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_eval_hits",
+            F.round(F.col("n_eval_hits") / F.col("n_shingles"), 6).alias(
+                "eval_ratio"
+            ),
+            (F.col("n_eval_hits") >= DECONTAM_MIN_SHARED).alias("contaminated"),
+        )
+    )
+
+
 #: Contraction passes before declaring non-convergence. Each pass shrinks
 #: the edge list to ≤ one spanning-forest edge per node per partition, so
 #: even a pathological graph collapses within a few passes.

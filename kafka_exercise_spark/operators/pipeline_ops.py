@@ -375,3 +375,40 @@ def ksql_idadecont(spark: SparkSession, sf_dir: str) -> DataFrame:
         "emit changes;"
     )
     return spark.table("idadecont")
+
+
+def ksql_join_within(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream ``JOIN … WITHIN`` through the ksql dialect layer.
+
+    ksqlDB's interval join (absent from the reference session — SURVEY §2.5
+    — but core ksqlDB vocabulary): purchases attributed to clicks by the
+    same user within (0s, 10min). The dialect rewrite lands on a plain
+    equi-join with a rowtime interval predicate, which Catalyst plans as a
+    hash join on user_id with the interval as a post-join filter — the
+    batch twin of Structured Streaming's watermarked interval join
+    (streaming/stateful.py streaming_join_replay). Scale: shuffles on
+    user_id only; no range-only cross product.
+    """
+    from kafka_exercise_spark.ksql import KsqlEngine
+
+    eng = KsqlEngine(spark)
+    events = load_table(spark, sf_dir, "events")
+    eng.register_topic("events", events, rowtime_col="ts", ts_wire_cols=("ts",))
+    eng.execute(
+        "create stream evstream WITH (kafka_topic='events', "
+        "value_format='AVRO');"
+    )
+    eng.execute(
+        "create stream kclicks AS select user_id, event_id, rowtime "
+        "from evstream where event_type = 'click' emit changes;"
+    )
+    eng.execute(
+        "create stream kpurchases AS select user_id, event_id, value, rowtime "
+        "from evstream where event_type = 'purchase' emit changes;"
+    )
+    return eng.execute(
+        "select c.user_id as user_id, c.event_id as click_id, "
+        "p.event_id as purchase_id, p.value as purchase_value "
+        "from kclicks c join kpurchases p within (0 seconds, 10 minutes) "
+        "on c.user_id = p.user_id emit changes;"
+    )

@@ -317,3 +317,116 @@ def test_streaming_ctas_equals_batch(spark, sf_dir, tmp_path):
         (r["windowstart"], r["event_type"]): r["contagem"] for r in batch.collect()
     }
     assert got == want
+
+
+# ---- dialect extensions beyond the reference's session: joins + the
+# common ksqlDB aggregate/scalar spellings (SURVEY §2.5 absences, filled
+# inside the dialect itself so a ksqlDB user's wider vocabulary works) ----
+
+
+@pytest.fixture(scope="module")
+def join_engine(spark, sf_dir):
+    """Two event streams off the same fixture topic: clicks and purchases."""
+    from kafka_exercise_spark.catalog import load_table
+
+    eng = KsqlEngine(spark)
+    events = load_table(spark, sf_dir, "events")
+    eng.register_topic("events", events, rowtime_col="ts", ts_wire_cols=("ts",))
+    eng.execute(
+        "create stream evstream WITH (kafka_topic='events', "
+        "value_format='AVRO');"
+    )
+    eng.execute(
+        "create stream clicks AS select user_id, event_id, value, rowtime "
+        "from evstream where event_type = 'click' emit changes;"
+    )
+    eng.execute(
+        "create stream purchases AS select user_id, event_id, value, rowtime "
+        "from evstream where event_type = 'purchase' emit changes;"
+    )
+    return eng
+
+
+def test_join_within_symmetric(join_engine, spark):
+    df = join_engine.execute(
+        "select c.user_id as user_id, c.event_id as click_id, "
+        "p.event_id as purchase_id "
+        "from clicks c join purchases p within 5 minutes "
+        "on c.user_id = p.user_id emit changes;"
+    )
+    want = spark.sql(
+        "select c.user_id, c.event_id as click_id, p.event_id as purchase_id "
+        "from clicks c join purchases p on c.user_id = p.user_id "
+        "and p.rowtime between c.rowtime - 300000 and c.rowtime + 300000"
+    )
+    assert df.count() == want.count() > 0
+
+
+def test_join_within_asymmetric_left(join_engine, spark):
+    """Purchase must FOLLOW the click (0 before, 10 min after) — the
+    conversion-attribution shape; LEFT JOIN keeps unconverted clicks."""
+    df = join_engine.execute(
+        "select c.event_id as click_id, p.event_id as purchase_id "
+        "from clicks c left join purchases p within (0 seconds, 10 minutes) "
+        "on c.user_id = p.user_id emit changes;"
+    )
+    want = spark.sql(
+        "select c.event_id as click_id, p.event_id as purchase_id "
+        "from clicks c left join purchases p on c.user_id = p.user_id "
+        "and p.rowtime between c.rowtime - 0 and c.rowtime + 600000"
+    )
+    assert df.count() == want.count()
+    # the left join keeps clicks with no purchase in-window
+    assert df.filter("purchase_id IS NULL").count() > 0
+
+
+def test_offset_aggregates_and_topk(join_engine, spark):
+    df = join_engine.execute(
+        "select user_id, latest_by_offset(value) as last_value, "
+        "earliest_by_offset(value) as first_value, "
+        "topk(value, 3) as top3, count_distinct(event_id) as n_events "
+        "from clicks group by user_id emit changes;"
+    )
+    want = spark.sql(
+        "select user_id, max_by(value, rowtime) as last_value, "
+        "min_by(value, rowtime) as first_value, "
+        "slice(reverse(array_sort(collect_list(value))), 1, 3) as top3, "
+        "count(distinct event_id) as n_events "
+        "from clicks group by user_id"
+    )
+    got = {r["user_id"]: r for r in df.collect()}
+    exp = {r["user_id"]: r for r in want.collect()}
+    assert got.keys() == exp.keys()
+    for k in got:
+        assert got[k]["last_value"] == exp[k]["last_value"]
+        assert got[k]["first_value"] == exp[k]["first_value"]
+        assert got[k]["top3"] == exp[k]["top3"]
+        assert got[k]["n_events"] == exp[k]["n_events"]
+    assert all(len(r["top3"]) <= 3 for r in got.values())
+
+
+def test_histogram_aggregate(join_engine):
+    df = join_engine.execute(
+        "select user_id, histogram(event_id % 2) as h "
+        "from clicks group by user_id emit changes;"
+    )
+    row = df.filter("size(h) > 0").first()
+    assert row is not None and sum(row["h"].values()) >= 1
+
+
+def test_string_inverse_functions_roundtrip(engine):
+    df = engine.execute(
+        "select dt_update, "
+        "STRINGTOTIMESTAMP(TIMESTAMPTOSTRING(dt_update, "
+        "'yyyy-MM-dd HH:mm:ss.SSS', 'UTC'), 'yyyy-MM-dd HH:mm:ss.SSS', 'UTC') "
+        "as ts_back, "
+        "nascimento, "
+        "STRINGTODATE(DATETOSTRING(nascimento, 'yyyy-MM-dd'), 'yyyy-MM-dd') "
+        "as d_back, "
+        "MASK(telefone) as tel_masked "
+        "from custstream emit changes;"
+    )
+    bad = df.filter("ts_back != dt_update OR d_back != nascimento").count()
+    assert bad == 0
+    row = df.first()
+    assert set(row["tel_masked"]) <= set("Xxn+- ().,/")

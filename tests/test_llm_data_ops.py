@@ -429,3 +429,52 @@ def test_curation_pipeline_decisions(spark, sf_dir):
     # the fixture should exercise both branches
     kept = sum(1 for r in rows if r["keep"])
     assert 0 < kept < len(rows)
+
+
+def test_decontaminate_bloom_equals_exact(spark, sf_dir):
+    """The Bloom prefilter is a cost optimization, never a semantic one:
+    its output must equal the exact (no-bloom) broadcast-join computation
+    row for row — false positives die in the verify join, and true hits
+    cannot be dropped (the probe positions are derived identically on both
+    sides of the bit set)."""
+    from kafka_exercise_spark.operators.dedup import (
+        BENCHMARK_MAX_DOC_ID,
+        DECONTAM_MIN_SHARED,
+        _with_hashed_shingles,
+        decontaminate_bloom,
+    )
+    from kafka_exercise_spark.catalog import load_table
+
+    got = {
+        r["doc_id"]: r
+        for r in decontaminate_bloom(spark, sf_dir).collect()
+    }
+
+    docs = _with_hashed_shingles(load_table(spark, sf_dir, "documents"))
+    ev = (
+        docs.filter(F.col("doc_id") < BENCHMARK_MAX_DOC_ID)
+        .select(F.explode("hb").alias("sg"))
+        .distinct()
+    )
+    exact = {
+        r["doc_id"]: r
+        for r in (
+            docs.filter(F.col("doc_id") >= BENCHMARK_MAX_DOC_ID)
+            .select(
+                "doc_id",
+                F.size("hb").cast("bigint").alias("n_shingles"),
+                F.explode("hb").alias("sg"),
+            )
+            .join(ev, "sg")
+            .groupBy("doc_id", "n_shingles")
+            .agg(F.count("*").alias("n_eval_hits"))
+            .collect()
+        )
+    }
+    assert got.keys() == exact.keys() and len(got) > 0
+    for k, r in got.items():
+        assert r["n_eval_hits"] == exact[k]["n_eval_hits"]
+        assert r["n_shingles"] == exact[k]["n_shingles"]
+        assert r["contaminated"] == (
+            r["n_eval_hits"] >= DECONTAM_MIN_SHARED
+        )
