@@ -488,16 +488,21 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     verify — the production decontamination shape at corpus scale.
 
     decontaminate_ngram (above) broadcast-joins EVERY corpus shingle
-    against the eval inverted index; at 100 TB that explode is the
-    dominant cost even though the join itself is map-side. Here the eval
-    set is folded into a 16 KB bit set shipped inside the plan as an
-    array<bigint> literal, and a JVM-side ``filter(hb, bloom_pass)``
-    drops ~98% of corpus shingles BEFORE the explode — the filter is pure
-    whole-stage-codegen integer math (shift/mask on the literal array),
-    no shuffle, no Python. Survivors (true hits + ~2% false positives)
-    are exact-verified with the broadcast eval-shingle join, so the
-    OUTPUT is exact — the Bloom stage changes cost, never results, which
-    is what makes a plain-SQL oracle possible.
+    against the exact eval inverted index — fine while that index is
+    small enough to broadcast. Here the eval set is folded into a 16 KB
+    bit set shipped inside the plan as an array<bigint> literal, and a
+    JVM-side WHERE on the exploded shingle column drops ~98% of corpus
+    shingles before the broadcast join — plain integer math (pmod /
+    element_at / bit_get against the literal) that stays inside
+    whole-stage codegen. (A higher-order ``filter(hb, lambda)`` before
+    the explode was measured 2x slower: lambda bodies evaluate
+    interpreted, outside codegen.) Survivors (true hits + ~2% false
+    positives) are exact-verified with the broadcast eval-shingle join,
+    so the OUTPUT is exact — the Bloom stage changes cost, never
+    results, which is what makes a plain-SQL oracle possible. The
+    100 TB story: the exact index grows with the eval suite and can
+    stop fitting a comfortable broadcast; the bit set stays 16 KB, and
+    join/shuffle pressure drops by the pass rate.
 
     Driver-side bound: the distinct eval shingle hashes are collected once
     to build the bit set — bounded by the eval suite's size (thousands of
@@ -508,20 +513,49 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     eval-shingle hits, its shingle count, the hit ratio, and the
     contamination flag at the DECONTAM_MIN_SHARED threshold.
     """
-    docs = _with_hashed_shingles(
-        scale_partitions(load_table(spark, sf_dir, "documents"), spark)
-    )
-    eval_sh = (
-        docs.filter(F.col("doc_id") < BENCHMARK_MAX_DOC_ID)
+    raw = load_table(spark, sf_dir, "documents")
+    # split BEFORE shingling so each side's doc_id predicate reaches the
+    # parquet scan — filtering the shingled+repartitioned frame instead
+    # costs a full corpus shingle pass per eval-side use (measured: 2x
+    # the whole query)
+    eval_plan = (
+        _with_hashed_shingles(raw.filter(F.col("doc_id") < BENCHMARK_MAX_DOC_ID))
         .select(F.explode("hb").alias("sg"))
         .distinct()
     )
-    # build the bit set (driver-side, eval-suite-bounded)
-    words = [0] * (BLOOM_BITS // 64)
-    for (h,) in eval_sh.collect():
+    # The eval side is ~50 docs; its wall time is pure expression-codegen
+    # compile (lambda-variable ExprIds make the generated source
+    # uncacheable — measured 3.4s compiled vs 0.14s interpreted for this
+    # exact subtree). Interpreted mode is strictly right for a 50-row job.
+    prev_mode = spark.conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try:
+        eval_hashes = [h for (h,) in eval_plan.collect()]
+    finally:
+        spark.conf.set("spark.sql.codegen.factoryMode", prev_mode)
+    # verify side reuses the driver-resident hashes as a local relation —
+    # re-deriving it from `raw` would compile (another ~3s) and execute the
+    # eval shingle pipeline a second time inside the main job
+    eval_sh = spark.createDataFrame(
+        [(h,) for h in eval_hashes], "sg long"
+    )
+    # Build the bit set (driver-side, eval-suite-bounded) and ship it as
+    # ONE BinaryType literal (byte-per-bit). The representation matters
+    # twice over:
+    # - an array<bigint> literal via lit(list) lowers to CreateArray with
+    #   2048 child nodes; referenced once per probe that puts ~8k nodes in
+    #   the tree and every optimizer rule walks them all — measured ~5s of
+    #   driver-side planning per call;
+    # - a STRING literal is a single node, but UTF8String.substring scans
+    #   from offset 0 to find codepoint boundaries — O(position) per probe,
+    #   measured 20s+ on the corpus.
+    # substr on BINARY indexes bytes directly (no codepoints): one plan
+    # node, O(1) probes.
+    bits = bytearray(b"\x00" * BLOOM_BITS)
+    for h in eval_hashes:
         for p in _bloom_probe_positions(h):
-            words[p // 64] |= 1 << (p % 64)
-    bf = F.lit([w - (1 << 64) if w >= (1 << 63) else w for w in words])
+            bits[p] = 1
+    bf = F.lit(bytes(bits))
 
     def bloom_pass(sg):
         h1 = sg.bitwiseAND(F.lit(0xFFFFFFFF))
@@ -531,14 +565,23 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         ok = F.lit(True)
         for i in range(BLOOM_K):
             p = F.pmod(h1 + F.lit(i) * h2, F.lit(BLOOM_BITS))
-            word = F.element_at(bf, (p / F.lit(64)).cast("int") + F.lit(1))
-            ok = ok & (F.bit_get(word, F.pmod(p, F.lit(64)).cast("int")) == 1)
+            ok = ok & (
+                bf.substr(p.cast("int") + F.lit(1), F.lit(1)) == F.lit(b"\x01")
+            )
         return ok
 
-    corpus = docs.filter(F.col("doc_id") >= BENCHMARK_MAX_DOC_ID).select(
-        "doc_id",
-        F.size("hb").cast("bigint").alias("n_shingles"),
-        F.explode(F.filter("hb", bloom_pass)).alias("sg"),
+    corpus = (
+        _with_hashed_shingles(
+            scale_partitions(
+                raw.filter(F.col("doc_id") >= BENCHMARK_MAX_DOC_ID), spark
+            )
+        )
+        .select(
+            "doc_id",
+            F.size("hb").cast("bigint").alias("n_shingles"),
+            F.explode("hb").alias("sg"),
+        )
+        .where(bloom_pass(F.col("sg")))
     )
     return (
         corpus.join(F.broadcast(eval_sh), "sg")  # exact verify: kills FPs
