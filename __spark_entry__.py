@@ -142,6 +142,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ksql_join_within": pipeline_ops.ksql_join_within,
         # Bloom-prefilter decontamination (exact output; bloom cuts cost)
         "decontaminate_bloom": dedup.decontaminate_bloom,
+        # deterministic stride frame sampling over binary payloads (JVM-only)
+        "multimodal_frame_sample": multimodal.multimodal_frame_sample,
         # ---- stage E: relational surface (fully hash-proven in r02) ----
         "q1_pricing_summary": relational.q1_pricing_summary,
         "q3_shipping_priority": relational.q3_shipping_priority,
@@ -1357,6 +1359,29 @@ def oracle_sql() -> dict[str, str]:
                    reasons = '' AS keep,
                    reasons AS reject_reasons
             FROM d
+        """,
+        "multimodal_frame_sample": """
+            -- DuckDB cannot slice BLOBs; fixture texts are pure ASCII
+            -- (octet_length(encode(text)) = length(text) for every row at
+            -- sf0.01/sf0.1), so VARCHAR substring = byte slicing here and
+            -- sha256(VARCHAR) hashes the same bytes Spark's sha2(binary)
+            -- does.
+            WITH s AS (SELECT doc_id, text,
+                         CAST(ceil(octet_length(encode(text)) / 64.0)
+                              AS BIGINT) AS n_frames
+                  FROM documents),
+            e AS (SELECT doc_id, text, n_frames,
+                         unnest(list_distinct(list_transform([0, 1, 2, 3],
+                             j -> CAST(floor(j * n_frames / 4.0) AS BIGINT))))
+                             AS frame_idx
+                  FROM s)
+            SELECT doc_id, n_frames, frame_idx,
+                   frame_idx * 64 AS frame_offset,
+                   octet_length(encode(substring(text, frame_idx * 64 + 1,
+                       64)))::BIGINT AS frame_bytes,
+                   sha256(substring(text, frame_idx * 64 + 1, 64))
+                       AS frame_sha256
+            FROM e
         """,
         "decontaminate_bloom": f"""
             WITH t AS (SELECT doc_id, {_TOKS} AS tok FROM documents),

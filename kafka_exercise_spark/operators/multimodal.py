@@ -128,3 +128,61 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bytes",
         F.sha2(F.col("payload"), 256).alias("sha256_hex"),
     )
+
+
+#: Frame geometry for the deterministic sampler: the payload is treated as
+#: a sequence of fixed FRAME_BYTES chunks ("frames"); SAMPLE_FRAMES are
+#: taken at a uniform stride. Real video frames are variable-size — the
+#: fixed chunk stands in for the decoder's frame index, which is exactly
+#: what a production sampler consumes.
+FRAME_BYTES = 64
+SAMPLE_FRAMES = 4
+
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform-stride frame sampling over an opaque media payload — the
+    video-pipeline step that cuts a 100 TB corpus to the k frames/clip a
+    vision encoder actually reads.
+
+    Entirely JVM-side: frame index set = ``array_distinct(transform(
+    sequence(0..k-1), j -> floor(j*n_frames/k)))``, one explode, and the
+    frame bytes come from ``substr`` on the binary column (direct byte
+    offsets — no decode, no Python, no shuffle; the only wide op is none).
+    A real deployment swaps the fixed-size chunk for decoder frame indices
+    (decode_stub's replacement) but keeps this exact plan shape: sample
+    BEFORE decode, so the expensive step only ever sees k frames per doc.
+
+    Emitted per sampled frame: byte offset + sha256 of the frame slice —
+    enough for the DuckDB oracle to verify every byte boundary without
+    shipping the frames themselves through the comparison.
+    """
+    k = SAMPLE_FRAMES
+    media = media_table(spark, sf_dir).withColumn(
+        "n_frames",
+        F.ceil(F.col("n_bytes") / F.lit(float(FRAME_BYTES))).cast("bigint"),
+    )
+    idxs = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(k - 1)),
+            lambda j: F.floor(j * F.col("n_frames") / F.lit(float(k))).cast(
+                "bigint"
+            ),
+        )
+    )
+    frame = F.col("payload").substr(
+        (F.col("frame_idx") * FRAME_BYTES).cast("int") + F.lit(1),
+        F.lit(FRAME_BYTES),
+    )
+    return (
+        media.select(
+            "doc_id", "n_frames", F.explode(idxs).alias("frame_idx"), "payload"
+        )
+        .select(
+            "doc_id",
+            "n_frames",
+            "frame_idx",
+            (F.col("frame_idx") * FRAME_BYTES).alias("frame_offset"),
+            F.octet_length(frame).cast("bigint").alias("frame_bytes"),
+            F.sha2(frame, 256).alias("frame_sha256"),
+        )
+    )

@@ -478,3 +478,38 @@ def test_decontaminate_bloom_equals_exact(spark, sf_dir):
         assert r["contaminated"] == (
             r["n_eval_hits"] >= DECONTAM_MIN_SHARED
         )
+
+
+def test_multimodal_frame_sample_byte_boundaries(spark, sf_dir):
+    """Every sampled frame's offset/length/sha256 must match a Python
+    re-slice of the original payload — pins the substr byte arithmetic
+    (1-based pos, binary not char offsets) and the stride index set."""
+    import hashlib
+    import math
+
+    from kafka_exercise_spark.catalog import load_table
+    from kafka_exercise_spark.operators.multimodal import (
+        FRAME_BYTES,
+        SAMPLE_FRAMES,
+        multimodal_frame_sample,
+    )
+
+    texts = {
+        r["doc_id"]: r["text"].encode("utf-8")
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    rows = multimodal_frame_sample(spark, sf_dir).collect()
+    assert len(rows) > 0
+    seen: dict = {}
+    for r in rows:
+        payload = texts[r["doc_id"]]
+        n_frames = math.ceil(len(payload) / FRAME_BYTES)
+        assert r["n_frames"] == n_frames
+        sl = payload[r["frame_offset"] : r["frame_offset"] + FRAME_BYTES]
+        assert r["frame_bytes"] == len(sl) > 0
+        assert r["frame_sha256"] == hashlib.sha256(sl).hexdigest()
+        seen.setdefault(r["doc_id"], set()).add(r["frame_idx"])
+    for doc_id, idxs in seen.items():
+        n = math.ceil(len(texts[doc_id]) / FRAME_BYTES)
+        want = {j * n // SAMPLE_FRAMES for j in range(SAMPLE_FRAMES)}
+        assert idxs == want and len(idxs) <= SAMPLE_FRAMES
