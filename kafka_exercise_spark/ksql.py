@@ -277,6 +277,20 @@ class KsqlEngine:
         r"\bwindow\s+session\s*\(\s*(\d+)\s+(\w+?)s?\s*\)", re.IGNORECASE
     )
     _EMIT_RE = re.compile(r"\bemit\s+changes\s*$", re.IGNORECASE)
+    #: ``GRACE PERIOD n unit`` inside a WINDOW clause: ksqlDB's late-data
+    #: retention bound. The batch rewrite sees all data, so the clause is
+    #: accepted and stripped; the streaming twin of the same bound is the
+    #: withWatermark delay (streaming/stateful.py), set per-pipeline.
+    _GRACE_RE = re.compile(
+        r",?\s*grace\s+period\s+\d+\s+\w+", re.IGNORECASE
+    )
+    #: ``PARTITION BY <col>``: ksqlDB re-keys the output records. Row
+    #: values are unchanged — the rewrite applies a repartition on the
+    #: column so downstream sinks/joins see the same co-location, which is
+    #: the semantic content of re-keying in the Spark model.
+    _PARTITION_RE = re.compile(
+        r"\bpartition\s+by\s+(\w+)\s*", re.IGNORECASE
+    )
 
     def _window_expr(self, sql: str) -> tuple[str, str | None, str]:
         """Strip any ksql WINDOW clause.
@@ -402,6 +416,10 @@ class KsqlEngine:
     def _rewrite_select(self, select: str) -> tuple[DataFrame, bool]:
         """ksql SELECT → Spark SQL text → DataFrame; returns (df, windowed)."""
         sql = self._EMIT_RE.sub("", select.strip()).strip()
+        sql = self._GRACE_RE.sub("", sql)
+        part_col = None
+        if pm := self._PARTITION_RE.search(sql):
+            part_col, sql = pm.group(1), self._PARTITION_RE.sub("", sql)
         sql = self._rewrite_within_join(sql)
         for pat, repl in self._AGG_REWRITES:
             sql = pat.sub(repl, sql)
@@ -422,7 +440,10 @@ class KsqlEngine:
                 count=1,
                 flags=re.IGNORECASE,
             )
-        return self.spark.sql(sql), windowed
+        df = self.spark.sql(sql)
+        if part_col is not None:
+            df = df.repartition(F.col(part_col))
+        return df, windowed
 
     def _query(self, stmt: str) -> DataFrame:
         df, _ = self._rewrite_select(stmt)

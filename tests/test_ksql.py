@@ -430,3 +430,25 @@ def test_string_inverse_functions_roundtrip(engine):
     assert bad == 0
     row = df.first()
     assert set(row["tel_masked"]) <= set("Xxn+- ().,/")
+
+
+def test_partition_by_and_grace_period(join_engine, spark):
+    """PARTITION BY re-keys (row values unchanged, co-location applied);
+    GRACE PERIOD parses and is a batch no-op (all data visible)."""
+    join_engine.execute(
+        "create stream clicks_by_user AS select user_id, event_id "
+        "from clicks partition by user_id emit changes;"
+    )
+    got = spark.table("clicks_by_user")
+    assert got.count() == spark.table("clicks").count()
+    assert "Exchange hashpartitioning(user_id" in got._jdf.queryExecution().executedPlan().toString()
+    df = join_engine.execute(
+        "select user_id, count(*) as n from clicks "
+        "window tumbling (size 30 seconds, grace period 5 minutes) "
+        "group by user_id emit changes;"
+    )
+    want = join_engine.execute(
+        "select user_id, count(*) as n from clicks "
+        "window tumbling (size 30 seconds) group by user_id emit changes;"
+    )
+    assert df.count() == want.count() > 0
