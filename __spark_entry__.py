@@ -90,10 +90,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_ordered": analytic.funnel_ordered,
         # ---- north star: deduplication ----
         "dedup_exact": dedup.dedup_exact,
-        "minhash_signatures": dedup.minhash_signatures,
         "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
         "dedup_simhash": dedup.dedup_simhash,
-        "dedup_simhash_pairs": dedup.dedup_simhash_pairs,
         "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
         "dedup_embedding_cosine": dedup.dedup_embedding_cosine,
         "dedup_components": dedup.dedup_components,
@@ -101,6 +99,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": dedup.dedup_incremental,
         # benchmark decontamination: corpus×eval n-gram overlap
         "decontaminate_ngram": dedup.decontaminate_ngram,
+        # cross-doc duplicated-span removal (Lee et al. 2022 style)
+        "dedup_passages": dedup.dedup_passages,
         # ---- north star: text analysis over documents ----
         "text_token_stats": textops.text_token_stats,
         "text_quality_score": textops.text_quality_score,
@@ -114,8 +114,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- north star: deterministic sampling / splitting / mixing ----
         "sample_hash_stratified": sampling.sample_hash_stratified,
         "split_train_valid_test": sampling.split_train_valid_test,
-        "domain_mix_resample": sampling.domain_mix_resample,
         "pack_sequences": sampling.pack_sequences,
+        # per-domain cap (C4/RefinedWeb per-host limit), kept rows emitted
+        "domain_cap": sampling.domain_cap,
+        # deterministic (shard, position) training-order shuffle
+        "global_shuffle": sampling.global_shuffle,
         # ---- north star: similarity search (hash-oracle entries) ----
         "ann_cosine_topk": similarity.ann_cosine_topk,
         "embedding_outliers": similarity.embedding_outliers,
@@ -134,6 +137,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_bucketed": similarity.ann_lsh_bucketed,
         "ann_lsh_multiprobe": similarity.ann_lsh_multiprobe,
         "ann_ivf_topk": similarity.ann_ivf_topk,
+        # full-oracle entries rotated past the 50-entry hash window in r03
+        # (their math is transitively pinned: signatures/pairs feed the
+        # in-window LSH/simhash entries; resample shares the hash-bucket
+        # primitive with the in-window sampling entries)
+        "minhash_signatures": dedup.minhash_signatures,
+        "dedup_simhash_pairs": dedup.dedup_simhash_pairs,
+        "domain_mix_resample": sampling.domain_mix_resample,
         # array<float> block encoding through real Avro wire bytes
         "avro_embeddings_roundtrip": pipeline_ops.avro_embeddings_roundtrip,
         # end-to-end keep/drop curation decision, one map-only pass
@@ -1272,6 +1282,57 @@ def oracle_sql() -> dict[str, str]:
                      - CAST(floor((cum_tok - n_tok) / 2048) AS BIGINT) * 2048
                      AS offset_in_bin
             FROM c
+        """,
+        "domain_cap": """
+            WITH d AS (SELECT source, doc_id,
+                              ('0x' || substr(md5('cap:' || doc_id), 1, 15))::BIGINT
+                                  AS hk
+                       FROM documents),
+            r AS (SELECT source, doc_id,
+                         row_number() OVER (PARTITION BY source
+                                            ORDER BY hk, doc_id) AS keep_rank
+                  FROM d)
+            SELECT source, doc_id, keep_rank::BIGINT AS keep_rank
+            FROM r WHERE keep_rank <= 15
+        """,
+        "global_shuffle": """
+            WITH d AS (SELECT doc_id,
+                              ('0x' || substr(md5('shuffle:' || doc_id), 1, 15))::BIGINT
+                                  AS hk
+                       FROM documents),
+            s AS (SELECT doc_id, hk, hk % 16 AS shard FROM d)
+            SELECT doc_id, shard::BIGINT AS shard,
+                   (row_number() OVER (PARTITION BY shard
+                                       ORDER BY hk, doc_id))::BIGINT AS position
+            FROM s
+        """,
+        "dedup_passages": f"""
+            WITH t AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+            p AS (SELECT doc_id, w, unnest(range(len(w) - 7)) AS i
+                  FROM t WHERE len(w) >= 8),
+            gr AS (SELECT doc_id, i,
+                          ('0x' || substr(md5(
+                              array_to_string(w[i+1 : i+8], ' ')), 1, 15))::BIGINT
+                              AS g
+                   FROM p),
+            dup AS (SELECT g FROM gr GROUP BY g HAVING count(*) > 1),
+            cov AS (SELECT DISTINCT doc_id, gr.i + u.x AS pos
+                    FROM gr JOIN dup USING (g) CROSS JOIN range(8) AS u(x)),
+            cl AS (SELECT doc_id, list(pos) AS cl, min(pos)::BIGINT AS first_dup_pos
+                   FROM cov GROUP BY doc_id),
+            j AS (SELECT t.doc_id, w, cl.cl, cl.first_dup_pos,
+                         list_filter(w, (x, i) -> cl.cl IS NULL
+                                     OR NOT list_contains(cl.cl, i - 1)) AS kept
+                  FROM t LEFT JOIN cl ON t.doc_id = cl.doc_id)
+            SELECT doc_id,
+                   len(w)::BIGINT AS n_words,
+                   coalesce(len(cl), 0)::BIGINT AS n_dup_positions,
+                   first_dup_pos,
+                   len(kept)::BIGINT AS n_kept_words,
+                   ('0x' || substr(md5(
+                       coalesce(array_to_string(kept, ' '), '')), 1, 15))::BIGINT
+                       AS clean_fp
+            FROM j
         """,
         "ann_cosine_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe

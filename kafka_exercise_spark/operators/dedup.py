@@ -777,3 +777,92 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("new_doc_id", "old_doc_id", "n_common", "jaccard")
     )
+
+
+#: Passage length (in tokens) for cross-document duplicated-span removal.
+#: Lee et al. (ACL 2022, "Deduplicating Training Data Makes Language Models
+#: Better") cut exact duplicated substrings of >= 50 tokens; the fixture
+#: docs are ~50 words total, so 8 tokens plays the same role here (and
+#: matches the decontamination n-gram order).
+PASSAGE_N = 8
+
+
+def dedup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-passage removal: cut every token span that
+    occurs (at PASSAGE_N-gram granularity) more than once in the corpus,
+    keeping the rest of each document.
+
+    This is the span-level complement of the doc-level near-dup family:
+    near-dup dedup drops whole documents, passage dedup surgically removes
+    the boilerplate/quotation spans that survive doc-level dedup (Lee et
+    al. 2022 report ~3 % of tokens in C4 sit in >=50-token exact dupes).
+
+    Plan shape, all JVM-side:
+      1. tokenize; explode one 60-bit hash per n-gram *start position*
+         (map-only; the n-gram string never leaves the scan stage),
+      2. groupBy(gram-hash) -> df; duplicated keys = df > 1 (one shuffle
+         on a long key, map-side partial agg),
+      3. join gram occurrences to the duplicated-key set (key-partitioned
+         join; at 100 TB the duplicated set is the small side - dups are
+         the exception - so AQE broadcasts it),
+      4. expand each duplicated start i to covered positions [i, i+n-1],
+         distinct, re-aggregate per doc into a covered-position list,
+      5. rebuild the kept text with a positional array filter and
+         fingerprint it (map-only).
+
+    Output per doc: token counts before/after the cut, the first covered
+    position, and the md5 fingerprint of the cleaned text - a value-level
+    proof that the *membership* of every cut span matches the oracle, not
+    just the counts.
+    """
+    n = PASSAGE_N
+    docs = scale_partitions(load_table(spark, sf_dir, "documents"), spark)
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("w"))
+
+    starts = F.sequence(F.lit(0), F.size("w") - n)
+    grams = (
+        toks.filter(F.size("w") >= n)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    starts,
+                    lambda i: F.struct(
+                        i.alias("i"),
+                        md5_hash64(F.concat_ws(" ", F.slice("w", i + 1, n))).alias(
+                            "g"
+                        ),
+                    ),
+                )
+            ).alias("s"),
+        )
+        .select("doc_id", "s.i", "s.g")
+    )
+    dup_keys = grams.groupBy("g").count().filter(F.col("count") > 1).select("g")
+    covered = (
+        grams.join(dup_keys, "g")
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("i"), F.col("i") + n - 1)).alias("pos"),
+        )
+        .distinct()
+    )
+    cov = covered.groupBy("doc_id").agg(
+        F.collect_list("pos").alias("cl"),
+        F.min("pos").alias("first_dup_pos"),
+    )
+    kept = F.filter(
+        F.col("w"),
+        lambda x, i: F.coalesce(~F.array_contains(F.col("cl"), i), F.lit(True)),
+    )
+    return (
+        toks.join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("w").cast("long").alias("n_words"),
+            F.coalesce(F.size("cl"), F.lit(0)).cast("long").alias("n_dup_positions"),
+            F.col("first_dup_pos").cast("long").alias("first_dup_pos"),
+            F.size(kept).cast("long").alias("n_kept_words"),
+            md5_hash64(F.concat_ws(" ", kept)).alias("clean_fp"),
+        )
+    )

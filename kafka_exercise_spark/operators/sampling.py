@@ -162,3 +162,62 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cum_tok") - F.col("n_tok") - F.col("seq_bin") * budget,
         )
     )
+
+
+#: Max documents kept per domain (C4 / RefinedWeb-style per-host cap).
+DOMAIN_CAP = 15
+
+#: Output shards of the deterministic global shuffle. In production this is
+#: thousands (one per output file); each shard is one independent window task.
+SHUFFLE_SHARDS = 16
+
+
+def domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap: keep at most DOMAIN_CAP docs per ``source``,
+    chosen by deterministic hash order (C4's and RefinedWeb's "limit pages
+    per host" anti-spam/anti-skew step).
+
+    One window over (partition by source, order by salted hash): the shuffle
+    key is the domain, so parallelism = #domains — millions at web scale,
+    never a global sort. Hash order (not doc_id order) makes the kept set a
+    pseudo-random, position-bias-free sample of each domain. Emits the kept
+    rows themselves (source, doc_id, keep_rank) so the oracle value-checks
+    membership, not just per-domain counts.
+    """
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = md5_hash64(F.concat(F.lit("cap:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy("hk", "doc_id")
+    return (
+        docs.select("source", "doc_id", h.alias("hk"))
+        .withColumn("keep_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("keep_rank") <= DOMAIN_CAP)
+        .select("source", "doc_id", "keep_rank")
+    )
+
+
+def global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle: every doc gets a
+    (shard, position) such that reading shards 0..S-1, each in position
+    order, replays the corpus in seeded-pseudorandom order — the final step
+    between "curated corpus" and "what the trainer streams".
+
+    shard = H(seed, doc_id) mod S routes docs in one hash shuffle;
+    position = row_number within the shard by (H, doc_id). No global sort,
+    no single-partition window: parallelism is the shard count, and the
+    layout is a pure function of (seed, doc_id) — rerunning on a different
+    cluster, partitioning, or engine reproduces it bit-for-bit. Epoch 2
+    uses a different seed, not a re-shuffle of epoch 1's output.
+    """
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = md5_hash64(F.concat(F.lit("shuffle:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("shard").orderBy("hk", "doc_id")
+    return (
+        docs.select("doc_id", h.alias("hk"))
+        .withColumn("shard", F.pmod(F.col("hk"), F.lit(SHUFFLE_SHARDS)).cast("long"))
+        .withColumn("position", F.row_number().over(w).cast("long"))
+        .select("doc_id", "shard", "position")
+    )

@@ -513,3 +513,59 @@ def test_multimodal_frame_sample_byte_boundaries(spark, sf_dir):
         n = math.ceil(len(texts[doc_id]) / FRAME_BYTES)
         want = {j * n // SAMPLE_FRAMES for j in range(SAMPLE_FRAMES)}
         assert idxs == want and len(idxs) <= SAMPLE_FRAMES
+
+
+def test_dedup_passages_invariants(spark, sf_dir):
+    """Span-cut arithmetic + a hand-check of one covered doc."""
+    rows = {r.doc_id: r for r in dedup.dedup_passages(spark, sf_dir).collect()}
+    from kafka_exercise_spark.catalog import load_table
+
+    docs = {
+        r.doc_id: r.text
+        for r in load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    }
+    assert set(rows) == set(docs)
+    n = dedup.PASSAGE_N
+    any_cut = False
+    for doc_id, r in rows.items():
+        words = [w for w in docs[doc_id].lower().split() if w]
+        assert r.n_words == len(words)
+        # cut accounting is exact
+        assert r.n_kept_words == r.n_words - r.n_dup_positions
+        if r.n_dup_positions:
+            any_cut = True
+            # a covered span is at least one full passage long
+            assert r.n_dup_positions >= n
+            assert r.first_dup_pos is not None
+            assert 0 <= r.first_dup_pos <= r.n_words - n
+        else:
+            assert r.first_dup_pos is None
+    # the fixture's planted near-dups guarantee cross-doc passages exist
+    assert any_cut
+
+
+def test_dedup_passages_cuts_match_python_recompute(spark, sf_dir):
+    """Recompute the duplicated-passage cover in plain Python and compare
+    per-doc covered-position counts — the engine-independent ground truth."""
+    from collections import Counter, defaultdict
+
+    from kafka_exercise_spark.catalog import load_table
+
+    n = dedup.PASSAGE_N
+    docs = {
+        r.doc_id: [w for w in r.text.lower().split() if w]
+        for r in load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    }
+    counts: Counter[tuple] = Counter()
+    for words in docs.values():
+        for i in range(len(words) - n + 1):
+            counts[tuple(words[i : i + n])] += 1
+    covered: defaultdict[int, set] = defaultdict(set)
+    for doc_id, words in docs.items():
+        for i in range(len(words) - n + 1):
+            if counts[tuple(words[i : i + n])] > 1:
+                covered[doc_id].update(range(i, i + n))
+    for r in dedup.dedup_passages(spark, sf_dir).collect():
+        exp = covered.get(r.doc_id, set())
+        assert r.n_dup_positions == len(exp), r.doc_id
+        assert r.first_dup_pos == (min(exp) if exp else None), r.doc_id

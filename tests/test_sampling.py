@@ -70,3 +70,48 @@ def test_decontaminate_broadcasts_benchmark_index(spark, sf_dir):
     for r in rows:
         assert r.n_shared >= dedup.DECONTAM_MIN_SHARED
         assert r.bench_id < dedup.BENCHMARK_MAX_DOC_ID <= r.doc_id
+
+
+def test_domain_cap_bounds_and_determinism(spark, sf_dir):
+    a = sampling.domain_cap(spark, sf_dir).collect()
+    b = sampling.domain_cap(spark, sf_dir).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    per_source: dict[str, list[int]] = {}
+    for r in a:
+        per_source.setdefault(r.source, []).append(r.keep_rank)
+    for source, ranks in per_source.items():
+        assert len(ranks) <= sampling.DOMAIN_CAP, source
+        # ranks are contiguous from 1 — row_number, not rank-with-gaps
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), source
+
+
+def test_global_shuffle_is_a_permutation(spark, sf_dir):
+    from kafka_exercise_spark.catalog import load_table
+
+    rows = sampling.global_shuffle(spark, sf_dir).collect()
+    total = load_table(spark, sf_dir, "documents").count()
+    # every doc appears exactly once
+    assert len(rows) == total
+    assert len({r.doc_id for r in rows}) == total
+    # per-shard positions are contiguous from 1 (shards concatenate into
+    # one total order with no gaps)
+    shards: dict[int, list[int]] = {}
+    for r in rows:
+        assert 0 <= r.shard < sampling.SHUFFLE_SHARDS
+        shards.setdefault(r.shard, []).append(r.position)
+    for shard, pos in shards.items():
+        assert sorted(pos) == list(range(1, len(pos) + 1)), shard
+    # deterministic across reruns
+    again = sampling.global_shuffle(spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    # ... and genuinely shuffled: doc_id order != position order in shard 0
+    s0 = sorted((r.position, r.doc_id) for r in rows if r.shard == 0)
+    assert [d for _, d in s0] != sorted(d for _, d in s0)
+
+
+def test_cap_and_shuffle_plans_stay_jvm_side(spark, sf_dir):
+    for fn in (sampling.domain_cap, sampling.global_shuffle):
+        df = fn(spark, sf_dir)
+        assert python_eval_count(df) == 0, fn.__name__
+        # one hash-partition exchange for the window — never a global sort
+        assert shuffle_exchange_count(df) == 1, fn.__name__
