@@ -144,6 +144,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": dedup.minhash_signatures,
         "dedup_simhash_pairs": dedup.dedup_simhash_pairs,
         "domain_mix_resample": sampling.domain_mix_resample,
+        # weekly cohort retention matrix (product-analytics rollup)
+        "retention_cohorts": analytic.retention_cohorts,
         # array<float> block encoding through real Avro wire bytes
         "avro_embeddings_roundtrip": pipeline_ops.avro_embeddings_roundtrip,
         # end-to-end keep/drop curation decision, one map-only pass
@@ -1282,6 +1284,25 @@ def oracle_sql() -> dict[str, str]:
                      - CAST(floor((cum_tok - n_tok) / 2048) AS BIGINT) * 2048
                      AS offset_in_bin
             FROM c
+        """,
+        "retention_cohorts": """
+            WITH f AS (SELECT user_id,
+                              date_trunc('week', min(ts))::DATE AS cohort_week
+                       FROM events GROUP BY user_id),
+            a AS (SELECT DISTINCT user_id,
+                         date_trunc('week', ts)::DATE AS active_week
+                  FROM events),
+            j AS (SELECT a.user_id, cohort_week, active_week,
+                         ((active_week - cohort_week) // 7)::BIGINT AS week_offset
+                  FROM a JOIN f USING (user_id)),
+            g AS (SELECT cohort_week, week_offset,
+                         count(DISTINCT user_id)::BIGINT AS n_users
+                  FROM j GROUP BY 1, 2)
+            SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+                   week_offset, n_users,
+                   round(n_users / (max(CASE WHEN week_offset = 0 THEN n_users END)
+                         OVER (PARTITION BY cohort_week)), 4) AS retention
+            FROM g
         """,
         "domain_cap": """
             WITH d AS (SELECT source, doc_id,

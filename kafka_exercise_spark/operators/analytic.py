@@ -361,3 +361,50 @@ def funnel_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in counts[1:]:
         result = result.unionAll(c)
     return result
+
+
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix: users grouped by first-seen week,
+    tracked by how many return in each subsequent week — the standard
+    product-analytics rollup a warehouse engine is expected to produce.
+
+    Three hash-partitioned aggregations, each strictly smaller than the
+    last: (1) per-user first event (groupBy user_id — one shuffle over
+    users, not events, after the map-side partial min), (2) distinct
+    (user_id, active_week) pairs, (3) the cohort x offset count. The
+    retention denominator (cohort size = offset-0 count, since every user
+    is active in their own first week) comes from a window over the final
+    ~tens-of-rows matrix, not another pass over events. No step touches
+    more than one shuffle of the raw table, so the plan is scan-dominated
+    at any corpus size.
+    """
+    events = load_table(spark, sf_dir, "events")
+    firsts = events.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("week", F.min("ts"))).alias("cohort_week")
+    )
+    active = (
+        events.select(
+            "user_id", F.to_date(F.date_trunc("week", F.col("ts"))).alias("active_week")
+        )
+        .distinct()
+    )
+    matrix = (
+        active.join(firsts, "user_id")
+        .withColumn(
+            "week_offset",
+            (F.datediff("active_week", "cohort_week") / 7).cast("long"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+    cohort_size = F.max(
+        F.when(F.col("week_offset") == 0, F.col("n_users"))
+    ).over(Window.partitionBy("cohort_week"))
+    return matrix.select(
+        # string form: engine-portable (DATE hashes differently across
+        # drivers' dataframe bridges), human-readable in the matrix
+        F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+        "week_offset",
+        "n_users",
+        F.round(F.col("n_users") / cohort_size, 4).alias("retention"),
+    )

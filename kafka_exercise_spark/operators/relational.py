@@ -877,12 +877,11 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     in for ps_supplycost.) The correlated ``= (SELECT min ...)`` is one
     window pass over the already-joined supply rows: no second scan, no
     self-join. Region/nation/supplier and the filtered part list broadcast;
-    the only wide shuffles are the supply DISTINCT and the window
-    repartition on p_partkey. At 100 TB the supply pairs would be a
+    the only wide shuffles are the part-filtered supply DISTINCT and the
+    window repartition on p_partkey. At 100 TB the supply pairs would be a
     bucketed derived table so both drop to zero.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    supply = li.select("l_partkey", "l_suppkey").distinct()
     nation = load_table(spark, sf_dir, "nation").select(
         "n_nationkey", "n_name", "n_regionkey"
     )
@@ -898,9 +897,17 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("p_size") == 15) & (F.col("p_type") == "STANDARD"))
         .select("p_partkey")
     )
+    # broadcast part filter BEFORE the supply DISTINCT: the selective part
+    # predicate cuts the distinct's shuffle to the matching rows only —
+    # the order that survives a 100 TB lineitem
+    supply = (
+        li.select("l_partkey", "l_suppkey")
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .distinct()
+    )
     joined = supply.join(
-        F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey")
-    ).join(F.broadcast(supp_eu), F.col("l_suppkey") == F.col("s_suppkey"))
+        F.broadcast(supp_eu), F.col("l_suppkey") == F.col("s_suppkey")
+    )
     w = Window.partitionBy("p_partkey")
     return (
         joined.withColumn("min_bal", F.min("s_acctbal").over(w))

@@ -147,3 +147,23 @@ def test_funnel_ordered_monotone_and_broadcast(spark, sf_dir):
         .count()
     )
     assert counts[0] == n_signup
+
+
+def test_retention_cohorts_matrix_invariants(spark, sf_dir):
+    """Offset-0 equals cohort size, retention in (0, 1], monotone base facts."""
+    rows = analytic.retention_cohorts(spark, sf_dir).collect()
+    assert rows
+    by_cohort: dict = {}
+    for r in rows:
+        assert r.week_offset >= 0
+        assert 0 < r.retention <= 1.0
+        by_cohort.setdefault(r.cohort_week, {})[r.week_offset] = r
+    n_users_total = (
+        load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    )
+    assert sum(c[0].n_users for c in by_cohort.values()) == n_users_total
+    for cohort, offsets in by_cohort.items():
+        base = offsets[0]
+        assert base.retention == 1.0, cohort  # everyone is active in week 0
+        for off, r in offsets.items():
+            assert r.n_users <= base.n_users, (cohort, off)
