@@ -83,9 +83,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_user_state_replay": (
             streaming_stateful.streaming_user_state_replay
         ),
+        # streaming near-dup admission control (foreachBatch LSH probe;
+        # final state ≡ dedup_incremental's batch output)
+        "streaming_neardup_replay": streaming_stateful.streaming_neardup_replay,
         # ---- analytic entries left uncovered by the r02 correctness cap ----
         "session_window_events": analytic.session_window_events,
-        "sliding_window_events": analytic.sliding_window_events,
         "user_event_gaps": analytic.user_event_gaps,
         "funnel_ordered": analytic.funnel_ordered,
         # ---- north star: deduplication ----
@@ -144,6 +146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": dedup.minhash_signatures,
         "dedup_simhash_pairs": dedup.dedup_simhash_pairs,
         "domain_mix_resample": sampling.domain_mix_resample,
+        "sliding_window_events": analytic.sliding_window_events,
         # weekly cohort retention matrix (product-analytics rollup)
         "retention_cohorts": analytic.retention_cohorts,
         # array<float> block encoding through real Avro wire bytes
@@ -1562,5 +1565,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, count(*) AS n_events,
                    round(sum(value), 2) AS sum_value
             FROM events GROUP BY user_id
+        """,
+        # streaming admission control over micro-batches ≡ the batch
+        # incremental probe — same oracle as dedup_incremental
+        "streaming_neardup_replay": f"""
+            WITH {_lsh_ctes()},
+            srcmap AS (SELECT doc_id, source FROM documents),
+            ci AS (
+              SELECT DISTINCT a.doc_id AS new_doc_id, b.doc_id AS old_doc_id
+              FROM bands a
+              JOIN bands b ON a.band = b.band AND a.key = b.key
+              JOIN srcmap sa ON sa.doc_id = a.doc_id
+              JOIN srcmap sb ON sb.doc_id = b.doc_id
+              WHERE sa.source = 'src0' AND sb.source != 'src0'),
+            vi AS (
+              SELECT new_doc_id, old_doc_id,
+                     len(list_intersect(hn.hb, ho.hb))::BIGINT AS n_common,
+                     round(len(list_intersect(hn.hb, ho.hb)) /
+                           (len(hn.hb) + len(ho.hb)
+                            - len(list_intersect(hn.hb, ho.hb))), 6) AS jaccard
+              FROM ci
+              JOIN h hn ON hn.doc_id = new_doc_id
+              JOIN h ho ON ho.doc_id = old_doc_id)
+            SELECT new_doc_id, old_doc_id, n_common, jaccard
+            FROM vi WHERE jaccard >= 0.08
         """,
     }

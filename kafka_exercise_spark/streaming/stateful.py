@@ -330,3 +330,111 @@ def streaming_session_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(work, ignore_errors=True)
     return result
+
+
+def streaming_neardup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-dup admission control: incoming documents replayed in
+    micro-batches, each probed against the corpus LSH band index inside
+    ``foreachBatch`` — the deployment shape of continuous ingest dedup
+    (every arriving batch asks "is this a near-copy of something we
+    already hold?" before admission).
+
+    The batch twin is ``dedup.dedup_incremental``: identical band probe,
+    identical exact-Jaccard verify, and the union of the per-micro-batch
+    reject lists equals the batch output exactly (foreachBatch only links
+    new→corpus, never new→new — the same contract), so the driver
+    oracle-checks a real StreamExecution run with plain SQL.
+
+    Scale shape: the corpus index (band keys + hashed shingle sets) is
+    built ONCE and persisted before the stream starts — at 100 TB it is
+    the lake-resident index table ``dedup_incremental``'s docstring
+    describes, maintained across days. Each micro-batch broadcasts only
+    its own band keys/shingles (bounded by batch size) against it; results
+    append to a parquet sink dir (exactly-once via the foreachBatch
+    append + file-source log).
+    """
+    from pyspark.storagelevel import StorageLevel  # noqa: PLC0415
+
+    from kafka_exercise_spark.catalog import load_table  # noqa: PLC0415
+    from kafka_exercise_spark.operators.dedup import (  # noqa: PLC0415
+        INCREMENTAL_NEW_SOURCE,
+        JACCARD_THRESHOLD,
+        _band_keys,
+        _signatures_from,
+        _with_hashed_shingles,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_new = F.col("source") == INCREMENTAL_NEW_SOURCE
+
+    old_h = _with_hashed_shingles(docs.filter(~is_new)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    old_h.count()  # eager: pay the corpus shingle pass once, not per batch
+    old_bands = _band_keys(_signatures_from(old_h)).withColumnsRenamed(
+        {"doc_id": "old_doc_id"}
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    old_bands.count()
+    old_sets = old_h.withColumnsRenamed({"doc_id": "old_doc_id", "hb": "hb_old"})
+
+    work = tempfile.mkdtemp(prefix="neardup_replay_")
+    src = os.path.join(work, "src")
+    out = os.path.join(work, "out")
+    new_docs = docs.filter(is_new).select("doc_id", "text")
+    new_docs.repartition(4).write.mode("overwrite").parquet(src)
+    src_schema = new_docs.schema
+
+    def probe(batch_df: DataFrame, batch_id: int) -> None:
+        nh = _with_hashed_shingles(batch_df)
+        nb = _band_keys(_signatures_from(nh)).withColumnsRenamed(
+            {"doc_id": "new_doc_id"}
+        )
+        cand = (
+            F.broadcast(nb)
+            .join(old_bands, ["band", "key"])
+            .select("new_doc_id", "old_doc_id")
+            .distinct()
+        )
+        verified = (
+            cand.join(
+                F.broadcast(
+                    nh.withColumnsRenamed({"doc_id": "new_doc_id", "hb": "hb_new"})
+                ),
+                "new_doc_id",
+            )
+            .join(old_sets, "old_doc_id")
+            .withColumn(
+                "n_common",
+                F.size(F.array_intersect("hb_new", "hb_old")).cast("long"),
+            )
+            .withColumn(
+                "jaccard",
+                F.round(
+                    F.col("n_common")
+                    / (F.size("hb_new") + F.size("hb_old") - F.col("n_common")),
+                    6,
+                ),
+            )
+            .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+            .select("new_doc_id", "old_doc_id", "n_common", "jaccard")
+        )
+        verified.write.mode("append").parquet(out)
+
+    name = "neardup_contract"
+    _fresh_memory_query(spark, name)
+    stream = file_stream(spark, src, src_schema, max_files_per_trigger=1)
+    with bounded_replay_conf(spark):
+        query = (
+            stream.writeStream.foreachBatch(probe)
+            .queryName(name)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination(300)
+    # detach from the temp dir before cleanup
+    result = spark.read.parquet(out).localCheckpoint()
+    old_h.unpersist()
+    old_bands.unpersist()
+    shutil.rmtree(work, ignore_errors=True)
+    return result

@@ -157,3 +157,19 @@ def test_streaming_session_replay_equals_batch(spark, sf_dir):
     assert st.exceptAll(batch).count() == 0
     assert batch.exceptAll(st).count() == 0
     st.unpersist()
+
+
+def test_streaming_neardup_equals_incremental_batch(spark, sf_dir):
+    """The union of per-micro-batch LSH probes equals the batch probe."""
+    from kafka_exercise_spark.operators import dedup
+
+    streamed = {
+        (r.new_doc_id, r.old_doc_id, r.n_common, r.jaccard)
+        for r in stateful.streaming_neardup_replay(spark, sf_dir).collect()
+    }
+    batch = {
+        (r.new_doc_id, r.old_doc_id, r.n_common, r.jaccard)
+        for r in dedup.dedup_incremental(spark, sf_dir).collect()
+    }
+    assert streamed == batch
+    assert streamed  # the fixture's planted near-dups guarantee links
