@@ -139,6 +139,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_bucketed": similarity.ann_lsh_bucketed,
         "ann_lsh_multiprobe": similarity.ann_lsh_multiprobe,
         "ann_ivf_topk": similarity.ann_ivf_topk,
+        # SemDeDup: IVF-clustered within-cell cosine dedup (rows-only —
+        # k-means quantizer is not ANSI-SQL; invariants pinned in pytest)
+        "dedup_semantic": similarity.dedup_semantic,
         # full-oracle entries rotated past the 50-entry hash window in r03
         # (their math is transitively pinned: signatures/pairs feed the
         # in-window LSH/simhash entries; resample shares the hash-bucket

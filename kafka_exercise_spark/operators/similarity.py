@@ -135,24 +135,13 @@ def _ivf_centroids(emb: DataFrame) -> list[list[float]]:
     return centers.tolist()
 
 
-def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN: KMeans coarse quantizer, probe the n nearest cells.
-
-    Index build = `_ivf_centroids` (driver-side Lloyd's on a deterministic
-    bounded sample); every vector is assigned to its nearest centroid by a
-    pure JVM expression once the centroids are literals. Query = rank
-    centroids per query, probe the top-4 cells, exact-score only their
-    members. Probing 4/16 cells scans ~25% of the corpus; recall vs the
-    brute-force baseline is asserted in tests (driver check is rows-only —
-    KMeans is not ANSI-SQL).
-
-    At 100 TB: store the cell id as a partition column so a probe reads
-    n_probe partitions, re-train only on drift.
-    """
+def _ivf_assign(spark: SparkSession, sf_dir: str):
+    """(assigned frame, dists_to_centers fn): every vector labeled with its
+    nearest IVF cell — the shared substrate of IVF search AND semantic
+    dedup. Centroids are a pure function of the corpus (deterministic
+    sample + seedless init), so repeated calls reuse the built index per
+    sf_dir — exactly how a served IVF index is used."""
     emb = _embeddings_double(spark, sf_dir)
-    # centroids are a pure function of the corpus (deterministic sample +
-    # seedless init), so repeated calls reuse the built index per sf_dir —
-    # exactly how a served IVF index is used.
     centers = _IVF_INDEX.get(sf_dir)
     if centers is None:
         centers = _IVF_INDEX[sf_dir] = _ivf_centroids(emb)
@@ -185,6 +174,24 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("dists")
     )
+    return assigned, dists_to_centers
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: KMeans coarse quantizer, probe the n nearest cells.
+
+    Index build = `_ivf_centroids` (driver-side Lloyd's on a deterministic
+    bounded sample); every vector is assigned to its nearest centroid by a
+    pure JVM expression once the centroids are literals. Query = rank
+    centroids per query, probe the top-4 cells, exact-score only their
+    members. Probing 4/16 cells scans ~25% of the corpus; recall vs the
+    brute-force baseline is asserted in tests (driver check is rows-only —
+    KMeans is not ANSI-SQL).
+
+    At 100 TB: store the cell id as a partition column so a probe reads
+    n_probe partitions, re-train only on drift.
+    """
+    assigned, dists_to_centers = _ivf_assign(spark, sf_dir)
     # per-query: the N_PROBE nearest cells
     q = assigned.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
@@ -408,4 +415,61 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("scale", 9).alias("scale"),
         F.round("max_abs_err", 9).alias("max_abs_err"),
         F.round("c", 6).alias("cos_recon"),
+    )
+
+
+#: Cosine threshold above which two same-cell embeddings are semantic dups.
+#: Matches dedup.COSINE_DUP_THRESHOLD's fixture calibration.
+SEMANTIC_DUP_THRESHOLD = 0.25
+
+
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    cluster the embedding space with the IVF coarse quantizer, then compare
+    cosine similarity ONLY within each cluster — pairs above the threshold
+    are semantic duplicates, and the higher vec_id is marked for removal
+    (keep-lowest survivor rule, same convention as the text dedup family).
+
+    This is the paper's exact cost shape: k-means turns the O(n²) all-pairs
+    comparison into Σ|cell|² — with balanced cells, n²/k — and at 100 TB the
+    cell id becomes a partition column so each within-cell self-join is one
+    co-partitioned task reading its own partition, never a corpus-wide
+    shuffle. The quantizer is the memoized deterministic IVF index
+    (`_ivf_centroids`), so the operator is reproducible across reruns; like
+    the ANN entries it is rows-only for the driver (k-means is not
+    ANSI-SQL) and its guarantees are pinned in pytest instead: every
+    emitted pair is a true above-threshold pair (numpy recompute), and
+    same-cell coverage vs the brute-force pair set is exact.
+
+    Output: (cell, id_a, id_b, cos, drop_id) — the pair evidence plus the
+    removal decision.
+    """
+    from kafka_exercise_spark.functions.vectors import norm  # noqa: PLC0415
+
+    assigned, _ = _ivf_assign(spark, sf_dir)
+    # materialize the cell assignment once, with vectors PRE-NORMALIZED:
+    # cosine then degrades to a single dot per pair (1 fold instead of 3 —
+    # the pair stage is the Σ|cell|² hot loop, the per-vector normalization
+    # is linear). The checkpoint also stops both self-join sides from
+    # re-running the 16-cell distance fold; at scale this is the
+    # cell-partitioned, normalized index table on the lake.
+    n = norm(F.col("emb"))
+    idx = (
+        assigned.select(
+            "cell",
+            "vec_id",
+            F.when(
+                n > 0, F.transform(F.col("emb"), lambda x: x / n)
+            ).otherwise(F.col("emb")).alias("emb"),
+        )
+        .localCheckpoint()
+    )
+    a = idx.withColumnsRenamed({"vec_id": "id_a", "emb": "emb_a"})
+    b = idx.withColumnsRenamed({"vec_id": "id_b", "emb": "emb_b"})
+    return (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", F.round(dot(F.col("emb_a"), F.col("emb_b")), 6))
+        .filter(F.col("cos") >= SEMANTIC_DUP_THRESHOLD)
+        .select("cell", "id_a", "id_b", "cos", F.col("id_b").alias("drop_id"))
     )

@@ -569,3 +569,44 @@ def test_dedup_passages_cuts_match_python_recompute(spark, sf_dir):
         exp = covered.get(r.doc_id, set())
         assert r.n_dup_positions == len(exp), r.doc_id
         assert r.first_dup_pos == (min(exp) if exp else None), r.doc_id
+
+
+def test_dedup_semantic_pairs_are_true_dups(spark, sf_dir):
+    """Every emitted pair is above-threshold by independent numpy recompute,
+    pairs are same-cell by construction, and within-cell coverage is exact
+    (no above-threshold same-cell pair is missed)."""
+    import numpy as np
+
+    pairs = similarity.dedup_semantic(spark, sf_dir).collect()
+    assert pairs
+    emb = {
+        r.vec_id: np.array(r.emb, dtype=np.float64)
+        for r in similarity._embeddings_double(spark, sf_dir).collect()
+    }
+    assigned, _ = similarity._ivf_assign(spark, sf_dir)
+    cell_of = {r.vec_id: r.cell for r in assigned.collect()}
+
+    def cos(a, b):
+        na, nb = np.linalg.norm(a), np.linalg.norm(b)
+        return float(a @ b / (na * nb)) if na > 0 and nb > 0 else 0.0
+
+    got = set()
+    for r in pairs:
+        assert r.id_a < r.id_b
+        assert r.drop_id == r.id_b  # keep-lowest survivor rule
+        assert cell_of[r.id_a] == cell_of[r.id_b] == r.cell
+        # float-boundary tolerance: Spark folds in array order, numpy pairs
+        assert cos(emb[r.id_a], emb[r.id_b]) >= similarity.SEMANTIC_DUP_THRESHOLD - 1e-4
+        got.add((r.id_a, r.id_b))
+    # exhaustive same-cell recompute: nothing above threshold is missed
+    from collections import defaultdict
+
+    cells = defaultdict(list)
+    for vid, c in cell_of.items():
+        cells[c].append(vid)
+    for c, vids in cells.items():
+        vids.sort()
+        for i, va in enumerate(vids):
+            for vb in vids[i + 1:]:
+                if cos(emb[va], emb[vb]) >= similarity.SEMANTIC_DUP_THRESHOLD + 1e-4:
+                    assert (va, vb) in got, (c, va, vb)
