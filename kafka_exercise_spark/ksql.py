@@ -148,6 +148,10 @@ class KsqlEngine:
         low = re.sub(r"\s+", " ", stmt.lower())
         if low.startswith("show "):
             return self._show(low.removeprefix("show ").strip())
+        if low.startswith("list "):  # ksqlDB synonym of SHOW
+            return self._show(low.removeprefix("list ").strip())
+        if low.startswith("insert into "):
+            return self._insert(stmt)
         if low.startswith("print "):
             return self._print_topic(stmt.split(None, 1)[1].strip().strip("'\""))
         if low.startswith("describe "):
@@ -261,6 +265,61 @@ class KsqlEngine:
             return name
         self._relations[name] = _Relation(name, topic, fmt, kind=kind)
         df.createOrReplaceTempView(name)
+        return name
+
+    _INSERT_RE = re.compile(
+        r"insert\s+into\s+(\w+)\s*(?:\(([^)]*)\))?\s*"
+        r"(values\s*\(.*\)|select\b.*)$",
+        re.IGNORECASE | re.DOTALL,
+    )
+
+    def _insert(self, stmt: str):
+        """``INSERT INTO <stream> [(cols)] VALUES (...)`` and
+        ``INSERT INTO <stream> [(cols)] SELECT ...`` — ksqlDB's appenders.
+
+        Batch-binding semantics: the target relation (and its backing
+        topic) becomes the union of its current rows and the inserted
+        rows, aligned to the target schema (missing columns → NULL, values
+        cast to the declared types) — exactly what a topic append followed
+        by a re-read shows. The literal tuple is parsed by Spark SQL's own
+        VALUES clause, so every ksql literal form (strings, numerics,
+        NULL, arrays) comes for free.
+        """
+        m = self._INSERT_RE.match(stmt)
+        if not m:
+            raise NotImplementedError(f"unparsed INSERT: {stmt[:80]!r}")
+        name = m.group(1).lower()
+        if name not in self._relations:
+            raise KeyError(f"no stream/table named {name!r}")
+        rel = self._relations[name]
+        target = self.spark.table(name)
+        cols = [c.strip().lower() for c in (m.group(2) or "").split(",") if c.strip()]
+        tail = m.group(3)
+        if tail.lower().startswith("values"):
+            vals = tail[len("values"):].strip()
+            rows = self.spark.sql(f"SELECT * FROM (VALUES {vals})")
+            src_cols = cols or [f.name for f in target.schema.fields][
+                : len(rows.columns)
+            ]
+            rows = rows.toDF(*src_cols)
+        else:
+            rows, _ = self._rewrite_select(tail)
+            if cols:
+                rows = rows.toDF(*cols)
+        have = {c.lower() for c in rows.columns}
+        aligned = rows.select(
+            *[
+                (
+                    F.col(f.name).cast(f.dataType)
+                    if f.name.lower() in have
+                    else F.lit(None).cast(f.dataType)
+                ).alias(f.name)
+                for f in target.schema.fields
+            ]
+        )
+        out = target.unionByName(aligned)
+        out.createOrReplaceTempView(name)
+        self._topics[rel.kafka_topic] = out
         return name
 
     # ---- SELECT rewrite ----

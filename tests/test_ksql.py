@@ -258,7 +258,7 @@ def test_explain_surfaces_physical_plan(engine):
 
 def test_unsupported_statement_raises(engine):
     with pytest.raises(NotImplementedError, match="dialect"):
-        engine.execute("insert into custstream values (1);")
+        engine.execute("terminate query_custstream_1;")
 
 
 def test_streaming_ctas_equals_batch(spark, sf_dir, tmp_path):
@@ -452,3 +452,41 @@ def test_partition_by_and_grace_period(join_engine, spark):
         "window tumbling (size 30 seconds) group by user_id emit changes;"
     )
     assert df.count() == want.count() > 0
+
+
+def test_list_is_show_synonym(engine):
+    assert engine.execute("list topics;") == engine.execute("show topics;")
+
+
+def test_insert_into_values_and_select(spark):
+    eng = KsqlEngine(spark)
+    customers = customers_batch(spark, 10, tick=0)
+    eng.register_topic("ins-topic", customers)
+    eng.execute(
+        "create stream insstream WITH (kafka_topic='ins-topic', "
+        "value_format='AVRO');"
+    )
+    n0 = eng.execute("select * from insstream emit changes;").count()
+    # VALUES form: explicit column list, remaining columns NULL
+    eng.execute(
+        "insert into insstream (nome, sexo, email) "
+        "values ('Extra Person', 'F', 'extra@example.com');"
+    )
+    df = eng.execute("select * from insstream emit changes;")
+    assert df.count() == n0 + 1
+    added = df.filter(F.col("email") == "extra@example.com").collect()
+    assert len(added) == 1
+    assert added[0]["nome"] == "Extra Person"
+    assert added[0]["profissao"] is None  # unspecified -> NULL
+    # SELECT form: re-insert a projection of the stream itself
+    eng.execute(
+        "insert into insstream (nome, sexo, email) "
+        "select nome, sexo, email from insstream where sexo = 'F';"
+    )
+    n_f = df.filter(F.col("sexo") == "F").count()
+    assert (
+        eng.execute("select * from insstream emit changes;").count()
+        == n0 + 1 + n_f
+    )
+    # the backing topic sees the appends too (topic == stream contract)
+    assert eng._topics["ins-topic"].count() == n0 + 1 + n_f
