@@ -438,3 +438,99 @@ def streaming_neardup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     old_bands.unpersist()
     shutil.rmtree(work, ignore_errors=True)
     return result
+
+
+#: output schema for the transformWithState distinct-type tracker
+_TWS_OUTPUT = "user_id bigint, n_event_types bigint"
+
+
+def transform_with_state_available() -> bool:
+    """True when transformWithState's Python state protocol can run.
+
+    The Spark 4 API talks to a state server over protobuf; this sandbox
+    ships pyspark without the ``protobuf`` package, so plan CONSTRUCTION
+    works but query start fails in ``validateAndMaybeEvolveStateSchema``.
+    Gate runtime uses on this (tests/test_integration_gated.py runs the
+    full replay when protobuf is importable)."""
+    import importlib.util
+
+    try:
+        return importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:  # no 'google' namespace package at all
+        return False
+
+
+def user_distinct_types(events: DataFrame) -> DataFrame:
+    """transformWithStateInPandas (Spark 4 stateful API): per-user distinct
+    event-type tracking in a ListState.
+
+    The successor API to ``applyInPandasWithState`` (user_running_state
+    above): a ``StatefulProcessor`` object with named, individually-typed
+    state primitives (value/list/map), timers, and TTL support instead of
+    one opaque state tuple. Here a ListState holds the user's seen
+    event-type set; each batch the user appears in emits the updated
+    distinct count, so the LAST emission per user equals the batch
+    ``count(DISTINCT event_type)`` — the oracle-checkable contract
+    (asserted in the protobuf-gated integration test; see
+    ``transform_with_state_available``).
+
+    Class is defined inside the closure for the same cloudpickle by-value
+    reason as ``user_state_fn``."""
+    from pyspark.sql.streaming import StatefulProcessor  # noqa: PLC0415
+
+    class DistinctTypes(StatefulProcessor):
+        def init(self, handle) -> None:
+            self._seen = handle.getListState("seen", "t string")
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd  # noqa: PLC0415
+
+            seen = {t for (t,) in self._seen.get()}
+            for pdf in rows:
+                seen.update(pdf["event_type"].unique().tolist())
+            self._seen.clear()
+            self._seen.appendList([(t,) for t in sorted(seen)])
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_event_types": [len(seen)]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        DistinctTypes(),
+        outputStructType=_TWS_OUTPUT,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+def streaming_distinct_state_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver contract: transformWithState distinct-type tracker over a
+    4-micro-batch replay; final per-user emission ≡ batch
+    ``count(DISTINCT event_type)``."""
+    work, src, schema = _events_replay(spark, sf_dir)
+    name = "tws_contract"
+    _fresh_memory_query(spark, name)
+    stream = file_stream(spark, src, schema, max_files_per_trigger=2)
+    counted = user_distinct_types(stream)
+    with bounded_replay_conf(spark):
+        query = (
+            counted.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination(300)
+    # update-mode memory sink appends one row per (user, batch-appeared);
+    # the running count is monotone, so MAX = the final state
+    result = (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(F.max("n_event_types").alias("n_event_types"))
+        .localCheckpoint()
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    return result

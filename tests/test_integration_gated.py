@@ -115,3 +115,49 @@ def test_jvm_avro_fast_path_matches_python_codec(spark, sf_dir):
         to_avro(F.struct("event_id", "value"), schema).alias("value")
     ).collect()
     assert [bytes(r.value) for r in ours] == [bytes(r.value) for r in jvm]
+
+
+from kafka_exercise_spark.streaming.stateful import (  # noqa: E402
+    transform_with_state_available,
+)
+
+needs_protobuf = pytest.mark.skipif(
+    not transform_with_state_available(),
+    reason="transformWithState's Python state protocol needs the protobuf "
+    "package (absent in this sandbox); plan construction is covered "
+    "un-gated below, the applyInPandasWithState analog in "
+    "test_streaming_stateful covers custom-state semantics",
+)
+
+
+def test_transform_with_state_plan_constructs(spark, sf_dir):
+    """Un-gated: the transformWithState plan builds (analysis passes) even
+    without protobuf — only query START needs the state server."""
+    from kafka_exercise_spark.catalog import load_table
+    from kafka_exercise_spark.streaming.stateful import user_distinct_types
+
+    df = user_distinct_types(load_table(spark, sf_dir, "events"))
+    assert [f.name for f in df.schema.fields] == ["user_id", "n_event_types"]
+
+
+@needs_protobuf
+def test_transform_with_state_replay_equals_batch(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from kafka_exercise_spark.catalog import load_table
+    from kafka_exercise_spark.streaming.stateful import (
+        streaming_distinct_state_replay,
+    )
+
+    rows = {
+        r.user_id: r.n_event_types
+        for r in streaming_distinct_state_replay(spark, sf_dir).collect()
+    }
+    batch = {
+        r.user_id: r.n
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count_distinct("event_type").alias("n"))
+        .collect()
+    }
+    assert rows == batch
