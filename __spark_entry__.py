@@ -142,6 +142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # SemDeDup: IVF-clustered within-cell cosine dedup (rows-only —
         # k-means quantizer is not ANSI-SQL; invariants pinned in pytest)
         "dedup_semantic": similarity.dedup_semantic,
+        "dedup_semantic_components": dedup.dedup_semantic_components,
         # full-oracle entries rotated past the 50-entry hash window in r03
         # (their math is transitively pinned: signatures/pairs feed the
         # in-window LSH/simhash entries; resample shares the hash-bucket

@@ -683,6 +683,32 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_survivor (true for the canonical doc kept per group). Singleton docs
     are excluded (they are trivially their own survivors).
     """
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("id_a", "id_b")
+    return _components_from_pairs(spark, pairs, id_name="doc_id")
+
+
+def dedup_semantic_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup end-to-end: semantic pair graph → duplicate groups →
+    survivors. Composes ``similarity.dedup_semantic`` (IVF-clustered
+    within-cell cosine pairs) with the same union-find contraction the
+    text-dedup family uses — the final keep/drop list a semantic dedup
+    run feeds back into the corpus. Rows-only for the driver (the pair
+    source is k-means-derived); group/survivor invariants are pinned in
+    pytest alongside the pair invariants."""
+    from kafka_exercise_spark.operators.similarity import (  # noqa: PLC0415
+        dedup_semantic,
+    )
+
+    pairs = dedup_semantic(spark, sf_dir).select("id_a", "id_b")
+    return _components_from_pairs(spark, pairs, id_name="vec_id")
+
+
+def _components_from_pairs(
+    spark: SparkSession, pairs: DataFrame, id_name: str
+) -> DataFrame:
+    """Shared contraction driver: (id_a, id_b) pair frame → per-node
+    (id, comp, comp_size, is_survivor). See dedup_components for the
+    algorithm and scale story."""
     from kafka_exercise_spark.deploy import ship_package
 
     # _forest_contract is module-level (shared by the shrink and finish
@@ -690,7 +716,6 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # workers (the --py-files analog) so the import resolves no matter
     # where the driving process's cwd/PYTHONPATH points.
     ship_package(spark)
-    pairs = dedup_minhash_lsh(spark, sf_dir).select("id_a", "id_b")
     edges = (
         pairs.union(pairs.select(F.col("id_b"), F.col("id_a")))
         .toDF("src", "dst")
@@ -724,7 +749,7 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         labels.join(sizes, "comp")
         .select(
-            F.col("id").alias("doc_id"),
+            F.col("id").alias(id_name),
             "comp",
             "comp_size",
             (F.col("id") == F.col("comp")).alias("is_survivor"),

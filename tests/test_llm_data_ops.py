@@ -610,3 +610,25 @@ def test_dedup_semantic_pairs_are_true_dups(spark, sf_dir):
             for vb in vids[i + 1:]:
                 if cos(emb[va], emb[vb]) >= similarity.SEMANTIC_DUP_THRESHOLD + 1e-4:
                     assert (va, vb) in got, (c, va, vb)
+
+
+def test_dedup_semantic_components_invariants(spark, sf_dir):
+    """Groups cover exactly the paired vectors; one survivor per group =
+    the component min; pairs never straddle components."""
+    rows = dedup.dedup_semantic_components(spark, sf_dir).collect()
+    assert rows
+    comp_of = {r.vec_id: r.comp for r in rows}
+    by_comp: dict = {}
+    for r in rows:
+        by_comp.setdefault(r.comp, []).append(r)
+    for comp, members in by_comp.items():
+        ids = [m.vec_id for m in members]
+        assert comp == min(ids)
+        assert all(m.comp_size == len(ids) for m in members)
+        assert sum(m.is_survivor for m in members) == 1
+        assert next(m for m in members if m.is_survivor).vec_id == comp
+    paired = set()
+    for p in similarity.dedup_semantic(spark, sf_dir).collect():
+        paired.update((p.id_a, p.id_b))
+        assert comp_of[p.id_a] == comp_of[p.id_b]  # an edge never straddles
+    assert paired == set(comp_of)
