@@ -422,6 +422,11 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: Matches dedup.COSINE_DUP_THRESHOLD's fixture calibration.
 SEMANTIC_DUP_THRESHOLD = 0.25
 
+#: Materialized semantic pair sets, keyed by (application, sf_dir) — the
+#: hub the components/survivor stage consumes (same contract as
+#: dedup._LSH_PAIRS_MEMO).
+_SEMANTIC_PAIRS_MEMO: dict[tuple[str, str], DataFrame] = {}
+
 
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
@@ -446,6 +451,10 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from kafka_exercise_spark.functions.vectors import norm  # noqa: PLC0415
 
+    memo_key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _SEMANTIC_PAIRS_MEMO.get(memo_key)
+    if cached is not None:
+        return cached
     assigned, _ = _ivf_assign(spark, sf_dir)
     # materialize the cell assignment once, with vectors PRE-NORMALIZED:
     # cosine then degrades to a single dot per pair (1 fold instead of 3 —
@@ -466,10 +475,13 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = idx.withColumnsRenamed({"vec_id": "id_a", "emb": "emb_a"})
     b = idx.withColumnsRenamed({"vec_id": "id_b", "emb": "emb_b"})
-    return (
+    pairs = (
         a.join(b, "cell")
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("cos", F.round(dot(F.col("emb_a"), F.col("emb_b")), 6))
         .filter(F.col("cos") >= SEMANTIC_DUP_THRESHOLD)
         .select("cell", "id_a", "id_b", "cos", F.col("id_b").alias("drop_id"))
+        .localCheckpoint()
     )
+    _SEMANTIC_PAIRS_MEMO[memo_key] = pairs
+    return pairs
