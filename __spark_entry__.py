@@ -86,6 +86,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # streaming near-dup admission control (foreachBatch LSH probe;
         # final state ≡ dedup_incremental's batch output)
         "streaming_neardup_replay": streaming_stateful.streaming_neardup_replay,
+        # stream-table (stream-static broadcast) enrichment join + agg
+        "streaming_enrich_replay": streaming_stateful.streaming_enrich_replay,
         # ---- analytic entries left uncovered by the r02 correctness cap ----
         "session_window_events": analytic.session_window_events,
         "user_event_gaps": analytic.user_event_gaps,
@@ -130,9 +132,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q12_priority_class": relational.q12_priority_class,
         # ---- north star: multimodal binary columns ----
         "multimodal_meta": multimodal.multimodal_meta,
-        "multimodal_features": multimodal.multimodal_features,
         # unigram-entropy quality signal
         "text_token_entropy": textops.text_token_entropy,
+        # (same Arrow plumbing as multimodal_meta, which holds the window
+        # slot; still fully oracle-checked by verify_local)
+        "multimodal_features": multimodal.multimodal_features,
         # ---- rows-only approximate-ANN variants (LSH/KMeans are not
         # ANSI-SQL-expressible; placed after the 50-entry hash window so
         # every in-window entry carries a full value-hash oracle) ----
@@ -1569,6 +1573,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, count(*) AS n_events,
                    round(sum(value), 2) AS sum_value
             FROM events GROUP BY user_id
+        """,
+        "streaming_enrich_replay": """
+            SELECT c_mktsegment,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS total_value
+            FROM events e JOIN customer c ON e.user_id = c.c_custkey
+            GROUP BY c_mktsegment
         """,
         # streaming admission control over micro-batches ≡ the batch
         # incremental probe — same oracle as dedup_incremental

@@ -539,3 +539,50 @@ def streaming_distinct_state_replay(spark: SparkSession, sf_dir: str) -> DataFra
     )
     shutil.rmtree(work, ignore_errors=True)
     return result
+
+
+def streaming_enrich_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-table join (SURVEY §2.5 absence, filled): the event stream
+    enriched against the static ``customer`` dimension, then aggregated
+    per market segment under real streaming execution.
+
+    A stream-static join is STATELESS — each micro-batch joins against the
+    (broadcast) dimension snapshot, no watermark or join state needed —
+    which is exactly why it's the default enrichment shape at scale: the
+    dimension ships once per executor per batch, and slowly-changing
+    dimensions swap in by replacing the snapshot between batches
+    (foreachBatch re-read). The downstream segment aggregate carries the
+    streaming state; ``complete`` output mode lets the memory sink hold
+    the final table, which must equal the batch join+aggregate — the
+    SQL-oracle contract.
+    """
+    from kafka_exercise_spark.catalog import load_table  # noqa: PLC0415
+
+    work, src, schema = _events_replay(spark, sf_dir)
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    name = "enrich_contract"
+    _fresh_memory_query(spark, name)
+    stream = file_stream(spark, src, schema, max_files_per_trigger=2)
+    agg = (
+        stream.join(F.broadcast(dim), "user_id")  # stateless per batch
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    with bounded_replay_conf(spark):
+        query = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination(300)
+    result = spark.table(name).localCheckpoint()
+    shutil.rmtree(work, ignore_errors=True)
+    return result

@@ -173,3 +173,26 @@ def test_streaming_neardup_equals_incremental_batch(spark, sf_dir):
     }
     assert streamed == batch
     assert streamed  # the fixture's planted near-dups guarantee links
+
+
+def test_streaming_enrich_equals_batch_join(spark, sf_dir):
+    """Stream-static broadcast enrichment + aggregate == batch join+agg."""
+    streamed = {
+        (r.c_mktsegment, r.n_events, r.total_value)
+        for r in stateful.streaming_enrich_replay(spark, sf_dir).collect()
+    }
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    batch = {
+        (r.c_mktsegment, r.n_events, r.total_value)
+        for r in load_table(spark, sf_dir, "events")
+        .join(dim, "user_id")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .collect()
+    }
+    assert streamed == batch

@@ -73,17 +73,25 @@ def build_scaled(spark, k: int) -> str:
     for p in ev_parts[1:]:
         ev_k = ev_k.unionByName(p)
     ev_k.write.parquet(os.path.join(out, "events.parquet"))
+    # Per-copy word-interleaved tag: every word w becomes "w u{i}", so
+    # copy i and copy j share ZERO bigram shingles (every bigram contains
+    # the copy tag) while near-dup structure WITHIN a copy is preserved —
+    # cross-copy pair structure scales linearly, never quadratically.
+    # (A plain suffix is not enough: it changes one shingle of ~50, so
+    # copies of a near-dup pair still band-collide across copies and the
+    # LSH rung turns superlinear — measured 2.6x jump from 8x to 16x.)
+    def _tagged(i: int) -> F.Column:
+        return F.regexp_replace(F.col("text"), r"(\S+)", f"$1 u{i}")
+
     doc_parts = [
         docs.select(
             (F.col("doc_id") + F.lit(i * n_docs)).alias("doc_id"),
             "source",
-            # per-copy suffix: copies are NOT near-dups of each other, so
-            # pair structure scales linearly, not quadratically
-            F.concat(F.col("text"), F.lit(f" uniqcopy{i}")).alias("text"),
+            _tagged(i).alias("text"),
             *[
                 # n_chars re-derived so the scaled fixture stays
                 # self-consistent with the perturbed text
-                F.length(F.concat(F.col("text"), F.lit(f" uniqcopy{i}")))
+                F.length(_tagged(i))
                 .cast(docs.schema["n_chars"].dataType)
                 .alias("n_chars")
                 if c == "n_chars"
@@ -121,7 +129,11 @@ def main() -> None:
     # format (timestamp encoding, file layout) on every rung, so ratios
     # measure data volume only. One timed run per (query, scale) — repeats
     # would hit per-dir localCheckpoint memos and report cache hits.
-    dirs = {k: build_scaled(spark, k) for k in (1, 4, 8)}
+    rungs = tuple(
+        int(x)
+        for x in os.environ.get("SPARK_GRAFT_SCALE_RUNGS", "1,4,8").split(",")
+    )
+    dirs = {k: build_scaled(spark, k) for k in rungs}
     results: dict[str, dict[str, float]] = {}
     for name, fn in QUERIES.items():
         results[name] = {}
