@@ -73,15 +73,18 @@ def build_scaled(spark, k: int) -> str:
     for p in ev_parts[1:]:
         ev_k = ev_k.unionByName(p)
     ev_k.write.parquet(os.path.join(out, "events.parquet"))
-    # Per-copy word-interleaved tag: every word w becomes "w u{i}", so
-    # copy i and copy j share ZERO bigram shingles (every bigram contains
-    # the copy tag) while near-dup structure WITHIN a copy is preserved —
-    # cross-copy pair structure scales linearly, never quadratically.
-    # (A plain suffix is not enough: it changes one shingle of ~50, so
-    # copies of a near-dup pair still band-collide across copies and the
-    # LSH rung turns superlinear — measured 2.6x jump from 8x to 16x.)
+    # Per-copy VOCABULARY RENAME: every word w becomes "w<tag>", a
+    # bijection on the token vocabulary. Within a copy the shingle-overlap
+    # structure is exactly the original corpus's (renames preserve set
+    # relations); across copies ZERO shingles are shared (disjoint
+    # vocabularies) — so near-dup pair structure scales linearly, never
+    # quadratically. Two rejected alternatives, both measured: a plain
+    # suffix changes one shingle of ~50, leaving cross-copy near-dup pairs
+    # band-colliding (superlinear 2.6x step 8x→16x); an INTERLEAVED tag
+    # token puts the same token in every bigram, making every same-copy
+    # doc pair overlap (within-copy pair explosion, 17x at 1x).
     def _tagged(i: int) -> F.Column:
-        return F.regexp_replace(F.col("text"), r"(\S+)", f"$1 u{i}")
+        return F.regexp_replace(F.col("text"), r"(\S+)", f"$1u{i}")
 
     doc_parts = [
         docs.select(
