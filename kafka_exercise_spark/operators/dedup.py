@@ -876,17 +876,20 @@ def dedup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "s.i", "s.g")
     )
     dup_keys = grams.groupBy("g").count().filter(F.col("count") > 1).select("g")
-    covered = (
+    # collect_set both de-dups overlapping spans AND builds the per-doc
+    # position list in ONE doc_id shuffle (a separate .distinct() before
+    # the groupBy would shuffle the exploded positions twice)
+    cov = (
         grams.join(dup_keys, "g")
         .select(
             "doc_id",
             F.explode(F.sequence(F.col("i"), F.col("i") + n - 1)).alias("pos"),
         )
-        .distinct()
-    )
-    cov = covered.groupBy("doc_id").agg(
-        F.collect_list("pos").alias("cl"),
-        F.min("pos").alias("first_dup_pos"),
+        .groupBy("doc_id")
+        .agg(
+            F.collect_set("pos").alias("cl"),
+            F.min("pos").alias("first_dup_pos"),
+        )
     )
     kept = F.filter(
         F.col("w"),
