@@ -157,6 +157,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_window_events": analytic.sliding_window_events,
         # weekly cohort retention matrix (product-analytics rollup)
         "retention_cohorts": analytic.retention_cohorts,
+        # SCD2 event-sourced versioning intervals (valid_from/valid_to)
+        "scd2_user_versions": analytic.scd2_user_versions,
         # array<float> block encoding through real Avro wire bytes
         "avro_embeddings_roundtrip": pipeline_ops.avro_embeddings_roundtrip,
         # end-to-end keep/drop curation decision, one map-only pass
@@ -1295,6 +1297,17 @@ def oracle_sql() -> dict[str, str]:
                      - CAST(floor((cum_tok - n_tok) / 2048) AS BIGINT) * 2048
                      AS offset_in_bin
             FROM c
+        """,
+        "scd2_user_versions": """
+            SELECT user_id, event_id,
+                   event_type AS state,
+                   strftime(ts, '%Y-%m-%d %H:%M:%S.%g') AS valid_from,
+                   strftime(lead(ts) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id),
+                            '%Y-%m-%d %H:%M:%S.%g') AS valid_to,
+                   lead(ts) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) IS NULL AS is_current
+            FROM events
         """,
         "retention_cohorts": """
             WITH f AS (SELECT user_id,

@@ -408,3 +408,30 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_users",
         F.round(F.col("n_users") / cohort_size, 4).alias("retention"),
     )
+
+
+def scd2_user_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 intervals from an event stream:
+    each event opens a version of its user's state, valid until the user's
+    next event — ``valid_from`` / ``valid_to`` / ``is_current`` — the
+    standard warehouse shape for "what was true at time t" joins (the
+    as-of join above is its query-side twin).
+
+    One window over (user_id, event time): LEAD supplies the closing
+    timestamp, the final version per user stays open (NULL + is_current).
+    Scale shape is identical to user_event_gaps — one hash shuffle on
+    user_id, per-partition sort, no state beyond the sort run. Timestamps
+    are emitted as formatted strings so the interval set hashes
+    identically across engines.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return events.select(
+        "user_id",
+        "event_id",
+        F.col("event_type").alias("state"),
+        F.date_format("ts", TS_FMT).alias("valid_from"),
+        F.date_format(nxt, TS_FMT).alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )

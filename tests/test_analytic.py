@@ -167,3 +167,20 @@ def test_retention_cohorts_matrix_invariants(spark, sf_dir):
         assert base.retention == 1.0, cohort  # everyone is active in week 0
         for off, r in offsets.items():
             assert r.n_users <= base.n_users, (cohort, off)
+
+
+def test_scd2_versions_tile_time_per_user(spark, sf_dir):
+    """Per user: intervals abut exactly (valid_to == next valid_from),
+    exactly one open (current) version, counts match the event count."""
+    rows = analytic.scd2_user_versions(spark, sf_dir).collect()
+    total = load_table(spark, sf_dir, "events").count()
+    assert len(rows) == total
+    per_user: dict = {}
+    for r in rows:
+        per_user.setdefault(r.user_id, []).append(r)
+    for user, versions in per_user.items():
+        versions.sort(key=lambda r: (r.valid_from, r.event_id))
+        assert sum(v.is_current for v in versions) == 1, user
+        assert versions[-1].is_current and versions[-1].valid_to is None
+        for a, b in zip(versions, versions[1:]):
+            assert a.valid_to == b.valid_from, (user, a.event_id)
