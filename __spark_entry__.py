@@ -159,6 +159,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_cohorts": analytic.retention_cohorts,
         # SCD2 event-sourced versioning intervals (valid_from/valid_to)
         "scd2_user_versions": analytic.scd2_user_versions,
+        # distribution-family window functions (ntile/percent_rank/cume_dist)
+        "window_distribution_orders": relational.window_distribution_orders,
         # array<float> block encoding through real Avro wire bytes
         "avro_embeddings_roundtrip": pipeline_ops.avro_embeddings_roundtrip,
         # end-to-end keep/drop curation decision, one map-only pass
@@ -1297,6 +1299,17 @@ def oracle_sql() -> dict[str, str]:
                      - CAST(floor((cum_tok - n_tok) / 2048) AS BIGINT) * 2048
                      AS offset_in_bin
             FROM c
+        """,
+        "window_distribution_orders": """
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   ntile(4) OVER w AS quartile,
+                   round(percent_rank() OVER w, 6) AS pct_rank,
+                   round(cume_dist() OVER w, 6) AS cume,
+                   round(o_totalprice - lag(o_totalprice) OVER w, 2)
+                       AS delta_prev
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey
+                         ORDER BY o_totalprice ASC, o_orderkey ASC)
         """,
         "scd2_user_versions": """
             SELECT user_id, event_id,

@@ -992,3 +992,30 @@ def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name")
         .orderBy("s_suppkey")
     )
+
+
+def window_distribution_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-family window functions: NTILE / PERCENT_RANK /
+    CUME_DIST / LAG-delta — the remainder of the analytic-window surface
+    (`window_rank_orders` covers the ranking family).
+
+    Same scale shape as every window here: one hash exchange on the
+    partition key, one in-partition sort serving all four functions at
+    once (Spark evaluates same-window functions in a single Window
+    operator pass). Full ordering makes every output deterministic.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.asc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.round(
+            F.col("o_totalprice") - F.lag("o_totalprice").over(w), 2
+        ).alias("delta_prev"),
+    )

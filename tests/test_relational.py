@@ -116,3 +116,29 @@ def test_grouping_sets_has_exactly_two_levels(spark, sf_dir):
         .select("gid").distinct().collect()
     }
     assert gids == {1, 2}
+
+
+def test_window_distribution_functions(spark, sf_dir):
+    """ntile partitions are balanced; percent_rank/cume_dist bounded; one
+    shuffle serves all four same-window functions."""
+    from kafka_exercise_spark.plans import python_eval_count, shuffle_exchange_count
+
+    df = relational.window_distribution_orders(spark, sf_dir)
+    assert shuffle_exchange_count(df) == 1
+    assert python_eval_count(df) == 0
+    rows = df.collect()
+    assert rows
+    per_cust: dict = {}
+    for r in rows:
+        assert 1 <= r.quartile <= 4
+        assert 0.0 <= r.pct_rank <= 1.0
+        assert 0.0 < r.cume <= 1.0
+        per_cust.setdefault(r.o_custkey, []).append(r)
+    for cust, rs in per_cust.items():
+        sizes = [sum(1 for r in rs if r.quartile == q) for q in (1, 2, 3, 4)]
+        present = [s for s in sizes if s > 0]
+        # ntile balance: bucket sizes differ by at most one
+        assert max(present) - min(present) <= 1, cust
+        # first row in order has no predecessor
+        first = min(rs, key=lambda r: (r.o_totalprice, r.o_orderkey))
+        assert first.delta_prev is None, cust
