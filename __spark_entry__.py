@@ -305,7 +305,7 @@ def _lsh_ctes() -> str:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL equivalents (FIXTURES.md §4 for the
     strftime/time_bucket ≙ date_format/window correspondences)."""
-    return {
+    oracles = {
         "custstream_pretty": """
             SELECT event_id, user_id, event_type,
                    strftime(ts, '%Y-%m-%d') AS dt_event,
@@ -1607,28 +1607,9 @@ def oracle_sql() -> dict[str, str]:
             FROM events e JOIN customer c ON e.user_id = c.c_custkey
             GROUP BY c_mktsegment
         """,
-        # streaming admission control over micro-batches ≡ the batch
-        # incremental probe — same oracle as dedup_incremental
-        "streaming_neardup_replay": f"""
-            WITH {_lsh_ctes()},
-            srcmap AS (SELECT doc_id, source FROM documents),
-            ci AS (
-              SELECT DISTINCT a.doc_id AS new_doc_id, b.doc_id AS old_doc_id
-              FROM bands a
-              JOIN bands b ON a.band = b.band AND a.key = b.key
-              JOIN srcmap sa ON sa.doc_id = a.doc_id
-              JOIN srcmap sb ON sb.doc_id = b.doc_id
-              WHERE sa.source = 'src0' AND sb.source != 'src0'),
-            vi AS (
-              SELECT new_doc_id, old_doc_id,
-                     len(list_intersect(hn.hb, ho.hb))::BIGINT AS n_common,
-                     round(len(list_intersect(hn.hb, ho.hb)) /
-                           (len(hn.hb) + len(ho.hb)
-                            - len(list_intersect(hn.hb, ho.hb))), 6) AS jaccard
-              FROM ci
-              JOIN h hn ON hn.doc_id = new_doc_id
-              JOIN h ho ON ho.doc_id = old_doc_id)
-            SELECT new_doc_id, old_doc_id, n_common, jaccard
-            FROM vi WHERE jaccard >= 0.08
-        """,
     }
+    # the streaming admission-control twin shares the batch oracle
+    # VERBATIM (final streamed state ≡ batch probe) — alias, don't copy,
+    # so threshold/CTE changes can never drift between the two
+    oracles["streaming_neardup_replay"] = oracles["dedup_incremental"]
+    return oracles

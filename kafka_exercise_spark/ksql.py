@@ -79,6 +79,8 @@ class _Relation:
     value_format: str
     windowed: bool = False
     kind: str = "stream"  # 'stream' | 'table'
+    derived: bool = False  # True for CSAS/CTAS (own plan); False = source
+    # relation whose rows ARE the topic (must track topic appends)
 
 
 @dataclass
@@ -259,7 +261,9 @@ class KsqlEngine:
         else:
             df, windowed = self._rewrite_select(select)
             self._topics.setdefault(topic, df)  # CSAS auto-creates the topic
-            rel = _Relation(name, topic, fmt, windowed=windowed, kind=kind)
+            rel = _Relation(
+                name, topic, fmt, windowed=windowed, kind=kind, derived=True
+            )
             self._relations[name] = rel
             df.createOrReplaceTempView(name)
             return name
@@ -318,8 +322,15 @@ class KsqlEngine:
             ]
         )
         out = target.unionByName(aligned)
-        out.createOrReplaceTempView(name)
         self._topics[rel.kafka_topic] = out
+        # EVERY source relation over this topic sees the append (ksqlDB
+        # semantics: relations are views over the topic, not snapshots) —
+        # derived (CSAS) relations keep their own query plan
+        for sibling in self._relations.values():
+            if sibling.kafka_topic == rel.kafka_topic and not sibling.derived:
+                out.createOrReplaceTempView(sibling.name)
+        if rel.derived:  # inserting into a CSAS relation updates it alone
+            out.createOrReplaceTempView(name)
         return name
 
     # ---- SELECT rewrite ----

@@ -782,11 +782,31 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_new = F.col("source") == INCREMENTAL_NEW_SOURCE
     new_h = _with_hashed_shingles(docs.filter(is_new))
     old_h = _with_hashed_shingles(docs.filter(~is_new))
-    new_bands = _band_keys(_signatures_from(new_h)).withColumnsRenamed(
-        {"doc_id": "new_doc_id"}
-    )
     old_bands = _band_keys(_signatures_from(old_h)).withColumnsRenamed(
         {"doc_id": "old_doc_id"}
+    )
+    old_sets = old_h.withColumnsRenamed({"doc_id": "old_doc_id", "hb": "hb_old"})
+    return probe_index(new_h, old_bands, old_sets)
+
+
+def probe_index(
+    new_h: DataFrame, old_bands: DataFrame, old_sets: DataFrame
+) -> DataFrame:
+    """Band probe + exact-Jaccard verify of an incoming batch against a
+    corpus index — THE admission-control primitive, shared verbatim by the
+    batch operator (``dedup_incremental``) and its streaming twin
+    (streaming/stateful.streaming_neardup_replay's per-micro-batch probe),
+    so the verify math can never drift between the two.
+
+    ``new_h``: incoming (doc_id, hb) hashed-shingle frame (batch-sized —
+    both its band keys and shingle sets broadcast). ``old_bands``:
+    (band, key, old_doc_id) corpus band index; ``old_sets``:
+    (old_doc_id, hb_old) corpus shingle sets — both typically prebuilt and
+    materialized once (the lake-resident index), which is why they are
+    taken as frames rather than rebuilt here.
+    """
+    new_bands = _band_keys(_signatures_from(new_h)).withColumnsRenamed(
+        {"doc_id": "new_doc_id"}
     )
     cand = (
         F.broadcast(new_bands)
@@ -799,7 +819,7 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(new_h.withColumnsRenamed({"doc_id": "new_doc_id", "hb": "hb_new"})),
             "new_doc_id",
         )
-        .join(old_h.withColumnsRenamed({"doc_id": "old_doc_id", "hb": "hb_old"}), "old_doc_id")
+        .join(old_sets, "old_doc_id")
         .withColumn(
             "n_common", F.size(F.array_intersect("hb_new", "hb_old")).cast("long")
         )

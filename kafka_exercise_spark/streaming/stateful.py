@@ -356,10 +356,10 @@ def streaming_neardup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_exercise_spark.catalog import load_table  # noqa: PLC0415
     from kafka_exercise_spark.operators.dedup import (  # noqa: PLC0415
         INCREMENTAL_NEW_SOURCE,
-        JACCARD_THRESHOLD,
         _band_keys,
         _signatures_from,
         _with_hashed_shingles,
+        probe_index,
     )
 
     docs = load_table(spark, sf_dir, "documents")
@@ -388,38 +388,10 @@ def streaming_neardup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     src_schema = new_docs.schema
 
     def probe(batch_df: DataFrame, batch_id: int) -> None:
-        nh = _with_hashed_shingles(batch_df)
-        nb = _band_keys(_signatures_from(nh)).withColumnsRenamed(
-            {"doc_id": "new_doc_id"}
-        )
-        cand = (
-            F.broadcast(nb)
-            .join(old_bands, ["band", "key"])
-            .select("new_doc_id", "old_doc_id")
-            .distinct()
-        )
-        verified = (
-            cand.join(
-                F.broadcast(
-                    nh.withColumnsRenamed({"doc_id": "new_doc_id", "hb": "hb_new"})
-                ),
-                "new_doc_id",
-            )
-            .join(old_sets, "old_doc_id")
-            .withColumn(
-                "n_common",
-                F.size(F.array_intersect("hb_new", "hb_old")).cast("long"),
-            )
-            .withColumn(
-                "jaccard",
-                F.round(
-                    F.col("n_common")
-                    / (F.size("hb_new") + F.size("hb_old") - F.col("n_common")),
-                    6,
-                ),
-            )
-            .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-            .select("new_doc_id", "old_doc_id", "n_common", "jaccard")
+        # the SAME primitive as the batch operator — probe_index is shared
+        # so the verify math can never drift between batch and streaming
+        verified = probe_index(
+            _with_hashed_shingles(batch_df), old_bands, old_sets
         )
         verified.write.mode("append").parquet(out)
 

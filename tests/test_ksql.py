@@ -490,3 +490,25 @@ def test_insert_into_values_and_select(spark):
     )
     # the backing topic sees the appends too (topic == stream contract)
     assert eng._topics["ins-topic"].count() == n0 + 1 + n_f
+
+
+def test_insert_into_refreshes_sibling_relations(spark):
+    """ksqlDB semantics: relations are views over the topic, not snapshots —
+    an INSERT through one stream is visible to every source stream bound
+    to the same topic (and to PRINT), while derived CSAS relations keep
+    their own query plan."""
+    eng = KsqlEngine(spark)
+    eng.register_topic("sib-topic", customers_batch(spark, 5, tick=0))
+    eng.execute(
+        "create stream siba WITH (kafka_topic='sib-topic', value_format='AVRO');"
+    )
+    eng.execute(
+        "create stream sibb WITH (kafka_topic='sib-topic', value_format='AVRO');"
+    )
+    eng.execute(
+        "insert into siba (nome, email) values ('Sib Test', 'sib@example.com');"
+    )
+    for rel in ("siba", "sibb"):
+        got = eng.execute(f"select * from {rel} emit changes;")
+        assert got.filter(F.col("email") == "sib@example.com").count() == 1, rel
+    assert eng.execute("print 'sib-topic';").count() == 6
