@@ -83,6 +83,15 @@ def parse_schema(schema_json: str | dict) -> list[AvroField]:
             branches = [b for b in ftype if b != "null"]
             if len(branches) != 1 or "null" not in ftype:
                 raise ValueError(f"only ['null', T] unions supported: {ftype}")
+            # branch indices are positional in the Avro spec and this codec
+            # writes 0 for null — a ["T", "null"] union would need branch 1
+            # for null, so accepting it here would emit spec-INVALID bytes
+            # that only round-trip against ourselves. Loud error instead.
+            if ftype[0] != "null":
+                raise ValueError(
+                    f"null must be the FIRST union branch: {ftype} (the wire "
+                    "encoder writes branch index 0 for null)"
+                )
             ftype, nullable = branches[0], True
         if isinstance(ftype, dict):
             base, logical = ftype.get("type"), ftype.get("logicalType")

@@ -222,9 +222,16 @@ class KsqlEngine:
                 )
             return rows
         if what == "queries":
+            # ksqlDB lists persistent (CSAS/CTAS) queries only — a plain
+            # source stream has no backing query
             return [
-                {"Query ID": f"CSAS_{r.name.upper()}", "Sink": r.name.upper()}
+                {
+                    "Query ID": f"C{'TAS' if r.kind == 'table' else 'SAS'}_"
+                    f"{r.name.upper()}",
+                    "Sink": r.name.upper(),
+                }
                 for r in self._relations.values()
+                if r.derived
             ]
         raise NotImplementedError(f"show {what}")
 
@@ -296,6 +303,14 @@ class KsqlEngine:
         if name not in self._relations:
             raise KeyError(f"no stream/table named {name!r}")
         rel = self._relations[name]
+        if rel.kind != "stream":
+            # ksqlDB rejects INSERT INTO tables (their rows are derived by
+            # the aggregate, not appended); mis-executing would fabricate
+            # an aggregate row
+            raise NotImplementedError(
+                f"INSERT INTO a {rel.kind} is not valid ksql; {name!r} is "
+                "not a stream"
+            )
         target = self.spark.table(name)
         cols = [c.strip().lower() for c in (m.group(2) or "").split(",") if c.strip()]
         tail = m.group(3)
@@ -311,16 +326,24 @@ class KsqlEngine:
             if cols:
                 rows = rows.toDF(*cols)
         have = {c.lower() for c in rows.columns}
-        aligned = rows.select(
-            *[
-                (
-                    F.col(f.name).cast(f.dataType)
-                    if f.name.lower() in have
-                    else F.lit(None).cast(f.dataType)
-                ).alias(f.name)
-                for f in target.schema.fields
-            ]
-        )
+
+        def _fill(f):
+            if f.name.lower() in have:
+                return F.col(f.name).cast(f.dataType).alias(f.name)
+            if f.name.lower() == "rowtime":
+                # ksqlDB stamps ROWTIME on every inserted record (epoch ms
+                # at insert time); a NULL rowtime would silently drop the
+                # row from windowed aggregates and WITHIN joins
+                import time as _time  # noqa: PLC0415
+
+                return (
+                    F.lit(int(_time.time() * 1000))
+                    .cast(f.dataType)
+                    .alias(f.name)
+                )
+            return F.lit(None).cast(f.dataType).alias(f.name)
+
+        aligned = rows.select(*[_fill(f) for f in target.schema.fields])
         out = target.unionByName(aligned)
         self._topics[rel.kafka_topic] = out
         # EVERY source relation over this topic sees the append (ksqlDB

@@ -60,14 +60,26 @@ class TimestampModeSource:
     def poll_once(self) -> DataFrame:
         """One micro-batch: rows with cursor strictly beyond the hwm.
 
-        Lazy frame — the caller sinks it, then calls ``commit(df_max)`` (or
-        uses ``run``); the predicate reaches the scan via pushdown.
+        Lazy frame — the caller sinks it, then calls ``commit(max_cursor)``
+        with the batch's max cursor value (or uses ``run``, which does
+        both); the predicate reaches the scan via pushdown.
         """
         df = self.reader(self.spark)
         hwm = self._load_hwm()
         if hwm is not None:
             df = df.filter(F.col(self.cursor_col) > F.lit(hwm).cast("timestamp"))
         return df
+
+    def commit(self, max_cursor) -> None:
+        """Advance the persisted high-water mark after the caller has
+        durably sunk a batch — the manual-loop counterpart of ``run``'s
+        sink-then-persist step. A None cursor (batch whose cursor values
+        are all NULL) is ignored: NULL-cursor rows can never be captured
+        incrementally, and persisting the string 'None' would poison every
+        later poll's ``> CAST('None' AS TIMESTAMP)`` predicate into
+        emitting zero rows forever."""
+        if max_cursor is not None:
+            self._save_hwm(str(max_cursor))
 
     def run(
         self,
@@ -95,7 +107,7 @@ class TimestampModeSource:
                 if n:
                     sink(batch, i)
                     total += int(n)
-                    self._save_hwm(str(new_max))
+                    self.commit(new_max)
             finally:
                 batch.unpersist()
             if i + 1 < polls:

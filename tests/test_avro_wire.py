@@ -505,3 +505,24 @@ def test_jvm_avro_gate_reports_absence(spark):
     # this container has no spark-avro jar; on a deployment that does, the
     # JVM fast path is preferred and this flips to True
     assert use_jvm_avro(spark) is False
+
+
+def test_non_null_first_union_rejected():
+    """['T', 'null'] would need branch 1 for null; the codec writes branch
+    0 — accepting it would emit spec-invalid bytes that only round-trip
+    against ourselves. Loud error instead."""
+    import pytest
+
+    from kafka_exercise_spark.functions.avro_wire import parse_schema
+
+    with pytest.raises(ValueError, match="FIRST union branch"):
+        parse_schema(
+            '{"type": "record", "name": "r", '
+            '"fields": [{"name": "x", "type": ["string", "null"]}]}'
+        )
+    # the spec-conventional order still parses
+    fields = parse_schema(
+        '{"type": "record", "name": "r", '
+        '"fields": [{"name": "x", "type": ["null", "string"]}]}'
+    )
+    assert fields[0].nullable

@@ -128,3 +128,31 @@ def test_paused_connector_moves_nothing(spark, workdir):
     assert reg.run_source_to_sink(
         "psg-customers-source", "sink-psg-customers", polls=1
     ) == 10
+
+
+def test_commit_ignores_null_cursor(spark, tmp_path):
+    """A batch whose cursor values are all NULL must not poison the hwm:
+    persisting str(None) would turn every later poll's predicate into
+    `> CAST('None' AS TIMESTAMP)` = NULL and emit zero rows forever."""
+    from kafka_exercise_spark.sources.generator import append_ticks
+    from kafka_exercise_spark.sources.incremental import (
+        TimestampModeSource,
+        parquet_dir_reader,
+    )
+
+    src_dir = str(tmp_path / "cust")
+    append_ticks(spark, src_dir, n=3, ticks=1)
+    source = TimestampModeSource(
+        spark,
+        reader=parquet_dir_reader(src_dir),
+        cursor_col="dt_update",
+        state_path=str(tmp_path / "state.json"),
+    )
+    n0 = source.poll_once().count()
+    assert n0 == 3
+    source.commit(None)  # all-NULL-cursor batch: hwm unchanged
+    assert source.poll_once().count() == 3  # NOT zero — source still alive
+    # a real cursor advances the mark as before
+    real_max = source.poll_once().agg({"dt_update": "max"}).collect()[0][0]
+    source.commit(real_max)
+    assert source.poll_once().count() == 0

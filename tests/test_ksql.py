@@ -512,3 +512,44 @@ def test_insert_into_refreshes_sibling_relations(spark):
         got = eng.execute(f"select * from {rel} emit changes;")
         assert got.filter(F.col("email") == "sib@example.com").count() == 1, rel
     assert eng.execute("print 'sib-topic';").count() == 6
+
+
+def test_insert_into_stamps_rowtime_and_rejects_tables(spark):
+    eng = KsqlEngine(spark)
+    eng.register_topic(
+        "rt-topic", customers_batch(spark, 5, tick=0), rowtime_col="dt_update"
+    )
+    eng.execute(
+        "create stream rtstream WITH (kafka_topic='rt-topic', "
+        "value_format='AVRO');"
+    )
+    eng.execute("insert into rtstream (nome) values ('Stamped');")
+    row = (
+        eng.execute("select * from rtstream emit changes;")
+        .filter(F.col("nome") == "Stamped")
+        .collect()[0]
+    )
+    # rowtime stamped at insert (epoch ms, after 2024) — not NULL
+    assert row["rowtime"] is not None and row["rowtime"] > 1_700_000_000_000
+    # CTAS tables reject INSERT (ksqlDB: streams only)
+    eng.execute(
+        "create table rtcount WITH (kafka_topic='rtcount', value_format='AVRO') "
+        "AS select sexo, count(*) as n from rtstream group by sexo emit changes;"
+    )
+    with pytest.raises(NotImplementedError, match="not a stream"):
+        eng.execute("insert into rtcount (sexo, n) values ('X', 1);")
+
+
+def test_show_queries_lists_only_persistent_queries(spark):
+    eng = KsqlEngine(spark)
+    eng.register_topic("q-topic", customers_batch(spark, 5, tick=0))
+    eng.execute(
+        "create stream qsrc WITH (kafka_topic='q-topic', value_format='AVRO');"
+    )
+    assert eng.execute("show queries;") == []  # source stream: no query
+    eng.execute(
+        "create stream qderived WITH (kafka_topic='qd', value_format='AVRO') "
+        "AS select nome from qsrc emit changes;"
+    )
+    qs = eng.execute("show queries;")
+    assert qs == [{"Query ID": "CSAS_QDERIVED", "Sink": "QDERIVED"}]
