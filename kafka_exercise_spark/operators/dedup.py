@@ -49,6 +49,27 @@ JACCARD_THRESHOLD = 0.08  # fixtures top out ≈0.12 — keeps the result non-em
 COSINE_DUP_THRESHOLD = 0.25  # fixture label-0 bucket tops out ≈0.38
 
 
+def _verify_jaccard(joined: DataFrame, left: str, right: str) -> DataFrame:
+    """THE exact-Jaccard verify: (n_common, jaccard) from two hashed-
+    shingle set columns, thresholded — one definition shared by the LSH
+    pair plan, the df-bounded n-gram join, and the incremental/streaming
+    probe so the verify math can never drift between consumers."""
+    return (
+        joined.withColumn(
+            "n_common", F.size(F.array_intersect(left, right)).cast("long")
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.size(left) + F.size(right) - F.col("n_common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
 def _with_shingles(docs: DataFrame) -> DataFrame:
     return docs.withColumn("sh", shingles(tokens(F.col("text")), SHINGLE_N))
 
@@ -195,21 +216,12 @@ def _lsh_pairs_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hint and these become shuffled hash joins on doc_id, still no re-scan
     # thanks to the persist.)
     sh = F.broadcast(docs)
-    return (
+    return _verify_jaccard(
         cand.join(sh.withColumnsRenamed({"doc_id": "id_a", "hb": "hb_a"}), "id_a")
-        .join(sh.withColumnsRenamed({"doc_id": "id_b", "hb": "hb_b"}), "id_b")
-        .withColumn("n_common", F.size(F.array_intersect("hb_a", "hb_b")).cast("long"))
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_common")
-                / (F.size("hb_a") + F.size("hb_b") - F.col("n_common")),
-                6,
-            ),
-        )
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-        .select("id_a", "id_b", "n_common", "jaccard")
-    )
+        .join(sh.withColumnsRenamed({"doc_id": "id_b", "hb": "hb_b"}), "id_b"),
+        "hb_a",
+        "hb_b",
+    ).select("id_a", "id_b", "n_common", "jaccard")
 
 
 #: Materialized verified-pair sets, keyed by (application, sf_dir).
@@ -383,23 +395,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ha = docs.withColumnsRenamed({"doc_id": "id_a", "hb": "hb_a"})
     hb = docs.withColumnsRenamed({"doc_id": "id_b", "hb": "hb_b"})
-    return (
-        cand.join(ha, "id_a")
-        .join(hb, "id_b")
-        .withColumn(
-            "n_common", F.size(F.array_intersect("hb_a", "hb_b")).cast("long")
-        )
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_common")
-                / (F.size("hb_a") + F.size("hb_b") - F.col("n_common")),
-                6,
-            ),
-        )
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-        .select("id_a", "id_b", "n_common", "jaccard")
-    )
+    return _verify_jaccard(
+        cand.join(ha, "id_a").join(hb, "id_b"), "hb_a", "hb_b"
+    ).select("id_a", "id_b", "n_common", "jaccard")
 
 
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -724,11 +722,21 @@ def _components_from_pairs(
     schema = "src long, dst long"
     n_edges = edges.count()
     for _ in range(CC_MAX_ITERS):
-        if n_edges <= CC_SINGLE_TASK_EDGES:
+        # Finish when the forest fits one comfortable task OR when the
+        # halving has already concentrated every edge in one partition —
+        # contraction emits one (node, root) row per node, so n_edges is
+        # floored at the distinct-node count and can never drop below the
+        # task threshold on a graph with more nodes than that; the
+        # single-partition state is then the exact-finish condition (the
+        # final pass sees the whole, already-minimal forest).
+        if (
+            n_edges <= CC_SINGLE_TASK_EDGES
+            or edges.rdd.getNumPartitions() <= 1
+        ):
             break
         # shrink: one spanning-forest pass per partition, then merge the
         # forests at ~half the parallelism so components coalesce
-        nparts = max(2, edges.rdd.getNumPartitions() // 2)
+        nparts = max(1, edges.rdd.getNumPartitions() // 2)
         edges = (
             edges.mapInPandas(_forest_contract, schema)
             .repartition(nparts)
@@ -814,26 +822,16 @@ def probe_index(
         .select("new_doc_id", "old_doc_id")
         .distinct()
     )
-    return (
+    return _verify_jaccard(
         cand.join(
-            F.broadcast(new_h.withColumnsRenamed({"doc_id": "new_doc_id", "hb": "hb_new"})),
-            "new_doc_id",
-        )
-        .join(old_sets, "old_doc_id")
-        .withColumn(
-            "n_common", F.size(F.array_intersect("hb_new", "hb_old")).cast("long")
-        )
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_common")
-                / (F.size("hb_new") + F.size("hb_old") - F.col("n_common")),
-                6,
+            F.broadcast(
+                new_h.withColumnsRenamed({"doc_id": "new_doc_id", "hb": "hb_new"})
             ),
-        )
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-        .select("new_doc_id", "old_doc_id", "n_common", "jaccard")
-    )
+            "new_doc_id",
+        ).join(old_sets, "old_doc_id"),
+        "hb_new",
+        "hb_old",
+    ).select("new_doc_id", "old_doc_id", "n_common", "jaccard")
 
 
 #: Passage length (in tokens) for cross-document duplicated-span removal.

@@ -113,10 +113,16 @@ def _ivf_centroids(emb: DataFrame) -> list[list[float]]:
     import numpy as np
 
     n = emb.count()  # column-pruned count — near metadata-only on parquet
-    rate = min(100, -(-100 * IVF_TRAIN_MAX // max(n, 1)))
+    # bucket count scales WITH n so the expected sample stays ~IVF_TRAIN_MAX
+    # at any corpus size (a fixed percent-granularity rate would floor at
+    # 1% and grow the driver collect as n/100 — uncapped at billions of
+    # vectors)
+    buckets = max(1, n // IVF_TRAIN_MAX)
     sample = emb.select("vec_id", "emb").filter(
-        F.pmod(md5_hash64(F.concat(F.lit("ivf:"), F.col("vec_id"))), F.lit(100))
-        < rate
+        F.pmod(
+            md5_hash64(F.concat(F.lit("ivf:"), F.col("vec_id"))), F.lit(buckets)
+        )
+        == 0
     ).collect()
 
     def h(vid: int) -> int:
@@ -260,7 +266,7 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
             F.round(F.col("c"), 6).alias("cos"),
-            "rank",
+            F.col("rank").cast("long").alias("rank"),
             "bucket",
         )
     )
@@ -362,6 +368,10 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("l2_norm"),
         F.round(dist, 6).alias("dist_centroid"),
     )
+    # materialize once: the scored frame feeds BOTH the mu/sigma aggregate
+    # and the final output — without the checkpoint the full per-row
+    # centroid-distance fold scan runs twice
+    scored = scored.localCheckpoint()
     stats = scored.agg(
         F.avg("dist_centroid").alias("mu"),
         F.stddev_samp("dist_centroid").alias("sigma"),
@@ -462,14 +472,20 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is linear). The checkpoint also stops both self-join sides from
     # re-running the 16-cell distance fold; at scale this is the
     # cell-partitioned, normalized index table on the lake.
-    n = norm(F.col("emb"))
+    # norm behind a projection barrier: inlining the O(d) fold into the
+    # per-element division lambda would re-evaluate it per element — O(d²)
+    # per row, the anti-pattern _ivf_assign documents
     idx = (
-        assigned.select(
+        assigned.withColumn("nrm", norm(F.col("emb")))
+        .select(
             "cell",
             "vec_id",
             F.when(
-                n > 0, F.transform(F.col("emb"), lambda x: x / n)
-            ).otherwise(F.col("emb")).alias("emb"),
+                F.col("nrm") > 0,
+                F.transform(F.col("emb"), lambda x: x / F.col("nrm")),
+            )
+            .otherwise(F.col("emb"))
+            .alias("emb"),
         )
         .localCheckpoint()
     )

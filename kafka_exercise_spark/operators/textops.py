@@ -41,15 +41,16 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heuristic quality score from length / punctuation / stopword ratios.
+def quality_signals() -> dict[str, F.Column]:
+    """The quality-signal expressions over a ``text`` column — ONE
+    definition shared by the scorer and the curation pipeline so a
+    weight/ratio change can never leave the two disagreeing.
 
     score = 0.4·stopword_ratio + 0.3·unique_ratio + 0.3·length_norm — the
     standard cheap pre-filter shape for pretraining corpora (cf. C4/Gopher
     rules): enough stopwords to look like prose, lexical diversity, and a
     length floor.
     """
-    docs = scale_partitions(load_table(spark, sf_dir, "documents"), spark)
     tok = tokens(F.col("text"))
     n_tok = F.size(tok)
     stop_ratio = F.when(
@@ -63,15 +64,27 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count(F.col("text"), F.lit("[^a-zA-Z0-9\\s]")) / F.length("text"),
     ).otherwise(F.lit(0.0))
     len_norm = F.least(F.length("text") / F.lit(500.0), F.lit(1.0))
+    return {
+        "n_tok": n_tok,
+        "stop_ratio": stop_ratio,
+        "uniq_ratio": uniq_ratio,
+        "punct_ratio": punct_ratio,
+        "len_norm": len_norm,
+        "quality": 0.4 * stop_ratio + 0.3 * uniq_ratio + 0.3 * len_norm,
+    }
+
+
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score (see ``quality_signals`` for the formula)."""
+    docs = scale_partitions(load_table(spark, sf_dir, "documents"), spark)
+    s = quality_signals()
     return docs.select(
         "doc_id",
-        F.round(stop_ratio, 6).alias("stopword_ratio"),
-        F.round(uniq_ratio, 6).alias("unique_ratio"),
-        F.round(punct_ratio, 6).alias("punct_ratio"),
-        F.round(len_norm, 6).alias("length_norm"),
-        F.round(
-            0.4 * stop_ratio + 0.3 * uniq_ratio + 0.3 * len_norm, 6
-        ).alias("quality_score"),
+        F.round(s["stop_ratio"], 6).alias("stopword_ratio"),
+        F.round(s["uniq_ratio"], 6).alias("unique_ratio"),
+        F.round(s["punct_ratio"], 6).alias("punct_ratio"),
+        F.round(s["len_norm"], 6).alias("length_norm"),
+        F.round(s["quality"], 6).alias("quality_score"),
     )
 
 
@@ -372,31 +385,22 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     debugging possible downstream.
     """
     docs = scale_partitions(load_table(spark, sf_dir, "documents"), spark)
-    tok = tokens(F.col("text"))
-    n_tok = F.size(tok)
-    stop_ratio = F.when(
-        n_tok > 0, profile_hits(tok, QUALITY_STOPWORDS) / n_tok
-    ).otherwise(F.lit(0.0))
-    uniq_ratio = F.when(
-        n_tok > 0, F.size(F.array_distinct(tok)) / n_tok
-    ).otherwise(F.lit(0.0))
-    punct_ratio = F.when(
-        F.length("text") > 0,
-        F.regexp_count(F.col("text"), F.lit("[^a-zA-Z0-9\\s]")) / F.length("text"),
-    ).otherwise(F.lit(0.0))
-    len_norm = F.least(F.length("text") / F.lit(500.0), F.lit(1.0))
-    quality = 0.4 * stop_ratio + 0.3 * uniq_ratio + 0.3 * len_norm
+    s = quality_signals()
     reasons = F.concat_ws(
         ",",
-        F.when(n_tok < CURATION_MIN_TOKENS, F.lit("too_short")),
-        F.when(F.round(quality, 6) < CURATION_MIN_QUALITY, F.lit("low_quality")),
-        F.when(F.round(punct_ratio, 6) > CURATION_MAX_PUNCT, F.lit("high_punct")),
+        F.when(s["n_tok"] < CURATION_MIN_TOKENS, F.lit("too_short")),
+        F.when(
+            F.round(s["quality"], 6) < CURATION_MIN_QUALITY, F.lit("low_quality")
+        ),
+        F.when(
+            F.round(s["punct_ratio"], 6) > CURATION_MAX_PUNCT, F.lit("high_punct")
+        ),
     )
     return docs.select(
         "doc_id",
-        n_tok.cast("long").alias("n_tokens"),
-        F.round(quality, 6).alias("quality_score"),
-        F.round(punct_ratio, 6).alias("punct_ratio"),
+        s["n_tok"].cast("long").alias("n_tokens"),
+        F.round(s["quality"], 6).alias("quality_score"),
+        F.round(s["punct_ratio"], 6).alias("punct_ratio"),
         (reasons == "").alias("keep"),
         reasons.alias("reject_reasons"),
     )
