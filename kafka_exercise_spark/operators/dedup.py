@@ -789,12 +789,22 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = scale_partitions(load_table(spark, sf_dir, "documents"), spark)
     is_new = F.col("source") == INCREMENTAL_NEW_SOURCE
     new_h = _with_hashed_shingles(docs.filter(is_new))
-    old_h = _with_hashed_shingles(docs.filter(~is_new))
+    old_bands, old_sets = corpus_probe_sides(docs.filter(~is_new))
+    return probe_index(new_h, old_bands, old_sets)
+
+
+def corpus_probe_sides(docs_old: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(old_bands, old_sets): the corpus half of the admission-control
+    index — ONE builder shared by the batch operator and the streaming
+    replay so the index construction (band layout, renames) can never
+    drift between the two. Callers that reuse the index across probes
+    materialize the returned frames (localCheckpoint / lake table)."""
+    old_h = _with_hashed_shingles(docs_old)
     old_bands = _band_keys(_signatures_from(old_h)).withColumnsRenamed(
         {"doc_id": "old_doc_id"}
     )
     old_sets = old_h.withColumnsRenamed({"doc_id": "old_doc_id", "hb": "hb_old"})
-    return probe_index(new_h, old_bands, old_sets)
+    return old_bands, old_sets
 
 
 def probe_index(

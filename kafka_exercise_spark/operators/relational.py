@@ -104,9 +104,9 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: 6-table star join with a region restriction.
 
     All dimensions broadcast (region 5 rows → nation 25 → customer,
-    supplier); the only shuffles are the two fact-side joins and the final
-    1-key agg. Order lineitem⨝orders first so the selective date filter
-    prunes the fact rows before the wide join fan-out.
+    supplier); the only shuffles are the lineitem⨝orders fact join and the
+    final 1-key agg. Order lineitem⨝orders first so the selective date
+    filter prunes the fact rows before the wide join fan-out.
     """
     region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     nation = load_table(spark, sf_dir, "nation")
@@ -127,7 +127,12 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return (
         li.join(
-            F.broadcast(orders.select("o_orderkey", "o_custkey")),
+            # orders is a FACT side — never broadcast it (module policy,
+            # see q3): the join shuffles once on the order key and AQE
+            # picks SMJ vs shuffled-hash (and may still broadcast at
+            # runtime if the filtered slice proves tiny — a stats
+            # decision, not a hardcoded one)
+            orders.select("o_orderkey", "o_custkey"),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .join(F.broadcast(asian_cust), F.col("o_custkey") == F.col("c_custkey"))

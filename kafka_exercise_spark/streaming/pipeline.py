@@ -126,25 +126,19 @@ def streaming_idadecont_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = tempfile.mkdtemp(prefix="idadecont_replay_ckpt_")
 
     name = "idadecont_replay_contract"
-    for q in spark.streams.active:
-        if q.name == name:
-            q.stop()
     stream = file_stream(spark, src_dir, schema, max_files_per_trigger=None)
     counted = idadecont_transform(
         idadeclass_transform(stream), watermark_delay=DEFAULT_WATERMARK
     )
-    from kafka_exercise_spark.streaming.tuning import bounded_replay_conf
+    from kafka_exercise_spark.streaming.stateful import run_bounded_replay
 
-    with bounded_replay_conf(spark):
-        query = (
-            counted.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("complete")
-            .option("checkpointLocation", os.path.join(work, "ckpt"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        query.awaitTermination(300)
+    run_bounded_replay(
+        spark,
+        counted,
+        checkpoint=os.path.join(work, "ckpt"),
+        name=name,
+        output_mode="complete",
+    )
     from kafka_exercise_spark.functions import timestamptostring
 
     # window bounds as strings — same hash-stable shape as the batch

@@ -60,6 +60,52 @@ def _fresh_memory_query(spark: SparkSession, name: str) -> None:
             q.stop()
 
 
+#: Wall-clock ceiling for a bounded replay before it is declared hung.
+REPLAY_TIMEOUT_S = 300
+
+
+def run_bounded_replay(
+    spark: SparkSession,
+    df: DataFrame,
+    *,
+    checkpoint: str,
+    name: str | None = None,
+    output_mode: str | None = None,
+    foreach_batch=None,
+    timeout_s: int = REPLAY_TIMEOUT_S,
+) -> None:
+    """Start a bounded (availableNow) streaming query and wait for it —
+    the ONE replay harness every contract entry uses.
+
+    Memory-sink form: pass ``name`` + ``output_mode`` (the result is then
+    ``spark.table(name)``). foreachBatch form: pass ``foreach_batch``.
+    The timeout is CHECKED: ``awaitTermination(t)`` returning False means
+    the query is still running — returning partial results (and letting
+    the caller rmtree a live query's checkpoint/source dirs) would turn a
+    slow host into silent wrong answers, so raise instead.
+    """
+    with bounded_replay_conf(spark):
+        writer = df.writeStream
+        if foreach_batch is not None:
+            writer = writer.foreachBatch(foreach_batch)
+        else:
+            writer = writer.format("memory").outputMode(output_mode)
+        if name is not None:
+            _fresh_memory_query(spark, name)
+            writer = writer.queryName(name)
+        query = (
+            writer.option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not query.awaitTermination(timeout_s):
+            query.stop()
+            raise TimeoutError(
+                f"bounded replay {name or '<foreachBatch>'} still running "
+                f"after {timeout_s}s — refusing to return partial results"
+            )
+
+
 def conversion_join(
     clicks: DataFrame, purchases: DataFrame, watermark: str = "10 minutes"
 ) -> DataFrame:
@@ -101,22 +147,15 @@ def streaming_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     join, so the oracle is plain SQL."""
     work, src, schema = _events_replay(spark, sf_dir)
     name = "conversion_join_contract"
-    _fresh_memory_query(spark, name)
     stream = file_stream(spark, src, schema, max_files_per_trigger=None)
     joined = conversion_join(
         stream.filter(F.col("event_type") == "click"),
         stream.filter(F.col("event_type") == "purchase"),
     )
-    with bounded_replay_conf(spark):
-        query = (
-            joined.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .option("checkpointLocation", os.path.join(work, "ckpt"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        query.awaitTermination(300)
+    run_bounded_replay(
+        spark, joined, checkpoint=os.path.join(work, "ckpt"),
+        name=name, output_mode="append",
+    )
     result = (
         spark.table(name)
         .groupBy("user_id")
@@ -139,23 +178,16 @@ def streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     work, src, schema = _events_replay(spark, sf_dir)
     name = "dedup_contract"
-    _fresh_memory_query(spark, name)
     stream = file_stream(spark, src, schema, max_files_per_trigger=2)
     deduped = (
         stream.select("user_id", "event_type").dropDuplicates(
             ["user_id", "event_type"]
         )
     )
-    with bounded_replay_conf(spark):
-        query = (
-            deduped.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .option("checkpointLocation", os.path.join(work, "ckpt"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        query.awaitTermination(300)
+    run_bounded_replay(
+        spark, deduped, checkpoint=os.path.join(work, "ckpt"),
+        name=name, output_mode="append",
+    )
     result = spark.table(name).select("user_id", "event_type")
     shutil.rmtree(work, ignore_errors=True)
     return result
@@ -210,19 +242,12 @@ def streaming_user_state_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     # runs as ONE batch because no maxFilesPerTrigger is set below.
     work, src, schema = _events_replay(spark, sf_dir)
     name = "user_state_contract"
-    _fresh_memory_query(spark, name)
     stream = file_stream(spark, src, schema, max_files_per_trigger=None)
     out = user_running_state(stream)
-    with bounded_replay_conf(spark):
-        query = (
-            out.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("update")
-            .option("checkpointLocation", os.path.join(work, "ckpt"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        query.awaitTermination(300)
+    run_bounded_replay(
+        spark, out, checkpoint=os.path.join(work, "ckpt"),
+        name=name, output_mode="update",
+    )
     result = spark.table(name).select(
         "user_id", "n_events", F.round("sum_value", 2).alias("sum_value")
     )
@@ -301,7 +326,6 @@ def streaming_session_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.utime(os.path.join(land, f), (later, later))
 
     name = "session_replay_contract"
-    _fresh_memory_query(spark, name)
     stream = file_stream(spark, land, schema, max_files_per_trigger=n_files)
     sess = (
         stream.withWatermark("ts", "1 minute")
@@ -311,16 +335,10 @@ def streaming_session_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("session_value"),
         )
     )
-    with bounded_replay_conf(spark):
-        query = (
-            sess.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .option("checkpointLocation", os.path.join(work, "ckpt"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        query.awaitTermination(300)
+    run_bounded_replay(
+        spark, sess, checkpoint=os.path.join(work, "ckpt"),
+        name=name, output_mode="append",
+    )
     result = spark.table(name).filter(F.col("user_id") >= 0).select(
         "user_id",
         F.date_format("session_window.start", TS_FMT).alias("session_start"),
@@ -353,32 +371,35 @@ def streaming_neardup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     append to a parquet sink dir (exactly-once via the foreachBatch
     append + file-source log).
     """
-    from kafka_exercise_spark.catalog import load_table  # noqa: PLC0415
+    from kafka_exercise_spark.catalog import (  # noqa: PLC0415
+        load_table,
+        scale_partitions,
+    )
     from kafka_exercise_spark.operators.dedup import (  # noqa: PLC0415
         INCREMENTAL_NEW_SOURCE,
-        _band_keys,
-        _signatures_from,
         _with_hashed_shingles,
+        corpus_probe_sides,
         probe_index,
     )
 
     docs = load_table(spark, sf_dir, "documents")
     is_new = F.col("source") == INCREMENTAL_NEW_SOURCE
 
-    # the corpus index is the long-lived side of admission control — build
-    # and pin it once per (session, sf_dir), like a served lake index
-    # (same memo contract as dedup._LSH_PAIRS_MEMO)
+    # the corpus index is the long-lived side of admission control — built
+    # by the SAME corpus_probe_sides the batch operator uses (index layout
+    # can't drift) and pinned once per (session, sf_dir), like a served
+    # lake index (same memo contract as dedup._LSH_PAIRS_MEMO);
+    # scale_partitions parallelizes the shingle pass like the batch twin
     memo_key = (spark.sparkContext.applicationId, sf_dir)
     if memo_key not in _NEARDUP_INDEX_MEMO:
-        old_h = _with_hashed_shingles(docs.filter(~is_new)).localCheckpoint()
-        old_bands = (
-            _band_keys(_signatures_from(old_h))
-            .withColumnsRenamed({"doc_id": "old_doc_id"})
-            .localCheckpoint()
+        bands, sets_ = corpus_probe_sides(
+            scale_partitions(docs.filter(~is_new), spark)
         )
-        _NEARDUP_INDEX_MEMO[memo_key] = (old_h, old_bands)
-    old_h, old_bands = _NEARDUP_INDEX_MEMO[memo_key]
-    old_sets = old_h.withColumnsRenamed({"doc_id": "old_doc_id", "hb": "hb_old"})
+        _NEARDUP_INDEX_MEMO[memo_key] = (
+            bands.localCheckpoint(),
+            sets_.localCheckpoint(),
+        )
+    old_bands, old_sets = _NEARDUP_INDEX_MEMO[memo_key]
 
     work = tempfile.mkdtemp(prefix="neardup_replay_")
     src = os.path.join(work, "src")
@@ -396,17 +417,11 @@ def streaming_neardup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         verified.write.mode("append").parquet(out)
 
     name = "neardup_contract"
-    _fresh_memory_query(spark, name)
     stream = file_stream(spark, src, src_schema, max_files_per_trigger=1)
-    with bounded_replay_conf(spark):
-        query = (
-            stream.writeStream.foreachBatch(probe)
-            .queryName(name)
-            .option("checkpointLocation", os.path.join(work, "ckpt"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        query.awaitTermination(300)
+    run_bounded_replay(
+        spark, stream, checkpoint=os.path.join(work, "ckpt"),
+        name=name, foreach_batch=probe,
+    )
     # detach from the temp dir before cleanup
     result = spark.read.parquet(out).localCheckpoint()
     shutil.rmtree(work, ignore_errors=True)
@@ -488,19 +503,12 @@ def streaming_distinct_state_replay(spark: SparkSession, sf_dir: str) -> DataFra
     ``count(DISTINCT event_type)``."""
     work, src, schema = _events_replay(spark, sf_dir)
     name = "tws_contract"
-    _fresh_memory_query(spark, name)
     stream = file_stream(spark, src, schema, max_files_per_trigger=2)
     counted = user_distinct_types(stream)
-    with bounded_replay_conf(spark):
-        query = (
-            counted.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("update")
-            .option("checkpointLocation", os.path.join(work, "ckpt"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        query.awaitTermination(300)
+    run_bounded_replay(
+        spark, counted, checkpoint=os.path.join(work, "ckpt"),
+        name=name, output_mode="update",
+    )
     # update-mode memory sink appends one row per (user, batch-appeared);
     # the running count is monotone, so MAX = the final state
     result = (
@@ -535,7 +543,6 @@ def streaming_enrich_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("user_id"), "c_mktsegment"
     )
     name = "enrich_contract"
-    _fresh_memory_query(spark, name)
     stream = file_stream(spark, src, schema, max_files_per_trigger=2)
     agg = (
         stream.join(F.broadcast(dim), "user_id")  # stateless per batch
@@ -545,16 +552,10 @@ def streaming_enrich_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("total_value"),
         )
     )
-    with bounded_replay_conf(spark):
-        query = (
-            agg.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("complete")
-            .option("checkpointLocation", os.path.join(work, "ckpt"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        query.awaitTermination(300)
+    run_bounded_replay(
+        spark, agg, checkpoint=os.path.join(work, "ckpt"),
+        name=name, output_mode="complete",
+    )
     result = spark.table(name).localCheckpoint()
     shutil.rmtree(work, ignore_errors=True)
     return result
