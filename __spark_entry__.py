@@ -26,6 +26,7 @@ from kafka_exercise_spark.operators import (
     skew,
     textops,
 )
+from kafka_exercise_spark import serving
 from kafka_exercise_spark.streaming import pipeline as streaming_pipeline
 from kafka_exercise_spark.streaming import stateful as streaming_stateful
 
@@ -88,6 +89,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_neardup_replay": streaming_stateful.streaming_neardup_replay,
         # stream-table (stream-static broadcast) enrichment join + agg
         "streaming_enrich_replay": streaming_stateful.streaming_enrich_replay,
+        # §2.1 S11 — BI serving layer: S6 lake drain → dataset registry →
+        # materialized dashboard rollup → SQL answer
+        "serving_lake_rollup": serving.serving_lake_rollup,
         # ---- analytic entries left uncovered by the r02 correctness cap ----
         "session_window_events": analytic.session_window_events,
         "user_event_gaps": analytic.user_event_gaps,
@@ -132,7 +136,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q12_priority_class": relational.q12_priority_class,
         # ---- north star: multimodal binary columns ----
         "multimodal_meta": multimodal.multimodal_meta,
-        # unigram-entropy quality signal
+        # unigram-entropy quality signal (rotated just past the 50-entry
+        # window in r03 by serving_lake_rollup; pytest-pinned + verify_local)
         "text_token_entropy": textops.text_token_entropy,
         # (same Arrow plumbing as multimodal_meta, which holds the window
         # slot; still fully oracle-checked by verify_local)
@@ -1606,6 +1611,16 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 2) AS total_value
             FROM events e JOIN customer c ON e.user_id = c.c_custkey
             GROUP BY c_mktsegment
+        """,
+        # S11 serving rollup: streaming lake drain final state ≡ batch
+        # filter, so the dashboard answer is the plain filtered GROUP BY
+        "serving_lake_rollup": """
+            SELECT strftime(ts, '%Y-%m-%d') AS dt_event, event_type,
+                   count(*) AS n_events,
+                   count(DISTINCT user_id) AS n_users
+            FROM events
+            WHERE strftime(ts, '%Y-%m-%d') >= '2024-01-15'
+            GROUP BY 1, 2
         """,
     }
     # the streaming admission-control twin shares the batch oracle
