@@ -127,9 +127,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_cap": sampling.domain_cap,
         # deterministic (shard, position) training-order shuffle
         "global_shuffle": sampling.global_shuffle,
-        # ---- north star: similarity search (hash-oracle entries) ----
-        "ann_cosine_topk": similarity.ann_cosine_topk,
-        "embedding_outliers": similarity.embedding_outliers,
+        # greedy per-language token-budget mixture fill (new in r03)
+        "token_budget_select": sampling.token_budget_select,
+        # per-language quantile-calibrated quality band (new in r03)
+        "quality_quantile_filter": sampling.quality_quantile_filter,
+        # ---- north star: similarity search (hash-oracle entry) ----
         # int8 scalar quantization + reconstruction-quality audit
         "embedding_quantize": similarity.embedding_quantize,
         # ---- fixed since r02: DuckDB HUGEINT-vs-BIGINT oracle typing ----
@@ -142,9 +144,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (same Arrow plumbing as multimodal_meta, which holds the window
         # slot; still fully oracle-checked by verify_local)
         "multimodal_features": multimodal.multimodal_features,
-        # ---- rows-only approximate-ANN variants (LSH/KMeans are not
-        # ANSI-SQL-expressible; placed after the 50-entry hash window so
-        # every in-window entry carries a full value-hash oracle) ----
+        # ---- ANN family (brute-force baseline + rows-only approximate
+        # variants; rotated past the 50-entry hash window in r03 to make
+        # room for the new mixture ops — ann_cosine_topk/embedding_outliers
+        # keep full value-hash oracles via verify_local) ----
+        "ann_cosine_topk": similarity.ann_cosine_topk,
+        "embedding_outliers": similarity.embedding_outliers,
         "ann_lsh_bucketed": similarity.ann_lsh_bucketed,
         "ann_lsh_multiprobe": similarity.ann_lsh_multiprobe,
         "ann_ivf_topk": similarity.ann_ivf_topk,
@@ -1368,6 +1373,32 @@ def oracle_sql() -> dict[str, str]:
                    (row_number() OVER (PARTITION BY shard
                                        ORDER BY hk, doc_id))::BIGINT AS position
             FROM s
+        """,
+        "token_budget_select": f"""
+            WITH d AS (SELECT lang, doc_id,
+                              len({_TOKS})::BIGINT AS n_tok,
+                              ('0x' || substr(md5('budget:' || doc_id), 1, 15))::BIGINT
+                                  AS hk
+                       FROM documents),
+            c AS (SELECT lang, doc_id, n_tok,
+                         sum(n_tok) OVER (PARTITION BY lang ORDER BY hk, doc_id
+                                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW) AS cum_tok
+                  FROM d)
+            SELECT lang, doc_id, n_tok, cum_tok::BIGINT AS cum_tok
+            FROM c WHERE cum_tok - n_tok < 2000
+        """,
+        "quality_quantile_filter": f"""
+            WITH s AS (SELECT lang, doc_id,
+                              (n_chars * 1000) // len({_TOKS}) AS milli_cpt
+                       FROM documents),
+            m AS (SELECT lang, quantile_cont(milli_cpt, 0.25) AS q1_cpt,
+                         quantile_cont(milli_cpt, 0.75) AS q3_cpt
+                  FROM s GROUP BY lang)
+            SELECT s.lang, doc_id, milli_cpt::BIGINT AS milli_cpt,
+                   round(m.q1_cpt, 2) AS q1_cpt, round(m.q3_cpt, 2) AS q3_cpt
+            FROM s JOIN m ON s.lang = m.lang
+            WHERE milli_cpt >= m.q1_cpt AND milli_cpt <= m.q3_cpt
         """,
         "dedup_passages": f"""
             WITH t AS (SELECT doc_id, {_TOKS} AS w FROM documents),

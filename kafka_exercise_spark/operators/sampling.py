@@ -197,6 +197,98 @@ def domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Token budget per language in the training mixture (absolute, like a real
+#: mixture spec: "N tokens of each language", not a fraction of the corpus).
+LANG_TOKEN_BUDGET = 2000
+
+
+def token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy per-language token-budget fill: keep documents, in
+    deterministic hash order, until each language's token budget is spent —
+    the mixture-construction step ("20 B tokens of code, 5 B of French, …")
+    between a curated corpus and a training run.
+
+    A doc is kept iff it *starts* within the budget (running token total
+    before it < budget), so the kept set is a pure function of (salt,
+    doc_id, budget): reproducible across reruns, partitionings and engines,
+    and auditable — the emitted ``cum_tok`` is the running total the
+    decision was made on. One window per language (shuffle key = lang):
+    parallelism is the language count here, but at 100 TB the same shape
+    shards as ``pack_sequences`` does — partition by (lang, H(doc) mod S)
+    with per-shard budget/S — so no single-task language exists; the
+    two-level form is a mechanical extension of this exact plan.
+    """
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    from kafka_exercise_spark.functions.text import tokens  # noqa: PLC0415
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = md5_hash64(F.concat(F.lit("budget:"), F.col("doc_id").cast("string")))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("hk", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        docs.select(
+            "lang",
+            "doc_id",
+            F.size(tokens(F.col("text"))).cast("long").alias("n_tok"),
+            h.alias("hk"),
+        )
+        .withColumn("cum_tok", F.sum("n_tok").over(w))
+        .filter(F.col("cum_tok") - F.col("n_tok") < LANG_TOKEN_BUDGET)
+        .select("lang", "doc_id", "n_tok", "cum_tok")
+    )
+
+
+def quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quantile-calibrated quality band: score every document
+    with a cheap signal (milli-chars per token ≈ mean token length) and keep
+    the interquartile band [Q1, Q3] of the document's OWN language — the
+    calibration step that makes one quality cutoff work across languages
+    with different orthography (a fixed chars/token band that is right for
+    English would misjudge Chinese), and the standard robust trim of both
+    tails (gibberish long-token docs above, fragment/boilerplate below).
+
+    Two-pass plan: pass 1 aggregates per-language quartiles (|langs| rows —
+    tiny), pass 2 broadcast-joins them back and filters map-side. The signal
+    is integer-valued, so interpolated quartiles are exact quarter-doubles
+    (x.0/x.25/x.5/x.75) — the band decision is exact arithmetic,
+    bit-reproducible in the oracle, no float-boundary flakes. At 100 TB
+    pass 1 uses ``approx_percentile`` (documented swap): the threshold
+    becomes approximate but the decision stays deterministic given it.
+    """
+    from kafka_exercise_spark.functions.text import tokens  # noqa: PLC0415
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "lang",
+        "doc_id",
+        F.floor(
+            F.col("n_chars") * 1000 / F.size(tokens(F.col("text")))
+        ).alias("milli_cpt"),
+    )
+    quartiles = scored.groupBy("lang").agg(
+        F.percentile("milli_cpt", 0.25).alias("q1_cpt"),
+        F.percentile("milli_cpt", 0.75).alias("q3_cpt"),
+    )
+    return (
+        scored.join(F.broadcast(quartiles), "lang")
+        .filter(
+            (F.col("milli_cpt") >= F.col("q1_cpt"))
+            & (F.col("milli_cpt") <= F.col("q3_cpt"))
+        )
+        .select(
+            "lang",
+            "doc_id",
+            "milli_cpt",
+            F.round("q1_cpt", 2).alias("q1_cpt"),
+            F.round("q3_cpt", 2).alias("q3_cpt"),
+        )
+    )
+
+
 def global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic global training-order shuffle: every doc gets a
     (shard, position) such that reading shards 0..S-1, each in position

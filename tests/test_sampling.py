@@ -115,3 +115,70 @@ def test_cap_and_shuffle_plans_stay_jvm_side(spark, sf_dir):
         assert python_eval_count(df) == 0, fn.__name__
         # one hash-partition exchange for the window — never a global sort
         assert shuffle_exchange_count(df) == 1, fn.__name__
+
+
+def test_token_budget_select_fills_greedily(spark, sf_dir):
+    from kafka_exercise_spark.catalog import load_table
+    from kafka_exercise_spark.functions.text import tokens
+
+    rows = sampling.token_budget_select(spark, sf_dir).collect()
+    budget = sampling.LANG_TOKEN_BUDGET
+    per_lang: dict[str, list] = {}
+    for r in rows:
+        per_lang.setdefault(r.lang, []).append(r)
+    docs = load_table(spark, sf_dir, "documents")
+    lang_totals = {
+        r.lang: r.total
+        for r in docs.groupBy("lang")
+        .agg(F.sum(F.size(tokens(F.col("text")))).alias("total"))
+        .collect()
+    }
+    for lang, kept in per_lang.items():
+        # every kept doc STARTS within budget; at most one overshoots
+        for r in kept:
+            assert r.cum_tok - r.n_tok < budget, lang
+        over = [r for r in kept if r.cum_tok >= budget]
+        assert len(over) <= 1, lang
+        # greedy fill: if the language has more tokens than the budget,
+        # the fill reaches the budget (proper, non-trivial selection)
+        if lang_totals[lang] > budget:
+            assert max(r.cum_tok for r in kept) >= budget, lang
+            assert len(kept) < sum(
+                1 for _ in docs.filter(F.col("lang") == lang).collect()
+            ), lang
+    # deterministic across reruns
+    again = sampling.token_budget_select(spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_quality_quantile_filter_keeps_iqr_band(spark, sf_dir):
+    from kafka_exercise_spark.catalog import load_table
+
+    rows = sampling.quality_quantile_filter(spark, sf_dir).collect()
+    totals = {
+        r.lang: r.n
+        for r in load_table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    per_lang: dict[str, list] = {}
+    for r in rows:
+        assert r.q1_cpt <= r.milli_cpt <= r.q3_cpt
+        per_lang.setdefault(r.lang, []).append(r)
+    for lang, kept in per_lang.items():
+        # an interquartile band keeps roughly half, never all or none
+        frac = len(kept) / totals[lang]
+        assert 0.25 <= frac <= 0.75, (lang, frac)
+
+
+def test_mixture_ops_plans_stay_jvm_side(spark, sf_dir):
+    budget = sampling.token_budget_select(spark, sf_dir)
+    assert python_eval_count(budget) == 0
+    # one hash-partition exchange for the per-lang window
+    assert shuffle_exchange_count(budget) == 1
+    band = sampling.quality_quantile_filter(spark, sf_dir)
+    assert python_eval_count(band) == 0
+    # quartiles aggregate (tiny) + broadcast back: the corpus side is
+    # never re-shuffled
+    assert broadcast_join_count(band) >= 1
