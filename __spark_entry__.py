@@ -175,6 +175,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "avro_embeddings_roundtrip": pipeline_ops.avro_embeddings_roundtrip,
         # end-to-end keep/drop curation decision, one map-only pass
         "curation_pipeline": textops.curation_pipeline,
+        # overlapping token-window chunking (doc → passage fan-out)
+        "chunk_documents": textops.chunk_documents,
+        # per-source data-card rollup incl. exact duplicate rate
+        "corpus_profile": textops.corpus_profile,
         # ksql dialect stream-stream JOIN ... WITHIN (interval equi-join)
         "ksql_join_within": pipeline_ops.ksql_join_within,
         # Bloom-prefilter decontamination (exact output; bloom cuts cost)
@@ -1514,6 +1518,40 @@ def oracle_sql() -> dict[str, str]:
                    reasons = '' AS keep,
                    reasons AS reject_reasons
             FROM d
+        """,
+        "chunk_documents": f"""
+            WITH t AS (SELECT doc_id, {_TOKS} AS tok FROM documents),
+            c AS (SELECT doc_id, tok,
+                         unnest(range(((len(tok) - 1) // {textops.CHUNK_STRIDE})
+                                      + 1)) AS chunk_id
+                  FROM t WHERE len(tok) > 0),
+            p AS (SELECT doc_id, chunk_id,
+                         tok[chunk_id * {textops.CHUNK_STRIDE} + 1 :
+                             chunk_id * {textops.CHUNK_STRIDE}
+                             + {textops.CHUNK_TOKENS}] AS piece
+                  FROM c)
+            SELECT doc_id, chunk_id::BIGINT AS chunk_id,
+                   (chunk_id * {textops.CHUNK_STRIDE})::BIGINT AS start_tok,
+                   len(piece)::BIGINT AS chunk_tok,
+                   ('0x' || substr(md5(array_to_string(piece, ' ')), 1, 15))::BIGINT
+                       AS chunk_hash
+            FROM p
+        """,
+        "corpus_profile": f"""
+            WITH s AS (SELECT source, lang, n_chars,
+                              len({_TOKS})::BIGINT AS n_tok,
+                              ('0x' || substr(md5({_CANON}), 1, 15))::BIGINT AS fp
+                       FROM documents),
+            a AS (SELECT source,
+                         count(*)::BIGINT AS n_docs,
+                         count(DISTINCT lang)::BIGINT AS n_langs,
+                         sum(n_tok)::BIGINT AS total_tokens,
+                         round(avg(n_tok), 2) AS avg_tokens,
+                         min(n_chars) AS min_chars,
+                         max(n_chars) AS max_chars,
+                         count(DISTINCT fp)::BIGINT AS n_unique
+                  FROM s GROUP BY source)
+            SELECT *, round(1.0 - n_unique / n_docs, 6) AS dup_rate FROM a
         """,
         "multimodal_frame_sample": """
             -- DuckDB cannot slice BLOBs; fixture texts are pure ASCII

@@ -404,3 +404,80 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         (reasons == "").alias("keep"),
         reasons.alias("reject_reasons"),
     )
+
+
+#: Chunking window/stride (tokens). 64/48 ⇒ 16-token overlap between
+#: consecutive chunks, the standard passage-embedding shape.
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48
+
+
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking: the document → passage step of an
+    embedding/retrieval pipeline (each chunk is what gets embedded, with
+    enough overlap that no sentence is split across a hard boundary without
+    also appearing whole in a neighbor).
+
+    Chunk starts are 0, S, 2S, … < n_tok, so every token is covered and
+    membership is a pure function of the token sequence — deterministic,
+    engine-reproducible (the 60-bit chunk hash is checked by the oracle).
+    Map-only: explode(sequence) + slice are JVM array ops over one pruned
+    scan; output size is ×(C/S) the corpus, the intended fan-out, with no
+    shuffle anywhere.
+    """
+    docs = scale_partitions(load_table(spark, sf_dir, "documents"), spark)
+    stride = F.lit(CHUNK_STRIDE)
+    with_tok = docs.select("doc_id", tokens(F.col("text")).alias("tok"))
+    n_tok = F.size("tok")
+    chunked = with_tok.select(
+        "doc_id",
+        "tok",
+        F.explode(
+            F.when(
+                n_tok > 0,
+                F.sequence(F.lit(0), F.floor((n_tok - 1) / stride)),
+            ).otherwise(F.array())
+        ).alias("chunk_id"),
+    )
+    start = F.col("chunk_id") * stride
+    piece = F.slice(F.col("tok"), start + 1, CHUNK_TOKENS)
+    return chunked.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        start.cast("long").alias("start_tok"),
+        F.size(piece).cast("long").alias("chunk_tok"),
+        md5_hash64(F.array_join(piece, " ")).alias("chunk_hash"),
+    )
+
+
+def corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus data card: the audit rollup a curation run ships
+    with its output (doc counts, token mass, length spread, language
+    spread, and the exact duplicate rate via canonical-form fingerprints).
+
+    One scan → one groupBy(source): the token/char stats aggregate with
+    map-side partials; the two distinct aggregates (languages, unique
+    fingerprints) plan the standard two-phase partial-distinct — at 100 TB
+    the only wide exchange carries (source, fingerprint) pairs, already
+    map-side deduplicated within each partition.
+    """
+    docs = scale_partitions(load_table(spark, sf_dir, "documents"), spark)
+    n_tok = F.size(tokens(F.col("text"))).cast("long")
+    fp = md5_hash64(normalized_text(F.col("text")))
+    scored = docs.select("source", "lang", "n_chars", n_tok.alias("n_tok"), fp.alias("fp"))
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count_distinct("lang").alias("n_langs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.round(F.avg("n_tok"), 2).alias("avg_tokens"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.count_distinct("fp").alias("n_unique"),
+        )
+        .withColumn(
+            "dup_rate",
+            F.round(1.0 - F.col("n_unique") / F.col("n_docs"), 6),
+        )
+    )

@@ -632,3 +632,55 @@ def test_dedup_semantic_components_invariants(spark, sf_dir):
         paired.update((p.id_a, p.id_b))
         assert comp_of[p.id_a] == comp_of[p.id_b]  # an edge never straddles
     assert paired == set(comp_of)
+
+
+def test_chunk_documents_covers_every_token(spark, sf_dir):
+    from kafka_exercise_spark.catalog import load_table
+    from kafka_exercise_spark.functions.text import tokens
+    from kafka_exercise_spark.plans import python_eval_count, shuffle_exchange_count
+
+    chunks = textops.chunk_documents(spark, sf_dir)
+    # map-only fan-out: no Python; the only exchange is scale_partitions'
+    # round-robin spread of the single-file fixture (no data shuffle by key)
+    assert python_eval_count(chunks) == 0
+    assert shuffle_exchange_count(chunks) <= 1
+    rows = chunks.collect()
+    n_tok_by_doc = {
+        r.doc_id: r.n
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.size(tokens(F.col("text"))).alias("n"))
+        .collect()
+    }
+    per_doc: dict[int, list] = {}
+    for r in rows:
+        per_doc.setdefault(r.doc_id, []).append(r)
+    C, S = textops.CHUNK_TOKENS, textops.CHUNK_STRIDE
+    for doc_id, cs in per_doc.items():
+        n_tok = n_tok_by_doc[doc_id]
+        cs.sort(key=lambda r: r.chunk_id)
+        # chunk ids contiguous from 0; starts at stride multiples < n_tok
+        assert [r.chunk_id for r in cs] == list(range(len(cs)))
+        for r in cs:
+            assert r.start_tok == r.chunk_id * S < n_tok
+            assert r.chunk_tok == min(C, n_tok - r.start_tok)
+        # full coverage: last chunk reaches the document end
+        last = cs[-1]
+        assert last.start_tok + last.chunk_tok == n_tok
+    # every doc with tokens is chunked
+    assert set(per_doc) == {d for d, n in n_tok_by_doc.items() if n > 0}
+
+
+def test_corpus_profile_consistency(spark, sf_dir):
+    from kafka_exercise_spark.catalog import load_table
+    from kafka_exercise_spark.plans import python_eval_count
+
+    profile = textops.corpus_profile(spark, sf_dir)
+    assert python_eval_count(profile) == 0
+    rows = profile.collect()
+    total = load_table(spark, sf_dir, "documents").count()
+    assert sum(r.n_docs for r in rows) == total
+    for r in rows:
+        assert 1 <= r.n_unique <= r.n_docs
+        assert 0.0 <= r.dup_rate < 1.0
+        assert r.min_chars <= r.max_chars
+        assert r.n_langs >= 1
