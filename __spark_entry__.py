@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from kafka_exercise_spark.operators import (
     analytic,
+    dataquality,
     dedup,
     multimodal,
     pipeline_ops,
@@ -179,6 +180,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": textops.chunk_documents,
         # per-source data-card rollup incl. exact duplicate rate
         "corpus_profile": textops.corpus_profile,
+        # Deequ-style declarative DQ gate: suite → ONE agg pass per table
+        "dq_report": dataquality.dq_report,
         # ksql dialect stream-stream JOIN ... WITHIN (interval equi-join)
         "ksql_join_within": pipeline_ops.ksql_join_within,
         # Bloom-prefilter decontamination (exact output; bloom cuts cost)
@@ -1552,6 +1555,43 @@ def oracle_sql() -> dict[str, str]:
                          count(DISTINCT fp)::BIGINT AS n_unique
                   FROM s GROUP BY source)
             SELECT *, round(1.0 - n_unique / n_docs, 6) AS dup_rate FROM a
+        """,
+        "dq_report": """
+            WITH o AS (SELECT count(*) AS n,
+                  avg(CASE WHEN o_custkey IS NOT NULL THEN 1.0 ELSE 0.0 END)
+                      AS comp,
+                  count(DISTINCT o_orderkey) * 1.0 / count(*) AS uniq,
+                  avg(CASE WHEN o_orderstatus IN ('F', 'O', 'P') THEN 1.0
+                           ELSE 0.0 END) AS inset
+                  FROM orders),
+            e AS (SELECT count(*) AS n,
+                  avg(CASE WHEN user_id IS NOT NULL THEN 1.0 ELSE 0.0 END)
+                      AS c1,
+                  avg(CASE WHEN event_type IS NOT NULL THEN 1.0 ELSE 0.0 END)
+                      AS c2,
+                  avg(CASE WHEN value BETWEEN 0.0 AND 250.0 THEN 1.0
+                           ELSE 0.0 END) AS btw,
+                  count(DISTINCT event_id) * 1.0 / count(*) AS uniq
+                  FROM events),
+            r AS (
+              SELECT 'orders' AS table_name, 'non_empty' AS check_name,
+                     round(least(n, 1)::DOUBLE, 6) AS metric,
+                     1.0 AS min_value FROM o
+              UNION ALL SELECT 'orders', 'completeness(o_custkey)',
+                     round(comp, 6), 1.0 FROM o
+              UNION ALL SELECT 'orders', 'uniqueness(o_orderkey)',
+                     round(uniq, 6), 1.0 FROM o
+              UNION ALL SELECT 'orders', 'in_set(o_orderstatus)',
+                     round(inset, 6), 1.0 FROM o
+              UNION ALL SELECT 'events', 'completeness(user_id)',
+                     round(c1, 6), 1.0 FROM e
+              UNION ALL SELECT 'events', 'completeness(event_type)',
+                     round(c2, 6), 1.0 FROM e
+              UNION ALL SELECT 'events', 'between(value,0.0,250.0)',
+                     round(btw, 6), 0.5 FROM e
+              UNION ALL SELECT 'events', 'uniqueness(event_id)',
+                     round(uniq, 6), 1.0 FROM e)
+            SELECT *, metric >= min_value AS passed FROM r
         """,
         "multimodal_frame_sample": """
             -- DuckDB cannot slice BLOBs; fixture texts are pure ASCII

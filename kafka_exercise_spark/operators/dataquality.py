@@ -1,0 +1,149 @@
+"""Declarative data-quality expectations — the publish gate of a pipeline.
+
+Before a 100 TB curation/ingest run promotes its output, it validates the
+contract: key columns complete and unique, categorical columns within their
+domain, measures within range. The standard tooling shape (Deequ, dbt tests,
+Great Expectations) is a *suite of named checks compiled into one aggregate
+pass per table* — never one job per check. That is exactly what
+``ExpectationSuite`` does: every check lowers to a conditional aggregate
+expression, the whole suite runs as a single ``agg(...)`` over one scan
+(map-side partials, tiny result), and the report is one row per check with
+the observed metric and pass/fail against its threshold.
+
+Scale posture: N checks on a table cost ONE scan + one scalar aggregate —
+adding a check is free at runtime. ``unique`` checks add a count-distinct
+(two-phase partial-distinct exchange over the key column only). Thresholds
+make checks tolerant (``completeness >= 0.99``) for real-world dirt while
+keeping the gate deterministic.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_exercise_spark.catalog import load_table
+
+
+@dataclass
+class _Check:
+    name: str
+    metric_expr: Column  # aggregate expression → DOUBLE metric in [0, 1]
+    min_value: float  # check passes iff metric >= min_value
+
+
+def _fraction(cond: Column) -> Column:
+    """Aggregate: fraction of rows satisfying ``cond`` (0.0 on empty)."""
+    return F.coalesce(
+        F.avg(F.when(cond, 1.0).otherwise(0.0)), F.lit(0.0)
+    )
+
+
+@dataclass
+class ExpectationSuite:
+    """Named checks over one table, compiled to a single aggregate pass."""
+
+    table: str
+    checks: list[_Check] = field(default_factory=list)
+
+    # -- check constructors (each returns self for chaining) -------------
+
+    def completeness(self, col: str, at_least: float = 1.0) -> "ExpectationSuite":
+        """Fraction of rows with ``col`` not null."""
+        self.checks.append(
+            _Check(f"completeness({col})", _fraction(F.col(col).isNotNull()), at_least)
+        )
+        return self
+
+    def uniqueness(self, col: str, at_least: float = 1.0) -> "ExpectationSuite":
+        """distinct(col) / count(*) — 1.0 means a true key."""
+        self.checks.append(
+            _Check(
+                f"uniqueness({col})",
+                F.count_distinct(F.col(col)) / F.count(F.lit(1)),
+                at_least,
+            )
+        )
+        return self
+
+    def in_set(
+        self, col: str, values: list[str], at_least: float = 1.0
+    ) -> "ExpectationSuite":
+        """Fraction of rows whose ``col`` is one of ``values``."""
+        self.checks.append(
+            _Check(
+                f"in_set({col})", _fraction(F.col(col).isin(values)), at_least
+            )
+        )
+        return self
+
+    def between(
+        self, col: str, lo: float, hi: float, at_least: float = 1.0
+    ) -> "ExpectationSuite":
+        """Fraction of rows with ``lo <= col <= hi``."""
+        self.checks.append(
+            _Check(
+                f"between({col},{lo},{hi})",
+                _fraction(F.col(col).between(lo, hi)),
+                at_least,
+            )
+        )
+        return self
+
+    def non_empty(self) -> "ExpectationSuite":
+        """Table has at least one row (metric: min(1, count))."""
+        self.checks.append(
+            _Check("non_empty", F.least(F.count(F.lit(1)).cast("double"), F.lit(1.0)), 1.0)
+        )
+        return self
+
+    # -- compile + run ---------------------------------------------------
+
+    def run(self, df: DataFrame) -> DataFrame:
+        """ONE aggregate over one scan → (table, check, metric, min_value,
+        passed) per check. Metrics are rounded to 6 dp so reports are
+        hash-stable across engines and partitionings."""
+        aggs = [
+            F.round(c.metric_expr, 6).alias(f"m{i}")
+            for i, c in enumerate(self.checks)
+        ]
+        row = df.agg(*aggs)
+        reports = [
+            F.struct(
+                F.lit(self.table).alias("table_name"),
+                F.lit(c.name).alias("check_name"),
+                F.col(f"m{i}").alias("metric"),
+                F.lit(float(c.min_value)).alias("min_value"),
+                (F.col(f"m{i}") >= c.min_value).alias("passed"),
+            )
+            for i, c in enumerate(self.checks)
+        ]
+        return row.select(
+            F.explode(F.array(*reports)).alias("r")
+        ).select("r.*")
+
+
+def dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The publish-gate report for the fixture warehouse: key integrity on
+    ``orders``, domain/range contracts on ``events`` — one aggregate pass
+    per table, unioned into a single (table, check, metric, passed) report.
+    """
+    orders_suite = (
+        ExpectationSuite("orders")
+        .non_empty()
+        .completeness("o_custkey")
+        .uniqueness("o_orderkey")
+        .in_set("o_orderstatus", ["F", "O", "P"])
+    )
+    events_suite = (
+        ExpectationSuite("events")
+        .completeness("user_id")
+        .completeness("event_type")
+        .between("value", 0.0, 250.0, at_least=0.5)
+        .uniqueness("event_id")
+    )
+    return orders_suite.run(load_table(spark, sf_dir, "orders")).unionByName(
+        events_suite.run(load_table(spark, sf_dir, "events"))
+    )

@@ -1,0 +1,93 @@
+"""Declarative DQ expectations: one-agg-pass compilation + gate semantics."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kafka_exercise_spark.operators import dataquality
+from kafka_exercise_spark.plans import python_eval_count, shuffle_exchange_count
+
+
+def _dirty(spark):
+    return spark.createDataFrame(
+        [
+            (1, "a", 10.0),
+            (2, "b", 900.0),  # out of range
+            (2, "c", 20.0),  # duplicate key
+            (4, None, 30.0),  # null category
+        ],
+        "id long, cat string, v double",
+    )
+
+
+def test_suite_detects_violations_with_exact_metrics(spark):
+    report = (
+        dataquality.ExpectationSuite("t")
+        .non_empty()
+        .completeness("cat")
+        .uniqueness("id")
+        .between("v", 0.0, 100.0)
+        .in_set("cat", ["a", "b", "c"])
+        .run(_dirty(spark))
+    )
+    rows = {r.check_name: r for r in report.collect()}
+    assert rows["non_empty"].passed
+    assert rows["completeness(cat)"].metric == 0.75
+    assert not rows["completeness(cat)"].passed
+    assert rows["uniqueness(id)"].metric == 0.75
+    assert rows["between(v,0.0,100.0)"].metric == 0.75
+    # tolerant threshold turns the same metric into a pass
+    relaxed = (
+        dataquality.ExpectationSuite("t")
+        .completeness("cat", at_least=0.7)
+        .run(_dirty(spark))
+        .first()
+    )
+    assert relaxed.passed
+
+
+def test_suite_is_one_pass_and_jvm_side(spark):
+    df = _dirty(spark)
+    report = (
+        dataquality.ExpectationSuite("t")
+        .completeness("cat")
+        .between("v", 0.0, 100.0)
+        .in_set("cat", ["a"])
+        .run(df)
+    )
+    assert python_eval_count(report) == 0
+    # no distinct check → single two-phase scalar aggregate (1 exchange)
+    assert shuffle_exchange_count(report) == 1
+    # the whole N-check suite is one job over one scan
+    plan = report._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan") <= 1
+
+
+def test_empty_frame_fails_closed(spark):
+    empty = spark.createDataFrame([], "id long, cat string")
+    rows = {
+        r.check_name: r
+        for r in dataquality.ExpectationSuite("t")
+        .non_empty()
+        .completeness("cat")
+        .run(empty)
+        .collect()
+    }
+    assert not rows["non_empty"].passed
+    assert rows["completeness(cat)"].metric == 0.0
+    assert not rows["completeness(cat)"].passed
+
+
+def test_dq_report_fixture_gate(spark, sf_dir):
+    rows = dataquality.dq_report(spark, sf_dir).collect()
+    assert len(rows) == 8
+    assert {r.table_name for r in rows} == {"orders", "events"}
+    for r in rows:
+        assert 0.0 <= r.metric <= 1.0
+        assert r.passed == (r.metric >= r.min_value)
+    # fixture keys are clean: every uniqueness/completeness gate passes
+    assert all(
+        r.passed
+        for r in rows
+        if r.check_name.startswith(("uniqueness", "completeness"))
+    )
