@@ -182,6 +182,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_profile": textops.corpus_profile,
         # Deequ-style declarative DQ gate: suite → ONE agg pass per table
         "dq_report": dataquality.dq_report,
+        # per-micro-batch DQ gate with dead-letter routing (StreamExecution)
+        "streaming_dq_gate": streaming_pipeline.streaming_dq_gate,
         # ksql dialect stream-stream JOIN ... WITHIN (interval equi-join)
         "ksql_join_within": pipeline_ops.ksql_join_within,
         # Bloom-prefilter decontamination (exact output; bloom cuts cost)
@@ -1592,6 +1594,21 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL SELECT 'events', 'uniqueness(event_id)',
                      round(uniq, 6), 1.0 FROM e)
             SELECT *, metric >= min_value AS passed FROM r
+        """,
+        # streamed gate final state ≡ batch tagging of the whole fixture
+        "streaming_dq_gate": """
+            WITH v AS (SELECT event_id,
+                concat_ws(',',
+                  CASE WHEN user_id IS NULL THEN 'null_user' END,
+                  CASE WHEN event_type NOT IN
+                       ('click', 'signup', 'purchase', 'view')
+                       THEN 'bad_type' END,
+                  CASE WHEN NOT (value BETWEEN 0.0 AND 480.0)
+                       THEN 'value_range' END) AS violations
+              FROM events)
+            SELECT violations, count(*) AS n_events,
+                   min(event_id) AS first_event
+            FROM v GROUP BY violations
         """,
         "multimodal_frame_sample": """
             -- DuckDB cannot slice BLOBs; fixture texts are pure ASCII

@@ -125,6 +125,33 @@ class ExpectationSuite:
         ).select("r.*")
 
 
+#: Row-level contract for the events stream — shared by the batch oracle and
+#: the streaming quarantine gate so the two can never drift.
+EVENT_ALLOWED_TYPES = ("click", "signup", "purchase", "view")
+EVENT_VALUE_MAX = 480.0
+
+
+def event_row_violations() -> Column:
+    """Comma-joined violation tags for one event row ('' = clean).
+
+    The row-level twin of ``ExpectationSuite``: where the suite aggregates
+    a table-level gate, this expression tags each row so a streaming gate
+    can route it (clean → publish, tagged → dead-letter) — plain codegen
+    expressions, evaluated map-side in whatever pass already touches the
+    row.
+    """
+    return F.concat_ws(
+        ",",
+        F.when(F.col("user_id").isNull(), F.lit("null_user")),
+        F.when(
+            ~F.col("event_type").isin(list(EVENT_ALLOWED_TYPES)), F.lit("bad_type")
+        ),
+        F.when(
+            ~F.col("value").between(0.0, EVENT_VALUE_MAX), F.lit("value_range")
+        ),
+    )
+
+
 def dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The publish-gate report for the fixture warehouse: key integrity on
     ``orders``, domain/range contracts on ``events`` — one aggregate pass

@@ -18,6 +18,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from kafka_exercise_spark.operators.pipeline_ops import (
@@ -151,6 +152,66 @@ def streaming_idadecont_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(work, ignore_errors=True)
     return result
+
+
+def streaming_dq_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-micro-batch data-quality gate with dead-letter routing, run under
+    REAL StreamExecution: each arriving batch is tagged by the shared
+    row-level contract (operators/dataquality.event_row_violations), clean
+    rows land in the publish dir, tagged rows in the quarantine dir WITH
+    their violation tags — the ingest-side quality gate every production
+    stream runs in front of its lake.
+
+    foreachBatch writes each side under ``batch=<id>`` with overwrite, so a
+    replayed micro-batch is idempotent (same exactly-once contract as the
+    keyed JSON sink). Routing is a map-side expression — the gate adds zero
+    shuffles to the stream. Final landed state ≡ the batch tagging of the
+    whole fixture, so the oracle is a plain GROUP BY over the same CASE
+    logic.
+    """
+    import os
+    import tempfile
+
+    from kafka_exercise_spark.operators.dataquality import (
+        event_row_violations,
+    )
+    from kafka_exercise_spark.streaming.sources import (
+        file_stream,
+        land_events_replay,
+    )
+    from kafka_exercise_spark.streaming.stateful import run_bounded_replay
+
+    src_dir, schema = land_events_replay(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="dq_gate_")
+    publish, quarantine = os.path.join(work, "publish"), os.path.join(work, "dlq")
+
+    def gate(batch_df: DataFrame, batch_id: int) -> None:
+        tagged = batch_df.withColumn("violations", event_row_violations())
+        clean = tagged.filter(F.col("violations") == "")
+        dirty = tagged.filter(F.col("violations") != "")
+        clean.write.mode("overwrite").parquet(
+            os.path.join(publish, f"batch={batch_id}")
+        )
+        dirty.write.mode("overwrite").parquet(
+            os.path.join(quarantine, f"batch={batch_id}")
+        )
+
+    stream = file_stream(spark, src_dir, schema, max_files_per_trigger=None)
+    run_bounded_replay(
+        spark,
+        stream,
+        checkpoint=os.path.join(work, "ckpt"),
+        foreach_batch=gate,
+    )
+
+    # read the two landing dirs explicitly (never the checkpoint dir)
+    landed = spark.read.option("recursiveFileLookup", "true").parquet(
+        publish, quarantine
+    )
+    return landed.groupBy("violations").agg(
+        F.count("*").alias("n_events"),
+        F.min("event_id").alias("first_event"),
+    )
 
 
 def incremental_source_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:

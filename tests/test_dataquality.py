@@ -91,3 +91,19 @@ def test_dq_report_fixture_gate(spark, sf_dir):
         for r in rows
         if r.check_name.startswith(("uniqueness", "completeness"))
     )
+
+
+def test_streaming_dq_gate_partitions_stream(spark, sf_dir):
+    from kafka_exercise_spark.catalog import load_table
+    from kafka_exercise_spark.streaming.pipeline import streaming_dq_gate
+
+    rows = streaming_dq_gate(spark, sf_dir).collect()
+    total = load_table(spark, sf_dir, "events").count()
+    # gate partitions the stream: clean + quarantined == everything
+    assert sum(r.n_events for r in rows) == total
+    by_tag = {r.violations: r.n_events for r in rows}
+    assert "" in by_tag  # clean rows landed in publish
+    assert by_tag.get("bad_type", 0) > 0  # 'error' events quarantined
+    valid = {"null_user", "bad_type", "value_range"}
+    for tag in by_tag:
+        assert all(t in valid for t in tag.split(",") if t)
