@@ -28,6 +28,7 @@ from kafka_exercise_spark.operators import (
     textops,
 )
 from kafka_exercise_spark import serving
+from kafka_exercise_spark.sources import lake
 from kafka_exercise_spark.streaming import pipeline as streaming_pipeline
 from kafka_exercise_spark.streaming import stateful as streaming_stateful
 
@@ -184,6 +185,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_report": dataquality.dq_report,
         # per-micro-batch DQ gate with dead-letter routing (StreamExecution)
         "streaming_dq_gate": streaming_pipeline.streaming_dq_gate,
+        # z-order (Morton) clustering audit: per-tile 2-D bounding boxes
+        "zorder_events": lake.zorder_events,
         # ksql dialect stream-stream JOIN ... WITHIN (interval equi-join)
         "ksql_join_within": pipeline_ops.ksql_join_within,
         # Bloom-prefilter decontamination (exact output; bloom cuts cost)
@@ -1609,6 +1612,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT violations, count(*) AS n_events,
                    min(event_id) AS first_event
             FROM v GROUP BY violations
+        """,
+        # z-value arithmetic is exact (< 2^32) in both engines; same
+        # min-max normalization, interleave, and tile prefix
+        "zorder_events": """
+            WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+            s AS (SELECT min(user_id) AS umin, max(user_id) AS umax,
+                         min(ts_us) AS vmin, max(ts_us) AS vmax
+                  FROM e),
+            d AS (SELECT
+                    floor((user_id - umin) * 65535.0 / (umax - umin))::BIGINT
+                        AS d1,
+                    floor((ts_us - vmin) * 65535.0 / (vmax - vmin))::BIGINT
+                        AS d2
+                  FROM e, s),
+            z AS (SELECT d1, d2,
+                    list_sum(list_transform(range(16), i ->
+                      ((d1 >> i) & 1) * (1::BIGINT << (2 * i))
+                      + ((d2 >> i) & 1) * (1::BIGINT << (2 * i + 1)))) AS zval
+                  FROM d)
+            SELECT (zval // 16777216)::BIGINT AS tile,
+                   count(*) AS n_events,
+                   min(d1) AS min_u, max(d1) AS max_u,
+                   min(d2) AS min_v, max(d2) AS max_v
+            FROM z GROUP BY tile
         """,
         "multimodal_frame_sample": """
             -- DuckDB cannot slice BLOBs; fixture texts are pure ASCII

@@ -165,3 +165,98 @@ def compact_landing(
     commit_dir_swap(path)
     after = len(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
     return before, after
+
+
+#: Z-order interleave width per dimension (16 bits) and the tile prefix:
+#: top 8 z-bits → ≤256 tiles, the write-granularity of the clustered layout.
+ZORDER_BITS = 16
+ZORDER_TILE_SHIFT = 24
+
+
+def zorder_value(d1, d2):
+    """Bit-interleave two 16-bit dimensions into one 32-bit Morton (z) key.
+
+    All arithmetic (no engine-specific bit intrinsics): bit i of each
+    dimension is ``(d // 2^i) mod 2``, placed at z-positions 2i / 2i+1 via
+    exact powers of two — every intermediate < 2^32, so the fold is exact
+    in both Spark and the DuckDB oracle. JVM-side higher-order fold; stays
+    in codegen.
+    """
+    from pyspark.sql import functions as F
+
+    def bit(col, i):
+        return (
+            F.floor(col / F.pow(F.lit(2.0), i.cast("double"))).cast("long") % 2
+        )
+
+    def weight(i, off):
+        return F.pow(F.lit(2.0), (2 * i + off).cast("double")).cast("long")
+
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(ZORDER_BITS - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc + bit(d1, i) * weight(i, 0) + bit(d2, i) * weight(i, 1),
+    )
+
+
+def zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering audit over events — multi-dimensional
+    data skipping, the layout lever single-column sort cannot give.
+
+    A 100 TB events table queried by BOTH user range and time range can
+    only prune on one of them if files are sorted by one column. Z-ordering
+    interleaves the bits of the two dimensions so that a *prefix* of the z
+    key is a quad-tree tile: writing one file per tile
+    (``repartitionByRange(zval)`` + ``partitionBy(tile)`` in production)
+    gives every file a tight min/max bounding box in BOTH dimensions, and a
+    rectangle predicate touches only the files whose box intersects it —
+    parquet footer stats do the skipping with no index structure at all.
+
+    This entry emits the per-tile audit (row count + bbox in both dims):
+    the exact numbers a reader's skipping decision uses, and what
+    tests/test_lake.py measures the pruning win on. Map-only + one tiny
+    per-tile aggregate; the z key is a pure function of the row, so layout
+    is deterministic and incrementally maintainable (new files get z keys
+    without touching old ones).
+    """
+    from pyspark.sql import functions as F
+
+    from kafka_exercise_spark.catalog import load_table
+
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.unix_micros(F.col("ts"))
+    )
+    # normalize each dimension into the full 16-bit key space (what a real
+    # z-order writer does with per-column range ids): a tiny min/max agg
+    # (1 row) broadcast back — without it, a narrow dimension contributes
+    # only low bits and the interleave degenerates to a 1-D sort. (For a
+    # SKEWED dimension the production normalizer is the quantile-rank
+    # range id, same shape, different stats row — user_id and ts are both
+    # uniform here, so min-max is the right map.)
+    stats = events.agg(
+        F.min("user_id").alias("umin"),
+        F.max("user_id").alias("umax"),
+        F.min("ts_us").alias("vmin"),
+        F.max("ts_us").alias("vmax"),
+    )
+    top = float((1 << ZORDER_BITS) - 1)
+    scaled = events.crossJoin(F.broadcast(stats))
+    d1 = F.floor(
+        (F.col("user_id") - F.col("umin")) * top / (F.col("umax") - F.col("umin"))
+    ).cast("long")
+    d2 = F.floor(
+        (F.col("ts_us") - F.col("vmin")) * top / (F.col("vmax") - F.col("vmin"))
+    ).cast("long")
+    z = zorder_value(d1, d2)
+    tiled = scaled.select(
+        d1.alias("u_bucket"),
+        d2.alias("v_bucket"),
+        F.floor(z / F.lit(1 << ZORDER_TILE_SHIFT)).cast("long").alias("tile"),
+    )
+    return tiled.groupBy("tile").agg(
+        F.count("*").alias("n_events"),
+        F.min("u_bucket").alias("min_u"),
+        F.max("u_bucket").alias("max_u"),
+        F.min("v_bucket").alias("min_v"),
+        F.max("v_bucket").alias("max_v"),
+    )

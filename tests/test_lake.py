@@ -156,3 +156,45 @@ def test_compact_landing_recovers_from_mid_swap_crash(spark, sf_dir, tmp_path):
     assert after == -(-n_rows // 500)
     assert not os.path.exists(path + ".old")
     assert not os.path.exists(path + ".staging")
+
+
+def test_zorder_value_interleaves_bits(spark):
+    from pyspark.sql import functions as F
+
+    from kafka_exercise_spark.sources.lake import zorder_value
+
+    df = spark.range(1).select(
+        zorder_value(F.lit(0b11).cast("long"), F.lit(0b01).cast("long")).alias("z"),
+        zorder_value(F.lit(0).cast("long"), F.lit(0b11).cast("long")).alias("z2"),
+        zorder_value(F.lit(65535).cast("long"), F.lit(65535).cast("long")).alias("zmax"),
+    )
+    row = df.first()
+    # d1 bits at even positions, d2 bits at odd: (11, 01) -> 0111 = 7
+    assert row.z == 0b0111
+    assert row.z2 == 0b1010
+    assert row.zmax == (1 << 32) - 1
+
+
+def test_zorder_tiles_skip_in_both_dimensions(spark, sf_dir):
+    """The layout claim itself: for a 2-D rectangle predicate, the z-tiled
+    layout touches far less data than a 1-D-sorted layout can.
+
+    A layout sorted on one dimension prunes only on it: a quarter-range
+    predicate on that dim touches ~25 % of rows regardless of the other
+    predicate. The z layout's tiles carry tight boxes in BOTH dims, so the
+    rect (u-quarter × time-quarter) touches only intersecting tiles —
+    measured ~6.5 %, the multiplicative P(u)·P(t) win.
+    """
+    from kafka_exercise_spark.sources.lake import zorder_events
+
+    tiles = zorder_events(spark, sf_dir).collect()
+    total = sum(t.n_events for t in tiles)
+    q = 16384  # one quarter of the 16-bit space per dimension
+    # the rect is [0,q)×[0,q): a tile intersects iff both box minima < q
+    z_rows = sum(t.n_events for t in tiles if t.min_u < q and t.min_v < q)
+    u_rows = sum(t.n_events for t in tiles if t.min_u < q)
+    v_rows = sum(t.n_events for t in tiles if t.min_v < q)
+    assert z_rows / total < 0.12
+    # strictly dominates BOTH single-dimension layouts on the same query
+    assert z_rows < 0.5 * u_rows
+    assert z_rows < 0.5 * v_rows
