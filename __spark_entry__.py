@@ -187,6 +187,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dq_gate": streaming_pipeline.streaming_dq_gate,
         # z-order (Morton) clustering audit: per-tile 2-D bounding boxes
         "zorder_events": lake.zorder_events,
+        # table-format-style pruned read over the z-clustered manifest lake
+        "manifest_pruned_scan": lake.manifest_pruned_scan,
         # ksql dialect stream-stream JOIN ... WITHIN (interval equi-join)
         "ksql_join_within": pipeline_ops.ksql_join_within,
         # Bloom-prefilter decontamination (exact output; bloom cuts cost)
@@ -1636,6 +1638,14 @@ def oracle_sql() -> dict[str, str]:
                    min(d1) AS min_u, max(d1) AS max_u,
                    min(d2) AS min_v, max(d2) AS max_v
             FROM z GROUP BY tile
+        """,
+        # manifest pruning never changes results: the oracle is the plain
+        # 2-D range filter (user band 30-60 × week of 2024-01-10, µs epoch)
+        "manifest_pruned_scan": """
+            SELECT event_id, user_id, event_type, value
+            FROM events
+            WHERE user_id BETWEEN 30 AND 60
+              AND epoch_us(ts) BETWEEN 1704844800000000 AND 1705449600000000
         """,
         "multimodal_frame_sample": """
             -- DuckDB cannot slice BLOBs; fixture texts are pure ASCII

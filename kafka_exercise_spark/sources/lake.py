@@ -260,3 +260,147 @@ def zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("v_bucket").alias("min_v"),
         F.max("v_bucket").alias("max_v"),
     )
+
+
+def write_with_manifest(
+    df: DataFrame,
+    path: str,
+    cluster_col: str,
+    stat_cols: list[str],
+) -> None:
+    """Write a table clustered by ``cluster_col`` with a file-statistics
+    manifest — the data-skipping contract of a table format (Iceberg/Delta
+    manifests), on plain parquet.
+
+    Each cluster value becomes one directory (``partitionBy``); the
+    manifest records per-cluster min/max for every ``stat_col`` in a single
+    tiny parquet. At 100 TB the manifest is what makes point/range reads
+    cheap: the reader consults KBs of stats instead of listing+opening
+    millions of footers. The manifest write is one small aggregate of the
+    same frame (computed BEFORE the write from the identical plan, so
+    stats and data cannot drift within this single-writer call).
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    data_dir = os.path.join(path, "data")
+    aggs = []
+    for c in stat_cols:
+        aggs.append(F.min(c).alias(f"min_{c}"))
+        aggs.append(F.max(c).alias(f"max_{c}"))
+    manifest = df.groupBy(F.col(cluster_col).alias("cluster")).agg(
+        *aggs, F.count("*").alias("n_rows")
+    )
+    df.write.mode("overwrite").partitionBy(cluster_col).parquet(data_dir)
+    manifest.write.mode("overwrite").parquet(os.path.join(path, "manifest"))
+
+
+def manifest_pruned_read(
+    spark: SparkSession,
+    path: str,
+    cluster_col: str,
+    predicates: dict[str, tuple],
+) -> tuple[DataFrame, int, int]:
+    """Range-predicate read that opens ONLY clusters whose manifest stats
+    intersect every predicate; returns (frame, clusters_read,
+    clusters_total).
+
+    ``predicates`` maps column → (lo, hi), ANDed. The manifest filter is a
+    driver-side read of the tiny stats table (the reader-side half of the
+    table-format contract); survivors are read by directory path, and the
+    row-level predicate is re-applied — stats PRUNE, they never decide
+    membership, so the result is exact even with loose boxes.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    manifest = spark.read.parquet(os.path.join(path, "manifest"))
+    cond = F.lit(True)
+    for c, (lo, hi) in predicates.items():
+        cond = cond & (F.col(f"min_{c}") <= hi) & (F.col(f"max_{c}") >= lo)
+    total = manifest.count()
+    survivors = [r.cluster for r in manifest.filter(cond).select("cluster").collect()]
+    dirs = [
+        os.path.join(path, "data", f"{cluster_col}={v}") for v in survivors
+    ]
+    if not dirs:
+        empty = spark.read.parquet(os.path.join(path, "data")).limit(0)
+        return empty.drop(cluster_col), 0, total
+    frame = spark.read.option("basePath", os.path.join(path, "data")).parquet(*dirs)
+    for c, (lo, hi) in predicates.items():
+        frame = frame.filter(F.col(c).between(lo, hi))
+    return frame.drop(cluster_col), len(dirs), total
+
+
+#: One z-clustered manifest layout per (session, sf_dir) — the layout is a
+#: write-once artifact every pruned read shares, like a served lake table.
+_MANIFEST_LAYOUT_MEMO: dict = {}
+
+#: The contract query's 2-D range predicate: a user band × one week.
+SCAN_USER_RANGE = (30, 60)
+SCAN_TS_RANGE = (1704844800000000, 1705449600000000)  # 2024-01-10 .. 01-17 UTC, µs
+
+
+def manifest_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-format-style pruned read, end to end: events written once as a
+    z-clustered layout with a stats manifest, then a (user band × week)
+    range query answered by opening ONLY the tile directories whose
+    manifest boxes intersect the predicate.
+
+    This is the read-path twin of ``zorder_events`` (which audits the
+    boxes): the manifest consult is a driver-side read of a KB-scale stats
+    table, survivors are read by path, and the row predicate re-applies —
+    exact results, ~6 % of the data touched (pruning ratio pinned in
+    tests/test_lake.py). At 100 TB the identical mechanics are why a
+    clustered table answers point/range queries without a scan: stats
+    first, data second, correctness from the re-applied predicate.
+    """
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from kafka_exercise_spark.catalog import load_table
+
+    memo_key = (spark.sparkContext.applicationId, sf_dir)
+    if memo_key not in _MANIFEST_LAYOUT_MEMO:
+        events = load_table(spark, sf_dir, "events").withColumn(
+            "ts_us", F.unix_micros(F.col("ts"))
+        )
+        stats = events.agg(
+            F.min("user_id").alias("umin"),
+            F.max("user_id").alias("umax"),
+            F.min("ts_us").alias("vmin"),
+            F.max("ts_us").alias("vmax"),
+        )
+        top = float((1 << ZORDER_BITS) - 1)
+        scaled = events.crossJoin(F.broadcast(stats))
+        d1 = F.floor(
+            (F.col("user_id") - F.col("umin")) * top
+            / (F.col("umax") - F.col("umin"))
+        ).cast("long")
+        d2 = F.floor(
+            (F.col("ts_us") - F.col("vmin")) * top
+            / (F.col("vmax") - F.col("vmin"))
+        ).cast("long")
+        tile = F.floor(
+            zorder_value(d1, d2) / F.lit(1 << ZORDER_TILE_SHIFT)
+        ).cast("long")
+        clustered = scaled.select(
+            "event_id", "user_id", "event_type", "value", "ts_us",
+            tile.alias("tile"),
+        )
+        path = os.path.join(tempfile.mkdtemp(prefix="manifest_lake_"), "events")
+        write_with_manifest(clustered, path, "tile", ["user_id", "ts_us"])
+        _MANIFEST_LAYOUT_MEMO[memo_key] = path
+    path = _MANIFEST_LAYOUT_MEMO[memo_key]
+
+    frame, _read, _total = manifest_pruned_read(
+        spark,
+        path,
+        "tile",
+        {"user_id": SCAN_USER_RANGE, "ts_us": SCAN_TS_RANGE},
+    )
+    return frame.select("event_id", "user_id", "event_type", "value")

@@ -198,3 +198,57 @@ def test_zorder_tiles_skip_in_both_dimensions(spark, sf_dir):
     # strictly dominates BOTH single-dimension layouts on the same query
     assert z_rows < 0.5 * u_rows
     assert z_rows < 0.5 * v_rows
+
+
+def test_manifest_pruned_read_is_exact_and_prunes(spark, sf_dir, tmp_path):
+    from kafka_exercise_spark.sources.lake import (
+        manifest_pruned_read,
+        write_with_manifest,
+    )
+
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.dayofmonth("ts").cast("long")
+    )
+    path = str(tmp_path / "mlake")
+    write_with_manifest(events, path, "day", ["user_id", "value"])
+
+    pred = {"user_id": (10, 40), "value": (0.0, 50.0)}
+    frame, n_read, n_total = manifest_pruned_read(spark, path, "day", pred)
+    got = sorted(map(tuple, frame.select("event_id").collect()))
+    expect = sorted(
+        map(
+            tuple,
+            events.filter(
+                F.col("user_id").between(10, 40) & F.col("value").between(0.0, 50.0)
+            )
+            .select("event_id")
+            .collect(),
+        )
+    )
+    # stats prune, the re-applied predicate decides membership: exact
+    assert got == expect
+    assert 0 < n_read <= n_total
+    # an impossible range opens ZERO directories and returns empty
+    none, n0, _ = manifest_pruned_read(spark, path, "day", {"user_id": (10**9, 10**9 + 1)})
+    assert n0 == 0 and none.count() == 0
+
+
+def test_manifest_zorder_scan_prunes_most_tiles(spark, sf_dir):
+    from kafka_exercise_spark.sources.lake import (
+        _MANIFEST_LAYOUT_MEMO,
+        SCAN_TS_RANGE,
+        SCAN_USER_RANGE,
+        manifest_pruned_read,
+        manifest_pruned_scan,
+    )
+
+    manifest_pruned_scan(spark, sf_dir).count()  # builds + memoizes layout
+    path = _MANIFEST_LAYOUT_MEMO[(spark.sparkContext.applicationId, sf_dir)]
+    _, n_read, n_total = manifest_pruned_read(
+        spark,
+        path,
+        "tile",
+        {"user_id": SCAN_USER_RANGE, "ts_us": SCAN_TS_RANGE},
+    )
+    # the 2-D range query touches a small corner of the z-clustered lake
+    assert n_read / n_total < 0.2
