@@ -34,8 +34,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 from kafka_exercise_spark.catalog import TABLES, load_table, table_path
-from kafka_exercise_spark.operators import dedup, pipeline_ops, textops, analytic
+from kafka_exercise_spark.operators import (
+    analytic,
+    dedup,
+    pipeline_ops,
+    sampling,
+    textops,
+)
 from kafka_exercise_spark.session import get_spark
+from kafka_exercise_spark.sources import lake
 
 BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 WORK = "/tmp/spark_graft_scale"
@@ -45,6 +52,10 @@ QUERIES = {
     "idadecont": pipeline_ops.idadecont,
     "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
     "session_window_events": analytic.session_window_events,
+    # r03 additions — one per new plan family
+    "token_budget_select": sampling.token_budget_select,  # per-lang window fill
+    "chunk_documents": textops.chunk_documents,  # map-only ×(C/S) fan-out
+    "zorder_events": lake.zorder_events,  # scan + tiny per-tile agg
 }
 
 
