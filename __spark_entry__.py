@@ -1400,7 +1400,7 @@ def oracle_sql() -> dict[str, str]:
                                           AND CURRENT ROW) AS cum_tok
                   FROM d)
             SELECT lang, doc_id, n_tok, cum_tok::BIGINT AS cum_tok
-            FROM c WHERE cum_tok - n_tok < 2000
+            FROM c WHERE cum_tok - n_tok < {sampling.LANG_TOKEN_BUDGET}
         """,
         "quality_quantile_filter": f"""
             WITH s AS (SELECT lang, doc_id,
@@ -1581,34 +1581,40 @@ def oracle_sql() -> dict[str, str]:
                   count(DISTINCT event_id) * 1.0 / count(*) AS uniq
                   FROM events),
             r AS (
+              -- raw metric: the gate compares UNROUNDED (engine parity
+              -- with ExpectationSuite.run); rounding is display-only
               SELECT 'orders' AS table_name, 'non_empty' AS check_name,
-                     round(least(n, 1)::DOUBLE, 6) AS metric,
-                     1.0 AS min_value FROM o
+                     least(n, 1)::DOUBLE AS raw, 1.0 AS min_value FROM o
               UNION ALL SELECT 'orders', 'completeness(o_custkey)',
-                     round(comp, 6), 1.0 FROM o
+                     comp, 1.0 FROM o
               UNION ALL SELECT 'orders', 'uniqueness(o_orderkey)',
-                     round(uniq, 6), 1.0 FROM o
+                     uniq, 1.0 FROM o
               UNION ALL SELECT 'orders', 'in_set(o_orderstatus)',
-                     round(inset, 6), 1.0 FROM o
+                     inset, 1.0 FROM o
               UNION ALL SELECT 'events', 'completeness(user_id)',
-                     round(c1, 6), 1.0 FROM e
+                     c1, 1.0 FROM e
               UNION ALL SELECT 'events', 'completeness(event_type)',
-                     round(c2, 6), 1.0 FROM e
+                     c2, 1.0 FROM e
               UNION ALL SELECT 'events', 'between(value,0.0,250.0)',
-                     round(btw, 6), 0.5 FROM e
+                     btw, 0.5 FROM e
               UNION ALL SELECT 'events', 'uniqueness(event_id)',
-                     round(uniq, 6), 1.0 FROM e)
-            SELECT *, metric >= min_value AS passed FROM r
+                     uniq, 1.0 FROM e)
+            SELECT table_name, check_name, round(raw, 6) AS metric,
+                   min_value, raw >= min_value AS passed
+            FROM r
         """,
-        # streamed gate final state ≡ batch tagging of the whole fixture
-        "streaming_dq_gate": """
+        # streamed gate final state ≡ batch tagging of the whole fixture;
+        # contract constants interpolated from operators/dataquality.py so
+        # the oracle can never drift from event_row_violations
+        "streaming_dq_gate": f"""
             WITH v AS (SELECT event_id,
                 concat_ws(',',
                   CASE WHEN user_id IS NULL THEN 'null_user' END,
                   CASE WHEN event_type NOT IN
-                       ('click', 'signup', 'purchase', 'view')
+                       ({", ".join(f"'{t}'" for t in dataquality.EVENT_ALLOWED_TYPES)})
                        THEN 'bad_type' END,
-                  CASE WHEN NOT (value BETWEEN 0.0 AND 480.0)
+                  CASE WHEN NOT (value BETWEEN 0.0
+                                 AND {dataquality.EVENT_VALUE_MAX})
                        THEN 'value_range' END) AS violations
               FROM events)
             SELECT violations, count(*) AS n_events,
@@ -1616,36 +1622,40 @@ def oracle_sql() -> dict[str, str]:
             FROM v GROUP BY violations
         """,
         # z-value arithmetic is exact (< 2^32) in both engines; same
-        # min-max normalization, interleave, and tile prefix
-        "zorder_events": """
+        # min-max normalization (same span-0 guard), interleave, tile
+        # prefix — all constants interpolated from sources/lake.py
+        "zorder_events": f"""
             WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
             s AS (SELECT min(user_id) AS umin, max(user_id) AS umax,
                          min(ts_us) AS vmin, max(ts_us) AS vmax
                   FROM e),
             d AS (SELECT
-                    floor((user_id - umin) * 65535.0 / (umax - umin))::BIGINT
-                        AS d1,
-                    floor((ts_us - vmin) * 65535.0 / (vmax - vmin))::BIGINT
-                        AS d2
+                    floor((user_id - umin) * {(1 << lake.ZORDER_BITS) - 1}.0
+                          / greatest(umax - umin, 1))::BIGINT AS d1,
+                    floor((ts_us - vmin) * {(1 << lake.ZORDER_BITS) - 1}.0
+                          / greatest(vmax - vmin, 1))::BIGINT AS d2
                   FROM e, s),
             z AS (SELECT d1, d2,
-                    list_sum(list_transform(range(16), i ->
+                    list_sum(list_transform(range({lake.ZORDER_BITS}), i ->
                       ((d1 >> i) & 1) * (1::BIGINT << (2 * i))
                       + ((d2 >> i) & 1) * (1::BIGINT << (2 * i + 1)))) AS zval
                   FROM d)
-            SELECT (zval // 16777216)::BIGINT AS tile,
+            SELECT (zval // {1 << lake.ZORDER_TILE_SHIFT})::BIGINT AS tile,
                    count(*) AS n_events,
                    min(d1) AS min_u, max(d1) AS max_u,
                    min(d2) AS min_v, max(d2) AS max_v
             FROM z GROUP BY tile
         """,
         # manifest pruning never changes results: the oracle is the plain
-        # 2-D range filter (user band 30-60 × week of 2024-01-10, µs epoch)
-        "manifest_pruned_scan": """
+        # 2-D range filter (user band × one week, µs epoch) — bounds
+        # interpolated from the same constants the scan path uses
+        "manifest_pruned_scan": f"""
             SELECT event_id, user_id, event_type, value
             FROM events
-            WHERE user_id BETWEEN 30 AND 60
-              AND epoch_us(ts) BETWEEN 1704844800000000 AND 1705449600000000
+            WHERE user_id BETWEEN {lake.SCAN_USER_RANGE[0]}
+                              AND {lake.SCAN_USER_RANGE[1]}
+              AND epoch_us(ts) BETWEEN {lake.SCAN_TS_RANGE[0]}
+                                   AND {lake.SCAN_TS_RANGE[1]}
         """,
         "multimodal_frame_sample": """
             -- DuckDB cannot slice BLOBs; fixture texts are pure ASCII
@@ -1777,12 +1787,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         # S11 serving rollup: streaming lake drain final state ≡ batch
         # filter, so the dashboard answer is the plain filtered GROUP BY
-        "serving_lake_rollup": """
+        # (cutoff interpolated from the one shared CSAS constant)
+        "serving_lake_rollup": f"""
             SELECT strftime(ts, '%Y-%m-%d') AS dt_event, event_type,
                    count(*) AS n_events,
                    count(DISTINCT user_id) AS n_users
             FROM events
-            WHERE strftime(ts, '%Y-%m-%d') >= '2024-01-15'
+            WHERE strftime(ts, '%Y-%m-%d')
+                  >= '{streaming_pipeline.JOVENS_STREAM_CUTOFF}'
             GROUP BY 1, 2
         """,
     }

@@ -58,11 +58,18 @@ class ExpectationSuite:
         return self
 
     def uniqueness(self, col: str, at_least: float = 1.0) -> "ExpectationSuite":
-        """distinct(col) / count(*) — 1.0 means a true key."""
+        """distinct(col) / count(*) — 1.0 means a true key.
+
+        Coalesced like ``_fraction``: an empty table is 0/0 → 0.0, so the
+        check FAILS CLOSED instead of emitting a NULL ``passed`` a
+        ``filter(~passed)`` consumer would silently drop.
+        """
         self.checks.append(
             _Check(
                 f"uniqueness({col})",
-                F.count_distinct(F.col(col)) / F.count(F.lit(1)),
+                F.coalesce(
+                    F.count_distinct(F.col(col)) / F.count(F.lit(1)), F.lit(0.0)
+                ),
                 at_least,
             )
         )
@@ -103,18 +110,21 @@ class ExpectationSuite:
 
     def run(self, df: DataFrame) -> DataFrame:
         """ONE aggregate over one scan → (table, check, metric, min_value,
-        passed) per check. Metrics are rounded to 6 dp so reports are
-        hash-stable across engines and partitionings."""
-        aggs = [
-            F.round(c.metric_expr, 6).alias(f"m{i}")
-            for i, c in enumerate(self.checks)
-        ]
+        passed) per check.
+
+        The gate compares the RAW metric — rounding is display-only
+        (6 dp, for hash-stable reports). A strict ``at_least=1.0`` gate
+        that compared the rounded value would fail OPEN for violation
+        rates under 5e-7: one null key in 3M rows rounds to 1.000000 —
+        exactly the big-table regime where the gate matters most.
+        """
+        aggs = [c.metric_expr.alias(f"m{i}") for i, c in enumerate(self.checks)]
         row = df.agg(*aggs)
         reports = [
             F.struct(
                 F.lit(self.table).alias("table_name"),
                 F.lit(c.name).alias("check_name"),
-                F.col(f"m{i}").alias("metric"),
+                F.round(F.col(f"m{i}"), 6).alias("metric"),
                 F.lit(float(c.min_value)).alias("min_value"),
                 (F.col(f"m{i}") >= c.min_value).alias("passed"),
             )

@@ -41,6 +41,7 @@ class _Dataset:
     name: str
     path: str
     fmt: str  # "parquet" | "json"
+    schema: StructType | None = None  # retained so refresh never re-infers
     materialized_from: str | None = None  # SQL text for rollups
 
 
@@ -92,8 +93,11 @@ class ServingLayer:
         if schema is not None:
             reader = reader.schema(schema)
         df = reader.parquet(path) if fmt == "parquet" else reader.json(path)
+        # retain the (inferred or given) schema: refresh re-registers with
+        # it, so JSON datasets pay schema inference at most once and a live
+        # rollup's source relation can't change shape underneath it
+        self.datasets[name] = _Dataset(name, path, fmt, schema or df.schema)
         df.createOrReplaceTempView(name)
-        self.datasets[name] = _Dataset(name, path, fmt)
         return df
 
     def register_lake(self, root: str) -> list[str]:
@@ -108,9 +112,10 @@ class ServingLayer:
             full = os.path.join(root, entry)
             if not os.path.isdir(full) or entry.startswith(("_", ".")):
                 continue
-            if _detect_format(full) is None:
+            fmt = _detect_format(full)
+            if fmt is None:
                 continue
-            self.register_dataset(entry, full)
+            self.register_dataset(entry, full, fmt=fmt)
             names.append(entry)
         return names
 
@@ -157,7 +162,9 @@ class ServingLayer:
             raise KeyError(f"{name} is not a materialized rollup")
         for other in list(self.datasets.values()):
             if other.materialized_from is None:
-                self.register_dataset(other.name, other.path, fmt=other.fmt)
+                self.register_dataset(
+                    other.name, other.path, fmt=other.fmt, schema=other.schema
+                )
         return self.materialize(name, ds.materialized_from, ds.path)
 
 
@@ -172,54 +179,58 @@ JOVENS_DAILY_ROLLUP = """
     GROUP BY dt_event, event_type
 """
 
+#: One drained lake + materialized rollup per (session, sf_dir) — like the
+#: manifest layout memo, the drain is a write-once artifact reruns share.
+_SERVING_LAKE_MEMO: dict = {}
+
 
 def serving_lake_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end S6 → S11: stream → parquet lake → BI rollup → SQL answer.
 
     The reference's full right-hand side (README.md:7-11 + architecture
     diagram): the jovens CSAS drains to the lake through the REAL streaming
-    parquet sink (S6), the serving layer auto-registers the lake directory
-    as a dataset — Superset's "add dataset" over ``s3://bucket/jovens/`` —
-    materializes a daily dashboard rollup, and answers the chart's SQL from
-    the rollup. Streaming final state ≡ batch filter, so the DuckDB oracle
-    is the plain filtered GROUP BY over ``events``.
+    topology (``PipelineManager.start_jovens`` — the same code path the
+    persistent query runs, so the CSAS filter lives in ONE place), the
+    serving layer auto-registers the lake directory as a dataset —
+    Superset's "add dataset" over ``s3://bucket/jovens/`` — materializes a
+    daily dashboard rollup, and answers the chart's SQL from the rollup.
+    Streaming final state ≡ batch filter, so the DuckDB oracle is the plain
+    filtered GROUP BY over ``events``.
     """
     import tempfile
 
-    from kafka_exercise_spark.operators.pipeline_ops import (
-        custstream_pretty_transform,
-    )
-    from kafka_exercise_spark.streaming import sinks
+    from kafka_exercise_spark.streaming.pipeline import PipelineManager
     from kafka_exercise_spark.streaming.sources import (
         file_stream,
         land_events_replay,
     )
-    from kafka_exercise_spark.streaming.stateful import REPLAY_TIMEOUT_S
+    from kafka_exercise_spark.streaming.stateful import await_bounded
+    from kafka_exercise_spark.streaming.tuning import bounded_replay_conf
 
-    src_dir, schema = land_events_replay(spark, sf_dir)
-    work = tempfile.mkdtemp(prefix="serving_lake_")
-    lake = os.path.join(work, "lake")
+    memo_key = (spark.sparkContext.applicationId, sf_dir)
+    if memo_key not in _SERVING_LAKE_MEMO:
+        src_dir, schema = land_events_replay(spark, sf_dir)
+        work = tempfile.mkdtemp(prefix="serving_lake_")
+        lake = os.path.join(work, "lake")
 
-    stream = file_stream(spark, src_dir, schema, max_files_per_trigger=None)
-    pretty = custstream_pretty_transform(stream)
-    young = pretty.filter(pretty.dt_event >= "2024-01-15")
-    q = sinks.parquet_sink(
-        young,
-        os.path.join(lake, "jovens"),
-        os.path.join(work, "ckpt"),
-        "serving_jovens_drain",
-        max_records_per_file=100_000,
-        trigger_once=True,
-    )
-    if not q.awaitTermination(REPLAY_TIMEOUT_S):
-        q.stop()
-        raise TimeoutError("serving lake drain still running after timeout")
+        stream = file_stream(spark, src_dir, schema, max_files_per_trigger=None)
+        manager = PipelineManager(spark, checkpoint_root=os.path.join(work, "ckpt"))
+        with bounded_replay_conf(spark):
+            q = manager.start_jovens(
+                stream,
+                os.path.join(lake, "jovens"),
+                flush_size=100_000,
+                trigger_once=True,
+            )
+            await_bounded(q, name="serving_jovens_drain")
 
-    layer = ServingLayer(spark)
-    layer.register_lake(lake)
-    layer.materialize(
-        "jovens_daily", JOVENS_DAILY_ROLLUP, os.path.join(work, "rollup")
-    )
+        layer = ServingLayer(spark)
+        layer.register_lake(lake)
+        layer.materialize(
+            "jovens_daily", JOVENS_DAILY_ROLLUP, os.path.join(work, "rollup")
+        )
+        _SERVING_LAKE_MEMO[memo_key] = layer
+    layer = _SERVING_LAKE_MEMO[memo_key]
     # the dashboard query: served from the rollup parquet, not the fact lake
     return layer.sql(
         "SELECT dt_event, event_type, n_events, n_users FROM jovens_daily"

@@ -193,6 +193,57 @@ def zorder_value(d1, d2):
     return z
 
 
+def zorder_tiled_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events + (u_bucket, v_bucket, tile): the ONE z-clustering plan both
+    the audit (``zorder_events``) and the layout writer
+    (``manifest_pruned_scan``) consume — shared so the audited boxes always
+    describe the written layout.
+
+    Normalization maps each dimension into the full 16-bit key space (what
+    a real z-order writer does with per-column range ids): a tiny min/max
+    agg (1 row) broadcast back — without it, a narrow dimension contributes
+    only low bits and the interleave degenerates to a 1-D sort. (For a
+    SKEWED dimension the production normalizer is the quantile-rank range
+    id — same shape, different stats row; user_id and ts are both uniform
+    here, so min-max is the right map.) A degenerate constant dimension
+    (span 0) is guarded to span 1: it contributes constant bits instead of
+    NULLing every z key.
+    """
+    from pyspark.sql import functions as F
+
+    from kafka_exercise_spark.catalog import load_table
+
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.unix_micros(F.col("ts"))
+    )
+    stats = events.agg(
+        F.min("user_id").alias("umin"),
+        F.max("user_id").alias("umax"),
+        F.min("ts_us").alias("vmin"),
+        F.max("ts_us").alias("vmax"),
+    )
+    top = float((1 << ZORDER_BITS) - 1)
+    scaled = events.crossJoin(F.broadcast(stats))
+    one = F.lit(1).cast("long")
+    d1 = F.floor(
+        (F.col("user_id") - F.col("umin"))
+        * top
+        / F.greatest(F.col("umax") - F.col("umin"), one)
+    ).cast("long")
+    d2 = F.floor(
+        (F.col("ts_us") - F.col("vmin"))
+        * top
+        / F.greatest(F.col("vmax") - F.col("vmin"), one)
+    ).cast("long")
+    z = zorder_value(d1, d2)
+    return scaled.select(
+        *events.columns,
+        d1.alias("u_bucket"),
+        d2.alias("v_bucket"),
+        F.floor(z / F.lit(1 << ZORDER_TILE_SHIFT)).cast("long").alias("tile"),
+    )
+
+
 def zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton) clustering audit over events — multi-dimensional
     data skipping, the layout lever single-column sort cannot give.
@@ -215,37 +266,8 @@ def zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import functions as F
 
-    from kafka_exercise_spark.catalog import load_table
-
-    events = load_table(spark, sf_dir, "events").withColumn(
-        "ts_us", F.unix_micros(F.col("ts"))
-    )
-    # normalize each dimension into the full 16-bit key space (what a real
-    # z-order writer does with per-column range ids): a tiny min/max agg
-    # (1 row) broadcast back — without it, a narrow dimension contributes
-    # only low bits and the interleave degenerates to a 1-D sort. (For a
-    # SKEWED dimension the production normalizer is the quantile-rank
-    # range id, same shape, different stats row — user_id and ts are both
-    # uniform here, so min-max is the right map.)
-    stats = events.agg(
-        F.min("user_id").alias("umin"),
-        F.max("user_id").alias("umax"),
-        F.min("ts_us").alias("vmin"),
-        F.max("ts_us").alias("vmax"),
-    )
-    top = float((1 << ZORDER_BITS) - 1)
-    scaled = events.crossJoin(F.broadcast(stats))
-    d1 = F.floor(
-        (F.col("user_id") - F.col("umin")) * top / (F.col("umax") - F.col("umin"))
-    ).cast("long")
-    d2 = F.floor(
-        (F.col("ts_us") - F.col("vmin")) * top / (F.col("vmax") - F.col("vmin"))
-    ).cast("long")
-    z = zorder_value(d1, d2)
-    tiled = scaled.select(
-        d1.alias("u_bucket"),
-        d2.alias("v_bucket"),
-        F.floor(z / F.lit(1 << ZORDER_TILE_SHIFT)).cast("long").alias("tile"),
+    tiled = zorder_tiled_events(spark, sf_dir).select(
+        "u_bucket", "v_bucket", "tile"
     )
     return tiled.groupBy("tile").agg(
         F.count("*").alias("n_events"),
@@ -305,6 +327,12 @@ def manifest_pruned_read(
     table-format contract); survivors are read by directory path, and the
     row-level predicate is re-applied — stats PRUNE, they never decide
     membership, so the result is exact even with loose boxes.
+
+    A NULL cluster (rows whose cluster column was null land in Spark's
+    ``__HIVE_DEFAULT_PARTITION__`` dir) is skipped outright: its path name
+    would not resolve via ``<col>=None``, and BETWEEN predicates can never
+    match a row whose stat columns are the reason the box is NULL — callers
+    clustering on a nullable column should route nulls explicitly.
     """
     import os
 
@@ -315,7 +343,11 @@ def manifest_pruned_read(
     for c, (lo, hi) in predicates.items():
         cond = cond & (F.col(f"min_{c}") <= hi) & (F.col(f"max_{c}") >= lo)
     total = manifest.count()
-    survivors = [r.cluster for r in manifest.filter(cond).select("cluster").collect()]
+    survivors = [
+        r.cluster
+        for r in manifest.filter(cond).select("cluster").collect()
+        if r.cluster is not None
+    ]
     dirs = [
         os.path.join(path, "data", f"{cluster_col}={v}") for v in survivors
     ]
@@ -354,37 +386,12 @@ def manifest_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
-    from pyspark.sql import functions as F
-
-    from kafka_exercise_spark.catalog import load_table
-
     memo_key = (spark.sparkContext.applicationId, sf_dir)
     if memo_key not in _MANIFEST_LAYOUT_MEMO:
-        events = load_table(spark, sf_dir, "events").withColumn(
-            "ts_us", F.unix_micros(F.col("ts"))
-        )
-        stats = events.agg(
-            F.min("user_id").alias("umin"),
-            F.max("user_id").alias("umax"),
-            F.min("ts_us").alias("vmin"),
-            F.max("ts_us").alias("vmax"),
-        )
-        top = float((1 << ZORDER_BITS) - 1)
-        scaled = events.crossJoin(F.broadcast(stats))
-        d1 = F.floor(
-            (F.col("user_id") - F.col("umin")) * top
-            / (F.col("umax") - F.col("umin"))
-        ).cast("long")
-        d2 = F.floor(
-            (F.col("ts_us") - F.col("vmin")) * top
-            / (F.col("vmax") - F.col("vmin"))
-        ).cast("long")
-        tile = F.floor(
-            zorder_value(d1, d2) / F.lit(1 << ZORDER_TILE_SHIFT)
-        ).cast("long")
-        clustered = scaled.select(
-            "event_id", "user_id", "event_type", "value", "ts_us",
-            tile.alias("tile"),
+        # the SAME z-clustering plan the audit entry aggregates — shared
+        # helper, so the audited boxes always describe this layout
+        clustered = zorder_tiled_events(spark, sf_dir).select(
+            "event_id", "user_id", "event_type", "value", "ts_us", "tile"
         )
         path = os.path.join(tempfile.mkdtemp(prefix="manifest_lake_"), "events")
         write_with_manifest(clustered, path, "tile", ["user_id", "ts_us"])

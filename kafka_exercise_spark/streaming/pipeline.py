@@ -30,6 +30,11 @@ from kafka_exercise_spark.streaming import sinks
 
 DEFAULT_WATERMARK = "1 minute"
 
+#: The jovens CSAS cutoff on the formatted event date (reference
+#: README.md:238's '2000-01-01' mapped to the fixture's time range).
+#: Shared by the persistent query, the serving drain, and the oracle.
+JOVENS_STREAM_CUTOFF = "2024-01-15"
+
 
 @dataclass
 class PipelineManager:
@@ -53,7 +58,7 @@ class PipelineManager:
         """CSAS jovens analog: project+format+filter → parquet lake path
         (reference README.md:233-239 + connect_s3_sink_jovens.config)."""
         pretty = custstream_pretty_transform(events)
-        young = pretty.filter(pretty.dt_event >= "2024-01-15")
+        young = pretty.filter(pretty.dt_event >= JOVENS_STREAM_CUTOFF)
         return self.register(
             "jovens",
             sinks.parquet_sink(
@@ -101,6 +106,10 @@ class PipelineManager:
 
 
 # ---- driver-contract entries (bounded, self-contained runs) ----
+
+#: One gated landing per (session, sf_dir) — write-once artifact reruns
+#: share, like the serving and manifest-layout memos.
+_DQ_GATE_MEMO: dict = {}
 
 
 def streaming_idadecont_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -162,12 +171,14 @@ def streaming_dq_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     their violation tags — the ingest-side quality gate every production
     stream runs in front of its lake.
 
-    foreachBatch writes each side under ``batch=<id>`` with overwrite, so a
-    replayed micro-batch is idempotent (same exactly-once contract as the
-    keyed JSON sink). Routing is a map-side expression — the gate adds zero
-    shuffles to the stream. Final landed state ≡ the batch tagging of the
-    whole fixture, so the oracle is a plain GROUP BY over the same CASE
-    logic.
+    foreachBatch makes ONE write per micro-batch, partitioned by the
+    routing decision (``routed=publish`` / ``routed=quarantine`` under
+    ``batch=<id>``) — a single job over a single scan of the batch, with
+    overwrite for idempotent replay (same exactly-once contract as the
+    keyed JSON sink). Routing is a map-side expression — the gate adds
+    zero shuffles to the stream. Final landed state ≡ the batch tagging of
+    the whole fixture, so the oracle is a plain GROUP BY over the same
+    CASE logic.
     """
     import os
     import tempfile
@@ -181,33 +192,35 @@ def streaming_dq_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from kafka_exercise_spark.streaming.stateful import run_bounded_replay
 
-    src_dir, schema = land_events_replay(spark, sf_dir)
-    work = tempfile.mkdtemp(prefix="dq_gate_")
-    publish, quarantine = os.path.join(work, "publish"), os.path.join(work, "dlq")
+    memo_key = (spark.sparkContext.applicationId, sf_dir)
+    if memo_key not in _DQ_GATE_MEMO:
+        src_dir, schema = land_events_replay(spark, sf_dir)
+        work = tempfile.mkdtemp(prefix="dq_gate_")
+        out = os.path.join(work, "gated")
 
-    def gate(batch_df: DataFrame, batch_id: int) -> None:
-        tagged = batch_df.withColumn("violations", event_row_violations())
-        clean = tagged.filter(F.col("violations") == "")
-        dirty = tagged.filter(F.col("violations") != "")
-        clean.write.mode("overwrite").parquet(
-            os.path.join(publish, f"batch={batch_id}")
+        def gate(batch_df: DataFrame, batch_id: int) -> None:
+            tagged = batch_df.withColumn("violations", event_row_violations())
+            routed = tagged.withColumn(
+                "routed",
+                F.when(F.col("violations") == "", "publish").otherwise(
+                    "quarantine"
+                ),
+            )
+            routed.write.mode("overwrite").partitionBy("routed").parquet(
+                os.path.join(out, f"batch={batch_id}")
+            )
+
+        stream = file_stream(spark, src_dir, schema, max_files_per_trigger=None)
+        run_bounded_replay(
+            spark,
+            stream,
+            checkpoint=os.path.join(work, "ckpt"),
+            foreach_batch=gate,
         )
-        dirty.write.mode("overwrite").parquet(
-            os.path.join(quarantine, f"batch={batch_id}")
-        )
+        _DQ_GATE_MEMO[memo_key] = out
+    out = _DQ_GATE_MEMO[memo_key]
 
-    stream = file_stream(spark, src_dir, schema, max_files_per_trigger=None)
-    run_bounded_replay(
-        spark,
-        stream,
-        checkpoint=os.path.join(work, "ckpt"),
-        foreach_batch=gate,
-    )
-
-    # read the two landing dirs explicitly (never the checkpoint dir)
-    landed = spark.read.option("recursiveFileLookup", "true").parquet(
-        publish, quarantine
-    )
+    landed = spark.read.option("recursiveFileLookup", "true").parquet(out)
     return landed.groupBy("violations").agg(
         F.count("*").alias("n_events"),
         F.min("event_id").alias("first_event"),

@@ -98,12 +98,22 @@ def run_bounded_replay(
             .trigger(availableNow=True)
             .start()
         )
-        if not query.awaitTermination(timeout_s):
-            query.stop()
-            raise TimeoutError(
-                f"bounded replay {name or '<foreachBatch>'} still running "
-                f"after {timeout_s}s — refusing to return partial results"
-            )
+        await_bounded(query, name=name, timeout_s=timeout_s)
+
+
+def await_bounded(query, *, name: str | None = None, timeout_s: int = REPLAY_TIMEOUT_S) -> None:
+    """Checked wait for an already-started bounded query — shared by
+    ``run_bounded_replay`` and entries that start their sink through the
+    sink helpers (e.g. the serving drain). ``awaitTermination(t)``
+    returning False means the query is still running; returning partial
+    results (and letting the caller rmtree a live query's checkpoint/source
+    dirs) would turn a slow host into silent wrong answers, so raise."""
+    if not query.awaitTermination(timeout_s):
+        query.stop()
+        raise TimeoutError(
+            f"bounded replay {name or query.name or '<unnamed>'} still running "
+            f"after {timeout_s}s — refusing to return partial results"
+        )
 
 
 def conversion_join(
