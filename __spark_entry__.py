@@ -152,6 +152,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # keep full value-hash oracles via verify_local) ----
         "ann_cosine_topk": similarity.ann_cosine_topk,
         "embedding_outliers": similarity.embedding_outliers,
+        # fused lexical+semantic retrieval (full value-hash oracle)
+        "hybrid_search_topk": similarity.hybrid_search_topk,
         "ann_lsh_bucketed": similarity.ann_lsh_bucketed,
         "ann_lsh_multiprobe": similarity.ann_lsh_multiprobe,
         "ann_ivf_topk": similarity.ann_ivf_topk,
@@ -1457,6 +1459,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, vec_id AS neighbor_id, round(c, 6) AS cos,
                    rnk AS "rank"
             FROM r WHERE rnk <= 10
+        """,
+        # hybrid = α·cos + (1-α)·jaccard, same 9-dp anchor + id tie-break
+        "hybrid_search_topk": f"""
+            WITH d AS (SELECT doc_id, list_distinct({_TOKS}) AS tok
+                       FROM documents),
+            c AS (SELECT d.doc_id, d.tok, e.embedding::DOUBLE[] AS emb
+                  FROM d JOIN embeddings e ON d.doc_id = e.vec_id),
+            q AS (SELECT doc_id AS query_id, tok AS q_tok, emb AS q_emb
+                  FROM c WHERE doc_id < {similarity.N_QUERIES}),
+            s AS (SELECT q.query_id, c.doc_id,
+                         round(list_cosine_similarity(c.emb, q.q_emb), 9)
+                             AS cos,
+                         len(list_intersect(c.tok, q.q_tok))
+                           / len(list_distinct(c.tok || q.q_tok)) AS jac
+                  FROM c CROSS JOIN q
+                  WHERE c.doc_id <> q.query_id),
+            f AS (SELECT query_id, doc_id, cos, jac,
+                         round({similarity.HYBRID_ALPHA} * cos
+                               + {1.0 - similarity.HYBRID_ALPHA} * jac, 9)
+                             AS score
+                  FROM s),
+            r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                               ORDER BY score DESC,
+                                                        doc_id ASC) AS rnk
+                  FROM f)
+            SELECT query_id, doc_id AS hit_id, round(score, 6) AS score,
+                   round(cos, 6) AS cos, round(jac, 6) AS jac,
+                   rnk AS "rank"
+            FROM r WHERE rnk <= {similarity.TOP_K}
         """,
         "embedding_quantize": """
             WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v

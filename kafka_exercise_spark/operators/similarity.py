@@ -501,3 +501,64 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _SEMANTIC_PAIRS_MEMO[memo_key] = pairs
     return pairs
+
+
+#: Hybrid score mix: score = HYBRID_ALPHA·cosine + (1-HYBRID_ALPHA)·Jaccard.
+HYBRID_ALPHA = 0.5
+
+
+def hybrid_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: fused semantic (cosine over embeddings) + lexical
+    (distinct-token Jaccard) ranking, top-k per query — what a retrieval
+    stack actually serves, where pure vector search misses exact keyword
+    matches and pure lexical search misses paraphrases.
+
+    The corpus is the doc↔embedding join (doc_id = vec_id in the fixture —
+    at scale this is the embedded-documents table the chunking + embedding
+    stages produce). The query side (docs < N_QUERIES, with text AND
+    vector) broadcasts; the corpus streams through unshuffled; one ranked
+    window takes k. Determinism: cosine rounds to 9 dp before fusing, the
+    Jaccard is a ratio of small ints (exact in both engines), ties break
+    on doc_id — the same oracle-stable cut as ``ann_cosine_topk``.
+    """
+    from kafka_exercise_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.array_distinct(tokens(F.col("text"))).alias("tok")
+    )
+    emb = _embeddings_double(spark, sf_dir)
+    corpus = docs.join(emb, docs.doc_id == emb.vec_id).select(
+        "doc_id", "tok", "emb"
+    )
+    q = corpus.filter(F.col("doc_id") < N_QUERIES).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("tok").alias("q_tok"),
+        F.col("emb").alias("q_emb"),
+    )
+    inter = F.size(F.array_intersect(F.col("tok"), F.col("q_tok")))
+    union = F.size(F.array_distinct(F.concat(F.col("tok"), F.col("q_tok"))))
+    scored = (
+        corpus.join(F.broadcast(q), F.col("doc_id") != F.col("query_id"))
+        .withColumn("cos", F.round(cosine(F.col("emb"), F.col("q_emb")), 9))
+        .withColumn("jac", inter / union)
+        .withColumn(
+            "score",
+            F.round(
+                HYBRID_ALPHA * F.col("cos") + (1.0 - HYBRID_ALPHA) * F.col("jac"),
+                9,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            F.col("doc_id").alias("hit_id"),
+            F.round("score", 6).alias("score"),
+            F.round("cos", 6).alias("cos"),
+            F.round("jac", 6).alias("jac"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

@@ -684,3 +684,25 @@ def test_corpus_profile_consistency(spark, sf_dir):
         assert 0.0 <= r.dup_rate < 1.0
         assert r.min_chars <= r.max_chars
         assert r.n_langs >= 1
+
+
+def test_hybrid_search_fuses_both_signals(spark, sf_dir):
+    from kafka_exercise_spark.plans import broadcast_join_count, python_eval_count
+
+    hybrid = similarity.hybrid_search_topk(spark, sf_dir)
+    assert python_eval_count(hybrid) == 0
+    assert broadcast_join_count(hybrid) >= 1
+    rows = hybrid.collect()
+    assert len(rows) == similarity.N_QUERIES * similarity.TOP_K
+    a = similarity.HYBRID_ALPHA
+    for r in rows:
+        assert -1.0 <= r.cos <= 1.0 and 0.0 <= r.jac <= 1.0
+        assert abs(r.score - (a * r.cos + (1 - a) * r.jac)) < 1e-5
+    # the lexical signal changes the ranking: hybrid top-k differs from
+    # pure-cosine top-k for at least one query
+    cosine_hits = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ann_cosine_topk(spark, sf_dir).collect()
+    }
+    hybrid_hits = {(r.query_id, r.hit_id) for r in rows}
+    assert hybrid_hits != cosine_hits
