@@ -158,6 +158,20 @@ class KsqlEngine:
             return self._print_topic(stmt.split(None, 1)[1].strip().strip("'\""))
         if low.startswith("describe "):
             return self._describe(stmt.split(None, 1)[1].strip())
+        if low.startswith(("create source connector", "create sink connector")):
+            return self._create_connector(stmt)
+        if low.startswith("drop connector"):
+            if self.connectors is None:
+                raise ValueError("no ConnectorRegistry attached to this session")
+            toks = stmt.split()
+            if_exists = [t.lower() for t in toks[2:4]] == ["if", "exists"]
+            name = (toks[4] if if_exists else toks[2]).lower()
+            try:
+                self.connectors.delete(name)
+            except KeyError:
+                if not if_exists:
+                    raise
+            return name
         if low.startswith(("create stream", "create table")):
             return self._create(stmt)
         if low.startswith(("drop stream", "drop table")):
@@ -250,6 +264,42 @@ class KsqlEngine:
         r"(?:as\s+(?P<select>select\b.*))?$",
         re.IGNORECASE | re.DOTALL,
     )
+
+    #: ``CREATE SOURCE|SINK CONNECTOR [IF NOT EXISTS] <name> WITH (…)`` —
+    #: ksqlDB's statement form of the Connect REST POST the reference
+    #: drives with curl (reference README.md:132-133; configs
+    #: connect_postgres.config / connect_s3_sink_*.config verbatim).
+    _CONNECTOR_RE = re.compile(
+        r"create\s+(source|sink)\s+connector\s+(?:if\s+not\s+exists\s+)?"
+        r"(\S+)\s+with\s*\((?P<props>.*)\)\s*$",
+        re.IGNORECASE | re.DOTALL,
+    )
+
+    def _create_connector(self, stmt: str) -> str:
+        """Connector DDL → ``ConnectorRegistry.register`` (S10).
+
+        WITH keys follow ksqlDB's quoted-identifier convention
+        (``'connector.class'='…'``); unquoted keys are accepted too. The
+        declared SOURCE/SINK kind is validated against what the config's
+        ``connector.class`` actually builds, like ksqlDB does.
+        """
+        if self.connectors is None:
+            raise ValueError("no ConnectorRegistry attached to this session")
+        m = self._CONNECTOR_RE.match(stmt.strip())
+        if not m:
+            raise NotImplementedError(f"unparsed CREATE CONNECTOR: {stmt[:80]!r}")
+        declared, name = m.group(1).lower(), m.group(2).lower()
+        raw = m.group("props")
+        props = dict(re.findall(r"'([^']+)'\s*=\s*'([^']*)'", raw))
+        props.update(re.findall(r"(?<!')\b([\w.]+)\s*=\s*'([^']*)'", raw))
+        conn = self.connectors.register({"name": name, "config": props})
+        if conn.kind != declared:
+            self.connectors.delete(name)
+            raise ValueError(
+                f"declared {declared.upper()} connector but "
+                f"{props.get('connector.class')!r} builds a {conn.kind}"
+            )
+        return name
 
     def _create(self, stmt: str):
         m = self._CREATE_RE.match(stmt)

@@ -553,3 +553,63 @@ def test_show_queries_lists_only_persistent_queries(spark):
     )
     qs = eng.execute("show queries;")
     assert qs == [{"Query ID": "CSAS_QDERIVED", "Sink": "QDERIVED"}]
+
+
+def test_connector_ddl_statements(spark, tmp_path):
+    """CREATE SOURCE/SINK CONNECTOR … WITH (…) — ksqlDB's statement form of
+    the reference's REST POSTs — registers real runtimes, drives the
+    source→sink hop, and DROP CONNECTOR removes them."""
+    from kafka_exercise_spark.connectors import ConnectorRegistry
+    from kafka_exercise_spark.ksql import KsqlEngine
+    from kafka_exercise_spark.sources.generator import append_ticks
+
+    src_dir = str(tmp_path / "customers")
+    append_ticks(spark, src_dir, n=5, ticks=1)
+    reg = ConnectorRegistry(spark)
+    eng = KsqlEngine(spark, connectors=reg)
+
+    eng.execute(
+        "CREATE SOURCE CONNECTOR psg_connector WITH ("
+        "'connector.class'='io.confluent.connect.jdbc.JdbcSourceConnector', "
+        "'mode'='timestamp', "
+        "'timestamp.column.name'='dt_update', "
+        "'table.whitelist'='public.customers', "
+        f"'connection.url'='parquet://{src_dir}', "
+        f"'offsets.path'='{tmp_path / 'offsets.json'}');"
+    )
+    eng.execute(
+        "CREATE SINK CONNECTOR s3_jovens WITH ("
+        "'connector.class'='io.confluent.connect.s3.S3SinkConnector', "
+        "'format.class'='io.confluent.connect.s3.format.parquet.ParquetFormat', "
+        "'flush.size'='10', "
+        "'topics'='jovens', "
+        f"'local.root'='{tmp_path}');"
+    )
+    rows = eng.execute("show connectors;")
+    assert {(r["Connector Name"], r["Type"]) for r in rows} == {
+        ("psg_connector", "SOURCE"),
+        ("s3_jovens", "SINK"),
+    }
+    # statements built REAL runtimes: the source→sink hop moves rows
+    moved = reg.run_source_to_sink("psg_connector", "s3_jovens", polls=1)
+    assert moved == 5
+    out = spark.read.parquet(str(tmp_path / "topics" / "jovens"))
+    assert out.count() == 5
+
+    # declared kind must match what the config builds
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="builds a source"):
+        eng.execute(
+            "CREATE SINK CONNECTOR wrong WITH ("
+            "'connector.class'='io.confluent.connect.jdbc.JdbcSourceConnector', "
+            "'mode'='timestamp', 'timestamp.column.name'='dt_update', "
+            "'table.whitelist'='t', "
+            f"'connection.url'='parquet://{src_dir}', "
+            f"'offsets.path'='{tmp_path / 'o2.json'}');"
+        )
+    assert "wrong" not in reg.list()
+
+    eng.execute("drop connector if exists nope;")  # no-op
+    eng.execute("drop connector psg_connector;")
+    assert reg.list() == ["s3_jovens"]
