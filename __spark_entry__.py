@@ -51,18 +51,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     tail where re-verification adds the least information.
     """
     return {
-        # §2.2 P1/P3/P4/P5 — projection, alias, DATETOSTRING, TIMESTAMPTOSTRING
-        "custstream_pretty": pipeline_ops.custstream_pretty,
-        # §2.2 P2 — SELECT *
-        "select_star": pipeline_ops.select_star,
         # §2.2 P1/P4/P5/P6/P8 — formatted-date filter (CSAS jovens)
         "jovens": pipeline_ops.jovens,
-        # §2.2 P7 — CASE WHEN classification (CSAS idadeclass)
-        "idadeclass": pipeline_ops.idadeclass,
-        # §2.3 A1/A2 — grouped count
-        "groupby_count": pipeline_ops.groupby_count,
         # §2.3 A1-A5 — tumbling 30 s windowed count (CTAS idadecont), batch form
         "idadecont": pipeline_ops.idadecont,
+        # (custstream_pretty / select_star / idadeclass / groupby_count —
+        # hash-green in CORRECTNESS_r01+r02 — rotate past the 50-entry
+        # window in r03 to make room for the four families new this round;
+        # still fully value-hash-checked by verify_local)
+        # ---- new in r03: lake layout + data-quality families ----
+        # z-order (Morton) clustering audit: per-tile 2-D bounding boxes
+        "zorder_events": lake.zorder_events,
+        # table-format-style pruned read over the z-clustered manifest lake
+        "manifest_pruned_scan": lake.manifest_pruned_scan,
+        # Deequ-style declarative DQ gate: suite → ONE agg pass per table
+        "dq_report": dataquality.dq_report,
+        # per-micro-batch DQ gate with dead-letter routing (StreamExecution)
+        "streaming_dq_gate": streaming_pipeline.streaming_dq_gate,
         # §2.2 P4/P5 epoch-int wire variants (Avro days/millis decode)
         "jovens_epoch_wire": pipeline_ops.jovens_epoch_wire,
         # §2.1 S4 — real Avro binary encode→decode→format round trip
@@ -183,14 +188,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": textops.chunk_documents,
         # per-source data-card rollup incl. exact duplicate rate
         "corpus_profile": textops.corpus_profile,
-        # Deequ-style declarative DQ gate: suite → ONE agg pass per table
-        "dq_report": dataquality.dq_report,
-        # per-micro-batch DQ gate with dead-letter routing (StreamExecution)
-        "streaming_dq_gate": streaming_pipeline.streaming_dq_gate,
-        # z-order (Morton) clustering audit: per-tile 2-D bounding boxes
-        "zorder_events": lake.zorder_events,
-        # table-format-style pruned read over the z-clustered manifest lake
-        "manifest_pruned_scan": lake.manifest_pruned_scan,
+        # reference basics rotated out of the window in r03 (see header)
+        "custstream_pretty": pipeline_ops.custstream_pretty,
+        "select_star": pipeline_ops.select_star,
+        "idadeclass": pipeline_ops.idadeclass,
+        "groupby_count": pipeline_ops.groupby_count,
         # ksql dialect stream-stream JOIN ... WITHIN (interval equi-join)
         "ksql_join_within": pipeline_ops.ksql_join_within,
         # Bloom-prefilter decontamination (exact output; bloom cuts cost)
