@@ -151,10 +151,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (same Arrow plumbing as multimodal_meta, which holds the window
         # slot; still fully oracle-checked by verify_local)
         "multimodal_features": multimodal.multimodal_features,
-        # ---- ANN family (brute-force baseline + rows-only approximate
-        # variants; rotated past the 50-entry hash window in r03 to make
-        # room for the new mixture ops — ann_cosine_topk/embedding_outliers
-        # keep full value-hash oracles via verify_local) ----
+        # ---- ANN family (rotated past the 50-entry hash window in r03 to
+        # make room for the new mixture ops; brute-force + both LSH
+        # variants carry full value-hash oracles — exact fixed-point
+        # projections make LSH buckets engine-identical; only the
+        # k-means-derived IVF/SemDeDup entries are rows-only) ----
         "ann_cosine_topk": similarity.ann_cosine_topk,
         "embedding_outliers": similarity.embedding_outliers,
         # fused lexical+semantic retrieval (full value-hash oracle)
@@ -284,6 +285,23 @@ _MINHASH_B = (7, 101, 1009, 10007, 100003, 1000003, 10000019, 100000007)
 
 #: 60-bit md5 reduction of each shingle — twin of dedup._with_hashed_shingles.
 _HSH = "list_transform(sh, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT)"
+
+
+def _lsh_bucket_sql(ei_col: str) -> str:
+    """DuckDB twin of ``similarity.lsh_bucket`` over a quantized int list.
+
+    Every projection is an exact integer (≤ 2^47, exact through double
+    accumulation in any order), so the sign — hence the bucket — matches
+    Spark bit-for-bit. Plane literals interpolate from the same
+    ``_hyperplanes_int`` the engine uses; they cannot drift."""
+    terms = []
+    for h, plane in enumerate(similarity._hyperplanes_int()):
+        plane_lit = "[" + ", ".join(str(v) for v in plane) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product({ei_col}::DOUBLE[], "
+            f"{plane_lit}::DOUBLE[]) > 0 THEN {1 << h} ELSE 0 END)"
+        )
+    return "(" + "\n                 + ".join(terms) + ")"
 
 
 def _mh(i: int) -> str:
@@ -1461,6 +1479,52 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, vec_id AS neighbor_id, round(c, 6) AS cos,
                    rnk AS "rank"
             FROM r WHERE rnk <= 10
+        """,
+        # LSH buckets from EXACT integer projections (fixed-point embedding
+        # × pre-quantized planes) — sign is engine-independent, so the LSH
+        # ANN entries are fully value-hash-checked, not rows-only
+        "ann_lsh_bucketed": f"""
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
+                              list_transform(embedding::DOUBLE[],
+                                  x -> round(x * {similarity.PROJ_SCALE})) AS ei
+                       FROM embeddings),
+            b AS (SELECT vec_id, emb, {_lsh_bucket_sql("ei")} AS bucket FROM e),
+            q AS (SELECT vec_id AS query_id, emb AS q_emb, bucket AS q_bucket
+                  FROM b WHERE vec_id < {similarity.N_QUERIES}),
+            s AS (SELECT q.query_id, b.vec_id, b.bucket,
+                         round(list_cosine_similarity(b.emb, q.q_emb), 9) AS c
+                  FROM b JOIN q ON b.bucket = q.q_bucket
+                               AND b.vec_id <> q.query_id),
+            r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                               ORDER BY c DESC, vec_id ASC)
+                                AS rnk
+                  FROM s)
+            SELECT query_id, vec_id AS neighbor_id, round(c, 6) AS cos,
+                   rnk AS "rank", bucket
+            FROM r WHERE rnk <= {similarity.TOP_K}
+        """,
+        "ann_lsh_multiprobe": f"""
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
+                              list_transform(embedding::DOUBLE[],
+                                  x -> round(x * {similarity.PROJ_SCALE})) AS ei
+                       FROM embeddings),
+            b AS (SELECT vec_id, emb, {_lsh_bucket_sql("ei")} AS bucket FROM e),
+            q AS (SELECT vec_id AS query_id, emb AS q_emb, bucket AS q_bucket
+                  FROM b WHERE vec_id < {similarity.N_QUERIES}),
+            p AS (SELECT query_id, q_emb,
+                         xor(q_bucket, u.m) AS probe_bucket
+                  FROM q CROSS JOIN (SELECT unnest([{", ".join(str(m) for m in [0] + [1 << h for h in range(similarity.N_HYPERPLANES)])}]) AS m) u),
+            s AS (SELECT p.query_id, b.vec_id,
+                         round(list_cosine_similarity(b.emb, p.q_emb), 9) AS c
+                  FROM b JOIN p ON b.bucket = p.probe_bucket
+                               AND b.vec_id <> p.query_id),
+            r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                               ORDER BY c DESC, vec_id ASC)
+                                AS rnk
+                  FROM s)
+            SELECT query_id, vec_id AS neighbor_id, round(c, 6) AS cos,
+                   rnk AS "rank"
+            FROM r WHERE rnk <= {similarity.TOP_K}
         """,
         # hybrid = α·cos + (1-α)·jaccard, same 9-dp anchor + id tie-break
         "hybrid_search_topk": f"""

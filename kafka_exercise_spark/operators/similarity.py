@@ -67,20 +67,38 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _hyperplanes() -> list[list[float]]:
-    """Deterministic pseudo-random hyperplanes (no RNG state — pure formula,
-    reproducible across sessions and engines)."""
+#: Fixed-point scale for LSH projections: embedding and hyperplane values
+#: quantize to 2^-20 before the dot product, making every projection an
+#: exact integer (≤ 2^47 — exact in long AND double, any summation order).
+PROJ_SCALE = 1 << 20
+
+
+def _hyperplanes_int() -> list[list[int]]:
+    """Deterministic pseudo-random hyperplanes, pre-quantized to ints (no
+    RNG state — pure formula, reproducible across sessions and engines)."""
     return [
-        [math.sin(0.7 * h * EMBED_DIM + 1.3 * i + 0.5) for i in range(EMBED_DIM)]
+        [
+            round(math.sin(0.7 * h * EMBED_DIM + 1.3 * i + 0.5) * PROJ_SCALE)
+            for i in range(EMBED_DIM)
+        ]
         for h in range(N_HYPERPLANES)
     ]
 
 
 def lsh_bucket(col: F.Column) -> F.Column:
-    """Random-hyperplane LSH bucket id for an array<double> column."""
+    """Random-hyperplane LSH bucket id for an array<double> column.
+
+    The projection sign is computed over EXACT integers (fixed-point
+    embedding × pre-quantized plane), so bucket membership is bit-identical
+    in any engine and any summation order — which is what lets the LSH ANN
+    entries carry full DuckDB value-hash oracles instead of rows-only
+    checks. Quantization at 2^-20 is far below any embedding's noise
+    floor; the hash family is unchanged in character.
+    """
+    ei = F.transform(col, lambda x: F.round(x * PROJ_SCALE).cast("long"))
     bucket = F.lit(0)
-    for h, plane in enumerate(_hyperplanes()):
-        proj = dot(col, F.array(*[F.lit(v) for v in plane]))
+    for h, plane in enumerate(_hyperplanes_int()):
+        proj = dot(ei, F.array(*[F.lit(v).cast("long") for v in plane]))
         bucket = bucket + F.when(proj > 0, F.lit(1 << h)).otherwise(F.lit(0))
     return bucket
 
