@@ -81,6 +81,7 @@ class _Relation:
     kind: str = "stream"  # 'stream' | 'table'
     derived: bool = False  # True for CSAS/CTAS (own plan); False = source
     # relation whose rows ARE the topic (must track topic appends)
+    terminated: bool = False  # TERMINATE ran: query stopped, relation kept
 
 
 @dataclass
@@ -158,6 +159,8 @@ class KsqlEngine:
             return self._print_topic(stmt.split(None, 1)[1].strip().strip("'\""))
         if low.startswith("describe "):
             return self._describe(stmt.split(None, 1)[1].strip())
+        if low.startswith("terminate "):
+            return self._terminate(stmt.split(None, 1)[1].strip().lower())
         if low.startswith(("create source connector", "create sink connector")):
             return self._create_connector(stmt)
         if low.startswith("drop connector"):
@@ -237,7 +240,8 @@ class KsqlEngine:
             return rows
         if what == "queries":
             # ksqlDB lists persistent (CSAS/CTAS) queries only — a plain
-            # source stream has no backing query
+            # source stream has no backing query; terminated queries drop
+            # off the listing while their relation remains queryable
             return [
                 {
                     "Query ID": f"C{'TAS' if r.kind == 'table' else 'SAS'}_"
@@ -245,7 +249,7 @@ class KsqlEngine:
                     "Sink": r.name.upper(),
                 }
                 for r in self._relations.values()
-                if r.derived
+                if r.derived and not r.terminated
             ]
         raise NotImplementedError(f"show {what}")
 
@@ -264,6 +268,35 @@ class KsqlEngine:
         r"(?:as\s+(?P<select>select\b.*))?$",
         re.IGNORECASE | re.DOTALL,
     )
+
+    def _terminate(self, target: str) -> list[str]:
+        """``TERMINATE <query id>|ALL;`` — stop a persistent query.
+
+        ksqlDB semantics: the QUERY stops (its live StreamExecution, when
+        one is attached by name, is stopped too); the stream/table it fed
+        REMAINS registered and queryable — terminate-then-drop is the
+        two-step teardown the CLI requires. Accepts the ``CSAS_X``/
+        ``CTAS_X`` ids ``show queries`` prints, or the bare relation name.
+        """
+        targets = []
+        if target == "all":
+            targets = [r for r in self._relations.values() if r.derived]
+        else:
+            name = re.sub(r"^c[st]as_", "", target)
+            rel = self._relations.get(name)
+            if rel is None or not rel.derived:
+                raise KeyError(f"no persistent query for {target!r}")
+            targets = [rel]
+        stopped = []
+        for rel in targets:
+            for q in self.spark.streams.active:
+                if q.name == rel.name:
+                    q.stop()
+            rel.terminated = True
+            stopped.append(
+                f"C{'TAS' if rel.kind == 'table' else 'SAS'}_{rel.name.upper()}"
+            )
+        return stopped
 
     #: ``CREATE SOURCE|SINK CONNECTOR [IF NOT EXISTS] <name> WITH (…)`` —
     #: ksqlDB's statement form of the Connect REST POST the reference

@@ -258,7 +258,7 @@ def test_explain_surfaces_physical_plan(engine):
 
 def test_unsupported_statement_raises(engine):
     with pytest.raises(NotImplementedError, match="dialect"):
-        engine.execute("terminate query_custstream_1;")
+        engine.execute("run script '/tmp/batch.sql';")
 
 
 def test_streaming_ctas_equals_batch(spark, sf_dir, tmp_path):
@@ -613,3 +613,24 @@ def test_connector_ddl_statements(spark, tmp_path):
     eng.execute("drop connector if exists nope;")  # no-op
     eng.execute("drop connector psg_connector;")
     assert reg.list() == ["s3_jovens"]
+
+
+def test_terminate_query_semantics(engine):
+    """TERMINATE stops the persistent query but keeps the relation —
+    ksqlDB's two-step teardown (terminate, then drop)."""
+    engine.execute(
+        "create stream jv2 WITH (kafka_topic='jv2') AS "
+        "select nome from custstream emit changes;"
+    )
+    ids = {q["Query ID"] for q in engine.execute("show queries;")}
+    assert "CSAS_JV2" in ids
+    stopped = engine.execute("terminate CSAS_JV2;")
+    assert stopped == ["CSAS_JV2"]
+    # gone from SHOW QUERIES, still queryable as a relation
+    assert "CSAS_JV2" not in {q["Query ID"] for q in engine.execute("show queries;")}
+    assert engine.execute("select * from jv2 emit changes;").count() > 0
+    with pytest.raises(KeyError):
+        engine.execute("terminate CSAS_NOPE;")
+    # TERMINATE ALL clears the listing
+    engine.execute("terminate all;")
+    assert engine.execute("show queries;") == []
