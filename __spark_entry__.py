@@ -189,6 +189,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": textops.chunk_documents,
         # per-source data-card rollup incl. exact duplicate rate
         "corpus_profile": textops.corpus_profile,
+        # CCNet-style unigram LM cross-entropy/perplexity quality score
+        "lm_unigram_score": textops.lm_unigram_score,
         # reference basics rotated out of the window in r03 (see header)
         "custstream_pretty": pipeline_ops.custstream_pretty,
         "select_star": pipeline_ops.select_star,
@@ -1659,6 +1661,25 @@ def oracle_sql() -> dict[str, str]:
                          count(DISTINCT fp)::BIGINT AS n_unique
                   FROM s GROUP BY source)
             SELECT *, round(1.0 - n_unique / n_docs, 6) AS dup_rate FROM a
+        """,
+        # token costs quantized to integer micro-nats before the per-doc
+        # sum → exact in any order/engine (same trick as the LSH buckets)
+        "lm_unigram_score": f"""
+            WITH t AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+            f AS (SELECT tok, count(*) AS c FROM t GROUP BY tok),
+            tot AS (SELECT sum(c) AS N, count(*) AS V FROM f),
+            cost AS (SELECT tok,
+                            round(ln((N + V) / (c + 1))
+                                  * {textops.LM_COST_SCALE})::BIGINT AS u
+                     FROM f, tot),
+            d AS (SELECT doc_id, count(*) AS n, sum(u) AS su
+                  FROM t JOIN cost USING (tok) GROUP BY doc_id)
+            SELECT doc_id, n::BIGINT AS n_tokens,
+                   round(su / {textops.LM_COST_SCALE}.0 / n, 6)
+                       AS cross_entropy_nats,
+                   round(exp(su / {textops.LM_COST_SCALE}.0 / n), 2)
+                       AS perplexity
+            FROM d
         """,
         "dq_report": """
             WITH o AS (SELECT count(*) AS n,

@@ -481,3 +481,60 @@ def corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(1.0 - F.col("n_unique") / F.col("n_docs"), 6),
         )
     )
+
+
+#: Fixed-point scale for LM token costs: -ln p quantized to integer
+#: micro-nats, so per-document sums are exact in any order/engine.
+LM_COST_SCALE = 1_000_000
+
+
+def lm_unigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model quality score (the CCNet/KenLM filter's
+    shape): per-document cross-entropy and perplexity under an add-one-
+    smoothed unigram model fit on the corpus itself. Curation pipelines
+    threshold on exactly this — far-above-corpus perplexity means gibberish
+    or the wrong language, far below means boilerplate.
+
+    Two aggregates + one broadcast join: corpus term frequencies (token
+    shuffle with map-side combine), a 1-row total, then every token's cost
+    -ln p(t) broadcast back against the exploded corpus (vocabulary is
+    bounded — unigram vocab, not n-grams) and summed per document. Costs
+    are quantized to integer micro-nats BEFORE the per-doc sum, so the sum
+    is exact integer arithmetic — engine- and order-independent, which is
+    what lets this carry a full value-hash oracle despite float logs.
+    """
+    docs = scale_partitions(load_table(spark, sf_dir, "documents"), spark)
+    exploded = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("t")
+    )
+    freq = exploded.groupBy("t").agg(F.count("*").alias("c"))
+    totals = freq.agg(
+        F.sum("c").alias("N"), F.count("*").alias("V")
+    )
+    cost = (
+        freq.crossJoin(F.broadcast(totals))
+        .select(
+            "t",
+            F.round(
+                F.log((F.col("N") + F.col("V")) / (F.col("c") + 1))
+                * LM_COST_SCALE
+            )
+            .cast("long")
+            .alias("cost_unat"),
+        )
+    )
+    per_doc = (
+        exploded.join(F.broadcast(cost), "t")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("cost_unat").alias("sum_unat"),
+        )
+    )
+    ce = F.col("sum_unat") / F.lit(float(LM_COST_SCALE)) / F.col("n_tokens")
+    return per_doc.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round(ce, 6).alias("cross_entropy_nats"),
+        F.round(F.exp(ce), 2).alias("perplexity"),
+    )

@@ -706,3 +706,29 @@ def test_hybrid_search_fuses_both_signals(spark, sf_dir):
     }
     hybrid_hits = {(r.query_id, r.hit_id) for r in rows}
     assert hybrid_hits != cosine_hits
+
+
+def test_lm_unigram_score_model_properties(spark, sf_dir):
+    import math
+
+    from kafka_exercise_spark.catalog import load_table
+    from kafka_exercise_spark.functions.text import tokens as _tokens
+    from kafka_exercise_spark.plans import broadcast_join_count, python_eval_count
+
+    scored = textops.lm_unigram_score(spark, sf_dir)
+    assert python_eval_count(scored) == 0
+    assert broadcast_join_count(scored) >= 1  # vocab cost table broadcasts
+    rows = scored.collect()
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs_with_tokens = docs.filter(F.size(_tokens(F.col("text"))) > 0).count()
+    assert len(rows) == n_docs_with_tokens
+    ces = {}
+    for r in rows:
+        # smoothed model: every cost positive, bounded by ln(N+V)
+        assert 0.0 < r.cross_entropy_nats < 20.0
+        assert abs(r.perplexity - round(math.exp(r.cross_entropy_nats), 1)) < max(
+            0.2, r.perplexity * 1e-3
+        )
+        ces[r.doc_id] = r.cross_entropy_nats
+    # the model discriminates: corpus docs don't all score the same
+    assert max(ces.values()) - min(ces.values()) > 0.1
