@@ -1673,13 +1673,15 @@ def oracle_sql() -> dict[str, str]:
                                   * {textops.LM_COST_SCALE})::BIGINT AS u
                      FROM f, tot),
             d AS (SELECT doc_id, count(*) AS n, sum(u) AS su
-                  FROM t JOIN cost USING (tok) GROUP BY doc_id)
+                  FROM t JOIN cost USING (tok) GROUP BY doc_id),
+            -- one 0-dp round at micro-nat resolution (engine-stable),
+            -- then exact division — mirrors the Spark side precisely
+            m AS (SELECT doc_id, n, round(su / n)::BIGINT AS ce_unat FROM d)
             SELECT doc_id, n::BIGINT AS n_tokens,
-                   round(su / {textops.LM_COST_SCALE}.0 / n, 6)
-                       AS cross_entropy_nats,
-                   round(exp(su / {textops.LM_COST_SCALE}.0 / n), 2)
+                   ce_unat / {textops.LM_COST_SCALE}.0 AS cross_entropy_nats,
+                   round(exp(ce_unat / {textops.LM_COST_SCALE}.0), 2)
                        AS perplexity
-            FROM d
+            FROM m
         """,
         "dq_report": """
             WITH o AS (SELECT count(*) AS n,

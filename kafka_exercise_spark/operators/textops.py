@@ -531,10 +531,18 @@ def lm_unigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cost_unat").alias("sum_unat"),
         )
     )
-    ce = F.col("sum_unat") / F.lit(float(LM_COST_SCALE)) / F.col("n_tokens")
+    # ONE rounding, at integer micro-nat resolution: su/n is the same
+    # double in every engine (exact ints in, IEEE division), and 0-dp
+    # round of the same double agrees everywhere — unlike round(x, 6),
+    # whose multi-decimal implementations differ at ulp boundaries
+    # (observed: 1 doc in 5000 at sf0.1). The division by the scale is
+    # then a shared exact-input op, so the output needs no further
+    # rounding to be hash-stable.
+    ce_unat = F.round(F.col("sum_unat") / F.col("n_tokens")).cast("long")
+    ce = ce_unat / F.lit(float(LM_COST_SCALE))
     return per_doc.select(
         "doc_id",
         F.col("n_tokens").cast("long").alias("n_tokens"),
-        F.round(ce, 6).alias("cross_entropy_nats"),
+        ce.alias("cross_entropy_nats"),
         F.round(F.exp(ce), 2).alias("perplexity"),
     )

@@ -427,7 +427,10 @@ def streaming_neardup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         verified.write.mode("append").parquet(out)
 
     name = "neardup_contract"
-    stream = file_stream(spark, src, src_schema, max_files_per_trigger=1)
+    # 2 files/trigger over the 4-file landing = 2 micro-batches: still a
+    # genuine multi-batch probe (the contract under test) at half the
+    # per-batch job overhead of one-file triggers
+    stream = file_stream(spark, src, src_schema, max_files_per_trigger=2)
     run_bounded_replay(
         spark, stream, checkpoint=os.path.join(work, "ckpt"),
         name=name, foreach_batch=probe,
