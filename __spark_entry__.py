@@ -1540,7 +1540,8 @@ def oracle_sql() -> dict[str, str]:
                          round(list_cosine_similarity(c.emb, q.q_emb), 9)
                              AS cos,
                          len(list_intersect(c.tok, q.q_tok))
-                           / len(list_distinct(c.tok || q.q_tok)) AS jac
+                           / (len(c.tok) + len(q.q_tok)
+                              - len(list_intersect(c.tok, q.q_tok))) AS jac
                   FROM c CROSS JOIN q
                   WHERE c.doc_id <> q.query_id),
             f AS (SELECT query_id, doc_id, cos, jac,
@@ -1679,8 +1680,8 @@ def oracle_sql() -> dict[str, str]:
             m AS (SELECT doc_id, n, round(su / n)::BIGINT AS ce_unat FROM d)
             SELECT doc_id, n::BIGINT AS n_tokens,
                    ce_unat / {textops.LM_COST_SCALE}.0 AS cross_entropy_nats,
-                   round(exp(ce_unat / {textops.LM_COST_SCALE}.0), 2)
-                       AS perplexity
+                   round(exp(ce_unat / {textops.LM_COST_SCALE}.0)
+                         * 100)::BIGINT / 100.0 AS perplexity
             FROM m
         """,
         "dq_report": """

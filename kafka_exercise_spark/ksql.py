@@ -168,7 +168,12 @@ class KsqlEngine:
                 raise ValueError("no ConnectorRegistry attached to this session")
             toks = stmt.split()
             if_exists = [t.lower() for t in toks[2:4]] == ["if", "exists"]
-            name = (toks[4] if if_exists else toks[2]).lower()
+            idx = 4 if if_exists else 2
+            if len(toks) <= idx:
+                raise NotImplementedError(
+                    "DROP CONNECTOR needs a connector name"
+                )
+            name = toks[idx].lower()
             try:
                 self.connectors.delete(name)
             except KeyError:
@@ -303,35 +308,56 @@ class KsqlEngine:
     #: drives with curl (reference README.md:132-133; configs
     #: connect_postgres.config / connect_s3_sink_*.config verbatim).
     _CONNECTOR_RE = re.compile(
-        r"create\s+(source|sink)\s+connector\s+(?:if\s+not\s+exists\s+)?"
-        r"(\S+)\s+with\s*\((?P<props>.*)\)\s*$",
+        r"create\s+(source|sink)\s+connector\s+(?P<ine>if\s+not\s+exists\s+)?"
+        r"(?P<name>\S+)\s+with\s*\((?P<props>.*)\)\s*$",
         re.IGNORECASE | re.DOTALL,
+    )
+
+    #: WITH pair: key quoted (ksqlDB convention) or bare; value quoted or a
+    #: bare literal (ksqlDB accepts ``flush.size=100`` unquoted).
+    _CONN_PROP_RE = re.compile(
+        r"(?:'(?P<qk>[^']+)'|(?P<bk>[\w.]+))\s*=\s*"
+        r"(?:'(?P<qv>[^']*)'|(?P<bv>[\w./:+-]+))"
     )
 
     def _create_connector(self, stmt: str) -> str:
         """Connector DDL → ``ConnectorRegistry.register`` (S10).
 
-        WITH keys follow ksqlDB's quoted-identifier convention
-        (``'connector.class'='…'``); unquoted keys are accepted too. The
-        declared SOURCE/SINK kind is validated against what the config's
-        ``connector.class`` actually builds, like ksqlDB does.
+        ksqlDB semantics throughout: a same-name connector makes the
+        statement FAIL (no-op with IF NOT EXISTS) — never a silent
+        replace; the declared SOURCE/SINK kind is validated against the
+        ``connector.class`` BEFORE any registry mutation, so a failed
+        statement cannot disturb an existing connector.
         """
+        from kafka_exercise_spark.connectors import (
+            JDBC_SOURCE_CLASS,
+            S3_SINK_CLASS,
+        )
+
         if self.connectors is None:
             raise ValueError("no ConnectorRegistry attached to this session")
         m = self._CONNECTOR_RE.match(stmt.strip())
         if not m:
             raise NotImplementedError(f"unparsed CREATE CONNECTOR: {stmt[:80]!r}")
-        declared, name = m.group(1).lower(), m.group(2).lower()
-        raw = m.group("props")
-        props = dict(re.findall(r"'([^']+)'\s*=\s*'([^']*)'", raw))
-        props.update(re.findall(r"(?<!')\b([\w.]+)\s*=\s*'([^']*)'", raw))
-        conn = self.connectors.register({"name": name, "config": props})
-        if conn.kind != declared:
-            self.connectors.delete(name)
+        declared, name = m.group(1).lower(), m.group("name").lower()
+        props: dict[str, str] = {}
+        for pm in self._CONN_PROP_RE.finditer(m.group("props")):
+            key = pm.group("qk") or pm.group("bk")
+            val = pm.group("qv") if pm.group("qv") is not None else pm.group("bv")
+            props[key] = val
+        if name in self.connectors.list():
+            if m.group("ine"):
+                return name  # IF NOT EXISTS: no-op, existing config kept
+            raise ValueError(f"connector {name!r} already exists")
+        builds = {JDBC_SOURCE_CLASS: "source", S3_SINK_CLASS: "sink"}.get(
+            props.get("connector.class")
+        )
+        if builds != declared:
             raise ValueError(
                 f"declared {declared.upper()} connector but "
-                f"{props.get('connector.class')!r} builds a {conn.kind}"
+                f"{props.get('connector.class')!r} builds a {builds}"
             )
+        self.connectors.register({"name": name, "config": props})
         return name
 
     def _create(self, stmt: str):

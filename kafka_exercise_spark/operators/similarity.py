@@ -553,8 +553,11 @@ def hybrid_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tok").alias("q_tok"),
         F.col("emb").alias("q_emb"),
     )
+    # both sides are already distinct, so |A∪B| = |A|+|B|-|A∩B| — exact,
+    # and skips materializing a concatenated+deduped array per candidate
+    # pair inside the op's hot loop
     inter = F.size(F.array_intersect(F.col("tok"), F.col("q_tok")))
-    union = F.size(F.array_distinct(F.concat(F.col("tok"), F.col("q_tok"))))
+    union = F.size("tok") + F.size("q_tok") - inter
     scored = (
         corpus.join(F.broadcast(q), F.col("doc_id") != F.col("query_id"))
         .withColumn("cos", F.round(cosine(F.col("emb"), F.col("q_emb")), 9))

@@ -540,9 +540,14 @@ def lm_unigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rounding to be hash-stable.
     ce_unat = F.round(F.col("sum_unat") / F.col("n_tokens")).cast("long")
     ce = ce_unat / F.lit(float(LM_COST_SCALE))
+    # perplexity also rounds ONLY at 0 dp (centi-perplexity int), then
+    # divides — exp() may differ by 1 ulp across engines, and a 0-dp
+    # round of near-identical doubles is the narrowest possible boundary
+    # (multi-decimal rounds diverge even on identical doubles)
+    ppl_centi = F.round(F.exp(ce) * 100).cast("long")
     return per_doc.select(
         "doc_id",
         F.col("n_tokens").cast("long").alias("n_tokens"),
         ce.alias("cross_entropy_nats"),
-        F.round(F.exp(ce), 2).alias("perplexity"),
+        (ppl_centi / 100.0).alias("perplexity"),
     )

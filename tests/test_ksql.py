@@ -634,3 +634,67 @@ def test_terminate_query_semantics(engine):
     # TERMINATE ALL clears the listing
     engine.execute("terminate all;")
     assert engine.execute("show queries;") == []
+
+
+def test_connector_ddl_existence_and_parse_semantics(spark, tmp_path):
+    """ksqlDB existence semantics: same-name CREATE fails (no silent
+    replace), IF NOT EXISTS no-ops, a FAILED create never disturbs an
+    existing connector; unquoted WITH values parse."""
+    from kafka_exercise_spark.connectors import ConnectorRegistry
+    from kafka_exercise_spark.ksql import KsqlEngine
+    from kafka_exercise_spark.sources.generator import append_ticks
+
+    src_dir = str(tmp_path / "customers")
+    append_ticks(spark, src_dir, n=5, ticks=1)
+    reg = ConnectorRegistry(spark)
+    eng = KsqlEngine(spark, connectors=reg)
+
+    def _create_src(prefix=""):
+        eng.execute(
+            f"CREATE SOURCE CONNECTOR {prefix}c1 WITH ("
+            "'connector.class'='io.confluent.connect.jdbc.JdbcSourceConnector', "
+            "'mode'='timestamp', 'timestamp.column.name'='dt_update', "
+            "'table.whitelist'='public.customers', "
+            f"'connection.url'='parquet://{src_dir}', "
+            f"'offsets.path'='{tmp_path / 'o.json'}');"
+        )
+
+    _create_src()
+    # duplicate name: FAIL, original kept
+    with pytest.raises(ValueError, match="already exists"):
+        _create_src()
+    assert reg.list() == ["c1"]
+    # IF NOT EXISTS: no-op, original kept
+    eng.execute(
+        "CREATE SOURCE CONNECTOR IF NOT EXISTS c1 WITH ("
+        "'connector.class'='io.confluent.connect.jdbc.JdbcSourceConnector', "
+        "'mode'='timestamp', 'timestamp.column.name'='dt_update', "
+        "'table.whitelist'='other', "
+        f"'connection.url'='parquet://{src_dir}', "
+        f"'offsets.path'='{tmp_path / 'o3.json'}');"
+    )
+    assert reg._connectors["c1"].config["table.whitelist"] == "public.customers"
+    # kind-mismatched CREATE under an EXISTING name fails WITHOUT
+    # destroying it (validated before any registry mutation)
+    with pytest.raises(ValueError, match="already exists"):
+        eng.execute(
+            "CREATE SINK CONNECTOR c1 WITH ("
+            "'connector.class'='io.confluent.connect.jdbc.JdbcSourceConnector', "
+            "'mode'='timestamp', 'timestamp.column.name'='dt_update', "
+            "'table.whitelist'='t', "
+            f"'connection.url'='parquet://{src_dir}', "
+            f"'offsets.path'='{tmp_path / 'o4.json'}');"
+        )
+    assert reg.list() == ["c1"]
+    # unquoted numeric WITH value reaches the runtime config
+    eng.execute(
+        "CREATE SINK CONNECTOR s1 WITH ("
+        "'connector.class'='io.confluent.connect.s3.S3SinkConnector', "
+        "'format.class'='io.confluent.connect.s3.format.parquet.ParquetFormat', "
+        "flush.size=77, 'topics'='jovens', "
+        f"'local.root'='{tmp_path}');"
+    )
+    assert reg._connectors["s1"].config["flush.size"] == "77"
+    # bare DROP CONNECTOR is a parse error, not an IndexError
+    with pytest.raises(NotImplementedError, match="name"):
+        eng.execute("drop connector;")
