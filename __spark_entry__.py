@@ -191,6 +191,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_profile": textops.corpus_profile,
         # CCNet-style unigram LM cross-entropy/perplexity quality score
         "lm_unigram_score": textops.lm_unigram_score,
+        # feature-hashing sparse embeddings (the chunk → embed → index
+        # bridge when no neural encoder is in the loop) — exact integers
+        "embed_feature_hashing": textops.embed_feature_hashing,
         # reference basics rotated out of the window in r03 (see header)
         "custstream_pretty": pipeline_ops.custstream_pretty,
         "select_star": pipeline_ops.select_star,
@@ -1683,6 +1686,20 @@ def oracle_sql() -> dict[str, str]:
                    round(exp(ce_unat / {textops.LM_COST_SCALE}.0)
                          * 100)::BIGINT / 100.0 AS perplexity
             FROM m
+        """,
+        # all-integer sparse vectors: count + Σcount² per doc, no floats
+        "embed_feature_hashing": f"""
+            WITH t AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+            b AS (SELECT doc_id,
+                         ('0x' || substr(md5(tok), 1, 15))::BIGINT
+                             % {textops.FEATURE_HASH_DIM} AS bucket
+                  FROM t),
+            c AS (SELECT doc_id, bucket, count(*) AS cnt
+                  FROM b GROUP BY doc_id, bucket),
+            n AS (SELECT doc_id, sum(cnt * cnt) AS ss FROM c GROUP BY doc_id)
+            SELECT c.doc_id, bucket::BIGINT AS bucket, cnt::BIGINT AS cnt,
+                   ss::BIGINT AS ss
+            FROM c JOIN n ON c.doc_id = n.doc_id
         """,
         "dq_report": """
             WITH o AS (SELECT count(*) AS n,

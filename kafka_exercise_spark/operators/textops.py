@@ -551,3 +551,47 @@ def lm_unigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         ce.alias("cross_entropy_nats"),
         (ppl_centi / 100.0).alias("perplexity"),
     )
+
+
+#: Feature-hashing embedding dimensionality (buckets).
+FEATURE_HASH_DIM = 64
+
+
+def embed_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing document embeddings ("hashing trick") — the embed
+    stage between chunking and ANN indexing when no neural encoder is in
+    the loop (or as the cheap first-pass signal before one): each token
+    hashes to one of FEATURE_HASH_DIM buckets, a document's sparse vector
+    is its per-bucket token counts.
+
+    Output is the SPARSE form — one row per (doc, non-zero bucket) with the
+    raw count and the document's squared norm — deliberately: at 100 TB the
+    sparse rows are what you store and what a dot product consumes, and
+    keeping values as exact integers (count, Σcount²) makes the entry
+    bit-reproducible in any engine; consumers normalize by sqrt(ss) at use
+    time. One explode + one groupBy (map-side combine) + a broadcast-back
+    of per-doc norms: two shuffles, vocabulary-independent width.
+    """
+    docs = scale_partitions(load_table(spark, sf_dir, "documents"), spark)
+    exploded = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("t")
+    )
+    buckets = exploded.select(
+        "doc_id",
+        F.pmod(md5_hash64(F.col("t")), F.lit(FEATURE_HASH_DIM)).alias("bucket"),
+    )
+    counts = buckets.groupBy("doc_id", "bucket").agg(
+        F.count("*").alias("cnt")
+    )
+    norms = counts.groupBy("doc_id").agg(
+        F.sum(F.col("cnt") * F.col("cnt")).alias("ss")
+    )
+    return (
+        counts.join(F.broadcast(norms), "doc_id")
+        .select(
+            "doc_id",
+            F.col("bucket").cast("long").alias("bucket"),
+            F.col("cnt").cast("long").alias("cnt"),
+            F.col("ss").cast("long").alias("ss"),
+        )
+    )

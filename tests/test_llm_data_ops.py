@@ -732,3 +732,36 @@ def test_lm_unigram_score_model_properties(spark, sf_dir):
         ces[r.doc_id] = r.cross_entropy_nats
     # the model discriminates: corpus docs don't all score the same
     assert max(ces.values()) - min(ces.values()) > 0.1
+
+
+def test_embed_feature_hashing_sparse_vectors(spark, sf_dir):
+    from kafka_exercise_spark.catalog import load_table
+    from kafka_exercise_spark.functions.text import tokens as _tokens
+    from kafka_exercise_spark.plans import python_eval_count
+
+    emb = textops.embed_feature_hashing(spark, sf_dir)
+    assert python_eval_count(emb) == 0
+    rows = emb.collect()
+    per_doc: dict[int, list] = {}
+    for r in rows:
+        assert 0 <= r.bucket < textops.FEATURE_HASH_DIM
+        assert r.cnt >= 1
+        per_doc.setdefault(r.doc_id, []).append(r)
+    docs = load_table(spark, sf_dir, "documents")
+    tok_counts = {
+        r.doc_id: r.n
+        for r in docs.select(
+            "doc_id", F.size(_tokens(F.col("text"))).alias("n")
+        ).collect()
+    }
+    for doc_id, vec in per_doc.items():
+        # sparse vector accounts for every token exactly once
+        assert sum(r.cnt for r in vec) == tok_counts[doc_id]
+        # one consistent squared norm per doc, equal to sum cnt^2
+        ss = {r.ss for r in vec}
+        assert ss == {sum(r.cnt * r.cnt for r in vec)}
+        # genuinely sparse: fewer buckets than tokens for real docs
+        assert len(vec) <= min(textops.FEATURE_HASH_DIM, tok_counts[doc_id])
+    # deterministic across reruns
+    again = textops.embed_feature_hashing(spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
