@@ -160,6 +160,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_outliers": similarity.embedding_outliers,
         # fused lexical+semantic retrieval (full value-hash oracle)
         "hybrid_search_topk": similarity.hybrid_search_topk,
+        # sparse posting-list retrieval over hashed vectors (exact cos²)
+        "sparse_ann_topk": similarity.sparse_ann_topk,
         "ann_lsh_bucketed": similarity.ann_lsh_bucketed,
         "ann_lsh_multiprobe": similarity.ann_lsh_multiprobe,
         "ann_ivf_topk": similarity.ann_ivf_topk,
@@ -1686,6 +1688,39 @@ def oracle_sql() -> dict[str, str]:
                    round(exp(ce_unat / {textops.LM_COST_SCALE}.0)
                          * 100)::BIGINT / 100.0 AS perplexity
             FROM m
+        """,
+        # posting-list join + integer dot; cos² divides exact-in-double
+        # integers, so the ranking needs no rounding at all
+        "sparse_ann_topk": f"""
+            WITH t AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+            b AS (SELECT doc_id,
+                         ('0x' || substr(md5(tok), 1, 15))::BIGINT
+                             % {textops.FEATURE_HASH_DIM} AS bucket
+                  FROM t),
+            c AS (SELECT doc_id, bucket, count(*) AS cnt
+                  FROM b GROUP BY doc_id, bucket),
+            n AS (SELECT doc_id, sum(cnt * cnt)::BIGINT AS ss
+                  FROM c GROUP BY doc_id),
+            v AS (SELECT c.doc_id, bucket, cnt, ss
+                  FROM c JOIN n ON c.doc_id = n.doc_id),
+            q AS (SELECT doc_id AS query_id, bucket, cnt AS q_cnt,
+                         ss AS q_ss
+                  FROM v WHERE doc_id < {similarity.N_QUERIES}),
+            d AS (SELECT q.query_id, v.doc_id,
+                         sum(v.cnt * q.q_cnt)::BIGINT AS dot,
+                         any_value(v.ss) AS ss, any_value(q.q_ss) AS q_ss
+                  FROM v JOIN q USING (bucket)
+                  WHERE v.doc_id <> q.query_id
+                  GROUP BY q.query_id, v.doc_id),
+            r AS (SELECT query_id, doc_id, dot,
+                         (dot * dot) / (ss * q_ss) AS cos2,
+                         row_number() OVER (
+                             PARTITION BY query_id
+                             ORDER BY (dot * dot) / (ss * q_ss) DESC,
+                                      doc_id ASC) AS rnk
+                  FROM d)
+            SELECT query_id, doc_id AS hit_id, dot, cos2, rnk AS "rank"
+            FROM r WHERE rnk <= {similarity.TOP_K}
         """,
         # all-integer sparse vectors: count + Σcount² per doc, no floats
         "embed_feature_hashing": f"""

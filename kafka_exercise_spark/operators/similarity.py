@@ -583,3 +583,52 @@ def hybrid_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+def sparse_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse top-k retrieval over the feature-hashed vectors via an
+    inverted-index (posting-list) join — the scalable sparse-search plan:
+    candidates meet ONLY on shared non-zero buckets, so cost is
+    Σ|posting list|² per bucket, never queries × corpus.
+
+    Ranking is exact with NO rounding anywhere: the dot product is an
+    integer sum, and cos² = dot²/(ss_q·ss_c) divides exact-in-double
+    integers (all ≤ ~1e8), so both engines compute the identical double
+    and the (cos² desc, doc_id) cut is deterministic. The emitted score is
+    that exact cos². At 100 TB the corpus side is written
+    bucket-partitioned and each query's buckets prune to their posting
+    lists — the same layout story as the dense LSH variants.
+    """
+    from kafka_exercise_spark.operators.textops import embed_feature_hashing
+
+    vecs = embed_feature_hashing(spark, sf_dir)
+    q = vecs.filter(F.col("doc_id") < N_QUERIES).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("bucket"),
+        F.col("cnt").alias("q_cnt"),
+        F.col("ss").alias("q_ss"),
+    )
+    dots = (
+        vecs.join(F.broadcast(q), "bucket")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum(F.col("cnt") * F.col("q_cnt")).alias("dot"),
+            F.first("ss").alias("ss"),
+            F.first("q_ss").alias("q_ss"),
+        )
+    )
+    cos2 = (F.col("dot") * F.col("dot")) / (F.col("ss") * F.col("q_ss"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos2"), F.asc("doc_id"))
+    return (
+        dots.withColumn("cos2", cos2)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            F.col("doc_id").alias("hit_id"),
+            F.col("dot").cast("long").alias("dot"),
+            "cos2",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

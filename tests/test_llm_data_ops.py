@@ -765,3 +765,24 @@ def test_embed_feature_hashing_sparse_vectors(spark, sf_dir):
     # deterministic across reruns
     again = textops.embed_feature_hashing(spark, sf_dir).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_sparse_ann_topk_posting_list_retrieval(spark, sf_dir):
+    from kafka_exercise_spark.plans import broadcast_join_count, python_eval_count
+
+    res = similarity.sparse_ann_topk(spark, sf_dir)
+    assert python_eval_count(res) == 0
+    assert broadcast_join_count(res) >= 1  # query posting lists broadcast
+    rows = res.collect()
+    assert len(rows) == similarity.N_QUERIES * similarity.TOP_K
+    by_q: dict[int, list] = {}
+    for r in rows:
+        assert r.dot >= 1  # candidates share at least one bucket
+        assert 0.0 < r.cos2 <= 1.0 + 1e-12
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        scores = [r.cos2 for r in rs]
+        assert scores == sorted(scores, reverse=True)
+        assert all(r.hit_id != q for r in rs)
