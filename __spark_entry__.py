@@ -196,6 +196,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # feature-hashing sparse embeddings (the chunk → embed → index
         # bridge when no neural encoder is in the loop) — exact integers
         "embed_feature_hashing": textops.embed_feature_hashing,
+        # budget-allocation plan per source (targets/shortfalls/rates)
+        "mixture_plan": sampling.mixture_plan,
         # reference basics rotated out of the window in r03 (see header)
         "custstream_pretty": pipeline_ops.custstream_pretty,
         "select_star": pipeline_ops.select_star,
@@ -1430,6 +1432,28 @@ def oracle_sql() -> dict[str, str]:
                   FROM d)
             SELECT lang, doc_id, n_tok, cum_tok::BIGINT AS cum_tok
             FROM c WHERE cum_tok - n_tok < {sampling.LANG_TOKEN_BUDGET}
+        """,
+        # all-integer plan outputs (floor divisions of exact ratios)
+        "mixture_plan": f"""
+            WITH inv AS (SELECT source,
+                                (regexp_extract(source, '(\\d+)', 1)::INT % 4)
+                                    + 1 AS weight,
+                                count(*) AS n_docs,
+                                sum(len({_TOKS}))::BIGINT AS avail_tokens
+                         FROM documents GROUP BY source),
+            tot AS (SELECT sum(weight) AS sum_w FROM inv),
+            p AS (SELECT inv.*,
+                         floor({sampling.MIX_PLAN_BUDGET} * weight
+                               / sum_w)::BIGINT AS target_tokens
+                  FROM inv, tot)
+            SELECT source, weight::BIGINT AS weight, n_docs, avail_tokens,
+                   target_tokens,
+                   least(avail_tokens, target_tokens) AS planned_tokens,
+                   (target_tokens - least(avail_tokens, target_tokens))::BIGINT
+                       AS shortfall_tokens,
+                   floor(least(avail_tokens, target_tokens) * 10000
+                         / avail_tokens)::BIGINT AS rate_bps
+            FROM p
         """,
         "quality_quantile_filter": f"""
             WITH s AS (SELECT lang, doc_id,

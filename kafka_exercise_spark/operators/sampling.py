@@ -313,3 +313,54 @@ def global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("position", F.row_number().over(w).cast("long"))
         .select("doc_id", "shard", "position")
     )
+
+
+#: Total token budget the mixture plan allocates across sources.
+MIX_PLAN_BUDGET = 50_000
+
+
+def mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture planning: given per-source token inventories and target
+    weights, allocate a total token budget and report, per source, the
+    target, what is actually satisfiable, the shortfall, and the sampling
+    rate to apply — the spreadsheet a mixture owner signs off before the
+    selection job (``token_budget_select``) runs.
+
+    Weights derive from the source id (the stand-in for a config file);
+    every output is an exact integer (floor divisions of exact-in-double
+    integer ratios): targets in tokens, shortfalls in tokens, rates in
+    basis points — deliberately no decimal-rounded floats anywhere, the
+    oracle-stability rule this repo's LM scorer had to learn. One token
+    count per source (map-side combine), one 1-row weight total broadcast
+    back: the plan costs one scan regardless of corpus size.
+    """
+    from kafka_exercise_spark.functions.text import tokens  # noqa: PLC0415
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = (F.pmod(_source_num(F.col("source")), F.lit(4)) + 1).alias("weight")
+    inventory = (
+        docs.select("source", w, F.size(tokens(F.col("text"))).alias("n_tok"))
+        .groupBy("source", "weight")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("avail_tokens"),
+        )
+    )
+    totals = inventory.agg(F.sum("weight").alias("sum_w"))
+    planned = inventory.crossJoin(F.broadcast(totals)).withColumn(
+        "target_tokens",
+        F.floor(F.lit(MIX_PLAN_BUDGET) * F.col("weight") / F.col("sum_w")).cast(
+            "long"
+        ),
+    )
+    kept = F.least(F.col("avail_tokens"), F.col("target_tokens"))
+    return planned.select(
+        "source",
+        F.col("weight").cast("long").alias("weight"),
+        "n_docs",
+        "avail_tokens",
+        "target_tokens",
+        kept.alias("planned_tokens"),
+        (F.col("target_tokens") - kept).cast("long").alias("shortfall_tokens"),
+        F.floor(kept * 10_000 / F.col("avail_tokens")).cast("long").alias("rate_bps"),
+    )

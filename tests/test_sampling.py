@@ -182,3 +182,20 @@ def test_mixture_ops_plans_stay_jvm_side(spark, sf_dir):
     # quartiles aggregate (tiny) + broadcast back: the corpus side is
     # never re-shuffled
     assert broadcast_join_count(band) >= 1
+
+
+def test_mixture_plan_allocates_budget(spark, sf_dir):
+    rows = sampling.mixture_plan(spark, sf_dir).collect()
+    budget = sampling.MIX_PLAN_BUDGET
+    sum_w = sum(r.weight for r in rows)
+    for r in rows:
+        assert r.target_tokens == budget * r.weight // sum_w
+        assert r.planned_tokens == min(r.avail_tokens, r.target_tokens)
+        assert r.shortfall_tokens == r.target_tokens - r.planned_tokens
+        assert 0 <= r.rate_bps <= 10_000
+        assert r.rate_bps == r.planned_tokens * 10_000 // r.avail_tokens
+    # floor allocation never exceeds the budget
+    assert sum(r.target_tokens for r in rows) <= budget
+    # the plan discriminates: at least one satisfied and, with the fixture
+    # inventories, weights differ across sources
+    assert len({r.weight for r in rows}) > 1
