@@ -296,6 +296,22 @@ _MINHASH_B = (7, 101, 1009, 10007, 100003, 1000003, 10000019, 100000007)
 _HSH = "list_transform(sh, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT)"
 
 
+#: Shared tokenize→hash-bucket→count→squared-norm CTE chain — the DuckDB
+#: twin of ``textops.embed_feature_hashing``'s vector build, used by BOTH
+#: the embedding oracle and the sparse-retrieval oracle so the hashing
+#: scheme can never drift between them.
+def _hashed_vec_ctes() -> str:
+    return f"""t AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+            b AS (SELECT doc_id,
+                         ('0x' || substr(md5(tok), 1, 15))::BIGINT
+                             % {textops.FEATURE_HASH_DIM} AS bucket
+                  FROM t),
+            c AS (SELECT doc_id, bucket, count(*) AS cnt
+                  FROM b GROUP BY doc_id, bucket),
+            n AS (SELECT doc_id, sum(cnt * cnt)::BIGINT AS ss
+                  FROM c GROUP BY doc_id)"""
+
+
 def _lsh_bucket_sql(ei_col: str) -> str:
     """DuckDB twin of ``similarity.lsh_bucket`` over a quantized int list.
 
@@ -1716,15 +1732,7 @@ def oracle_sql() -> dict[str, str]:
         # posting-list join + integer dot; cos² divides exact-in-double
         # integers, so the ranking needs no rounding at all
         "sparse_ann_topk": f"""
-            WITH t AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
-            b AS (SELECT doc_id,
-                         ('0x' || substr(md5(tok), 1, 15))::BIGINT
-                             % {textops.FEATURE_HASH_DIM} AS bucket
-                  FROM t),
-            c AS (SELECT doc_id, bucket, count(*) AS cnt
-                  FROM b GROUP BY doc_id, bucket),
-            n AS (SELECT doc_id, sum(cnt * cnt)::BIGINT AS ss
-                  FROM c GROUP BY doc_id),
+            WITH {_hashed_vec_ctes()},
             v AS (SELECT c.doc_id, bucket, cnt, ss
                   FROM c JOIN n ON c.doc_id = n.doc_id),
             q AS (SELECT doc_id AS query_id, bucket, cnt AS q_cnt,
@@ -1748,14 +1756,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         # all-integer sparse vectors: count + Σcount² per doc, no floats
         "embed_feature_hashing": f"""
-            WITH t AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
-            b AS (SELECT doc_id,
-                         ('0x' || substr(md5(tok), 1, 15))::BIGINT
-                             % {textops.FEATURE_HASH_DIM} AS bucket
-                  FROM t),
-            c AS (SELECT doc_id, bucket, count(*) AS cnt
-                  FROM b GROUP BY doc_id, bucket),
-            n AS (SELECT doc_id, sum(cnt * cnt) AS ss FROM c GROUP BY doc_id)
+            WITH {_hashed_vec_ctes()}
             SELECT c.doc_id, bucket::BIGINT AS bucket, cnt::BIGINT AS cnt,
                    ss::BIGINT AS ss
             FROM c JOIN n ON c.doc_id = n.doc_id

@@ -346,8 +346,14 @@ def mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tok").cast("long").alias("avail_tokens"),
         )
     )
-    totals = inventory.agg(F.sum("weight").alias("sum_w"))
-    planned = inventory.crossJoin(F.broadcast(totals)).withColumn(
+    # sum_w via an unpartitioned window over the TINY inventory (one row
+    # per source) — a separate agg branch would re-scan documents; the
+    # single-partition window holds |sources| rows, not corpus rows
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    planned = inventory.withColumn(
+        "sum_w", F.sum("weight").over(Window.partitionBy())
+    ).withColumn(
         "target_tokens",
         F.floor(F.lit(MIX_PLAN_BUDGET) * F.col("weight") / F.col("sum_w")).cast(
             "long"

@@ -569,9 +569,14 @@ def embed_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
     sparse rows are what you store and what a dot product consumes, and
     keeping values as exact integers (count, Σcount²) makes the entry
     bit-reproducible in any engine; consumers normalize by sqrt(ss) at use
-    time. One explode + one groupBy (map-side combine) + a broadcast-back
-    of per-doc norms: two shuffles, vocabulary-independent width.
+    time. ONE scan: explode → groupBy (map-side combine), then the per-doc
+    norm as a window sum over the counts — per-document state is unbounded
+    in |docs|, so it must never broadcast (and a norms join would re-run
+    the explode+hash pipeline a second time); the window shuffles only the
+    already-aggregated ≤64-rows-per-doc counts.
     """
+    from pyspark.sql import Window  # noqa: PLC0415
+
     docs = scale_partitions(load_table(spark, sf_dir, "documents"), spark)
     exploded = docs.select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("t")
@@ -583,15 +588,10 @@ def embed_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = buckets.groupBy("doc_id", "bucket").agg(
         F.count("*").alias("cnt")
     )
-    norms = counts.groupBy("doc_id").agg(
-        F.sum(F.col("cnt") * F.col("cnt")).alias("ss")
-    )
-    return (
-        counts.join(F.broadcast(norms), "doc_id")
-        .select(
-            "doc_id",
-            F.col("bucket").cast("long").alias("bucket"),
-            F.col("cnt").cast("long").alias("cnt"),
-            F.col("ss").cast("long").alias("ss"),
-        )
+    w = Window.partitionBy("doc_id")
+    return counts.select(
+        "doc_id",
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("cnt").cast("long").alias("cnt"),
+        F.sum(F.col("cnt") * F.col("cnt")).over(w).cast("long").alias("ss"),
     )
