@@ -44,135 +44,42 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
-    Ordering note: the driver's correctness pass covers the first 50 entries,
-    so the dict leads with the reference-parity pipeline (§2.2-2.3), then the
-    streaming/LLM-data families that r02 left oracle-unverified, and pushes
-    the TPC-H relational sweep (all hash-green in CORRECTNESS_r02) to the
-    tail where re-verification adds the least information.
+    Ordering note: the driver's correctness pass covers the first 50
+    entries. r04 rotation (VERDICT r3 ask #1): the window leads with the
+    two flagship reference queries, then the 28 entries that had never
+    appeared in any driver window through r03 (the ANN/retrieval family —
+    whose IVF/SemDeDup members gained full integer-exact oracles this
+    round — the r03 text/mixture additions, and the stragglers), then the
+    entries whose code changed in r04. Everything pushed past the window
+    is hash-green in ≥1 prior driver file AND in every verify_local sweep.
     """
     return {
         # §2.2 P1/P4/P5/P6/P8 — formatted-date filter (CSAS jovens)
         "jovens": pipeline_ops.jovens,
         # §2.3 A1-A5 — tumbling 30 s windowed count (CTAS idadecont), batch form
         "idadecont": pipeline_ops.idadecont,
-        # (custstream_pretty / select_star / idadeclass / groupby_count —
-        # hash-green in CORRECTNESS_r01+r02 — rotate past the 50-entry
-        # window in r03 to make room for the four families new this round;
-        # still fully value-hash-checked by verify_local)
-        # ---- new in r03: lake layout + data-quality families ----
-        # z-order (Morton) clustering audit: per-tile 2-D bounding boxes
-        "zorder_events": lake.zorder_events,
-        # table-format-style pruned read over the z-clustered manifest lake
-        "manifest_pruned_scan": lake.manifest_pruned_scan,
-        # Deequ-style declarative DQ gate: suite → ONE agg pass per table
-        "dq_report": dataquality.dq_report,
-        # per-micro-batch DQ gate with dead-letter routing (StreamExecution)
-        "streaming_dq_gate": streaming_pipeline.streaming_dq_gate,
-        # §2.2 P4/P5 epoch-int wire variants (Avro days/millis decode)
-        "jovens_epoch_wire": pipeline_ops.jovens_epoch_wire,
-        # §2.1 S4 — real Avro binary encode→decode→format round trip
-        "avro_wire_roundtrip": pipeline_ops.avro_wire_roundtrip,
-        # ksql dialect layer: the reference's CLI statements run VERBATIM
-        # (generator topic → wire-int presentation → DATETOSTRING/
-        # TIMESTAMPTOSTRING SQL functions → CSAS / windowed CTAS)
-        "ksql_jovens": pipeline_ops.ksql_jovens,
-        "ksql_idadecont": pipeline_ops.ksql_idadecont,
-        # ---- §2.4 streaming semantics, driver-checkable bounded forms ----
-        # real StreamExecution run (micro-batches + state store + watermark);
-        # final state ≡ batch agg, so the oracle is plain SQL
-        "streaming_idadecont_replay": streaming_pipeline.streaming_idadecont_replay,
-        # §2.1 S3 — timestamp-mode CDC poll from a persisted high-water mark
-        "incremental_source_snapshot": streaming_pipeline.incremental_source_snapshot,
-        # §2.5 absences, filled: stream-stream interval join (watermarked),
-        # cross-batch streaming dedup, custom GroupState operator
-        "streaming_join_replay": streaming_stateful.streaming_join_replay,
-        "streaming_dedup_replay": streaming_stateful.streaming_dedup_replay,
-        "streaming_session_replay": streaming_stateful.streaming_session_replay,
-        "streaming_user_state_replay": (
-            streaming_stateful.streaming_user_state_replay
-        ),
-        # streaming near-dup admission control (foreachBatch LSH probe;
-        # final state ≡ dedup_incremental's batch output)
-        "streaming_neardup_replay": streaming_stateful.streaming_neardup_replay,
-        # stream-table (stream-static broadcast) enrichment join + agg
-        "streaming_enrich_replay": streaming_stateful.streaming_enrich_replay,
-        # §2.1 S11 — BI serving layer: S6 lake drain → dataset registry →
-        # materialized dashboard rollup → SQL answer
-        "serving_lake_rollup": serving.serving_lake_rollup,
-        # ---- analytic entries left uncovered by the r02 correctness cap ----
-        "session_window_events": analytic.session_window_events,
-        "user_event_gaps": analytic.user_event_gaps,
-        "funnel_ordered": analytic.funnel_ordered,
-        # ---- north star: deduplication ----
-        "dedup_exact": dedup.dedup_exact,
-        "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
-        "dedup_simhash": dedup.dedup_simhash,
-        "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
-        "dedup_embedding_cosine": dedup.dedup_embedding_cosine,
-        "dedup_components": dedup.dedup_components,
-        # incoming-batch × corpus band probe (no corpus self-join)
-        "dedup_incremental": dedup.dedup_incremental,
-        # benchmark decontamination: corpus×eval n-gram overlap
-        "decontaminate_ngram": dedup.decontaminate_ngram,
-        # cross-doc duplicated-span removal (Lee et al. 2022 style)
-        "dedup_passages": dedup.dedup_passages,
-        # ---- north star: text analysis over documents ----
-        "text_token_stats": textops.text_token_stats,
-        "text_quality_score": textops.text_quality_score,
-        "text_langid": textops.text_langid,
-        "doc_fingerprint": textops.doc_fingerprint,
-        "quality_repetition": textops.quality_repetition,
-        "pii_redact": textops.pii_redact,
-        "corpus_ngram_counts": textops.corpus_ngram_counts,
-        "tfidf_top_terms": textops.tfidf_top_terms,
-        "doc_length_histogram": textops.doc_length_histogram,
-        # ---- north star: deterministic sampling / splitting / mixing ----
-        "sample_hash_stratified": sampling.sample_hash_stratified,
-        "split_train_valid_test": sampling.split_train_valid_test,
-        "pack_sequences": sampling.pack_sequences,
-        # per-domain cap (C4/RefinedWeb per-host limit), kept rows emitted
-        "domain_cap": sampling.domain_cap,
-        # deterministic (shard, position) training-order shuffle
-        "global_shuffle": sampling.global_shuffle,
-        # greedy per-language token-budget mixture fill (new in r03)
-        "token_budget_select": sampling.token_budget_select,
-        # per-language quantile-calibrated quality band (new in r03)
-        "quality_quantile_filter": sampling.quality_quantile_filter,
-        # ---- north star: similarity search (hash-oracle entry) ----
-        # int8 scalar quantization + reconstruction-quality audit
-        "embedding_quantize": similarity.embedding_quantize,
-        # ---- fixed since r02: DuckDB HUGEINT-vs-BIGINT oracle typing ----
-        "q12_priority_class": relational.q12_priority_class,
-        # ---- north star: multimodal binary columns ----
-        "multimodal_meta": multimodal.multimodal_meta,
-        # unigram-entropy quality signal (rotated just past the 50-entry
-        # window in r03 by serving_lake_rollup; pytest-pinned + verify_local)
+        # ---- the 28 never-driver-verified entries (r04 rotation) ----
+        # unigram-entropy quality signal (sorted-array float fold — stable)
         "text_token_entropy": textops.text_token_entropy,
-        # (same Arrow plumbing as multimodal_meta, which holds the window
-        # slot; still fully oracle-checked by verify_local)
+        # Arrow-batched multimodal featurization (decode stubbed, plumbing real)
         "multimodal_features": multimodal.multimodal_features,
-        # ---- ANN family (rotated past the 50-entry hash window in r03 to
-        # make room for the new mixture ops; brute-force + both LSH
-        # variants carry full value-hash oracles — exact fixed-point
-        # projections make LSH buckets engine-identical; only the
-        # k-means-derived IVF/SemDeDup entries are rows-only) ----
+        # brute-force cosine top-k: the exactness baseline for every ANN entry
         "ann_cosine_topk": similarity.ann_cosine_topk,
         "embedding_outliers": similarity.embedding_outliers,
         # fused lexical+semantic retrieval (full value-hash oracle)
         "hybrid_search_topk": similarity.hybrid_search_topk,
         # sparse posting-list retrieval over hashed vectors (exact cos²)
         "sparse_ann_topk": similarity.sparse_ann_topk,
+        # LSH buckets from exact fixed-point projections (engine-identical)
         "ann_lsh_bucketed": similarity.ann_lsh_bucketed,
         "ann_lsh_multiprobe": similarity.ann_lsh_multiprobe,
+        # IVF ANN — full oracle since r04: the all-integer k-means fit is
+        # replayed verbatim by the DuckDB twin (VERDICT r3 ask #2)
         "ann_ivf_topk": similarity.ann_ivf_topk,
-        # SemDeDup: IVF-clustered within-cell cosine dedup (rows-only —
-        # k-means quantizer is not ANSI-SQL; invariants pinned in pytest)
+        # SemDeDup: IVF-cell-scoped exact integer micro-cosine pairs —
+        # also full oracles since r04 (was rows-only)
         "dedup_semantic": similarity.dedup_semantic,
         "dedup_semantic_components": dedup.dedup_semantic_components,
-        # full-oracle entries rotated past the 50-entry hash window in r03
-        # (their math is transitively pinned: signatures/pairs feed the
-        # in-window LSH/simhash entries; resample shares the hash-bucket
-        # primitive with the in-window sampling entries)
         "minhash_signatures": dedup.minhash_signatures,
         "dedup_simhash_pairs": dedup.dedup_simhash_pairs,
         "domain_mix_resample": sampling.domain_mix_resample,
@@ -189,7 +96,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": textops.curation_pipeline,
         # overlapping token-window chunking (doc → passage fan-out)
         "chunk_documents": textops.chunk_documents,
-        # per-source data-card rollup incl. exact duplicate rate
+        # per-source data-card rollup (exact integer ratios since r04)
         "corpus_profile": textops.corpus_profile,
         # CCNet-style unigram LM cross-entropy/perplexity quality score
         "lm_unigram_score": textops.lm_unigram_score,
@@ -198,17 +105,86 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_feature_hashing": textops.embed_feature_hashing,
         # budget-allocation plan per source (targets/shortfalls/rates)
         "mixture_plan": sampling.mixture_plan,
-        # reference basics rotated out of the window in r03 (see header)
-        "custstream_pretty": pipeline_ops.custstream_pretty,
-        "select_star": pipeline_ops.select_star,
-        "idadeclass": pipeline_ops.idadeclass,
-        "groupby_count": pipeline_ops.groupby_count,
         # ksql dialect stream-stream JOIN ... WITHIN (interval equi-join)
         "ksql_join_within": pipeline_ops.ksql_join_within,
         # Bloom-prefilter decontamination (exact output; bloom cuts cost)
         "decontaminate_bloom": dedup.decontaminate_bloom,
         # deterministic stride frame sampling over binary payloads (JVM-only)
         "multimodal_frame_sample": multimodal.multimodal_frame_sample,
+        # ---- entries whose code changed in r04 (re-verify in-window) ----
+        # div-by-zero guard + explicit token-less doc bound (ADVICE r3)
+        "quality_quantile_filter": sampling.quality_quantile_filter,
+        # now reads the family-shared persisted hashed-shingle frame
+        # (VERDICT r3 ask #3 — was 6 `documents` scans, now 1 + cache)
+        "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
+        "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
+        "decontaminate_ngram": dedup.decontaminate_ngram,
+        "dedup_components": dedup.dedup_components,
+        # incoming-batch × corpus band probe (no corpus self-join)
+        "dedup_incremental": dedup.dedup_incremental,
+        # ---- proven entries (hash-green in r01–r03 windows; all still
+        # value-checked every session by tools/verify_local.py) ----
+        # z-order (Morton) clustering audit: per-tile 2-D bounding boxes
+        "zorder_events": lake.zorder_events,
+        # table-format-style pruned read over the z-clustered manifest lake
+        "manifest_pruned_scan": lake.manifest_pruned_scan,
+        # Deequ-style declarative DQ gate: suite → ONE agg pass per table
+        "dq_report": dataquality.dq_report,
+        # per-micro-batch DQ gate with dead-letter routing (StreamExecution)
+        "streaming_dq_gate": streaming_pipeline.streaming_dq_gate,
+        # §2.2 P4/P5 epoch-int wire variants (Avro days/millis decode)
+        "jovens_epoch_wire": pipeline_ops.jovens_epoch_wire,
+        # §2.1 S4 — real Avro binary encode→decode→format round trip
+        "avro_wire_roundtrip": pipeline_ops.avro_wire_roundtrip,
+        # ksql dialect layer: the reference's CLI statements run VERBATIM
+        "ksql_jovens": pipeline_ops.ksql_jovens,
+        "ksql_idadecont": pipeline_ops.ksql_idadecont,
+        # ---- §2.4 streaming semantics, driver-checkable bounded forms ----
+        "streaming_idadecont_replay": streaming_pipeline.streaming_idadecont_replay,
+        # §2.1 S3 — timestamp-mode CDC poll from a persisted high-water mark
+        "incremental_source_snapshot": streaming_pipeline.incremental_source_snapshot,
+        "streaming_join_replay": streaming_stateful.streaming_join_replay,
+        "streaming_dedup_replay": streaming_stateful.streaming_dedup_replay,
+        "streaming_session_replay": streaming_stateful.streaming_session_replay,
+        "streaming_user_state_replay": (
+            streaming_stateful.streaming_user_state_replay
+        ),
+        "streaming_neardup_replay": streaming_stateful.streaming_neardup_replay,
+        "streaming_enrich_replay": streaming_stateful.streaming_enrich_replay,
+        # §2.1 S11 — BI serving layer: lake drain → registry → rollup → SQL
+        "serving_lake_rollup": serving.serving_lake_rollup,
+        "session_window_events": analytic.session_window_events,
+        "user_event_gaps": analytic.user_event_gaps,
+        "funnel_ordered": analytic.funnel_ordered,
+        "dedup_exact": dedup.dedup_exact,
+        "dedup_simhash": dedup.dedup_simhash,
+        "dedup_embedding_cosine": dedup.dedup_embedding_cosine,
+        # cross-doc duplicated-span removal (Lee et al. 2022 style)
+        "dedup_passages": dedup.dedup_passages,
+        "text_token_stats": textops.text_token_stats,
+        "text_quality_score": textops.text_quality_score,
+        "text_langid": textops.text_langid,
+        "doc_fingerprint": textops.doc_fingerprint,
+        "quality_repetition": textops.quality_repetition,
+        "pii_redact": textops.pii_redact,
+        "corpus_ngram_counts": textops.corpus_ngram_counts,
+        "tfidf_top_terms": textops.tfidf_top_terms,
+        "doc_length_histogram": textops.doc_length_histogram,
+        "sample_hash_stratified": sampling.sample_hash_stratified,
+        "split_train_valid_test": sampling.split_train_valid_test,
+        "pack_sequences": sampling.pack_sequences,
+        "domain_cap": sampling.domain_cap,
+        "global_shuffle": sampling.global_shuffle,
+        "token_budget_select": sampling.token_budget_select,
+        # int8 scalar quantization + reconstruction-quality audit
+        "embedding_quantize": similarity.embedding_quantize,
+        "q12_priority_class": relational.q12_priority_class,
+        "multimodal_meta": multimodal.multimodal_meta,
+        # reference basics (hash-green r01+r02)
+        "custstream_pretty": pipeline_ops.custstream_pretty,
+        "select_star": pipeline_ops.select_star,
+        "idadeclass": pipeline_ops.idadeclass,
+        "groupby_count": pipeline_ops.groupby_count,
         # ---- stage E: relational surface (fully hash-proven in r02) ----
         "q1_pricing_summary": relational.q1_pricing_summary,
         "q3_shipping_priority": relational.q3_shipping_priority,
@@ -310,6 +286,92 @@ def _hashed_vec_ctes() -> str:
                   FROM b GROUP BY doc_id, bucket),
             n AS (SELECT doc_id, sum(cnt * cnt)::BIGINT AS ss
                   FROM c GROUP BY doc_id)"""
+
+
+def _d2_sql(e: str, c: str) -> str:
+    """Exact integer squared L2 distance between two BIGINT lists."""
+    return (
+        f"list_sum(list_transform(list_zip({e}, {c}), "
+        "p -> (p[1] - p[2]) * (p[1] - p[2])))"
+    )
+
+
+def _ivf_ctes() -> str:
+    """DuckDB replay of the ENTIRE all-integer IVF fit + assignment
+    (similarity._ivf_centroids / _ivf_assign): quantize → deterministic
+    hash-sample → md5-ranked init → IVF_ITERS unrolled Lloyd iterations
+    (exact integer distances, ties → lowest cell; centroid update =
+    element-wise floor(sum/count); empty cells keep their centroid) →
+    final nearest-cell assignment of every vector. Every arithmetic step
+    is exact integer (d² ≤ 2^48), so cells match Spark bit-for-bit — this
+    is what upgrades the IVF/SemDeDup entries from rows-only to full
+    value-hash oracles."""
+    from kafka_exercise_spark.operators import similarity as sim
+
+    d2 = _d2_sql
+    parts = [
+        f"""ei AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
+                      list_transform(embedding::DOUBLE[],
+                          x -> round(x * {sim.PROJ_SCALE})::BIGINT) AS e
+               FROM embeddings),
+            bk AS (SELECT greatest(1, count(*) // {sim.IVF_TRAIN_MAX})
+                       AS buckets FROM ei),
+            samp AS (SELECT vec_id, e FROM ei, bk
+                     WHERE ('0x' || substr(md5('ivf:' || vec_id), 1, 15))::BIGINT
+                           % buckets = 0),
+            init AS (SELECT e, row_number() OVER (ORDER BY
+                         ('0x' || substr(md5('ivf-init:' || vec_id),
+                          1, 15))::BIGINT, vec_id) AS rk
+                     FROM samp),
+            c0 AS (SELECT rk - 1 AS cell, e AS c FROM init
+                   WHERE rk <= {sim.N_IVF_CELLS})"""
+    ]
+    for k in range(sim.IVF_ITERS):
+        parts.append(
+            f"""a{k} AS (SELECT vec_id, e, cell FROM (
+                   SELECT s.vec_id, s.e, c.cell,
+                          row_number() OVER (PARTITION BY s.vec_id
+                              ORDER BY {d2("s.e", "c.c")}, c.cell) AS rn
+                   FROM samp s CROSS JOIN c{k} c) WHERE rn = 1)"""
+        )
+        parts.append(
+            f"""m{k} AS (SELECT cell, list(fl ORDER BY dim) AS c FROM (
+                   SELECT cell, dim,
+                          floor(sum(v)::DOUBLE / count(*))::BIGINT AS fl
+                   FROM (SELECT cell,
+                                unnest(generate_series(1, {sim.EMBED_DIM}))
+                                    AS dim,
+                                unnest(e) AS v
+                         FROM a{k})
+                   GROUP BY cell, dim) GROUP BY cell)"""
+        )
+        parts.append(
+            f"""c{k + 1} AS (SELECT cell, coalesce(m.c, p.c) AS c
+                   FROM c{k} p LEFT JOIN m{k} m USING (cell))"""
+        )
+    parts.append(
+        f"""cellof AS (SELECT vec_id, emb, e, cell FROM (
+               SELECT ei.vec_id, ei.emb, ei.e, c.cell,
+                      row_number() OVER (PARTITION BY ei.vec_id
+                          ORDER BY {d2("ei.e", "c.c")}, c.cell) AS rn
+               FROM ei CROSS JOIN c{sim.IVF_ITERS} c) WHERE rn = 1)"""
+    )
+    return ",\n            ".join(parts)
+
+
+def _int_cos_e6_sql(a: str, b: str) -> str:
+    """DuckDB twin of ``similarity.int_cos_e6`` over two BIGINT[] columns:
+    exact integer dot/ss sums (≤ 2^46 — exact in double, any order), then
+    one multiply / sqrt / divide / 0-dp round of identical doubles."""
+    da = f"list_dot_product({a}::DOUBLE[], {b}::DOUBLE[])"
+    ss = (
+        f"(list_dot_product({a}::DOUBLE[], {a}::DOUBLE[])"
+        f" * list_dot_product({b}::DOUBLE[], {b}::DOUBLE[]))"
+    )
+    return (
+        f"CASE WHEN {ss} > 0 THEN "
+        f"round({da} / sqrt({ss}) * 1000000)::BIGINT ELSE 0 END"
+    )
 
 
 def _lsh_bucket_sql(ei_col: str) -> str:
@@ -1474,7 +1536,8 @@ def oracle_sql() -> dict[str, str]:
         "quality_quantile_filter": f"""
             WITH s AS (SELECT lang, doc_id,
                               (n_chars * 1000) // len({_TOKS}) AS milli_cpt
-                       FROM documents),
+                       FROM documents
+                       WHERE len({_TOKS}) > 0),
             m AS (SELECT lang, quantile_cont(milli_cpt, 0.25) AS q1_cpt,
                          quantile_cont(milli_cpt, 0.75) AS q3_cpt
                   FROM s GROUP BY lang)
@@ -1573,6 +1636,65 @@ def oracle_sql() -> dict[str, str]:
                    rnk AS "rank"
             FROM r WHERE rnk <= {similarity.TOP_K}
         """,
+        # the IVF family replays the all-integer k-means fit (see
+        # _ivf_ctes) — cells are engine-exact, scoring uses the proven
+        # 9-dp cosine anchor, so all three are full value-hash oracles
+        "ann_ivf_topk": f"""
+            WITH {_ivf_ctes()},
+            probe AS (SELECT query_id, qemb, cell FROM (
+                SELECT ei.vec_id AS query_id, ei.emb AS qemb, c.cell,
+                       row_number() OVER (PARTITION BY ei.vec_id
+                           ORDER BY {_d2_sql("ei.e", "c.c")}, c.cell) AS rn
+                FROM ei CROSS JOIN c{similarity.IVF_ITERS} c
+                WHERE ei.vec_id < {similarity.N_QUERIES})
+                WHERE rn <= {similarity.N_PROBE}),
+            s AS (SELECT p.query_id, v.vec_id,
+                         round(list_cosine_similarity(v.emb, p.qemb), 9) AS c
+                  FROM cellof v JOIN probe p
+                    ON v.cell = p.cell AND v.vec_id <> p.query_id),
+            r AS (SELECT query_id, vec_id, c,
+                         row_number() OVER (PARTITION BY query_id
+                             ORDER BY c DESC, vec_id ASC) AS rnk
+                  FROM s)
+            SELECT query_id, vec_id AS neighbor_id, round(c, 6) AS cos,
+                   rnk AS "rank"
+            FROM r WHERE rnk <= {similarity.TOP_K}
+        """,
+        "dedup_semantic": f"""
+            WITH {_ivf_ctes()},
+            pr AS (SELECT a.cell, a.vec_id AS id_a, b.vec_id AS id_b,
+                          {_int_cos_e6_sql("a.e", "b.e")} AS cos_e6
+                   FROM cellof a JOIN cellof b
+                     ON a.cell = b.cell AND a.vec_id < b.vec_id)
+            SELECT cell::BIGINT AS cell, id_a, id_b,
+                   cos_e6 / 1000000.0 AS cos, id_b AS drop_id
+            FROM pr
+            WHERE cos_e6 >= {int(round(similarity.SEMANTIC_DUP_THRESHOLD * 1_000_000))}
+        """,
+        "dedup_semantic_components": f"""
+            WITH RECURSIVE {_ivf_ctes()},
+            pr AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+                   FROM cellof a JOIN cellof b
+                     ON a.cell = b.cell AND a.vec_id < b.vec_id
+                   WHERE {_int_cos_e6_sql("a.e", "b.e")}
+                         >= {int(round(similarity.SEMANTIC_DUP_THRESHOLD * 1_000_000))}),
+            und AS (SELECT id_a AS src, id_b AS dst FROM pr
+                    UNION ALL
+                    SELECT id_b, id_a FROM pr),
+            reach AS (
+              SELECT src, dst FROM und
+              UNION
+              SELECT r.src, u.dst FROM reach r
+              JOIN und u ON r.dst = u.src
+              WHERE u.dst != r.src),
+            comp AS (
+              SELECT src AS vec_id, least(src, min(dst)) AS comp
+              FROM reach GROUP BY src)
+            SELECT vec_id, comp,
+                   count(*) OVER (PARTITION BY comp) AS comp_size,
+                   vec_id = comp AS is_survivor
+            FROM comp
+        """,
         # hybrid = α·cos + (1-α)·jaccard, same 9-dp anchor + id tie-break
         "hybrid_search_topk": f"""
             WITH d AS (SELECT doc_id, list_distinct({_TOKS}) AS tok
@@ -1584,9 +1706,12 @@ def oracle_sql() -> dict[str, str]:
             s AS (SELECT q.query_id, c.doc_id,
                          round(list_cosine_similarity(c.emb, q.q_emb), 9)
                              AS cos,
-                         len(list_intersect(c.tok, q.q_tok))
-                           / (len(c.tok) + len(q.q_tok)
-                              - len(list_intersect(c.tok, q.q_tok))) AS jac
+                         CASE WHEN len(c.tok) + len(q.q_tok)
+                                   - len(list_intersect(c.tok, q.q_tok)) > 0
+                              THEN len(list_intersect(c.tok, q.q_tok))
+                                / (len(c.tok) + len(q.q_tok)
+                                   - len(list_intersect(c.tok, q.q_tok)))
+                              ELSE 0.0 END AS jac
                   FROM c CROSS JOIN q
                   WHERE c.doc_id <> q.query_id),
             f AS (SELECT query_id, doc_id, cos, jac,
@@ -1701,12 +1826,16 @@ def oracle_sql() -> dict[str, str]:
                          count(*)::BIGINT AS n_docs,
                          count(DISTINCT lang)::BIGINT AS n_langs,
                          sum(n_tok)::BIGINT AS total_tokens,
-                         round(avg(n_tok), 2) AS avg_tokens,
                          min(n_chars) AS min_chars,
                          max(n_chars) AS max_chars,
                          count(DISTINCT fp)::BIGINT AS n_unique
                   FROM s GROUP BY source)
-            SELECT *, round(1.0 - n_unique / n_docs, 6) AS dup_rate FROM a
+            -- exact integer ratios (centi-tokens / ppm): no float rounding
+            SELECT *,
+                   ((total_tokens * 100) // n_docs)::BIGINT AS avg_tokens_c100,
+                   (((n_docs - n_unique) * 1000000) // n_docs)::BIGINT
+                       AS dup_rate_ppm
+            FROM a
         """,
         # token costs quantized to integer micro-nats before the per-doc
         # sum → exact in any order/engine (same trick as the LSH buckets)

@@ -155,12 +155,12 @@ class KsqlEngine:
             return self._show(low.removeprefix("list ").strip())
         if low.startswith("insert into "):
             return self._insert(stmt)
-        if low.startswith("print "):
-            return self._print_topic(stmt.split(None, 1)[1].strip().strip("'\""))
-        if low.startswith("describe "):
-            return self._describe(stmt.split(None, 1)[1].strip())
-        if low.startswith("terminate "):
-            return self._terminate(stmt.split(None, 1)[1].strip().lower())
+        if low == "print" or low.startswith("print "):
+            return self._print_topic(self._operand(stmt, "PRINT").strip("'\""))
+        if low == "describe" or low.startswith("describe "):
+            return self._describe(self._operand(stmt, "DESCRIBE"))
+        if low == "terminate" or low.startswith("terminate "):
+            return self._terminate(self._operand(stmt, "TERMINATE").lower())
         if low.startswith(("create source connector", "create sink connector")):
             return self._create_connector(stmt)
         if low.startswith("drop connector"):
@@ -185,6 +185,10 @@ class KsqlEngine:
         if low.startswith(("drop stream", "drop table")):
             toks = stmt.split()
             if_exists = [t.lower() for t in toks[2:4]] == ["if", "exists"]
+            if len(toks) <= (4 if if_exists else 2):
+                raise NotImplementedError(
+                    "DROP STREAM/TABLE needs a relation name"
+                )
             name = (toks[4] if if_exists else toks[2]).lower()
             if name not in self._relations and not if_exists:
                 raise KeyError(f"no stream/table named {name!r}")
@@ -208,6 +212,15 @@ class KsqlEngine:
         )
 
     # ---- SHOW / PRINT / DESCRIBE ----
+
+    @staticmethod
+    def _operand(stmt: str, verb: str) -> str:
+        """The statement's single operand; a clear dialect error (not an
+        IndexError) when it is missing — 'TERMINATE;' and friends."""
+        parts = stmt.split(None, 1)
+        if len(parts) < 2 or not parts[1].strip():
+            raise NotImplementedError(f"{verb} needs an operand: {stmt!r}")
+        return parts[1].strip()
 
     def _show(self, what: str):
         if what == "topics":

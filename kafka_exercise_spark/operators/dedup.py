@@ -91,6 +91,33 @@ def _with_hashed_shingles(docs: DataFrame) -> DataFrame:
     )
 
 
+#: One persisted hashed-shingle frame per (application, sf_dir), shared by
+#: the whole shingle family (LSH pairs, n-gram Jaccard, …): shingling is
+#: the dominant scan-side cost at 100 TB, so every consumer reads the same
+#: materialization instead of re-running scan→tokenize→shingle→hash.
+_HASHED_SHINGLES_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
+def _hashed_shingles_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The memoized, eagerly-persisted (doc_id, hb) frame for ``sf_dir``.
+
+    SERIALIZED persist: long arrays store ~5× denser than the shingle
+    strings they replace. The eager count stops concurrent subtrees from
+    racing the lazy cache fill. At 100 TB this is the hashed-shingle /
+    signature table checkpointed to the lake once and read by every dedup
+    consumer (the incremental path included).
+    """
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _HASHED_SHINGLES_MEMO.get(key)
+    if df is None:
+        df = _with_hashed_shingles(
+            scale_partitions(load_table(spark, sf_dir, "documents"), spark)
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        df.count()
+        _HASHED_SHINGLES_MEMO[key] = df
+    return df
+
+
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup groups: canonical fingerprint → min(doc_id) survivor +
     duplicate count. (Fixture texts are all unique, so every group has
@@ -188,15 +215,7 @@ def _lsh_pairs_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed-shingle/signature table, which is also what incremental dedup
     reuses.
     """
-    docs = (
-        _with_hashed_shingles(
-            scale_partitions(load_table(spark, sf_dir, "documents"), spark)
-        )
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    # Eager fill: the band self-join's two sides otherwise race the lazy
-    # cache and each computes (and stores) the pipeline concurrently.
-    docs.count()
+    docs = _hashed_shingles_frame(spark, sf_dir)
     sig = _signatures_from(docs)
     bands = _band_keys(sig)
     a, b = bands.alias("a"), bands.alias("b")
@@ -374,10 +393,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     # Hash inside _with_hashed_shingles (flat codegen), not per exploded
     # row; hb arrays are distinct-element sets, so |array_intersect| is the
-    # true shared-shingle count.
-    docs = _with_hashed_shingles(
-        scale_partitions(load_table(spark, sf_dir, "documents"), spark)
-    ).select("doc_id", "hb")
+    # true shared-shingle count. The frame comes from the family-shared
+    # persisted materialization — this query's 4 subtrees (inverted index,
+    # both candidate sides, both verify sides) all read the SAME cached
+    # scan instead of re-shingling `documents` per branch (the r3 plan
+    # audit counted 6 document scans here; now ≤ 1 + cache reads).
+    docs = _hashed_shingles_frame(spark, sf_dir).select("doc_id", "hb")
     inv = docs.select("doc_id", F.explode("hb").alias("s"))
     dfc = inv.groupBy("s").agg(F.count("*").alias("df"))
     rare = inv.join(dfc.filter(F.col("df") <= NGRAM_DF_MAX), "s")
@@ -446,9 +467,7 @@ def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     never shuffled by shingle; the index and probe side carry 8-byte
     shingle hashes, not strings.
     """
-    docs = _with_hashed_shingles(
-        scale_partitions(load_table(spark, sf_dir, "documents"), spark)
-    )
+    docs = _hashed_shingles_frame(spark, sf_dir)
     bench_inv = (
         docs.filter(F.col("doc_id") < BENCHMARK_MAX_DOC_ID)
         .select(F.col("doc_id").alias("bench_id"), F.explode("hb").alias("sg"))
@@ -580,15 +599,12 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         return ok
 
-    # corpus side filters AFTER shingling, deliberately: the subtree then
-    # canonically matches the hashed-shingle frame _lsh_pairs_plan persists,
-    # so in any session where the LSH family ran first this scan is served
-    # from the cache (CacheManager substitutes by canonical plan). Cold
-    # cost is identical either way — the corpus is ~90% of the table.
+    # corpus side filters AFTER shingling, deliberately: it reads the
+    # family-shared persisted hashed-shingle frame directly (guaranteed
+    # reuse, not just canonical-plan cache luck) — the corpus is ~90% of
+    # the table and shingling it is the dominant cost.
     corpus = (
-        _with_hashed_shingles(
-            scale_partitions(load_table(spark, sf_dir, "documents"), spark)
-        )
+        _hashed_shingles_frame(spark, sf_dir)
         .filter(F.col("doc_id") >= BENCHMARK_MAX_DOC_ID)
         .select(
             "doc_id",

@@ -262,12 +262,22 @@ def quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_exercise_spark.functions.text import tokens  # noqa: PLC0415
 
     docs = load_table(spark, sf_dir, "documents")
-    scored = docs.select(
-        "lang",
-        "doc_id",
-        F.floor(
-            F.col("n_chars") * 1000 / F.size(tokens(F.col("text")))
-        ).alias("milli_cpt"),
+    # token-less docs are excluded up front: the signal is undefined for
+    # them, and engines disagree on division by zero (Spark NULL, DuckDB
+    # error) — the oracle mirrors the same n_tok > 0 bound
+    scored = (
+        docs.select(
+            "lang",
+            "doc_id",
+            "n_chars",
+            F.size(tokens(F.col("text"))).alias("n_tok"),
+        )
+        .filter(F.col("n_tok") > 0)
+        .select(
+            "lang",
+            "doc_id",
+            F.floor(F.col("n_chars") * 1000 / F.col("n_tok")).alias("milli_cpt"),
+        )
     )
     quartiles = scored.groupBy("lang").agg(
         F.percentile("milli_cpt", 0.25).alias("q1_cpt"),

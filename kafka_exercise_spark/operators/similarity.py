@@ -109,22 +109,64 @@ N_PROBE = 4
 
 IVF_TRAIN_MAX = 4096  # vectors collected for the coarse quantizer
 IVF_ITERS = 5  # Lloyd iterations — IVF recall barely moves past a few
-_IVF_INDEX: dict[str, list[list[float]]] = {}  # sf_dir → built centroids
+_IVF_INDEX: dict[str, list[list[int]]] = {}  # sf_dir → built centroids
 
 
-def _ivf_centroids(emb: DataFrame) -> list[list[float]]:
-    """Deterministic KMeans coarse quantizer, trained driver-side.
+def quantized_vec(col: F.Column) -> F.Column:
+    """array<double> → array<long> fixed-point at ``PROJ_SCALE`` — the
+    shared exactness primitive of the LSH *and* IVF index families."""
+    return F.transform(col, lambda x: F.round(x * PROJ_SCALE).cast("long"))
+
+
+def _dot_long(a: F.Column, b: F.Column) -> F.Column:
+    """Exact integer dot product of two quantized array<long> vectors
+    (products ≤ 2^40, sums ≤ 2^46 — exact in long, any fold order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def int_cos_e6(ea: F.Column, eb: F.Column) -> F.Column:
+    """Cosine between two QUANTIZED vectors as an exact integer in
+    micro-units (cos · 10⁶, HALF_UP).
+
+    Why this exists: a float cosine fold produces 1-ulp-different doubles
+    across engines (different summation trees), which flips 6-dp rounds at
+    grid boundaries — observed once in 8139 pairs at sf0.1. Here every sum
+    is an exact integer, so dot/ss are bit-identical everywhere; the only
+    float ops left (one multiply, one sqrt, one divide, one 0-dp round)
+    are IEEE correctly-rounded functions of identical inputs — identical
+    in any engine. Quantization at 2^-20 is far below embedding noise.
+    """
+    d = _dot_long(ea, eb).cast("double")
+    ss = _dot_long(ea, ea).cast("double") * _dot_long(eb, eb).cast("double")
+    return (
+        F.when(ss > 0, F.round(d / F.sqrt(ss) * 1_000_000).cast("long"))
+        .otherwise(F.lit(0).cast("long"))
+    )
+
+
+def _ivf_centroids(emb: DataFrame) -> list[list[int]]:
+    """Deterministic KMeans coarse quantizer, trained driver-side — in
+    EXACT fixed-point integers, so the entire fit (and hence every cell
+    assignment) is reproducible bit-for-bit by any engine, which is what
+    upgrades the IVF/SemDeDup entries from rows-only to full value-hash
+    oracles (the same trick that made the LSH buckets hash-checkable).
 
     The quantizer only ever sees a bounded sample — centroids must fit on
     the driver regardless of corpus size, and IVF recall needs balanced-ish
     cells, not an optimal clustering. So index build is: deterministic
     hash-sample ≤ IVF_TRAIN_MAX vectors (membership is a pure function of
-    vec_id — reproducible across reruns and cluster sizes), ONE collect,
-    then Lloyd's in numpy on the driver. That replaces a distributed-KMeans
-    job per init/iteration pass with one job total; at fixture scale the
-    fit is sub-millisecond, at 100 TB the collect is capped by design.
-    Init = the k sample vectors with smallest md5-ranked vec_id (seedless,
-    engine-independent). Empty cells keep their previous centroid.
+    vec_id — reproducible across reruns and cluster sizes), ONE collect of
+    PRE-QUANTIZED vectors (rounding happens in Spark expressions, so no
+    Python-vs-JVM rounding drift can exist), then Lloyd's in int64 numpy on
+    the driver: assignment by exact integer squared distance (≤ 2^48 —
+    exact in long and double; ties → lowest cell), centroid update by
+    element-wise floor(sum/count) (exact integer division), empty cells
+    keep their previous centroid. Init = the k sample vectors with
+    smallest md5-ranked vec_id (seedless, engine-independent).
     """
     import hashlib
 
@@ -136,7 +178,9 @@ def _ivf_centroids(emb: DataFrame) -> list[list[float]]:
     # 1% and grow the driver collect as n/100 — uncapped at billions of
     # vectors)
     buckets = max(1, n // IVF_TRAIN_MAX)
-    sample = emb.select("vec_id", "emb").filter(
+    sample = emb.select(
+        "vec_id", quantized_vec(F.col("emb")).alias("ei")
+    ).filter(
         F.pmod(
             md5_hash64(F.concat(F.lit("ivf:"), F.col("vec_id"))), F.lit(buckets)
         )
@@ -146,16 +190,17 @@ def _ivf_centroids(emb: DataFrame) -> list[list[float]]:
     def h(vid: int) -> int:
         return int(hashlib.md5(f"ivf-init:{vid}".encode()).hexdigest()[:15], 16)
 
-    sample.sort(key=lambda r: h(r.vec_id))
-    x = np.array([r.emb for r in sample], dtype=np.float64)
-    centers = x[:N_IVF_CELLS].copy()
+    sample.sort(key=lambda r: (h(r.vec_id), r.vec_id))
+    x = np.array([r.ei for r in sample], dtype=np.int64)
+    centers = x[: min(N_IVF_CELLS, len(x))].copy()
     for _ in range(IVF_ITERS):
         d2 = ((x[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
-        assign = d2.argmin(axis=1)
-        for c in range(N_IVF_CELLS):
+        assign = d2.argmin(axis=1)  # first occurrence — lowest cell on ties
+        for c in range(len(centers)):
             members = x[assign == c]
             if len(members):
-                centers[c] = members.mean(axis=0)
+                # floor division (toward -inf), matching floor(sum/cnt)
+                centers[c] = members.sum(axis=0) // len(members)
     return centers.tolist()
 
 
@@ -164,7 +209,14 @@ def _ivf_assign(spark: SparkSession, sf_dir: str):
     nearest IVF cell — the shared substrate of IVF search AND semantic
     dedup. Centroids are a pure function of the corpus (deterministic
     sample + seedless init), so repeated calls reuse the built index per
-    sf_dir — exactly how a served IVF index is used."""
+    sf_dir — exactly how a served IVF index is used.
+
+    ``dists_to_centers`` takes a QUANTIZED array<long> column (see
+    ``quantized_vec``) and returns exact integer squared distances (≤ 2^48,
+    exact in long), so argmin — with array_position's first-occurrence =
+    lowest-cell tie-break — is engine-independent; the DuckDB oracle
+    replays the identical fit and assignment.
+    """
     emb = _embeddings_double(spark, sf_dir)
     centers = _IVF_INDEX.get(sf_dir)
     if centers is None:
@@ -174,7 +226,7 @@ def _ivf_assign(spark: SparkSession, sf_dir: str):
     # the expression tree (and its codegen) stays small however many cells
     # the index has.
     centers_lit = F.array(
-        *[F.array(*[F.lit(float(v)) for v in c]) for c in centers]
+        *[F.array(*[F.lit(int(v)).cast("long") for v in c]) for c in centers]
     )
 
     def dists_to_centers(col: F.Column) -> F.Column:
@@ -182,7 +234,7 @@ def _ivf_assign(spark: SparkSession, sf_dir: str):
             centers_lit,
             lambda c: F.aggregate(
                 F.zip_with(col, c, lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0),
+                F.lit(0).cast("long"),
                 lambda acc, x: acc + x,
             ),
         )
@@ -191,7 +243,7 @@ def _ivf_assign(spark: SparkSession, sf_dir: str):
     # row — inlining it into array_position(dists, array_min(dists))
     # evaluates the full fold twice per corpus row (measured 2.4s -> 0.8s)
     assigned = (
-        emb.withColumn("dists", dists_to_centers(F.col("emb")))
+        emb.withColumn("dists", dists_to_centers(quantized_vec(F.col("emb"))))
         .withColumn(
             "cell",
             (F.array_position(F.col("dists"), F.array_min("dists")) - 1).cast("int"),
@@ -204,19 +256,21 @@ def _ivf_assign(spark: SparkSession, sf_dir: str):
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: KMeans coarse quantizer, probe the n nearest cells.
 
-    Index build = `_ivf_centroids` (driver-side Lloyd's on a deterministic
-    bounded sample); every vector is assigned to its nearest centroid by a
-    pure JVM expression once the centroids are literals. Query = rank
-    centroids per query, probe the top-4 cells, exact-score only their
-    members. Probing 4/16 cells scans ~25% of the corpus; recall vs the
-    brute-force baseline is asserted in tests (driver check is rows-only —
-    KMeans is not ANSI-SQL).
+    Index build = `_ivf_centroids` (driver-side all-integer Lloyd's on a
+    deterministic bounded sample); every vector is assigned to its nearest
+    centroid by a pure JVM expression once the centroids are literals.
+    Query = rank centroids per query, probe the top-4 cells, exact-score
+    only their members. Probing 4/16 cells scans ~25% of the corpus; recall
+    vs the brute-force baseline is asserted in tests, and because fit +
+    assignment are exact integer arithmetic the driver value-hash-checks
+    the output against a DuckDB replay of the identical fit.
 
     At 100 TB: store the cell id as a partition column so a probe reads
     n_probe partitions, re-train only on drift.
     """
     assigned, dists_to_centers = _ivf_assign(spark, sf_dir)
-    # per-query: the N_PROBE nearest cells
+    # per-query: the N_PROBE nearest cells (exact integer distances, ties
+    # → lowest cell — array_sort orders the (d, cell) structs field-wise)
     q = assigned.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
     )
@@ -226,7 +280,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(
                 F.array_sort(
                     F.transform(
-                        dists_to_centers(F.col("q_emb")),
+                        dists_to_centers(quantized_vec(F.col("q_emb"))),
                         lambda d, i: F.struct(d.alias("d"), i.alias("cell")),
                     )
                 ),
@@ -467,54 +521,44 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     comparison into Σ|cell|² — with balanced cells, n²/k — and at 100 TB the
     cell id becomes a partition column so each within-cell self-join is one
     co-partitioned task reading its own partition, never a corpus-wide
-    shuffle. The quantizer is the memoized deterministic IVF index
-    (`_ivf_centroids`), so the operator is reproducible across reruns; like
-    the ANN entries it is rows-only for the driver (k-means is not
-    ANSI-SQL) and its guarantees are pinned in pytest instead: every
-    emitted pair is a true above-threshold pair (numpy recompute), and
-    same-cell coverage vs the brute-force pair set is exact.
+    shuffle. The quantizer is the memoized deterministic ALL-INTEGER IVF
+    index (`_ivf_centroids`), so cell membership is engine-exact; pair
+    scoring is the exact integer micro-cosine (``int_cos_e6``) over the
+    same quantized vectors — no float fold anywhere, which is what gives
+    this entry a full DuckDB value-hash oracle at any corpus size.
+    Pair-truth and coverage invariants are additionally pinned in pytest.
 
     Output: (cell, id_a, id_b, cos, drop_id) — the pair evidence plus the
-    removal decision.
+    removal decision (keep-lowest survivor rule).
     """
-    from kafka_exercise_spark.functions.vectors import norm  # noqa: PLC0415
-
     memo_key = (spark.sparkContext.applicationId, sf_dir)
     cached = _SEMANTIC_PAIRS_MEMO.get(memo_key)
     if cached is not None:
         return cached
     assigned, _ = _ivf_assign(spark, sf_dir)
-    # materialize the cell assignment once, with vectors PRE-NORMALIZED:
-    # cosine then degrades to a single dot per pair (1 fold instead of 3 —
-    # the pair stage is the Σ|cell|² hot loop, the per-vector normalization
-    # is linear). The checkpoint also stops both self-join sides from
-    # re-running the 16-cell distance fold; at scale this is the
-    # cell-partitioned, normalized index table on the lake.
-    # norm behind a projection barrier: inlining the O(d) fold into the
-    # per-element division lambda would re-evaluate it per element — O(d²)
-    # per row, the anti-pattern _ivf_assign documents
-    idx = (
-        assigned.withColumn("nrm", norm(F.col("emb")))
-        .select(
-            "cell",
-            "vec_id",
-            F.when(
-                F.col("nrm") > 0,
-                F.transform(F.col("emb"), lambda x: x / F.col("nrm")),
-            )
-            .otherwise(F.col("emb"))
-            .alias("emb"),
-        )
-        .localCheckpoint()
-    )
-    a = idx.withColumnsRenamed({"vec_id": "id_a", "emb": "emb_a"})
-    b = idx.withColumnsRenamed({"vec_id": "id_b", "emb": "emb_b"})
+    # materialize the cell assignment once, vectors PRE-QUANTIZED (the
+    # pair stage only needs the fixed-point ints): the checkpoint stops
+    # both self-join sides from re-running the 16-cell distance fold; at
+    # scale this is the cell-partitioned index table on the lake.
+    idx = assigned.select(
+        "cell", "vec_id", quantized_vec(F.col("emb")).alias("ei")
+    ).localCheckpoint()
+    a = idx.withColumnsRenamed({"vec_id": "id_a", "ei": "ei_a"})
+    b = idx.withColumnsRenamed({"vec_id": "id_b", "ei": "ei_b"})
     pairs = (
         a.join(b, "cell")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", F.round(dot(F.col("emb_a"), F.col("emb_b")), 6))
-        .filter(F.col("cos") >= SEMANTIC_DUP_THRESHOLD)
-        .select("cell", "id_a", "id_b", "cos", F.col("id_b").alias("drop_id"))
+        .withColumn("cos_e6", int_cos_e6(F.col("ei_a"), F.col("ei_b")))
+        .filter(
+            F.col("cos_e6") >= int(round(SEMANTIC_DUP_THRESHOLD * 1_000_000))
+        )
+        .select(
+            F.col("cell").cast("long").alias("cell"),
+            "id_a",
+            "id_b",
+            (F.col("cos_e6") / 1_000_000).alias("cos"),
+            F.col("id_b").alias("drop_id"),
+        )
         .localCheckpoint()
     )
     _SEMANTIC_PAIRS_MEMO[memo_key] = pairs
@@ -555,13 +599,16 @@ def hybrid_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # both sides are already distinct, so |A∪B| = |A|+|B|-|A∩B| — exact,
     # and skips materializing a concatenated+deduped array per candidate
-    # pair inside the op's hot loop
+    # pair inside the op's hot loop. Empty∪empty (two no-token docs) →
+    # jac 0.0, not NULL — engines disagree on integer 0/0 otherwise.
     inter = F.size(F.array_intersect(F.col("tok"), F.col("q_tok")))
     union = F.size("tok") + F.size("q_tok") - inter
     scored = (
         corpus.join(F.broadcast(q), F.col("doc_id") != F.col("query_id"))
         .withColumn("cos", F.round(cosine(F.col("emb"), F.col("q_emb")), 9))
-        .withColumn("jac", inter / union)
+        .withColumn(
+            "jac", F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+        )
         .withColumn(
             "score",
             F.round(

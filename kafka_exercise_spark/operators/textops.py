@@ -465,20 +465,32 @@ def corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_tok = F.size(tokens(F.col("text"))).cast("long")
     fp = md5_hash64(normalized_text(F.col("text")))
     scored = docs.select("source", "lang", "n_chars", n_tok.alias("n_tok"), fp.alias("fp"))
+    # ratios ship as exact integers (centi-tokens / ppm — floor of an
+    # integer product over an integer count), never multi-decimal rounds
+    # of doubles: round(x, 2) of a ratio-of-ints double diverges across
+    # engines at ulp boundaries (observed ~1-in-5000 on lm_unigram_score
+    # before its micro-nat fix); floor(a*scale/b) cannot
     return (
         scored.groupBy("source")
         .agg(
             F.count("*").alias("n_docs"),
             F.count_distinct("lang").alias("n_langs"),
             F.sum("n_tok").alias("total_tokens"),
-            F.round(F.avg("n_tok"), 2).alias("avg_tokens"),
             F.min("n_chars").alias("min_chars"),
             F.max("n_chars").alias("max_chars"),
             F.count_distinct("fp").alias("n_unique"),
         )
         .withColumn(
-            "dup_rate",
-            F.round(1.0 - F.col("n_unique") / F.col("n_docs"), 6),
+            "avg_tokens_c100",
+            F.floor(F.col("total_tokens") * 100 / F.col("n_docs")),
+        )
+        .withColumn(
+            "dup_rate_ppm",
+            F.floor(
+                (F.col("n_docs") - F.col("n_unique"))
+                * 1_000_000
+                / F.col("n_docs")
+            ),
         )
     )
 

@@ -681,7 +681,8 @@ def test_corpus_profile_consistency(spark, sf_dir):
     assert sum(r.n_docs for r in rows) == total
     for r in rows:
         assert 1 <= r.n_unique <= r.n_docs
-        assert 0.0 <= r.dup_rate < 1.0
+        assert 0 <= r.dup_rate_ppm < 1_000_000
+        assert r.avg_tokens_c100 == r.total_tokens * 100 // r.n_docs
         assert r.min_chars <= r.max_chars
         assert r.n_langs >= 1
 
