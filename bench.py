@@ -4,12 +4,22 @@ Reads ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
 ``local[$SPARK_GRAFT_CPUS]``. Each query is forced end-to-end with the noop
 sink (full execution, no driver collect — the same shape a cluster run has).
 
-Per-query wall time swings ±30% between identical runs on a busy host
-(GC, page cache, Python-worker reuse), which makes single-shot numbers
-useless for round-over-round regression detection — so every query is run
-``$SPARK_GRAFT_BENCH_REPEATS`` times (default 3) and the MEDIAN is
-reported. Output: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: median_sec}, "repeats": n, "sf": ...}.
+Noise policy (r04): per-query wall time swings ±30% between identical runs
+on a busy host (GC, page cache, Python-worker reuse), so every query runs
+``$SPARK_GRAFT_BENCH_REPEATS`` whole-set passes (default 3) and the MEDIAN
+is reported; queries whose median lands under ``FAST_CUTOFF`` seconds are
+noise-dominated at 3 samples, so they get extra passes up to
+``FAST_REPEATS`` total samples — a median of 7 sub-0.3 s samples is stable
+where a median of 3 is ±30%.
+
+Output contract (r04): the full per-query medians (4 dp) are WRITTEN to
+``bench_results.json`` next to this file — that artifact, committed per
+round, is the round-over-round regression record covering ALL queries.
+The printed JSON line keeps itself ≤ ``PRINT_BUDGET`` bytes (the driver
+records only the last 2000 chars of stdout, and an over-long line means
+``parsed: null`` in BENCH_r{N}.json): it carries the totals plus the
+slowest queries at 2 dp, dropping the fastest entries first, and points at
+the artifact via "detail". Failed queries (-1.0) are always printed.
 """
 
 from __future__ import annotations
@@ -22,6 +32,9 @@ import sys
 import time
 
 REPEATS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
+FAST_CUTOFF = 0.3  # sec — below this, 3-sample medians are noise-dominated
+FAST_REPEATS = 7  # total samples collected for sub-cutoff queries
+PRINT_BUDGET = 1950  # bytes — keep the whole line inside the driver's tail
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -29,13 +42,25 @@ import __spark_entry__ as entrymod  # noqa: E402
 from kafka_exercise_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+ARTIFACT = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "bench_results.json"
+)
+
+
+def _run_once(spark, fn, samples: list[float]) -> None:
+    t0 = time.perf_counter()
+    try:
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        samples.append(time.perf_counter() - t0)
+    except Exception as e:  # noqa: BLE001
+        print(f"bench: query failed: {e}", file=sys.stderr)
+        samples.append(-1.0)
 
 
 def run() -> dict:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
     queries = entrymod.queries()
-    timings: dict[str, float] = {}
     # Warm-up: JVM/codegen, the parquet scan path, and one Python worker per
     # core (pandas import + Arrow init) — measures queries the way a
     # long-lived cluster runs them, not session cold-start.
@@ -63,13 +88,17 @@ def run() -> dict:
     samples: dict[str, list[float]] = {name: [] for name in queries}
     for _ in range(REPEATS):
         for name, fn in queries.items():
-            t0 = time.perf_counter()
-            try:
-                fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-                samples[name].append(time.perf_counter() - t0)
-            except Exception as e:  # noqa: BLE001
-                print(f"bench: {name} failed: {e}", file=sys.stderr)
-                samples[name].append(-1.0)
+            _run_once(spark, fn, samples[name])
+    # Extra interleaved passes for the noise-dominated fast tail only —
+    # cheap by construction (each added pass costs < FAST_CUTOFF per query).
+    fast = [
+        name
+        for name, ts in samples.items()
+        if all(t >= 0 for t in ts) and statistics.median(ts) < FAST_CUTOFF
+    ]
+    for _ in range(FAST_REPEATS - REPEATS):
+        for name in fast:
+            _run_once(spark, queries[name], samples[name])
     timings = {
         name: round(statistics.median(ts), 4) if all(t >= 0 for t in ts) else -1.0
         for name, ts in samples.items()
@@ -81,6 +110,7 @@ def run() -> dict:
         "unit": "sec",
         "queries": timings,
         "repeats": REPEATS,
+        "fast_repeats": FAST_REPEATS,
         "sf": float(m.group(1)) if m else None,
     }
     # Reference-comparable throughput: the reference's entire offered load
@@ -100,5 +130,29 @@ def run() -> dict:
     return out
 
 
+def _printable(out: dict) -> dict:
+    """The ≤ PRINT_BUDGET-byte view of ``out``: totals + the slowest
+    queries at 2 dp (failures always included), fastest dropped first."""
+    full = out["queries"]
+    # failures first, then slowest → fastest
+    order = sorted(full, key=lambda k: (full[k] >= 0, -full[k]))
+    compact = dict.fromkeys(order)
+    view = {k: v for k, v in out.items() if k != "queries"}
+    view["n_queries"] = len(full)
+    view["detail"] = "bench_results.json"
+    for name in order:
+        compact[name] = round(full[name], 2)
+    while order:
+        view["queries"] = {k: compact[k] for k in order}
+        if len(json.dumps(view, separators=(",", ":"))) <= PRINT_BUDGET:
+            break
+        order.pop()  # drop the fastest remaining entry
+    return view
+
+
 if __name__ == "__main__":
-    print(json.dumps(run()))
+    result = run()
+    with open(ARTIFACT, "w") as f:
+        json.dump(result, f, indent=1, sort_keys=True)
+        f.write("\n")
+    print(json.dumps(_printable(result), separators=(",", ":")))

