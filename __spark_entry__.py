@@ -28,6 +28,7 @@ from kafka_exercise_spark.operators import (
     textops,
 )
 from kafka_exercise_spark import serving
+from kafka_exercise_spark.functions import text as _text_fns
 from kafka_exercise_spark.sources import lake
 from kafka_exercise_spark.streaming import pipeline as streaming_pipeline
 from kafka_exercise_spark.streaming import stateful as streaming_stateful
@@ -122,6 +123,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": dedup.dedup_components,
         # incoming-batch × corpus band probe (no corpus self-join)
         "dedup_incremental": dedup.dedup_incremental,
+        # ---- new in r04 (all full value-hash oracles) ----
+        # Gopher rule battery (Rae et al. 2021) — exact integer signals
+        "gopher_quality_filter": textops.gopher_quality_filter,
+        # BPE tokenizer training step 1: corpus pair counts + merge order
+        "bpe_pair_counts": textops.bpe_pair_counts,
+        # fastText-style hashed linear quality classifier (integer logit)
+        "classifier_quality_score": textops.classifier_quality_score,
+        # custom Misra-Gries sketch + exact recount — exact heavy hitters
+        "heavy_hitters_topk": textops.heavy_hitters_topk,
+        # embedding-space benchmark decontamination (broadcast eval side)
+        "decontaminate_semantic": similarity.decontaminate_semantic,
+        # BM25 over an inverted index, integer micro-score arithmetic
+        "bm25_topk": similarity.bm25_topk,
+        # product quantization: 4×4-bit codes + exact reconstruction error
+        "pq_encode": similarity.pq_encode,
         # ---- proven entries (hash-green in r01–r03 windows; all still
         # value-checked every session by tools/verify_local.py) ----
         # z-order (Morton) clustering audit: per-tile 2-D bounding boxes
@@ -356,6 +372,73 @@ def _ivf_ctes() -> str:
                           ORDER BY {d2("ei.e", "c.c")}, c.cell) AS rn
                FROM ei CROSS JOIN c{sim.IVF_ITERS} c) WHERE rn = 1)"""
     )
+    return ",\n            ".join(parts)
+
+
+def _pq_ctes() -> str:
+    """DuckDB replay of the product-quantization fit + encode
+    (similarity._pq_codebooks / pq_encode): ONE shared quantized sample
+    ('pq:' salt, md5-ranked init), then per subspace an unrolled
+    all-integer Lloyd fit over the 16-dim slice and a final
+    nearest-centroid encode of every vector — the same exactness argument
+    as ``_ivf_ctes``, four times over slices."""
+    from kafka_exercise_spark.operators import similarity as sim
+
+    d2 = _d2_sql
+    parts = [
+        f"""ei AS (SELECT vec_id, label,
+                      list_transform(embedding::DOUBLE[],
+                          x -> round(x * {sim.PROJ_SCALE})::BIGINT) AS e
+               FROM embeddings),
+            bk AS (SELECT greatest(1, count(*) // {sim.IVF_TRAIN_MAX})
+                       AS buckets FROM ei),
+            samp AS (SELECT vec_id, e FROM ei, bk
+                     WHERE ('0x' || substr(md5('pq:' || vec_id), 1, 15))::BIGINT
+                           % buckets = 0),
+            init AS (SELECT e, row_number() OVER (ORDER BY
+                         ('0x' || substr(md5('pq-init:' || vec_id),
+                          1, 15))::BIGINT, vec_id) AS rk
+                     FROM samp)"""
+    ]
+    for m in range(sim.PQ_M):
+        a, b = m * sim.PQ_SUBDIM + 1, (m + 1) * sim.PQ_SUBDIM
+        sl = f"[{a}:{b}]"
+        parts.append(
+            f"""q{m}i0 AS (SELECT rk - 1 AS cell, e{sl} AS c FROM init
+                   WHERE rk <= {sim.PQ_K})"""
+        )
+        for k in range(sim.PQ_ITERS):
+            parts.append(
+                f"""q{m}a{k} AS (SELECT vec_id, e, cell FROM (
+                       SELECT s.vec_id, s.e, c.cell,
+                              row_number() OVER (PARTITION BY s.vec_id
+                                  ORDER BY {d2(f"s.e{sl}", "c.c")}, c.cell)
+                                  AS rn
+                       FROM samp s CROSS JOIN q{m}i{k} c) WHERE rn = 1)"""
+            )
+            parts.append(
+                f"""q{m}m{k} AS (SELECT cell, list(fl ORDER BY dim) AS c FROM (
+                       SELECT cell, dim,
+                              floor(sum(v)::DOUBLE / count(*))::BIGINT AS fl
+                       FROM (SELECT cell,
+                                    unnest(generate_series(1, {sim.PQ_SUBDIM}))
+                                        AS dim,
+                                    unnest(e{sl}) AS v
+                             FROM q{m}a{k})
+                       GROUP BY cell, dim) GROUP BY cell)"""
+            )
+            parts.append(
+                f"""q{m}i{k + 1} AS (SELECT cell, coalesce(m.c, p.c) AS c
+                       FROM q{m}i{k} p LEFT JOIN q{m}m{k} m USING (cell))"""
+            )
+        parts.append(
+            f"""q{m}f AS (SELECT vec_id, cell AS code, d2 AS err FROM (
+                   SELECT ei.vec_id, c.cell,
+                          {d2(f"ei.e{sl}", "c.c")} AS d2,
+                          row_number() OVER (PARTITION BY ei.vec_id
+                              ORDER BY {d2(f"ei.e{sl}", "c.c")}, c.cell) AS rn
+                   FROM ei CROSS JOIN q{m}i{sim.PQ_ITERS} c) WHERE rn = 1)"""
+        )
     return ",\n            ".join(parts)
 
 
@@ -1889,6 +1972,150 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.doc_id, bucket::BIGINT AS bucket, cnt::BIGINT AS cnt,
                    ss::BIGINT AS ss
             FROM c JOIN n ON c.doc_id = n.doc_id
+        """,
+        # Gopher rule battery: every signal an exact integer (counts,
+        # centi-chars, ppm via floor) — no float rounding anywhere
+        "gopher_quality_filter": f"""
+            WITH t AS (SELECT doc_id, {_TOKS} AS tok FROM documents),
+            s AS (SELECT doc_id,
+                    len(tok)::BIGINT AS n_words,
+                    (CASE WHEN len(tok) > 0 THEN
+                       (list_sum(list_transform(tok, x -> length(x))) * 100)
+                           // len(tok)
+                     ELSE 0 END)::BIGINT AS mean_word_c100,
+                    (CASE WHEN len(tok) > 0 THEN
+                       (len(list_filter(tok,
+                            x -> regexp_matches(x, '[a-z]'))) * 1000000)
+                           // len(tok)
+                     ELSE 0 END)::BIGINT AS alpha_ppm,
+                    (CASE WHEN len(tok) > 0 THEN
+                       (len(list_filter(tok,
+                            x -> regexp_matches(x, '^[^a-z0-9]+$'))) * 1000000)
+                           // len(tok)
+                     ELSE 0 END)::BIGINT AS symbol_ppm,
+                    len(list_intersect(list_distinct(tok),
+                        {list(_text_fns.QUALITY_STOPWORDS)!r}))::BIGINT
+                        AS n_stop_distinct
+                  FROM t),
+            d AS (SELECT *, concat_ws(',',
+                    CASE WHEN n_words < {textops.GOPHER_MIN_WORDS}
+                         THEN 'too_few_words' END,
+                    CASE WHEN n_words > {textops.GOPHER_MAX_WORDS}
+                         THEN 'too_many_words' END,
+                    CASE WHEN mean_word_c100 < {textops.GOPHER_MIN_MEAN_WORD_C100}
+                          OR mean_word_c100 > {textops.GOPHER_MAX_MEAN_WORD_C100}
+                         THEN 'word_length' END,
+                    CASE WHEN alpha_ppm < {textops.GOPHER_MIN_ALPHA_PPM}
+                         THEN 'non_alpha' END,
+                    CASE WHEN symbol_ppm > {textops.GOPHER_MAX_SYMBOL_PPM}
+                         THEN 'symbols' END,
+                    CASE WHEN n_stop_distinct < {textops.GOPHER_MIN_STOPWORDS}
+                         THEN 'stopwords' END) AS reject_reasons
+                  FROM s)
+            SELECT doc_id, n_words, mean_word_c100, alpha_ppm, symbol_ppm,
+                   n_stop_distinct, reject_reasons,
+                   reject_reasons = '' AS keep
+            FROM d
+        """,
+        "bpe_pair_counts": f"""
+            WITH w AS (SELECT unnest({_TOKS}) AS w FROM documents),
+            w2 AS (SELECT w FROM w WHERE length(w) >= 2),
+            p AS (SELECT unnest(list_transform(
+                      generate_series(1, length(w) - 1),
+                      i -> substr(w, i, 2))) AS pair
+                  FROM w2),
+            c AS (SELECT pair, count(*) AS cnt FROM p GROUP BY pair)
+            SELECT pair, cnt,
+                   row_number() OVER (ORDER BY cnt DESC, pair ASC)
+                       AS merge_rank
+            FROM c
+        """,
+        # hashed-BoW linear classifier: integer counts × integer weights
+        "classifier_quality_score": f"""
+            WITH t AS (SELECT doc_id, unnest({_TOKS}) AS t FROM documents),
+            b AS (SELECT doc_id,
+                         ('0x' || substr(md5(t), 1, 15))::BIGINT
+                             % {textops.FEATURE_HASH_DIM} AS bucket
+                  FROM t),
+            c AS (SELECT doc_id, bucket, count(*) AS cnt
+                  FROM b GROUP BY doc_id, bucket),
+            g AS (SELECT doc_id, sum(cnt)::BIGINT AS n_tokens,
+                         sum(cnt * ({list(textops.classifier_weights())!r}
+                             )[bucket + 1])::BIGINT AS logit
+                  FROM c GROUP BY doc_id)
+            SELECT doc_id, n_tokens, logit, logit > 0 AS keep FROM g
+        """,
+        # exact heavy hitters: the MG sketch proposes, this recount decides
+        "heavy_hitters_topk": f"""
+            WITH t AS (SELECT unnest({_TOKS}) AS t FROM documents),
+            n AS (SELECT count(*) AS n FROM t)
+            SELECT t AS token, count(*)::BIGINT AS cnt
+            FROM t, n GROUP BY t, n.n
+            HAVING count(*) * {textops.HH_K + 1} > n.n
+        """,
+        "decontaminate_semantic": f"""
+            WITH e AS (SELECT vec_id,
+                              list_transform(embedding::DOUBLE[],
+                                  x -> round(x * {similarity.PROJ_SCALE})::BIGINT)
+                                  AS ei
+                       FROM embeddings),
+            ev AS (SELECT vec_id AS eval_id, ei AS ei_e FROM e
+                   WHERE vec_id < {similarity.SEMANTIC_DECONTAM_MAX_EVAL_ID}),
+            c AS (SELECT vec_id, ei FROM e
+                  WHERE vec_id >= {similarity.SEMANTIC_DECONTAM_MAX_EVAL_ID}),
+            p AS (SELECT c.vec_id, ev.eval_id,
+                         {_int_cos_e6_sql("c.ei", "ev.ei_e")} AS cos_e6
+                  FROM c CROSS JOIN ev)
+            SELECT vec_id, eval_id, cos_e6 / 1000000.0 AS cos
+            FROM p WHERE cos_e6 >= {similarity.SEMANTIC_DECONTAM_COS_E6}
+        """,
+        # BM25: per-term integer micro-contributions summed exactly
+        "bm25_topk": f"""
+            WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS t FROM documents),
+            post AS (SELECT doc_id, t, count(*)::BIGINT AS tf
+                     FROM tok GROUP BY doc_id, t),
+            dl AS (SELECT doc_id, count(*)::BIGINT AS dl
+                   FROM tok GROUP BY doc_id),
+            st AS (SELECT count(*)::BIGINT AS n_docs,
+                          (sum(dl) * 100 // count(*))::BIGINT AS avgdl_c100
+                   FROM dl),
+            dfc AS (SELECT t, count(*)::BIGINT AS df FROM post GROUP BY t),
+            idf AS (SELECT t,
+                           round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                                 * 1000000)::BIGINT AS idf_micro
+                    FROM dfc, st),
+            q AS (SELECT doc_id AS query_id, t FROM post
+                  WHERE doc_id < {similarity.N_QUERIES}),
+            s AS (SELECT q.query_id, p.doc_id,
+                         round((p.tf * 2.2)
+                               / (p.tf + 1.2 * (0.25 + 0.75
+                                   * (dl.dl * 100.0 / st.avgdl_c100)))
+                               * i.idf_micro)::BIGINT AS contrib
+                  FROM post p
+                  JOIN q USING (t)
+                  JOIN dl ON p.doc_id = dl.doc_id
+                  JOIN idf i ON p.t = i.t, st
+                  WHERE p.doc_id <> q.query_id),
+            g AS (SELECT query_id, doc_id, sum(contrib)::BIGINT AS score_micro
+                  FROM s GROUP BY query_id, doc_id),
+            r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY score_micro DESC, doc_id ASC) AS rnk
+                  FROM g)
+            SELECT query_id, doc_id AS hit_id, score_micro, rnk AS "rank"
+            FROM r WHERE rnk <= {similarity.TOP_K}
+        """,
+        # PQ codes + exact reconstruction error: full fit replay per slice
+        "pq_encode": f"""
+            WITH {_pq_ctes()}
+            SELECT ei.vec_id, ei.label,
+                   q0f.code::BIGINT AS code0, q1f.code::BIGINT AS code1,
+                   q2f.code::BIGINT AS code2, q3f.code::BIGINT AS code3,
+                   (q0f.err + q1f.err + q2f.err + q3f.err)::BIGINT AS err_q
+            FROM ei
+            JOIN q0f ON ei.vec_id = q0f.vec_id
+            JOIN q1f ON ei.vec_id = q1f.vec_id
+            JOIN q2f ON ei.vec_id = q2f.vec_id
+            JOIN q3f ON ei.vec_id = q3f.vec_id
         """,
         "dq_report": """
             WITH o AS (SELECT count(*) AS n,

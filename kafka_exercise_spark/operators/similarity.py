@@ -218,8 +218,18 @@ def _ivf_centroids(emb: DataFrame) -> list[list[int]]:
 
     sample.sort(key=lambda r: (h(r.vec_id), r.vec_id))
     x = np.array([r.ei for r in sample], dtype=np.int64)
-    centers = x[: min(N_IVF_CELLS, len(x))].copy()
-    for _ in range(IVF_ITERS):
+    return _integer_lloyd(x, N_IVF_CELLS, IVF_ITERS)
+
+
+def _integer_lloyd(x, k: int, iters: int) -> list[list[int]]:
+    """All-integer Lloyd's over an (n, d) int64 sample: init = first k rows
+    (callers pre-sort by md5 rank), assignment by exact integer squared
+    distance with lowest-cell tie-break, update = element-wise
+    floor(sum/count), empty cells keep their centroid. Every step is exact
+    integer arithmetic, so a SQL engine replays the fit bit-for-bit —
+    shared by the IVF coarse quantizer and the PQ sub-quantizers."""
+    centers = x[: min(k, len(x))].copy()
+    for _ in range(iters):
         d2 = ((x[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
         assign = d2.argmin(axis=1)  # first occurrence — lowest cell on ties
         for c in range(len(centers)):
@@ -714,4 +724,235 @@ def sparse_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cos2",
             F.col("rank").cast("long").alias("rank"),
         )
+    )
+
+
+# ---- semantic decontamination (eval-set similarity screening) ----
+
+#: Fixture stand-in for the benchmark/eval embedding set (mirrors
+#: dedup.BENCHMARK_MAX_DOC_ID) and the flag threshold in micro-cosine.
+SEMANTIC_DECONTAM_MAX_EVAL_ID = 50
+SEMANTIC_DECONTAM_COS_E6 = 250_000
+
+
+def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space benchmark decontamination: corpus vectors whose
+    cosine against ANY eval-set vector clears the threshold — the
+    paraphrase-level complement of n-gram decontamination (an eval answer
+    reworded shares no shingles but lands next to the original in
+    embedding space).
+
+    Scale shape: the eval suite is small by definition, so its quantized
+    vectors BROADCAST and the corpus streams through map-only — one scan,
+    no shuffle, no corpus self-join (the same cost envelope as
+    ``decontaminate_ngram``). Scoring is the exact integer micro-cosine,
+    so the entry carries a full value-hash oracle.
+    """
+    emb = _embeddings_double(spark, sf_dir).withColumn(
+        "ei", quantized_vec(F.col("emb"))
+    )
+    ev = emb.filter(F.col("vec_id") < SEMANTIC_DECONTAM_MAX_EVAL_ID).select(
+        F.col("vec_id").alias("eval_id"), F.col("ei").alias("ei_e")
+    )
+    corpus = emb.filter(F.col("vec_id") >= SEMANTIC_DECONTAM_MAX_EVAL_ID).select(
+        "vec_id", "ei"
+    )
+    return (
+        corpus.join(F.broadcast(ev))
+        .withColumn("cos_e6", int_cos_e6(F.col("ei"), F.col("ei_e")))
+        .filter(F.col("cos_e6") >= SEMANTIC_DECONTAM_COS_E6)
+        .select(
+            "vec_id",
+            "eval_id",
+            (F.col("cos_e6") / 1_000_000).alias("cos"),
+        )
+    )
+
+
+# ---- BM25 lexical retrieval over an inverted index ----
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k retrieval — the lexical ranking the hybrid stack's
+    Jaccard stands in for, over a real inverted index: postings join on
+    shared terms only (cost Σ|posting list|, never queries × corpus).
+
+    Exactness: idf quantizes to integer micro-nats once per TERM (0-dp
+    round of identical doubles — the lm_unigram pattern), the
+    length-normalized tf part is one fixed sequence of IEEE ops over exact
+    integers (tf, dl, avgdl in centi-units), and each term's contribution
+    is 0-dp-rounded to an integer BEFORE the per-document sum — so the
+    final score is an exact integer sum, engine-independent, and the
+    (score desc, doc_id) cut is deterministic. Full value-hash oracle.
+
+    At 100 TB: postings are the shuffled artifact (term-partitioned,
+    map-side combined); the query side broadcasts; document length and idf
+    join in as broadcast dimensions.
+    """
+    from kafka_exercise_spark.functions.text import tokens  # noqa: PLC0415
+
+    docs = load_table(spark, sf_dir, "documents")
+    exploded = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("t")
+    )
+    postings = exploded.groupBy("doc_id", "t").agg(F.count("*").alias("tf"))
+    dl = exploded.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"),
+        F.floor(F.sum("dl") * 100 / F.count("*")).alias("avgdl_c100"),
+    )
+    dfc = postings.groupBy("t").agg(F.count("*").alias("df"))
+    idf = dfc.crossJoin(F.broadcast(stats)).select(
+        "t",
+        "avgdl_c100",
+        F.round(
+            F.log(
+                1.0
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            )
+            * 1_000_000
+        )
+        .cast("long")
+        .alias("idf_micro"),
+    )
+    q_terms = postings.filter(F.col("doc_id") < N_QUERIES).select(
+        F.col("doc_id").alias("query_id"), "t"
+    )
+    # mirror this op sequence EXACTLY in the oracle — each IEEE op on
+    # identical inputs is correctly rounded, so the 0-dp round matches
+    contrib = (
+        F.round(
+            (F.col("tf") * 2.2)
+            / (
+                F.col("tf")
+                + 1.2
+                * (0.25 + 0.75 * (F.col("dl") * 100.0 / F.col("avgdl_c100")))
+            )
+            * F.col("idf_micro")
+        )
+        .cast("long")
+        .alias("contrib_micro")
+    )
+    scored = (
+        postings.join(F.broadcast(q_terms), "t")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .join(F.broadcast(dl), "doc_id")
+        .join(F.broadcast(idf), "t")
+        .select("query_id", "doc_id", contrib)
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("contrib_micro").cast("long").alias("score_micro"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_micro"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            F.col("doc_id").alias("hit_id"),
+            "score_micro",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+# ---- product quantization (the 100 TB embedding-storage codec) ----
+
+PQ_M = 4  # subspaces
+PQ_SUBDIM = EMBED_DIM // PQ_M
+PQ_K = 16  # centroids per sub-quantizer (4-bit codes)
+PQ_ITERS = 3
+_PQ_CODEBOOKS: dict[str, list[list[list[int]]]] = {}  # sf_dir → [m][k][dim]
+
+
+def _pq_codebooks(emb: DataFrame) -> list[list[list[int]]]:
+    """Per-subspace integer sub-quantizers: ONE deterministic hash-sample
+    collect (the IVF pattern, 'pq:' salt), then an all-integer Lloyd fit
+    per 16-dim slice — exact arithmetic end-to-end, so the DuckDB oracle
+    replays all four fits bit-for-bit."""
+    import hashlib
+
+    import numpy as np
+
+    n = emb.count()
+    buckets = max(1, n // IVF_TRAIN_MAX)
+    sample = emb.select(
+        "vec_id", quantized_vec(F.col("emb")).alias("ei")
+    ).filter(
+        F.pmod(
+            md5_hash64(F.concat(F.lit("pq:"), F.col("vec_id"))), F.lit(buckets)
+        )
+        == 0
+    ).collect()
+
+    def h(vid: int) -> int:
+        return int(hashlib.md5(f"pq-init:{vid}".encode()).hexdigest()[:15], 16)
+
+    sample.sort(key=lambda r: (h(r.vec_id), r.vec_id))
+    x = np.array([r.ei for r in sample], dtype=np.int64)
+    return [
+        _integer_lloyd(
+            x[:, m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM].copy(), PQ_K, PQ_ITERS
+        )
+        for m in range(PQ_M)
+    ]
+
+
+def pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding + reconstruction audit — how a 100 TB
+    embedding store actually keeps its vectors searchable: each vector
+    compresses to PQ_M 4-bit codes (64 float32 dims → 2 bytes, a 128×
+    cut), and the emitted exact reconstruction error is the evidence the
+    codec's recall cost is acceptable before committing the corpus to it.
+
+    Entirely map-only once the codebooks are literals: per subspace, an
+    exact integer distance fold against PQ_K centroids, argmin with
+    lowest-code tie-break, plus the chosen cell's distance — one scan, no
+    shuffle, no UDF. All arithmetic is exact integers (the codebooks come
+    from the all-integer Lloyd fit), so codes AND errors carry a full
+    value-hash oracle.
+    """
+    emb = _embeddings_double(spark, sf_dir)
+    books = _PQ_CODEBOOKS.get(sf_dir)
+    if books is None:
+        books = _PQ_CODEBOOKS[sf_dir] = _pq_codebooks(emb)
+    out = emb.withColumn("ei", quantized_vec(F.col("emb")))
+    code_cols = []
+    err_total = F.lit(0).cast("long")
+
+    def dists_for(book_lit: F.Column, sl: F.Column) -> F.Column:
+        # unary lambda on purpose — a second parameter would bind to the
+        # array index (the _with_hashed_shingles pitfall)
+        return F.transform(
+            book_lit,
+            lambda c: F.aggregate(
+                F.zip_with(sl, c, lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ),
+        )
+
+    for m, book in enumerate(books):
+        book_lit = F.lit([[int(v) for v in c] for c in book]).cast(
+            "array<array<bigint>>"
+        )
+        sl = F.slice(F.col("ei"), m * PQ_SUBDIM + 1, PQ_SUBDIM)
+        dists = dists_for(book_lit, sl)
+        # projection barrier per subspace: evaluate the 16-cell fold once
+        out = out.withColumn(f"d{m}", dists)
+        code_cols.append(
+            (
+                F.array_position(F.col(f"d{m}"), F.array_min(f"d{m}")) - 1
+            ).cast("long").alias(f"code{m}")
+        )
+        err_total = err_total + F.array_min(f"d{m}")
+    return out.select(
+        "vec_id",
+        "label",
+        *code_cols,
+        err_total.cast("long").alias("err_q"),
     )

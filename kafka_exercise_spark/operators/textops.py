@@ -607,3 +607,229 @@ def embed_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cnt").cast("long").alias("cnt"),
         F.sum(F.col("cnt") * F.col("cnt")).over(w).cast("long").alias("ss"),
     )
+
+
+# ---- Gopher-style rule filtering (Rae et al. 2021, arXiv:2112.11446) ----
+
+#: Rule constants, scaled to the fixture's short documents (the paper uses
+#: 50..100k words); every signal is an exact integer so the keep/reject
+#: decision hashes identically in any engine.
+GOPHER_MIN_WORDS = 10
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_C100 = 300   # mean word length ≥ 3.00 chars
+GOPHER_MAX_MEAN_WORD_C100 = 1_000  # ≤ 10.00 chars
+GOPHER_MIN_ALPHA_PPM = 800_000    # ≥ 80% of words contain a letter
+GOPHER_MAX_SYMBOL_PPM = 100_000   # ≤ 10% pure-symbol words
+GOPHER_MIN_STOPWORDS = 2          # ≥ 2 distinct stopwords present
+
+
+def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher rule battery — the published heuristic filter most
+    pretraining pipelines start from (word-count bounds, mean word length
+    band, alphabetic-word ratio, symbol-word ratio, distinct-stopword
+    floor) — as ONE map-only pass emitting every signal plus the decision.
+
+    All signals are exact integers (counts, centi-chars, ppm via
+    floor(a·scale/b)), so the whole row is engine-exact with no float
+    rounding anywhere. One pruned-column scan, zero shuffles — at 100 TB
+    this runs at codegen scan throughput like the rest of the rule family.
+    """
+    docs = scale_partitions(load_table(spark, sf_dir, "documents"), spark)
+    tok = tokens(F.col("text"))
+    n_words = F.size(tok)
+    word_chars = F.aggregate(
+        F.transform(tok, lambda x: F.length(x)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    n_alpha = F.size(F.filter(tok, lambda x: x.rlike("[a-z]")))
+    n_symbol = F.size(F.filter(tok, lambda x: x.rlike("^[^a-z0-9]+$")))
+    stop_arr = F.array(*[F.lit(w) for w in QUALITY_STOPWORDS])
+    n_stop_distinct = F.size(F.array_intersect(F.array_distinct(tok), stop_arr))
+    scored = docs.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        F.when(n_words > 0, F.floor(word_chars * 100 / n_words))
+        .otherwise(F.lit(0))
+        .alias("mean_word_c100"),
+        F.when(n_words > 0, F.floor(n_alpha * 1_000_000 / n_words))
+        .otherwise(F.lit(0))
+        .alias("alpha_ppm"),
+        F.when(n_words > 0, F.floor(n_symbol * 1_000_000 / n_words))
+        .otherwise(F.lit(0))
+        .alias("symbol_ppm"),
+        n_stop_distinct.cast("long").alias("n_stop_distinct"),
+    )
+    reasons = F.concat_ws(
+        ",",
+        F.when(F.col("n_words") < GOPHER_MIN_WORDS, F.lit("too_few_words")),
+        F.when(F.col("n_words") > GOPHER_MAX_WORDS, F.lit("too_many_words")),
+        F.when(
+            (F.col("mean_word_c100") < GOPHER_MIN_MEAN_WORD_C100)
+            | (F.col("mean_word_c100") > GOPHER_MAX_MEAN_WORD_C100),
+            F.lit("word_length"),
+        ),
+        F.when(F.col("alpha_ppm") < GOPHER_MIN_ALPHA_PPM, F.lit("non_alpha")),
+        F.when(F.col("symbol_ppm") > GOPHER_MAX_SYMBOL_PPM, F.lit("symbols")),
+        F.when(
+            F.col("n_stop_distinct") < GOPHER_MIN_STOPWORDS, F.lit("stopwords")
+        ),
+    )
+    return scored.withColumn("reject_reasons", reasons).withColumn(
+        "keep", F.col("reject_reasons") == ""
+    )
+
+
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide adjacent-character pair frequencies — the first merge
+    step of BPE tokenizer training (Sennrich et al. 2016): the pair with
+    the highest count is the first merge a trained tokenizer would make.
+
+    Plan: explode words → per-word pair fan-out via a JVM
+    ``transform(sequence)`` (no Python) → ONE pair-key aggregation with
+    map-side partials. The output cardinality is bounded by the character
+    alphabet squared (~1.3k for ASCII), so the final rank window runs on a
+    tiny frame regardless of corpus size — the 100 TB cost is the token
+    aggregation shuffle only.
+    """
+    docs = scale_partitions(load_table(spark, sf_dir, "documents"), spark)
+    words = docs.select(F.explode(tokens(F.col("text"))).alias("w")).filter(
+        F.length("w") >= 2
+    )
+    pairs = words.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair")
+    )
+    counts = pairs.groupBy("pair").agg(F.count("*").alias("cnt"))
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    w = Window.orderBy(F.desc("cnt"), F.asc("pair"))
+    return counts.select(
+        "pair", "cnt", F.row_number().over(w).cast("long").alias("merge_rank")
+    )
+
+
+# ---- classifier-based quality scoring (fastText-style linear model) ----
+
+#: Fixed-point weight scale for the hashed linear model.
+CLS_WEIGHT_SCALE = 1 << 20
+
+
+def classifier_weights() -> tuple[int, ...]:
+    """Deterministic pseudo-random integer weights, one per hash bucket —
+    a stand-in for trained fastText/logreg coefficients (no model file in
+    the sandbox), same seedless-formula pattern as the LSH hyperplanes."""
+    import math
+
+    return tuple(
+        round(math.sin(0.37 * b + 1.7) * CLS_WEIGHT_SCALE)
+        for b in range(FEATURE_HASH_DIM)
+    )
+
+
+def classifier_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-based quality filtering — the model-scored stage most
+    curation stacks run after the rule battery (fastText quality classifier
+    in GPT-3/LLaMA-style pipelines): hashed bag-of-words × weight vector →
+    logit → keep decision.
+
+    The logit is an EXACT integer: token counts are ints, weights are
+    fixed-point ints, and the dot product is Σ cnt·w ≤ 2^40 — so the score
+    hash-checks in any engine. Plan: the same explode → hash-bucket →
+    count aggregation as ``embed_feature_hashing``, then one weight lookup
+    per (doc, bucket) against a single literal array — no join, no second
+    shuffle. At 100 TB: one token shuffle with map-side combine, exactly
+    the feature-hashing cost.
+    """
+    docs = scale_partitions(load_table(spark, sf_dir, "documents"), spark)
+    w_lit = F.lit(list(classifier_weights())).cast("array<bigint>")
+    buckets = docs.select(
+        "doc_id",
+        F.explode(tokens(F.col("text"))).alias("t"),
+    ).select(
+        "doc_id",
+        F.pmod(md5_hash64(F.col("t")), F.lit(FEATURE_HASH_DIM)).alias("bucket"),
+    )
+    return (
+        buckets.groupBy("doc_id", "bucket")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_tokens"),
+            F.sum(
+                F.col("cnt") * F.element_at(w_lit, F.col("bucket").cast("int") + 1)
+            )
+            .cast("long")
+            .alias("logit"),
+        )
+        .withColumn("keep", F.col("logit") > 0)
+    )
+
+
+# ---- heavy hitters: Misra-Gries sketch + exact verification ----
+
+#: Counter budget per partition; the exact-verify threshold is count·(K+1)
+#: > N. MG guarantees any token above that global threshold survives in at
+#: least one partition's sketch (pigeonhole over partition totals).
+HH_K = 100
+
+
+def _misra_gries(batches):
+    """Per-partition Misra-Gries with HH_K counters over a `t` column;
+    emits the partition's surviving candidate tokens."""
+    import pandas as pd  # noqa: PLC0415
+
+    counters: dict[str, int] = {}
+    for b in batches:
+        for t in b["t"].values:
+            if t in counters:
+                counters[t] += 1
+            elif len(counters) < HH_K:
+                counters[t] = 1
+            else:  # decrement-all step, dropping zeroed counters
+                drop = [k for k in counters if counters[k] == 1]
+                for k in counters:
+                    counters[k] -= 1
+                for k in drop:
+                    del counters[k]
+    if counters:
+        yield pd.DataFrame({"t": list(counters.keys())})
+
+
+def heavy_hitters_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide heavy-hitter tokens via a custom Misra-Gries sketch with
+    EXACT output: per-partition MG sketches (Arrow-batched ``mapInPandas``
+    — per-partition imperative counter state is exactly what the sketch
+    is) propose a candidate set that provably contains every token with
+    count·(K+1) > N; an exact recount over just the candidates then kills
+    the false positives. The emitted (token, count) set is therefore a
+    pure function of the corpus — independent of partitioning and engine —
+    even though the sketch itself is order-sensitive.
+
+    100 TB shape: the sketch pass is map-only (K counters per task, no
+    shuffle); the recount shuffles ONLY candidate-token rows (≤ K per
+    partition, a vanishing fraction of the corpus). This is the two-phase
+    pattern any exact-threshold frequent-items job uses at scale.
+    """
+    from kafka_exercise_spark.deploy import ship_package  # noqa: PLC0415
+
+    ship_package(spark)
+    docs = scale_partitions(load_table(spark, sf_dir, "documents"), spark)
+    exploded = docs.select(F.explode(tokens(F.col("text"))).alias("t"))
+    exploded = exploded.persist()
+    n_total = exploded.count()
+    cand = exploded.mapInPandas(_misra_gries, "t string").distinct()
+    out = (
+        exploded.join(F.broadcast(cand), "t")
+        .groupBy("t")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") * (HH_K + 1) > F.lit(n_total))
+        .select(F.col("t").alias("token"), F.col("cnt"))
+    )
+    out = out.localCheckpoint()
+    exploded.unpersist()
+    return out

@@ -787,3 +787,157 @@ def test_sparse_ann_topk_posting_list_retrieval(spark, sf_dir):
         scores = [r.cos2 for r in rs]
         assert scores == sorted(scores, reverse=True)
         assert all(r.hit_id != q for r in rs)
+
+
+# ---- r04 additions: rules / tokenizer / classifier / sketch / retrieval ----
+
+
+def test_gopher_filter_signals_are_exact_and_consistent(spark, sf_dir):
+    from kafka_exercise_spark.plans import python_eval_count, shuffle_exchange_count
+
+    df = textops.gopher_quality_filter(spark, sf_dir)
+    assert python_eval_count(df) == 0
+    # map-only rule battery — the single exchange is scale_partitions'
+    # deliberate small-input repartition, not a data shuffle
+    assert shuffle_exchange_count(df) <= 1
+    rows = df.collect()
+    assert len(rows) > 0
+    for r in rows:
+        if r.keep:
+            assert r.reject_reasons == ""
+            assert textops.GOPHER_MIN_WORDS <= r.n_words <= textops.GOPHER_MAX_WORDS
+            assert (
+                textops.GOPHER_MIN_MEAN_WORD_C100
+                <= r.mean_word_c100
+                <= textops.GOPHER_MAX_MEAN_WORD_C100
+            )
+            assert r.alpha_ppm >= textops.GOPHER_MIN_ALPHA_PPM
+            assert r.symbol_ppm <= textops.GOPHER_MAX_SYMBOL_PPM
+            assert r.n_stop_distinct >= textops.GOPHER_MIN_STOPWORDS
+        else:
+            assert r.reject_reasons != ""
+
+
+def test_bpe_pair_counts_match_python_recount(spark, sf_dir):
+    from collections import Counter
+
+    from kafka_exercise_spark.catalog import load_table
+
+    got = {r.pair: r.cnt for r in textops.bpe_pair_counts(spark, sf_dir).collect()}
+    want: Counter = Counter()
+    for (text,) in load_table(spark, sf_dir, "documents").select("text").collect():
+        for w in text.lower().split():
+            if len(w) >= 2:
+                for i in range(len(w) - 1):
+                    want[w[i : i + 2]] += 1
+    assert got == dict(want)
+    # merge_rank is a total order: rank 1 is the global argmax pair
+    top = textops.bpe_pair_counts(spark, sf_dir).filter("merge_rank = 1").collect()[0]
+    assert top.cnt == max(want.values())
+
+
+def test_classifier_logit_is_exact_integer_dot(spark, sf_dir):
+    import hashlib
+
+    from kafka_exercise_spark.catalog import load_table
+    from kafka_exercise_spark.plans import python_eval_count
+
+    df = textops.classifier_quality_score(spark, sf_dir)
+    assert python_eval_count(df) == 0
+    got = {r.doc_id: (r.n_tokens, r.logit, r.keep) for r in df.collect()}
+    weights = textops.classifier_weights()
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    for doc_id, text in docs[:25]:
+        toks = [t for t in text.lower().split() if t]
+        if not toks:
+            assert doc_id not in got  # no buckets → no row
+            continue
+        logit = 0
+        for t in toks:
+            h = int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+            logit += weights[h % textops.FEATURE_HASH_DIM]
+        assert got[doc_id] == (len(toks), logit, logit > 0)
+
+
+def test_heavy_hitters_exact_regardless_of_sketch(spark, sf_dir):
+    from collections import Counter
+
+    from kafka_exercise_spark.catalog import load_table
+
+    got = {r.token: r.cnt for r in textops.heavy_hitters_topk(spark, sf_dir).collect()}
+    exact: Counter = Counter()
+    for (text,) in load_table(spark, sf_dir, "documents").select("text").collect():
+        exact.update(t for t in text.lower().split() if t)
+    n = sum(exact.values())
+    want = {t: c for t, c in exact.items() if c * (textops.HH_K + 1) > n}
+    # the MG candidate set provably contains every true heavy hitter and
+    # the exact recount kills false positives — output == exact threshold set
+    assert got == want
+    assert len(got) > 0
+
+
+def test_decontaminate_semantic_pairs_are_true_hits(spark, sf_dir):
+    import numpy as np
+
+    from kafka_exercise_spark.catalog import load_table
+
+    pairs = similarity.decontaminate_semantic(spark, sf_dir).collect()
+    emb = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+    thr = similarity.SEMANTIC_DECONTAM_COS_E6 / 1e6
+    for r in pairs:
+        assert r.eval_id < similarity.SEMANTIC_DECONTAM_MAX_EVAL_ID
+        assert r.vec_id >= similarity.SEMANTIC_DECONTAM_MAX_EVAL_ID
+        a, b = emb[r.vec_id], emb[r.eval_id]
+        true_cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        # quantization at 2^-20 distorts cosine well below 1e-4
+        assert abs(true_cos - r.cos) < 1e-4
+        assert r.cos >= thr
+
+
+def test_bm25_ranks_shared_term_docs(spark, sf_dir):
+    from kafka_exercise_spark.plans import python_eval_count
+
+    df = similarity.bm25_topk(spark, sf_dir)
+    assert python_eval_count(df) == 0
+    rows = df.collect()
+    assert rows
+    by_q: dict = {}
+    for r in rows:
+        assert r.hit_id != r.query_id
+        assert r.score_micro > 0
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, hits in by_q.items():
+        ranks = sorted(h.rank for h in hits)
+        assert ranks == list(range(1, len(hits) + 1))
+        scores = [h.score_micro for h in sorted(hits, key=lambda h: h.rank)]
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_pq_encode_codes_and_error_match_codebooks(spark, sf_dir):
+    import numpy as np
+
+    from kafka_exercise_spark.catalog import load_table
+
+    out = {r.vec_id: r for r in similarity.pq_encode(spark, sf_dir).collect()}
+    books = similarity._PQ_CODEBOOKS[sf_dir]
+    emb = load_table(spark, sf_dir, "embeddings").limit(30).collect()
+    for row in emb:
+        ei = [
+            int(np.floor(abs(x) * similarity.PROJ_SCALE + 0.5)) * (1 if x >= 0 else -1)
+            for x in np.array(row.embedding, dtype=np.float64)
+        ]
+        r = out[row.vec_id]
+        err_total = 0
+        for m, book in enumerate(books):
+            sl = ei[m * similarity.PQ_SUBDIM : (m + 1) * similarity.PQ_SUBDIM]
+            d2s = [
+                sum((a - b) * (a - b) for a, b in zip(sl, c)) for c in book
+            ]
+            best = min(range(len(d2s)), key=lambda i: (d2s[i], i))
+            assert getattr(r, f"code{m}") == best
+            err_total += d2s[best]
+        assert r.err_q == err_total
+        assert all(0 <= getattr(r, f"code{m}") < similarity.PQ_K for m in range(4))
