@@ -123,6 +123,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": dedup.dedup_components,
         # incoming-batch × corpus band probe (no corpus self-join)
         "dedup_incremental": dedup.dedup_incremental,
+        # migrated to the exact integer micro-cosine in r04 (same flake
+        # class as dedup_semantic's sf0.1 ulp hit — re-verify in-window)
+        "dedup_embedding_cosine": dedup.dedup_embedding_cosine,
         # ---- new in r04 (all full value-hash oracles) ----
         # Gopher rule battery (Rae et al. 2021) — exact integer signals
         "gopher_quality_filter": textops.gopher_quality_filter,
@@ -138,6 +141,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": similarity.bm25_topk,
         # product quantization: 4×4-bit codes + exact reconstruction error
         "pq_encode": similarity.pq_encode,
+        # IVF-PQ ADC search (FAISS IVFPQ shape) — exact integer end-to-end
+        "ann_ivf_pq_topk": similarity.ann_ivf_pq_topk,
+        # IVF index balance audit (counts + ppm shares)
+        "ivf_cells_report": similarity.ivf_cells_report,
+        # per-source contamination rollup composing both decontam operators
+        "contamination_report": dedup.contamination_report,
         # ---- proven entries (hash-green in r01–r03 windows; all still
         # value-checked every session by tools/verify_local.py) ----
         # z-order (Morton) clustering audit: per-tile 2-D bounding boxes
@@ -174,7 +183,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_ordered": analytic.funnel_ordered,
         "dedup_exact": dedup.dedup_exact,
         "dedup_simhash": dedup.dedup_simhash,
-        "dedup_embedding_cosine": dedup.dedup_embedding_cosine,
         # cross-doc duplicated-span removal (Lee et al. 2022 style)
         "dedup_passages": dedup.dedup_passages,
         "text_token_stats": textops.text_token_stats,
@@ -375,36 +383,42 @@ def _ivf_ctes() -> str:
     return ",\n            ".join(parts)
 
 
-def _pq_ctes() -> str:
+def _pq_ctes(include_base: bool = True) -> str:
     """DuckDB replay of the product-quantization fit + encode
     (similarity._pq_codebooks / pq_encode): ONE shared quantized sample
-    ('pq:' salt, md5-ranked init), then per subspace an unrolled
+    ('pq:' salt, md5-ranked init — CTE names psamp/pinit so the chain can
+    compose with ``_ivf_ctes`` in one WITH), then per subspace an unrolled
     all-integer Lloyd fit over the 16-dim slice and a final
     nearest-centroid encode of every vector — the same exactness argument
-    as ``_ivf_ctes``, four times over slices."""
+    as ``_ivf_ctes``, four times over slices. ``include_base=False`` omits
+    the ei/bk CTEs (identical definitions) when composing."""
     from kafka_exercise_spark.operators import similarity as sim
 
     d2 = _d2_sql
-    parts = [
-        f"""ei AS (SELECT vec_id, label,
+    parts = []
+    if include_base:
+        parts.append(
+            f"""ei AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb,
                       list_transform(embedding::DOUBLE[],
                           x -> round(x * {sim.PROJ_SCALE})::BIGINT) AS e
                FROM embeddings),
             bk AS (SELECT greatest(1, count(*) // {sim.IVF_TRAIN_MAX})
-                       AS buckets FROM ei),
-            samp AS (SELECT vec_id, e FROM ei, bk
+                       AS buckets FROM ei)"""
+        )
+    parts.append(
+        f"""psamp AS (SELECT vec_id, e FROM ei, bk
                      WHERE ('0x' || substr(md5('pq:' || vec_id), 1, 15))::BIGINT
                            % buckets = 0),
-            init AS (SELECT e, row_number() OVER (ORDER BY
+            pinit AS (SELECT e, row_number() OVER (ORDER BY
                          ('0x' || substr(md5('pq-init:' || vec_id),
                           1, 15))::BIGINT, vec_id) AS rk
-                     FROM samp)"""
-    ]
+                     FROM psamp)"""
+    )
     for m in range(sim.PQ_M):
         a, b = m * sim.PQ_SUBDIM + 1, (m + 1) * sim.PQ_SUBDIM
         sl = f"[{a}:{b}]"
         parts.append(
-            f"""q{m}i0 AS (SELECT rk - 1 AS cell, e{sl} AS c FROM init
+            f"""q{m}i0 AS (SELECT rk - 1 AS cell, e{sl} AS c FROM pinit
                    WHERE rk <= {sim.PQ_K})"""
         )
         for k in range(sim.PQ_ITERS):
@@ -414,7 +428,7 @@ def _pq_ctes() -> str:
                               row_number() OVER (PARTITION BY s.vec_id
                                   ORDER BY {d2(f"s.e{sl}", "c.c")}, c.cell)
                                   AS rn
-                       FROM samp s CROSS JOIN q{m}i{k} c) WHERE rn = 1)"""
+                       FROM psamp s CROSS JOIN q{m}i{k} c) WHERE rn = 1)"""
             )
             parts.append(
                 f"""q{m}m{k} AS (SELECT cell, list(fl ORDER BY dim) AS c FROM (
@@ -1441,14 +1455,19 @@ def oracle_sql() -> dict[str, str]:
             FROM v
             WHERE round(n_common / (n_a + n_b - n_common), 6) >= 0.08
         """,
-        "dedup_embedding_cosine": """
-            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                   round(list_cosine_similarity(a.embedding::DOUBLE[],
-                                                b.embedding::DOUBLE[]), 6) AS cos
-            FROM embeddings a JOIN embeddings b
-              ON a.vec_id < b.vec_id AND a.label = 0 AND b.label = 0
-            WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
-                                               b.embedding::DOUBLE[]), 6) >= 0.25
+        # exact integer micro-cosine (the dedup_semantic fix, same class)
+        "dedup_embedding_cosine": f"""
+            WITH e AS (SELECT vec_id,
+                              list_transform(embedding::DOUBLE[],
+                                  x -> round(x * {similarity.PROJ_SCALE})::BIGINT)
+                                  AS ei
+                       FROM embeddings WHERE label = 0),
+            p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                         {_int_cos_e6_sql("a.ei", "b.ei")} AS cos_e6
+                  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+            SELECT id_a, id_b, cos_e6 / 1000000.0 AS cos
+            FROM p
+            WHERE cos_e6 >= {int(round(dedup.COSINE_DUP_THRESHOLD * 1_000_000))}
         """,
         "decontaminate_ngram": f"""
             WITH t AS (SELECT doc_id, {_TOKS} AS tok FROM documents),
@@ -2103,6 +2122,109 @@ def oracle_sql() -> dict[str, str]:
                   FROM g)
             SELECT query_id, doc_id AS hit_id, score_micro, rnk AS "rank"
             FROM r WHERE rnk <= {similarity.TOP_K}
+        """,
+        "ivf_cells_report": f"""
+            WITH {_ivf_ctes()},
+            tot AS (SELECT count(*) AS n FROM cellof)
+            SELECT cell::BIGINT AS cell,
+                   count(*)::BIGINT AS n_vectors,
+                   min(vec_id) AS min_vec_id,
+                   max(vec_id) AS max_vec_id,
+                   ((count(*) * 1000000) // any_value(tot.n))::BIGINT
+                       AS share_ppm
+            FROM cellof, tot
+            GROUP BY cell
+        """,
+        # IVF-PQ ADC search: coarse cells prune, PQ-code table lookups rank
+        # — every quantity an exact integer, so the full composition
+        # (two quantizer fits + probe + ADC) replays in SQL
+        "ann_ivf_pq_topk": f"""
+            WITH {_ivf_ctes()},
+            {_pq_ctes(include_base=False)},
+            k AS (SELECT q0f.vec_id, q0f.code AS c0, q1f.code AS c1,
+                         q2f.code AS c2, q3f.code AS c3
+                  FROM q0f
+                  JOIN q1f ON q0f.vec_id = q1f.vec_id
+                  JOIN q2f ON q0f.vec_id = q2f.vec_id
+                  JOIN q3f ON q0f.vec_id = q3f.vec_id),
+            probe AS (SELECT query_id, cell FROM (
+                SELECT ei.vec_id AS query_id, c.cell,
+                       row_number() OVER (PARTITION BY ei.vec_id
+                           ORDER BY {_d2_sql("ei.e", "c.c")}, c.cell) AS rn
+                FROM ei CROSS JOIN c{similarity.IVF_ITERS} c
+                WHERE ei.vec_id < {similarity.N_QUERIES})
+                WHERE rn <= {similarity.N_PROBE}),
+            qv AS (SELECT vec_id AS query_id, e FROM ei
+                   WHERE vec_id < {similarity.N_QUERIES}),
+            cand AS (SELECT p.query_id, v.vec_id
+                     FROM cellof v JOIN probe p
+                       ON v.cell = p.cell AND v.vec_id <> p.query_id),
+            adc AS (SELECT c.query_id, c.vec_id,
+                           ({_d2_sql("q.e[1:16]", "b0.c")}
+                            + {_d2_sql("q.e[17:32]", "b1.c")}
+                            + {_d2_sql("q.e[33:48]", "b2.c")}
+                            + {_d2_sql("q.e[49:64]", "b3.c")})::BIGINT AS adc
+                    FROM cand c
+                    JOIN k ON c.vec_id = k.vec_id
+                    JOIN qv q ON q.query_id = c.query_id
+                    JOIN q0i{similarity.PQ_ITERS} b0 ON b0.cell = k.c0
+                    JOIN q1i{similarity.PQ_ITERS} b1 ON b1.cell = k.c1
+                    JOIN q2i{similarity.PQ_ITERS} b2 ON b2.cell = k.c2
+                    JOIN q3i{similarity.PQ_ITERS} b3 ON b3.cell = k.c3),
+            r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY adc ASC, vec_id ASC) AS rnk
+                  FROM adc)
+            SELECT query_id, vec_id AS neighbor_id, adc, rnk AS "rank"
+            FROM r WHERE rnk <= {similarity.TOP_K}
+        """,
+        # composition audit: both decontamination outputs rolled per source
+        "contamination_report": f"""
+            WITH t AS (SELECT doc_id, {_TOKS} AS tok FROM documents),
+            shi AS (SELECT doc_id, {_SHINGLES} AS sh FROM t),
+            hh AS (SELECT doc_id, {_HSH} AS hb FROM shi),
+            inv AS (SELECT doc_id, unnest(hb) AS sg FROM hh),
+            bi AS (SELECT doc_id AS bench_id, sg FROM inv
+                   WHERE doc_id < {dedup.BENCHMARK_MAX_DOC_ID}),
+            ci AS (SELECT doc_id, sg FROM inv
+                   WHERE doc_id >= {dedup.BENCHMARK_MAX_DOC_ID}),
+            ng AS (SELECT DISTINCT ci.doc_id FROM ci
+                   JOIN bi ON ci.sg = bi.sg
+                   GROUP BY ci.doc_id, bi.bench_id
+                   HAVING count(*) >= {dedup.DECONTAM_MIN_SHARED}),
+            e AS (SELECT vec_id,
+                         list_transform(embedding::DOUBLE[],
+                             x -> round(x * {similarity.PROJ_SCALE})::BIGINT)
+                             AS ei
+                  FROM embeddings),
+            ev AS (SELECT vec_id AS eval_id, ei AS ei_e FROM e
+                   WHERE vec_id < {similarity.SEMANTIC_DECONTAM_MAX_EVAL_ID}),
+            sm AS (SELECT DISTINCT c.vec_id AS doc_id
+                   FROM (SELECT vec_id, ei FROM e
+                         WHERE vec_id >=
+                             {similarity.SEMANTIC_DECONTAM_MAX_EVAL_ID}) c
+                   CROSS JOIN ev
+                   WHERE {_int_cos_e6_sql("c.ei", "ev.ei_e")}
+                         >= {similarity.SEMANTIC_DECONTAM_COS_E6}),
+            fl AS (SELECT d.source,
+                          CASE WHEN ng.doc_id IS NOT NULL THEN 1 ELSE 0 END
+                              AS ngram_hit,
+                          CASE WHEN sm.doc_id IS NOT NULL THEN 1 ELSE 0 END
+                              AS sem_hit
+                   FROM documents d
+                   LEFT JOIN ng ON d.doc_id = ng.doc_id
+                   LEFT JOIN sm ON d.doc_id = sm.doc_id
+                   WHERE d.doc_id >= {dedup.BENCHMARK_MAX_DOC_ID}),
+            g AS (SELECT source, count(*)::BIGINT AS n_docs,
+                         sum(ngram_hit)::BIGINT AS n_ngram_flagged,
+                         sum(sem_hit)::BIGINT AS n_sem_flagged,
+                         sum(CASE WHEN ngram_hit + sem_hit > 0
+                                  THEN 1 ELSE 0 END)::BIGINT AS n_any_flagged
+                  FROM fl GROUP BY source)
+            SELECT *,
+                   ((n_ngram_flagged * 1000000) // n_docs)::BIGINT AS ngram_ppm,
+                   ((n_sem_flagged * 1000000) // n_docs)::BIGINT AS sem_ppm,
+                   ((n_any_flagged * 1000000) // n_docs)::BIGINT AS any_ppm
+            FROM g
         """,
         # PQ codes + exact reconstruction error: full fit replay per slice
         "pq_encode": f"""

@@ -40,7 +40,7 @@ from kafka_exercise_spark.functions.text import (
     shingles,
     tokens,
 )
-from kafka_exercise_spark.functions.vectors import cosine
+
 
 N_MINHASH = 8  # signature length
 LSH_BANDS = 4  # bands of r = N_MINHASH / LSH_BANDS rows
@@ -428,22 +428,34 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     always bucketed (IVF/LSH) so each cell's pairwise check is bounded; the
     unbucketed form would be a cross join.
     """
-    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("label") == 0)
-    a = emb.select(
-        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")
+    from kafka_exercise_spark.operators.similarity import (  # noqa: PLC0415
+        int_cos_e6,
+        quantized_vec,
     )
-    b = emb.select(
-        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb")
+
+    # exact integer micro-cosine over fixed-point vectors: a float cosine
+    # fold here is the 1-ulp cross-engine flake class that hit
+    # dedup_semantic at sf0.1 (threshold-pair entries emit thousands of
+    # rounded values — boundary hits are a matter of time)
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("label") == 0)
+        .select(
+            "vec_id",
+            quantized_vec(F.col("embedding").cast("array<double>")).alias("ei"),
+        )
     )
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("ei").alias("ei_a"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("ei").alias("ei_b"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn(
-            "cos",
-            F.round(cosine(F.col("va").cast("array<double>"),
-                           F.col("vb").cast("array<double>")), 6),
+        .withColumn("cos_e6", int_cos_e6(F.col("ei_a"), F.col("ei_b")))
+        .filter(
+            F.col("cos_e6") >= int(round(COSINE_DUP_THRESHOLD * 1_000_000))
         )
-        .filter(F.col("cos") >= COSINE_DUP_THRESHOLD)
-        .select("id_a", "id_b", "cos")
+        .select(
+            "id_a", "id_b", (F.col("cos_e6") / 1_000_000).alias("cos")
+        )
     )
 
 
@@ -948,5 +960,69 @@ def dedup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("first_dup_pos").cast("long").alias("first_dup_pos"),
             F.size(kept).cast("long").alias("n_kept_words"),
             md5_hash64(F.concat_ws(" ", kept)).alias("clean_fp"),
+        )
+    )
+
+
+def contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source contamination data card: how much of each source is
+    flagged by n-gram decontamination, by semantic (embedding-space)
+    decontamination, and by either — the rollup a curation run publishes
+    before deciding which sources need requarantine. Composes the two
+    decontamination operators (their index builds are memoized/shared), so
+    this is genuinely the pipeline's own outputs being audited, not a
+    re-derivation. All exact integers (counts + floor-ppm rates).
+    """
+    from kafka_exercise_spark.operators.similarity import (  # noqa: PLC0415
+        decontaminate_semantic,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    corpus = docs.filter(F.col("doc_id") >= BENCHMARK_MAX_DOC_ID)
+    # decontaminate_ngram rows are already thresholded flags
+    ngram_ids = (
+        decontaminate_ngram(spark, sf_dir)
+        .select("doc_id")
+        .distinct()
+        .withColumn("ngram_hit", F.lit(1))
+    )
+    sem_ids = (
+        decontaminate_semantic(spark, sf_dir)
+        .select(F.col("vec_id").alias("doc_id"))
+        .distinct()
+        .withColumn("sem_hit", F.lit(1))
+    )
+    flagged = (
+        corpus.join(ngram_ids, "doc_id", "left")
+        .join(sem_ids, "doc_id", "left")
+        .select(
+            "source",
+            F.coalesce("ngram_hit", F.lit(0)).alias("ngram_hit"),
+            F.coalesce("sem_hit", F.lit(0)).alias("sem_hit"),
+        )
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("ngram_hit").cast("long").alias("n_ngram_flagged"),
+            F.sum("sem_hit").cast("long").alias("n_sem_flagged"),
+            F.sum(
+                F.when((F.col("ngram_hit") + F.col("sem_hit")) > 0, 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_any_flagged"),
+        )
+        .withColumn(
+            "ngram_ppm",
+            F.floor(F.col("n_ngram_flagged") * 1_000_000 / F.col("n_docs")),
+        )
+        .withColumn(
+            "sem_ppm",
+            F.floor(F.col("n_sem_flagged") * 1_000_000 / F.col("n_docs")),
+        )
+        .withColumn(
+            "any_ppm",
+            F.floor(F.col("n_any_flagged") * 1_000_000 / F.col("n_docs")),
         )
     )

@@ -941,3 +941,69 @@ def test_pq_encode_codes_and_error_match_codebooks(spark, sf_dir):
             err_total += d2s[best]
         assert r.err_q == err_total
         assert all(0 <= getattr(r, f"code{m}") < similarity.PQ_K for m in range(4))
+
+
+def test_ivf_cells_report_partitions_corpus(spark, sf_dir):
+    from kafka_exercise_spark.catalog import load_table
+
+    rows = similarity.ivf_cells_report(spark, sf_dir).collect()
+    total = load_table(spark, sf_dir, "embeddings").count()
+    assert sum(r.n_vectors for r in rows) == total
+    assert len(rows) <= similarity.N_IVF_CELLS
+    for r in rows:
+        assert 0 <= r.cell < similarity.N_IVF_CELLS
+        assert r.share_ppm == r.n_vectors * 1_000_000 // total
+        assert r.min_vec_id <= r.max_vec_id
+
+
+def test_ann_ivf_pq_adc_matches_codebook_math(spark, sf_dir):
+    import numpy as np
+
+    rows = similarity.ann_ivf_pq_topk(spark, sf_dir).collect()
+    assert rows
+    books = similarity._PQ_CODEBOOKS[sf_dir]
+    codes = {
+        r.vec_id: (r.code0, r.code1, r.code2, r.code3)
+        for r in similarity.pq_encode(spark, sf_dir).collect()
+    }
+    assigned, _ = similarity._ivf_assign(spark, sf_dir)
+    q_ei = {
+        r.vec_id: list(r.ei)
+        for r in assigned.filter("vec_id < 5").select("vec_id", "ei").collect()
+    }
+    by_q: dict = {}
+    for r in rows:
+        assert r.neighbor_id != r.query_id
+        by_q.setdefault(r.query_id, []).append(r)
+        # ADC = sum over subspaces of d²(query slice, coded sub-centroid)
+        want = 0
+        for m in range(similarity.PQ_M):
+            sl = q_ei[r.query_id][
+                m * similarity.PQ_SUBDIM : (m + 1) * similarity.PQ_SUBDIM
+            ]
+            c = books[m][codes[r.neighbor_id][m]]
+            want += sum((a - b) * (a - b) for a, b in zip(sl, c))
+        assert r.adc == want
+    for q, hits in by_q.items():
+        hits.sort(key=lambda h: h.rank)
+        assert [h.rank for h in hits] == list(range(1, len(hits) + 1))
+        adcs = [h.adc for h in hits]
+        assert adcs == sorted(adcs)  # ascending distance
+
+
+def test_contamination_report_counts_are_consistent(spark, sf_dir):
+    from kafka_exercise_spark.catalog import load_table
+
+    rows = dedup.contamination_report(spark, sf_dir).collect()
+    corpus_n = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") >= dedup.BENCHMARK_MAX_DOC_ID)
+        .count()
+    )
+    assert sum(r.n_docs for r in rows) == corpus_n
+    for r in rows:
+        assert max(r.n_ngram_flagged, r.n_sem_flagged) <= r.n_any_flagged
+        assert r.n_any_flagged <= r.n_ngram_flagged + r.n_sem_flagged
+        assert r.n_any_flagged <= r.n_docs
+        assert r.ngram_ppm == r.n_ngram_flagged * 1_000_000 // r.n_docs
+        assert r.any_ppm == r.n_any_flagged * 1_000_000 // r.n_docs
