@@ -747,24 +747,24 @@ def classifier_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = scale_partitions(load_table(spark, sf_dir, "documents"), spark)
     w_lit = F.lit(list(classifier_weights())).cast("array<bigint>")
-    buckets = docs.select(
-        "doc_id",
-        F.explode(tokens(F.col("text"))).alias("t"),
+    # logit = Σ_t w[bucket(t)] — summed directly per doc (ONE shuffle with
+    # map-side combine); a per-bucket pre-count would add a second shuffle
+    # for the same integer sum
+    per_token = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("t")
     ).select(
         "doc_id",
-        F.pmod(md5_hash64(F.col("t")), F.lit(FEATURE_HASH_DIM)).alias("bucket"),
+        F.element_at(
+            w_lit,
+            F.pmod(md5_hash64(F.col("t")), F.lit(FEATURE_HASH_DIM)).cast("int")
+            + 1,
+        ).alias("w"),
     )
     return (
-        buckets.groupBy("doc_id", "bucket")
-        .agg(F.count("*").alias("cnt"))
-        .groupBy("doc_id")
+        per_token.groupBy("doc_id")
         .agg(
-            F.sum("cnt").cast("long").alias("n_tokens"),
-            F.sum(
-                F.col("cnt") * F.element_at(w_lit, F.col("bucket").cast("int") + 1)
-            )
-            .cast("long")
-            .alias("logit"),
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum("w").cast("long").alias("logit"),
         )
         .withColumn("keep", F.col("logit") > 0)
     )
