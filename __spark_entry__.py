@@ -147,6 +147,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_cells_report": similarity.ivf_cells_report,
         # per-source contamination rollup composing both decontam operators
         "contamination_report": dedup.contamination_report,
+        # JSONL write→read losslessness (explicit-schema read, no inference)
+        "jsonl_roundtrip": lake.jsonl_roundtrip,
         # ---- proven entries (hash-green in r01–r03 windows; all still
         # value-checked every session by tools/verify_local.py) ----
         # z-order (Morton) clustering audit: per-tile 2-D bounding boxes
@@ -2122,6 +2124,13 @@ def oracle_sql() -> dict[str, str]:
                   FROM g)
             SELECT query_id, doc_id AS hit_id, score_micro, rnk AS "rank"
             FROM r WHERE rnk <= {similarity.TOP_K}
+        """,
+        # losslessness contract: the JSONL round-trip must reproduce the
+        # parquet-derived fingerprints exactly
+        "jsonl_roundtrip": """
+            SELECT doc_id, lang, source, n_chars::BIGINT AS n_chars,
+                   ('0x' || substr(md5(text), 1, 15))::BIGINT AS text_fp
+            FROM documents
         """,
         "ivf_cells_report": f"""
             WITH {_ivf_ctes()},

@@ -836,11 +836,16 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("contrib_micro")
     )
+    # ONLY the query-term list is hint-broadcast (bounded by the query
+    # workload). dl (per-document lengths) and idf (the term dictionary)
+    # both grow with the corpus — plain joins so AQE broadcasts them at
+    # fixture scale but degrades to shuffled joins at 100 TB instead of
+    # OOMing an executor.
     scored = (
         postings.join(F.broadcast(q_terms), "t")
         .filter(F.col("doc_id") != F.col("query_id"))
-        .join(F.broadcast(dl), "doc_id")
-        .join(F.broadcast(idf), "t")
+        .join(dl, "doc_id")
+        .join(idf, "t")
         .select("query_id", "doc_id", contrib)
         .groupBy("query_id", "doc_id")
         .agg(F.sum("contrib_micro").cast("long").alias("score_micro"))

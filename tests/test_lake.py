@@ -252,3 +252,25 @@ def test_manifest_zorder_scan_prunes_most_tiles(spark, sf_dir):
     )
     # the 2-D range query touches a small corner of the z-clustered lake
     assert n_read / n_total < 0.2
+
+
+def test_jsonl_roundtrip_is_lossless(spark, sf_dir):
+    """JSONL write→explicit-schema read must preserve every document:
+    same row count, same per-doc text fingerprints as the parquet truth."""
+    from pyspark.sql import functions as F
+
+    from kafka_exercise_spark.catalog import load_table
+    from kafka_exercise_spark.functions.text import md5_hash64
+    from kafka_exercise_spark.sources import lake
+
+    back = lake.jsonl_roundtrip(spark, sf_dir)
+    truth = load_table(spark, sf_dir, "documents").select(
+        "doc_id", md5_hash64(F.col("text")).alias("text_fp")
+    )
+    assert back.count() == truth.count()
+    joined = back.select("doc_id", F.col("text_fp").alias("got")).join(
+        truth, "doc_id"
+    )
+    assert joined.filter(F.col("got") != F.col("text_fp")).count() == 0
+    # read side carries the explicit schema — no inference pass
+    assert back.schema["n_chars"].dataType.simpleString() == "bigint"

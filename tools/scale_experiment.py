@@ -39,6 +39,7 @@ from kafka_exercise_spark.operators import (
     dedup,
     pipeline_ops,
     sampling,
+    similarity,
     textops,
 )
 from kafka_exercise_spark.session import get_spark
@@ -56,6 +57,9 @@ QUERIES = {
     "token_budget_select": sampling.token_budget_select,  # per-lang window fill
     "chunk_documents": textops.chunk_documents,  # map-only ×(C/S) fan-out
     "zorder_events": lake.zorder_events,  # scan + tiny per-tile agg
+    # r04 additions — inverted-index retrieval and sketch+recount families
+    "bm25_topk": similarity.bm25_topk,  # postings join on shared terms
+    "heavy_hitters_topk": textops.heavy_hitters_topk,  # MG sketch + recount
 }
 
 
