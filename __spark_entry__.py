@@ -149,6 +149,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_report": dedup.contamination_report,
         # JSONL write→read losslessness (explicit-schema read, no inference)
         "jsonl_roundtrip": lake.jsonl_roundtrip,
+        # streaming curation admission control (shared decision projection)
+        "streaming_curation_gate": streaming_pipeline.streaming_curation_gate,
         # ---- proven entries (hash-green in r01–r03 windows; all still
         # value-checked every session by tools/verify_local.py) ----
         # z-order (Morton) clustering audit: per-tile 2-D bounding boxes
@@ -1870,6 +1872,37 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN n_unique > 1 THEN round(h / log2(n_unique), 6)
                         ELSE 0.0 END AS entropy_norm
             FROM e
+        """,
+        # streaming gate ≡ batch curation rolled up per source
+        "streaming_curation_gate": f"""
+            WITH t AS (SELECT doc_id, source, text, {_TOKS} AS tok
+                       FROM documents),
+            r AS (
+              SELECT source, len(tok) AS n_tokens,
+                round(
+                  0.4 * (CASE WHEN len(tok) > 0 THEN
+                    len(list_filter(tok, x -> list_contains({_QSTOPS}, x)))
+                        / len(tok) ELSE 0.0 END)
+                  + 0.3 * (CASE WHEN len(tok) > 0 THEN
+                    len(list_distinct(tok)) / len(tok) ELSE 0.0 END)
+                  + 0.3 * least(length(text) / 500.0, 1.0), 6) AS q,
+                round(CASE WHEN length(text) > 0 THEN
+                  len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]'))
+                      / length(text)
+                ELSE 0.0 END, 6) AS p
+              FROM t),
+            d AS (
+              SELECT source,
+                CASE WHEN n_tokens >= {textops.CURATION_MIN_TOKENS}
+                      AND q >= {textops.CURATION_MIN_QUALITY}
+                      AND p <= {textops.CURATION_MAX_PUNCT}
+                     THEN 1 ELSE 0 END AS kept
+              FROM r)
+            SELECT source, count(*)::BIGINT AS n_docs,
+                   sum(kept)::BIGINT AS n_kept,
+                   sum(1 - kept)::BIGINT AS n_rejected,
+                   ((sum(kept) * 1000000) // count(*))::BIGINT AS kept_ppm
+            FROM d GROUP BY source
         """,
         "curation_pipeline": f"""
             WITH t AS (SELECT doc_id, text, {_TOKS} AS tok FROM documents),

@@ -748,18 +748,30 @@ def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``decontaminate_ngram``). Scoring is the exact integer micro-cosine,
     so the entry carries a full value-hash oracle.
     """
+    # per-side squared norms are computed ONCE per row, not re-folded per
+    # pair (the pair stage is |corpus|×|eval| — 3 folds → 1 fold there).
+    # Values are unchanged: ss = ssc·sse multiplies the same exact
+    # integers either way, so the oracle needs no adjustment.
     emb = _embeddings_double(spark, sf_dir).withColumn(
         "ei", quantized_vec(F.col("emb"))
     )
+    emb = emb.withColumn("ss", _dot_long(F.col("ei"), F.col("ei")))
     ev = emb.filter(F.col("vec_id") < SEMANTIC_DECONTAM_MAX_EVAL_ID).select(
-        F.col("vec_id").alias("eval_id"), F.col("ei").alias("ei_e")
+        F.col("vec_id").alias("eval_id"),
+        F.col("ei").alias("ei_e"),
+        F.col("ss").alias("ss_e"),
     )
     corpus = emb.filter(F.col("vec_id") >= SEMANTIC_DECONTAM_MAX_EVAL_ID).select(
-        "vec_id", "ei"
+        "vec_id", "ei", "ss"
     )
+    d = _dot_long(F.col("ei"), F.col("ei_e")).cast("double")
+    ss = F.col("ss").cast("double") * F.col("ss_e").cast("double")
+    cos_e6 = F.when(
+        ss > 0, F.round(d / F.sqrt(ss) * 1_000_000).cast("long")
+    ).otherwise(F.lit(0).cast("long"))
     return (
         corpus.join(F.broadcast(ev))
-        .withColumn("cos_e6", int_cos_e6(F.col("ei"), F.col("ei_e")))
+        .withColumn("cos_e6", cos_e6)
         .filter(F.col("cos_e6") >= SEMANTIC_DECONTAM_COS_E6)
         .select(
             "vec_id",

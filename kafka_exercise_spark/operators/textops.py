@@ -385,6 +385,21 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     debugging possible downstream.
     """
     docs = scale_partitions(load_table(spark, sf_dir, "documents"), spark)
+    return curation_decisions(docs).select(
+        "doc_id",
+        "n_tokens",
+        "quality_score",
+        "punct_ratio",
+        "keep",
+        "reject_reasons",
+    )
+
+
+def curation_decisions(docs: DataFrame) -> DataFrame:
+    """The curation decision projection over any documents-shaped frame —
+    ONE definition shared by the batch pipeline and the streaming
+    admission gate so the keep/drop policy can never drift between the
+    two. Appends the signal + decision columns; keeps the input columns."""
     s = quality_signals()
     reasons = F.concat_ws(
         ",",
@@ -397,7 +412,7 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return docs.select(
-        "doc_id",
+        "*",
         s["n_tok"].cast("long").alias("n_tokens"),
         F.round(s["quality"], 6).alias("quality_score"),
         F.round(s["punct_ratio"], 6).alias("punct_ratio"),

@@ -251,3 +251,76 @@ def incremental_source_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return src.poll_once().select(
         "event_id", "user_id", "event_type", "value", "props"
     )
+
+
+_CURATION_GATE_MEMO: dict = {}
+
+
+def streaming_curation_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming curation admission control under REAL StreamExecution:
+    documents replayed in micro-batches, each batch scored by the SHARED
+    curation decision projection (operators/textops.curation_decisions —
+    batch and stream can never disagree on policy) and routed
+    keep → publish dir, drop → reject dir WITH its reason string — the
+    ingest-side shape of continuous corpus curation.
+
+    One write per micro-batch, partitioned by the routing decision under
+    ``batch=<id>`` with overwrite for idempotent replay (the
+    ``streaming_dq_gate`` contract). The decision is a map-side expression
+    — zero added shuffles. Final landed state ≡ the batch curation of the
+    whole fixture rolled up per source, so the oracle is a plain GROUP BY
+    over the same signal expressions.
+    """
+    import os
+    import tempfile
+
+    from kafka_exercise_spark.catalog import load_table
+    from kafka_exercise_spark.operators.textops import curation_decisions
+    from kafka_exercise_spark.streaming.sources import file_stream
+    from kafka_exercise_spark.streaming.stateful import run_bounded_replay
+
+    memo_key = (spark.sparkContext.applicationId, sf_dir)
+    if memo_key not in _CURATION_GATE_MEMO:
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "source", "text"
+        )
+        work = tempfile.mkdtemp(prefix="curation_gate_")
+        src = os.path.join(work, "src")
+        out = os.path.join(work, "gated")
+        docs.repartition(4).write.mode("overwrite").parquet(src)
+        schema = docs.schema
+
+        def gate(batch_df: DataFrame, batch_id: int) -> None:
+            decided = curation_decisions(batch_df).withColumn(
+                "routed",
+                F.when(F.col("keep"), "publish").otherwise("reject"),
+            )
+            decided.drop("text").write.mode("overwrite").partitionBy(
+                "routed"
+            ).parquet(os.path.join(out, f"batch={batch_id}"))
+
+        stream = file_stream(spark, src, schema, max_files_per_trigger=2)
+        run_bounded_replay(
+            spark,
+            stream,
+            checkpoint=os.path.join(work, "ckpt"),
+            foreach_batch=gate,
+        )
+        _CURATION_GATE_MEMO[memo_key] = out
+    out = _CURATION_GATE_MEMO[memo_key]
+
+    # plain partition discovery (NOT recursiveFileLookup, which disables
+    # it): batch=<id>/routed=<decision> both come back as columns
+    landed = spark.read.parquet(out)
+    kept = F.when(F.col("routed") == "publish", 1).otherwise(0)
+    return (
+        landed.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(kept).cast("long").alias("n_kept"),
+            F.sum(1 - kept).cast("long").alias("n_rejected"),
+        )
+        .withColumn(
+            "kept_ppm", F.floor(F.col("n_kept") * 1_000_000 / F.col("n_docs"))
+        )
+    )

@@ -264,3 +264,23 @@ def test_incremental_source_captures_appends_only(spark, sf_dir, tmp_path):
     assert spark.read.parquet(sink_dir).count() == events.count()
     with open(state) as f:
         assert json.load(f)["cursor_col"] == "ts"
+
+
+def test_streaming_curation_gate_routes_every_doc(spark, sf_dir):
+    """The gate's landed totals must partition the corpus exactly and agree
+    with the batch curation decision (shared projection — no drift)."""
+    from pyspark.sql import functions as F
+
+    from kafka_exercise_spark.catalog import load_table
+    from kafka_exercise_spark.operators.textops import curation_pipeline
+    from kafka_exercise_spark.streaming.pipeline import streaming_curation_gate
+
+    gate = streaming_curation_gate(spark, sf_dir)
+    rows = gate.collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    batch_kept = curation_pipeline(spark, sf_dir).filter(F.col("keep")).count()
+    assert sum(r.n_kept for r in rows) == batch_kept
+    for r in rows:
+        assert r.n_kept + r.n_rejected == r.n_docs
+        assert r.kept_ppm == r.n_kept * 1_000_000 // r.n_docs
