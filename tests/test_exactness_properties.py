@@ -1,0 +1,108 @@
+"""Property tests for the cross-engine exactness primitives.
+
+Everything the integer-oracle strategy rests on is checked here directly:
+the fixed-point micro-cosine must be BIT-identical between Spark and
+DuckDB on adversarial random vectors (not just on the fixture's), and the
+all-integer Lloyd fit must match an independent arbitrary-precision
+reimplementation (guarding against silent int64 overflow in the numpy
+path — Python ints cannot wrap).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pytest
+
+from kafka_exercise_spark.operators import similarity
+
+
+def _random_int_vectors(n: int, dim: int, seed: int, scale: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.integers(-scale, scale + 1, size=(n, dim), dtype=np.int64)
+
+
+def test_int_cos_e6_bit_identical_spark_vs_duckdb(spark):
+    """300 adversarial random quantized pairs (full ±2^20 range, far worse
+    conditioned than unit embeddings): Spark's int_cos_e6 and the DuckDB
+    twin must agree EXACTLY on every pair — the invariant that makes the
+    semantic dedup/decontam oracles hash-stable at any corpus size."""
+    import __spark_entry__ as entrymod
+
+    n, dim = 300, similarity.EMBED_DIM
+    a = _random_int_vectors(n, dim, 1, similarity.PROJ_SCALE)
+    b = _random_int_vectors(n, dim, 2, similarity.PROJ_SCALE)
+    # one zero vector exercises the ss=0 guard on both sides
+    a[0][:] = 0
+    rows = [(i, a[i].tolist(), b[i].tolist()) for i in range(n)]
+    df = spark.createDataFrame(rows, "id long, ea array<long>, eb array<long>")
+    got_spark = {
+        r.id: r.c
+        for r in df.select(
+            "id",
+            similarity.int_cos_e6(
+                df.ea.cast("array<long>"), df.eb.cast("array<long>")
+            ).alias("c"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({i}, {a[i].tolist()}::BIGINT[], {b[i].tolist()}::BIGINT[])"
+            for i in range(n)
+        )
+        + ") v(id, ea, eb)"
+    )
+    expr = entrymod._int_cos_e6_sql("ea", "eb")
+    got_duck = dict(con.execute(f"SELECT id, {expr} FROM t").fetchall())
+    assert got_spark == got_duck
+    assert got_spark[0] == 0  # zero-norm guard
+
+
+def test_integer_lloyd_matches_arbitrary_precision_reimpl():
+    """The numpy int64 fit must equal a from-scratch pure-Python-int
+    reimplementation (which CANNOT overflow) — pins both the tie-break
+    (lowest cell) and the floor-division update semantics, and proves the
+    int64 path has headroom at the full quantization range."""
+    x = _random_int_vectors(400, 16, 7, similarity.PROJ_SCALE)
+    k, iters = 8, 4
+    got = similarity._integer_lloyd(x.copy(), k, iters)
+
+    pts = [[int(v) for v in row] for row in x]
+    centers = [list(p) for p in pts[:k]]
+    for _ in range(iters):
+        groups: dict[int, list[list[int]]] = {}
+        for p in pts:
+            best = min(
+                range(len(centers)),
+                key=lambda c: (
+                    sum((a - b) * (a - b) for a, b in zip(p, centers[c])),
+                    c,
+                ),
+            )
+            groups.setdefault(best, []).append(p)
+        for c, members in groups.items():
+            centers[c] = [
+                sum(col) // len(members) for col in zip(*members)
+            ]
+    assert got == centers
+
+
+def test_quantized_vec_matches_python_half_up(spark):
+    """Spark's round(x·2^20) quantization must match HALF-UP (away from
+    zero) — the convention every oracle interpolates via DuckDB round()."""
+    vals = [0.5 / similarity.PROJ_SCALE, -0.5 / similarity.PROJ_SCALE,
+            1.5 / similarity.PROJ_SCALE, -1.5 / similarity.PROJ_SCALE,
+            0.123456789, -0.987654321, 1.0, -1.0]
+    df = spark.createDataFrame([(vals,)], "v array<double>")
+    (got,) = df.select(similarity.quantized_vec(df.v).alias("q")).collect()
+    con = duckdb.connect()
+    (want,) = con.execute(
+        f"SELECT list_transform({vals}::DOUBLE[], "
+        f"x -> round(x * {similarity.PROJ_SCALE})::BIGINT)"
+    ).fetchone()
+    assert list(got.q) == list(want)
+    # the .5 boundaries round away from zero on both engines
+    assert got.q[0] == 1 and got.q[1] == -1
+    assert got.q[2] == 2 and got.q[3] == -2

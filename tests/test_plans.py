@@ -278,3 +278,40 @@ def test_ngram_jaccard_reads_shared_shingle_cache(spark, sf_dir):
     leaves = plan.collectLeaves()
     names = [leaves.apply(i).nodeName() for i in range(leaves.size())]
     assert names and not any("Scan parquet" in n for n in names), names
+
+
+def test_no_unexpected_python_eval_nodes_anywhere(spark, sf_dir):
+    """Sweeping anti-pattern guard: EVERY batch queries() entry must run
+    JVM-side unless it is on the explicit allowlist of operators whose
+    Python stage is the design (Arrow-batched codec / sketch / union-find
+    / multimodal plumbing). A new operator that accidentally introduces a
+    row-at-a-time UDF fails here, not in a 100 TB run.
+
+    Streaming/stateful replays and source ops with side effects are
+    skipped: calling them executes jobs; their plan properties are pinned
+    in their own tests.
+    """
+    import __spark_entry__ as entrymod
+    from kafka_exercise_spark.plans import python_eval_count
+
+    # name -> max allowed Python-eval operators (the documented design)
+    allow = {
+        "avro_wire_roundtrip": 2,  # encode + decode mapInPandas
+        "avro_embeddings_roundtrip": 2,
+        "multimodal_meta": 1,  # Arrow-batched metadata extraction
+        "multimodal_features": 1,
+        "multimodal_frame_sample": 0,  # JVM-only byte slicing
+        "heavy_hitters_topk": 0,  # MG sketch runs pre-checkpoint
+        "dedup_components": 0,  # union-find contraction pre-checkpoint
+        "dedup_semantic_components": 0,
+    }
+    skip_prefixes = ("streaming_", "incremental_", "serving_", "ksql_")
+    failures = []
+    for name, fn in entrymod.queries().items():
+        if name.startswith(skip_prefixes):
+            continue
+        df = fn(spark, sf_dir)
+        n = python_eval_count(df)
+        if n > allow.get(name, 0):
+            failures.append((name, n))
+    assert not failures, failures
