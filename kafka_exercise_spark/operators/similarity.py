@@ -884,6 +884,9 @@ PQ_SUBDIM = EMBED_DIM // PQ_M
 PQ_K = 16  # centroids per sub-quantizer (4-bit codes)
 PQ_ITERS = 3
 _PQ_CODEBOOKS: dict[str, list[list[list[int]]]] = {}  # sf_dir → [m][k][dim]
+#: Materialized PQ code tables per (application, sf_dir) — the index-side
+#: payload IVF-PQ search scans (same memo contract as the cell frames).
+_PQ_CODES_MEMO: dict[tuple[str, str], DataFrame] = {}
 
 
 def _pq_codebooks(emb: DataFrame) -> list[list[list[int]]]:
@@ -1020,9 +1023,18 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         books = _PQ_CODEBOOKS[sf_dir] = _pq_codebooks(
             _embeddings_double(spark, sf_dir)
         )
-    codes = pq_encode(spark, sf_dir).select(
-        "vec_id", "code0", "code1", "code2", "code3"
-    )
+    # the code table is part of the served index — encoded once per
+    # (session, corpus) and pinned, like the cell assignment (at 100 TB
+    # it IS the 2-byte-per-vector payload the probe scan reads)
+    memo_key = (spark.sparkContext.applicationId, sf_dir)
+    codes = _PQ_CODES_MEMO.get(memo_key)
+    if codes is None:
+        codes = (
+            pq_encode(spark, sf_dir)
+            .select("vec_id", "code0", "code1", "code2", "code3")
+            .localCheckpoint()
+        )
+        _PQ_CODES_MEMO[memo_key] = codes
     q_rows = (
         assigned.filter(F.col("vec_id") < N_QUERIES)
         .select("vec_id", "ei")
