@@ -151,6 +151,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonl_roundtrip": lake.jsonl_roundtrip,
         # streaming curation admission control (shared decision projection)
         "streaming_curation_gate": streaming_pipeline.streaming_curation_gate,
+        # end-to-end funnel: curation → near-dup → decontam → kept, per src
+        "curation_funnel_report": textops.curation_funnel_report,
         # ---- proven entries (hash-green in r01–r03 windows; all still
         # value-checked every session by tools/verify_local.py) ----
         # z-order (Morton) clustering audit: per-tile 2-D bounding boxes
@@ -1872,6 +1874,62 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN n_unique > 1 THEN round(h / log2(n_unique), 6)
                         ELSE 0.0 END AS entropy_norm
             FROM e
+        """,
+        # the full curation funnel: first-reason-wins attribution over the
+        # SAME LSH pair chain + decontam flags + curation decision
+        "curation_funnel_report": f"""
+            WITH {_lsh_ctes()},
+            nd AS (SELECT DISTINCT id_b AS doc_id FROM verified
+                   WHERE jaccard >= {dedup.JACCARD_THRESHOLD}),
+            inv AS (SELECT doc_id, unnest(hb) AS sg FROM h),
+            bi AS (SELECT doc_id AS bench_id, sg FROM inv
+                   WHERE doc_id < {dedup.BENCHMARK_MAX_DOC_ID}),
+            ci AS (SELECT doc_id, sg FROM inv
+                   WHERE doc_id >= {dedup.BENCHMARK_MAX_DOC_ID}),
+            ctm AS (SELECT DISTINCT ci.doc_id FROM ci
+                    JOIN bi ON ci.sg = bi.sg
+                    GROUP BY ci.doc_id, bi.bench_id
+                    HAVING count(*) >= {dedup.DECONTAM_MIN_SHARED}),
+            cd AS (SELECT d.doc_id, d.source, len(t.tok)::BIGINT AS n_tokens,
+                     (len(t.tok) >= {textops.CURATION_MIN_TOKENS}
+                      AND round(
+                        0.4 * (CASE WHEN len(t.tok) > 0 THEN
+                          len(list_filter(t.tok,
+                              x -> list_contains({_QSTOPS}, x))) / len(t.tok)
+                          ELSE 0.0 END)
+                        + 0.3 * (CASE WHEN len(t.tok) > 0 THEN
+                          len(list_distinct(t.tok)) / len(t.tok)
+                          ELSE 0.0 END)
+                        + 0.3 * least(length(d.text) / 500.0, 1.0), 6)
+                          >= {textops.CURATION_MIN_QUALITY}
+                      AND round(CASE WHEN length(d.text) > 0 THEN
+                          len(regexp_extract_all(d.text, '[^a-zA-Z0-9\\s]'))
+                              / length(d.text)
+                          ELSE 0.0 END, 6) <= {textops.CURATION_MAX_PUNCT})
+                         AS keepf
+                   FROM documents d JOIN t ON d.doc_id = t.doc_id
+                   WHERE d.doc_id >= {dedup.BENCHMARK_MAX_DOC_ID}),
+            st AS (SELECT cd.*,
+                     CASE WHEN NOT keepf THEN 'curation'
+                          WHEN nd.doc_id IS NOT NULL THEN 'near_dup'
+                          WHEN ctm.doc_id IS NOT NULL THEN 'decontaminated'
+                          ELSE 'kept' END AS stage
+                   FROM cd
+                   LEFT JOIN nd ON cd.doc_id = nd.doc_id
+                   LEFT JOIN ctm ON cd.doc_id = ctm.doc_id),
+            g AS (SELECT source, count(*)::BIGINT AS n_in,
+                     sum(CASE WHEN stage = 'curation' THEN 1 ELSE 0 END)::BIGINT
+                         AS n_drop_curation,
+                     sum(CASE WHEN stage = 'near_dup' THEN 1 ELSE 0 END)::BIGINT
+                         AS n_drop_near_dup,
+                     sum(CASE WHEN stage = 'decontaminated' THEN 1
+                              ELSE 0 END)::BIGINT AS n_drop_decontam,
+                     sum(CASE WHEN stage = 'kept' THEN 1 ELSE 0 END)::BIGINT
+                         AS n_kept,
+                     sum(CASE WHEN stage = 'kept' THEN n_tokens
+                              ELSE 0 END)::BIGINT AS kept_tokens
+                  FROM st GROUP BY source)
+            SELECT *, ((n_kept * 1000000) // n_in)::BIGINT AS kept_ppm FROM g
         """,
         # streaming gate ≡ batch curation rolled up per source
         "streaming_curation_gate": f"""

@@ -848,3 +848,81 @@ def heavy_hitters_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.localCheckpoint()
     exploded.unpersist()
     return out
+
+
+def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end corpus curation FUNNEL, accounted per source — the
+    sign-off sheet a pretraining data run publishes: every corpus document
+    is attributed to exactly one outcome in pipeline order (rule-based
+    curation drop → near-duplicate drop → benchmark-decontamination drop →
+    kept), with the kept token mass. First-reason-wins, so the stage
+    counts sum exactly to the input count.
+
+    This is a pure COMPOSITION of the pipeline's own operators — the
+    shared curation decision projection, the materialized LSH verified-pair
+    set (drop the higher id of every near-dup pair, the family's survivor
+    convention), and the n-gram decontamination flags — so the funnel can
+    never disagree with the stages it reports on. All counts/ratios are
+    exact integers; full value-hash oracle.
+    """
+    from kafka_exercise_spark.operators.dedup import (  # noqa: PLC0415
+        BENCHMARK_MAX_DOC_ID,
+        decontaminate_ngram,
+        dedup_minhash_lsh,
+    )
+
+    corpus = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") >= BENCHMARK_MAX_DOC_ID
+    )
+    decided = curation_decisions(corpus).select(
+        "doc_id", "source", "n_tokens", "keep"
+    )
+    near_dup = (
+        dedup_minhash_lsh(spark, sf_dir)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+        .withColumn("nd", F.lit(1))
+    )
+    contam = (
+        decontaminate_ngram(spark, sf_dir)
+        .select("doc_id")
+        .distinct()
+        .withColumn("ct", F.lit(1))
+    )
+    stage = (
+        F.when(~F.col("keep"), F.lit("curation"))
+        .when(F.col("nd") == 1, F.lit("near_dup"))
+        .when(F.col("ct") == 1, F.lit("decontaminated"))
+        .otherwise(F.lit("kept"))
+    )
+    staged = (
+        decided.join(near_dup, "doc_id", "left")
+        .join(contam, "doc_id", "left")
+        .withColumn("stage", stage)
+    )
+    return (
+        staged.groupBy("source")
+        .agg(
+            F.count("*").alias("n_in"),
+            F.sum(F.when(F.col("stage") == "curation", 1).otherwise(0))
+            .cast("long")
+            .alias("n_drop_curation"),
+            F.sum(F.when(F.col("stage") == "near_dup", 1).otherwise(0))
+            .cast("long")
+            .alias("n_drop_near_dup"),
+            F.sum(F.when(F.col("stage") == "decontaminated", 1).otherwise(0))
+            .cast("long")
+            .alias("n_drop_decontam"),
+            F.sum(F.when(F.col("stage") == "kept", 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+            F.sum(
+                F.when(F.col("stage") == "kept", F.col("n_tokens")).otherwise(0)
+            )
+            .cast("long")
+            .alias("kept_tokens"),
+        )
+        .withColumn(
+            "kept_ppm", F.floor(F.col("n_kept") * 1_000_000 / F.col("n_in"))
+        )
+    )

@@ -1007,3 +1007,35 @@ def test_contamination_report_counts_are_consistent(spark, sf_dir):
         assert r.n_any_flagged <= r.n_docs
         assert r.ngram_ppm == r.n_ngram_flagged * 1_000_000 // r.n_docs
         assert r.any_ppm == r.n_any_flagged * 1_000_000 // r.n_docs
+
+
+def test_curation_funnel_partitions_and_orders_stages(spark, sf_dir):
+    """First-reason-wins: stage counts must sum exactly to n_in per
+    source, and each stage total must agree with the standalone operator
+    it composes (curation keep, LSH drop list, decontam flags)."""
+    rows = textops.curation_funnel_report(spark, sf_dir).collect()
+    for r in rows:
+        assert (
+            r.n_drop_curation + r.n_drop_near_dup + r.n_drop_decontam + r.n_kept
+            == r.n_in
+        )
+        assert r.kept_ppm == r.n_kept * 1_000_000 // r.n_in
+        assert (r.kept_tokens > 0) == (r.n_kept > 0) or r.kept_tokens == 0
+    # cross-check the curation stage against the standalone decision
+    from kafka_exercise_spark.catalog import load_table
+
+    corpus_ids = {
+        row.doc_id
+        for row in load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") >= dedup.BENCHMARK_MAX_DOC_ID)
+        .select("doc_id")
+        .collect()
+    }
+    dropped_cur = {
+        row.doc_id
+        for row in textops.curation_pipeline(spark, sf_dir)
+        .filter(~F.col("keep"))
+        .collect()
+        if row.doc_id in corpus_ids
+    }
+    assert sum(r.n_drop_curation for r in rows) == len(dropped_cur)
