@@ -283,7 +283,10 @@ _GEN_CTE = f"""g AS (SELECT unnest(range({pipeline_ops.GEN_ROWS})) AS i),
 
 
 # ---- shared DuckDB SQL fragments (mirror functions/text.py exactly) ----
-_TOKS = "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != '')"
+#: whitespace split with the EXPLICIT class (Java \\s ≠ RE2 \\s on \\x0B —
+#: see functions.text.WS_CLASS); identical semantics in both engines
+_TOKS = ("list_filter(regexp_split_to_array(lower(text), "
+         "'[ \\t\\n\\x0B\\f\\r]+'), x -> x != '')")
 _CANON = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
 _SHINGLES = (
     "CASE WHEN len(tok) >= 2 THEN list_distinct(list_transform("
@@ -1158,7 +1161,7 @@ def oracle_sql() -> dict[str, str]:
                    len(tok)::BIGINT AS n_ws_tokens,
                    len(list_distinct(tok))::BIGINT AS n_unique_tokens,
                    len(regexp_extract_all(text,
-                       '[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]'))::BIGINT AS n_bpe_tokens,
+                       '[a-zA-Z0-9]+|[^a-zA-Z0-9 \\t\\n\\x0B\\f\\r]'))::BIGINT AS n_bpe_tokens,
                    length(text)::BIGINT AS len_text
             FROM t
         """,
@@ -1173,7 +1176,7 @@ def oracle_sql() -> dict[str, str]:
                   len(list_distinct(tok)) / len(tok)
                 ELSE 0.0 END AS uniq_ratio,
                 CASE WHEN length(text) > 0 THEN
-                  len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) / length(text)
+                  len(regexp_extract_all(text, '[^a-zA-Z0-9 \\t\\n\\x0B\\f\\r]')) / length(text)
                 ELSE 0.0 END AS punct_ratio,
                 least(length(text) / 500.0, 1.0) AS len_norm
               FROM t)
@@ -1903,7 +1906,7 @@ def oracle_sql() -> dict[str, str]:
                         + 0.3 * least(length(d.text) / 500.0, 1.0), 6)
                           >= {textops.CURATION_MIN_QUALITY}
                       AND round(CASE WHEN length(d.text) > 0 THEN
-                          len(regexp_extract_all(d.text, '[^a-zA-Z0-9\\s]'))
+                          len(regexp_extract_all(d.text, '[^a-zA-Z0-9 \\t\\n\\x0B\\f\\r]'))
                               / length(d.text)
                           ELSE 0.0 END, 6) <= {textops.CURATION_MAX_PUNCT})
                          AS keepf
@@ -1945,7 +1948,7 @@ def oracle_sql() -> dict[str, str]:
                     len(list_distinct(tok)) / len(tok) ELSE 0.0 END)
                   + 0.3 * least(length(text) / 500.0, 1.0), 6) AS q,
                 round(CASE WHEN length(text) > 0 THEN
-                  len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]'))
+                  len(regexp_extract_all(text, '[^a-zA-Z0-9 \\t\\n\\x0B\\f\\r]'))
                       / length(text)
                 ELSE 0.0 END, 6) AS p
               FROM t),
@@ -1974,7 +1977,7 @@ def oracle_sql() -> dict[str, str]:
                     len(list_distinct(tok)) / len(tok) ELSE 0.0 END)
                   + 0.3 * least(length(text) / 500.0, 1.0), 6) AS q,
                 round(CASE WHEN length(text) > 0 THEN
-                  len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]'))
+                  len(regexp_extract_all(text, '[^a-zA-Z0-9 \\t\\n\\x0B\\f\\r]'))
                       / length(text)
                 ELSE 0.0 END, 6) AS p
               FROM t),

@@ -13,10 +13,17 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+#: The whitespace character class, written EXPLICITLY because Java's \s
+#: and RE2's (DuckDB's) \s disagree on vertical tab \x0B — Java includes
+#: it, RE2 does not (found by the adversarial parity test). The explicit
+#: class is identical in both engines; for Java it is exactly \s.
+WS_CLASS = "[ \\t\\n\\x0B\\f\\r]"
+
+
 def tokens(col: Column | str) -> Column:
     """Lowercased whitespace tokens, empties removed."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.filter(F.split(F.lower(c), r"\s+"), lambda x: x != "")
+    return F.filter(F.split(F.lower(c), WS_CLASS + "+"), lambda x: x != "")
 
 
 def md5_hash64(col: Column | str, seed: int | None = None) -> Column:

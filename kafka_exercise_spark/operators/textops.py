@@ -24,7 +24,9 @@ from kafka_exercise_spark.functions.text import (
 
 #: "BPE-ish" word/punct split: alnum runs or single non-space symbols —
 #: a crude stand-in for subword pretokenization, identical in DuckDB regex.
-BPE_REGEX = "[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]"
+#: The whitespace class is explicit (not \s) — see functions.text.WS_CLASS.
+PUNCT_CLASS = "[^a-zA-Z0-9 \\t\\n\\x0B\\f\\r]"
+BPE_REGEX = "[a-zA-Z0-9]+|" + PUNCT_CLASS
 
 
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -61,7 +63,7 @@ def quality_signals() -> dict[str, F.Column]:
     ).otherwise(F.lit(0.0))
     punct_ratio = F.when(
         F.length("text") > 0,
-        F.regexp_count(F.col("text"), F.lit("[^a-zA-Z0-9\\s]")) / F.length("text"),
+        F.regexp_count(F.col("text"), F.lit(PUNCT_CLASS)) / F.length("text"),
     ).otherwise(F.lit(0.0))
     len_norm = F.least(F.length("text") / F.lit(500.0), F.lit(1.0))
     return {

@@ -106,3 +106,43 @@ def test_quantized_vec_matches_python_half_up(spark):
     # the .5 boundaries round away from zero on both engines
     assert got.q[0] == 1 and got.q[1] == -1
     assert got.q[2] == 2 and got.q[3] == -2
+
+
+def test_tokenizer_parity_on_adversarial_whitespace(spark):
+    """The tokenizer is the foundation of every text oracle: Spark's split
+    and the DuckDB _TOKS fragment must agree on adversarial inputs —
+    including vertical tab \\x0B, where Java's \\s and RE2's \\s DISAGREE
+    (the bug the explicit WS_CLASS character class fixed), plus unicode
+    spaces, zero-width chars, CRLF, and case-folding corners."""
+    import __spark_entry__ as entrymod
+    from pyspark.sql import functions as F
+
+    from kafka_exercise_spark.functions.text import tokens
+
+    cases = [
+        "plain ascii words",
+        "tab\tseparated\ttokens",
+        "vertical\x0btab\x0cfeed",  # the Java-vs-RE2 \\s divergence
+        "nbsp\xa0separated",  # U+00A0 is NOT \\s in either engine
+        "ideographic　space",
+        "line sep para",
+        "zero​width",
+        "crlf\r\nmix",
+        "  leading and trailing  ",
+        "Ünïcödé CASE Ünïcödé",
+        "emoji 🎉 tokens",
+        "",
+    ]
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cases)], "id long, text string"
+    )
+    got_spark = {
+        r.id: list(r.t)
+        for r in df.select("id", tokens(F.col("text")).alias("t")).collect()
+    }
+    con = duckdb.connect()
+    for i, c in enumerate(cases):
+        (got_duck,) = con.execute(
+            "SELECT " + entrymod._TOKS.replace("text", "?"), [c]
+        ).fetchone()
+        assert got_spark[i] == list(got_duck), (repr(c), got_spark[i], got_duck)
