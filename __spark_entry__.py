@@ -285,9 +285,13 @@ _GEN_CTE = f"""g AS (SELECT unnest(range({pipeline_ops.GEN_ROWS})) AS i),
 # ---- shared DuckDB SQL fragments (mirror functions/text.py exactly) ----
 #: whitespace split with the EXPLICIT class (Java \\s ≠ RE2 \\s on \\x0B —
 #: see functions.text.WS_CLASS); identical semantics in both engines
-_TOKS = ("list_filter(regexp_split_to_array(lower(text), "
+#: lower() is wrapped in the final-sigma fold (ς → σ) to mirror Spark's
+#: folded_lower — the one case where a pre-existing lowercase char is
+#: rewritten; DuckDB's simple-mapping lower already matches İ → i
+_LOWER = "replace(lower(text), 'ς', 'σ')"
+_TOKS = ("list_filter(regexp_split_to_array(" + _LOWER + ", "
          "'[ \\t\\n\\x0B\\f\\r]+'), x -> x != '')")
-_CANON = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+_CANON = "trim(regexp_replace(" + _LOWER + ", '[^a-z0-9]+', ' ', 'g'))"
 _SHINGLES = (
     "CASE WHEN len(tok) >= 2 THEN list_distinct(list_transform("
     "generate_series(1, len(tok) - 1), i -> tok[i] || ' ' || tok[i + 1]))"

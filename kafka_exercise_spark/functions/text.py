@@ -20,10 +20,25 @@ from pyspark.sql import functions as F
 WS_CLASS = "[ \\t\\n\\x0B\\f\\r]"
 
 
-def tokens(col: Column | str) -> Column:
-    """Lowercased whitespace tokens, empties removed."""
+def folded_lower(col: Column | str) -> Column:
+    """Cross-engine-stable lowercase.
+
+    Java's toLowerCase (Spark) applies the Unicode FULL + contextual
+    mappings; DuckDB applies the simple mappings. They differ in exactly
+    two places (found by the adversarial parity probe): U+0130 İ lowers to
+    "i\u0307" (i + combining dot) in Java but plain "i" in DuckDB, and a
+    word-final Σ lowers to final-form ς in Java but σ in DuckDB. Pre-map
+    İ → i and post-map ς → σ and the two engines agree on every string —
+    the property every tokenization/fingerprint oracle rests on.
+    """
     c = F.col(col) if isinstance(col, str) else col
-    return F.filter(F.split(F.lower(c), WS_CLASS + "+"), lambda x: x != "")
+    return F.translate(F.lower(F.translate(c, "İ", "i")), "ς", "σ")
+
+
+def tokens(col: Column | str) -> Column:
+    """Lowercased (cross-engine folded) whitespace tokens, empties removed."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(folded_lower(c), WS_CLASS + "+"), lambda x: x != "")
 
 
 def md5_hash64(col: Column | str, seed: int | None = None) -> Column:
@@ -83,7 +98,7 @@ def normalized_text(col: Column | str) -> Column:
     """Canonical form for fingerprinting: lowercase, collapse non-alnum runs
     to single spaces, trim."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.trim(F.regexp_replace(F.lower(c), r"[^a-z0-9]+", " "))
+    return F.trim(F.regexp_replace(folded_lower(c), r"[^a-z0-9]+", " "))
 
 
 #: Tiny per-language stopword profiles for the n-gram/stopword language-ID

@@ -131,6 +131,9 @@ def test_tokenizer_parity_on_adversarial_whitespace(spark):
         "  leading and trailing  ",
         "Ünïcödé CASE Ünïcödé",
         "emoji 🎉 tokens",
+        "\u0130stanbul TURKISH \u0130",  # Java FULL lowercase i\u0307 vs simple i
+        "\u03a3\u039f\u03a6\u039f\u03a3 \u0395\u039b\u039b\u0391\u03a3",  # contextual final sigma vs simple
+        "\u03ae\u03b4\u03b7 \u03c2 lowercase \u03c3 mix",  # pre-existing final sigma folds
         "",
     ]
     df = spark.createDataFrame(
@@ -146,3 +149,18 @@ def test_tokenizer_parity_on_adversarial_whitespace(spark):
             "SELECT " + entrymod._TOKS.replace("text", "?"), [c]
         ).fetchone()
         assert got_spark[i] == list(got_duck), (repr(c), got_spark[i], got_duck)
+
+    # the canonical fingerprint form must agree on the same corners
+    from kafka_exercise_spark.functions.text import normalized_text
+
+    got_canon = {
+        r.id: r.c
+        for r in df.select(
+            "id", normalized_text(F.col("text")).alias("c")
+        ).collect()
+    }
+    for i, c in enumerate(cases):
+        (want,) = con.execute(
+            "SELECT " + entrymod._CANON.replace("text", "?"), [c]
+        ).fetchone()
+        assert got_canon[i] == want, (repr(c), got_canon[i], want)
