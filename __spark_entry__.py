@@ -19,6 +19,8 @@ from kafka_exercise_spark.operators import (
     analytic,
     dataquality,
     dedup,
+    entityres,
+    graph,
     multimodal,
     pipeline_ops,
     relational,
@@ -153,6 +155,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_curation_gate": streaming_pipeline.streaming_curation_gate,
         # end-to-end funnel: curation → near-dup → decontam → kept, per src
         "curation_funnel_report": textops.curation_funnel_report,
+        # ---- added late in r04 (post-window; rotate into the r05 window
+        # per the established policy — verify_local covers them now) ----
+        # SymSpell delete-1 blocking + Levenshtein verify (no all-pairs)
+        "er_fuzzy_pairs": entityres.er_fuzzy_pairs,
+        # 5-iteration exact-integer PageRank on the user↔item graph
+        "graph_pagerank": graph.graph_pagerank,
+        # add-one bigram LM cross-entropy (conditional model; micro-nats)
+        "lm_bigram_score": textops.lm_bigram_score,
         # ---- proven entries (hash-green in r01–r03 windows; all still
         # value-checked every session by tools/verify_local.py) ----
         # z-order (Morton) clustering audit: per-tile 2-D bounding boxes
@@ -543,6 +553,36 @@ def _lsh_ctes() -> str:
     return _LSH_CTES.format(
         toks=_TOKS, shingles=_SHINGLES, hsh=_HSH, mh_list=_MH_LIST
     )
+
+
+def _pagerank_ctes() -> str:
+    """Unrolled power-iteration CTE chain replaying operators/graph.py
+    bit-for-bit: integer ranks, ``//`` floor contributions, integer
+    damping — the same exact-arithmetic trick as the k-means chains."""
+    from kafka_exercise_spark.operators import graph as _g
+
+    ctes = [
+        f"""fwd AS (SELECT DISTINCT user_id * 2 AS src,
+                CAST(json_extract_string(props, '$.k') AS BIGINT) * 2 + 1
+                    AS dst
+             FROM events
+             WHERE json_extract_string(props, '$.k') IS NOT NULL),
+        e AS (SELECT src, dst FROM fwd
+              UNION ALL SELECT dst, src FROM fwd),
+        deg AS (SELECT src, count(*)::BIGINT AS deg FROM e GROUP BY src),
+        o AS (SELECT e.src, e.dst, d.deg FROM e JOIN deg d USING (src)),
+        r0 AS (SELECT src AS node, CAST({_g.RANK_SCALE} AS BIGINT) AS rank
+               FROM deg)"""
+    ]
+    for i in range(1, _g.PR_ITERS + 1):
+        ctes.append(
+            f"""r{i} AS (SELECT o.dst AS node,
+                   ({_g.PR_BASE} + ({_g.DAMP_NUM}
+                        * sum(r.rank // o.deg)::BIGINT) // {_g.DAMP_DEN}
+                   )::BIGINT AS rank
+               FROM o JOIN r{i - 1} r ON o.src = r.node GROUP BY o.dst)"""
+        )
+    return ",\n".join(ctes)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2059,6 +2099,72 @@ def oracle_sql() -> dict[str, str]:
                    round(exp(ce_unat / {textops.LM_COST_SCALE}.0)
                          * 100)::BIGINT / 100.0 AS perplexity
             FROM m
+        """,
+        # conditional add-one bigram LM — identical exactness discipline
+        # to the unigram oracle: integer micro-nat costs, ONE 0-dp round
+        "lm_bigram_score": f"""
+            WITH t0 AS (SELECT doc_id, {_TOKS} AS tok FROM documents),
+            t AS (SELECT doc_id, tok FROM t0 WHERE len(tok) >= 2),
+            b AS (SELECT doc_id,
+                         unnest(list_transform(
+                             generate_series(1, len(tok) - 1),
+                             i -> tok[i] || ' ' || tok[i + 1])) AS bg
+                  FROM t),
+            f AS (SELECT bg, count(*) AS c2 FROM b GROUP BY bg),
+            h AS (SELECT split_part(bg, ' ', 1) AS w1,
+                         sum(c2)::BIGINT AS h
+                  FROM f GROUP BY 1),
+            vc AS (SELECT count(DISTINCT u) AS V
+                   FROM (SELECT unnest(tok) AS u FROM t)),
+            cost AS (SELECT bg,
+                            round(ln((h.h + V) / (f.c2 + 1))
+                                  * {textops.LM_COST_SCALE})::BIGINT AS u
+                     FROM f JOIN h ON split_part(f.bg, ' ', 1) = h.w1, vc),
+            d AS (SELECT doc_id, count(*) AS n, sum(u) AS su
+                  FROM b JOIN cost USING (bg) GROUP BY doc_id),
+            m AS (SELECT doc_id, n, round(su / n)::BIGINT AS ce_unat FROM d)
+            SELECT doc_id, n::BIGINT AS n_bigrams,
+                   ce_unat / {textops.LM_COST_SCALE}.0 AS cross_entropy_nats,
+                   round(exp(ce_unat / {textops.LM_COST_SCALE}.0)
+                         * 100)::BIGINT / 100.0 AS perplexity
+            FROM m
+        """,
+        # SymSpell delete-1 blocking + exact Levenshtein verify; ASCII
+        # input so byte-counting DuckDB ≡ codepoint-counting Spark
+        "er_fuzzy_pairs": f"""
+            WITH vv AS (
+                SELECT c_custkey, c_name, c_nationkey,
+                       unnest(list_distinct(list_prepend(c_name,
+                           list_transform(
+                               generate_series(1, length(c_name)),
+                               i -> substr(c_name, 1, i - 1)
+                                    || substr(c_name, i + 1,
+                                              length(c_name)))))) AS v
+                FROM customer),
+            blocks AS (SELECT v, count(*) AS bn FROM vv GROUP BY v),
+            vb AS (SELECT vv.* FROM vv JOIN blocks USING (v)
+                   WHERE blocks.bn <= {entityres.ER_BLOCK_CAP}),
+            p AS (SELECT DISTINCT
+                         a.c_custkey AS ka, b.c_custkey AS kb,
+                         a.c_name AS na, b.c_name AS nb,
+                         a.c_nationkey AS nation_a,
+                         b.c_nationkey AS nation_b
+                  FROM vb a JOIN vb b
+                    ON a.v = b.v AND a.c_custkey < b.c_custkey)
+            SELECT nation_a, nation_b, count(*)::BIGINT AS n_pairs,
+                   min(ka) AS min_custkey_a, max(kb) AS max_custkey_b
+            FROM p WHERE levenshtein(na, nb) <= {entityres.ER_MAX_DIST}
+            GROUP BY nation_a, nation_b
+        """,
+        # unrolled exact-integer power iteration (see _pagerank_ctes)
+        "graph_pagerank": f"""
+            WITH {_pagerank_ctes()}
+            SELECT node,
+                   CASE WHEN node % 2 = 0 THEN 'user' ELSE 'item' END
+                       AS node_type,
+                   node // 2 AS entity_id, rank
+            FROM r{graph.PR_ITERS}
+            ORDER BY rank DESC, node ASC LIMIT {graph.TOP_NODES}
         """,
         # posting-list join + integer dot; cos² divides exact-in-double
         # integers, so the ranking needs no rounding at all

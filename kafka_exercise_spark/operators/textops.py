@@ -19,6 +19,7 @@ from kafka_exercise_spark.functions.text import (
     md5_hash64,
     normalized_text,
     profile_hits,
+    shingles_all,
     tokens,
 )
 
@@ -577,6 +578,83 @@ def lm_unigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_doc.select(
         "doc_id",
         F.col("n_tokens").cast("long").alias("n_tokens"),
+        ce.alias("cross_entropy_nats"),
+        (ppl_centi / 100.0).alias("perplexity"),
+    )
+
+
+def lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model quality score — the next model up from
+    ``lm_unigram_score``'s CCNet-style filter: per-document cross-entropy
+    under an add-one-smoothed *conditional* model
+    p(w₂|w₁) = (c(w₁w₂)+1) / (h(w₁)+V), fit on the corpus itself, where
+    h(w₁) is the history count (bigrams starting with w₁) and V the
+    unigram vocabulary. Catches fluent-word-salad that a unigram model
+    scores well (every word common, no word *sequence* plausible).
+
+    Same execution skeleton as the unigram entry — bigram frequencies
+    (one shuffle with map-side combine), history counts derived from the
+    same frequency table (tokens contain no whitespace, so the space-join
+    splits back losslessly), per-bigram costs quantized to integer
+    micro-nats BEFORE the per-doc sum. One deliberate difference: the
+    cost table joins back with a PLAIN join, not a broadcast — bigram
+    vocabulary grows with the corpus (unlike unigram vocab) and must be
+    allowed to shuffle; AQE still broadcasts it while it fits.
+
+    Documents with fewer than two tokens have no bigrams and are excluded
+    (the division guard), mirrored in the oracle.
+    """
+    docs = scale_partitions(load_table(spark, sf_dir, "documents"), spark)
+    # tokenize ONCE: the token frame feeds the vocabulary count and (via
+    # the bigram explode) both the frequency pass and the scoring join
+    base = (
+        docs.select("doc_id", tokens(F.col("text")).alias("tok"))
+        .where(F.size("tok") >= 2)
+        .persist()
+    )
+    base.count()
+    exploded = base.select(
+        "doc_id", F.explode(shingles_all(F.col("tok"), 2)).alias("bg")
+    )
+    freq = exploded.groupBy("bg").agg(F.count("*").alias("c2"))
+    hist = (
+        freq.select(F.split(F.col("bg"), " ")[0].alias("w1"), "c2")
+        .groupBy("w1")
+        .agg(F.sum("c2").alias("h"))
+    )
+    vocab = base.select(F.explode("tok").alias("t")).agg(
+        F.count_distinct("t").alias("V")
+    )
+    cost = (
+        freq.withColumn("w1", F.split(F.col("bg"), " ")[0])
+        .join(F.broadcast(hist), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "bg",
+            F.round(
+                F.log((F.col("h") + F.col("V")) / (F.col("c2") + 1))
+                * LM_COST_SCALE
+            )
+            .cast("long")
+            .alias("cost_unat"),
+        )
+    )
+    per_doc = (
+        exploded.join(cost, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum("cost_unat").alias("sum_unat"),
+        )
+    )
+    # identical exactness discipline to the unigram entry: ONE 0-dp round
+    # at micro-nat resolution, then exact divisions
+    ce_unat = F.round(F.col("sum_unat") / F.col("n_bigrams")).cast("long")
+    ce = ce_unat / F.lit(float(LM_COST_SCALE))
+    ppl_centi = F.round(F.exp(ce) * 100).cast("long")
+    return per_doc.select(
+        "doc_id",
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
         ce.alias("cross_entropy_nats"),
         (ppl_centi / 100.0).alias("perplexity"),
     )
