@@ -163,6 +163,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank": graph.graph_pagerank,
         # add-one bigram LM cross-entropy (conditional model; micro-nats)
         "lm_bigram_score": textops.lm_bigram_score,
+        # Efraimidis–Spirakis weighted sampling via hash-derived uniforms
+        "weighted_sample_topn": sampling.weighted_sample_topn,
+        # k-anonymity census over a quasi-identifier tuple (release gate)
+        "k_anonymity_report": dataquality.k_anonymity_report,
         # ---- proven entries (hash-green in r01–r03 windows; all still
         # value-checked every session by tools/verify_local.py) ----
         # z-order (Morton) clustering audit: per-tile 2-D bounding boxes
@@ -2128,6 +2132,37 @@ def oracle_sql() -> dict[str, str]:
                    round(exp(ce_unat / {textops.LM_COST_SCALE}.0)
                          * 100)::BIGINT / 100.0 AS perplexity
             FROM m
+        """,
+        # A-ES order sampling: u is an integer ratio, ln/divide are
+        # same-formula folds, ONE 0-dp round at micro resolution
+        "weighted_sample_topn": f"""
+            WITH s AS (
+                SELECT source, doc_id,
+                       len({_TOKS}) AS weight,
+                       -ln((('0x' || substr(md5('es:' || doc_id), 1, 15))
+                                ::BIGINT % {sampling.ES_UNIFORM_M} + 1)
+                           / {sampling.ES_UNIFORM_M}.0)
+                           / len({_TOKS}) AS key
+                FROM documents),
+            r AS (SELECT source, doc_id, weight, key,
+                         row_number() OVER (PARTITION BY source
+                                            ORDER BY key ASC, doc_id ASC)
+                             AS rnk
+                  FROM s WHERE weight >= 1)
+            SELECT source, doc_id, weight::BIGINT AS weight,
+                   round(key * 1000000)::BIGINT AS key_micro,
+                   rnk::BIGINT AS rnk
+            FROM r WHERE rnk <= {sampling.ES_SAMPLE_N}
+        """,
+        # QI census; bal band = floor of an identical IEEE division
+        "k_anonymity_report": f"""
+            SELECT c_nationkey, c_mktsegment,
+                   floor(c_acctbal / {dataquality.K_ANON_BAL_BAND})::BIGINT
+                       AS bal_band,
+                   count(*)::BIGINT AS n_rows,
+                   count(*) < {dataquality.K_ANON} AS at_risk
+            FROM customer
+            GROUP BY 1, 2, 3
         """,
         # SymSpell delete-1 blocking + exact Levenshtein verify; ASCII
         # input so byte-counting DuckDB ≡ codepoint-counting Spark

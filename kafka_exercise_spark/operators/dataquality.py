@@ -184,3 +184,41 @@ def dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders_suite.run(load_table(spark, sf_dir, "orders")).unionByName(
         events_suite.run(load_table(spark, sf_dir, "events"))
     )
+
+
+#: k-anonymity threshold: quasi-identifier groups smaller than this are
+#: re-identification risks.
+K_ANON = 10
+
+#: Account-balance banding width for the quasi-identifier (coarse bands
+#: are the generalization step of a k-anonymization pass).
+K_ANON_BAL_BAND = 1000
+
+
+def k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy audit for training-data release: k-anonymity census over a
+    quasi-identifier tuple — (nation, market segment, balance band) on the
+    customer table. Any group with fewer than ``K_ANON`` members is a
+    re-identification risk (Sweeney 2002); the report is what a release
+    gate consumes to decide suppression or further generalization before
+    records (or text derived from them) enter a training corpus.
+
+    ONE scan → ONE groupBy on the QI tuple: the same single-pass shape as
+    ``dq_report``'s expectation suite. Map-side partial counts make the
+    shuffle carry at most |QI-cardinality| rows per partition — at 100 TB
+    the exchange is bounded by the QI domain, not the table.
+
+    The balance band is ``floor(c_acctbal / band)`` — floor of an
+    identical IEEE division in both engines, so bands are engine-exact
+    even though the balance is a double.
+    """
+    from kafka_exercise_spark.catalog import scale_partitions  # noqa: PLC0415
+
+    cust = scale_partitions(load_table(spark, sf_dir, "customer"), spark)
+    band = F.floor(F.col("c_acctbal") / K_ANON_BAL_BAND).cast("long")
+    return (
+        cust.select("c_nationkey", "c_mktsegment", band.alias("bal_band"))
+        .groupBy("c_nationkey", "c_mktsegment", "bal_band")
+        .agg(F.count("*").alias("n_rows"))
+        .withColumn("at_risk", F.col("n_rows") < K_ANON)
+    )

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kafka_exercise_spark.catalog import load_table
+from kafka_exercise_spark.catalog import load_table, scale_partitions
 from kafka_exercise_spark.functions.text import md5_hash64
 
 
@@ -379,4 +379,60 @@ def mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         kept.alias("planned_tokens"),
         (F.col("target_tokens") - kept).cast("long").alias("shortfall_tokens"),
         F.floor(kept * 10_000 / F.col("avail_tokens")).cast("long").alias("rate_bps"),
+    )
+
+
+#: Weighted-sample size per stratum (per ``source``).
+ES_SAMPLE_N = 20
+
+#: Resolution of the hash-derived uniform: u ∈ {1/M, …, M/M}, M = 2^20.
+ES_UNIFORM_M = 1 << 20
+
+
+def weighted_sample_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement, per source —
+    Efraimidis–Spirakis (A-ES) order sampling with hash-derived uniforms:
+    key(d) = −ln(u_d)/w_d with u_d a pure function of ``doc_id``; the N
+    smallest keys per stratum ARE a weighted sample without replacement.
+    The pipeline use: pick a quality-weighted subsample of each source
+    with zero RNG state — reruns, repartitions, and engines all agree on
+    the exact same sample (the same argument as the hash-bucket sampler
+    above, extended to weighted draws).
+
+    Weight here = token count (longer docs proportionally likelier), the
+    common "sample by token mass" policy.
+
+    Scale: the per-stratum top-N is a rank()-limited window — Spark ≥3.5
+    plans WindowGroupLimit, keeping a running N-heap per partition BEFORE
+    the stratum shuffle, so the exchange carries ~N·partitions rows, not
+    the corpus. Exactness: u is an integer ratio (identical doubles), ln
+    and the divide are same-formula folds, and the output key is ONE 0-dp
+    round at micro resolution (oracle-exactness rules, MEMORY.md).
+    """
+    from kafka_exercise_spark.functions.text import tokens  # noqa: PLC0415
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    docs = scale_partitions(load_table(spark, sf_dir, "documents"), spark)
+    w = F.size(tokens(F.col("text"))).cast("long")
+    h = F.pmod(
+        md5_hash64(F.concat(F.lit("es:"), F.col("doc_id").cast("string"))),
+        F.lit(ES_UNIFORM_M),
+    )
+    u = (h + 1) / F.lit(float(ES_UNIFORM_M))
+    scored = docs.select(
+        "source", "doc_id", w.alias("weight"), (-F.log(u) / w).alias("key")
+    ).where(F.col("weight") >= 1)
+    win = Window.partitionBy("source").orderBy(
+        F.col("key").asc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(win))
+        .where(F.col("rnk") <= ES_SAMPLE_N)
+        .select(
+            "source",
+            "doc_id",
+            "weight",
+            F.round(F.col("key") * 1_000_000).cast("long").alias("key_micro"),
+            F.col("rnk").cast("long").alias("rnk"),
+        )
     )

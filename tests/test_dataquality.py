@@ -107,3 +107,23 @@ def test_streaming_dq_gate_partitions_stream(spark, sf_dir):
     valid = {"null_user", "bad_type", "value_range"}
     for tag in by_tag:
         assert all(t in valid for t in tag.split(",") if t)
+
+
+def test_k_anonymity_partition_and_flags(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from kafka_exercise_spark.catalog import load_table
+    from kafka_exercise_spark.operators.dataquality import (
+        K_ANON,
+        k_anonymity_report,
+    )
+
+    rep = k_anonymity_report(spark, sf_dir)
+    rows = rep.collect()
+    # the census partitions the table exactly
+    total = load_table(spark, sf_dir, "customer").count()
+    assert sum(r.n_rows for r in rows) == total
+    assert all((r.n_rows < K_ANON) == r.at_risk for r in rows)
+    # QI tuples are unique rows
+    keys = [(r.c_nationkey, r.c_mktsegment, r.bal_band) for r in rows]
+    assert len(keys) == len(set(keys))

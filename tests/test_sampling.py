@@ -199,3 +199,45 @@ def test_mixture_plan_allocates_budget(spark, sf_dir):
     # the plan discriminates: at least one satisfied and, with the fixture
     # inventories, weights differ across sources
     assert len({r.weight for r in rows}) > 1
+
+
+def test_weighted_sample_topn_shape_and_determinism(spark, sf_dir):
+    from kafka_exercise_spark.operators.sampling import (
+        ES_SAMPLE_N,
+        weighted_sample_topn,
+    )
+
+    r1 = weighted_sample_topn(spark, sf_dir).collect()
+    r2 = weighted_sample_topn(spark, sf_dir).collect()
+    assert sorted(map(tuple, r1)) == sorted(map(tuple, r2))
+    per_src = {}
+    for r in r1:
+        per_src.setdefault(r.source, []).append(r)
+        assert 1 <= r.rnk <= ES_SAMPLE_N and r.weight >= 1 and r.key_micro >= 0
+    for rows in per_src.values():
+        rows.sort(key=lambda r: r.rnk)
+        assert [r.rnk for r in rows] == list(range(1, len(rows) + 1))
+        # ranks follow the A-ES key order
+        keys = [r.key_micro for r in rows]
+        assert keys == sorted(keys)
+
+
+def test_weighted_sample_prefers_heavy_docs(spark, sf_dir):
+    """The sampled docs' mean weight must exceed the corpus mean weight —
+    the defining property of weighted (vs uniform) sampling."""
+    from pyspark.sql import functions as F
+
+    from kafka_exercise_spark.catalog import load_table
+    from kafka_exercise_spark.functions.text import tokens
+    from kafka_exercise_spark.operators.sampling import weighted_sample_topn
+
+    sample_mean = (
+        weighted_sample_topn(spark, sf_dir).agg(F.avg("weight")).first()[0]
+    )
+    corpus_mean = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.size(tokens(F.col("text"))).alias("w"))
+        .agg(F.avg("w"))
+        .first()[0]
+    )
+    assert sample_mean > corpus_mean
