@@ -53,20 +53,34 @@ def explain_str(df: DataFrame, mode: str = "formatted") -> str:
         ) from exc
 
 
+def _unique_op_ids(df: DataFrame, name_pattern: str) -> int:
+    """Count DISTINCT formatted-plan operator ids whose node name matches.
+
+    Formatted mode assigns every physical operator a stable id and prints a
+    persisted frame's (already-executed-once) materialization plan under
+    the SAME ids at every reference — so counting distinct ids counts each
+    real operator exactly once, where raw text counts would multiply a
+    cached subtree by its reference count (an iterative op like PageRank
+    referencing its edge cache 5× would overstate 5×).
+    """
+    plan = explain_str(df, "formatted")
+    return len(set(re.findall(rf"\((\d+)\) {name_pattern}(?![A-Za-z])", plan)))
+
+
 def shuffle_exchange_count(df: DataFrame) -> int:
-    """Number of shuffle Exchange operators (broadcast exchanges excluded).
+    """Number of distinct shuffle Exchange operators (broadcast exchanges
+    excluded; a persisted frame's materialization counts once).
 
     This is THE scale number: each shuffle rewrites the stream to the
     cluster. A 100 TB plan lives or dies on this count.
     """
-    plan = explain_str(df, "simple")
-    return len(re.findall(r"(?<!Broadcast)Exchange (?:hashpartitioning|rangepartitioning|RoundRobinPartitioning|SinglePartition)", plan))
+    return _unique_op_ids(df, "Exchange")
 
 
 def broadcast_join_count(df: DataFrame) -> int:
-    """Number of broadcast hash/nested-loop joins in the physical plan."""
-    plan = explain_str(df, "simple")
-    return len(re.findall(r"BroadcastHashJoin|BroadcastNestedLoopJoin", plan))
+    """Number of distinct broadcast hash/nested-loop joins in the physical
+    plan (a persisted frame's materialization counts once)."""
+    return _unique_op_ids(df, "Broadcast(?:Hash|NestedLoop)Join")
 
 
 def has_cartesian_product(df: DataFrame) -> bool:
