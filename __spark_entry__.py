@@ -21,6 +21,7 @@ from kafka_exercise_spark.operators import (
     dedup,
     entityres,
     graph,
+    market,
     multimodal,
     pipeline_ops,
     relational,
@@ -167,6 +168,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample_topn": sampling.weighted_sample_topn,
         # k-anonymity census over a quasi-identifier tuple (release gate)
         "k_anonymity_report": dataquality.k_anonymity_report,
+        # pairwise market-basket rules (within-basket join; integer lift)
+        "basket_pair_rules": market.basket_pair_rules,
+        # hourly resample + forward fill per user (gap-free time series)
+        "resample_ffill_events": analytic.resample_ffill_events,
         # ---- proven entries (hash-green in r01–r03 windows; all still
         # value-checked every session by tools/verify_local.py) ----
         # z-order (Morton) clustering audit: per-tile 2-D bounding boxes
@@ -2132,6 +2137,59 @@ def oracle_sql() -> dict[str, str]:
                    round(exp(ce_unat / {textops.LM_COST_SCALE}.0)
                          * 100)::BIGINT / 100.0 AS perplexity
             FROM m
+        """,
+        # within-basket pair join; all-integer support counts + ppm lift
+        "basket_pair_rules": f"""
+            WITH i0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+            sz AS (SELECT l_orderkey, count(*) AS bsize FROM i0 GROUP BY 1),
+            i AS (SELECT i0.* FROM i0 JOIN sz USING (l_orderkey)
+                  WHERE sz.bsize <= {market.BASKET_CAP}),
+            no AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM i),
+            ic AS (SELECT l_partkey, count(*) AS cnt FROM i GROUP BY 1),
+            pc AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+                          count(*)::BIGINT AS pair_cnt
+                   FROM i a JOIN i b USING (l_orderkey)
+                   WHERE a.l_partkey < b.l_partkey
+                   GROUP BY 1, 2
+                   HAVING count(*) >= {market.MIN_SUPPORT})
+            SELECT pc.pa AS part_a, pc.pb AS part_b, pc.pair_cnt,
+                   ca.cnt::BIGINT AS cnt_a, cb.cnt::BIGINT AS cnt_b,
+                   ((pc.pair_cnt * no.n_orders * 1000000)
+                    // (ca.cnt * cb.cnt))::BIGINT AS lift_ppm
+            FROM pc
+            JOIN ic ca ON ca.l_partkey = pc.pa
+            JOIN ic cb ON cb.l_partkey = pc.pb, no
+        """,
+        # hourly grid + IGNORE NULLS forward fill; hour math in integer
+        # micros, filled value is a pass-through double
+        "resample_ffill_events": f"""
+            WITH e AS (SELECT user_id, epoch_us(ts) AS us, value, event_id
+                       FROM events),
+            hb AS (SELECT user_id, us // {analytic.RESAMPLE_BUCKET_US} AS h,
+                          value, us, event_id
+                   FROM e),
+            hr AS (SELECT user_id, h, value AS v_obs, n_events FROM (
+                     SELECT user_id, h, value,
+                            count(*) OVER (PARTITION BY user_id, h)
+                                AS n_events,
+                            row_number() OVER (PARTITION BY user_id, h
+                                ORDER BY us DESC, event_id DESC) AS rn
+                     FROM hb) WHERE rn = 1),
+            span AS (SELECT user_id, min(h) AS h0, max(h) AS h1
+                     FROM hr GROUP BY 1),
+            grid AS (SELECT user_id, unnest(generate_series(h0, h1)) AS h
+                     FROM span),
+            j AS (SELECT g.user_id, g.h, hr.v_obs, hr.n_events
+                  FROM grid g LEFT JOIN hr
+                    ON hr.user_id = g.user_id AND hr.h = g.h)
+            SELECT user_id, (h * 3600)::BIGINT AS hour_start_s,
+                   last_value(v_obs IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY h
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS value_ffill,
+                   coalesce(n_events, 0)::BIGINT AS n_events,
+                   n_events IS NOT NULL AS observed
+            FROM j
         """,
         # A-ES order sampling: u is an integer ratio, ln/divide are
         # same-formula folds, ONE 0-dp round at micro resolution

@@ -435,3 +435,64 @@ def scd2_user_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(nxt, TS_FMT).alias("valid_to"),
         nxt.isNull().alias("is_current"),
     )
+
+
+#: Resample bucket: 1 hour, in integer microseconds.
+RESAMPLE_BUCKET_US = 3_600_000_000
+
+
+def resample_ffill_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series regularization: resample each user's event stream onto
+    an hourly grid with forward fill — the gap-free input a downstream
+    model or rollup expects (pandas ``resample().ffill()``, expressed as
+    distributed relational algebra).
+
+    Three steps, all keyed on ``user_id``:
+    1. hourly last-observation: groupBy (user, hour) with ``max_by`` on
+       the exact (micros, event_id) tuple — deterministic even under
+       same-microsecond ties;
+    2. grid: explode ``sequence(min_hour, max_hour)`` per user — the
+       fan-out is bounded by the observation span, not the event count;
+    3. fill: ``last(value, ignorenulls)`` over an UNBOUNDED-PRECEDING
+       window ordered by hour.
+
+    Every stage shuffles on the same user_id-derived key, so Catalyst
+    reuses one partitioning across the aggregate, the grid join, and the
+    window sort. Hour arithmetic is integer micros (exact everywhere);
+    the filled value is a pass-through double — no float math at all.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    hourly = (
+        ev.select(
+            "user_id",
+            F.expr(f"unix_micros(ts) div {RESAMPLE_BUCKET_US}").alias("h"),
+            "value",
+            us.alias("us"),
+            "event_id",
+        )
+        .groupBy("user_id", "h")
+        .agg(
+            F.max_by("value", F.struct("us", "event_id")).alias("v_obs"),
+            F.count("*").alias("n_events"),
+        )
+    )
+    span = hourly.groupBy("user_id").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    grid = span.select(
+        "user_id", F.explode(F.sequence("h0", "h1")).alias("h")
+    )
+    joined = grid.join(hourly, ["user_id", "h"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        "user_id",
+        (F.col("h") * 3600).cast("long").alias("hour_start_s"),
+        F.last("v_obs", ignorenulls=True).over(w).alias("value_ffill"),
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+        F.col("n_events").isNotNull().alias("observed"),
+    )

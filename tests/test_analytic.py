@@ -184,3 +184,58 @@ def test_scd2_versions_tile_time_per_user(spark, sf_dir):
         assert versions[-1].is_current and versions[-1].valid_to is None
         for a, b in zip(versions, versions[1:]):
             assert a.valid_to == b.valid_from, (user, a.event_id)
+
+
+def test_basket_pair_rules_exact_lift(spark):
+    """Hand basket set: only the support-2 pair survives, with the exact
+    integer lift."""
+    from kafka_exercise_spark.operators import market
+
+    rows = [(1, 10), (1, 11), (1, 12), (2, 10), (2, 11), (3, 10), (3, 11)]
+    df = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    orig = market.load_table
+    try:
+        market.load_table = lambda s, d, n: df
+        out = market.basket_pair_rules(spark, "x").collect()
+    finally:
+        market.load_table = orig
+    assert len(out) == 1
+    r = out[0]
+    assert (r.part_a, r.part_b, r.pair_cnt) == (10, 11, 3)
+    # lift = n_orders * c_ab / (c_a * c_b) = 3*3/9 = 1.0 -> 1_000_000 ppm
+    assert r.lift_ppm == 1_000_000
+
+
+def test_resample_ffill_grid_and_fill(spark):
+    """User with events in hours 0 and 2: the grid holds hour 1 with the
+    hour-0 value forward-filled and observed=False."""
+    import datetime as dt
+
+    from kafka_exercise_spark.operators import analytic as an
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (0, base, 7, 1.5),
+        (1, base + dt.timedelta(minutes=30), 7, 2.5),
+        (2, base + dt.timedelta(hours=2), 7, 9.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+    orig = an.load_table
+    try:
+        an.load_table = lambda s, d, n: df
+        out = {r.hour_start_s: r for r in
+               an.resample_ffill_events(spark, "x").collect()}
+    finally:
+        an.load_table = orig
+    h0 = int(base.replace(tzinfo=dt.timezone.utc).timestamp())
+    assert sorted(out) == [h0, h0 + 3600, h0 + 7200]
+    # hour 0: last observation in the hour wins (event_id 1, value 2.5)
+    assert out[h0].value_ffill == 2.5 and out[h0].n_events == 2
+    assert out[h0].observed is True
+    # hour 1: unobserved, forward-filled from hour 0
+    assert out[h0 + 3600].value_ffill == 2.5
+    assert out[h0 + 3600].observed is False and out[h0 + 3600].n_events == 0
+    # hour 2: fresh observation replaces the fill
+    assert out[h0 + 7200].value_ffill == 9.0
