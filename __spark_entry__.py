@@ -172,6 +172,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "basket_pair_rules": market.basket_pair_rules,
         # hourly resample + forward fill per user (gap-free time series)
         "resample_ffill_events": analytic.resample_ffill_events,
+        # matrix-free PCA: exact-integer power iteration (6 rounds)
+        "embedding_top_component": similarity.embedding_top_component,
         # ---- proven entries (hash-green in r01–r03 windows; all still
         # value-checked every session by tools/verify_local.py) ----
         # z-order (Morton) clustering audit: per-tile 2-D bounding boxes
@@ -592,6 +594,48 @@ def _pagerank_ctes() -> str:
                FROM o JOIN r{i - 1} r ON o.src = r.node GROUP BY o.dst)"""
         )
     return ",\n".join(ctes)
+
+
+def _power_iter_ctes() -> str:
+    """Unrolled power-iteration CTE chain replaying
+    ``similarity.embedding_top_component`` bit-for-bit: all divisions on
+    absolutes with explicit sign splits, so DuckDB ``//`` (floor) and
+    Spark ``div`` (truncate) agree at every step."""
+    from kafka_exercise_spark.operators import similarity as sim
+
+    parts = [
+        f"""e AS (SELECT vec_id,
+                    list_transform(embedding,
+                        x -> round(x * {sim.PROJ_SCALE})::BIGINT) AS q
+             FROM embeddings),
+        qx AS (SELECT vec_id, j, q[j] AS a
+               FROM e, unnest(generate_series(1, {sim.EMBED_DIM})) t(j)),
+        v0 AS (SELECT unnest(generate_series(1, {sim.EMBED_DIM})) AS j,
+                      {sim.PI_V_SCALE}::BIGINT AS v)"""
+    ]
+    for i in range(1, sim.PI_ITERS + 1):
+        # MATERIALIZED: DuckDB inlines CTEs by default, and each round
+        # references the previous one at two levels — the inlined tree
+        # doubles per round (2^iters scans). Materializing pins each
+        # round to one evaluation, mirroring the Spark side's per-round
+        # localCheckpoint.
+        parts.append(
+            f"""s{i} AS MATERIALIZED (SELECT vec_id,
+                       (CASE WHEN sum(a * v) < 0 THEN -1 ELSE 1 END)
+                       * (abs(sum(a * v))::BIGINT // {sim.PROJ_SCALE}) AS s
+                FROM qx JOIN v{i - 1} USING (j) GROUP BY vec_id),
+        w{i} AS MATERIALIZED (SELECT j,
+                           (CASE WHEN sum(a * s) < 0 THEN -1 ELSE 1 END)
+                           * (abs(sum(a * s))::BIGINT // {sim.PROJ_SCALE})
+                               AS w
+                 FROM qx JOIN s{i} USING (vec_id) GROUP BY j),
+        m{i} AS MATERIALIZED (SELECT greatest(max(abs(w)), 1) AS m
+                              FROM w{i}),
+        v{i} AS MATERIALIZED (SELECT j, (CASE WHEN w < 0 THEN -1 ELSE 1 END)
+                           * ((abs(w) * {sim.PI_V_SCALE}) // m) AS v
+                 FROM w{i}, m{i})"""
+        )
+    return ",\n".join(parts)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2137,6 +2181,13 @@ def oracle_sql() -> dict[str, str]:
                    round(exp(ce_unat / {textops.LM_COST_SCALE}.0)
                          * 100)::BIGINT / 100.0 AS perplexity
             FROM m
+        """,
+        # unrolled exact-integer power iteration (see _power_iter_ctes)
+        "embedding_top_component": f"""
+            WITH {_power_iter_ctes()}
+            SELECT j, v::BIGINT AS v_q,
+                   v / {similarity.PI_V_SCALE}.0 AS loading
+            FROM v{similarity.PI_ITERS}
         """,
         # within-basket pair join; all-integer support counts + ppm lift
         "basket_pair_rules": f"""

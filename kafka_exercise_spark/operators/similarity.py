@@ -1093,3 +1093,103 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+#: Power-iteration fixed point: eigenvector components renormalized to
+#: max-abs = this scale each iteration. 2²⁰ keeps ~18 significant bits
+#: through the down-shifts (2¹⁰ left only ~5 bits after cancellation in
+#: A·v and stalled convergence — pinned by the numpy-alignment test).
+PI_V_SCALE = 1 << 20
+
+#: Power iterations (fixed, not convergence-tested — pure function of the
+#: input, so the DuckDB oracle replays it as an unrolled CTE chain). The
+#: fixture's spectrum is nearly flat (λ₂/λ₁ ≈ 0.93), so no small fixed
+#: count fully converges; 12 rounds reach >92% of λ₁ in Rayleigh
+#: quotient while keeping the plan and the unrolled oracle tractable.
+PI_ITERS = 12
+
+
+def embedding_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant principal direction of the embedding cloud via power
+    iteration — matrix-free PCA, the first step of embedding whitening /
+    anisotropy diagnosis (a strongly dominant direction is the classic
+    "rogue dimension" failure of embedding spaces).
+
+    v ← normalize(Aᵀ(A·v)), ``PI_ITERS`` rounds, ENTIRELY in exact 64-bit
+    integers: vectors are fixed-point quantized (``quantized_vec``), the
+    per-row projection s = A_i·v and the accumulation w = Σ s·A_i are
+    exact integer sums, s is down-shifted by the quantization scale, and
+    renormalization is ``(|w|·scale) div max|w|`` with an explicit sign
+    split (Spark ``div`` truncates, DuckDB ``//`` floors — they agree on
+    non-negative operands ONLY, so all divisions run on absolutes). The
+    whole fit is therefore engine-exact and the oracle replays it
+    bit-for-bit — the k-means/PageRank trick applied to linear algebra.
+
+    Scale shape: the exploded (vec_id, j, a) frame is materialized once;
+    each iteration is one broadcast-join + groupBy(vec_id) (the row
+    projection) and one groupBy(j) into EMBED_DIM cells (the transpose
+    accumulation) — map-side partial sums carry the weight, the second
+    exchange is EMBED_DIM rows. Overflow bound: the widest intermediates
+    (Σ a·s before its down-shift, |w|·PI_V_SCALE in the renorm) stay
+    under 2⁶³ for n up to ~10⁸ rows; beyond that, drop PI_V_SCALE a
+    decade per decade of n (same note as graph.RANK_SCALE).
+    """
+    emb = _embeddings_double(spark, sf_dir)
+    q = (
+        emb.select(
+            "vec_id", F.posexplode(quantized_vec(F.col("emb"))).alias("j", "a")
+        )
+        .select("vec_id", (F.col("j") + 1).alias("j"), "a")
+        .persist()
+    )
+    q.count()
+    v = spark.range(1, EMBED_DIM + 1).select(
+        F.col("id").alias("j"), F.lit(PI_V_SCALE).cast("long").alias("v")
+    )
+    sgn = "CASE WHEN {x} < 0 THEN -1 ELSE 1 END"
+    for _ in range(PI_ITERS):
+        s = (
+            q.join(F.broadcast(v), "j")
+            .groupBy("vec_id")
+            .agg(F.sum(F.col("a") * F.col("v")).alias("s_raw"))
+            .select(
+                "vec_id",
+                F.expr(
+                    f"({sgn.format(x='s_raw')}) * (abs(s_raw) div {PROJ_SCALE})"
+                ).alias("s"),
+            )
+        )
+        w = (
+            q.join(s, "vec_id")
+            .groupBy("j")
+            .agg(F.sum(F.col("a") * F.col("s")).alias("w_raw"))
+            # down-shift before renorm so |w|·PI_V_SCALE stays < 2⁶³
+            .select(
+                "j",
+                F.expr(
+                    f"({sgn.format(x='w_raw')}) * (abs(w_raw) div {PROJ_SCALE})"
+                ).alias("w"),
+            )
+        )
+        m = w.agg(
+            F.greatest(F.max(F.abs(F.col("w"))), F.lit(1)).alias("m")
+        )
+        # cut lineage every round: v references q at TWO levels (via s and
+        # w), so the uncut logical plan doubles per iteration — 2^iters
+        # scan references kills the optimizer long before execution. The
+        # checkpoint is 64 rows; values are unchanged (exact integers).
+        v = (
+            w.crossJoin(F.broadcast(m))
+            .select(
+                "j",
+                F.expr(
+                    f"({sgn.format(x='w')}) * ((abs(w) * {PI_V_SCALE}) div m)"
+                ).alias("v"),
+            )
+            .localCheckpoint()
+        )
+    return v.select(
+        "j",
+        F.col("v").alias("v_q"),
+        (F.col("v") / float(PI_V_SCALE)).alias("loading"),
+    )

@@ -1039,3 +1039,45 @@ def test_curation_funnel_partitions_and_orders_stages(spark, sf_dir):
         if row.doc_id in corpus_ids
     }
     assert sum(r.n_drop_curation for r in rows) == len(dropped_cur)
+
+
+def test_power_iteration_matches_numpy_top_eigenvector(spark, sf_dir):
+    """The integer power iteration must (a) be bit-deterministic, (b)
+    track the SAME-iteration-count float reference to |cos| > 0.9999 —
+    the quantization adds no visible drift — and (c) reach >90% of the
+    true top eigenvalue in Rayleigh quotient. (Full eigenvector
+    convergence is not claimable on this fixture: its spectrum is nearly
+    flat, so ANY power method converges slowly — the float reference
+    after the same rounds is the honest yardstick.)"""
+    import numpy as np
+
+    from kafka_exercise_spark.catalog import load_table
+    from kafka_exercise_spark.operators.similarity import (
+        PI_ITERS,
+        embedding_top_component,
+    )
+
+    r1 = embedding_top_component(spark, sf_dir).collect()
+    r2 = embedding_top_component(spark, sf_dir).collect()
+    assert sorted(map(tuple, r1)) == sorted(map(tuple, r2))
+    v = np.array([r.v_q for r in sorted(r1, key=lambda r: r.j)], dtype=float)
+
+    A = np.array(
+        [
+            row.embedding
+            for row in load_table(spark, sf_dir, "embeddings")
+            .select("embedding")
+            .collect()
+        ],
+        dtype=float,
+    )
+    gram = A.T @ A
+    vf = np.ones(64)
+    for _ in range(PI_ITERS):
+        vf = gram @ vf
+        vf = vf / np.abs(vf).max()
+    cos = abs(v @ vf) / (np.linalg.norm(v) * np.linalg.norm(vf))
+    assert cos > 0.9999, cos
+    lam1 = np.linalg.eigvalsh(gram)[-1]
+    rq = (v @ gram @ v) / (v @ v)
+    assert rq > 0.9 * lam1, (rq, lam1)
