@@ -42,12 +42,16 @@ def basket_pair_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     the value hashes identically in any engine.
     """
     li = scale_partitions(load_table(spark, sf_dir, "lineitem"), spark)
+    # the capped item frame feeds five consumers (order census, item
+    # census, both pair-join sides) — materialize it once; at 100 TB this
+    # is the only pass over the raw fact table
     items = li.select("l_orderkey", "l_partkey").distinct()
     sized = items.groupBy("l_orderkey").agg(F.count("*").alias("bsize"))
     items = items.join(
         sized.where(F.col("bsize") <= BASKET_CAP).select("l_orderkey"),
         "l_orderkey",
-    )
+    ).persist()
+    items.count()
     n_orders = items.select("l_orderkey").distinct().agg(
         F.count("*").alias("n_orders")
     )

@@ -37,6 +37,7 @@ from kafka_exercise_spark.catalog import TABLES, load_table, table_path
 from kafka_exercise_spark.operators import (
     analytic,
     dedup,
+    graph,
     pipeline_ops,
     sampling,
     similarity,
@@ -60,6 +61,10 @@ QUERIES = {
     # r04 additions — inverted-index retrieval and sketch+recount families
     "bm25_topk": similarity.bm25_topk,  # postings join on shared terms
     "heavy_hitters_topk": textops.heavy_hitters_topk,  # MG sketch + recount
+    # late-r04 additions — iterative graph, conditional LM, grid fan-out
+    "graph_pagerank": graph.graph_pagerank,  # per-iter join+groupBy
+    "lm_bigram_score": textops.lm_bigram_score,  # bigram vocab grows w/ corpus
+    "resample_ffill_events": analytic.resample_ffill_events,  # span-bounded grid
 }
 
 
