@@ -172,8 +172,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "basket_pair_rules": market.basket_pair_rules,
         # hourly resample + forward fill per user (gap-free time series)
         "resample_ffill_events": analytic.resample_ffill_events,
-        # matrix-free PCA: exact-integer power iteration (6 rounds)
+        # matrix-free PCA: exact-integer power iteration (12 rounds)
         "embedding_top_component": similarity.embedding_top_component,
+        # per-label energy along the dominant direction (whitening gate)
+        "embedding_anisotropy": similarity.embedding_anisotropy,
         # ---- proven entries (hash-green in r01–r03 windows; all still
         # value-checked every session by tools/verify_local.py) ----
         # z-order (Morton) clustering audit: per-tile 2-D bounding boxes
@@ -2188,6 +2190,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT j, v::BIGINT AS v_q,
                    v / {similarity.PI_V_SCALE}.0 AS loading
             FROM v{similarity.PI_ITERS}
+        """,
+        # cos² against the fitted component: exact-integer dot/norms, one
+        # ppm round of same-formula doubles, exact integer rollup
+        "embedding_anisotropy": f"""
+            WITH {_power_iter_ctes()},
+            p AS MATERIALIZED (SELECT vec_id, sum(a * v)::BIGINT AS p_raw
+                 FROM qx JOIN v{similarity.PI_ITERS} USING (j)
+                 GROUP BY vec_id),
+            ns AS MATERIALIZED (SELECT vec_id, sum(a * a)::BIGINT AS ss
+                 FROM qx GROUP BY vec_id),
+            nv AS (SELECT sum(v * v)::BIGINT AS vv
+                   FROM v{similarity.PI_ITERS}),
+            c AS (SELECT vec_id,
+                     CASE WHEN ss > 0 AND vv > 0 THEN
+                       round((p_raw::DOUBLE * p_raw::DOUBLE)
+                             / (ss::DOUBLE * vv::DOUBLE)
+                             * 1000000)::BIGINT
+                     ELSE 0 END AS cos2_ppm
+                  FROM p JOIN ns USING (vec_id), nv)
+            SELECT label, count(*)::BIGINT AS n_vecs,
+                   floor(sum(cos2_ppm)::BIGINT / count(*))::BIGINT
+                       AS avg_cos2_ppm,
+                   max(cos2_ppm) AS max_cos2_ppm
+            FROM c JOIN embeddings e ON e.vec_id = c.vec_id
+            GROUP BY label
         """,
         # within-basket pair join; all-integer support counts + ppm lift
         "basket_pair_rules": f"""

@@ -1134,6 +1134,32 @@ def embedding_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     under 2⁶³ for n up to ~10⁸ rows; beyond that, drop PI_V_SCALE a
     decade per decade of n (same note as graph.RANK_SCALE).
     """
+    _, v = _power_fit(spark, sf_dir)
+    return v.select(
+        "j",
+        F.col("v").alias("v_q"),
+        (F.col("v") / float(PI_V_SCALE)).alias("loading"),
+    )
+
+
+#: Memoized (exploded-quantized frame, fitted component) per
+#: (application, sf_dir) — the served decomposition both the component
+#: entry and the anisotropy report read (same contract as the IVF/LSH
+#: index memos).
+_PI_FIT_MEMO: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
+
+
+def _power_fit(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Run the integer power iteration once per (app, sf_dir); return the
+    persisted exploded frame q = (vec_id, j, a) and the fitted 64-row
+    component v = (j, v). See embedding_top_component for the algorithm
+    and exactness argument."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    memo = _PI_FIT_MEMO.get(key)
+    if memo is not None:
+        return memo
     emb = _embeddings_double(spark, sf_dir)
     q = (
         emb.select(
@@ -1188,8 +1214,62 @@ def embedding_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint()
         )
-    return v.select(
-        "j",
-        F.col("v").alias("v_q"),
-        (F.col("v") / float(PI_V_SCALE)).alias("loading"),
+    _PI_FIT_MEMO[key] = (q, v)
+    return q, v
+
+
+def embedding_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label anisotropy report: how much of each label cluster's
+    energy lies along the corpus' dominant direction — the actionable
+    number the power-iteration fit exists for. A label whose
+    ``avg_cos2_ppm`` is far above the isotropic baseline (1/64 ≈
+    15 625 ppm) is collapsing onto the rogue direction; the usual
+    remedies are whitening or dropping the component before similarity
+    search (Mu & Viswanath 2018's "all-but-the-top").
+
+    Per row: cos²(A_i, v) = (A_i·v)² / (|A_i|²·|v|²), computed the
+    ``int_cos_e6`` way — the dot and both squared norms are EXACT
+    integers (so bit-identical in any engine), and the only float ops
+    are same-formula folds of those identical integers, rounded ONCE at
+    ppm resolution. Aggregates are then exact integer sums.
+
+    Scale shape: two groupBy(vec_id) passes over the memoized exploded
+    frame (projection and row norms) + one broadcast of the 64-row
+    component and its 1-row norm; the label rollup is bounded by the
+    label domain.
+    """
+    q, v = _power_fit(spark, sf_dir)
+    p = q.join(F.broadcast(v), "j").groupBy("vec_id").agg(
+        F.sum(F.col("a") * F.col("v")).alias("p_raw")
+    )
+    norms = q.groupBy("vec_id").agg(F.sum(F.col("a") * F.col("a")).alias("ss"))
+    vv = v.agg(F.sum(F.col("v") * F.col("v")).alias("vv"))
+    labels = _embeddings_double(spark, sf_dir).select("vec_id", "label")
+    cos2 = (
+        p.join(norms, "vec_id")
+        .crossJoin(F.broadcast(vv))
+        .select(
+            "vec_id",
+            F.when(
+                (F.col("ss") > 0) & (F.col("vv") > 0),
+                F.round(
+                    (F.col("p_raw").cast("double") * F.col("p_raw").cast("double"))
+                    / (F.col("ss").cast("double") * F.col("vv").cast("double"))
+                    * 1_000_000
+                ).cast("long"),
+            )
+            .otherwise(F.lit(0).cast("long"))
+            .alias("cos2_ppm"),
+        )
+    )
+    return (
+        cos2.join(labels, "vec_id")
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.floor(F.sum("cos2_ppm") / F.count("*")).cast("long").alias(
+                "avg_cos2_ppm"
+            ),
+            F.max("cos2_ppm").alias("max_cos2_ppm"),
+        )
     )

@@ -1081,3 +1081,22 @@ def test_power_iteration_matches_numpy_top_eigenvector(spark, sf_dir):
     lam1 = np.linalg.eigvalsh(gram)[-1]
     rq = (v @ gram @ v) / (v @ v)
     assert rq > 0.9 * lam1, (rq, lam1)
+
+
+def test_anisotropy_report_bounds_and_signal(spark, sf_dir):
+    """cos² shares live in [0, 1e6] ppm, every label is represented, and
+    the corpus-average share along the FITTED dominant direction beats
+    the isotropic baseline 1/64 — otherwise the component fit found
+    nothing."""
+    from kafka_exercise_spark.operators.similarity import (
+        EMBED_DIM,
+        embedding_anisotropy,
+    )
+
+    rows = embedding_anisotropy(spark, sf_dir).collect()
+    assert len(rows) >= 2
+    for r in rows:
+        assert 0 <= r.avg_cos2_ppm <= r.max_cos2_ppm <= 1_000_000
+    total = sum(r.n_vecs for r in rows)
+    weighted = sum(r.avg_cos2_ppm * r.n_vecs for r in rows) / total
+    assert weighted > 1_000_000 / EMBED_DIM, weighted
