@@ -22,6 +22,7 @@ from kafka_exercise_spark.operators import (
     entityres,
     graph,
     market,
+    merge as merge_ops,
     multimodal,
     pipeline_ops,
     relational,
@@ -176,6 +177,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_top_component": similarity.embedding_top_component,
         # per-label energy along the dominant direction (whitening gate)
         "embedding_anisotropy": similarity.embedding_anisotropy,
+        # batch MERGE INTO: one full-outer join, insert/update/keep audit
+        "merge_upsert_profiles": merge_ops.merge_upsert_profiles,
         # ---- proven entries (hash-green in r01–r03 windows; all still
         # value-checked every session by tools/verify_local.py) ----
         # z-order (Morton) clustering audit: per-tile 2-D bounding boxes
@@ -2215,6 +2218,42 @@ def oracle_sql() -> dict[str, str]:
                    max(cos2_ppm) AS max_cos2_ppm
             FROM c JOIN embeddings e ON e.vec_id = c.vec_id
             GROUP BY label
+        """,
+        # MERGE INTO as a full-outer join; deterministic last-obs rows
+        # via the same row_number tie-break the resample oracle uses
+        "merge_upsert_profiles": f"""
+            WITH e AS (SELECT user_id, value, epoch_us(ts) AS us, event_id
+                       FROM events),
+            tr AS (SELECT user_id, n AS t_n, value AS t_v, last_us AS t_us
+                   FROM (SELECT user_id, value, us, event_id,
+                                count(*) OVER (PARTITION BY user_id) AS n,
+                                max(us) OVER (PARTITION BY user_id)
+                                    AS last_us,
+                                row_number() OVER (PARTITION BY user_id
+                                    ORDER BY us DESC, event_id DESC) AS rn
+                         FROM e WHERE us < {merge_ops.MERGE_SPLIT_US})
+                   WHERE rn = 1),
+            sr AS (SELECT user_id, n AS s_n, value AS s_v, last_us AS s_us
+                   FROM (SELECT user_id, value, us, event_id,
+                                count(*) OVER (PARTITION BY user_id) AS n,
+                                max(us) OVER (PARTITION BY user_id)
+                                    AS last_us,
+                                row_number() OVER (PARTITION BY user_id
+                                    ORDER BY us DESC, event_id DESC) AS rn
+                         FROM e WHERE us >= {merge_ops.MERGE_SPLIT_US})
+                   WHERE rn = 1)
+            SELECT user_id,
+                   (coalesce(t_n, 0) + coalesce(s_n, 0))::BIGINT
+                       AS n_events,
+                   CASE WHEN s_n IS NOT NULL THEN s_v ELSE t_v END
+                       AS last_value,
+                   CASE WHEN s_n IS NOT NULL THEN s_us ELSE t_us END
+                       AS last_seen_us,
+                   CASE WHEN t_n IS NOT NULL AND s_n IS NOT NULL
+                            THEN 'update'
+                        WHEN s_n IS NOT NULL THEN 'insert'
+                        ELSE 'keep' END AS action
+            FROM tr FULL OUTER JOIN sr USING (user_id)
         """,
         # within-basket pair join; all-integer support counts + ppm lift
         "basket_pair_rules": f"""

@@ -1,0 +1,90 @@
+"""Batch MERGE INTO semantics: apply a change batch to a keyed target.
+
+The reference's pipeline continuously upserts operational state (its
+JDBC-source → topic → sink loop, /root/reference/README.md:120-180); the
+warehouse-side twin is ``MERGE INTO target USING changes`` — the Delta/
+Iceberg maintenance statement Spark expresses as one full-outer join with
+per-column CASE logic. The streaming analog already exists here
+(``upsert_store_sink``, latest-write-wins per key); this is the batch
+form with an explicit action audit column, the shape a nightly CDC apply
+job takes.
+
+Fixture framing: per-user profiles built from events BEFORE the split
+instant are the target; events from AFTER it are the change batch. The
+merge emits every resulting row tagged ``insert`` (new key), ``update``
+(key in both — counts accumulate, last-observation fields take the
+source side), or ``keep`` (untouched target row).
+
+Scale shape: both sides aggregate with map-side combine onto the SAME
+user_id key, and the merge itself is ONE full-outer shuffle join on that
+key — no second pass, no driver state. Deterministic last-observation
+choice via ``max_by`` on the exact (micros, event_id) tuple (the
+resample op's trick), so the merge is bit-reproducible and the oracle
+replays it with a row_number window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_exercise_spark.catalog import load_table
+
+#: Change-batch split instant (epoch micros, 2024-01-16 00:00:00 UTC):
+#: events before it form the target table, events at/after it the batch.
+MERGE_SPLIT_US = 1_705_363_200_000_000
+
+
+def _profiles(ev: DataFrame) -> DataFrame:
+    """Per-user profile: event count + deterministic last observation."""
+    us = F.unix_micros(F.col("ts"))
+    return (
+        ev.select(
+            "user_id", "value", us.alias("us"), "event_id"
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.max_by("value", F.struct("us", "event_id")).alias("last_value"),
+            F.max("us").alias("last_seen_us"),
+        )
+    )
+
+
+def merge_upsert_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE the post-split change batch into the pre-split profile table.
+
+    WHEN MATCHED: n_events accumulates, last_value/last_seen take the
+    source side (the batch is strictly later). WHEN NOT MATCHED BY
+    TARGET: insert. WHEN NOT MATCHED BY SOURCE: keep. One full-outer
+    join on the merge key.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    target = _profiles(ev.where(us < MERGE_SPLIT_US)).select(
+        "user_id",
+        F.col("n_events").alias("t_n"),
+        F.col("last_value").alias("t_v"),
+        F.col("last_seen_us").alias("t_us"),
+    )
+    source = _profiles(ev.where(us >= MERGE_SPLIT_US)).select(
+        "user_id",
+        F.col("n_events").alias("s_n"),
+        F.col("last_value").alias("s_v"),
+        F.col("last_seen_us").alias("s_us"),
+    )
+    m = target.join(source, "user_id", "full_outer")
+    in_t = F.col("t_n").isNotNull()
+    in_s = F.col("s_n").isNotNull()
+    return m.select(
+        "user_id",
+        (F.coalesce("t_n", F.lit(0)) + F.coalesce("s_n", F.lit(0)))
+        .cast("long")
+        .alias("n_events"),
+        F.when(in_s, F.col("s_v")).otherwise(F.col("t_v")).alias("last_value"),
+        F.when(in_s, F.col("s_us")).otherwise(F.col("t_us")).alias("last_seen_us"),
+        F.when(in_t & in_s, F.lit("update"))
+        .when(in_s, F.lit("insert"))
+        .otherwise(F.lit("keep"))
+        .alias("action"),
+    )

@@ -239,3 +239,38 @@ def test_resample_ffill_grid_and_fill(spark):
     assert out[h0 + 3600].observed is False and out[h0 + 3600].n_events == 0
     # hour 2: fresh observation replaces the fill
     assert out[h0 + 7200].value_ffill == 9.0
+
+
+def test_merge_upsert_emits_all_three_actions(spark):
+    """Hand-built split: one user only before (keep), one in both halves
+    (update, counts accumulate, source wins last_value), one only after
+    (insert)."""
+    import datetime as dt
+
+    from kafka_exercise_spark.operators import merge as mg
+
+    split = dt.datetime(2024, 1, 16)
+    before, after = split - dt.timedelta(days=1), split + dt.timedelta(days=1)
+    rows = [
+        (0, before, 1, 1.0),
+        (1, before, 2, 2.0),
+        (2, after, 2, 3.0),
+        (3, after, 2, 4.0),
+        (4, after, 3, 5.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+    orig = mg.load_table
+    try:
+        mg.load_table = lambda s, d, n: df
+        out = {r.user_id: r for r in
+               mg.merge_upsert_profiles(spark, "x").collect()}
+    finally:
+        mg.load_table = orig
+    assert out[1].action == "keep" and out[1].n_events == 1
+    assert out[1].last_value == 1.0
+    assert out[2].action == "update" and out[2].n_events == 3
+    assert out[2].last_value == 4.0  # the batch's latest observation wins
+    assert out[3].action == "insert" and out[3].n_events == 1
+    assert out[3].last_value == 5.0
