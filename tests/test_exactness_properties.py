@@ -164,3 +164,42 @@ def test_tokenizer_parity_on_adversarial_whitespace(spark):
             "SELECT " + entrymod._CANON.replace("text", "?"), [c]
         ).fetchone()
         assert got_canon[i] == want, (repr(c), got_canon[i], want)
+
+
+def test_levenshtein_parity_on_ascii(spark):
+    """Spark counts codepoints, DuckDB counts UTF-8 bytes — they agree
+    exactly on ASCII (the ER blocking's input domain; entityres.py),
+    and the known multi-byte divergence is pinned so a future engine
+    upgrade that changes either side is caught."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    cases = [
+        ("kitten", "sitting"),
+        ("Customer#000000001", "Customer#000000011"),
+        ("Customer#000000123", "Customer#000001123"),
+        ("abc", ""),
+        ("", ""),
+        ("flaw", "lawn"),
+        ("aaaa", "aabaa"),
+    ]
+    df = spark.createDataFrame(cases, "a string, b string").select(
+        F.levenshtein("a", "b").alias("d")
+    )
+    got = [r.d for r in df.collect()]
+    con = duckdb.connect()
+    want = [
+        con.execute("SELECT levenshtein(?, ?)", [a, b]).fetchone()[0]
+        for a, b in cases
+    ]
+    assert got == want
+    # documented divergence on multi-byte input: 4 codepoints vs 8 bytes
+    (spark_d,) = (
+        spark.createDataFrame([("ünïcödé", "unicode")], "a string, b string")
+        .select(F.levenshtein("a", "b").alias("d"))
+        .first()
+    )
+    duck_d = con.execute(
+        "SELECT levenshtein('ünïcödé', 'unicode')"
+    ).fetchone()[0]
+    assert spark_d == 4 and duck_d == 8
