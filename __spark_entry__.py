@@ -179,6 +179,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_anisotropy": similarity.embedding_anisotropy,
         # batch MERGE INTO: one full-outer join, insert/update/keep audit
         "merge_upsert_profiles": merge_ops.merge_upsert_profiles,
+        # the same MERGE as a live CDC apply: per-micro-batch folds into
+        # versioned stores (idempotent replay); final state ≡ batch merge
+        "streaming_merge_replay": streaming_pipeline.streaming_merge_replay,
         # ---- proven entries (hash-green in r01–r03 windows; all still
         # value-checked every session by tools/verify_local.py) ----
         # z-order (Morton) clustering audit: per-tile 2-D bounding boxes
@@ -2901,4 +2904,7 @@ def oracle_sql() -> dict[str, str]:
     # VERBATIM (final streamed state ≡ batch probe) — alias, don't copy,
     # so threshold/CTE changes can never drift between the two
     oracles["streaming_neardup_replay"] = oracles["dedup_incremental"]
+    # the streaming CDC apply must converge to EXACTLY the batch merge —
+    # same oracle, by design (the fold is commutative-associative)
+    oracles["streaming_merge_replay"] = oracles["merge_upsert_profiles"]
     return oracles

@@ -324,3 +324,135 @@ def streaming_curation_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "kept_ppm", F.floor(F.col("n_kept") * 1_000_000 / F.col("n_docs"))
         )
     )
+
+
+_MERGE_REPLAY_MEMO: dict = {}
+
+
+def streaming_merge_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The batch MERGE (operators/merge.py) as a LIVE CDC apply under real
+    StreamExecution: the pre-split profile table is the initial store,
+    post-split events arrive in micro-batches (2 files per trigger → 4
+    real triggers), and every batch folds into a NEW store version via
+    one full-outer merge — versioned stores make replay idempotent (a
+    re-run of batch k rewrites version k from version k−1, never
+    double-counts). Final state ≡ the batch merge, which is the oracle.
+
+    The fold is commutative-associative by construction: counts ADD, and
+    the last-observation fields compare on the exact (micros, event_id)
+    tuple — so out-of-order micro-batches converge to the same state the
+    one-shot batch merge computes, which is the property that makes a
+    streaming CDC apply trustworthy at all. ``init``/``touched`` flags
+    ride along in the store so the final action audit (insert / update /
+    keep) needs no second pass over history.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from kafka_exercise_spark.operators.merge import MERGE_SPLIT_US
+    from kafka_exercise_spark.streaming.sources import (
+        file_stream,
+        land_events_replay,
+    )
+    from kafka_exercise_spark.streaming.stateful import run_bounded_replay
+
+    def profiles(df: DataFrame) -> DataFrame:
+        us = F.unix_micros(F.col("ts"))
+        last = F.max_by(
+            F.struct("value", "us", "event_id"), F.struct("us", "event_id")
+        )
+        return (
+            df.select("user_id", "value", us.alias("us"), "event_id")
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n"), last.alias("last"))
+            .select(
+                "user_id",
+                "n",
+                F.col("last.value").alias("v"),
+                F.col("last.us").alias("us"),
+                F.col("last.event_id").alias("eid"),
+            )
+        )
+
+    memo_key = (spark.sparkContext.applicationId, sf_dir)
+    if memo_key not in _MERGE_REPLAY_MEMO:
+        src_dir, schema = land_events_replay(spark, sf_dir)
+        work = tempfile.mkdtemp(prefix="merge_replay_")
+        store = os.path.join(work, "store")
+        os.makedirs(store)
+
+        # initial store: the pre-split target, flags (init=T, touched=F)
+        target = profiles(
+            spark.read.schema(schema)
+            .parquet(src_dir)
+            .where(F.unix_micros(F.col("ts")) < MERGE_SPLIT_US)
+        ).select(
+            "*", F.lit(True).alias("init"), F.lit(False).alias("touched")
+        )
+        target.write.parquet(os.path.join(store, "v_init"))
+        versions = ["v_init"]
+
+        def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+            b = profiles(
+                batch_df.where(F.unix_micros(F.col("ts")) >= MERGE_SPLIT_US)
+            ).select(
+                F.col("user_id"),
+                F.col("n").alias("b_n"),
+                F.col("v").alias("b_v"),
+                F.col("us").alias("b_us"),
+                F.col("eid").alias("b_eid"),
+            )
+            prev = spark.read.parquet(os.path.join(store, versions[-1]))
+            in_b = F.col("b_n").isNotNull()
+            in_t = F.col("n").isNotNull()
+            # the batch side wins the last-observation fields iff its
+            # (us, eid) tuple is strictly greater — out-of-order-safe
+            b_newer = in_b & (
+                ~in_t
+                | (F.col("b_us") > F.col("us"))
+                | ((F.col("b_us") == F.col("us")) & (F.col("b_eid") > F.col("eid")))
+            )
+            merged = (
+                prev.join(b, "user_id", "full_outer")
+                .select(
+                    "user_id",
+                    (F.coalesce("n", F.lit(0)) + F.coalesce("b_n", F.lit(0)))
+                    .cast("long")
+                    .alias("n"),
+                    F.when(b_newer, F.col("b_v")).otherwise(F.col("v")).alias("v"),
+                    F.when(b_newer, F.col("b_us")).otherwise(F.col("us")).alias("us"),
+                    F.when(b_newer, F.col("b_eid")).otherwise(F.col("eid")).alias("eid"),
+                    F.coalesce("init", F.lit(False)).alias("init"),
+                    (F.coalesce("touched", F.lit(False)) | in_b).alias("touched"),
+                )
+            )
+            vname = f"v{batch_id:04d}"
+            merged.write.mode("overwrite").parquet(os.path.join(store, vname))
+            if vname not in versions:
+                versions.append(vname)
+
+        stream = file_stream(spark, src_dir, schema, max_files_per_trigger=2)
+        run_bounded_replay(
+            spark,
+            stream,
+            checkpoint=os.path.join(work, "ckpt"),
+            foreach_batch=apply_batch,
+        )
+        final = (
+            spark.read.parquet(os.path.join(store, versions[-1]))
+            .select(
+                "user_id",
+                F.col("n").alias("n_events"),
+                F.col("v").alias("last_value"),
+                F.col("us").alias("last_seen_us"),
+                F.when(F.col("init") & F.col("touched"), F.lit("update"))
+                .when(~F.col("init"), F.lit("insert"))
+                .otherwise(F.lit("keep"))
+                .alias("action"),
+            )
+            .localCheckpoint()
+        )
+        shutil.rmtree(work, ignore_errors=True)
+        _MERGE_REPLAY_MEMO[memo_key] = final
+    return _MERGE_REPLAY_MEMO[memo_key]

@@ -284,3 +284,19 @@ def test_streaming_curation_gate_routes_every_doc(spark, sf_dir):
     for r in rows:
         assert r.n_kept + r.n_rejected == r.n_docs
         assert r.kept_ppm == r.n_kept * 1_000_000 // r.n_docs
+
+
+def test_streaming_merge_replay_equals_batch_merge(spark, sf_dir):
+    """The live CDC apply's final store must equal the one-shot batch
+    MERGE row-for-row — the commutative-associative-fold property that
+    makes an incremental apply trustworthy."""
+    from kafka_exercise_spark.operators.merge import merge_upsert_profiles
+    from kafka_exercise_spark.streaming.pipeline import (
+        streaming_merge_replay,
+    )
+
+    got = {tuple(r) for r in streaming_merge_replay(spark, sf_dir).collect()}
+    want = {tuple(r) for r in merge_upsert_profiles(spark, sf_dir).collect()}
+    assert got == want and len(want) > 0
+    actions = {r[-1] for r in want}
+    assert "update" in actions
