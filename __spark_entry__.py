@@ -582,10 +582,11 @@ def _pagerank_ctes() -> str:
 
     ctes = [
         f"""fwd AS (SELECT DISTINCT user_id * 2 AS src,
-                CAST(json_extract_string(props, '$.k') AS BIGINT) * 2 + 1
-                    AS dst
+                TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) * 2
+                    + 1 AS dst
              FROM events
-             WHERE json_extract_string(props, '$.k') IS NOT NULL),
+             WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+                   IS NOT NULL),
         e AS (SELECT src, dst FROM fwd
               UNION ALL SELECT dst, src FROM fwd),
         deg AS (SELECT src, count(*)::BIGINT AS deg FROM e GROUP BY src),

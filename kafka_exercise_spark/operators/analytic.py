@@ -466,7 +466,15 @@ def resample_ffill_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = (
         ev.select(
             "user_id",
-            F.expr(f"unix_micros(ts) div {RESAMPLE_BUCKET_US}").alias("h"),
+            # FLOOR division in exact integers: Spark `div` truncates
+            # toward zero (≠ DuckDB's flooring `//` for negative micros,
+            # i.e. pre-epoch timestamps), so subtract the non-negative
+            # pmod remainder first — (us − pmod(us, B)) div B is floor for
+            # any sign, with zero float involvement
+            F.expr(
+                f"(unix_micros(ts) - pmod(unix_micros(ts),"
+                f" {RESAMPLE_BUCKET_US})) div {RESAMPLE_BUCKET_US}"
+            ).alias("h"),
             "value",
             us.alias("us"),
             "event_id",

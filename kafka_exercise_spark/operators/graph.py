@@ -68,7 +68,12 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     fwd = (
         ev.select(
             (F.col("user_id") * 2).alias("src"),
-            (F.get_json_object("props", "$.k").cast("bigint") * 2 + 1).alias("dst"),
+            # try_cast, not cast: under ANSI a malformed props.k would
+            # abort the whole job; a dirty row should drop (mirrored with
+            # TRY_CAST in the oracle)
+            F.expr(
+                "try_cast(get_json_object(props, '$.k') AS bigint) * 2 + 1"
+            ).alias("dst"),
         )
         .where(F.col("dst").isNotNull())
         .distinct()

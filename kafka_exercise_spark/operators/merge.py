@@ -36,17 +36,29 @@ MERGE_SPLIT_US = 1_705_363_200_000_000
 
 
 def _profiles(ev: DataFrame) -> DataFrame:
-    """Per-user profile: event count + deterministic last observation."""
+    """Per-user profile: event count + deterministic last observation.
+
+    The single source of truth for the profile definition — the streaming
+    CDC apply (streaming/pipeline.py streaming_merge_replay) folds batches
+    with EXACTLY this aggregate, and the streamed-equals-batch contract
+    depends on the two sides never drifting. ``last_eid`` is the
+    tie-break's second component, carried so an incremental consumer can
+    continue the same (us, event_id) comparison across batches.
+    """
     us = F.unix_micros(F.col("ts"))
+    last = F.max_by(
+        F.struct("value", "us", "event_id"), F.struct("us", "event_id")
+    )
     return (
-        ev.select(
-            "user_id", "value", us.alias("us"), "event_id"
-        )
+        ev.select("user_id", "value", us.alias("us"), "event_id")
         .groupBy("user_id")
-        .agg(
-            F.count("*").alias("n_events"),
-            F.max_by("value", F.struct("us", "event_id")).alias("last_value"),
-            F.max("us").alias("last_seen_us"),
+        .agg(F.count("*").alias("n_events"), last.alias("last"))
+        .select(
+            "user_id",
+            "n_events",
+            F.col("last.value").alias("last_value"),
+            F.col("last.us").alias("last_seen_us"),
+            F.col("last.event_id").alias("last_eid"),
         )
     )
 

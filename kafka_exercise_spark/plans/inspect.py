@@ -53,18 +53,48 @@ def explain_str(df: DataFrame, mode: str = "formatted") -> str:
         ) from exc
 
 
+def _live_op_ids(plan: str) -> set[str]:
+    """Operator ids that appear in a plan TREE outside ``== Initial Plan ==``
+    sections.
+
+    An executed AdaptiveSparkPlan prints its final AND initial plans with
+    DISTINCT ids for the same physical operator; only the final section
+    describes what runs. A section's ops are indented deeper than its
+    marker line, so skip tree lines until indentation returns. Ids seen in
+    both sections stay live.
+    """
+    live: set[str] = set()
+    skip_indent: int | None = None
+    for line in plan.splitlines():
+        indent = len(line) - len(line.lstrip(" "))
+        if skip_indent is not None:
+            if line.strip() and indent > skip_indent:
+                continue
+            skip_indent = None
+        if "== Initial Plan ==" in line:
+            skip_indent = indent
+            continue
+        live.update(re.findall(r"\((\d+)\)\s*$", line))
+    return live
+
+
 def _unique_op_ids(df: DataFrame, name_pattern: str) -> int:
-    """Count DISTINCT formatted-plan operator ids whose node name matches.
+    """Count DISTINCT formatted-plan operator ids whose node name matches
+    and which belong to the plan that actually runs.
 
     Formatted mode assigns every physical operator a stable id and prints a
     persisted frame's (already-executed-once) materialization plan under
     the SAME ids at every reference — so counting distinct ids counts each
     real operator exactly once, where raw text counts would multiply a
     cached subtree by its reference count (an iterative op like PageRank
-    referencing its edge cache 5× would overstate 5×).
+    referencing its edge cache 5× would overstate 5×). Executed AQE
+    sections additionally print an ``== Initial Plan ==`` twin with fresh
+    ids for the same operators; those ids are filtered out via the tree
+    (``_live_op_ids``) so pre-AQE duplicates don't double-count.
     """
     plan = explain_str(df, "formatted")
-    return len(set(re.findall(rf"\((\d+)\) {name_pattern}(?![A-Za-z])", plan)))
+    ids = set(re.findall(rf"\((\d+)\) {name_pattern}(?![A-Za-z])", plan))
+    return len(ids & _live_op_ids(plan))
 
 
 def shuffle_exchange_count(df: DataFrame) -> int:

@@ -350,7 +350,10 @@ def streaming_merge_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from kafka_exercise_spark.operators.merge import MERGE_SPLIT_US
+    from kafka_exercise_spark.operators.merge import (
+        MERGE_SPLIT_US,
+        _profiles,
+    )
     from kafka_exercise_spark.streaming.sources import (
         file_stream,
         land_events_replay,
@@ -358,21 +361,14 @@ def streaming_merge_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_exercise_spark.streaming.stateful import run_bounded_replay
 
     def profiles(df: DataFrame) -> DataFrame:
-        us = F.unix_micros(F.col("ts"))
-        last = F.max_by(
-            F.struct("value", "us", "event_id"), F.struct("us", "event_id")
-        )
-        return (
-            df.select("user_id", "value", us.alias("us"), "event_id")
-            .groupBy("user_id")
-            .agg(F.count("*").alias("n"), last.alias("last"))
-            .select(
-                "user_id",
-                "n",
-                F.col("last.value").alias("v"),
-                F.col("last.us").alias("us"),
-                F.col("last.event_id").alias("eid"),
-            )
+        # THE batch profile aggregate (merge._profiles — single source of
+        # truth for the streamed-equals-batch contract), store column names
+        return _profiles(df).select(
+            "user_id",
+            F.col("n_events").alias("n"),
+            F.col("last_value").alias("v"),
+            F.col("last_seen_us").alias("us"),
+            F.col("last_eid").alias("eid"),
         )
 
     memo_key = (spark.sparkContext.applicationId, sf_dir)
@@ -391,7 +387,19 @@ def streaming_merge_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             "*", F.lit(True).alias("init"), F.lit(False).alias("touched")
         )
         target.write.parquet(os.path.join(store, "v_init"))
-        versions = ["v_init"]
+
+        def _version_before(batch_id: int) -> str:
+            """Latest on-disk store version STRICTLY before this batch —
+            so a re-delivered batch k always folds into k's true
+            predecessor, never into its own output (the idempotency the
+            docstring promises), and a restart resumes from disk state
+            rather than driver memory."""
+            prior = [
+                int(d[1:])
+                for d in os.listdir(store)
+                if d != "v_init" and d.startswith("v") and int(d[1:]) < batch_id
+            ]
+            return f"v{max(prior):04d}" if prior else "v_init"
 
         def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
             b = profiles(
@@ -403,7 +411,9 @@ def streaming_merge_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("us").alias("b_us"),
                 F.col("eid").alias("b_eid"),
             )
-            prev = spark.read.parquet(os.path.join(store, versions[-1]))
+            prev = spark.read.parquet(
+                os.path.join(store, _version_before(batch_id))
+            )
             in_b = F.col("b_n").isNotNull()
             in_t = F.col("n").isNotNull()
             # the batch side wins the last-observation fields iff its
@@ -429,8 +439,6 @@ def streaming_merge_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             vname = f"v{batch_id:04d}"
             merged.write.mode("overwrite").parquet(os.path.join(store, vname))
-            if vname not in versions:
-                versions.append(vname)
 
         stream = file_stream(spark, src_dir, schema, max_files_per_trigger=2)
         run_bounded_replay(
@@ -440,7 +448,9 @@ def streaming_merge_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             foreach_batch=apply_batch,
         )
         final = (
-            spark.read.parquet(os.path.join(store, versions[-1]))
+            spark.read.parquet(
+                os.path.join(store, _version_before(1 << 30))
+            )
             .select(
                 "user_id",
                 F.col("n").alias("n_events"),

@@ -274,3 +274,29 @@ def test_merge_upsert_emits_all_three_actions(spark):
     assert out[2].last_value == 4.0  # the batch's latest observation wins
     assert out[3].action == "insert" and out[3].n_events == 1
     assert out[3].last_value == 5.0
+
+
+def test_resample_floors_pre_epoch_hours(spark):
+    """A pre-epoch timestamp must land in the FLOOR hour (-1), not the
+    truncate-toward-zero hour (0) — the Spark div vs DuckDB // divergence
+    class the repo's sign-split rule exists for."""
+    import datetime as dt
+
+    from kafka_exercise_spark.operators import analytic as an
+
+    rows = [
+        (0, dt.datetime(1969, 12, 31, 23, 30), 7, 1.0),
+        (1, dt.datetime(1970, 1, 1, 0, 30), 7, 2.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+    orig = an.load_table
+    try:
+        an.load_table = lambda s, d, n: df
+        hours = sorted(
+            r.hour_start_s for r in an.resample_ffill_events(spark, "x").collect()
+        )
+    finally:
+        an.load_table = orig
+    assert hours == [-3600, 0]
