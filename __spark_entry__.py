@@ -173,6 +173,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "basket_pair_rules": market.basket_pair_rules,
         # hourly resample + forward fill per user (gap-free time series)
         "resample_ffill_events": analytic.resample_ffill_events,
+        # time-weighted average: exact centi·micros integer arithmetic
+        "twa_value_per_user": analytic.twa_value_per_user,
         # matrix-free PCA: exact-integer power iteration (12 rounds)
         "embedding_top_component": similarity.embedding_top_component,
         # per-label energy along the dominant direction (whitening gate)
@@ -2311,6 +2313,33 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(n_events, 0)::BIGINT AS n_events,
                    n_events IS NOT NULL AS observed
             FROM j
+        """,
+        # holding-time-weighted mean in pure integer centi·micros; the
+        # one division is floor on non-negative operands (div ≡ //)
+        "twa_value_per_user": """
+            WITH s AS (SELECT user_id,
+                              round(value * 100)::BIGINT AS cv,
+                              epoch_us(ts) AS us, event_id
+                       FROM events),
+            seg AS (SELECT user_id, cv, us, event_id,
+                           lead(us) OVER (PARTITION BY user_id
+                                          ORDER BY us, event_id) - us
+                               AS dus
+                    FROM s),
+            a AS (SELECT user_id, count(*) AS n,
+                         sum(cv * dus)::BIGINT AS wsum,
+                         sum(dus)::BIGINT AS span_us
+                  FROM seg GROUP BY user_id),
+            lastv AS (SELECT user_id, cv AS last_cv FROM (
+                        SELECT user_id, cv,
+                               row_number() OVER (PARTITION BY user_id
+                                   ORDER BY us DESC, event_id DESC) AS rn
+                        FROM s) WHERE rn = 1)
+            SELECT a.user_id, a.n::BIGINT AS n_events,
+                   (CASE WHEN span_us > 0 THEN wsum // span_us
+                         ELSE last_cv END) / 100.0 AS twa_value,
+                   span_us // 1000000 AS span_s
+            FROM a JOIN lastv USING (user_id)
         """,
         # A-ES order sampling: u is an integer ratio, ln/divide are
         # same-formula folds, ONE 0-dp round at micro resolution

@@ -504,3 +504,55 @@ def resample_ffill_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
         F.col("n_events").isNotNull().alias("observed"),
     )
+
+
+def twa_value_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of ``value`` per user — the right mean for
+    irregularly sampled state (a sensor reading, a position, a balance):
+    each observation is held until the next one, so it weighs by its
+    holding time, not by its count. The arithmetic-mean twin over the
+    same data is biased toward bursts; TWA is burst-invariant.
+
+    Exactness: the fixture's values are exact centi-units (2 dp), so
+    ``round(value·100)`` is an exact integer in both engines, holding
+    times are integer micros via LEAD, and the weighted sum is pure
+    64-bit integer arithmetic — Σ centi·Δus stays under 2⁶³ for
+    per-user spans up to ~3 years at the fixture's value range; the
+    single floor-division at the end is on non-negative operands
+    (div ≡ // there). No float accumulates anywhere, so the per-user
+    result is bit-identical at any parallelism and in any engine.
+
+    Scale shape: ONE user_id shuffle serves both the LEAD window sort
+    and the final aggregate (the groupBy reuses the window's hash
+    partitioning) — the same plan contract as ``user_event_gaps``.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    seg = ev.select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("cv"),
+        F.unix_micros(F.col("ts")).alias("us"),
+        "event_id",
+    ).select(
+        "user_id",
+        "cv",
+        (F.lead("us").over(w) - F.col("us")).alias("dus"),
+        "us",
+        "event_id",
+    )
+    agg = seg.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("cv") * F.col("dus")).alias("wsum"),
+        F.sum("dus").alias("span_us"),
+        F.max_by("cv", F.struct("us", "event_id")).alias("last_cv"),
+    )
+    twa_centi = F.when(
+        F.col("span_us") > 0,
+        F.expr("(wsum div span_us)"),
+    ).otherwise(F.col("last_cv"))
+    return agg.select(
+        "user_id",
+        "n_events",
+        (twa_centi / 100.0).alias("twa_value"),
+        F.expr(f"span_us div {1_000_000}").alias("span_s"),
+    )

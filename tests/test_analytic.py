@@ -300,3 +300,31 @@ def test_resample_floors_pre_epoch_hours(spark):
     finally:
         an.load_table = orig
     assert hours == [-3600, 0]
+
+
+def test_twa_weighs_by_holding_time_not_count(spark):
+    """Value 1.00 held 9 hours then three 10.00 bursts in the last hour:
+    arithmetic mean is 7.75, TWA must stay near 1 — weighted by holding
+    time. Exact: (100·9h + 1000·0.5h + 1000·0.5h) / 10h = 190 centi."""
+    import datetime as dt
+
+    from kafka_exercise_spark.operators import analytic as an
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (0, t0, 7, 1.00),
+        (1, t0 + dt.timedelta(hours=9), 7, 10.00),
+        (2, t0 + dt.timedelta(hours=9, minutes=30), 7, 10.00),
+        (3, t0 + dt.timedelta(hours=10), 7, 10.00),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+    orig = an.load_table
+    try:
+        an.load_table = lambda s, d, n: df
+        (r,) = an.twa_value_per_user(spark, "x").collect()
+    finally:
+        an.load_table = orig
+    assert r.n_events == 4 and r.span_s == 36000
+    assert r.twa_value == 1.90  # (100*32400 + 1000*3600) / 36000 = 190
