@@ -169,6 +169,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample_topn": sampling.weighted_sample_topn,
         # k-anonymity census over a quasi-identifier tuple (release gate)
         "k_anonymity_report": dataquality.k_anonymity_report,
+        # period-over-period distribution drift (train/serve skew check)
+        "drift_report_events": dataquality.drift_report_events,
         # pairwise market-basket rules (within-basket join; integer lift)
         "basket_pair_rules": market.basket_pair_rules,
         # hourly resample + forward fill per user (gap-free time series)
@@ -2361,6 +2363,30 @@ def oracle_sql() -> dict[str, str]:
                    round(key * 1000000)::BIGINT AS key_micro,
                    rnk::BIGINT AS rnk
             FROM r WHERE rnk <= {sampling.ES_SAMPLE_N}
+        """,
+        # all-integer L1 drift: counts cross-multiplied, ONE floor div
+        "drift_report_events": f"""
+            WITH b AS (SELECT event_type,
+                              round(value * 100)::BIGINT
+                                  // {dataquality.DRIFT_BUCKET_CENTI}
+                                  AS bucket,
+                              (epoch_us(ts)
+                               < {dataquality.DRIFT_SPLIT_US})::BIGINT
+                                  AS pre
+                       FROM events),
+            c AS (SELECT event_type, bucket,
+                         sum(pre)::BIGINT AS c1,
+                         sum(1 - pre)::BIGINT AS c2
+                  FROM b GROUP BY 1, 2),
+            t AS (SELECT event_type, sum(c1)::BIGINT AS n1,
+                         sum(c2)::BIGINT AS n2
+                  FROM c GROUP BY 1)
+            SELECT c.event_type, max(n1) AS n_pre, max(n2) AS n_post,
+                   count(*)::BIGINT AS n_buckets,
+                   ((sum(abs(c1 * n2 - c2 * n1))::BIGINT * 1000000)
+                    // (max(n1) * max(n2)))::BIGINT AS l1_ppm
+            FROM c JOIN t USING (event_type)
+            GROUP BY c.event_type
         """,
         # QI census; bal band = floor of an identical IEEE division
         "k_anonymity_report": f"""

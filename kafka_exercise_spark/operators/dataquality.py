@@ -222,3 +222,65 @@ def k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_rows"))
         .withColumn("at_risk", F.col("n_rows") < K_ANON)
     )
+
+
+#: Drift-report value bucketing: exact centi-values, 10-unit buckets.
+DRIFT_BUCKET_CENTI = 1000
+
+#: Period split for the drift comparison (shares the MERGE op's instant).
+DRIFT_SPLIT_US = 1_705_363_200_000_000
+
+
+def drift_report_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor: per event type, the L1 (total
+    variation ×2) distance between the pre-split and post-split value
+    distributions — the train/serve-skew check a pipeline runs before
+    trusting a model (or a filter threshold) fit on last period's data.
+
+    Exact integers end-to-end: values are exact centi-units → bucket =
+    ``cv div 1000`` (non-negative, so div ≡ floor); per-(type, bucket)
+    counts; L1 as Σ|c₁·n₂ − c₂·n₁| scaled to ppm by ONE floor division —
+    no float ratio ever materializes, so the report hashes identically
+    in any engine. Overflow: Σ|c₁·n₂ − c₂·n₁| ≤ 2·n₁·n₂, exact while
+    n₁·n₂ < 2⁶² — beyond ~10⁹ rows per side, compute the same statistic
+    on per-shard counts (the bucket table is tiny; only the counts
+    grow).
+
+    Scale shape: one groupBy on (type, bucket) with map-side combine,
+    a broadcast-back of per-type totals (|types| rows), and a final
+    groupBy bounded by the type domain.
+    """
+    from kafka_exercise_spark.catalog import scale_partitions  # noqa: PLC0415
+
+    ev = scale_partitions(load_table(spark, sf_dir, "events"), spark)
+    us = F.unix_micros(F.col("ts"))
+    binned = ev.select(
+        "event_type",
+        F.expr(
+            f"(cast(round(value * 100) as bigint)) div {DRIFT_BUCKET_CENTI}"
+        ).alias("bucket"),
+        (us < DRIFT_SPLIT_US).cast("long").alias("pre"),
+    )
+    counts = binned.groupBy("event_type", "bucket").agg(
+        F.sum("pre").alias("c1"),
+        F.sum(1 - F.col("pre")).alias("c2"),
+    )
+    totals = counts.groupBy("event_type").agg(
+        F.sum("c1").alias("n1"), F.sum("c2").alias("n2")
+    )
+    return (
+        counts.join(F.broadcast(totals), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("n1").alias("n_pre"),
+            F.max("n2").alias("n_post"),
+            F.count("*").alias("n_buckets"),
+            F.floor(
+                F.sum(
+                    F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1"))
+                )
+                * 1_000_000
+                / (F.max("n1") * F.max("n2"))
+            ).cast("long").alias("l1_ppm"),
+        )
+    )

@@ -127,3 +127,47 @@ def test_k_anonymity_partition_and_flags(spark, sf_dir):
     # QI tuples are unique rows
     keys = [(r.c_nationkey, r.c_mktsegment, r.bal_band) for r in rows]
     assert len(keys) == len(set(keys))
+
+
+def test_drift_report_is_zero_for_identical_periods(spark):
+    """Two periods with the identical value distribution must report
+    l1_ppm = 0; moving one observation to a new bucket must not."""
+    import datetime as dt
+
+    from kafka_exercise_spark.operators import dataquality as dq
+
+    pre = dt.datetime(2024, 1, 10)
+    post = dt.datetime(2024, 1, 20)
+    same = [
+        (i * 2 + j, t, 1, v, "click")
+        for i, v in enumerate([5.0, 15.0, 25.0])
+        for j, t in enumerate([pre, post])
+    ]
+    df = spark.createDataFrame(
+        same,
+        "event_id long, ts timestamp, user_id long, value double,"
+        " event_type string",
+    )
+    orig = dq.load_table
+    try:
+        dq.load_table = lambda s, d, n: df
+        (r,) = dq.drift_report_events(spark, "x").collect()
+    finally:
+        dq.load_table = orig
+    assert r.n_pre == 3 and r.n_post == 3 and r.l1_ppm == 0
+
+    # one post observation moves to a different bucket → full L1 shows
+    rows = [(0, pre, 1, 5.0, "click"), (1, post, 1, 5.0, "click"),
+            (2, pre, 1, 15.0, "click"), (3, post, 1, 35.0, "click")]
+    df2 = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, value double,"
+        " event_type string",
+    )
+    try:
+        dq.load_table = lambda s, d, n: df2
+        (r2,) = dq.drift_report_events(spark, "x").collect()
+    finally:
+        dq.load_table = orig
+    # p differs in buckets 1 (1/2 vs 0) and 3 (0 vs 1/2) -> L1 = 1
+    assert r2.l1_ppm == 1_000_000
