@@ -171,6 +171,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_anonymity_report": dataquality.k_anonymity_report,
         # period-over-period distribution drift (train/serve skew check)
         "drift_report_events": dataquality.drift_report_events,
+        # hot-key census: the diagnosis the salting remediations act on
+        "skew_key_census": skew.skew_key_census,
         # pairwise market-basket rules (within-basket join; integer lift)
         "basket_pair_rules": market.basket_pair_rules,
         # hourly resample + forward fill per user (gap-free time series)
@@ -2363,6 +2365,35 @@ def oracle_sql() -> dict[str, str]:
                    round(key * 1000000)::BIGINT AS key_micro,
                    rnk::BIGINT AS rnk
             FROM r WHERE rnk <= {sampling.ES_SAMPLE_N}
+        """,
+        # per-column heavy-key top-k; all-integer ppm shares and ratios
+        "skew_key_census": f"""
+            WITH u AS (SELECT user_id::VARCHAR AS key, count(*) AS cnt
+                       FROM events GROUP BY 1),
+            ut AS (SELECT sum(cnt)::BIGINT AS n_rows,
+                          count(*)::BIGINT AS n_keys FROM u),
+            ur AS (SELECT 'user_id' AS key_column, key, cnt::BIGINT AS cnt,
+                          row_number() OVER (ORDER BY cnt DESC, key ASC)
+                              AS rnk,
+                          (cnt * 1000000 // n_rows)::BIGINT AS share_ppm,
+                          (cnt * n_keys * 1000000 // n_rows)::BIGINT
+                              AS skew_ratio_ppm
+                   FROM u, ut),
+            e AS (SELECT event_type AS key, count(*) AS cnt
+                  FROM events GROUP BY 1),
+            et AS (SELECT sum(cnt)::BIGINT AS n_rows,
+                          count(*)::BIGINT AS n_keys FROM e),
+            er AS (SELECT 'event_type' AS key_column, key,
+                          cnt::BIGINT AS cnt,
+                          row_number() OVER (ORDER BY cnt DESC, key ASC)
+                              AS rnk,
+                          (cnt * 1000000 // n_rows)::BIGINT AS share_ppm,
+                          (cnt * n_keys * 1000000 // n_rows)::BIGINT
+                              AS skew_ratio_ppm
+                   FROM e, et)
+            SELECT * FROM ur WHERE rnk <= {skew.CENSUS_TOP_K}
+            UNION ALL
+            SELECT * FROM er WHERE rnk <= {skew.CENSUS_TOP_K}
         """,
         # all-integer L1 drift: counts cross-multiplied, ONE floor div
         "drift_report_events": f"""

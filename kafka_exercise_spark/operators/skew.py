@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kafka_exercise_spark.catalog import load_table
+from kafka_exercise_spark.catalog import load_table, scale_partitions
 
 N_SALTS = 16
 
@@ -81,3 +81,55 @@ def salted_agg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows",
         F.round("sum_value", 2).alias("sum_value"),
     )
+
+
+#: Census: report this many heaviest keys per column.
+CENSUS_TOP_K = 5
+
+
+def skew_key_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key detection — the diagnosis step the salting remediations in
+    this module exist for. For each candidate shuffle key of ``events``
+    (user_id, event_type), report the heaviest ``CENSUS_TOP_K`` keys with
+    their share of rows in ppm and the skew ratio vs a perfectly uniform
+    key (count · n_distinct / n_rows, in ppm — 1 000 000 = perfectly
+    uniform, 10⁷ = this key is 10× over-represented). A planner (human
+    or automated) thresholds on the ratio to decide salting / AQE skew
+    hints before the 100 TB join runs.
+
+    One groupBy per key column (map-side combine; the per-key frame is
+    then tiny) + a ranked-window top-k. All-integer shares via floor —
+    hash-stable everywhere.
+    """
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    ev = scale_partitions(load_table(spark, sf_dir, "events"), spark)
+    outs = []
+    for col in ("user_id", "event_type"):
+        per_key = ev.groupBy(F.col(col).cast("string").alias("key")).agg(
+            F.count("*").alias("cnt")
+        )
+        tot = per_key.agg(
+            F.sum("cnt").alias("n_rows"), F.count("*").alias("n_keys")
+        )
+        w = Window.orderBy(F.col("cnt").desc(), F.col("key").asc())
+        outs.append(
+            per_key.crossJoin(F.broadcast(tot))
+            .withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= CENSUS_TOP_K)
+            .select(
+                F.lit(col).alias("key_column"),
+                "key",
+                "cnt",
+                F.col("rnk").cast("long").alias("rnk"),
+                F.floor(F.col("cnt") * 1_000_000 / F.col("n_rows"))
+                .cast("long")
+                .alias("share_ppm"),
+                F.floor(
+                    F.col("cnt") * F.col("n_keys") * 1_000_000 / F.col("n_rows")
+                )
+                .cast("long")
+                .alias("skew_ratio_ppm"),
+            )
+        )
+    return outs[0].unionByName(outs[1])

@@ -73,3 +73,27 @@ def test_salted_join_equals_plain(spark, sf_dir):
     a = {(r["c_custkey"], r["count"]) for r in plain.collect()}
     b = {(r["c_custkey"], r["count"]) for r in salted.collect()}
     assert a == b
+
+
+def test_skew_census_flags_the_hot_key(spark):
+    """A 10x-over-represented key must rank first with skew ratio ~n/keys
+    over uniform; a uniform column reports ~1e6 ratios."""
+    from pyspark.sql import functions as F
+
+    from kafka_exercise_spark.operators import skew as sk
+
+    rows = [(i, 999 if i < 90 else i, "t" + str(i % 2)) for i in range(100)]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, event_type string")
+    orig = sk.load_table
+    try:
+        sk.load_table = lambda s, d, n: df
+        out = sk.skew_key_census(spark, "x").collect()
+    finally:
+        sk.load_table = orig
+    top_user = [r for r in out if r.key_column == "user_id" and r.rnk == 1][0]
+    assert top_user.key == "999" and top_user.cnt == 90
+    assert top_user.share_ppm == 900_000
+    # 90/100 rows over 11 distinct keys -> 9.9e6 ppm (≈10x uniform)
+    assert top_user.skew_ratio_ppm == 9_900_000
+    et = [r for r in out if r.key_column == "event_type"]
+    assert all(900_000 <= r.skew_ratio_ppm <= 1_100_000 for r in et)
