@@ -104,32 +104,48 @@ def skew_key_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window  # noqa: PLC0415
 
     ev = scale_partitions(load_table(spark, sf_dir, "events"), spark)
-    outs = []
-    for col in ("user_id", "event_type"):
-        per_key = ev.groupBy(F.col(col).cast("string").alias("key")).agg(
-            F.count("*").alias("cnt")
-        )
-        tot = per_key.agg(
-            F.sum("cnt").alias("n_rows"), F.count("*").alias("n_keys")
-        )
-        w = Window.orderBy(F.col("cnt").desc(), F.col("key").asc())
-        outs.append(
-            per_key.crossJoin(F.broadcast(tot))
-            .withColumn("rnk", F.row_number().over(w))
-            .where(F.col("rnk") <= CENSUS_TOP_K)
-            .select(
-                F.lit(col).alias("key_column"),
-                "key",
-                "cnt",
-                F.col("rnk").cast("long").alias("rnk"),
-                F.floor(F.col("cnt") * 1_000_000 / F.col("n_rows"))
-                .cast("long")
-                .alias("share_ppm"),
-                F.floor(
-                    F.col("cnt") * F.col("n_keys") * 1_000_000 / F.col("n_rows")
-                )
-                .cast("long")
-                .alias("skew_ratio_ppm"),
+    # ONE pass over the fact table: each row emits one (key_column, key)
+    # pair per audited column, then a single combine-aggregated groupBy —
+    # the per-column loop would scan events once per column
+    pairs = ev.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("user_id").alias("key_column"),
+                    F.col("user_id").cast("string").alias("key"),
+                ),
+                F.struct(
+                    F.lit("event_type").alias("key_column"),
+                    F.col("event_type").alias("key"),
+                ),
             )
+        ).alias("kk")
+    ).select("kk.key_column", "kk.key")
+    per_key = pairs.groupBy("key_column", "key").agg(F.count("*").alias("cnt"))
+    # totals via windows over the TINY per-key frame (one partitioning
+    # shared by all three), not a second aggregate branch — a groupBy +
+    # join-back would recompute per_key and re-scan events
+    wt = Window.partitionBy("key_column")
+    w = Window.partitionBy("key_column").orderBy(
+        F.col("cnt").desc(), F.col("key").asc()
+    )
+    return (
+        per_key.withColumn("n_rows", F.sum("cnt").over(wt))
+        .withColumn("n_keys", F.count("*").over(wt))
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= CENSUS_TOP_K)
+        .select(
+            "key_column",
+            "key",
+            "cnt",
+            F.col("rnk").cast("long").alias("rnk"),
+            F.floor(F.col("cnt") * 1_000_000 / F.col("n_rows"))
+            .cast("long")
+            .alias("share_ppm"),
+            F.floor(
+                F.col("cnt") * F.col("n_keys") * 1_000_000 / F.col("n_rows")
+            )
+            .cast("long")
+            .alias("skew_ratio_ppm"),
         )
-    return outs[0].unionByName(outs[1])
+    )
