@@ -134,3 +134,56 @@ def test_bigram_lm_orders_salad_above_fluent(spark):
     finally:
         textops.load_table = orig
     assert rows[3].cross_entropy_nats > rows[0].cross_entropy_nats
+
+
+def test_delete1_blocking_complete_by_property():
+    """Pure-Python pigeonhole check, hypothesis-driven: ANY two ASCII
+    strings within Levenshtein distance 1 share at least one delete-1
+    variant (the completeness the blocked join's recall rests on) — and
+    the variant generator matches the Spark/DuckDB expression semantics
+    (string itself + each delete-one-char form)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    def variants(s: str) -> set:
+        return {s} | {s[:i] + s[i + 1 :] for i in range(len(s))}
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    alpha = st.text(
+        alphabet=st.characters(min_codepoint=33, max_codepoint=126),
+        min_size=0,
+        max_size=12,
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(alpha, st.integers(0, 12), st.sampled_from(["sub", "ins", "del", "far"]))
+    def check(s, pos, kind):
+        if kind == "sub" and s:
+            i = pos % len(s)
+            t = s[:i] + chr(33 + (ord(s[i]) - 32) % 94) + s[i + 1 :]
+        elif kind == "ins":
+            i = pos % (len(s) + 1)
+            t = s[:i] + "#" + s[i:]
+        elif kind == "del" and s:
+            i = pos % len(s)
+            t = s[:i] + s[i + 1 :]
+        else:
+            t = s + "XYZQ"  # distance > 1 unless s is pathological
+        d = lev(s, t)
+        share = bool(variants(s) & variants(t))
+        if d <= 1:
+            assert share, (s, t)
+        # (sharing a variant with d==2 is possible — blocking over-candidates,
+        # the verify step prunes; only MISSING a true pair would be a bug)
+
+    check()
