@@ -2414,8 +2414,10 @@ def oracle_sql() -> dict[str, str]:
                   FROM c GROUP BY 1)
             SELECT c.event_type, max(n1) AS n_pre, max(n2) AS n_post,
                    count(*)::BIGINT AS n_buckets,
-                   ((sum(abs(c1 * n2 - c2 * n1))::BIGINT * 1000000)
-                    // (max(n1) * max(n2)))::BIGINT AS l1_ppm
+                   (CASE WHEN max(n1) > 0 AND max(n2) > 0 THEN
+                        (sum(abs(c1 * n2 - c2 * n1))::BIGINT * 1000000)
+                        // (max(n1) * max(n2))
+                    ELSE 2000000 END)::BIGINT AS l1_ppm
             FROM c JOIN t USING (event_type)
             GROUP BY c.event_type
         """,

@@ -275,12 +275,24 @@ def drift_report_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n1").alias("n_pre"),
             F.max("n2").alias("n_post"),
             F.count("*").alias("n_buckets"),
-            F.floor(
-                F.sum(
-                    F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1"))
-                )
-                * 1_000_000
-                / (F.max("n1") * F.max("n2"))
-            ).cast("long").alias("l1_ppm"),
+            # guard the division (repo rule): a type with every event on
+            # ONE side has no comparable distribution — report the max-L1
+            # sentinel (2.0 → 2e6 ppm) instead of NULLing or erroring
+            F.when(
+                (F.max("n1") > 0) & (F.max("n2") > 0),
+                F.floor(
+                    F.sum(
+                        F.abs(
+                            F.col("c1") * F.col("n2")
+                            - F.col("c2") * F.col("n1")
+                        )
+                    )
+                    * 1_000_000
+                    / (F.max("n1") * F.max("n2"))
+                ),
+            )
+            .otherwise(F.lit(2_000_000))
+            .cast("long")
+            .alias("l1_ppm"),
         )
     )

@@ -171,3 +171,27 @@ def test_drift_report_is_zero_for_identical_periods(spark):
         dq.load_table = orig
     # p differs in buckets 1 (1/2 vs 0) and 3 (0 vs 1/2) -> L1 = 1
     assert r2.l1_ppm == 1_000_000
+
+
+def test_drift_report_one_sided_period_is_max_sentinel(spark):
+    """A type with every event on one side of the split has no comparable
+    distribution: the report must emit the max-L1 sentinel (2e6 ppm)
+    rather than divide by zero."""
+    import datetime as dt
+
+    from kafka_exercise_spark.operators import dataquality as dq
+
+    rows = [(0, dt.datetime(2024, 1, 10), 1, 5.0, "click"),
+            (1, dt.datetime(2024, 1, 11), 1, 15.0, "click")]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, value double,"
+        " event_type string",
+    )
+    orig = dq.load_table
+    try:
+        dq.load_table = lambda s, d, n: df
+        (r,) = dq.drift_report_events(spark, "x").collect()
+    finally:
+        dq.load_table = orig
+    assert r.n_pre == 2 and r.n_post == 0 and r.l1_ppm == 2_000_000
