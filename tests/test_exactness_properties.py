@@ -203,3 +203,84 @@ def test_levenshtein_parity_on_ascii(spark):
         "SELECT levenshtein('ünïcödé', 'unicode')"
     ).fetchone()[0]
     assert spark_d == 4 and duck_d == 8
+
+
+def test_pagerank_matches_pure_python_integer_replay(spark):
+    """Three-way exactness: the Spark PageRank must equal a pure-Python
+    big-int replay bit-for-bit (the DuckDB oracle is the third copy).
+    Any hidden float, overflow, or ordering dependence breaks this."""
+    from kafka_exercise_spark.operators import graph
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r.node: r.rank for r in graph.graph_pagerank(spark, sf).collect()
+    }
+
+    import duckdb
+
+    con = duckdb.connect()
+    edges = con.execute(
+        f"""SELECT DISTINCT user_id * 2 AS s,
+                   TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+                       * 2 + 1 AS d
+            FROM '{sf}/events.parquet'
+            WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+                  IS NOT NULL"""
+    ).fetchall()
+    und = edges + [(d, s) for s, d in edges]
+    deg: dict = {}
+    for s, _ in und:
+        deg[s] = deg.get(s, 0) + 1
+    rank = {n: graph.RANK_SCALE for n in deg}
+    for _ in range(graph.PR_ITERS):
+        recv: dict = {}
+        for s, d in und:
+            recv[d] = recv.get(d, 0) + rank[s] // deg[s]
+        rank = {
+            n: graph.PR_BASE + (graph.DAMP_NUM * v) // graph.DAMP_DEN
+            for n, v in recv.items()
+        }
+    top = sorted(rank.items(), key=lambda kv: (-kv[1], kv[0]))[
+        : graph.TOP_NODES
+    ]
+    assert got == dict(top)
+
+
+def test_power_fit_matches_pure_python_integer_replay(spark):
+    """Same three-way pin for the PCA power iteration: the fitted
+    component must equal the arbitrary-precision Python replay of the
+    documented integer recurrence exactly."""
+    import duckdb
+
+    from kafka_exercise_spark.operators import similarity as sim
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r.j: r.v_q
+        for r in sim.embedding_top_component(spark, sf).collect()
+    }
+
+    con = duckdb.connect()
+    vecs = con.execute(
+        f"""SELECT list_transform(embedding,
+                x -> round(x * {sim.PROJ_SCALE})::BIGINT)
+            FROM '{sf}/embeddings.parquet' ORDER BY vec_id"""
+    ).fetchall()
+    Q = [list(map(int, row[0])) for row in vecs]
+
+    def sdiv(x: int, d: int) -> int:
+        return (abs(x) // d) * (1 if x >= 0 else -1)
+
+    v = [sim.PI_V_SCALE] * sim.EMBED_DIM
+    for _ in range(sim.PI_ITERS):
+        s = [sdiv(sum(a * b for a, b in zip(row, v)), sim.PROJ_SCALE)
+             for row in Q]
+        w_raw = [
+            sum(Q[i][j] * s[i] for i in range(len(Q)))
+            for j in range(sim.EMBED_DIM)
+        ]
+        w = [sdiv(x, sim.PROJ_SCALE) for x in w_raw]
+        m = max(max(abs(x) for x in w), 1)
+        v = [(abs(x) * sim.PI_V_SCALE // m) * (1 if x >= 0 else -1)
+             for x in w]
+    assert got == {j + 1: v[j] for j in range(sim.EMBED_DIM)}
