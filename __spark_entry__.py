@@ -173,6 +173,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_report_events": dataquality.drift_report_events,
         # hot-key census: the diagnosis the salting remediations act on
         "skew_key_census": skew.skew_key_census,
+        # BPE step 2: apply the learned merges, per-doc segmentation stats
+        "bpe_segment_words": textops.bpe_segment_words,
         # pairwise market-basket rules (within-basket join; integer lift)
         "basket_pair_rules": market.basket_pair_rules,
         # hourly resample + forward fill per user (gap-free time series)
@@ -578,6 +580,24 @@ def _lsh_ctes() -> str:
     return _LSH_CTES.format(
         toks=_TOKS, shingles=_SHINGLES, hsh=_HSH, mh_list=_MH_LIST
     )
+
+
+def _bpe_sym_sql() -> str:
+    """Space-delimited symbol string after the top-N merges: `` a b c ``
+    rewritten by each ranked merge in order, using PLAIN replace (scan
+    semantics pinned against Spark in tests). A rank with no pair (tiny
+    corpora) degrades to the empty-pattern replace, which is the
+    identity in both engines."""
+    sym = "' ' || regexp_replace(w, '(.)', '\\1 ', 'g')"
+    for i in range(1, textops.BPE_APPLY_MERGES + 1):
+        m = f"(SELECT pair FROM mr WHERE rnk = {i})"
+        sym = (
+            f"replace({sym}, "
+            f"coalesce(' ' || substr({m}, 1, 1) || ' ' "
+            f"|| substr({m}, 2, 1) || ' ', ''), "
+            f"coalesce(' ' || {m} || ' ', ''))"
+        )
+    return sym
 
 
 def _pagerank_ctes() -> str:
@@ -2556,6 +2576,32 @@ def oracle_sql() -> dict[str, str]:
                    row_number() OVER (ORDER BY cnt DESC, pair ASC)
                        AS merge_rank
             FROM c
+        """,
+        # merge chain applied via PLAIN replace (left-to-right scan parity
+        # pinned in tests); missing-merge slots no-op via the
+        # empty-pattern-replace identity
+        "bpe_segment_words": f"""
+            WITH wds AS (SELECT unnest({_TOKS}) AS w FROM documents),
+            w2 AS (SELECT w FROM wds WHERE length(w) >= 2),
+            pp AS (SELECT unnest(list_transform(
+                       generate_series(1, length(w) - 1),
+                       i -> substr(w, i, 2))) AS pair
+                   FROM w2),
+            mr AS (SELECT pair,
+                          row_number() OVER (ORDER BY count(*) DESC,
+                                             pair ASC) AS rnk
+                   FROM pp GROUP BY pair),
+            dw AS (SELECT doc_id, unnest({_TOKS}) AS w FROM documents),
+            seg AS (SELECT doc_id, length(w) AS base_syms,
+                           len(string_split(trim({_bpe_sym_sql()}), ' '))
+                               AS merged_syms
+                    FROM dw)
+            SELECT doc_id, count(*)::BIGINT AS n_words,
+                   sum(base_syms)::BIGINT AS base_symbols,
+                   sum(merged_syms)::BIGINT AS merged_symbols,
+                   ((sum(merged_syms)::BIGINT * 1000000)
+                    // sum(base_syms)::BIGINT)::BIGINT AS compression_ppm
+            FROM seg GROUP BY doc_id
         """,
         # hashed-BoW linear classifier: integer counts × integer weights
         "classifier_quality_score": f"""

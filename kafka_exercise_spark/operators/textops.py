@@ -1006,3 +1006,69 @@ def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "kept_ppm", F.floor(F.col("n_kept") * 1_000_000 / F.col("n_in"))
         )
     )
+
+
+#: Merges applied by the segmentation pass (top-N by corpus pair count).
+BPE_APPLY_MERGES = 8
+
+
+def bpe_segment_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training step 2: APPLY the top-``BPE_APPLY_MERGES``
+    learned merges and report per-document segmentation stats — symbol
+    counts before/after and the compression in ppm (what you'd threshold
+    to size a vocabulary).
+
+    Representation: each word becomes a space-delimited symbol string
+    (`` a b c ``); merge rank i rewrites `` x y `` boundaries to `` xy ``
+    with a PLAIN (non-regex) replace. Semantics — deliberately exactly
+    what ``replace`` does, identically in Java and DuckDB (scan parity
+    pinned in tests): ONE left-to-right non-overlapping pass per rule,
+    resuming after each replacement. That is a deterministic
+    approximation of real BPE application on two counts: BPE re-applies
+    a rule to its own output until fixed point (a run ``a a a a`` gives
+    BPE ``aa aa`` but one pass ``aa a a`` — the consumed trailing
+    boundary blocks the adjacent match), and merge ranks come from the
+    ORIGINAL corpus counts, not re-counted after each merge. Both
+    simplifications are documented contract, the plan shape (map-only
+    rewrite chain) is identical to the real thing, and the output is
+    engine-exact.
+
+    The merge table is collected driver-side — ``BPE_APPLY_MERGES`` rows,
+    the same bounded-collect contract as the IVF training sample. Per-doc
+    work is map-only after the word explode; ONE doc_id aggregation.
+    """
+    merges = [
+        r.pair
+        for r in bpe_pair_counts(spark, sf_dir)
+        .where(F.col("merge_rank") <= BPE_APPLY_MERGES)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    docs = scale_partitions(load_table(spark, sf_dir, "documents"), spark)
+    words = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("w")
+    )
+    sym = F.concat(F.lit(" "), F.regexp_replace(F.col("w"), "(.)", "$1 "))
+    for m in merges:
+        sym = F.replace(
+            sym, F.lit(f" {m[0]} {m[1]} "), F.lit(f" {m} ")
+        )
+    scored = words.select(
+        "doc_id",
+        F.length("w").alias("base_syms"),
+        F.size(F.split(F.trim(sym), " ")).alias("merged_syms"),
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("base_syms").cast("long").alias("base_symbols"),
+            F.sum("merged_syms").cast("long").alias("merged_symbols"),
+        )
+        .withColumn(
+            "compression_ppm",
+            F.floor(
+                F.col("merged_symbols") * 1_000_000 / F.col("base_symbols")
+            ).cast("long"),
+        )
+    )

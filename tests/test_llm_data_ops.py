@@ -1100,3 +1100,31 @@ def test_anisotropy_report_bounds_and_signal(spark, sf_dir):
     total = sum(r.n_vecs for r in rows)
     weighted = sum(r.avg_cos2_ppm * r.n_vecs for r in rows) / total
     assert weighted > 1_000_000 / EMBED_DIM, weighted
+
+
+def test_bpe_segmentation_exact_on_hand_corpus(spark):
+    """'aaaa bbbb': merges rank (aa, bb). The documented single-pass
+    semantics merge the leftmost pair then resume AFTER it (consumed
+    boundary blocks the adjacent match): ' a a a a ' → ' aa a a ', so 8
+    base symbols → 6, not full-BPE's 4 — the approximation the docstring
+    declares, pinned here so a semantics change is visible."""
+    from kafka_exercise_spark.operators import textops as t
+
+    df = spark.createDataFrame([(0, "aaaa bbbb")], "doc_id long, text string")
+    orig = t.load_table
+    try:
+        t.load_table = lambda s, d, n: df
+        (r,) = t.bpe_segment_words(spark, "x").collect()
+    finally:
+        t.load_table = orig
+    assert (r.n_words, r.base_symbols, r.merged_symbols) == (2, 8, 6)
+    assert r.compression_ppm == 750_000
+    # a non-adjacent repeat merges at every site: 'abcab' has top merge
+    # 'ab' (2 occurrences, non-overlapping boundaries) -> 3 symbols
+    df2 = spark.createDataFrame([(0, "abcab")], "doc_id long, text string")
+    try:
+        t.load_table = lambda s, d, n: df2
+        (r2,) = t.bpe_segment_words(spark, "x").collect()
+    finally:
+        t.load_table = orig
+    assert (r2.base_symbols, r2.merged_symbols) == (5, 3)

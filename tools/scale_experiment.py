@@ -37,7 +37,9 @@ from kafka_exercise_spark.catalog import TABLES, load_table, table_path
 from kafka_exercise_spark.operators import (
     analytic,
     dedup,
+    entityres,
     graph,
+    market,
     pipeline_ops,
     sampling,
     similarity,
@@ -65,6 +67,9 @@ QUERIES = {
     "graph_pagerank": graph.graph_pagerank,  # per-iter join+groupBy
     "lm_bigram_score": textops.lm_bigram_score,  # bigram vocab grows w/ corpus
     "resample_ffill_events": analytic.resample_ffill_events,  # span-bounded grid
+    # pair-join families over the replicated customer/lineitem tables
+    "er_fuzzy_pairs": entityres.er_fuzzy_pairs,  # delete-1 blocked join
+    "basket_pair_rules": market.basket_pair_rules,  # within-basket pairs
 }
 
 
@@ -129,10 +134,48 @@ def build_scaled(spark, k: int) -> str:
     for p in doc_parts[1:]:
         doc_k = doc_k.unionByName(p)
     doc_k.write.parquet(os.path.join(out, "documents.parquet"))
+    # customer ×k for the ER family: per-copy 2-char name prefix with
+    # pairwise prefix distance 2 ("aa", "bb", …), so NO cross-copy pair is
+    # within Levenshtein 1 — the distance-1 pair structure (what the
+    # blocked join's work scales with) replicates exactly linearly, the
+    # same design argument as the documents vocabulary rename
+    cust = load_table(spark, BASE, "customer")
+    n_cust = cust.count()
+    cust_parts = [
+        cust.select(
+            (F.col("c_custkey") + F.lit(i * 10 * n_cust)).alias("c_custkey"),
+            F.concat(F.lit(chr(ord("a") + i) * 2), F.col("c_name")).alias(
+                "c_name"
+            ),
+            *[c for c in cust.columns if c not in ("c_custkey", "c_name")],
+        )
+        for i in range(k)
+    ]
+    cust_k = cust_parts[0]
+    for p in cust_parts[1:]:
+        cust_k = cust_k.unionByName(p)
+    cust_k.write.parquet(os.path.join(out, "customer.parquet"))
+    # lineitem ×k for the basket family: baskets must never merge across
+    # copies (orderkey offset); parts stay shared — pair SUPPORT grows k×
+    # (linear counts on a fixed pair domain), candidate generation stays
+    # Σ|basket|² per copy
+    li = load_table(spark, BASE, "lineitem")
+    max_ok = li.agg(F.max("l_orderkey")).collect()[0][0] + 1
+    li_parts = [
+        li.select(
+            (F.col("l_orderkey") + F.lit(i * max_ok)).alias("l_orderkey"),
+            *[c for c in li.columns if c != "l_orderkey"],
+        )
+        for i in range(k)
+    ]
+    li_k = li_parts[0]
+    for p in li_parts[1:]:
+        li_k = li_k.unionByName(p)
+    li_k.write.parquet(os.path.join(out, "lineitem.parquet"))
     for t in TABLES:
         src = table_path(BASE, t)
         dst = table_path(out, t)
-        if t not in ("events", "documents") and os.path.exists(src):
+        if t not in ("events", "documents", "customer", "lineitem") and os.path.exists(src):
             os.symlink(src, dst)
     open(os.path.join(out, "_DONE"), "w").close()
     return out
