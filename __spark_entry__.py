@@ -634,7 +634,7 @@ def _pagerank_ctes() -> str:
 def _power_iter_ctes() -> str:
     """Unrolled power-iteration CTE chain replaying
     ``similarity.embedding_top_component`` bit-for-bit: all divisions on
-    absolutes with explicit sign splits, so DuckDB ``//`` (floor) and
+    absolutes with explicit sign splits, so DuckDB ``//`` (truncating) and
     Spark ``div`` (truncate) agree at every step."""
     from kafka_exercise_spark.operators import similarity as sim
 
@@ -2312,7 +2312,14 @@ def oracle_sql() -> dict[str, str]:
         "resample_ffill_events": f"""
             WITH e AS (SELECT user_id, epoch_us(ts) AS us, value, event_id
                        FROM events),
-            hb AS (SELECT user_id, us // {analytic.RESAMPLE_BUCKET_US} AS h,
+            -- FLOOR bucketing on both sides: DuckDB's integer // (like
+            -- Spark's div) TRUNCATES toward zero, so mirror the Spark
+            -- side's pmod-subtraction fold exactly
+            hb AS (SELECT user_id,
+                          (us - ((us % {analytic.RESAMPLE_BUCKET_US}
+                                  + {analytic.RESAMPLE_BUCKET_US})
+                                 % {analytic.RESAMPLE_BUCKET_US}))
+                              // {analytic.RESAMPLE_BUCKET_US} AS h,
                           value, us, event_id
                    FROM e),
             hr AS (SELECT user_id, h, value AS v_obs, n_events FROM (

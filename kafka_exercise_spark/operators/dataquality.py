@@ -241,10 +241,10 @@ def drift_report_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``cv div 1000`` (non-negative, so div ≡ floor); per-(type, bucket)
     counts; L1 as Σ|c₁·n₂ − c₂·n₁| scaled to ppm by ONE floor division —
     no float ratio ever materializes, so the report hashes identically
-    in any engine. Overflow: Σ|c₁·n₂ − c₂·n₁| ≤ 2·n₁·n₂, exact while
-    n₁·n₂ < 2⁶² — beyond ~10⁹ rows per side, compute the same statistic
-    on per-shard counts (the bucket table is tiny; only the counts
-    grow).
+    in any engine. Overflow: the ppm numerator Σ|c₁·n₂ − c₂·n₁|·10⁶ ≤
+    2·n₁·n₂·10⁶ stays in int64 while n₁·n₂ < ~4.6·10¹² (~2·10⁶ rows per
+    side) — beyond that, compute the same statistic on per-shard counts
+    (the bucket table is tiny; only the counts grow).
 
     Scale shape: one groupBy on (type, bucket) with map-side combine,
     a broadcast-back of per-type totals (|types| rows), and a final
@@ -275,24 +275,23 @@ def drift_report_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n1").alias("n_pre"),
             F.max("n2").alias("n_post"),
             F.count("*").alias("n_buckets"),
-            # guard the division (repo rule): a type with every event on
-            # ONE side has no comparable distribution — report the max-L1
-            # sentinel (2.0 → 2e6 ppm) instead of NULLing or erroring
+            F.sum(
+                F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1"))
+            ).alias("_l1_num"),
+        )
+        # guard the division (repo rule): a type with every event on ONE
+        # side has no comparable distribution — report the max-L1 sentinel
+        # (2.0 → 2e6 ppm). The division itself is INTEGER `div` on longs,
+        # matching the oracle's `//` exactly — a float floor(a/b) loses
+        # exactness once the numerator passes 2^53
+        .withColumn(
+            "l1_ppm",
             F.when(
-                (F.max("n1") > 0) & (F.max("n2") > 0),
-                F.floor(
-                    F.sum(
-                        F.abs(
-                            F.col("c1") * F.col("n2")
-                            - F.col("c2") * F.col("n1")
-                        )
-                    )
-                    * 1_000_000
-                    / (F.max("n1") * F.max("n2"))
-                ),
+                (F.col("n_pre") > 0) & (F.col("n_post") > 0),
+                F.expr("(_l1_num * 1000000) div (n_pre * n_post)"),
             )
             .otherwise(F.lit(2_000_000))
-            .cast("long")
-            .alias("l1_ppm"),
+            .cast("long"),
         )
+        .drop("_l1_num")
     )

@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kafka_exercise_spark.catalog import load_table, scale_partitions
+from kafka_exercise_spark.catalog import load_table, memo_frame, scale_partitions
 
 #: Verify threshold: pairs at Levenshtein distance ≤ this are matches.
 #: The delete-1 blocking is complete (recall 1.0) exactly for distance 1;
@@ -69,13 +69,21 @@ def er_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchanges carry (variant, record) and (pair) tuples, both linear in
     the match density rather than quadratic in n.
     """
-    cust = scale_partitions(load_table(spark, sf_dir, "customer"), spark)
     # the exploded variant frame feeds three consumers (block census + both
-    # join sides) — materialize it once instead of re-scanning customer
-    v = cust.select(
-        "c_custkey", "c_name", "c_nationkey", F.explode(F.expr(_VARIANTS)).alias("v")
-    ).persist()
-    v.count()
+    # join sides) — served once per (app, sf_dir) via the shared memo
+    # instead of re-persisting (and leaking) a copy per invocation
+    v = memo_frame(
+        spark,
+        ("er_variants", sf_dir),
+        lambda: scale_partitions(
+            load_table(spark, sf_dir, "customer"), spark
+        ).select(
+            "c_custkey",
+            "c_name",
+            "c_nationkey",
+            F.explode(F.expr(_VARIANTS)).alias("v"),
+        ),
+    )
     # hot-block guard (semantic, like DF_MAX): drop towers before the join
     block_df = v.groupBy("v").agg(F.count("*").alias("block_n"))
     v = v.join(block_df.where(F.col("block_n") <= ER_BLOCK_CAP).select("v"), "v")
@@ -94,12 +102,15 @@ def er_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # verify BEFORE the distinct: levenshtein is cheap codegen per
     # candidate, and filtering first means the dedup shuffle carries only
-    # verified pairs (match density) instead of every candidate collision
+    # verified pairs (match density) instead of every candidate collision.
+    # The names are dropped before the distinct too — they're functionally
+    # determined by the keys and unused downstream, so shipping them would
+    # only widen the one wide exchange this op has.
     pairs = (
         a.join(b, "v")
         .where(F.col("ka") < F.col("kb"))
         .where(F.levenshtein("na", "nb") <= ER_MAX_DIST)
-        .select("ka", "kb", "na", "nb", "nation_a", "nation_b")
+        .select("ka", "kb", "nation_a", "nation_b")
         .distinct()
     )
     return pairs.groupBy("nation_a", "nation_b").agg(

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kafka_exercise_spark.catalog import load_table, scale_partitions
+from kafka_exercise_spark.catalog import load_table, memo_frame, scale_partitions
 
 #: Pairs must co-occur in at least this many baskets to be reported.
 MIN_SUPPORT = 2
@@ -41,17 +41,19 @@ def basket_pair_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     emitted as ``floor(c_ab · N · 10⁶ / (c_a · c_b))`` — all-integer, so
     the value hashes identically in any engine.
     """
-    li = scale_partitions(load_table(spark, sf_dir, "lineitem"), spark)
     # the capped item frame feeds five consumers (order census, item
-    # census, both pair-join sides) — materialize it once; at 100 TB this
-    # is the only pass over the raw fact table
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    sized = items.groupBy("l_orderkey").agg(F.count("*").alias("bsize"))
-    items = items.join(
-        sized.where(F.col("bsize") <= BASKET_CAP).select("l_orderkey"),
-        "l_orderkey",
-    ).persist()
-    items.count()
+    # census, both pair-join sides) — served once per (app, sf_dir) via
+    # the shared memo; at 100 TB this is the only pass over the raw fact
+    def _build_items() -> DataFrame:
+        li = scale_partitions(load_table(spark, sf_dir, "lineitem"), spark)
+        its = li.select("l_orderkey", "l_partkey").distinct()
+        sized = its.groupBy("l_orderkey").agg(F.count("*").alias("bsize"))
+        return its.join(
+            sized.where(F.col("bsize") <= BASKET_CAP).select("l_orderkey"),
+            "l_orderkey",
+        )
+
+    items = memo_frame(spark, ("basket_items", sf_dir), _build_items)
     n_orders = items.select("l_orderkey").distinct().agg(
         F.count("*").alias("n_orders")
     )
@@ -78,9 +80,10 @@ def basket_pair_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pair_cnt",
             "cnt_a",
             "cnt_b",
-            F.floor(
-                F.col("pair_cnt") * F.col("n_orders") * 1_000_000
-                / (F.col("cnt_a") * F.col("cnt_b"))
+            # integer `div` ≡ the oracle's `//` at any magnitude; a float
+            # floor would drift past 2^53 numerators
+            F.expr(
+                "(pair_cnt * n_orders * 1000000) div (cnt_a * cnt_b)"
             ).cast("long").alias("lift_ppm"),
         )
     )

@@ -1120,8 +1120,11 @@ def embedding_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-row projection s = A_i·v and the accumulation w = Σ s·A_i are
     exact integer sums, s is down-shifted by the quantization scale, and
     renormalization is ``(|w|·scale) div max|w|`` with an explicit sign
-    split (Spark ``div`` truncates, DuckDB ``//`` floors — they agree on
-    non-negative operands ONLY, so all divisions run on absolutes). The
+    split: all divisions run on absolutes, which makes the semantics
+    identical regardless of either engine's negative-operand convention
+    (both Spark ``div`` and DuckDB ``//`` truncate — empirically pinned;
+    the split also keeps the recurrence readable as round-toward-zero
+    in one place). The
     whole fit is therefore engine-exact and the oracle replays it
     bit-for-bit — the k-means/PageRank trick applied to linear algebra.
 

@@ -139,12 +139,15 @@ def skew_key_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             "key",
             "cnt",
             F.col("rnk").cast("long").alias("rnk"),
-            F.floor(F.col("cnt") * 1_000_000 / F.col("n_rows"))
+            # INTEGER `div` (≡ the oracle's `//` on these non-negative
+            # longs): float floor(a/b) drifts once cnt·n_keys·10⁶ passes
+            # 2^53 — exactly the hot-key-on-a-big-table regime this op
+            # diagnoses. Exact while cnt·n_keys < 9·10¹² (beyond that,
+            # drop the ppm scale a decade, same note as RANK_SCALE)
+            F.expr("(cnt * 1000000) div n_rows")
             .cast("long")
             .alias("share_ppm"),
-            F.floor(
-                F.col("cnt") * F.col("n_keys") * 1_000_000 / F.col("n_rows")
-            )
+            F.expr("(cnt * n_keys * 1000000) div n_rows")
             .cast("long")
             .alias("skew_ratio_ppm"),
         )

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kafka_exercise_spark.catalog import load_table, scale_partitions
+from kafka_exercise_spark.catalog import load_table, memo_frame, scale_partitions
 from kafka_exercise_spark.functions.text import (
     LANG_PROFILES,
     QUALITY_STOPWORDS,
@@ -604,15 +604,18 @@ def lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     Documents with fewer than two tokens have no bigrams and are excluded
     (the division guard), mirrored in the oracle.
     """
-    docs = scale_partitions(load_table(spark, sf_dir, "documents"), spark)
     # tokenize ONCE: the token frame feeds the vocabulary count and (via
-    # the bigram explode) both the frequency pass and the scoring join
-    base = (
-        docs.select("doc_id", tokens(F.col("text")).alias("tok"))
-        .where(F.size("tok") >= 2)
-        .persist()
+    # the bigram explode) both the frequency pass and the scoring join —
+    # served once per (app, sf_dir) via the shared memo
+    base = memo_frame(
+        spark,
+        ("bigram_base", sf_dir),
+        lambda: scale_partitions(
+            load_table(spark, sf_dir, "documents"), spark
+        )
+        .select("doc_id", tokens(F.col("text")).alias("tok"))
+        .where(F.size("tok") >= 2),
     )
-    base.count()
     exploded = base.select(
         "doc_id", F.explode(shingles_all(F.col("tok"), 2)).alias("bg")
     )

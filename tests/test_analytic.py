@@ -301,6 +301,30 @@ def test_resample_floors_pre_epoch_hours(spark):
         an.load_table = orig
     assert hours == [-3600, 0]
 
+    # and the ORACLE must floor identically — DuckDB's integer // (like
+    # Spark's div) truncates, so the oracle carries the same pmod fold;
+    # this is the side the first version of this fix missed
+    import duckdb
+
+    import __spark_entry__ as entrymod
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM (VALUES "
+        "(0::BIGINT, TIMESTAMP '1969-12-31 23:30:00', 7::BIGINT, 1.0), "
+        "(1::BIGINT, TIMESTAMP '1970-01-01 00:30:00', 7::BIGINT, 2.0)"
+        ") v(event_id, ts, user_id, value)"
+    )
+    oracle_hours = sorted(
+        r[0]
+        for r in con.execute(
+            "SELECT hour_start_s FROM ("
+            + entrymod.oracle_sql()["resample_ffill_events"]
+            + ")"
+        ).fetchall()
+    )
+    assert oracle_hours == [-3600, 0]
+
 
 def test_twa_weighs_by_holding_time_not_count(spark):
     """Value 1.00 held 9 hours then three 10.00 bursts in the last hour:
