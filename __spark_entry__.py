@@ -175,6 +175,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_key_census": skew.skew_key_census,
         # BPE step 2: apply the learned merges, per-doc segmentation stats
         "bpe_segment_words": textops.bpe_segment_words,
+        # dedup threshold tuning: pair/doc counts per cosine cutoff ladder
+        "dedup_threshold_sweep": dedup.dedup_threshold_sweep,
         # pairwise market-basket rules (within-basket join; integer lift)
         "basket_pair_rules": market.basket_pair_rules,
         # hourly resample + forward fill per user (gap-free time series)
@@ -2583,6 +2585,34 @@ def oracle_sql() -> dict[str, str]:
                    row_number() OVER (ORDER BY cnt DESC, pair ASC)
                        AS merge_rank
             FROM c
+        """,
+        # one pair pass, exploded over the literal cutoff ladder; both
+        # statistics exact integers over the exact micro-cosine
+        "dedup_threshold_sweep": f"""
+            WITH e AS (SELECT label, vec_id,
+                              list_transform(embedding,
+                                  x -> round(x * {similarity.PROJ_SCALE})
+                                           ::BIGINT) AS q
+                       FROM embeddings),
+            p AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
+                         {_int_cos_e6_sql("a.q", "b.q")} AS c
+                  FROM e a JOIN e b
+                    ON a.label = b.label AND a.vec_id < b.vec_id),
+            pf AS (SELECT * FROM p
+                   WHERE c >= {min(dedup.SWEEP_THRESHOLDS_E6)}),
+            th AS (SELECT unnest({list(dedup.SWEEP_THRESHOLDS_E6)})
+                       AS threshold_e6),
+            s AS (SELECT th.threshold_e6, ia, ib
+                  FROM pf JOIN th ON pf.c >= th.threshold_e6),
+            np AS (SELECT threshold_e6, count(*)::BIGINT AS n_pairs
+                   FROM s GROUP BY 1),
+            ids AS (SELECT threshold_e6, ia AS id FROM s
+                    UNION ALL SELECT threshold_e6, ib FROM s),
+            nd AS (SELECT threshold_e6,
+                          count(DISTINCT id)::BIGINT AS n_docs
+                   FROM ids GROUP BY 1)
+            SELECT np.threshold_e6, np.n_pairs, nd.n_docs
+            FROM np JOIN nd USING (threshold_e6)
         """,
         # merge chain applied via PLAIN replace (left-to-right scan parity
         # pinned in tests); missing-merge slots no-op via the

@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-from kafka_exercise_spark.catalog import load_table, scale_partitions
+from kafka_exercise_spark.catalog import load_table, memo_frame, scale_partitions
 from kafka_exercise_spark.functions.text import (
     MINHASH_MOD,
     md5_hash64,
@@ -1026,3 +1026,71 @@ def contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("n_any_flagged") * 1_000_000 / F.col("n_docs")),
         )
     )
+
+
+#: Cosine thresholds swept (µ-cosine units), highest → loosest. The floor
+#: (last entry) bounds the pair frame: pairs below it are never needed.
+#: Ladder centered on the fixture's regime (the synthetic embeddings are
+#: diffuse — within-label pairs top out ≈0.47, and the production dup
+#: threshold here is COSINE_DUP_THRESHOLD = 0.25); on a real corpus the
+#: same ladder sits at 0.9+.
+SWEEP_THRESHOLDS_E6 = (450_000, 400_000, 350_000, 300_000, 250_000, 200_000)
+
+
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-tuning report for embedding dedup: pair and affected-doc
+    counts at a ladder of cosine cutoffs, from ONE pass over the
+    within-bucket pairs — the artifact you stare at before committing a
+    semantic-dedup threshold at 100 TB (each row answers "how much would
+    this cutoff remove?").
+
+    The pair frame (per-label buckets, exact integer micro-cosine — the
+    same Σ|cell|² shape and exactness as ``dedup_embedding_cosine``) is
+    computed once, floored at the loosest threshold, and served via the
+    shared memo; the sweep itself is an explode over the literal ladder +
+    one aggregation per statistic. Both statistics are exact integers, so
+    the report hash-checks in any engine.
+    """
+    from kafka_exercise_spark.operators.similarity import (  # noqa: PLC0415
+        int_cos_e6,
+        quantized_vec,
+    )
+
+    def _build_pairs() -> DataFrame:
+        emb = load_table(spark, sf_dir, "embeddings").select(
+            "label",
+            "vec_id",
+            quantized_vec(F.col("embedding").cast("array<double>")).alias("ei"),
+        )
+        a = emb.select(
+            "label", F.col("vec_id").alias("id_a"), F.col("ei").alias("ei_a")
+        )
+        b = emb.select(
+            "label", F.col("vec_id").alias("id_b"), F.col("ei").alias("ei_b")
+        )
+        return (
+            a.join(b, "label")
+            .where(F.col("id_a") < F.col("id_b"))
+            .withColumn("cos_e6", int_cos_e6(F.col("ei_a"), F.col("ei_b")))
+            .where(F.col("cos_e6") >= min(SWEEP_THRESHOLDS_E6))
+            .select("id_a", "id_b", "cos_e6")
+        )
+
+    pairs = memo_frame(spark, ("cos_sweep_pairs", sf_dir), _build_pairs)
+    swept = pairs.select(
+        "id_a",
+        "id_b",
+        F.explode(F.lit(list(SWEEP_THRESHOLDS_E6))).alias("threshold_e6"),
+        "cos_e6",
+    ).where(F.col("cos_e6") >= F.col("threshold_e6"))
+    n_pairs = swept.groupBy("threshold_e6").agg(
+        F.count("*").alias("n_pairs")
+    )
+    ids = swept.select(
+        "threshold_e6",
+        F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias("id"),
+    )
+    n_docs = ids.groupBy("threshold_e6").agg(
+        F.count_distinct("id").alias("n_docs")
+    )
+    return n_pairs.join(n_docs, "threshold_e6")

@@ -1128,3 +1128,24 @@ def test_bpe_segmentation_exact_on_hand_corpus(spark):
     finally:
         t.load_table = orig
     assert (r2.base_symbols, r2.merged_symbols) == (5, 3)
+
+
+def test_threshold_sweep_monotone_and_consistent(spark, sf_dir):
+    """Tighter thresholds can only shrink both statistics, counts are
+    consistent (n_docs <= 2*n_pairs), and every ladder rung reports."""
+    from kafka_exercise_spark.operators.dedup import (
+        SWEEP_THRESHOLDS_E6,
+        dedup_threshold_sweep,
+    )
+
+    rows = {r.threshold_e6: r for r in
+            dedup_threshold_sweep(spark, sf_dir).collect()}
+    present = sorted(rows)
+    assert len(present) >= 2  # at least the loose rungs fire on sf0.001
+    last_pairs, last_docs = 0, 0
+    for t in sorted(rows, reverse=True):  # tight -> loose
+        r = rows[t]
+        assert r.n_pairs >= last_pairs and r.n_docs >= last_docs
+        assert 2 <= r.n_docs <= 2 * r.n_pairs
+        last_pairs, last_docs = r.n_pairs, r.n_docs
+    assert set(present) <= set(SWEEP_THRESHOLDS_E6)
