@@ -177,6 +177,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_segment_words": textops.bpe_segment_words,
         # dedup threshold tuning: pair/doc counts per cosine cutoff ladder
         "dedup_threshold_sweep": dedup.dedup_threshold_sweep,
+        # RFM segmentation: exact integer recency/monetary, fixed bands
+        "rfm_segments": analytic.rfm_segments,
         # pairwise market-basket rules (within-basket join; integer lift)
         "basket_pair_rules": market.basket_pair_rules,
         # hourly resample + forward fill per user (gap-free time series)
@@ -582,6 +584,15 @@ def _lsh_ctes() -> str:
     return _LSH_CTES.format(
         toks=_TOKS, shingles=_SHINGLES, hsh=_HSH, mh_list=_MH_LIST
     )
+
+
+def _rfm_case(col: str, edges: tuple, descending: bool) -> str:
+    """Fixed-band 1-5 score CASE, mirroring analytic.rfm_segments.band."""
+    whens = " ".join(
+        f"WHEN {col} {'<' if descending else '>='} {edge} THEN {score}"
+        for score, edge in zip(range(5, 1, -1), edges)
+    )
+    return f"CASE {whens} ELSE 1 END"
 
 
 def _bpe_sym_sql() -> str:
@@ -2585,6 +2596,32 @@ def oracle_sql() -> dict[str, str]:
                    row_number() OVER (ORDER BY cnt DESC, pair ASC)
                        AS merge_rank
             FROM c
+        """,
+        # exact integer recency/centi-monetary + fixed CASE bands
+        "rfm_segments": f"""
+            WITH a AS (SELECT o_custkey, count(*) AS frequency,
+                              max(epoch_us(o_orderdate)) AS last_us,
+                              sum(round(o_totalprice * 100)::BIGINT)::BIGINT
+                                  AS monetary_c
+                       FROM orders GROUP BY 1),
+            s AS (SELECT o_custkey, frequency,
+                         ({analytic.RFM_AS_OF_US} - last_us) // 86400000000
+                             AS recency_days,
+                         monetary_c
+                  FROM a),
+            sc AS (SELECT *, {_rfm_case("recency_days", analytic.RFM_R_EDGES_DAYS, True)} AS r_score,
+                          {_rfm_case("frequency", analytic.RFM_F_EDGES, False)} AS f_score,
+                          {_rfm_case("monetary_c", analytic.RFM_M_EDGES_C, False)} AS m_score
+                   FROM s)
+            SELECT o_custkey, recency_days, frequency, monetary_c,
+                   r_score::BIGINT AS r_score, f_score::BIGINT AS f_score,
+                   m_score::BIGINT AS m_score,
+                   CASE WHEN r_score >= 4 AND f_score >= 4 THEN 'champion'
+                        WHEN r_score >= 4 AND f_score <= 2 THEN 'new'
+                        WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk'
+                        WHEN r_score <= 2 AND f_score <= 2 THEN 'lost'
+                        ELSE 'regular' END AS segment
+            FROM sc
         """,
         # one pair pass, exploded over the literal cutoff ladder; both
         # statistics exact integers over the exact micro-cosine

@@ -557,3 +557,87 @@ def twa_value_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         (twa_centi / 100.0).alias("twa_value"),
         F.expr(f"span_us div {1_000_000}").alias("span_s"),
     )
+
+
+#: RFM reference instant (epoch micros, 2001-09-01 UTC — just past the
+#: fixture's last order) and the fixed scoring bands. Fixed bands, not
+#: within-corpus quantiles: the band edges are part of the segment
+#: DEFINITION (comparable across runs and corpora), and quantile
+#: interpolation is engine-dependent where fixed edges are exact.
+RFM_AS_OF_US = 999_302_400_000_000
+RFM_R_EDGES_DAYS = (180, 365, 730, 1460)  # <d → 5,4,3,2 else 1
+RFM_F_EDGES = (25, 15, 8, 4)
+RFM_M_EDGES_C = (400_000_000, 250_000_000, 120_000_000, 40_000_000)
+
+
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — the classic BI serving-layer rollup
+    (recency / frequency / monetary with 1-5 scores and named segments)
+    over the orders table, in exact integers end to end: recency in whole
+    days via integer micros division, monetary in exact centi-currency
+    (per-row 0-dp round of identical doubles, then integer sums), scores
+    from fixed CASE bands.
+
+    One scan → one groupBy(custkey) with map-side partials; the scoring
+    is a map-side projection on the (customer-count-sized) aggregate.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    agg = (
+        orders.select(
+            "o_custkey",
+            F.unix_micros(F.col("o_orderdate")).alias("us"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("frequency"),
+            F.max("us").alias("last_us"),
+            F.sum("cents").alias("monetary_c"),
+        )
+        .select(
+            "o_custkey",
+            "frequency",
+            F.expr(
+                f"({RFM_AS_OF_US} - last_us) div {86_400_000_000}"
+            ).alias("recency_days"),
+            "monetary_c",
+        )
+    )
+
+    def band(col: str, edges: tuple, descending: bool) -> F.Column:
+        # CASE chain in precedence order, best band first.
+        # descending=True: smaller value -> higher score (recency).
+        out = None
+        for score, edge in zip(range(5, 1, -1), edges):
+            cond = (
+                F.col(col) < edge if descending else F.col(col) >= edge
+            )
+            out = (
+                F.when(cond, F.lit(score))
+                if out is None
+                else out.when(cond, F.lit(score))
+            )
+        return out.otherwise(F.lit(1))
+
+    r = band("recency_days", RFM_R_EDGES_DAYS, descending=True)
+    f = band("frequency", RFM_F_EDGES, descending=False)
+    m = band("monetary_c", RFM_M_EDGES_C, descending=False)
+    scored = agg.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary_c",
+        r.cast("long").alias("r_score"),
+        f.cast("long").alias("f_score"),
+        m.cast("long").alias("m_score"),
+    )
+    seg = (
+        F.when(
+            (F.col("r_score") >= 4) & (F.col("f_score") >= 4), "champion"
+        )
+        .when((F.col("r_score") >= 4) & (F.col("f_score") <= 2), "new")
+        .when((F.col("r_score") <= 2) & (F.col("f_score") >= 4), "at_risk")
+        .when((F.col("r_score") <= 2) & (F.col("f_score") <= 2), "lost")
+        .otherwise("regular")
+    )
+    return scored.withColumn("segment", seg)

@@ -352,3 +352,28 @@ def test_twa_weighs_by_holding_time_not_count(spark):
         an.load_table = orig
     assert r.n_events == 4 and r.span_s == 36000
     assert r.twa_value == 1.90  # (100*32400 + 1000*3600) / 36000 = 190
+
+
+def test_rfm_bands_and_segment_rules(spark, sf_dir):
+    """Scores are 1-5, band edges apply exactly, and the segment label
+    follows the documented r/f rules on every customer."""
+    from kafka_exercise_spark.operators import analytic as an
+
+    rows = an.rfm_segments(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.r_score <= 5 and 1 <= r.f_score <= 5
+        assert 1 <= r.m_score <= 5
+        assert r.recency_days >= 0 and r.monetary_c > 0
+        # recompute the r band from the edges
+        want = 1
+        for score, edge in zip(range(5, 1, -1), an.RFM_R_EDGES_DAYS):
+            if r.recency_days < edge:
+                want = score
+                break
+        assert r.r_score == want, (r.recency_days, r.r_score, want)
+        if r.r_score >= 4 and r.f_score >= 4:
+            assert r.segment == "champion"
+        elif r.r_score <= 2 and r.f_score <= 2:
+            assert r.segment == "lost"
+    assert {r.segment for r in rows} >= {"regular"}
