@@ -179,6 +179,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_threshold_sweep": dedup.dedup_threshold_sweep,
         # RFM segmentation: exact integer recency/monetary, fixed bands
         "rfm_segments": analytic.rfm_segments,
+        # multi-touch attribution: first/last/linear, exact ppm credit
+        "attribution_credit": analytic.attribution_credit,
         # pairwise market-basket rules (within-basket join; integer lift)
         "basket_pair_rules": market.basket_pair_rules,
         # hourly resample + forward fill per user (gap-free time series)
@@ -2596,6 +2598,39 @@ def oracle_sql() -> dict[str, str]:
                    row_number() OVER (ORDER BY cnt DESC, pair ASC)
                        AS merge_rank
             FROM c
+        """,
+        # lookback-bounded touch join; integer-div linear shares with the
+        # remainder pinned to the last touch (sums to exactly 1e6/conv)
+        "attribution_credit": f"""
+            WITH p AS (SELECT event_id AS conv_id, user_id AS u,
+                              epoch_us(ts) AS conv_us
+                       FROM events WHERE event_type = 'purchase'),
+            t AS (SELECT user_id, event_id AS touch_id,
+                         event_type AS channel, epoch_us(ts) AS touch_us
+                  FROM events
+                  WHERE event_type IN ('click', 'view', 'signup')),
+            j AS (SELECT conv_id, channel, touch_us, touch_id
+                  FROM p JOIN t ON t.user_id = p.u
+                   AND t.touch_us < p.conv_us
+                   AND t.touch_us >= p.conv_us - {analytic.ATTR_LOOKBACK_US}),
+            r AS (SELECT conv_id, channel,
+                         row_number() OVER (PARTITION BY conv_id
+                             ORDER BY touch_us ASC, touch_id ASC)
+                             AS rk_first,
+                         row_number() OVER (PARTITION BY conv_id
+                             ORDER BY touch_us DESC, touch_id DESC)
+                             AS rk_last,
+                         count(*) OVER (PARTITION BY conv_id) AS k
+                  FROM j)
+            SELECT channel,
+                   sum((rk_first = 1)::BIGINT)::BIGINT
+                       AS conversions_first,
+                   sum((rk_last = 1)::BIGINT)::BIGINT AS conversions_last,
+                   sum(1000000 // k
+                       + CASE WHEN rk_last = 1
+                              THEN 1000000 - k * (1000000 // k)
+                              ELSE 0 END)::BIGINT AS credit_linear_ppm
+            FROM r GROUP BY channel
         """,
         # exact integer recency/centi-monetary + fixed CASE bands
         "rfm_segments": f"""

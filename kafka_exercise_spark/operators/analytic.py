@@ -641,3 +641,79 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("regular")
     )
     return scored.withColumn("segment", seg)
+
+
+#: Attribution lookback: touches within this window before a conversion
+#: get credit (micros).
+ATTR_LOOKBACK_US = 7 * 86_400_000_000
+#: Touch channels eligible for credit.
+ATTR_TOUCH_TYPES = ("click", "view", "signup")
+
+
+def attribution_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch attribution: distribute each purchase's conversion
+    credit over the user's touch events (click/view/signup) in the
+    7-day lookback, under the three classic models at once — first-touch,
+    last-touch, and linear — rolled up per channel.
+
+    Linear credit is exact integers: each conversion splits 10⁶ ppm as
+    ``10⁶ div k`` per touch with the remainder assigned to the LAST touch
+    (deterministic, sums to exactly 10⁶ per conversion), so per-channel
+    sums are engine-exact — no float shares.
+
+    Scale shape: ONE user-keyed join bounded by the lookback (touch state
+    a purchase can reach is ≤ one window of events — the same bound a
+    streaming interval join would enforce with a watermark), then
+    per-conversion ranking windows partitioned by purchase id, then a
+    channel rollup bounded by the channel domain.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"),
+        F.col("user_id").alias("u"),
+        F.unix_micros(F.col("ts")).alias("conv_us"),
+    )
+    touches = ev.where(
+        F.col("event_type").isin(list(ATTR_TOUCH_TYPES))
+    ).select(
+        "user_id",
+        F.col("event_id").alias("touch_id"),
+        F.col("event_type").alias("channel"),
+        F.unix_micros(F.col("ts")).alias("touch_us"),
+    )
+    joined = purchases.join(
+        touches,
+        (purchases.u == touches.user_id)
+        & (touches.touch_us < purchases.conv_us)
+        & (touches.touch_us >= purchases.conv_us - ATTR_LOOKBACK_US),
+    )
+    w_first = Window.partitionBy("conv_id").orderBy(
+        F.col("touch_us").asc(), F.col("touch_id").asc()
+    )
+    w_last = Window.partitionBy("conv_id").orderBy(
+        F.col("touch_us").desc(), F.col("touch_id").desc()
+    )
+    ranked = joined.select(
+        "conv_id",
+        "channel",
+        F.row_number().over(w_first).alias("rk_first"),
+        F.row_number().over(w_last).alias("rk_last"),
+        F.count("*").over(Window.partitionBy("conv_id")).alias("k"),
+    )
+    linear = F.expr("1000000 div k") + F.when(
+        F.col("rk_last") == 1, F.expr("1000000 - k * (1000000 div k)")
+    ).otherwise(F.lit(0))
+    return (
+        ranked.select(
+            "channel",
+            (F.col("rk_first") == 1).cast("long").alias("first_c"),
+            (F.col("rk_last") == 1).cast("long").alias("last_c"),
+            linear.alias("lin_ppm"),
+        )
+        .groupBy("channel")
+        .agg(
+            F.sum("first_c").alias("conversions_first"),
+            F.sum("last_c").alias("conversions_last"),
+            F.sum("lin_ppm").alias("credit_linear_ppm"),
+        )
+    )

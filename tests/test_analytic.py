@@ -377,3 +377,27 @@ def test_rfm_bands_and_segment_rules(spark, sf_dir):
         elif r.r_score <= 2 and r.f_score <= 2:
             assert r.segment == "lost"
     assert {r.segment for r in rows} >= {"regular"}
+
+
+def test_attribution_credit_conserved_and_models_agree(spark, sf_dir):
+    """Credit conservation: linear ppm across channels sums to exactly
+    1e6 x n_attributed_conversions; first/last totals equal the same
+    count (each attributed conversion has exactly one first and one
+    last touch)."""
+    from kafka_exercise_spark.catalog import load_table
+    from kafka_exercise_spark.operators import analytic as an
+
+    rows = an.attribution_credit(spark, sf_dir).collect()
+    assert rows
+    total_first = sum(r.conversions_first for r in rows)
+    total_last = sum(r.conversions_last for r in rows)
+    total_lin = sum(r.credit_linear_ppm for r in rows)
+    assert total_first == total_last
+    assert total_lin == total_first * 1_000_000
+    n_purchases = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .count()
+    )
+    # attributed conversions can't exceed purchases (some may lack touches)
+    assert 0 < total_first <= n_purchases
