@@ -97,6 +97,13 @@ def memo_frame(spark: SparkSession, key: tuple, build) -> DataFrame:
     instead of stacking identical persisted RDDs for the session's
     lifetime. At 100 TB the analog is the materialized index/staging
     table on the lake.
+
+    CONTRACT: the key must uniquely identify the data the builder reads
+    within this application — the memo cannot see through a changed
+    ``load_table`` or rewritten parquet behind an old key. In tests that
+    monkeypatch ``load_table`` with hand frames, use a UNIQUE placeholder
+    sf_dir per hand frame (not a shared "x"), or the first test's frame
+    is served to the second.
     """
     k = (spark.sparkContext.applicationId, *key)
     df = _FRAME_MEMO.get(k)

@@ -196,7 +196,8 @@ def test_basket_pair_rules_exact_lift(spark):
     orig = market.load_table
     try:
         market.load_table = lambda s, d, n: df
-        out = market.basket_pair_rules(spark, "x").collect()
+        # unique placeholder dir: basket_pair_rules memoizes per sf_dir
+        out = market.basket_pair_rules(spark, "hand-basket").collect()
     finally:
         market.load_table = orig
     assert len(out) == 1

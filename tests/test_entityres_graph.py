@@ -57,7 +57,7 @@ def test_er_pairs_are_truly_within_distance(spark):
     orig = entityres.load_table
     try:
         entityres.load_table = lambda s, d, n: df
-        out = entityres.er_fuzzy_pairs(spark, "ignored").collect()
+        out = entityres.er_fuzzy_pairs(spark, "hand-er").collect()
     finally:
         entityres.load_table = orig
     pairs = {(r.min_custkey_a, r.max_custkey_b) for r in out}
@@ -98,7 +98,7 @@ def test_pagerank_uniform_graph_is_uniform(spark):
     orig = graph.load_table
     try:
         graph.load_table = lambda s, d, n: df
-        out = graph.graph_pagerank(spark, "ignored").collect()
+        out = graph.graph_pagerank(spark, "hand-pagerank").collect()
     finally:
         graph.load_table = orig
     assert len({r.rank for r in out}) == 1
@@ -130,7 +130,11 @@ def test_bigram_lm_orders_salad_above_fluent(spark):
     orig = textops.load_table
     try:
         textops.load_table = lambda s, d, n: df
-        rows = {r.doc_id: r for r in textops.lm_bigram_score(spark, "x").collect()}
+        # unique placeholder dir: lm_bigram_score memoizes per sf_dir
+        rows = {
+            r.doc_id: r
+            for r in textops.lm_bigram_score(spark, "hand-bigram").collect()
+        }
     finally:
         textops.load_table = orig
     assert rows[3].cross_entropy_nats > rows[0].cross_entropy_nats

@@ -1114,7 +1114,9 @@ def test_bpe_segmentation_exact_on_hand_corpus(spark):
     orig = t.load_table
     try:
         t.load_table = lambda s, d, n: df
-        (r,) = t.bpe_segment_words(spark, "x").collect()
+        # unique placeholder dir per hand frame: the merge-table memo is
+        # keyed on (app, sf_dir) — see catalog.memo_frame's contract
+        (r,) = t.bpe_segment_words(spark, "hand-bpe-1").collect()
     finally:
         t.load_table = orig
     assert (r.n_words, r.base_symbols, r.merged_symbols) == (2, 8, 6)
@@ -1124,7 +1126,7 @@ def test_bpe_segmentation_exact_on_hand_corpus(spark):
     df2 = spark.createDataFrame([(0, "abcab")], "doc_id long, text string")
     try:
         t.load_table = lambda s, d, n: df2
-        (r2,) = t.bpe_segment_words(spark, "x").collect()
+        (r2,) = t.bpe_segment_words(spark, "hand-bpe-2").collect()
     finally:
         t.load_table = orig
     assert (r2.base_symbols, r2.merged_symbols) == (5, 3)
@@ -1132,7 +1134,10 @@ def test_bpe_segmentation_exact_on_hand_corpus(spark):
 
 def test_threshold_sweep_monotone_and_consistent(spark, sf_dir):
     """Tighter thresholds can only shrink both statistics, counts are
-    consistent (n_docs <= 2*n_pairs), and every ladder rung reports."""
+    consistent (n_docs <= 2*n_pairs), and exactly the rungs with ≥1
+    qualifying pair report (at sf0.001: all but the 450k rung — the
+    fixture's within-label pairs top out below it; pinned exactly so an
+    off-by-one in the threshold filter can't silently drop rungs)."""
     from kafka_exercise_spark.operators.dedup import (
         SWEEP_THRESHOLDS_E6,
         dedup_threshold_sweep,
@@ -1140,12 +1145,12 @@ def test_threshold_sweep_monotone_and_consistent(spark, sf_dir):
 
     rows = {r.threshold_e6: r for r in
             dedup_threshold_sweep(spark, sf_dir).collect()}
-    present = sorted(rows)
-    assert len(present) >= 2  # at least the loose rungs fire on sf0.001
+    assert set(rows) == set(SWEEP_THRESHOLDS_E6) - {450_000}
     last_pairs, last_docs = 0, 0
     for t in sorted(rows, reverse=True):  # tight -> loose
         r = rows[t]
         assert r.n_pairs >= last_pairs and r.n_docs >= last_docs
         assert 2 <= r.n_docs <= 2 * r.n_pairs
         last_pairs, last_docs = r.n_pairs, r.n_docs
-    assert set(present) <= set(SWEEP_THRESHOLDS_E6)
+    # the loosest rung's exact counts, pinned (deterministic fixture)
+    assert rows[200_000].n_pairs == 657 and rows[200_000].n_docs == 459

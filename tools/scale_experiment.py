@@ -51,6 +51,10 @@ from kafka_exercise_spark.sources import lake
 BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 WORK = "/tmp/spark_graft_scale"
 
+#: Bump when build_scaled's table layout changes (which tables are
+#: replicated and how) — see the _DONE stamp check.
+BUILD_LAYOUT_VERSION = "v2-replicates-events-documents-customer-lineitem"
+
 QUERIES = {
     "quality_repetition": textops.quality_repetition,
     "idadecont": pipeline_ops.idadecont,
@@ -75,8 +79,16 @@ QUERIES = {
 
 def build_scaled(spark, k: int) -> str:
     out = os.path.join(WORK, f"x{k}")
-    if os.path.exists(os.path.join(out, "_DONE")):
-        return out
+    # _DONE carries a LAYOUT VERSION: a stale cache built by an older
+    # build_scaled (e.g. one that symlinked customer/lineitem unscaled)
+    # would silently feed 1x data to every rung and fabricate flat
+    # "scaling" ratios — stamp mismatch forces a rebuild.
+    done = os.path.join(out, "_DONE")
+    if os.path.exists(done):
+        with open(done) as f:
+            if f.read().strip() == BUILD_LAYOUT_VERSION:
+                return out
+        shutil.rmtree(out)
     shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out)
     ev = load_table(spark, BASE, "events")
@@ -177,7 +189,8 @@ def build_scaled(spark, k: int) -> str:
         dst = table_path(out, t)
         if t not in ("events", "documents", "customer", "lineitem") and os.path.exists(src):
             os.symlink(src, dst)
-    open(os.path.join(out, "_DONE"), "w").close()
+    with open(os.path.join(out, "_DONE"), "w") as f:
+        f.write(BUILD_LAYOUT_VERSION)
     return out
 
 
