@@ -181,6 +181,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rfm_segments": analytic.rfm_segments,
         # multi-touch attribution: first/last/linear, exact ppm credit
         "attribution_credit": analytic.attribution_credit,
+        # hourly volume anomalies vs a trailing baseline (integer ppm)
+        "hourly_anomaly_scores": analytic.hourly_anomaly_scores,
         # pairwise market-basket rules (within-basket join; integer lift)
         "basket_pair_rules": market.basket_pair_rules,
         # hourly resample + forward fill per user (gap-free time series)
@@ -2598,6 +2600,36 @@ def oracle_sql() -> dict[str, str]:
                    row_number() OVER (ORDER BY cnt DESC, pair ASC)
                        AS merge_rank
             FROM c
+        """,
+        # RANGE trailing window over the hour number; one integer div
+        "hourly_anomaly_scores": f"""
+            WITH hc AS (SELECT event_type,
+                               epoch_us(ts) // 3600000000 AS h,
+                               count(*) AS cnt
+                        FROM events GROUP BY 1, 2),
+            s AS (SELECT event_type, h, cnt,
+                         sum(cnt) OVER (PARTITION BY event_type ORDER BY h
+                             RANGE BETWEEN {analytic.ANOM_TRAIL_HOURS}
+                                 PRECEDING AND 1 PRECEDING) AS trail_sum,
+                         count(cnt) OVER (PARTITION BY event_type
+                             ORDER BY h
+                             RANGE BETWEEN {analytic.ANOM_TRAIL_HOURS}
+                                 PRECEDING AND 1 PRECEDING) AS trail_n
+                  FROM hc)
+            SELECT event_type, (h * 3600)::BIGINT AS hour_start_s,
+                   cnt::BIGINT AS cnt,
+                   CASE WHEN trail_n = {analytic.ANOM_TRAIL_HOURS} THEN
+                        (cnt * {analytic.ANOM_TRAIL_HOURS} * 1000000)
+                        // trail_sum
+                   END::BIGINT AS ratio_ppm,
+                   coalesce(
+                       CASE WHEN trail_n = {analytic.ANOM_TRAIL_HOURS} THEN
+                            (cnt * {analytic.ANOM_TRAIL_HOURS} * 1000000)
+                            // trail_sum > {analytic.ANOM_HI_PPM}
+                            OR (cnt * {analytic.ANOM_TRAIL_HOURS} * 1000000)
+                            // trail_sum < {analytic.ANOM_LO_PPM}
+                       END, false) AS flagged
+            FROM s
         """,
         # lookback-bounded touch join; integer-div linear shares with the
         # remainder pinned to the last touch (sums to exactly 1e6/conv)

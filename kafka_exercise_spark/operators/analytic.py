@@ -717,3 +717,66 @@ def attribution_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("lin_ppm").alias("credit_linear_ppm"),
         )
     )
+
+
+#: Anomaly trailing baseline: previous W complete hours.
+ANOM_TRAIL_HOURS = 24
+#: Flag thresholds on the count-vs-baseline ratio (ppm of the mean).
+ANOM_HI_PPM = 2_000_000
+ANOM_LO_PPM = 500_000
+
+
+def hourly_anomaly_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly monitor: each (event_type, hour)'s count scored
+    against the trailing-``ANOM_TRAIL_HOURS`` baseline — the pipeline
+    health check that catches a dying producer (volume collapse) or a
+    runaway loop (volume spike) before they poison downstream state.
+
+    Exact integers end to end: hour buckets by integer micros division,
+    counts are counts, and the score is ``cnt·W·10⁶ div Σ_prev`` — the
+    ratio of the count to the trailing MEAN in ppm, computed as one
+    integer division (never a float mean). Hours without a full trailing
+    window are emitted unscored (NULL score, not flagged) rather than
+    scored against a partial baseline.
+
+    Scale shape: one groupBy(type, hour) with map-side combine, then a
+    per-type window over the (types × hours)-sized count frame — the
+    window input is the AGGREGATE, not the events.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hours = ev.select(
+        "event_type",
+        F.expr("unix_micros(ts) div 3600000000").alias("h"),
+    ).groupBy("event_type", "h").agg(F.count("*").alias("cnt"))
+    # RANGE, not ROWS: an hour with zero events is ABSENT from the count
+    # frame, and a rows-window would silently stretch the baseline across
+    # the gap; range over the hour number keeps the window a true 24
+    # clock-hours, and trail_n == W requires every one observed
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rangeBetween(-ANOM_TRAIL_HOURS, -1)
+    )
+    scored = hours.select(
+        "event_type",
+        (F.col("h") * 3600).cast("long").alias("hour_start_s"),
+        "cnt",
+        F.sum("cnt").over(w).alias("trail_sum"),
+        F.count("cnt").over(w).alias("trail_n"),
+    ).select(
+        "event_type",
+        "hour_start_s",
+        "cnt",
+        F.when(
+            F.col("trail_n") == ANOM_TRAIL_HOURS,
+            F.expr(f"(cnt * {ANOM_TRAIL_HOURS} * 1000000) div trail_sum"),
+        ).alias("ratio_ppm"),
+    )
+    return scored.withColumn(
+        "flagged",
+        F.coalesce(
+            (F.col("ratio_ppm") > ANOM_HI_PPM)
+            | (F.col("ratio_ppm") < ANOM_LO_PPM),
+            F.lit(False),
+        ),
+    )

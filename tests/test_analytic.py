@@ -402,3 +402,47 @@ def test_attribution_credit_conserved_and_models_agree(spark, sf_dir):
     )
     # attributed conversions can't exceed purchases (some may lack touches)
     assert 0 < total_first <= n_purchases
+
+
+def test_anomaly_scores_flag_a_planted_spike(spark):
+    """25 steady hours then a 10x spike hour: only the spike is flagged
+    high, with the exact integer ratio; the first 24 hours are unscored
+    (no full baseline)."""
+    import datetime as dt
+
+    from kafka_exercise_spark.operators import analytic as an
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for h in range(26):
+        n = 20 if h != 25 else 200
+        for i in range(n):
+            rows.append(
+                (eid, t0 + dt.timedelta(hours=h, minutes=i % 60), 1, 1.0,
+                 "click")
+            )
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, value double,"
+        " event_type string",
+    )
+    orig = an.load_table
+    try:
+        an.load_table = lambda s, d, n: df
+        out = {r.hour_start_s: r for r in
+               an.hourly_anomaly_scores(spark, "hand-anomaly").collect()}
+    finally:
+        an.load_table = orig
+    base = int(t0.replace(tzinfo=dt.timezone.utc).timestamp())
+    # hours 0..23: no full baseline -> unscored, unflagged
+    for h in range(24):
+        assert out[base + h * 3600].ratio_ppm is None
+        assert out[base + h * 3600].flagged is False
+    # hour 24: steady vs steady baseline -> exactly 1e6, unflagged
+    assert out[base + 24 * 3600].ratio_ppm == 1_000_000
+    assert out[base + 24 * 3600].flagged is False
+    # hour 25: 200 vs mean 20 -> exactly 10e6, flagged
+    assert out[base + 25 * 3600].ratio_ppm == 10_000_000
+    assert out[base + 25 * 3600].flagged is True
