@@ -80,11 +80,44 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+#: Registry of every served-index/frame memo in the package, with an
+#: optional per-value cleanup. All registered memos share one key
+#: contract — key[0] is the owning applicationId — so entries belonging
+#: to dead applications can be evicted centrally: a long-lived Python
+#: process running several Spark sessions otherwise accumulates dead
+#: DataFrames, checkpoint RDD references, and tempdirs forever.
+_MEMO_REGISTRY: list[tuple[dict, object]] = []
+
+
+def register_memo(memo: dict, cleanup=None) -> dict:
+    """Enroll a memo dict (key[0] MUST be the applicationId) for stale-
+    application eviction; ``cleanup(value)`` runs on evicted values (e.g.
+    tempdir removal). Returns the dict for inline use."""
+    _MEMO_REGISTRY.append((memo, cleanup))
+    return memo
+
+
+def evict_stale_memos(spark: SparkSession) -> None:
+    """Drop every registered memo entry owned by an applicationId other
+    than the active session's. Called from each memo accessor, so the
+    process holds at most one application's worth of served state. Cheap
+    when nothing is stale (one dict scan per memo)."""
+    app = spark.sparkContext.applicationId
+    for memo, cleanup in _MEMO_REGISTRY:
+        for k in [k for k in memo if k[0] != app]:
+            v = memo.pop(k)
+            if cleanup is not None:
+                try:
+                    cleanup(v)
+                except Exception:  # cleanup is best-effort by design
+                    pass
+
+
 #: Served-frame memo: (applicationId, *key) → materialized DataFrame.
 #: The SAME contract as the similarity/dedup index memos — a frame an
 #: operator family reads repeatedly is materialized ONCE per session per
 #: sf_dir instead of re-persisted (and leaked) on every invocation.
-_FRAME_MEMO: dict[tuple, DataFrame] = {}
+_FRAME_MEMO: dict[tuple, DataFrame] = register_memo({})
 
 
 def memo_frame(spark: SparkSession, key: tuple, build) -> DataFrame:
@@ -105,6 +138,7 @@ def memo_frame(spark: SparkSession, key: tuple, build) -> DataFrame:
     sf_dir per hand frame (not a shared "x"), or the first test's frame
     is served to the second.
     """
+    evict_stale_memos(spark)
     k = (spark.sparkContext.applicationId, *key)
     df = _FRAME_MEMO.get(k)
     if df is None:

@@ -320,11 +320,12 @@ def funnel_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: each stage is a selective scan (event_type predicate is
     pushed to parquet) aggregated to one row per qualified user — a frontier
-    that only shrinks stage over stage. The frontier is broadcast into the
-    next stage's join, so the big events table never shuffles: N stages cost
-    N pushed-down scans + N broadcast joins + N partial aggregates. At
-    100 TB the frontier is bounded by |users|; if that outgrows broadcast,
-    dropping the hint degrades gracefully to a shuffled join on user_id.
+    that only shrinks stage over stage. The frontier joins into the next
+    stage UNHINTED: AQE broadcasts it while its runtime size fits (the big
+    events table then never shuffles — N stages cost N pushed-down scans +
+    N broadcast joins + N partial aggregates) and degrades to a shuffled
+    join on user_id when it doesn't. The frontier is bounded by |users|,
+    which grows with the data — a forced hint would OOM at 100 TB.
     """
     events = load_table(spark, sf_dir, "events").select(
         "user_id", "event_type", "ts"
@@ -336,7 +337,7 @@ def funnel_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i, step in enumerate(FUNNEL_STEPS):
             stage = events.filter(F.col("event_type") == step)
             if frontier is not None:
-                stage = stage.join(F.broadcast(frontier), "user_id").filter(
+                stage = stage.join(frontier, "user_id").filter(
                     (F.col("ts") > F.col("qualified_at"))
                     & (
                         F.col("ts")
@@ -732,7 +733,8 @@ def hourly_anomaly_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     health check that catches a dying producer (volume collapse) or a
     runaway loop (volume spike) before they poison downstream state.
 
-    Exact integers end to end: hour buckets by integer micros division,
+    Exact integers end to end: hour buckets by the pmod-subtraction
+    integer FLOOR fold (pre-epoch-safe, same grid as resample_ffill),
     counts are counts, and the score is ``cnt·W·10⁶ div Σ_prev`` — the
     ratio of the count to the trailing MEAN in ppm, computed as one
     integer division (never a float mean). Hours without a full trailing
@@ -746,7 +748,14 @@ def hourly_anomaly_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     hours = ev.select(
         "event_type",
-        F.expr("unix_micros(ts) div 3600000000").alias("h"),
+        # same pmod-subtraction FLOOR fold as resample_ffill_events: a
+        # bare `div` truncates toward zero, which would collapse hours
+        # −1 and 0 for pre-epoch events and desync this op's hour grid
+        # from the other time-series entries (oracle mirrors the fold)
+        F.expr(
+            "(unix_micros(ts) - pmod(unix_micros(ts), 3600000000))"
+            " div 3600000000"
+        ).alias("h"),
     ).groupBy("event_type", "h").agg(F.count("*").alias("cnt"))
     # RANGE, not ROWS: an hour with zero events is ABSENT from the count
     # frame, and a rows-window would silently stretch the baseline across

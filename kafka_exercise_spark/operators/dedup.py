@@ -31,7 +31,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-from kafka_exercise_spark.catalog import load_table, memo_frame, scale_partitions
+from kafka_exercise_spark.catalog import (
+    load_table,
+    memo_frame,
+    register_memo,
+    scale_partitions,
+)
 from kafka_exercise_spark.functions.text import (
     MINHASH_MOD,
     md5_hash64,
@@ -95,7 +100,7 @@ def _with_hashed_shingles(docs: DataFrame) -> DataFrame:
 #: the whole shingle family (LSH pairs, n-gram Jaccard, …): shingling is
 #: the dominant scan-side cost at 100 TB, so every consumer reads the same
 #: materialization instead of re-running scan→tokenize→shingle→hash.
-_HASHED_SHINGLES_MEMO: dict[tuple[str, str], DataFrame] = {}
+_HASHED_SHINGLES_MEMO: dict[tuple[str, str], DataFrame] = register_memo({})
 
 
 def _hashed_shingles_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -229,12 +234,13 @@ def _lsh_pairs_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .distinct()
     )
-    # Broadcast the hashed-shingle lookup into both verify joins: candidate
-    # pairs then never shuffle, and the doc→hashes map ships once per
-    # executor. (At 100 TB the hash table outgrows broadcast — drop the
-    # hint and these become shuffled hash joins on doc_id, still no re-scan
-    # thanks to the persist.)
-    sh = F.broadcast(docs)
+    # The hashed-shingle lookup joins into both verify sides UNHINTED:
+    # while it fits AQE's 64 MB runtime check it broadcasts (candidate
+    # pairs never shuffle, the doc→hashes map ships once per executor);
+    # at 100 TB it outgrows broadcast and AQE degrades these to shuffled
+    # hash joins on doc_id — still no re-scan thanks to the persist. A
+    # forced hint would override that size check and OOM instead.
+    sh = docs
     return _verify_jaccard(
         cand.join(sh.withColumnsRenamed({"doc_id": "id_a", "hb": "hb_a"}), "id_a")
         .join(sh.withColumnsRenamed({"doc_id": "id_b", "hb": "hb_b"}), "id_b"),
@@ -244,7 +250,7 @@ def _lsh_pairs_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: Materialized verified-pair sets, keyed by (application, sf_dir).
-_LSH_PAIRS_MEMO: dict[tuple[str, str], DataFrame] = {}
+_LSH_PAIRS_MEMO: dict[tuple[str, str], DataFrame] = register_memo({})
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -517,7 +523,7 @@ def _bloom_probe_positions(h: int) -> list[int]:
 #: for a deployment, so collecting it once per session is the honest cost —
 #: same contract as _LSH_PAIRS_MEMO (pay the index build once, serve every
 #: decontamination pass from it).
-_BLOOM_EVAL_MEMO: dict[tuple[str, str], tuple[list[int], bytes]] = {}
+_BLOOM_EVAL_MEMO: dict[tuple[str, str], tuple[list[int], bytes]] = register_memo({})
 
 
 def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1015,15 +1021,15 @@ def contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn(
             "ngram_ppm",
-            F.floor(F.col("n_ngram_flagged") * 1_000_000 / F.col("n_docs")),
+            F.expr("(n_ngram_flagged * 1000000) div n_docs"),
         )
         .withColumn(
             "sem_ppm",
-            F.floor(F.col("n_sem_flagged") * 1_000_000 / F.col("n_docs")),
+            F.expr("(n_sem_flagged * 1000000) div n_docs"),
         )
         .withColumn(
             "any_ppm",
-            F.floor(F.col("n_any_flagged") * 1_000_000 / F.col("n_docs")),
+            F.expr("(n_any_flagged * 1000000) div n_docs"),
         )
     )
 

@@ -80,8 +80,16 @@ def basket_pair_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pair_cnt",
             "cnt_a",
             "cnt_b",
-            # integer `div` ≡ the oracle's `//` at any magnitude; a float
-            # floor would drift past 2^53 numerators
+            # integer `div` ≡ the oracle's `//`; a float floor would drift
+            # past 2^53 numerators. int64 BOUND (cf. skew.py's RANK_SCALE
+            # note): the numerator pair_cnt·n_orders·10⁶ overflows past
+            # ~9.2e18, i.e. once pair_cnt·n_orders > 9.2e12 — at TPC-H
+            # sf100 (n_orders ≈ 1.5e8) that is pair_cnt > ~6e4 for one
+            # pair. Deployments past that regime must drop the ppm scale
+            # to 10³ (3 more decades) or split the division as
+            # (pair_cnt·10⁶ div cnt_a)·n_orders div cnt_b, trading ≤1 ppm
+            # of truncation for 10⁶× more headroom; both engines overflow
+            # IDENTICALLY until then, so the oracle contract holds.
             F.expr(
                 "(pair_cnt * n_orders * 1000000) div (cnt_a * cnt_b)"
             ).cast("long").alias("lift_ppm"),

@@ -52,13 +52,18 @@ def _profiles(ev: DataFrame) -> DataFrame:
     return (
         ev.select("user_id", "value", us.alias("us"), "event_id")
         .groupBy("user_id")
-        .agg(F.count("*").alias("n_events"), last.alias("last"))
+        .agg(
+            F.count("*").alias("n_events"),
+            last.alias("last"),
+            F.min("us").alias("first_us"),
+        )
         .select(
             "user_id",
             "n_events",
             F.col("last.value").alias("last_value"),
             F.col("last.us").alias("last_seen_us"),
             F.col("last.event_id").alias("last_eid"),
+            "first_us",
         )
     )
 
@@ -99,4 +104,101 @@ def merge_upsert_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(in_s, F.lit("insert"))
         .otherwise(F.lit("keep"))
         .alias("action"),
+    )
+
+
+def merge_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history apply: the same change batch as
+    ``merge_upsert_profiles``, but the target keeps HISTORY — a matched
+    key closes its old version and opens a new one instead of updating
+    in place. This is the warehouse-side consumer the reference's
+    inserts-only CDC capture implies (/root/reference/
+    connect_postgres.config:9-14 captures an append stream; the
+    dimension its dashboards join against needs validity intervals to
+    answer "what did this profile look like when the order shipped").
+
+    Versioning scheme (all exact integers, fully deterministic):
+
+    - matched key → TWO rows: the CLOSED old version
+      (``valid_from_us`` = first pre-split event, ``valid_to_us`` =
+      the key's first post-split event = the instant the change became
+      visible) and the OPEN new version (counts accumulated,
+      last-observation fields from the batch, ``valid_to_us`` NULL);
+    - batch-only key → one OPEN ``insert`` row;
+    - target-only key → one OPEN ``keep`` row (untouched history).
+
+    Scale shape: identical to the flat merge — two map-side-combined
+    aggregates onto user_id and ONE full-outer shuffle join; the 1→2 row
+    fan-out is a per-row ``explode`` of a 2-element array, map-side, no
+    extra shuffle. At 100 TB the SCD2 table is partitioned by
+    (is_current, bucket(user_id)) so the close-old/open-new rewrite
+    touches only current-partition files.
+
+    Oracle: a UNION ALL of per-action projections over the same
+    full-outer join — plain ANSI SQL, value-hash-exact (counts, epoch
+    micros, and pass-through doubles only; no float arithmetic).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    target = _profiles(ev.where(us < MERGE_SPLIT_US)).select(
+        "user_id",
+        F.col("n_events").alias("t_n"),
+        F.col("last_value").alias("t_v"),
+        F.col("last_seen_us").alias("t_us"),
+        F.col("first_us").alias("t_first"),
+    )
+    source = _profiles(ev.where(us >= MERGE_SPLIT_US)).select(
+        "user_id",
+        F.col("n_events").alias("s_n"),
+        F.col("last_value").alias("s_v"),
+        F.col("last_seen_us").alias("s_us"),
+        F.col("first_us").alias("s_first"),
+    )
+    m = target.join(source, "user_id", "full_outer")
+    in_t = F.col("t_n").isNotNull()
+    in_s = F.col("s_n").isNotNull()
+    null_us = F.lit(None).cast("long")
+
+    def version(action, n, v, seen, frm, to):
+        return F.struct(
+            F.lit(action).alias("action"),
+            n.cast("long").alias("n_events"),
+            v.alias("last_value"),
+            seen.cast("long").alias("last_seen_us"),
+            frm.cast("long").alias("valid_from_us"),
+            to.cast("long").alias("valid_to_us"),
+        )
+
+    closed_old = version(
+        "close", F.col("t_n"), F.col("t_v"), F.col("t_us"),
+        F.col("t_first"), F.col("s_first"),
+    )
+    opened_new = version(
+        "open", F.col("t_n") + F.col("s_n"), F.col("s_v"), F.col("s_us"),
+        F.col("s_first"), null_us,
+    )
+    inserted = version(
+        "insert", F.col("s_n"), F.col("s_v"), F.col("s_us"),
+        F.col("s_first"), null_us,
+    )
+    kept = version(
+        "keep", F.col("t_n"), F.col("t_v"), F.col("t_us"),
+        F.col("t_first"), null_us,
+    )
+    rows = (
+        F.when(in_t & in_s, F.array(closed_old, opened_new))
+        .when(in_s, F.array(inserted))
+        .otherwise(F.array(kept))
+    )
+    # explode in its own select (generators can't nest), fields next
+    exploded = m.select("user_id", F.explode(rows).alias("r"))
+    return exploded.select(
+        "user_id",
+        F.col("r.action").alias("action"),
+        F.col("r.n_events").alias("n_events"),
+        F.col("r.last_value").alias("last_value"),
+        F.col("r.last_seen_us").alias("last_seen_us"),
+        F.col("r.valid_from_us").alias("valid_from_us"),
+        F.col("r.valid_to_us").alias("valid_to_us"),
+        F.col("r.valid_to_us").isNull().alias("is_current"),
     )

@@ -5,9 +5,13 @@ analytic window functions (SURVEY.md §2.5 — explicit absences). A Spark engin
 gets them from Catalyst; this module exposes them as oracle-checkable queries
 over the TPC-H-ish fixtures, each written the way it should run at 100 TB:
 
-- Dimension joins are explicit ``broadcast()`` (region/nation/customer at
-  TPC-H shape are orders of magnitude smaller than the fact tables — a
-  broadcast-hash join avoids shuffling the fact side entirely).
+- Only FIXED-cardinality frames carry explicit ``broadcast()`` hints:
+  region (5 rows), nation (25 rows), their ≤25-row joins, and 1-row scalar
+  aggregates. Everything that grows with the data — customer, supplier,
+  part, orders and all their filtered slices — joins UNHINTED: AQE (on, with
+  a 64 MB auto-broadcast threshold, session.py) broadcasts those sides while
+  their runtime size fits and degrades to a shuffle join when they outgrow
+  it. An explicit hint would override that size check and OOM at 100 TB.
 - Fact-fact joins (orders ⨝ lineitem) shuffle on the join key once; AQE picks
   sort-merge vs shuffled-hash from runtime stats and splits skewed keys.
 - Aggregations are single-shuffle with map-side partial aggregation.
@@ -62,10 +66,12 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: selective dim filter → fact join → agg → top-k.
 
-    customer (filtered, small) is broadcast into orders; orders ⨝ lineitem
-    shuffles once on l_orderkey. Top-10 via TakeOrderedAndProject. Revenue is
-    rounded and the sort is tie-broken on the key so the LIMIT edge is
-    deterministic for the oracle.
+    customer (filtered) joins orders unhinted — AQE broadcasts the slice
+    while it fits its 64 MB runtime check and falls back to a shuffle join
+    at scale (customer grows ∝ data; a forced hint would OOM at 100 TB).
+    orders ⨝ lineitem shuffles once on l_orderkey. Top-10 via
+    TakeOrderedAndProject. Revenue is rounded and the sort is tie-broken on
+    the key so the LIMIT edge is deterministic for the oracle.
     """
     cust = load_table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
@@ -79,7 +85,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             # orders is a fact table — never broadcast it; this side shuffles
             # on o_orderkey and AQE picks SMJ vs shuffled-hash at runtime.
             orders.join(
-                F.broadcast(cust), orders.o_custkey == cust.c_custkey
+                cust, orders.o_custkey == cust.c_custkey
             ).select("o_orderkey", "o_orderdate", "o_orderpriority"),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
@@ -103,10 +109,12 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: 6-table star join with a region restriction.
 
-    All dimensions broadcast (region 5 rows → nation 25 → customer,
-    supplier); the only shuffles are the lineitem⨝orders fact join and the
-    final 1-key agg. Order lineitem⨝orders first so the selective date
-    filter prunes the fact rows before the wide join fan-out.
+    Fixed dims broadcast by hint (region 5 rows → nation 25); the
+    ∝-data sides (customer, supplier) join unhinted — AQE broadcasts them
+    while small, degrades to SMJ at scale. The only guaranteed shuffles are
+    the lineitem⨝orders fact join and the final 1-key agg. Order
+    lineitem⨝orders first so the selective date filter prunes the fact rows
+    before the wide join fan-out.
     """
     region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     nation = load_table(spark, sf_dir, "nation")
@@ -135,9 +143,9 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             orders.select("o_orderkey", "o_custkey"),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
-        .join(F.broadcast(asian_cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(asian_cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(
-            F.broadcast(supp),
+            supp,
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("s_nationkey") == F.col("cust_nationkey")),
         )
@@ -151,11 +159,15 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def join_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Plain dim⨝fact inner join + per-customer rollup (broadcast dim)."""
+    """Plain customer⨝orders inner join + per-customer rollup.
+
+    Unhinted: customer grows ∝ data, so AQE decides broadcast-vs-shuffle
+    from runtime size instead of a hardcoded hint.
+    """
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     return (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("c_custkey", "c_name", "c_mktsegment")
         .agg(
             F.count("*").alias("n_orders"),
@@ -284,7 +296,7 @@ def q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 15)
     li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("p_brand", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -310,8 +322,8 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     return (
-        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .select(
             "c_name",
             "c_custkey",
@@ -400,9 +412,11 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: two-nation trade flow, grouped by year.
 
-    supplier→nation and customer→nation are broadcast chains; the cross
-    filter keeps only the two (supp_nation, cust_nation) orderings. Fact
-    side shuffles once for lineitem⨝orders (orders pre-filtered broadcast).
+    nation broadcasts by hint into supplier and customer; the enriched
+    supp/cust frames themselves join unhinted (they scale ∝ data — AQE
+    broadcasts while small). The cross filter keeps only the two
+    (supp_nation, cust_nation) orderings; the fact side shuffles once for
+    lineitem⨝orders.
     """
     n1, n2 = "NATION_1", "NATION_2"
     nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
@@ -424,9 +438,9 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
     )
     return (
-        li.join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        li.join(supp, F.col("l_suppkey") == supp.s_suppkey)
         .join(orders, F.col("l_orderkey") == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .filter(
             ((F.col("supp_nation") == n1) & (F.col("cust_nation") == n2))
             | ((F.col("supp_nation") == n2) & (F.col("cust_nation") == n1))
@@ -449,7 +463,11 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     share = sum(CASE nation)/sum(all) per year — one pass, no self-join.
     Region→nation→customer restricts demand side; supplier nation feeds the
-    CASE numerator. ECONOMY parts only.
+    CASE numerator. ECONOMY parts only. All ∝-data sides (part slice,
+    supplier, the two-year ORDERS slice, customer) join unhinted — the
+    orders slice especially is a fact table that a forced broadcast would
+    OOM on at scale; AQE keeps today's broadcast plan only while the
+    runtime sizes fit.
     """
     target_nation = "NATION_3"
     nation = load_table(spark, sf_dir, "nation")
@@ -478,13 +496,13 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(part.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(part.select("p_partkey"), F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(
-            F.broadcast(orders.select("o_orderkey", "o_custkey", "o_orderdate")),
+            orders.select("o_orderkey", "o_custkey", "o_orderdate"),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
             F.round(
@@ -501,8 +519,9 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (Adapted: no partsupp table in the fixtures, so profit omits the
     ps_supplycost term — profit = extendedprice·(1−discount) over PROMO
-    parts.) part and supplier broadcast; lineitem never shuffles before
-    the agg.
+    parts.) nation broadcasts by hint; part and supplier join unhinted
+    (AQE broadcasts while they fit, so lineitem still avoids a pre-agg
+    shuffle at bench scale without hardcoding that at 100 TB).
     """
     part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
     nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
@@ -513,8 +532,8 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = load_table(spark, sf_dir, "lineitem")
     return (
-        li.join(F.broadcast(part.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(part.select("p_partkey"), F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("nation", F.year("l_shipdate").alias("o_year"))
         .agg(
             F.round(
@@ -541,10 +560,10 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(
-            F.broadcast(orders.select("o_orderkey", "o_custkey")),
+            orders.select("o_orderkey", "o_custkey"),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(
             F.round(
@@ -590,7 +609,7 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             F.round(
                 F.lit(100.0)
@@ -620,7 +639,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        revenue.join(F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
+        revenue.join(supp, F.col("supplier_no") == F.col("s_suppkey"))
         .orderBy(F.desc("total_revenue"), F.asc("s_suppkey"))
         .limit(1)
         .select("s_suppkey", "s_name", "total_revenue")
@@ -630,8 +649,10 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape: correlated scalar subquery → per-key agg + re-join.
 
-    The per-part average quantity is one small aggregate broadcast back into
+    The per-part average quantity is one per-key aggregate joined back into
     the fact filter — Catalyst's decorrelation target, written directly.
+    Unhinted (avg_qty has one row per part, ∝ data); AQE broadcasts it
+    while it fits and shuffles both sides on l_partkey beyond that.
     """
     part = load_table(spark, sf_dir, "part").filter(
         F.col("p_brand") == "Brand#11"
@@ -643,8 +664,8 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg("l_quantity").alias("avg_qty")
     )
     return (
-        li.join(F.broadcast(part.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(avg_qty), F.col("l_partkey") == F.col("a_partkey"))
+        li.join(part.select("p_partkey"), F.col("l_partkey") == F.col("p_partkey"))
+        .join(avg_qty, F.col("l_partkey") == F.col("a_partkey"))
         .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
         .agg(
             F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly")
@@ -663,7 +684,7 @@ def q19_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part").select(
         "p_partkey", "p_brand", "p_size"
     )
-    joined = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    joined = li.join(part, F.col("l_partkey") == F.col("p_partkey"))
     branch = (
         (
             (F.col("p_brand") == "Brand#12")
@@ -704,7 +725,7 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = (
         load_table(spark, sf_dir, "lineitem")
         .join(
-            F.broadcast(orders.select("o_orderkey")),
+            orders.select("o_orderkey"),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .select("l_orderkey", "l_suppkey", "l_shipdate")
@@ -727,7 +748,7 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        flagged.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        flagged.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_suppkey", "s_name")
         .agg(F.count("*").alias("numwait"))
     )
@@ -881,10 +902,11 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     DISTINCT (l_partkey, l_suppkey) pairs of lineitem, and s_acctbal stands
     in for ps_supplycost.) The correlated ``= (SELECT min ...)`` is one
     window pass over the already-joined supply rows: no second scan, no
-    self-join. Region/nation/supplier and the filtered part list broadcast;
-    the only wide shuffles are the part-filtered supply DISTINCT and the
-    window repartition on p_partkey. At 100 TB the supply pairs would be a
-    bucketed derived table so both drop to zero.
+    self-join. Region/nation broadcast by hint; the enriched supplier frame
+    and the filtered part list join unhinted (both ∝ data — AQE broadcasts
+    while small). The only wide shuffles are the part-filtered supply
+    DISTINCT and the window repartition on p_partkey. At 100 TB the supply
+    pairs would be a bucketed derived table so both drop to zero.
     """
     li = load_table(spark, sf_dir, "lineitem")
     nation = load_table(spark, sf_dir, "nation").select(
@@ -902,16 +924,17 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("p_size") == 15) & (F.col("p_type") == "STANDARD"))
         .select("p_partkey")
     )
-    # broadcast part filter BEFORE the supply DISTINCT: the selective part
+    # join the part filter BEFORE the supply DISTINCT: the selective part
     # predicate cuts the distinct's shuffle to the matching rows only —
-    # the order that survives a 100 TB lineitem
+    # the order that survives a 100 TB lineitem (AQE broadcasts the
+    # filtered part list while it fits; no hardcoded hint)
     supply = (
         li.select("l_partkey", "l_suppkey")
-        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(parts, F.col("l_partkey") == F.col("p_partkey"))
         .distinct()
     )
     joined = supply.join(
-        F.broadcast(supp_eu), F.col("l_suppkey") == F.col("s_suppkey")
+        supp_eu, F.col("l_suppkey") == F.col("s_suppkey")
     )
     w = Window.partitionBy("p_partkey")
     return (
@@ -931,8 +954,9 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Adapted: value(part) = Σ l_extendedprice·l_quantity over one nation's
     suppliers, standing in for ps_supplycost·ps_availqty.) The global total
     is the re-aggregated per-part result — computed once, broadcast as a
-    1-row cross join, never a driver collect. Supplier side broadcasts;
-    lineitem shuffles once on l_partkey.
+    1-row cross join, never a driver collect. nation broadcasts by hint;
+    the one-nation supplier slice joins unhinted (∝ data); lineitem
+    shuffles once on l_partkey.
     """
     nation = load_table(spark, sf_dir, "nation").filter(
         F.col("n_name") == "NATION_5"
@@ -944,7 +968,7 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = load_table(spark, sf_dir, "lineitem")
     per_part = (
-        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("l_partkey")
         .agg(
             F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("raw_value")
@@ -967,7 +991,8 @@ def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     Suppliers in one nation that shipped > 40 units of some 'small%' part
     in 1997. The inner aggregate groups by (suppkey, partkey); the HAVING
     filter collapses to a distinct supplier set that semi-joins supplier.
-    Part list broadcasts into the fact scan; the only wide shuffle is the
+    Part list joins into the fact scan unhinted (AQE broadcasts while it
+    fits); the only wide shuffle is the
     inner groupBy.
     """
     parts = (
@@ -980,7 +1005,7 @@ def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
     )
     qualified = (
-        li.join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(parts, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum("l_quantity").alias("sum_qty"))
         .filter(F.col("sum_qty") > 40)

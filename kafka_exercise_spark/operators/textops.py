@@ -253,12 +253,13 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tf from one explode+groupBy on (doc_id, term); document frequency from a
     second groupBy on the *already aggregated* tf table (never re-touching
-    the corpus); idf = ln((N+1)/(df+1)) + 1 (smoothed). The df table and the
-    one-row corpus count are broadcast, so the per-(doc, term) stream joins
-    them map-side without a shuffle — at 100 TB the vocabulary table is
-    orders smaller than the corpus (above broadcast size it becomes one
-    shuffled join on term, same plan otherwise). Per-doc top-k is a ranked
-    window partitioned by doc_id with a (score, term) total order.
+    the corpus); idf = ln((N+1)/(df+1)) + 1 (smoothed). The one-row corpus
+    count is a hinted broadcast (scalar); the df table joins UNHINTED —
+    vocabulary grows unboundedly with the corpus, so AQE broadcasts it
+    map-side while it fits its runtime size check and switches to one
+    shuffled join on term beyond that (same plan at bench scale, safe at
+    100 TB). Per-doc top-k is a ranked window partitioned by doc_id with a
+    (score, term) total order.
     """
     docs = scale_partitions(load_table(spark, sf_dir, "documents"), spark)
     tf = (
@@ -269,7 +270,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     dfreq = tf.groupBy("term").agg(F.count("*").alias("doc_freq"))
     ndocs = docs.agg(F.count("*").alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(dfreq), "term")
+        tf.join(dfreq, "term")
         .crossJoin(F.broadcast(ndocs))
         .withColumn(
             "tfidf",
@@ -500,15 +501,11 @@ def corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn(
             "avg_tokens_c100",
-            F.floor(F.col("total_tokens") * 100 / F.col("n_docs")),
+            F.expr("(total_tokens * 100) div n_docs"),
         )
         .withColumn(
             "dup_rate_ppm",
-            F.floor(
-                (F.col("n_docs") - F.col("n_unique"))
-                * 1_000_000
-                / F.col("n_docs")
-            ),
+            F.expr("((n_docs - n_unique) * 1000000) div n_docs"),
         )
     )
 
@@ -525,10 +522,13 @@ def lm_unigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold on exactly this — far-above-corpus perplexity means gibberish
     or the wrong language, far below means boilerplate.
 
-    Two aggregates + one broadcast join: corpus term frequencies (token
-    shuffle with map-side combine), a 1-row total, then every token's cost
-    -ln p(t) broadcast back against the exploded corpus (vocabulary is
-    bounded — unigram vocab, not n-grams) and summed per document. Costs
+    Two aggregates + one cost join: corpus term frequencies (token
+    shuffle with map-side combine), a 1-row total (scalar — hinted
+    broadcast), then every token's cost -ln p(t) joined back against the
+    exploded corpus and summed per document. The cost join is UNHINTED:
+    vocabulary grows sublinearly but unboundedly with the corpus (Heaps'
+    law — a web-scale corpus has 1e8+ distinct tokens), so AQE broadcasts
+    the table while it fits and shuffles on the token beyond that. Costs
     are quantized to integer micro-nats BEFORE the per-doc sum, so the sum
     is exact integer arithmetic — engine- and order-independent, which is
     what lets this carry a full value-hash oracle despite float logs.
@@ -554,7 +554,7 @@ def lm_unigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     per_doc = (
-        exploded.join(F.broadcast(cost), "t")
+        exploded.join(cost, "t")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_tokens"),
@@ -596,10 +596,11 @@ def lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     (one shuffle with map-side combine), history counts derived from the
     same frequency table (tokens contain no whitespace, so the space-join
     splits back losslessly), per-bigram costs quantized to integer
-    micro-nats BEFORE the per-doc sum. One deliberate difference: the
-    cost table joins back with a PLAIN join, not a broadcast — bigram
-    vocabulary grows with the corpus (unlike unigram vocab) and must be
-    allowed to shuffle; AQE still broadcasts it while it fits.
+    micro-nats BEFORE the per-doc sum. Both vocabulary-sized joins — the
+    unigram-history table into the bigram frequencies and the cost table
+    back into the corpus — are PLAIN joins, no broadcast hint: both grow
+    with the corpus and must be allowed to shuffle; AQE still broadcasts
+    them while they fit. The only hinted frame is the 1-row vocab scalar.
 
     Documents with fewer than two tokens have no bigrams and are excluded
     (the division guard), mirrored in the oracle.
@@ -630,7 +631,7 @@ def lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cost = (
         freq.withColumn("w1", F.split(F.col("bg"), " ")[0])
-        .join(F.broadcast(hist), "w1")
+        .join(hist, "w1")
         .crossJoin(F.broadcast(vocab))
         .select(
             "bg",
@@ -728,8 +729,8 @@ def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor) — as ONE map-only pass emitting every signal plus the decision.
 
     All signals are exact integers (counts, centi-chars, ppm via
-    floor(a·scale/b)), so the whole row is engine-exact with no float
-    rounding anywhere. One pruned-column scan, zero shuffles — at 100 TB
+    integer ``div`` ≡ the oracle's ``//`` at any magnitude), so the whole
+    row is engine-exact with no float rounding anywhere. One pruned-column scan, zero shuffles — at 100 TB
     this runs at codegen scan throughput like the rest of the rule family.
     """
     docs = scale_partitions(load_table(spark, sf_dir, "documents"), spark)
@@ -744,19 +745,29 @@ def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_symbol = F.size(F.filter(tok, lambda x: x.rlike("^[^a-z0-9]+$")))
     stop_arr = F.array(*[F.lit(w) for w in QUALITY_STOPWORDS])
     n_stop_distinct = F.size(F.array_intersect(F.array_distinct(tok), stop_arr))
-    scored = docs.select(
+    counted = docs.select(
         "doc_id",
         n_words.cast("long").alias("n_words"),
-        F.when(n_words > 0, F.floor(word_chars * 100 / n_words))
-        .otherwise(F.lit(0))
-        .alias("mean_word_c100"),
-        F.when(n_words > 0, F.floor(n_alpha * 1_000_000 / n_words))
-        .otherwise(F.lit(0))
-        .alias("alpha_ppm"),
-        F.when(n_words > 0, F.floor(n_symbol * 1_000_000 / n_words))
-        .otherwise(F.lit(0))
-        .alias("symbol_ppm"),
+        word_chars.alias("word_chars"),
+        n_alpha.cast("long").alias("n_alpha"),
+        n_symbol.cast("long").alias("n_symbol"),
         n_stop_distinct.cast("long").alias("n_stop_distinct"),
+    )
+    # integer `div` ≡ the oracle's `//` at any magnitude (a float floor
+    # drifts once the numerator passes 2^53 — module exactness rule)
+    scored = counted.select(
+        "doc_id",
+        "n_words",
+        F.when(F.col("n_words") > 0, F.expr("(word_chars * 100) div n_words"))
+        .otherwise(F.lit(0).cast("long"))
+        .alias("mean_word_c100"),
+        F.when(F.col("n_words") > 0, F.expr("(n_alpha * 1000000) div n_words"))
+        .otherwise(F.lit(0).cast("long"))
+        .alias("alpha_ppm"),
+        F.when(F.col("n_words") > 0, F.expr("(n_symbol * 1000000) div n_words"))
+        .otherwise(F.lit(0).cast("long"))
+        .alias("symbol_ppm"),
+        "n_stop_distinct",
     )
     reasons = F.concat_ws(
         ",",
@@ -922,7 +933,7 @@ def heavy_hitters_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_total = exploded.count()
     cand = exploded.mapInPandas(_misra_gries, "t string").distinct()
     out = (
-        exploded.join(F.broadcast(cand), "t")
+        exploded.join(cand, "t")
         .groupBy("t")
         .agg(F.count("*").alias("cnt"))
         .filter(F.col("cnt") * (HH_K + 1) > F.lit(n_total))
@@ -1006,7 +1017,7 @@ def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("kept_tokens"),
         )
         .withColumn(
-            "kept_ppm", F.floor(F.col("n_kept") * 1_000_000 / F.col("n_in"))
+            "kept_ppm", F.expr("(n_kept * 1000000) div n_in")
         )
     )
 

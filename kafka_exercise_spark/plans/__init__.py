@@ -1,4 +1,5 @@
 from kafka_exercise_spark.plans.inspect import (
+    broadcast_hint_count,
     broadcast_join_count,
     explain_str,
     has_cartesian_product,
@@ -12,6 +13,7 @@ from kafka_exercise_spark.plans.inspect import (
 )
 
 __all__ = [
+    "broadcast_hint_count",
     "broadcast_join_count",
     "explain_str",
     "has_cartesian_product",

@@ -113,6 +113,20 @@ def broadcast_join_count(df: DataFrame) -> int:
     return _unique_op_ids(df, "Broadcast(?:Hash|NestedLoop)Join")
 
 
+def broadcast_hint_count(df: DataFrame) -> int:
+    """Number of explicit broadcast HINTS in the analyzed LOGICAL plan.
+
+    Distinct from ``broadcast_join_count`` (which counts what the planner
+    CHOSE): a hint is what the author FORCED. The module policy
+    (operators/relational.py header) allows hints only on fixed-cardinality
+    frames (nation/region/scalar aggregates) — a hint on a ∝-data table
+    overrides AQE's runtime size check and OOMs at scale, so tests pin the
+    hint count, not just the join strategy.
+    """
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    return len(re.findall(r"(?:Resolved|Unresolved)Hint BROADCAST", analyzed))
+
+
 def has_cartesian_product(df: DataFrame) -> bool:
     """True if the plan contains an unconstrained CartesianProduct."""
     return "CartesianProduct" in explain_str(df, "simple")

@@ -35,6 +35,8 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
+from kafka_exercise_spark.catalog import register_memo
+
 
 @dataclass
 class _Dataset:
@@ -181,7 +183,7 @@ JOVENS_DAILY_ROLLUP = """
 
 #: One drained lake + materialized rollup per (session, sf_dir) — like the
 #: manifest layout memo, the drain is a write-once artifact reruns share.
-_SERVING_LAKE_MEMO: dict = {}
+_SERVING_LAKE_MEMO: dict = register_memo({})
 
 
 def serving_lake_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -27,6 +27,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from kafka_exercise_spark.catalog import evict_stale_memos, register_memo
+
 
 def write_partitioned(
     df: DataFrame,
@@ -408,7 +410,18 @@ def manifest_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: JSONL landing dirs per (application, sf_dir) — write once, read many.
-_JSONL_MEMO: dict[tuple[str, str], str] = {}
+#: Registered with a tempdir cleanup: stale applications' landing dirs
+#: are removed on eviction, not leaked for the process lifetime.
+def _rm_landing_dir(path: str) -> None:
+    import os  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+
+    shutil.rmtree(os.path.dirname(path), ignore_errors=True)
+
+
+_JSONL_MEMO: dict[tuple[str, str], str] = register_memo(
+    {}, cleanup=_rm_landing_dir
+)
 
 
 def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -432,6 +445,7 @@ def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_exercise_spark.catalog import load_table  # noqa: PLC0415
     from kafka_exercise_spark.functions.text import md5_hash64  # noqa: PLC0415
 
+    evict_stale_memos(spark)
     memo_key = (spark.sparkContext.applicationId, sf_dir)
     path = _JSONL_MEMO.get(memo_key)
     if path is None:

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from kafka_exercise_spark.catalog import evict_stale_memos, register_memo
 from kafka_exercise_spark.operators.pipeline_ops import (
     custstream_pretty_transform,
     idadeclass_transform,
@@ -253,7 +254,16 @@ def incremental_source_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_CURATION_GATE_MEMO: dict = {}
+def _rm_gate_dir(out: str) -> None:
+    import os  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+
+    # out = <mkdtemp work>/gated — remove the whole work dir (src + ckpt
+    # + gated) when the owning application is gone
+    shutil.rmtree(os.path.dirname(out), ignore_errors=True)
+
+
+_CURATION_GATE_MEMO: dict = register_memo({}, cleanup=_rm_gate_dir)
 
 
 def streaming_curation_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -279,6 +289,7 @@ def streaming_curation_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_exercise_spark.streaming.sources import file_stream
     from kafka_exercise_spark.streaming.stateful import run_bounded_replay
 
+    evict_stale_memos(spark)
     memo_key = (spark.sparkContext.applicationId, sf_dir)
     if memo_key not in _CURATION_GATE_MEMO:
         docs = load_table(spark, sf_dir, "documents").select(
@@ -321,7 +332,7 @@ def streaming_curation_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(1 - kept).cast("long").alias("n_rejected"),
         )
         .withColumn(
-            "kept_ppm", F.floor(F.col("n_kept") * 1_000_000 / F.col("n_docs"))
+            "kept_ppm", F.expr("(n_kept * 1000000) div n_docs")
         )
     )
 

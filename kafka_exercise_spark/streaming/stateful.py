@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
+from kafka_exercise_spark.catalog import register_memo
 from kafka_exercise_spark.streaming.sources import file_stream, land_events_replay
 from kafka_exercise_spark.streaming.tuning import bounded_replay_conf
 
@@ -443,7 +444,7 @@ def streaming_neardup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: Materialized corpus LSH index for streaming admission control, keyed by
 #: (application, sf_dir) — the long-lived side of continuous ingest dedup.
-_NEARDUP_INDEX_MEMO: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
+_NEARDUP_INDEX_MEMO: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = register_memo({})
 
 #: output schema for the transformWithState distinct-type tracker
 _TWS_OUTPUT = "user_id bigint, n_event_types bigint"
@@ -558,7 +559,9 @@ def streaming_enrich_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = "enrich_contract"
     stream = file_stream(spark, src, schema, max_files_per_trigger=2)
     agg = (
-        stream.join(F.broadcast(dim), "user_id")  # stateless per batch
+        stream.join(dim, "user_id")  # stateless per batch; customer is
+        # ∝-data so no hint — Catalyst broadcasts the static side from
+        # its file-size stats while under the threshold
         .groupBy("c_mktsegment")
         .agg(
             F.count("*").alias("n_events"),

@@ -446,3 +446,82 @@ def test_anomaly_scores_flag_a_planted_spike(spark):
     # hour 25: 200 vs mean 20 -> exactly 10e6, flagged
     assert out[base + 25 * 3600].ratio_ppm == 10_000_000
     assert out[base + 25 * 3600].flagged is True
+
+
+def test_merge_scd2_versions_and_intervals(spark):
+    """SCD2 apply on a hand-built split: matched keys produce a closed
+    row whose valid_to equals the new version's valid_from (the key's
+    first post-split event); inserts/keeps stay single open rows; the
+    open row of a matched key carries the accumulated count."""
+    import datetime as dt
+
+    from kafka_exercise_spark.operators import merge as mg
+
+    split = dt.datetime(2024, 1, 16)
+    b1 = split - dt.timedelta(days=2)
+    b2 = split - dt.timedelta(days=1)
+    a1 = split + dt.timedelta(days=1)
+    a2 = split + dt.timedelta(days=2)
+    rows = [
+        (0, b1, 1, 1.0),          # keep-only user
+        (1, b1, 2, 2.0),          # matched user, pre half
+        (2, b2, 2, 2.5),
+        (3, a1, 2, 3.0),          # matched user, post half
+        (4, a2, 2, 3.5),
+        (5, a1, 3, 5.0),          # insert-only user
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+    orig = mg.load_table
+    try:
+        mg.load_table = lambda s, d, n: df
+        out = mg.merge_scd2_apply(spark, "scd2-hand").collect()
+    finally:
+        mg.load_table = orig
+    by_user: dict = {}
+    for r in out:
+        by_user.setdefault(r.user_id, []).append(r)
+
+    (k,) = by_user[1]
+    assert k.action == "keep" and k.is_current and k.valid_to_us is None
+    assert k.n_events == 1 and k.last_value == 1.0
+
+    (i,) = by_user[3]
+    assert i.action == "insert" and i.is_current and i.valid_to_us is None
+    assert i.n_events == 1 and i.last_value == 5.0
+
+    versions = sorted(by_user[2], key=lambda r: r.action)
+    close, opened = versions
+    assert close.action == "close" and not close.is_current
+    assert opened.action == "open" and opened.is_current
+    # the close instant IS the open instant: the key's first post-split us
+    assert close.valid_to_us == opened.valid_from_us
+    import calendar
+
+    a1_us = calendar.timegm(a1.timetuple()) * 1_000_000
+    assert opened.valid_from_us == a1_us
+    assert close.n_events == 2 and close.last_value == 2.5
+    assert opened.n_events == 4 and opened.last_value == 3.5
+    assert opened.valid_to_us is None
+
+
+def test_merge_scd2_consistent_with_flat_merge(spark, sf_dir):
+    """The SCD2 current rows must agree with the flat merge row-for-row:
+    same per-user count and last observation, action 'update' ≙ 'open'."""
+    from kafka_exercise_spark.operators import merge as mg
+
+    flat = {r.user_id: r for r in mg.merge_upsert_profiles(spark, sf_dir).collect()}
+    current = {
+        r.user_id: r
+        for r in mg.merge_scd2_apply(spark, sf_dir).collect()
+        if r.is_current
+    }
+    assert set(flat) == set(current)
+    action_map = {"update": "open", "insert": "insert", "keep": "keep"}
+    for uid, f in flat.items():
+        c = current[uid]
+        assert c.n_events == f.n_events
+        assert c.last_value == f.last_value
+        assert c.last_seen_us == f.last_seen_us
+        assert c.action == action_map[f.action]

@@ -922,7 +922,9 @@ def test_pq_encode_codes_and_error_match_codebooks(spark, sf_dir):
     from kafka_exercise_spark.catalog import load_table
 
     out = {r.vec_id: r for r in similarity.pq_encode(spark, sf_dir).collect()}
-    books = similarity._PQ_CODEBOOKS[sf_dir]
+    books = similarity._PQ_CODEBOOKS[
+        (spark.sparkContext.applicationId, sf_dir)
+    ]
     emb = load_table(spark, sf_dir, "embeddings").limit(30).collect()
     for row in emb:
         ei = [
@@ -961,7 +963,9 @@ def test_ann_ivf_pq_adc_matches_codebook_math(spark, sf_dir):
 
     rows = similarity.ann_ivf_pq_topk(spark, sf_dir).collect()
     assert rows
-    books = similarity._PQ_CODEBOOKS[sf_dir]
+    books = similarity._PQ_CODEBOOKS[
+        (spark.sparkContext.applicationId, sf_dir)
+    ]
     codes = {
         r.vec_id: (r.code0, r.code1, r.code2, r.code3)
         for r in similarity.pq_encode(spark, sf_dir).collect()
@@ -1154,3 +1158,36 @@ def test_threshold_sweep_monotone_and_consistent(spark, sf_dir):
         last_pairs, last_docs = r.n_pairs, r.n_docs
     # the loosest rung's exact counts, pinned (deterministic fixture)
     assert rows[200_000].n_pairs == 657 and rows[200_000].n_docs == 459
+
+
+def test_ann_recall_report_matches_direct_overlap(spark, sf_dir):
+    """The recall report must equal the overlap computed independently in
+    Python from the variants' own outputs, cover the full (method ×
+    query) grid, and respect the pinned dominance: multiprobe recall ≥
+    single-probe recall per query."""
+    exact: dict = {}
+    for r in similarity.ann_cosine_topk(spark, sf_dir).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    variants = {
+        "ivf": similarity.ann_ivf_topk,
+        "ivf_pq": similarity.ann_ivf_pq_topk,
+        "lsh_bucketed": similarity.ann_lsh_bucketed,
+        "lsh_multiprobe": similarity.ann_lsh_multiprobe,
+    }
+    want: dict = {}
+    for name, fn in variants.items():
+        got: dict = {}
+        for r in fn(spark, sf_dir).collect():
+            got.setdefault(r.query_id, set()).add(r.neighbor_id)
+        for q, ex in exact.items():
+            want[(name, q)] = len(got.get(q, set()) & ex)
+
+    rows = similarity.ann_recall_report(spark, sf_dir).collect()
+    assert len(rows) == len(variants) * len(exact)  # full grid, no drops
+    for r in rows:
+        assert r.n_matched == want[(r.method, r.query_id)]
+        assert r.recall_ppm == r.n_matched * 1_000_000 // similarity.TOP_K
+        assert 0 <= r.recall_ppm <= 1_000_000
+    by = {(r.method, r.query_id): r.recall_ppm for r in rows}
+    for q in exact:
+        assert by[("lsh_multiprobe", q)] >= by[("lsh_bucketed", q)]

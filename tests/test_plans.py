@@ -20,6 +20,7 @@ from kafka_exercise_spark.operators import (
     textops,
 )
 from kafka_exercise_spark.plans import (
+    broadcast_hint_count,
     broadcast_join_count,
     has_cartesian_product,
     pushed_filters,
@@ -62,7 +63,9 @@ def test_q1_single_shuffle_pushdown(spark, sf_dir):
 
 
 def test_q3_broadcasts_dimensions(spark, sf_dir):
-    """Dim filters (customer/orders) broadcast; no cartesian product."""
+    """The filtered customer slice still PLANS as a broadcast join at
+    bench scale — chosen by Catalyst/AQE from size stats, not forced (the
+    hint-free property is pinned separately in test_no_scaling_table_hints)."""
     df = relational.q3_shipping_priority(spark, sf_dir)
     assert broadcast_join_count(df) >= 1
     assert not has_cartesian_product(df)
@@ -232,6 +235,43 @@ def test_q20_semi_join_chain(spark, sf_dir):
     assert not has_cartesian_product(df)
     assert broadcast_join_count(df) >= 1
     assert python_eval_count(df) == 0
+
+
+@pytest.mark.parametrize(
+    ("fn", "max_hints"),
+    [
+        # zero hints: every joined side grows ∝ data
+        (relational.q3_shipping_priority, 0),
+        (relational.q18_large_orders, 0),
+        (relational.join_customer_orders, 0),
+        (relational.q21_waiting_supplier, 0),
+        (relational.q17_small_qty_revenue, 0),
+        (relational.q15_top_supplier, 0),
+        (relational.q16_supplier_cnt, 0),
+        (relational.q14_promo_effect, 0),
+        (relational.q19_disjunctive_join, 0),
+        (relational.q20_potential_promotion, 1),  # nation (25 rows)
+        (relational.q10_returned_items, 1),  # nation
+        (relational.q9_product_profit, 1),  # nation
+        (relational.q7_volume_shipping, 2),  # nation ×2
+        (relational.q5_local_supplier, 2),  # region + ≤25-row asian_nations
+        (relational.q2_min_cost_supplier, 2),  # nation + region
+        (relational.q8_market_share, 3),  # region + am_nations + nation
+        (relational.q11_important_stock, 2),  # nation + 1-row total
+        (relational.q22_dormant_customers, 1),  # 1-row scalar avg_bal
+    ],
+    ids=lambda v: v.__name__ if callable(v) else str(v),
+)
+def test_no_scaling_table_hints(spark, sf_dir, fn, max_hints):
+    """Module policy pin (VERDICT r4 #2): explicit ``broadcast()`` hints are
+    allowed ONLY on fixed-cardinality frames — region (5), nation (25),
+    their ≤25-row joins, and 1-row scalar aggregates. Customer, supplier,
+    part, orders and every filtered slice of them must join UNHINTED so AQE
+    can degrade to a shuffle join when the side outgrows 64 MB at scale.
+    The expected count per query is exactly its fixed-dim hints; a new hint
+    on a ∝-data table raises the count and fails here.
+    """
+    assert broadcast_hint_count(fn(spark, sf_dir)) <= max_hints
 
 
 def test_ksql_dialect_queries_stay_jvm_side(spark, sf_dir):

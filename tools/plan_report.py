@@ -35,7 +35,7 @@ SF = "/root/testdata/sf0.01"
 SELECTED = [
     ("jovens", "filter evaluated inside the parquet scan; map-only"),
     ("q1_pricing_summary", "7/16 lineitem columns read; one shuffle (partial agg first)"),
-    ("q3_shipping_priority", "dimensions broadcast; fact never shuffles for the join"),
+    ("q3_shipping_priority", "unhinted: AQE broadcasts the cust slice while it fits, SMJ beyond"),
     ("idadecont", "tumbling window = one hash shuffle with map-side combine"),
     ("dedup_exact", "60-bit fingerprint groupBy — one long-key shuffle"),
     ("dedup_ngram_jaccard", "df-bounded inverted-index self-join; exact verify on candidates"),
@@ -52,24 +52,26 @@ SELECTED = [
     ("chunk_documents", "map-only explode+slice passage fan-out, zero data shuffle"),
     ("corpus_profile", "one groupBy(source) with two-phase partial-distincts"),
     ("zorder_events", "unrolled Morton key in codegen; stats broadcast; tile agg"),
-    ("lm_unigram_score", "vocab costs broadcast back; exact micro-nat sums"),
+    ("lm_unigram_score", "cost join unhinted (vocab grows; AQE decides); exact micro-nats"),
     ("embed_feature_hashing", "ONE scan: explode + combine-agg; norms via window"),
     ("sparse_ann_topk", "posting-list equi-join — cost is Σ|list|², never n×m"),
     ("gopher_quality_filter", "map-only rule battery, all exact integer signals"),
     ("classifier_quality_score", "ONE token shuffle; weight lookup is a literal array"),
-    ("bm25_topk", "postings join on shared terms; dl/idf broadcast dimensions"),
+    ("bm25_topk", "postings join on shared terms; scalar stats hinted, idf join AQE-decided"),
     ("heavy_hitters_topk", "map-only MG sketch; recount shuffles candidates only"),
     ("ann_ivf_pq_topk", "cells prune, ADC = 4 table lookups/candidate, no folds"),
     ("contamination_report", "composes both decontam plans; flags join per doc"),
     ("er_fuzzy_pairs", "delete-1 blocking equi-join; verify before pair dedup"),
     ("graph_pagerank", "edge list materialized once; join+groupBy per iteration"),
-    ("lm_bigram_score", "tokenize once; history/vocab broadcast; plain cost join"),
+    ("lm_bigram_score", "tokenize once; vocab-sized joins unhinted, scalar V hinted"),
     ("weighted_sample_topn", "WindowGroupLimit: per-partition N-heap pre-shuffle"),
     ("k_anonymity_report", "one groupBy bounded by the QI domain cardinality"),
     ("basket_pair_rules", "within-basket pair join: cost Σ|basket|², never n²"),
     ("resample_ffill_events", "grid+fill share one user-key partitioning"),
     ("embedding_top_component", "per-round: row-projection agg + 64-cell agg"),
     ("merge_upsert_profiles", "MERGE INTO = one full-outer shuffle on the key"),
+    ("merge_scd2_apply", "same full-outer merge; 1→2 row fan-out is a map-side explode"),
+    ("ann_recall_report", "bounded joins over served-index top-k frames (≤N_QUERIES·k rows)"),
     ("twa_value_per_user", "one user shuffle serves LEAD window + aggregate"),
     ("bpe_segment_words", "map-only replace chain after the word explode"),
     ("rfm_segments", "one custkey groupBy; scoring is a map-side CASE"),
@@ -92,6 +94,14 @@ def main() -> None:
         "are asserted in `tests/test_plans.py`. Columns: shuffle exchanges,",
         "broadcast joins, Python-eval nodes, whole-stage-codegen spans,",
         "parquet pushed filters (count), read-schema width per scan.",
+        "",
+        "Broadcast policy (r05): explicit hints exist ONLY on",
+        "fixed-cardinality frames (region/nation/≤25-row joins, 1-row",
+        "scalars, bounded query panels). Every ∝-data side joins",
+        "unhinted — the `bcast` counts below are what AQE/Catalyst CHOSE",
+        "from runtime size at this sf, and those joins degrade to",
+        "shuffle joins at scale instead of OOMing on a forced hint",
+        "(pinned by tests/test_plans.py::test_no_scaling_table_hints).",
         "",
         "| query | shuffles | bcast | py | codegen | pushed | scan cols | why this survives 100 TB |",
         "|---|---|---|---|---|---|---|---|",
