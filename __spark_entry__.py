@@ -313,6 +313,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_scd2_apply": merge_ops.merge_scd2_apply,
         # recall@k of every ANN variant vs the exact baseline
         "ann_recall_report": similarity.ann_recall_report,
+        # incremental index maintenance: batch assign + cell-balance drift
+        "ann_index_refresh": similarity.ann_index_refresh,
     }
     # The r05 driver window (first 50) — see the docstring for the policy.
     window = [
@@ -341,6 +343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in r05
         "merge_scd2_apply",
         "ann_recall_report",
+        "ann_index_refresh",
         # r05 integer-div ratio fixes (ADVICE r4) — re-verify
         "gopher_quality_filter",
         "corpus_profile",
@@ -369,7 +372,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q20_potential_promotion",
         "q21_waiting_supplier",
         "q2_min_cost_supplier",
-        "q11_important_stock",
     ]
     assert len(window) == 50 and len(set(window)) == 50
     out = {k: all_q[k] for k in window}
@@ -3301,6 +3303,34 @@ def oracle_sql() -> dict[str, str]:
         SELECT user_id, 'keep', t_n::BIGINT, t_v, t_us::BIGINT,
                t_first::BIGINT, NULL::BIGINT, true
         FROM j WHERE s_n IS NULL
+    """
+    # incremental-refresh audit over the SAME served assignment the IVF
+    # family replays — counts + integer-div ppm shares, div-by-zero guarded
+    oracles["ann_index_refresh"] = f"""
+        WITH {_ivf_ctes()},
+        sp AS (SELECT cell,
+                      CASE WHEN ('0x' || substr(md5('refresh:' || vec_id),
+                                 1, 15))::BIGINT
+                                % {similarity.REFRESH_BUCKETS} = 0
+                           THEN 1 ELSE 0 END AS incoming
+               FROM cellof),
+        pc AS (SELECT cell, sum(1 - incoming)::BIGINT AS n_before,
+                      sum(incoming)::BIGINT AS n_added
+               FROM sp GROUP BY cell),
+        t AS (SELECT sum(n_before)::BIGINT AS tb,
+                     sum(n_before + n_added)::BIGINT AS ta
+              FROM pc)
+        SELECT cell::BIGINT AS cell, n_before, n_added,
+               (n_before + n_added)::BIGINT AS n_after,
+               (CASE WHEN tb > 0 THEN (n_before * 1000000) // tb
+                     ELSE 0 END)::BIGINT AS share_before_ppm,
+               (CASE WHEN ta > 0 THEN ((n_before + n_added) * 1000000) // ta
+                     ELSE 0 END)::BIGINT AS share_after_ppm,
+               ((CASE WHEN ta > 0 THEN ((n_before + n_added) * 1000000) // ta
+                      ELSE 0 END)
+                - (CASE WHEN tb > 0 THEN (n_before * 1000000) // tb
+                        ELSE 0 END))::BIGINT AS drift_ppm
+        FROM pc, t
     """
     # retrieval-quality harness: recall@k of each ANN variant against the
     # exact baseline — COMPOSED from the variants' own oracle strings

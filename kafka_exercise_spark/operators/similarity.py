@@ -1344,3 +1344,70 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("recall_ppm"),
     )
+
+
+#: Hash-bucket modulus carving the "incoming batch" for the index-refresh
+#: audit (~1/8 of the corpus plays the newly-arrived embeddings).
+REFRESH_BUCKETS = 8
+
+
+def ann_index_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental index maintenance audit — the ANN twin of
+    ``dedup_incremental``: when a batch of new embeddings arrives, a
+    100 TB deployment does NOT refit the coarse quantizer; it assigns
+    the batch to the SERVED centroids and watches the cell balance. This
+    entry replays exactly that: a deterministic hash slice of the corpus
+    plays the incoming batch, every vector's cell comes from the one
+    memoized assignment pass (the served index — assignment math is
+    identical whether a vector was in the fit sample or not), and the
+    report shows per-cell before/after counts and the share drift that
+    tells the owner when a refit is due.
+
+    All exact integers: counts are counts, shares are ppm by integer
+    ``div`` (≡ the oracle's ``//``), drift is the difference of the two
+    rounded shares — bit-identical in any engine. Scale shape: one
+    groupBy(cell) over the served assignment (N_IVF_CELLS rows out), a
+    1-row total broadcast back; the corpus is never rescanned.
+    """
+    assigned, _ = _ivf_assign(spark, sf_dir)
+    incoming = (
+        F.pmod(
+            md5_hash64(F.concat(F.lit("refresh:"), F.col("vec_id"))),
+            F.lit(REFRESH_BUCKETS),
+        )
+        == 0
+    ).cast("int")
+    per_cell = (
+        assigned.select(F.col("cell"), incoming.alias("incoming"))
+        .groupBy("cell")
+        .agg(
+            F.sum(F.lit(1) - F.col("incoming")).cast("long").alias("n_before"),
+            F.sum("incoming").cast("long").alias("n_added"),
+        )
+    )
+    totals = per_cell.agg(
+        F.sum("n_before").cast("long").alias("tb"),
+        F.sum(F.col("n_before") + F.col("n_added")).cast("long").alias("ta"),
+    )
+    share_before = (
+        F.when(F.col("tb") > 0, F.expr("(n_before * 1000000) div tb"))
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    share_after = (
+        F.when(
+            F.col("ta") > 0,
+            F.expr("((n_before + n_added) * 1000000) div ta"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    return per_cell.crossJoin(F.broadcast(totals)).select(
+        F.col("cell").cast("long").alias("cell"),
+        "n_before",
+        "n_added",
+        (F.col("n_before") + F.col("n_added")).cast("long").alias("n_after"),
+        share_before.alias("share_before_ppm"),
+        share_after.alias("share_after_ppm"),
+        (share_after - share_before).cast("long").alias("drift_ppm"),
+    )

@@ -1191,3 +1191,37 @@ def test_ann_recall_report_matches_direct_overlap(spark, sf_dir):
     by = {(r.method, r.query_id): r.recall_ppm for r in rows}
     for q in exact:
         assert by[("lsh_multiprobe", q)] >= by[("lsh_bucketed", q)]
+
+
+def test_ann_index_refresh_conserves_counts_and_shares(spark, sf_dir):
+    """The refresh audit must partition the corpus exactly (Σ n_after =
+    corpus size, n_before + n_added per cell), agree with the served
+    assignment frame, and emit shares that sum to ~10⁶ (within the
+    cells × 1 ppm truncation bound)."""
+    from kafka_exercise_spark.catalog import load_table
+
+    rows = similarity.ann_index_refresh(spark, sf_dir).collect()
+    total = load_table(spark, sf_dir, "embeddings").count()
+    assert sum(r.n_after for r in rows) == total
+    for r in rows:
+        assert r.n_after == r.n_before + r.n_added
+        assert r.drift_ppm == r.share_after_ppm - r.share_before_ppm
+    for field in ("share_before_ppm", "share_after_ppm"):
+        tot = sum(getattr(r, field) for r in rows)
+        assert 1_000_000 - len(rows) <= tot <= 1_000_000
+    # cross-check the incoming split against the assignment frame itself
+    assigned, _ = similarity._ivf_assign(spark, sf_dir)
+    import hashlib
+
+    def is_new(vid: int) -> bool:
+        h = int(hashlib.md5(f"refresh:{vid}".encode()).hexdigest()[:15], 16)
+        return h % similarity.REFRESH_BUCKETS == 0
+    want: dict = {}
+    for r in assigned.select("vec_id", "cell").collect():
+        b, a = want.setdefault(r.cell, [0, 0])
+        if is_new(r.vec_id):
+            want[r.cell][1] = a + 1
+        else:
+            want[r.cell][0] = b + 1
+    got = {r.cell: (r.n_before, r.n_added) for r in rows}
+    assert got == {c: tuple(v) for c, v in want.items()}
