@@ -315,6 +315,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall_report": similarity.ann_recall_report,
         # incremental index maintenance: batch assign + cell-balance drift
         "ann_index_refresh": similarity.ann_index_refresh,
+        # live CDC staging fold -> nightly SCD2 apply (final ≡ batch)
+        "streaming_scd2_replay": streaming_pipeline.streaming_scd2_replay,
     }
     # The r05 driver window (first 50) — see the docstring for the policy.
     window = [
@@ -344,6 +346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_scd2_apply",
         "ann_recall_report",
         "ann_index_refresh",
+        "streaming_scd2_replay",
         # r05 integer-div ratio fixes (ADVICE r4) — re-verify
         "gopher_quality_filter",
         "corpus_profile",
@@ -371,7 +374,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q19_disjunctive_join",
         "q20_potential_promotion",
         "q21_waiting_supplier",
-        "q2_min_cost_supplier",
     ]
     assert len(window) == 50 and len(set(window)) == 50
     out = {k: all_q[k] for k in window}
@@ -3258,6 +3260,9 @@ def oracle_sql() -> dict[str, str]:
     # the streaming CDC apply must converge to EXACTLY the batch merge —
     # same oracle, by design (the fold is commutative-associative)
     oracles["streaming_merge_replay"] = oracles["merge_upsert_profiles"]
+    # the streaming staging fold + nightly apply must converge to EXACTLY
+    # the one-shot batch SCD2 — same oracle, by design (set after the
+    # merge_scd2_apply oracle is defined below)
     # SCD2 history apply: same full-outer join as the flat merge, plus
     # first-event instants; close/open/insert/keep as a UNION ALL of
     # per-action projections (j materialized — it feeds four branches)
@@ -3332,6 +3337,7 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 0 END))::BIGINT AS drift_ppm
         FROM pc, t
     """
+    oracles["streaming_scd2_replay"] = oracles["merge_scd2_apply"]
     # retrieval-quality harness: recall@k of each ANN variant against the
     # exact baseline — COMPOSED from the variants' own oracle strings
     # (nested WITH in subqueries), so an index-oracle change can never

@@ -154,7 +154,15 @@ def merge_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("last_seen_us").alias("s_us"),
         F.col("first_us").alias("s_first"),
     )
-    m = target.join(source, "user_id", "full_outer")
+    return scd2_rows(target.join(source, "user_id", "full_outer"))
+
+
+def scd2_rows(m: DataFrame) -> DataFrame:
+    """The SCD2 close/open/insert/keep projection over a joined frame
+    with columns (user_id, t_n, t_v, t_us, t_first, s_n, s_v, s_us,
+    s_first) — ONE definition shared by the batch apply above and the
+    streaming staging-fold replay (streaming/pipeline.py
+    streaming_scd2_replay), so the two can never drift."""
     in_t = F.col("t_n").isNotNull()
     in_s = F.col("s_n").isNotNull()
     null_us = F.lit(None).cast("long")

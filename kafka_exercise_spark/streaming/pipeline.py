@@ -337,7 +337,7 @@ def streaming_curation_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_MERGE_REPLAY_MEMO: dict = {}
+_MERGE_REPLAY_MEMO: dict = register_memo({})
 
 
 def streaming_merge_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -382,6 +382,7 @@ def streaming_merge_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("last_eid").alias("eid"),
         )
 
+    evict_stale_memos(spark)
     memo_key = (spark.sparkContext.applicationId, sf_dir)
     if memo_key not in _MERGE_REPLAY_MEMO:
         src_dir, schema = land_events_replay(spark, sf_dir)
@@ -477,3 +478,141 @@ def streaming_merge_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
         _MERGE_REPLAY_MEMO[memo_key] = final
     return _MERGE_REPLAY_MEMO[memo_key]
+
+
+_SCD2_REPLAY_MEMO: dict = register_memo({})
+
+
+def streaming_scd2_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCD2 apply (operators/merge.py merge_scd2_apply) fed by a LIVE
+    CDC staging fold: post-split events arrive in micro-batches under
+    real StreamExecution, each batch folds into a versioned STAGING
+    profile store (count adds, last-observation (us, eid) max-wins,
+    first-seen min-wins — commutative-associative, so out-of-order
+    batches converge), and the close-old/open-new history apply runs
+    once over the final staging — the nightly-apply pattern a warehouse
+    actually runs against a streaming-landed CDC staging table.
+
+    Final history ≡ the one-shot batch SCD2 (same `scd2_rows` projection,
+    same oracle by design); versioned stores make a re-delivered batch
+    idempotent, exactly like ``streaming_merge_replay``.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from kafka_exercise_spark.operators.merge import (
+        MERGE_SPLIT_US,
+        _profiles,
+        scd2_rows,
+    )
+    from kafka_exercise_spark.streaming.sources import (
+        file_stream,
+        land_events_replay,
+    )
+    from kafka_exercise_spark.streaming.stateful import run_bounded_replay
+
+    evict_stale_memos(spark)
+    memo_key = (spark.sparkContext.applicationId, sf_dir)
+    if memo_key not in _SCD2_REPLAY_MEMO:
+        src_dir, schema = land_events_replay(spark, sf_dir)
+        work = tempfile.mkdtemp(prefix="scd2_replay_")
+        store = os.path.join(work, "staging")
+        os.makedirs(store)
+        # empty initial staging — the batch side accumulates from nothing
+        empty = spark.createDataFrame(
+            [],
+            "user_id long, n long, v double, us long, eid long, fus long",
+        )
+        empty.write.parquet(os.path.join(store, "v_init"))
+
+        def _version_before(batch_id: int) -> str:
+            prior = [
+                int(d[1:])
+                for d in os.listdir(store)
+                if d != "v_init" and d.startswith("v") and int(d[1:]) < batch_id
+            ]
+            return f"v{max(prior):04d}" if prior else "v_init"
+
+        def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
+            b = _profiles(
+                batch_df.where(F.unix_micros(F.col("ts")) >= MERGE_SPLIT_US)
+            ).select(
+                "user_id",
+                F.col("n_events").alias("b_n"),
+                F.col("last_value").alias("b_v"),
+                F.col("last_seen_us").alias("b_us"),
+                F.col("last_eid").alias("b_eid"),
+                F.col("first_us").alias("b_fus"),
+            )
+            prev = spark.read.parquet(
+                os.path.join(store, _version_before(batch_id))
+            )
+            in_b = F.col("b_n").isNotNull()
+            in_p = F.col("n").isNotNull()
+            b_newer = in_b & (
+                ~in_p
+                | (F.col("b_us") > F.col("us"))
+                | (
+                    (F.col("b_us") == F.col("us"))
+                    & (F.col("b_eid") > F.col("eid"))
+                )
+            )
+            folded = prev.join(b, "user_id", "full_outer").select(
+                "user_id",
+                (F.coalesce("n", F.lit(0)) + F.coalesce("b_n", F.lit(0)))
+                .cast("long")
+                .alias("n"),
+                F.when(b_newer, F.col("b_v")).otherwise(F.col("v")).alias("v"),
+                F.when(b_newer, F.col("b_us"))
+                .otherwise(F.col("us"))
+                .alias("us"),
+                F.when(b_newer, F.col("b_eid"))
+                .otherwise(F.col("eid"))
+                .alias("eid"),
+                F.least(
+                    F.coalesce("fus", F.col("b_fus")),
+                    F.coalesce("b_fus", F.col("fus")),
+                )
+                .cast("long")
+                .alias("fus"),
+            )
+            folded.write.mode("overwrite").parquet(
+                os.path.join(store, f"v{batch_id:04d}")
+            )
+
+        stream = file_stream(spark, src_dir, schema, max_files_per_trigger=2)
+        run_bounded_replay(
+            spark,
+            stream,
+            checkpoint=os.path.join(work, "ckpt"),
+            foreach_batch=fold_batch,
+        )
+        # nightly apply: deterministic pre-split target ⟗ final staging,
+        # through the ONE shared SCD2 projection
+        target = _profiles(
+            spark.read.schema(schema)
+            .parquet(src_dir)
+            .where(F.unix_micros(F.col("ts")) < MERGE_SPLIT_US)
+        ).select(
+            "user_id",
+            F.col("n_events").alias("t_n"),
+            F.col("last_value").alias("t_v"),
+            F.col("last_seen_us").alias("t_us"),
+            F.col("first_us").alias("t_first"),
+        )
+        staging = spark.read.parquet(
+            os.path.join(store, _version_before(1 << 30))
+        ).select(
+            "user_id",
+            F.col("n").alias("s_n"),
+            F.col("v").alias("s_v"),
+            F.col("us").alias("s_us"),
+            F.col("fus").alias("s_first"),
+        )
+        final = scd2_rows(
+            target.join(staging, "user_id", "full_outer")
+        ).localCheckpoint()
+        shutil.rmtree(work, ignore_errors=True)
+        _SCD2_REPLAY_MEMO[memo_key] = final
+    return _SCD2_REPLAY_MEMO[memo_key]

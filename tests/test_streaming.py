@@ -300,3 +300,14 @@ def test_streaming_merge_replay_equals_batch_merge(spark, sf_dir):
     assert got == want and len(want) > 0
     actions = {r[-1] for r in want}
     assert "update" in actions
+
+
+def test_streaming_scd2_replay_equals_batch_apply(spark, sf_dir):
+    """The staging-fold replay's final history must equal the one-shot
+    batch SCD2 apply row-for-row (tuples, not just counts)."""
+    from kafka_exercise_spark.operators.merge import merge_scd2_apply
+    from kafka_exercise_spark.streaming.pipeline import streaming_scd2_replay
+
+    got = {tuple(r) for r in streaming_scd2_replay(spark, sf_dir).collect()}
+    want = {tuple(r) for r in merge_scd2_apply(spark, sf_dir).collect()}
+    assert got == want
