@@ -317,6 +317,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_index_refresh": similarity.ann_index_refresh,
         # live CDC staging fold -> nightly SCD2 apply (final ≡ batch)
         "streaming_scd2_replay": streaming_pipeline.streaming_scd2_replay,
+        # dedup loop closure: per-cluster quality-aware survivor choice
+        "dedup_cluster_canonicals": dedup.dedup_cluster_canonicals,
     }
     # The r05 driver window (first 50) — see the docstring for the policy.
     window = [
@@ -347,6 +349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall_report",
         "ann_index_refresh",
         "streaming_scd2_replay",
+        "dedup_cluster_canonicals",
         # r05 integer-div ratio fixes (ADVICE r4) — re-verify
         "gopher_quality_filter",
         "corpus_profile",
@@ -373,7 +376,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_small_qty_revenue",
         "q19_disjunctive_join",
         "q20_potential_promotion",
-        "q21_waiting_supplier",
     ]
     assert len(window) == 50 and len(set(window)) == 50
     out = {k: all_q[k] for k in window}
@@ -3338,6 +3340,24 @@ def oracle_sql() -> dict[str, str]:
         FROM pc, t
     """
     oracles["streaming_scd2_replay"] = oracles["merge_scd2_apply"]
+    # survivor selection COMPOSED from the components and Gopher oracles
+    # (nested WITH in subqueries) — selection keys are exact ints/bools,
+    # so the per-cluster argmax is engine-deterministic
+    oracles["dedup_cluster_canonicals"] = f"""
+        WITH c AS (SELECT doc_id, comp, comp_size
+                   FROM ({oracles["dedup_components"]})),
+        g AS (SELECT doc_id, keep AS clean, n_words
+              FROM ({oracles["gopher_quality_filter"]})),
+        j AS (SELECT c.doc_id, c.comp, c.comp_size, g.clean, g.n_words,
+                     row_number() OVER (PARTITION BY c.comp
+                         ORDER BY g.clean DESC, g.n_words DESC,
+                                  c.doc_id ASC) AS rk
+              FROM c JOIN g USING (doc_id))
+        SELECT doc_id, comp, comp_size, clean, n_words::BIGINT AS n_words,
+               rk = 1 AS is_canonical,
+               CASE WHEN rk = 1 THEN 'keep' ELSE 'drop' END AS action
+        FROM j
+    """
     # retrieval-quality harness: recall@k of each ANN variant against the
     # exact baseline — COMPOSED from the variants' own oracle strings
     # (nested WITH in subqueries), so an index-oracle change can never

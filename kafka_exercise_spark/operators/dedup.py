@@ -1100,3 +1100,52 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("id").alias("n_docs")
     )
     return n_pairs.join(n_docs, "threshold_e6")
+
+
+def dedup_cluster_canonicals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware survivor selection — the last step of the dedup loop:
+    pairs → components → WHICH copy to keep. ``dedup_components`` keeps
+    the min-id member (arbitrary); a real curation pipeline keeps the
+    BEST copy, because near-dup clusters routinely mix a clean original
+    with truncated/boilerplate-wrapped variants. Rule: per cluster, keep
+    the copy that passes the Gopher battery, largest word count first,
+    doc_id as the final tie-break — "the largest clean copy survives".
+
+    All selection keys are exact integers/booleans (the Gopher signals),
+    so the argmax is engine-deterministic — no float score can strand the
+    tie on an ulp (the q15 lesson). Scale shape: the cluster frame is
+    O(near-dup docs) — orders smaller than the corpus — and the quality
+    columns arrive by ONE equi-join on doc_id; the rank window partitions
+    by component (bounded groups). The corpus itself is scanned only by
+    the memoized pair pass and the map-only Gopher scan.
+    """
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    from kafka_exercise_spark.operators.textops import (  # noqa: PLC0415
+        gopher_quality_filter,
+    )
+
+    comps = dedup_components(spark, sf_dir).select(
+        "doc_id", "comp", "comp_size"
+    )
+    q = gopher_quality_filter(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("clean"), "n_words"
+    )
+    j = comps.join(q, "doc_id")
+    w = Window.partitionBy("comp").orderBy(
+        F.desc("clean"), F.desc("n_words"), F.asc("doc_id")
+    )
+    return (
+        j.withColumn("rk", F.row_number().over(w))
+        .select(
+            "doc_id",
+            "comp",
+            "comp_size",
+            "clean",
+            F.col("n_words").cast("long").alias("n_words"),
+            (F.col("rk") == 1).alias("is_canonical"),
+            F.when(F.col("rk") == 1, F.lit("keep"))
+            .otherwise(F.lit("drop"))
+            .alias("action"),
+        )
+    )

@@ -1225,3 +1225,25 @@ def test_ann_index_refresh_conserves_counts_and_shares(spark, sf_dir):
             want[r.cell][0] = b + 1
     got = {r.cell: (r.n_before, r.n_added) for r in rows}
     assert got == {c: tuple(v) for c, v in want.items()}
+
+
+def test_cluster_canonicals_pick_largest_clean_copy(spark, sf_dir):
+    """Exactly one canonical per cluster; the canonical dominates every
+    other member under (clean desc, n_words desc, doc_id asc); membership
+    and sizes agree with dedup_components."""
+    from kafka_exercise_spark.operators import dedup
+
+    rows = dedup.dedup_cluster_canonicals(spark, sf_dir).collect()
+    comps = {r.doc_id: r for r in dedup.dedup_components(spark, sf_dir).collect()}
+    assert {r.doc_id for r in rows} == set(comps)
+    by_comp: dict = {}
+    for r in rows:
+        assert r.comp == comps[r.doc_id].comp
+        assert r.comp_size == comps[r.doc_id].comp_size
+        assert (r.action == "keep") == r.is_canonical
+        by_comp.setdefault(r.comp, []).append(r)
+    for members in by_comp.values():
+        canon = [r for r in members if r.is_canonical]
+        assert len(canon) == 1
+        key = lambda r: (not r.clean, -r.n_words, r.doc_id)  # noqa: E731
+        assert min(members, key=key).doc_id == canon[0].doc_id

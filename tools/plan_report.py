@@ -73,6 +73,7 @@ SELECTED = [
     ("merge_scd2_apply", "same full-outer merge; 1→2 row fan-out is a map-side explode"),
     ("ann_recall_report", "bounded joins over served-index top-k frames (≤N_QUERIES·k rows)"),
     ("ann_index_refresh", "one groupBy(cell) over the served assignment; 16 rows out"),
+    ("dedup_cluster_canonicals", "cluster frame is O(near-dup docs); quality joins by key"),
     ("twa_value_per_user", "one user shuffle serves LEAD window + aggregate"),
     ("bpe_segment_words", "map-only replace chain after the word explode"),
     ("rfm_segments", "one custkey groupBy; scoring is a map-side CASE"),
