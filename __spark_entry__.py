@@ -319,6 +319,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_scd2_replay": streaming_pipeline.streaming_scd2_replay,
         # dedup loop closure: per-cluster quality-aware survivor choice
         "dedup_cluster_canonicals": dedup.dedup_cluster_canonicals,
+        # deterministic T5-style span-corruption masking plan (map-only)
+        "span_corruption_masks": textops.span_corruption_masks,
     }
     # The r05 driver window (first 50) — see the docstring for the policy.
     window = [
@@ -350,6 +352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_index_refresh",
         "streaming_scd2_replay",
         "dedup_cluster_canonicals",
+        "span_corruption_masks",
         # r05 integer-div ratio fixes (ADVICE r4) — re-verify
         "gopher_quality_filter",
         "corpus_profile",
@@ -375,7 +378,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q16_supplier_cnt",
         "q17_small_qty_revenue",
         "q19_disjunctive_join",
-        "q20_potential_promotion",
     ]
     assert len(window) == 50 and len(set(window)) == 50
     out = {k: all_q[k] for k in window}
@@ -3340,6 +3342,37 @@ def oracle_sql() -> dict[str, str]:
         FROM pc, t
     """
     oracles["streaming_scd2_replay"] = oracles["merge_scd2_apply"]
+    # deterministic span-corruption plan: hash-derived starts/lengths,
+    # trailing-window coverage, run starts = sentinels — all exact ints
+    oracles["span_corruption_masks"] = f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS tok FROM documents),
+        b AS (SELECT doc_id, len(tok)::BIGINT AS n FROM t),
+        m AS (SELECT doc_id, n,
+                list_transform(generate_series(1, n), i ->
+                  CASE WHEN len(list_filter(
+                      generate_series(greatest(1, i - {textops.SPAN_MAX - 1}), i),
+                      j -> ('0x' || substr(md5('span:' || doc_id || ':' || j),
+                            1, 15))::BIGINT % {textops.SPAN_EVERY} = 0
+                       AND j + (('0x' || substr(md5('len:' || doc_id
+                            || ':' || j), 1, 15))::BIGINT
+                            % {textops.SPAN_MAX}) + 1 > i)) > 0
+                  THEN 1 ELSE 0 END) AS mask,
+                len(list_filter(generate_series(1, n),
+                    j -> ('0x' || substr(md5('span:' || doc_id || ':' || j),
+                          1, 15))::BIGINT % {textops.SPAN_EVERY} = 0))::BIGINT
+                    AS n_spans
+              FROM b)
+        SELECT doc_id, n AS n_tokens, n_spans,
+               coalesce(list_sum(mask), 0)::BIGINT AS n_masked,
+               len(list_filter(generate_series(1, n),
+                   i -> mask[i] = 1
+                    AND (i = 1 OR mask[greatest(i - 1, 1)] = 0)))::BIGINT
+                   AS n_sentinels,
+               (CASE WHEN n > 0
+                     THEN (coalesce(list_sum(mask), 0) * 1000000) // n
+                     ELSE 0 END)::BIGINT AS masked_ppm
+        FROM m
+    """
     # survivor selection COMPOSED from the components and Gopher oracles
     # (nested WITH in subqueries) — selection keys are exact ints/bools,
     # so the per-cluster argmax is engine-deterministic

@@ -1096,3 +1096,96 @@ def bpe_segment_words(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long"),
         )
     )
+
+
+#: Span-corruption plan parameters (T5-style): a span starts at ~1/20 of
+#: token positions and runs 1..5 tokens (mean 3) → ~15% of tokens masked.
+SPAN_EVERY = 20
+SPAN_MAX = 5
+
+
+def span_corruption_masks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-corruption planning (the T5/UL2 denoising objective's data
+    prep): per document, a DETERMINISTIC plan of masked spans — span
+    starts and lengths derive from md5 hashes of (doc_id, position), so
+    the plan is a pure function of the corpus: reproducible across
+    reruns, engines, partitionings, and cluster sizes, which is what
+    makes a masking plan auditable at 100 TB (re-running the pipeline
+    yields byte-identical training examples).
+
+    Per position i (1-based): a span starts iff
+    ``h('span:'||doc||':'||i) % SPAN_EVERY == 0`` and runs
+    ``1 + h('len:'||...) % SPAN_MAX`` tokens; overlapping spans merge.
+    Emitted per doc: token/span/masked counts, masked ppm (integer
+    ``div``), and the sentinel count (maximal merged runs = number of
+    <extra_id_k> sentinels a T5 encoder would insert). Everything is
+    exact integer arithmetic on JVM array expressions — map-only, one
+    pruned-column scan, no shuffle, no Python.
+    """
+    docs = scale_partitions(load_table(spark, sf_dir, "documents"), spark)
+    tok = tokens(F.col("text"))
+
+    def h(tag: str, i):
+        return md5_hash64(
+            F.concat(F.lit(tag), F.col("doc_id").cast("string"),
+                     F.lit(":"), i.cast("string"))
+        )
+
+    def starts(i):
+        return F.pmod(h("span:", i), F.lit(SPAN_EVERY)) == 0
+
+    def span_len(i):
+        return F.pmod(h("len:", i), F.lit(SPAN_MAX)) + 1
+
+    n = F.size(tok)
+    idx = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+        F.array().cast("array<int>")
+    )
+    # covered(i): some start j in the trailing SPAN_MAX window reaches i
+    mask = F.transform(
+        idx,
+        lambda i: F.exists(
+            F.sequence(F.greatest(F.lit(1), i - (SPAN_MAX - 1)), i),
+            lambda j: starts(j) & ((j + span_len(j)) > i),
+        ).cast("int"),
+    )
+    # projection barrier: mask is referenced by three aggregates below —
+    # materialize it once per row (the quality_repetition lesson)
+    step = docs.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        F.size(F.filter(idx, lambda i: starts(i))).cast("long").alias("n_spans"),
+        mask.alias("mask"),
+    )
+    n_masked = F.aggregate(
+        F.col("mask"), F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    sentinels = F.size(
+        F.filter(
+            F.when(F.col("n_tokens") >= 1,
+                   F.sequence(F.lit(1), F.col("n_tokens").cast("int")))
+            .otherwise(F.array().cast("array<int>")),
+            # element_at(mask, 0) is an error in Spark — clamp the
+            # predecessor index; the (i == 1) disjunct decides that row
+            lambda i: (F.element_at(F.col("mask"), i) == 1)
+            & (
+                (i == 1)
+                | (F.element_at(F.col("mask"), F.greatest(i - 1, F.lit(1)))
+                   == 0)
+            ),
+        )
+    )
+    out = step.select(
+        "doc_id",
+        "n_tokens",
+        "n_spans",
+        n_masked.alias("n_masked"),
+        sentinels.cast("long").alias("n_sentinels"),
+    )
+    return out.withColumn(
+        "masked_ppm",
+        F.when(
+            F.col("n_tokens") > 0,
+            F.expr("(n_masked * 1000000) div n_tokens"),
+        ).otherwise(F.lit(0)).cast("long"),
+    )

@@ -1247,3 +1247,44 @@ def test_cluster_canonicals_pick_largest_clean_copy(spark, sf_dir):
         assert len(canon) == 1
         key = lambda r: (not r.clean, -r.n_words, r.doc_id)  # noqa: E731
         assert min(members, key=key).doc_id == canon[0].doc_id
+
+
+def test_span_corruption_plan_is_deterministic_and_consistent(spark, sf_dir):
+    """The masking plan must be a pure function of (doc_id, position):
+    two runs agree exactly; counts are internally consistent (sentinels ≤
+    spans, masked ≥ spans when spans > 0, masked ≤ min(n_tokens,
+    spans·SPAN_MAX)); and a Python replay of one doc's hash rule matches."""
+    import hashlib
+
+    from kafka_exercise_spark.operators import textops
+
+    rows = {r.doc_id: r for r in
+            textops.span_corruption_masks(spark, sf_dir).collect()}
+    again = {r.doc_id: r for r in
+             textops.span_corruption_masks(spark, sf_dir).collect()}
+    assert rows.keys() == again.keys()
+    for d, r in rows.items():
+        assert tuple(r) == tuple(again[d])
+        assert 0 <= r.n_sentinels <= r.n_spans
+        if r.n_spans > 0:
+            assert r.n_masked >= 1
+        assert r.n_masked <= min(r.n_tokens, r.n_spans * textops.SPAN_MAX)
+        if r.n_tokens:
+            assert r.masked_ppm == r.n_masked * 1_000_000 // r.n_tokens
+
+    def h(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    some = max(rows, key=lambda d: rows[d].n_spans)
+    n = rows[some].n_tokens
+    starts = [i for i in range(1, n + 1)
+              if h(f"span:{some}:{i}") % textops.SPAN_EVERY == 0]
+    masked = set()
+    for i in starts:
+        for k in range(h(f"len:{some}:{i}") % textops.SPAN_MAX + 1):
+            if i + k <= n:
+                masked.add(i + k)
+    runs = sum(1 for i in sorted(masked) if i - 1 not in masked)
+    assert rows[some].n_spans == len(starts)
+    assert rows[some].n_masked == len(masked)
+    assert rows[some].n_sentinels == runs

@@ -88,3 +88,28 @@ def test_tokens_shingles_hash_parity(spark, texts):
         # order differently — compare as sets AND as multiplicity-free
         assert sorted(g.sh) == sorted(e[2]), texts
         assert g.h == e[3], texts
+
+
+def test_r05_window_leads_with_unverified_entries():
+    """The driver records only the first 50 queries() entries; r05 must
+    lead with the 19 entries that have never had a driver CORRECTNESS
+    row (VERDICT r4 ask #2) plus every r05 addition — an accidental
+    reorder would silently burn the round's only driver evidence."""
+    import __spark_entry__ as entrymod
+
+    first50 = list(entrymod.queries())[:50]
+    never_verified = {
+        "er_fuzzy_pairs", "graph_pagerank", "lm_bigram_score",
+        "weighted_sample_topn", "k_anonymity_report", "drift_report_events",
+        "skew_key_census", "bpe_segment_words", "dedup_threshold_sweep",
+        "rfm_segments", "attribution_credit", "hourly_anomaly_scores",
+        "basket_pair_rules", "resample_ffill_events", "twa_value_per_user",
+        "embedding_top_component", "embedding_anisotropy",
+        "merge_upsert_profiles", "streaming_merge_replay",
+    }
+    r05_new = {
+        "merge_scd2_apply", "ann_recall_report", "ann_index_refresh",
+        "streaming_scd2_replay", "dedup_cluster_canonicals",
+    }
+    assert never_verified | r05_new <= set(first50)
+    assert first50[:2] == ["jovens", "idadecont"]  # flagships stay first

@@ -74,6 +74,7 @@ SELECTED = [
     ("ann_recall_report", "bounded joins over served-index top-k frames (≤N_QUERIES·k rows)"),
     ("ann_index_refresh", "one groupBy(cell) over the served assignment; 16 rows out"),
     ("dedup_cluster_canonicals", "cluster frame is O(near-dup docs); quality joins by key"),
+    ("span_corruption_masks", "map-only hash-derived masking plan; zero shuffle"),
     ("twa_value_per_user", "one user shuffle serves LEAD window + aggregate"),
     ("bpe_segment_words", "map-only replace chain after the word explode"),
     ("rfm_segments", "one custkey groupBy; scoring is a map-side CASE"),
