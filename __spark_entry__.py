@@ -321,6 +321,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster_canonicals": dedup.dedup_cluster_canonicals,
         # deterministic T5-style span-corruption masking plan (map-only)
         "span_corruption_masks": textops.span_corruption_masks,
+        # per-language subword fertility (vocab-sizing acceptance number)
+        "tokenizer_fertility_report": textops.tokenizer_fertility_report,
     }
     # The r05 driver window (first 50) — see the docstring for the policy.
     window = [
@@ -353,6 +355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_scd2_replay",
         "dedup_cluster_canonicals",
         "span_corruption_masks",
+        "tokenizer_fertility_report",
         # r05 integer-div ratio fixes (ADVICE r4) — re-verify
         "gopher_quality_filter",
         "corpus_profile",
@@ -377,7 +380,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q15_top_supplier",
         "q16_supplier_cnt",
         "q17_small_qty_revenue",
-        "q19_disjunctive_join",
     ]
     assert len(window) == 50 and len(set(window)) == 50
     out = {k: all_q[k] for k in window}
@@ -3342,6 +3344,23 @@ def oracle_sql() -> dict[str, str]:
         FROM pc, t
     """
     oracles["streaming_scd2_replay"] = oracles["merge_scd2_apply"]
+    # fertility COMPOSED from the token-stats and langid oracles so the
+    # three can never drift; aggregate-then-divide in integer centi
+    oracles["tokenizer_fertility_report"] = f"""
+        WITH st AS (SELECT doc_id, n_ws_tokens, n_bpe_tokens
+                    FROM ({oracles["text_token_stats"]})),
+        lg AS (SELECT doc_id, detected_lang
+               FROM ({oracles["text_langid"]})),
+        g AS (SELECT detected_lang, count(*) AS n_docs,
+                     sum(n_ws_tokens)::BIGINT AS total_words,
+                     sum(n_bpe_tokens)::BIGINT AS total_subwords
+              FROM st JOIN lg USING (doc_id) GROUP BY 1)
+        SELECT detected_lang, n_docs, total_words, total_subwords,
+               (CASE WHEN total_words > 0
+                     THEN (total_subwords * 100) // total_words
+                     ELSE 0 END)::BIGINT AS fertility_c100
+        FROM g
+    """
     # deterministic span-corruption plan: hash-derived starts/lengths,
     # trailing-window coverage, run starts = sentinels — all exact ints
     oracles["span_corruption_masks"] = f"""

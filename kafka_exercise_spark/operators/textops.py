@@ -1189,3 +1189,39 @@ def span_corruption_masks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(n_masked * 1000000) div n_tokens"),
         ).otherwise(F.lit(0)).cast("long"),
     )
+
+
+def tokenizer_fertility_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per detected language — subword tokens per
+    whitespace word, the number a tokenizer team watches per language
+    when sizing a multilingual vocabulary (high fertility = the language
+    is being shredded into characters and will train poorly).
+
+    Composes two existing map-only passes (``text_token_stats`` for the
+    whitespace and BPE-ish counts, ``text_langid`` for the language) via
+    one doc_id equi-join, then a per-language aggregate: corpus-level
+    fertility = Σ subword · 100 div Σ words (integer centi — aggregate
+    THEN divide, never an average of per-doc ratios, so short docs don't
+    dominate). Output is |languages| rows; the whole cost is two
+    codegen'd corpus scans and one small join/agg.
+    """
+    stats = text_token_stats(spark, sf_dir).select(
+        "doc_id", "n_ws_tokens", "n_bpe_tokens"
+    )
+    lang = text_langid(spark, sf_dir).select("doc_id", "detected_lang")
+    return (
+        stats.join(lang, "doc_id")
+        .groupBy("detected_lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_ws_tokens").cast("long").alias("total_words"),
+            F.sum("n_bpe_tokens").cast("long").alias("total_subwords"),
+        )
+        .withColumn(
+            "fertility_c100",
+            F.when(
+                F.col("total_words") > 0,
+                F.expr("(total_subwords * 100) div total_words"),
+            ).otherwise(F.lit(0)).cast("long"),
+        )
+    )

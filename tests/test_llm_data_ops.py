@@ -1288,3 +1288,23 @@ def test_span_corruption_plan_is_deterministic_and_consistent(spark, sf_dir):
     assert rows[some].n_spans == len(starts)
     assert rows[some].n_masked == len(masked)
     assert rows[some].n_sentinels == runs
+
+
+def test_fertility_report_aggregates_then_divides(spark, sf_dir):
+    """Fertility must be the corpus-level ratio (Σ subwords over Σ words
+    per language), every doc counted exactly once across languages."""
+    from kafka_exercise_spark.operators import textops
+
+    rows = textops.tokenizer_fertility_report(spark, sf_dir).collect()
+    stats = {r.doc_id: r for r in
+             textops.text_token_stats(spark, sf_dir).collect()}
+    langs = {r.doc_id: r.detected_lang for r in
+             textops.text_langid(spark, sf_dir).collect()}
+    assert sum(r.n_docs for r in rows) == len(stats)
+    for r in rows:
+        docs = [d for d, lg in langs.items() if lg == r.detected_lang]
+        words = sum(stats[d].n_ws_tokens for d in docs)
+        sub = sum(stats[d].n_bpe_tokens for d in docs)
+        assert r.total_words == words and r.total_subwords == sub
+        if words:
+            assert r.fertility_c100 == sub * 100 // words
