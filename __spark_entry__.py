@@ -323,6 +323,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_corruption_masks": textops.span_corruption_masks,
         # per-language subword fertility (vocab-sizing acceptance number)
         "tokenizer_fertility_report": textops.tokenizer_fertility_report,
+        # learned-filter vs rule-battery agreement per logit band
+        "classifier_calibration_report": textops.classifier_calibration_report,
     }
     # The r05 driver window (first 50) — see the docstring for the policy.
     window = [
@@ -356,6 +358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster_canonicals",
         "span_corruption_masks",
         "tokenizer_fertility_report",
+        "classifier_calibration_report",
         # r05 integer-div ratio fixes (ADVICE r4) — re-verify
         "gopher_quality_filter",
         "corpus_profile",
@@ -379,7 +382,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q14_promo_effect",
         "q15_top_supplier",
         "q16_supplier_cnt",
-        "q17_small_qty_revenue",
     ]
     assert len(window) == 50 and len(set(window)) == 50
     out = {k: all_q[k] for k in window}
@@ -3344,6 +3346,31 @@ def oracle_sql() -> dict[str, str]:
         FROM pc, t
     """
     oracles["streaming_scd2_replay"] = oracles["merge_scd2_apply"]
+    # calibration audit COMPOSED from the classifier and Gopher oracles;
+    # fixed pmod-floor logit bands (negative-safe), integer-ppm ratios
+    oracles["classifier_calibration_report"] = f"""
+        WITH c AS (SELECT doc_id, logit, keep AS cls_keep
+                   FROM ({oracles["classifier_quality_score"]})),
+        g AS (SELECT doc_id, keep AS g_keep
+              FROM ({oracles["gopher_quality_filter"]})),
+        j AS (SELECT (logit - ((logit % {textops.CLS_CALIB_BAND}
+                                + {textops.CLS_CALIB_BAND})
+                               % {textops.CLS_CALIB_BAND}))
+                     // {textops.CLS_CALIB_BAND} AS band,
+                     cls_keep::INT AS ck, g_keep::INT AS gk,
+                     (cls_keep = g_keep)::INT AS agree
+              FROM c JOIN g USING (doc_id)),
+        a AS (SELECT band, count(*) AS n_docs, sum(ck)::BIGINT AS n_cls_keep,
+                     sum(gk)::BIGINT AS n_gopher_keep,
+                     sum(agree)::BIGINT AS n_agree
+              FROM j GROUP BY 1)
+        SELECT band::BIGINT AS band, n_docs, n_cls_keep, n_gopher_keep,
+               n_agree,
+               ((n_gopher_keep * 1000000) // n_docs)::BIGINT
+                   AS gopher_keep_ppm,
+               ((n_agree * 1000000) // n_docs)::BIGINT AS agree_ppm
+        FROM a
+    """
     # fertility COMPOSED from the token-stats and langid oracles so the
     # three can never drift; aggregate-then-divide in integer centi
     oracles["tokenizer_fertility_report"] = f"""

@@ -1225,3 +1225,53 @@ def tokenizer_fertility_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.lit(0)).cast("long"),
         )
     )
+
+
+#: Calibration band width in integer logit units (CLS_WEIGHT_SCALE-scaled).
+CLS_CALIB_BAND = 25_000_000
+
+
+def classifier_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration audit of the cheap hashed classifier against the
+    Gopher rule battery, per logit band — the check a curation team runs
+    before trusting a fast learned filter to replace (or pre-screen for)
+    the expensive rules: within each score band, how often do the two
+    agree, and does the Gopher keep-rate rise monotonically with the
+    classifier's score?
+
+    Bands are fixed-width integer ranges of the exact-integer logit via
+    the pmod-subtraction FLOOR fold (negative-logit-safe — the same rule
+    the time-bucketing ops follow), NEVER an ntile: a global quantile
+    window is a single-task sort at 100 TB, a fixed band is a map-side
+    expression + one small groupBy. All ratios are integer ppm by
+    ``div``; the oracle composes both source ops' own oracle SQL.
+    """
+    cls = classifier_quality_score(spark, sf_dir).select(
+        "doc_id", "logit", F.col("keep").alias("cls_keep")
+    )
+    gq = gopher_quality_filter(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("g_keep")
+    )
+    j = cls.join(gq, "doc_id")
+    band = F.expr(
+        f"(logit - pmod(logit, {CLS_CALIB_BAND})) div {CLS_CALIB_BAND}"
+    )
+    return (
+        j.select(
+            band.cast("long").alias("band"),
+            F.col("cls_keep").cast("int").alias("ck"),
+            F.col("g_keep").cast("int").alias("gk"),
+            (F.col("cls_keep") == F.col("g_keep")).cast("int").alias("agree"),
+        )
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("ck").cast("long").alias("n_cls_keep"),
+            F.sum("gk").cast("long").alias("n_gopher_keep"),
+            F.sum("agree").cast("long").alias("n_agree"),
+        )
+        .withColumn(
+            "gopher_keep_ppm", F.expr("(n_gopher_keep * 1000000) div n_docs")
+        )
+        .withColumn("agree_ppm", F.expr("(n_agree * 1000000) div n_docs"))
+    )

@@ -1308,3 +1308,30 @@ def test_fertility_report_aggregates_then_divides(spark, sf_dir):
         assert r.total_words == words and r.total_subwords == sub
         if words:
             assert r.fertility_c100 == sub * 100 // words
+
+
+def test_calibration_report_counts_and_bands(spark, sf_dir):
+    """Bands must partition the corpus (Σ n_docs = |docs|), counts must
+    replay from the two source ops, and the floor banding must place
+    every doc's logit inside [band·W, (band+1)·W)."""
+    from kafka_exercise_spark.operators import textops
+
+    rows = textops.classifier_calibration_report(spark, sf_dir).collect()
+    cls = {r.doc_id: r for r in
+           textops.classifier_quality_score(spark, sf_dir).collect()}
+    gop = {r.doc_id: r.keep for r in
+           textops.gopher_quality_filter(spark, sf_dir).collect()}
+    assert sum(r.n_docs for r in rows) == len(cls)
+    W = textops.CLS_CALIB_BAND
+    want: dict = {}
+    for d, c in cls.items():
+        band = c.logit // W  # python floor div == the pmod fold
+        n, ck, gk, ag = want.setdefault(band, [0, 0, 0, 0])
+        want[band] = [n + 1, ck + bool(c.keep), gk + bool(gop[d]),
+                      ag + (bool(c.keep) == bool(gop[d]))]
+    got = {r.band: [r.n_docs, r.n_cls_keep, r.n_gopher_keep, r.n_agree]
+           for r in rows}
+    assert got == want
+    for r in rows:
+        assert r.gopher_keep_ppm == r.n_gopher_keep * 1_000_000 // r.n_docs
+        assert r.agree_ppm == r.n_agree * 1_000_000 // r.n_docs
