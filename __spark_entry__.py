@@ -325,6 +325,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenizer_fertility_report": textops.tokenizer_fertility_report,
         # learned-filter vs rule-battery agreement per logit band
         "classifier_calibration_report": textops.classifier_calibration_report,
+        # source×source near-dup matrix: who copies from whom
+        "dedup_source_matrix": dedup.dedup_source_matrix,
     }
     # The r05 driver window (first 50) — see the docstring for the policy.
     window = [
@@ -359,6 +361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_corruption_masks",
         "tokenizer_fertility_report",
         "classifier_calibration_report",
+        "dedup_source_matrix",
         # r05 integer-div ratio fixes (ADVICE r4) — re-verify
         "gopher_quality_filter",
         "corpus_profile",
@@ -381,7 +384,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q10_returned_items",
         "q14_promo_effect",
         "q15_top_supplier",
-        "q16_supplier_cnt",
     ]
     assert len(window) == 50 and len(set(window)) == 50
     out = {k: all_q[k] for k in window}
@@ -3346,6 +3348,25 @@ def oracle_sql() -> dict[str, str]:
         FROM pc, t
     """
     oracles["streaming_scd2_replay"] = oracles["merge_scd2_apply"]
+    # contamination matrix COMPOSED from the LSH-pair oracle + doc→source
+    oracles["dedup_source_matrix"] = f"""
+        WITH p AS (SELECT id_a, id_b FROM ({oracles["dedup_minhash_lsh"]})),
+        sm AS (SELECT doc_id, source FROM documents),
+        j AS (SELECT least(sa.source, sb.source) AS source_a,
+                     greatest(sa.source, sb.source) AS source_b,
+                     p.id_a, p.id_b
+              FROM p JOIN sm sa ON sa.doc_id = p.id_a
+                     JOIN sm sb ON sb.doc_id = p.id_b),
+        np AS (SELECT source_a, source_b, count(*) AS n_pairs
+               FROM j GROUP BY 1, 2),
+        nd AS (SELECT source_a, source_b,
+                      count(DISTINCT d) AS n_docs
+               FROM (SELECT source_a, source_b, unnest([id_a, id_b]) AS d
+                     FROM j)
+               GROUP BY 1, 2)
+        SELECT source_a, source_b, n_pairs, n_docs
+        FROM np JOIN nd USING (source_a, source_b)
+    """
     # calibration audit COMPOSED from the classifier and Gopher oracles;
     # fixed pmod-floor logit bands (negative-safe), integer-ppm ratios
     oracles["classifier_calibration_report"] = f"""

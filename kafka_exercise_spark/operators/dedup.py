@@ -1149,3 +1149,50 @@ def dedup_cluster_canonicals(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("action"),
         )
     )
+
+
+def dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source×source near-dup contamination matrix — WHO copies from
+    WHOM: every verified near-dup pair mapped to its (source, source)
+    cell, unordered (least/greatest canonicalization), with pair counts
+    and the number of distinct documents touched. The diagonal is
+    within-source duplication (template churn); off-diagonal cells are
+    cross-source syndication — the artifact that decides which feed gets
+    de-prioritized at the crawler, not just which doc gets dropped.
+
+    Cost: two equi-joins of the MEMOIZED pair frame (O(near-dup pairs),
+    orders smaller than the corpus) against the 2-column doc→source
+    projection, then one tiny groupBy — the corpus is never rescanned.
+    The distinct-doc count explodes each pair into its two members first
+    (map-side array fan-out, no extra shuffle beyond the count-distinct's
+    own partial aggregation).
+    """
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("id_a", "id_b")
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    j = (
+        pairs.join(
+            src.withColumnsRenamed({"doc_id": "id_a", "source": "src_a"}),
+            "id_a",
+        )
+        .join(
+            src.withColumnsRenamed({"doc_id": "id_b", "source": "src_b"}),
+            "id_b",
+        )
+        .select(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+            "id_a",
+            "id_b",
+        )
+    )
+    exploded = j.select(
+        "source_a", "source_b", F.explode(F.array("id_a", "id_b")).alias("d")
+    )
+    docs_touched = exploded.groupBy("source_a", "source_b").agg(
+        F.count_distinct("d").alias("n_docs")
+    )
+    return (
+        j.groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_pairs"))
+        .join(docs_touched, ["source_a", "source_b"])
+    )

@@ -1335,3 +1335,24 @@ def test_calibration_report_counts_and_bands(spark, sf_dir):
     for r in rows:
         assert r.gopher_keep_ppm == r.n_gopher_keep * 1_000_000 // r.n_docs
         assert r.agree_ppm == r.n_agree * 1_000_000 // r.n_docs
+
+
+def test_source_matrix_replays_from_pairs(spark, sf_dir):
+    """The matrix must replay exactly from the pair frame + the doc→source
+    map: unordered source canonicalization, pair counts, distinct docs."""
+    from kafka_exercise_spark.catalog import load_table
+    from kafka_exercise_spark.operators import dedup
+
+    src = {r.doc_id: r.source for r in
+           load_table(spark, sf_dir, "documents").select("doc_id", "source").collect()}
+    want: dict = {}
+    for r in dedup.dedup_minhash_lsh(spark, sf_dir).collect():
+        a, b = sorted((src[r.id_a], src[r.id_b]))
+        cell = want.setdefault((a, b), [0, set()])
+        cell[0] += 1
+        cell[1] |= {r.id_a, r.id_b}
+    rows = dedup.dedup_source_matrix(spark, sf_dir).collect()
+    got = {(r.source_a, r.source_b): (r.n_pairs, r.n_docs) for r in rows}
+    assert got == {k: (n, len(d)) for k, (n, d) in want.items()}
+    for r in rows:
+        assert r.source_a <= r.source_b  # canonical unordered cells
