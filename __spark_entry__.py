@@ -1865,16 +1865,16 @@ def oracle_sql() -> dict[str, str]:
                          FROM documents GROUP BY source),
             tot AS (SELECT sum(weight) AS sum_w FROM inv),
             p AS (SELECT inv.*,
-                         floor({sampling.MIX_PLAN_BUDGET} * weight
-                               / sum_w)::BIGINT AS target_tokens
+                         (({sampling.MIX_PLAN_BUDGET} * weight)
+                          // sum_w)::BIGINT AS target_tokens
                   FROM inv, tot)
             SELECT source, weight::BIGINT AS weight, n_docs, avail_tokens,
                    target_tokens,
                    least(avail_tokens, target_tokens) AS planned_tokens,
                    (target_tokens - least(avail_tokens, target_tokens))::BIGINT
                        AS shortfall_tokens,
-                   floor(least(avail_tokens, target_tokens) * 10000
-                         / avail_tokens)::BIGINT AS rate_bps
+                   ((least(avail_tokens, target_tokens) * 10000)
+                    // avail_tokens)::BIGINT AS rate_bps
             FROM p
         """,
         "quality_quantile_filter": f"""
@@ -2344,7 +2344,7 @@ def oracle_sql() -> dict[str, str]:
                      ELSE 0 END AS cos2_ppm
                   FROM p JOIN ns USING (vec_id), nv)
             SELECT label, count(*)::BIGINT AS n_vecs,
-                   floor(sum(cos2_ppm)::BIGINT / count(*))::BIGINT
+                   (sum(cos2_ppm)::BIGINT // count(*))::BIGINT
                        AS avg_cos2_ppm,
                    max(cos2_ppm) AS max_cos2_ppm
             FROM c JOIN embeddings e ON e.vec_id = c.vec_id

@@ -364,10 +364,10 @@ def mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     planned = inventory.withColumn(
         "sum_w", F.sum("weight").over(Window.partitionBy())
     ).withColumn(
+        # integer `div` ≡ the oracle's `//` at any magnitude; a float
+        # floor drifts once budget·weight passes 2^53 (module rule)
         "target_tokens",
-        F.floor(F.lit(MIX_PLAN_BUDGET) * F.col("weight") / F.col("sum_w")).cast(
-            "long"
-        ),
+        F.expr(f"({MIX_PLAN_BUDGET} * weight) div sum_w").cast("long"),
     )
     kept = F.least(F.col("avail_tokens"), F.col("target_tokens"))
     return planned.select(
@@ -378,7 +378,9 @@ def mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "target_tokens",
         kept.alias("planned_tokens"),
         (F.col("target_tokens") - kept).cast("long").alias("shortfall_tokens"),
-        F.floor(kept * 10_000 / F.col("avail_tokens")).cast("long").alias("rate_bps"),
+        F.expr(
+            "(least(avail_tokens, target_tokens) * 10000) div avail_tokens"
+        ).cast("long").alias("rate_bps"),
     )
 
 

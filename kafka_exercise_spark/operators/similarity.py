@@ -1007,7 +1007,10 @@ def ivf_cells_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("vec_id").alias("max_vec_id"),
         )
         .withColumn(
-            "share_ppm", F.floor(F.col("n_vectors") * 1_000_000 / F.lit(total))
+            # integer `div` ≡ the oracle's `//` at any magnitude (the
+            # oracle ALREADY uses // here — a float floor would desync
+            # past 2^53 index rows)
+            "share_ppm", F.expr(f"(n_vectors * 1000000) div {total}")
         )
     )
 
@@ -1283,7 +1286,7 @@ def embedding_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label")
         .agg(
             F.count("*").alias("n_vecs"),
-            F.floor(F.sum("cos2_ppm") / F.count("*")).cast("long").alias(
+            F.expr("sum(cos2_ppm) div count(*)").cast("long").alias(
                 "avg_cos2_ppm"
             ),
             F.max("cos2_ppm").alias("max_cos2_ppm"),
