@@ -75,6 +75,9 @@ SELECTED = [
     ("ann_index_refresh", "one groupBy(cell) over the served assignment; 16 rows out"),
     ("dedup_cluster_canonicals", "cluster frame is O(near-dup docs); quality joins by key"),
     ("span_corruption_masks", "map-only hash-derived masking plan; zero shuffle"),
+    ("tokenizer_fertility_report", "two codegen scans + one small join/agg; |langs| rows"),
+    ("classifier_calibration_report", "fixed pmod-floor bands: map-side expr, no ntile sort"),
+    ("dedup_source_matrix", "memoized pair frame x 2-col source map; corpus not rescanned"),
     ("twa_value_per_user", "one user shuffle serves LEAD window + aggregate"),
     ("bpe_segment_words", "map-only replace chain after the word explode"),
     ("rfm_segments", "one custkey groupBy; scoring is a map-side CASE"),
