@@ -55,12 +55,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     two flagships, then the 19 late-r4 entries that had never had a
     driver CORRECTNESS row (closing the evidence story — after r05 every
     registry entry has a driver-recorded green hash across r01–r05),
-    then the two new r05 entries (SCD2 merge, ANN recall harness), then
-    the entries whose code changed in r05 (the integer-div ratio fixes
-    and the 17 relational queries whose forced broadcast hints were
-    removed — values unchanged by construction, re-verified anyway).
-    Everything pushed past the window is hash-green in ≥1 prior driver
-    file AND in every verify_local sweep.
+    then the NINE new r05 entries, then as many r05-changed entries as
+    the remaining slots hold: the six value-affecting integer-div ratio
+    rewrites, the hint-removal relational queries the r4 verdict graded
+    perf-weak (q3/q5/join_customer_orders/q18/q7/q8/q10; plus q9), and
+    the highest-risk div-swap pair (ivf_cells_report fixed a real
+    Spark-vs-oracle division-idiom mismatch; mixture_plan swapped both
+    sides). Changed entries past slot 50 (q2/q11/q14–q21's hint
+    removals, embedding_anisotropy's both-sides div swap, the
+    funnel/tfidf/lm/heavy-hitters unhinted joins) are value-unchanged by
+    construction and covered by this session's verify_local sweeps at
+    BOTH sf0.01 and sf0.1, plus pytest.
     """
     all_q = {
         # §2.2 P1/P4/P5/P6/P8 — formatted-date filter (CSAS jovens)
@@ -382,8 +387,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q8_market_share",
         "q9_product_profit",
         "q10_returned_items",
-        "q14_promo_effect",
-        "q15_top_supplier",
+        # r05 code+oracle div swaps (values identical, re-verify anyway)
+        "ivf_cells_report",
+        "mixture_plan",
     ]
     assert len(window) == 50 and len(set(window)) == 50
     out = {k: all_q[k] for k in window}

@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from kafka_exercise_spark.catalog import (
+    evict_stale_memos,
     load_table,
     memo_frame,
     register_memo,
@@ -112,6 +113,7 @@ def _hashed_shingles_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature table checkpointed to the lake once and read by every dedup
     consumer (the incremental path included).
     """
+    evict_stale_memos(spark)
     key = (spark.sparkContext.applicationId, sf_dir)
     df = _HASHED_SHINGLES_MEMO.get(key)
     if df is None:
@@ -266,6 +268,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     the lake (a ``pairs`` table) rather than executor memory — same
     contract: pay pair generation once, serve every consumer from it.
     """
+    evict_stale_memos(spark)
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _LSH_PAIRS_MEMO:
         _LSH_PAIRS_MEMO[key] = _lsh_pairs_plan(spark, sf_dir).localCheckpoint()
@@ -557,6 +560,7 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     contamination flag at the DECONTAM_MIN_SHARED threshold.
     """
     raw = load_table(spark, sf_dir, "documents")
+    evict_stale_memos(spark)
     memo_key = (spark.sparkContext.applicationId, sf_dir)
     if memo_key not in _BLOOM_EVAL_MEMO:
         # split BEFORE shingling so each side's doc_id predicate reaches the
@@ -1162,10 +1166,10 @@ def dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Cost: two equi-joins of the MEMOIZED pair frame (O(near-dup pairs),
     orders smaller than the corpus) against the 2-column doc→source
-    projection, then one tiny groupBy — the corpus is never rescanned.
-    The distinct-doc count explodes each pair into its two members first
-    (map-side array fan-out, no extra shuffle beyond the count-distinct's
-    own partial aggregation).
+    projection, then ONE aggregation over the pair-member explode —
+    n_pairs falls out as count/2 (every pair contributes exactly two
+    member rows), so both outputs share a single join tree and a single
+    shuffle; the corpus is never rescanned.
     """
     pairs = dedup_minhash_lsh(spark, sf_dir).select("id_a", "id_b")
     src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
@@ -1188,11 +1192,11 @@ def dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploded = j.select(
         "source_a", "source_b", F.explode(F.array("id_a", "id_b")).alias("d")
     )
-    docs_touched = exploded.groupBy("source_a", "source_b").agg(
-        F.count_distinct("d").alias("n_docs")
-    )
     return (
-        j.groupBy("source_a", "source_b")
-        .agg(F.count("*").alias("n_pairs"))
-        .join(docs_touched, ["source_a", "source_b"])
+        exploded.groupBy("source_a", "source_b")
+        .agg(
+            F.expr("count(*) div 2").alias("n_pairs"),
+            F.count_distinct("d").alias("n_docs"),
+        )
+        .select("source_a", "source_b", "n_pairs", "n_docs")
     )

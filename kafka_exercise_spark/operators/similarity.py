@@ -566,7 +566,7 @@ SEMANTIC_DUP_THRESHOLD = 0.25
 #: Materialized semantic pair sets, keyed by (application, sf_dir) — the
 #: hub the components/survivor stage consumes (same contract as
 #: dedup._LSH_PAIRS_MEMO).
-_SEMANTIC_PAIRS_MEMO: dict[tuple[str, str], DataFrame] = {}
+_SEMANTIC_PAIRS_MEMO: dict[tuple[str, str], DataFrame] = register_memo({})
 
 
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -590,6 +590,7 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: (cell, id_a, id_b, cos, drop_id) — the pair evidence plus the
     removal decision (keep-lowest survivor rule).
     """
+    evict_stale_memos(spark)
     memo_key = (spark.sparkContext.applicationId, sf_dir)
     cached = _SEMANTIC_PAIRS_MEMO.get(memo_key)
     if cached is not None:
@@ -1165,7 +1166,7 @@ def embedding_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: (application, sf_dir) — the served decomposition both the component
 #: entry and the anisotropy report read (same contract as the IVF/LSH
 #: index memos).
-_PI_FIT_MEMO: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
+_PI_FIT_MEMO: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = register_memo({})
 
 
 def _power_fit(
@@ -1175,6 +1176,7 @@ def _power_fit(
     persisted exploded frame q = (vec_id, j, a) and the fitted 64-row
     component v = (j, v). See embedding_top_component for the algorithm
     and exactness argument."""
+    evict_stale_memos(spark)
     key = (spark.sparkContext.applicationId, sf_dir)
     memo = _PI_FIT_MEMO.get(key)
     if memo is not None:

@@ -12,7 +12,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kafka_exercise_spark.catalog import load_table, memo_frame, scale_partitions
+from kafka_exercise_spark.catalog import (
+    evict_stale_memos,
+    load_table,
+    memo_frame,
+    register_memo,
+    scale_partitions,
+)
 from kafka_exercise_spark.functions.text import (
     LANG_PROFILES,
     QUALITY_STOPWORDS,
@@ -1026,7 +1032,7 @@ def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_APPLY_MERGES = 8
 
 #: Collected merge tables per (application, sf_dir) — 8 strings each.
-_BPE_MERGES_MEMO: dict[tuple[str, str], list[str]] = {}
+_BPE_MERGES_MEMO: dict[tuple[str, str], list[str]] = register_memo({})
 
 
 def bpe_segment_words(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1057,6 +1063,7 @@ def bpe_segment_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the merge table is a pure function of (sf_dir) — memoize the 8-row
     # collect so repeated invocations (bench passes, determinism checks)
     # don't re-run the corpus-wide pair aggregation each time
+    evict_stale_memos(spark)
     memo_key = (spark.sparkContext.applicationId, sf_dir)
     merges = _BPE_MERGES_MEMO.get(memo_key)
     if merges is None:

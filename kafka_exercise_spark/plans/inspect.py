@@ -124,7 +124,15 @@ def broadcast_hint_count(df: DataFrame) -> int:
     hint count, not just the join strategy.
     """
     analyzed = df._jdf.queryExecution().analyzed().toString()
-    return len(re.findall(r"(?:Resolved|Unresolved)Hint BROADCAST", analyzed))
+    # Spark renders hints as `ResolvedHint (strategy=broadcast)` in the
+    # analyzed plan (`UnresolvedHint BROADCAST` only pre-analysis) —
+    # match both; the positive-control test pins that this regex fires
+    return len(
+        re.findall(
+            r"ResolvedHint \(strategy=broadcast\)|UnresolvedHint BROADCAST",
+            analyzed,
+        )
+    )
 
 
 def has_cartesian_product(df: DataFrame) -> bool:

@@ -35,7 +35,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
-from kafka_exercise_spark.catalog import register_memo
+from kafka_exercise_spark.catalog import evict_stale_memos, register_memo
 
 
 @dataclass
@@ -209,6 +209,7 @@ def serving_lake_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_exercise_spark.streaming.stateful import await_bounded
     from kafka_exercise_spark.streaming.tuning import bounded_replay_conf
 
+    evict_stale_memos(spark)
     memo_key = (spark.sparkContext.applicationId, sf_dir)
     if memo_key not in _SERVING_LAKE_MEMO:
         src_dir, schema = land_events_replay(spark, sf_dir)

@@ -364,7 +364,16 @@ def manifest_pruned_read(
 
 #: One z-clustered manifest layout per (session, sf_dir) — the layout is a
 #: write-once artifact every pruned read shares, like a served lake table.
-_MANIFEST_LAYOUT_MEMO: dict = {}
+#: Registered with a tempdir cleanup: stale applications' landing dirs
+#: are removed on eviction, not leaked for the process lifetime.
+def _rm_landing_dir(path: str) -> None:
+    import os  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+
+    shutil.rmtree(os.path.dirname(path), ignore_errors=True)
+
+
+_MANIFEST_LAYOUT_MEMO: dict = register_memo({}, cleanup=_rm_landing_dir)
 
 #: The contract query's 2-D range predicate: a user band × one week.
 SCAN_USER_RANGE = (30, 60)
@@ -388,6 +397,7 @@ def manifest_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
+    evict_stale_memos(spark)
     memo_key = (spark.sparkContext.applicationId, sf_dir)
     if memo_key not in _MANIFEST_LAYOUT_MEMO:
         # the SAME z-clustering plan the audit entry aggregates — shared
@@ -410,15 +420,6 @@ def manifest_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: JSONL landing dirs per (application, sf_dir) — write once, read many.
-#: Registered with a tempdir cleanup: stale applications' landing dirs
-#: are removed on eviction, not leaked for the process lifetime.
-def _rm_landing_dir(path: str) -> None:
-    import os  # noqa: PLC0415
-    import shutil  # noqa: PLC0415
-
-    shutil.rmtree(os.path.dirname(path), ignore_errors=True)
-
-
 _JSONL_MEMO: dict[tuple[str, str], str] = register_memo(
     {}, cleanup=_rm_landing_dir
 )

@@ -110,7 +110,15 @@ class PipelineManager:
 
 #: One gated landing per (session, sf_dir) — write-once artifact reruns
 #: share, like the serving and manifest-layout memos.
-_DQ_GATE_MEMO: dict = {}
+def _rm_work_parent(out: str) -> None:
+    import os  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+
+    # value = <mkdtemp work>/<subdir> — remove the whole work dir
+    shutil.rmtree(os.path.dirname(out), ignore_errors=True)
+
+
+_DQ_GATE_MEMO: dict = register_memo({}, cleanup=_rm_work_parent)
 
 
 def streaming_idadecont_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -193,6 +201,7 @@ def streaming_dq_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from kafka_exercise_spark.streaming.stateful import run_bounded_replay
 
+    evict_stale_memos(spark)
     memo_key = (spark.sparkContext.applicationId, sf_dir)
     if memo_key not in _DQ_GATE_MEMO:
         src_dir, schema = land_events_replay(spark, sf_dir)

@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
-from kafka_exercise_spark.catalog import register_memo
+from kafka_exercise_spark.catalog import evict_stale_memos, register_memo
 from kafka_exercise_spark.streaming.sources import file_stream, land_events_replay
 from kafka_exercise_spark.streaming.tuning import bounded_replay_conf
 
@@ -401,6 +401,7 @@ def streaming_neardup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     # can't drift) and pinned once per (session, sf_dir), like a served
     # lake index (same memo contract as dedup._LSH_PAIRS_MEMO);
     # scale_partitions parallelizes the shingle pass like the batch twin
+    evict_stale_memos(spark)
     memo_key = (spark.sparkContext.applicationId, sf_dir)
     if memo_key not in _NEARDUP_INDEX_MEMO:
         bands, sets_ = corpus_probe_sides(

@@ -257,7 +257,9 @@ def test_q20_semi_join_chain(spark, sf_dir):
         (relational.q5_local_supplier, 2),  # region + ≤25-row asian_nations
         (relational.q2_min_cost_supplier, 2),  # nation + region
         (relational.q8_market_share, 3),  # region + am_nations + nation
-        (relational.q11_important_stock, 2),  # nation + 1-row total
+        # nation + 1-row total; the nation-hinted per-part subtree is
+        # inlined twice in the analyzed plan (output + scalar total)
+        (relational.q11_important_stock, 3),
         (relational.q22_dormant_customers, 1),  # 1-row scalar avg_bal
     ],
     ids=lambda v: v.__name__ if callable(v) else str(v),
@@ -271,7 +273,26 @@ def test_no_scaling_table_hints(spark, sf_dir, fn, max_hints):
     The expected count per query is exactly its fixed-dim hints; a new hint
     on a ∝-data table raises the count and fails here.
     """
-    assert broadcast_hint_count(fn(spark, sf_dir)) <= max_hints
+    assert broadcast_hint_count(fn(spark, sf_dir)) == max_hints
+
+
+def test_broadcast_hint_count_positive_control(spark, sf_dir):
+    """The hint counter must actually FIRE on a hinted plan — guards the
+    policy test against regex drift across Spark versions (a counter
+    that always returns 0 would make every <= assertion vacuous)."""
+    from pyspark.sql import functions as F
+
+    from kafka_exercise_spark.catalog import load_table
+
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    hinted = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    )
+    assert broadcast_hint_count(hinted) == 1
+    assert broadcast_hint_count(nation.join(
+        region, nation.n_regionkey == region.r_regionkey
+    )) == 0
 
 
 def test_ksql_dialect_queries_stay_jvm_side(spark, sf_dir):
