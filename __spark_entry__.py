@@ -332,6 +332,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_calibration_report": textops.classifier_calibration_report,
         # source×source near-dup matrix: who copies from whom
         "dedup_source_matrix": dedup.dedup_source_matrix,
+        # ---- late r05 (past the window; lead the r06 window with these
+        # per the established rotation policy — verify_local covers them
+        # at both sfs now) ----
+        # packing-layout audit: per-shard fill + balance skew
+        "pack_efficiency_report": sampling.pack_efficiency_report,
+        # LSH S-curve: analytic banding probability vs measured pair mass
+        "minhash_s_curve": dedup.minhash_s_curve,
     }
     # The r05 driver window (first 50) — see the docstring for the policy.
     window = [
@@ -3354,6 +3361,42 @@ def oracle_sql() -> dict[str, str]:
         FROM pc, t
     """
     oracles["streaming_scd2_replay"] = oracles["merge_scd2_apply"]
+    # packing audit COMPOSED from the pack_sequences oracle
+    oracles["pack_efficiency_report"] = f"""
+        WITH pk AS (SELECT * FROM ({oracles["pack_sequences"]})),
+        ps AS (SELECT shard::BIGINT AS shard, count(*) AS n_docs,
+                      max(cum_tok)::BIGINT AS total_tokens,
+                      (max(seq_bin) + 1)::BIGINT AS n_bins
+               FROM pk GROUP BY 1),
+        t AS (SELECT sum(total_tokens)::BIGINT AS corpus_tokens,
+                     count(*)::BIGINT AS n_shards FROM ps)
+        SELECT shard, n_docs, total_tokens, n_bins,
+               ((total_tokens * 1000000)
+                // (n_bins * {sampling.PACK_BUDGET_TOKENS}))::BIGINT
+                   AS fill_ppm,
+               ((total_tokens * n_shards * 1000000)
+                // corpus_tokens)::BIGINT AS skew_ppm
+        FROM ps, t
+    """
+    # S-curve: same-formula doubles for the theory column, the measured
+    # column COMPOSED from the LSH-pair oracle's hash-stable jaccards
+    oracles["minhash_s_curve"] = f"""
+        WITH g AS (SELECT (unnest(generate_series(1, 19)) * 5)::BIGINT
+                       AS s_centi),
+        th AS (SELECT s_centi,
+                      round((1 - pow(1 - pow(s_centi / 100.0,
+                            {dedup.N_MINHASH // dedup.LSH_BANDS}.0),
+                            {dedup.LSH_BANDS}.0)) * 1000000)::BIGINT
+                          AS p_collision_ppm
+               FROM g),
+        pr AS (SELECT least((floor(jaccard * 20) * 5)::BIGINT, 95)
+                          AS s_centi,
+                      count(*) AS n_pairs_in_band
+               FROM ({oracles["dedup_minhash_lsh"]}) GROUP BY 1)
+        SELECT th.s_centi, th.p_collision_ppm,
+               coalesce(pr.n_pairs_in_band, 0)::BIGINT AS n_pairs_in_band
+        FROM th LEFT JOIN pr USING (s_centi)
+    """
     # contamination matrix COMPOSED from the LSH-pair oracle + doc→source
     oracles["dedup_source_matrix"] = f"""
         WITH p AS (SELECT id_a, id_b FROM ({oracles["dedup_minhash_lsh"]})),

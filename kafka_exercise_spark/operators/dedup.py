@@ -1200,3 +1200,48 @@ def dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("source_a", "source_b", "n_pairs", "n_docs")
     )
+
+
+def minhash_s_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH S-curve, theory against measurement: for each similarity
+    grid point s (5..95 centi), the analytic candidate probability
+    1−(1−s^r)^b of the deployed (bands=LSH_BANDS, rows=r) configuration,
+    next to the ACTUAL verified-pair count observed in that similarity
+    band — the tuning artifact that justifies a banding choice before a
+    100 TB run (too-steep = missed near-dups, too-flat = candidate
+    explosion), with the corpus's own pair mass as ground truth.
+
+    The theory column is a same-formula double on both engines (the
+    proven cross-engine float pattern) rounded once to ppm; the measured
+    column buckets the memoized pair frame's hash-stable jaccard values
+    with floor(j·20) — identical doubles in, identical band out. Cost:
+    a 19-row literal grid joined against one tiny aggregate of the
+    served pair frame; nothing rescans the corpus.
+    """
+    r = N_MINHASH // LSH_BANDS
+    grid = spark.range(1, 20).select((F.col("id") * 5).alias("s_centi"))
+    s = F.col("s_centi") / F.lit(100.0)
+    p = F.lit(1.0) - F.pow(
+        F.lit(1.0) - F.pow(s, F.lit(float(r))), F.lit(float(LSH_BANDS))
+    )
+    theory = grid.select(
+        F.col("s_centi").cast("long").alias("s_centi"),
+        F.round(p * 1_000_000).cast("long").alias("p_collision_ppm"),
+    )
+    measured = (
+        dedup_minhash_lsh(spark, sf_dir)
+        .select(
+            F.least(F.floor(F.col("jaccard") * 20) * 5, F.lit(95))
+            .cast("long")
+            .alias("s_centi")
+        )
+        .groupBy("s_centi")
+        .agg(F.count("*").alias("n_pairs_in_band"))
+    )
+    return theory.join(measured, "s_centi", "left").select(
+        "s_centi",
+        "p_collision_ppm",
+        F.coalesce("n_pairs_in_band", F.lit(0))
+        .cast("long")
+        .alias("n_pairs_in_band"),
+    )

@@ -438,3 +438,41 @@ def weighted_sample_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rnk").cast("long").alias("rnk"),
         )
     )
+
+
+def pack_efficiency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-layout audit over ``pack_sequences``: per-shard document
+    and token totals, bin counts, fill ratio, and skew vs the mean shard
+    — the straggler check run before a training job reads the layout
+    (one hot shard = one slow data-loader rank for the whole epoch).
+
+    Contiguous-fill packing is fragmentation-free by construction (bins
+    are cumulative-sum intervals), so the interesting numbers are the
+    LAST-bin underfill folded into fill_ppm and the cross-shard balance
+    skew_ppm = shard tokens vs the mean in ppm (1 000 000 = perfectly
+    balanced). All exact integers: counts, max-of-cumsum totals, and
+    integer-``div`` ratios. Cost: one groupBy over the packed frame
+    (|shards| rows out) + a 1-row broadcast back.
+    """
+    packed = pack_sequences(spark, sf_dir)
+    per_shard = packed.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.max("cum_tok").cast("long").alias("total_tokens"),
+        (F.max("seq_bin") + 1).cast("long").alias("n_bins"),
+    )
+    totals = per_shard.agg(
+        F.sum("total_tokens").cast("long").alias("corpus_tokens"),
+        F.count("*").cast("long").alias("n_shards"),
+    )
+    return per_shard.crossJoin(F.broadcast(totals)).select(
+        F.col("shard").cast("long").alias("shard"),
+        "n_docs",
+        "total_tokens",
+        "n_bins",
+        F.expr(
+            f"(total_tokens * 1000000) div (n_bins * {PACK_BUDGET_TOKENS})"
+        ).alias("fill_ppm"),
+        F.expr(
+            "(total_tokens * n_shards * 1000000) div corpus_tokens"
+        ).alias("skew_ppm"),
+    )

@@ -1356,3 +1356,39 @@ def test_source_matrix_replays_from_pairs(spark, sf_dir):
     assert got == {k: (n, len(d)) for k, (n, d) in want.items()}
     for r in rows:
         assert r.source_a <= r.source_b  # canonical unordered cells
+
+
+def test_pack_efficiency_balance_and_fill(spark, sf_dir):
+    """Per-shard totals must replay from pack_sequences; fill ≤ 1e6 only
+    when the last bin underfills; skew is ppm of the mean shard."""
+    from kafka_exercise_spark.operators import sampling
+
+    packed = sampling.pack_sequences(spark, sf_dir).collect()
+    want: dict = {}
+    for r in packed:
+        st = want.setdefault(r.shard, [0, 0, 0])
+        st[0] += 1
+        st[1] = max(st[1], r.cum_tok)
+        st[2] = max(st[2], r.seq_bin + 1)
+    rows = sampling.pack_efficiency_report(spark, sf_dir).collect()
+    corpus = sum(v[1] for v in want.values())
+    assert {r.shard: [r.n_docs, r.total_tokens, r.n_bins] for r in rows} == want
+    for r in rows:
+        cap = r.n_bins * sampling.PACK_BUDGET_TOKENS
+        assert r.fill_ppm == r.total_tokens * 1_000_000 // cap
+        assert r.skew_ppm == r.total_tokens * len(want) * 1_000_000 // corpus
+
+
+def test_s_curve_theory_shape_and_measured_counts(spark, sf_dir):
+    """The analytic curve must be monotone increasing 0→1e6 over the
+    grid with the half-point near s = (1/b)^(1/r); measured band counts
+    must sum to the verified pair count."""
+    from kafka_exercise_spark.operators import dedup
+
+    rows = sorted(dedup.minhash_s_curve(spark, sf_dir).collect(),
+                  key=lambda r: r.s_centi)
+    assert [r.s_centi for r in rows] == list(range(5, 100, 5))
+    ps = [r.p_collision_ppm for r in rows]
+    assert ps == sorted(ps) and 0 <= ps[0] and ps[-1] <= 1_000_000
+    n_pairs = dedup.dedup_minhash_lsh(spark, sf_dir).count()
+    assert sum(r.n_pairs_in_band for r in rows) == n_pairs
