@@ -339,6 +339,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_efficiency_report": sampling.pack_efficiency_report,
         # LSH S-curve: analytic banding probability vs measured pair mass
         "minhash_s_curve": dedup.minhash_s_curve,
+        # MOSS-style winnowing fingerprint overlap (3rd fingerprint scheme)
+        "winnowing_overlap_pairs": dedup.winnowing_overlap_pairs,
+        # PII detect+redact battery, redaction proven by md5 across engines
+        "pii_scrub_report": dataquality.pii_scrub_report,
     }
     # The r05 driver window (first 50) — see the docstring for the policy.
     window = [
@@ -3539,5 +3543,81 @@ def oracle_sql() -> dict[str, str]:
                 // {similarity.TOP_K})::BIGINT AS recall_ppm
         FROM grid g LEFT JOIN m
           ON g.method = m.method AND g.query_id = m.query_id
+    """
+    # Winnowing (SIGMOD'03): char k-gram hashes -> window-minimum selection
+    # -> df-bounded posting self-join. Counts and integer-// containment
+    # only — no order-dependent folds, so list_distinct order differences
+    # across engines cannot matter.
+    oracles["winnowing_overlap_pairs"] = f"""
+        WITH c AS (SELECT doc_id, {_CANON} AS canon FROM documents),
+        h AS (SELECT doc_id,
+                     CASE WHEN len(canon) - {dedup.WINNOW_K} + 1 >= 1 THEN
+                       list_transform(
+                           generate_series(1, len(canon) - {dedup.WINNOW_K} + 1),
+                           i -> ('0x' || substr(md5(substr(canon, i,
+                                {dedup.WINNOW_K})), 1, 15))::BIGINT)
+                     ELSE []::BIGINT[] END AS hs
+              FROM c),
+        s AS (SELECT doc_id,
+                     CASE WHEN len(hs) - {dedup.WINNOW_W} + 1 >= 1 THEN
+                            list_distinct(list_transform(
+                                generate_series(1, len(hs) - {dedup.WINNOW_W} + 1),
+                                j -> list_min(hs[j:j + {dedup.WINNOW_W} - 1])))
+                          WHEN len(hs) >= 1 THEN [list_min(hs)]
+                          ELSE []::BIGINT[] END AS sel
+              FROM h),
+        inv AS (SELECT doc_id, unnest(sel) AS fp FROM s),
+        dfc AS (SELECT fp, count(*) AS df FROM inv GROUP BY fp),
+        rare AS (SELECT inv.doc_id, inv.fp FROM inv JOIN dfc USING (fp)
+                 WHERE df <= {dedup.WINNOW_DF_MAX}),
+        rn AS (SELECT doc_id, count(*)::BIGINT AS n_fp FROM rare GROUP BY doc_id),
+        pc AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                      count(*)::BIGINT AS n_shared
+               FROM rare a JOIN rare b
+                 ON a.fp = b.fp AND a.doc_id < b.doc_id
+               GROUP BY 1, 2 HAVING count(*) >= {dedup.WINNOW_MIN_SHARED})
+        SELECT id_a, id_b, n_shared,
+               ((n_shared * 1000000) // least(na.n_fp, nb.n_fp))::BIGINT
+                   AS overlap_ppm
+        FROM pc JOIN rn na ON na.doc_id = id_a
+                JOIN rn nb ON nb.doc_id = id_b
+        WHERE (n_shared * 1000000) // least(na.n_fp, nb.n_fp)
+                  >= {dedup.WINNOW_MIN_PPM}
+    """
+    # PII scrub: injection expressions and the regex battery are BOTH
+    # composed from dataquality.PII_PATTERNS so the two sides cannot
+    # drift; patterns use only the ASCII regex subset Java and RE2 agree
+    # on (see PII_PATTERNS). DuckDB regexp_replace needs the explicit
+    # 'g' flag to match Spark's replace-all default.
+    _pii_counts = ", ".join(
+        f"len(regexp_extract_all(dirty, '{pat}'))::BIGINT AS n_{name}"
+        for name, pat, _ in dataquality.PII_PATTERNS
+    )
+    _pii_redacted = "dirty"
+    for _, pat, repl in dataquality.PII_PATTERNS:
+        _pii_redacted = f"regexp_replace({_pii_redacted}, '{pat}', '{repl}', 'g')"
+    oracles["pii_scrub_report"] = f"""
+        WITH d AS (SELECT doc_id, text
+            || CASE WHEN doc_id % 3 = 0 THEN ' contact user'
+                 || doc_id::VARCHAR || '@example.com' ELSE '' END
+            || CASE WHEN doc_id % 5 = 0 THEN ' call 555-'
+                 || lpad((doc_id % 1000)::VARCHAR, 3, '0') || '-'
+                 || lpad((doc_id % 10000)::VARCHAR, 4, '0') ELSE '' END
+            || CASE WHEN doc_id % 7 = 0 THEN ' host 10.'
+                 || (doc_id % 256)::VARCHAR || '.'
+                 || ((doc_id * 7) % 256)::VARCHAR || '.'
+                 || ((doc_id * 13) % 256)::VARCHAR ELSE '' END
+            || CASE WHEN doc_id % 11 = 0 THEN ' ref '
+                 || lpad(((doc_id * 37) % 1000000000)::VARCHAR, 9, '0')
+                 ELSE '' END AS dirty
+            FROM documents),
+        c AS (SELECT doc_id, dirty, {_pii_counts},
+                     {_pii_redacted} AS redacted
+              FROM d)
+        SELECT doc_id, n_email, n_phone, n_ipv4, n_idnum,
+               (n_email + n_phone + n_ipv4 + n_idnum)::BIGINT AS n_pii,
+               (len(dirty) - len(redacted))::BIGINT AS chars_removed,
+               md5(redacted) AS redacted_md5
+        FROM c
     """
     return oracles

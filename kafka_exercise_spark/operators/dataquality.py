@@ -295,3 +295,106 @@ def drift_report_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("_l1_num")
     )
+
+
+#: PII regex battery. Written against the ASCII subset that Java
+#: (Spark) and RE2 (DuckDB) regexes interpret IDENTICALLY: `\d` == [0-9]
+#: and `\b` is the ASCII word boundary in both engines; no backrefs, no
+#: lookaround, no Unicode classes. Order matters: redaction applies the
+#: battery top-to-bottom, and every replacement token is digit-free so a
+#: later pattern can never match inside an earlier redaction.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}", "<EMAIL>"),
+    ("phone", r"\b\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("idnum", r"\b\d{9,}\b", "<ID>"),
+)
+
+
+def pii_scrub_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction over the document corpus — the privacy
+    scrub every pretraining pipeline runs before release (the row-level
+    complement of ``k_anonymity_report``'s group-level census).
+
+    The fixture corpus carries no natural PII, so the entry first builds
+    a deterministic adversarial corpus: a doc_id-keyed subset of
+    documents gets synthetic emails / phone numbers / IPv4s / 9-digit
+    ids appended (same expressions in the oracle — the
+    span-corruption-mask precedent for synthesized-input entries). The
+    operator under test then runs the ``PII_PATTERNS`` battery: per-doc
+    match counts via ``regexp_extract_all`` and an ordered
+    ``regexp_replace`` chain, with the redacted text proven
+    byte-identical across engines by its md5 — a value-level proof the
+    scrub transformation itself matches, not just the counts.
+
+    Plan: map-only — one pruned (doc_id, text) scan, all regex work
+    JVM-side inside whole-stage codegen, zero shuffles, no UDFs. At
+    100 TB this runs at scan throughput like the rest of the rule
+    family; the md5 column doubles as the content-addressed key the
+    scrubbed corpus would be written under.
+    """
+    from kafka_exercise_spark.catalog import scale_partitions  # noqa: PLC0415
+
+    docs = scale_partitions(load_table(spark, sf_dir, "documents"), spark)
+    did = F.col("doc_id")
+    dirty = F.concat(
+        F.col("text"),
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit(" contact user"), did.cast("string"), F.lit("@example.com")
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 5 == 0,
+            F.concat(
+                F.lit(" call 555-"),
+                F.lpad((did % 1000).cast("string"), 3, "0"),
+                F.lit("-"),
+                F.lpad((did % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 7 == 0,
+            F.concat(
+                F.lit(" host 10."),
+                (did % 256).cast("string"),
+                F.lit("."),
+                ((did * 7) % 256).cast("string"),
+                F.lit("."),
+                ((did * 13) % 256).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 11 == 0,
+            F.concat(
+                F.lit(" ref "),
+                F.lpad(((did * 37) % 1_000_000_000).cast("string"), 9, "0"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    out = docs.select("doc_id", dirty.alias("dirty"))
+    redacted = F.col("dirty")
+    counts = []
+    for name, pat, repl in PII_PATTERNS:
+        counts.append(
+            F.size(F.regexp_extract_all(F.col("dirty"), F.lit(pat), F.lit(0)))
+            .cast("long")
+            .alias(f"n_{name}")
+        )
+        redacted = F.regexp_replace(redacted, pat, repl)
+    out = out.select("doc_id", *counts, redacted.alias("redacted"), "dirty")
+    return out.select(
+        "doc_id",
+        "n_email",
+        "n_phone",
+        "n_ipv4",
+        "n_idnum",
+        (
+            F.col("n_email") + F.col("n_phone") + F.col("n_ipv4") + F.col("n_idnum")
+        ).alias("n_pii"),
+        (F.length("dirty") - F.length("redacted")).cast("long").alias(
+            "chars_removed"
+        ),
+        F.md5(F.col("redacted")).alias("redacted_md5"),
+    )

@@ -1245,3 +1245,141 @@ def minhash_s_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_pairs_in_band"),
     )
+
+
+#: Winnowing (Schleimer-Wilkerson-Aiken, SIGMOD'03) parameters: character
+#: k-gram length over the canonical form, window width w (the scheme
+#: guarantees at least one selected fingerprint per w consecutive k-grams,
+#: so any shared substring of length >= k + w - 1 is always detected), the
+#: document-frequency ceiling that keeps candidate generation linear (the
+#: same bound and rationale as NGRAM_DF_MAX: ubiquitous fingerprints are
+#: boilerplate, not signal — MOSS itself drops them), and the emit floors.
+WINNOW_K = 16
+WINNOW_W = 4
+WINNOW_DF_MAX = 50
+WINNOW_MIN_SHARED = 8
+WINNOW_MIN_PPM = 500_000
+
+
+def _winnow_rare_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized (doc_id, fp) posting frame of df-bounded winnowed
+    fingerprints — the winnowing analog of ``_hashed_shingles_frame``.
+
+    Built in two memo steps so each plan materializes exactly once per
+    application: the full posting list first (fingerprinting is the
+    CPU-heavy map side — one md5 per character k-gram), then the
+    df-filtered postings the consumers join on. Without the memo the
+    operator's four consuming subtrees (df census, both self-join sides,
+    per-doc counts) each re-fingerprint the corpus — the exact repeated-
+    subtree defect the r3 plan audit caught on ngram-Jaccard. At 100 TB
+    both frames are the fingerprint index tables checkpointed to the
+    lake once and shared by every overlap consumer.
+    """
+
+    def build_inv() -> DataFrame:
+        docs = scale_partitions(load_table(spark, sf_dir, "documents"), spark)
+        canon = normalized_text(F.col("text"))
+        n_grams = F.length(canon) - WINNOW_K + 1
+
+        def gram_hash(g):
+            return F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long")
+
+        hashed = docs.select(
+            "doc_id",
+            F.when(
+                n_grams >= 1,
+                F.transform(
+                    F.sequence(F.lit(1), n_grams),
+                    lambda i: gram_hash(F.substr(canon, i, F.lit(WINNOW_K))),
+                ),
+            )
+            .otherwise(F.array().cast("array<bigint>"))
+            .alias("hs"),
+        )
+        n_wins = F.size(F.col("hs")) - WINNOW_W + 1
+        selected = hashed.select(
+            "doc_id",
+            F.when(
+                n_wins >= 1,
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), n_wins),
+                        lambda j: F.array_min(
+                            F.slice(F.col("hs"), j, WINNOW_W)
+                        ),
+                    )
+                ),
+            )
+            .when(F.size(F.col("hs")) >= 1, F.array(F.array_min(F.col("hs"))))
+            .otherwise(F.array().cast("array<bigint>"))
+            .alias("sel"),
+        )
+        return selected.select("doc_id", F.explode("sel").alias("fp"))
+
+    inv = memo_frame(spark, ("winnow_inv", sf_dir), build_inv)
+
+    def build_rare() -> DataFrame:
+        dfc = inv.groupBy("fp").agg(F.count("*").alias("df"))
+        return inv.join(dfc.filter(F.col("df") <= WINNOW_DF_MAX), "fp").select(
+            "doc_id", "fp"
+        )
+
+    return memo_frame(spark, ("winnow_rare", sf_dir), build_rare)
+
+
+def winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style winnowing fingerprint overlap: document pairs whose
+    selected (window-minimum) fingerprint sets overlap heavily.
+
+    The third fingerprinting scheme in the dedup family, orthogonal to
+    MinHash (set-resemblance estimate) and SimHash (rotation-tolerant
+    bit signature): winnowing selects the MINIMUM k-gram hash in every
+    sliding window of ``WINNOW_W`` consecutive character k-grams, which
+    yields a position-robust ~2/(w+1) sample of each document with the
+    published guarantee that any shared substring of length
+    ``k + w - 1`` or more contributes at least one COMMON selected
+    fingerprint — insertion/reorder-tolerant overlap detection, the
+    scheme plagiarism detectors run at corpus scale.
+
+    Overlap is counted on *discriminative* fingerprints only (document
+    frequency <= ``WINNOW_DF_MAX``) — dropping ubiquitous fingerprints is
+    part of the published scheme, and it is also the scale bound: the
+    inverted-index self-join expands at most DF_MAX per posting, so total
+    candidate work is <= DF_MAX x Sigma(df) — linear in corpus size, never
+    all-pairs. Emitted: pair, shared-fingerprint count, and containment
+    (shared / smaller set) in ppm via integer ``div`` == the oracle's
+    ``//`` at any magnitude.
+
+    Plan shape at 100 TB: one pruned scan -> map-only fingerprinting
+    (codegen HOFs, one md5 per k-gram) -> explode -> one groupBy(fp) for
+    df -> df-bounded equi-self-join partitioned by fp (shuffle_hash: the
+    posting index could never broadcast) -> pair groupBy. No driver
+    collect, no cartesian.
+    """
+    rare = _winnow_rare_frame(spark, sf_dir)
+    rn = rare.groupBy("doc_id").agg(F.count("*").alias("n_fp"))
+    a, b = rare.alias("a"), rare.hint("shuffle_hash").alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= WINNOW_MIN_SHARED)
+    )
+    na = rn.withColumnsRenamed({"doc_id": "id_a", "n_fp": "n_a"})
+    nb = rn.withColumnsRenamed({"doc_id": "id_b", "n_fp": "n_b"})
+    return (
+        pairs.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn(
+            "overlap_ppm",
+            F.expr("(n_shared * 1000000) div least(n_a, n_b)"),
+        )
+        .filter(F.col("overlap_ppm") >= WINNOW_MIN_PPM)
+        .select("id_a", "id_b", "n_shared", "overlap_ppm")
+    )

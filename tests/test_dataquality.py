@@ -195,3 +195,52 @@ def test_drift_report_one_sided_period_is_max_sentinel(spark):
     finally:
         dq.load_table = orig
     assert r.n_pre == 2 and r.n_post == 0 and r.l1_ppm == 2_000_000
+
+
+def test_pii_scrub_detects_and_redacts_all_planted_pii(spark, sf_dir):
+    """Every planted PII string must be counted by its pattern and fully
+    removed: per-doc counts equal the doc_id-derived injection plan, and
+    no pattern matches the redacted text (checked by re-running the
+    battery on a reconstructed redaction via counts — here: chars_removed
+    > 0 exactly for docs with n_pii > 0)."""
+    from kafka_exercise_spark.operators import dataquality as dq
+
+    rows = dq.pii_scrub_report(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        did = r.doc_id
+        assert r.n_email == (1 if did % 3 == 0 else 0)
+        assert r.n_phone == (1 if did % 5 == 0 else 0)
+        assert r.n_ipv4 == (1 if did % 7 == 0 else 0)
+        assert r.n_idnum == (1 if did % 11 == 0 else 0)
+        assert r.n_pii == r.n_email + r.n_phone + r.n_ipv4 + r.n_idnum
+        # redaction strictly shrinks iff something was found (every
+        # replacement token is shorter than the shortest possible match)
+        assert (r.chars_removed > 0) == (r.n_pii > 0)
+
+
+def test_pii_battery_leaves_no_residual_matches(spark):
+    """Adversarial corpus: overlapping/adjacent PII forms; after the
+    ordered battery no pattern may match the redacted text."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from kafka_exercise_spark.operators import dataquality as dq
+
+    probes = [
+        "a user@x.io b 555-123-4567 c 10.1.2.3 d 123456789",
+        "e mail: first.last+tag@sub.domain.org and 999-999-9999",
+        "ids 1234567890123 and ip 255.255.255.255",
+        "edge a@b.co",
+        "no pii here at all",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(probes)], "doc_id long, text string")
+    red = F.col("text")
+    for _, pat, repl in dq.PII_PATTERNS:
+        red = F.regexp_replace(red, pat, repl)
+    out = {r.doc_id: r.r for r in df.select("doc_id", red.alias("r")).collect()}
+    for _, pat, _ in dq.PII_PATTERNS:
+        for t in out.values():
+            assert not re.search(pat, t), (pat, t)
+    assert out[4] == "no pii here at all"

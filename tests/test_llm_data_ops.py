@@ -1392,3 +1392,45 @@ def test_s_curve_theory_shape_and_measured_counts(spark, sf_dir):
     assert ps == sorted(ps) and 0 <= ps[0] and ps[-1] <= 1_000_000
     n_pairs = dedup.dedup_minhash_lsh(spark, sf_dir).count()
     assert sum(r.n_pairs_in_band for r in rows) == n_pairs
+
+
+def test_winnowing_guarantee_and_overlap_bounds(spark, sf_dir):
+    """Winnowing contract checks: (a) a pair of docs known to be exact
+    duplicates (from the exact-dedup groups) must surface with full
+    containment — the published guarantee says any shared substring of
+    length >= k + w - 1 yields a common selected fingerprint, and an
+    exact copy shares everything; (b) every emitted row respects the
+    emit floors and ppm is the exact integer division."""
+    from kafka_exercise_spark.operators import dedup
+
+    rows = dedup.winnowing_overlap_pairs(spark, sf_dir).collect()
+    assert rows, "fixture plants near-dups; winnowing must surface some"
+    for r in rows:
+        assert r.id_a < r.id_b
+        assert r.n_shared >= dedup.WINNOW_MIN_SHARED
+        assert dedup.WINNOW_MIN_PPM <= r.overlap_ppm <= 1_000_000
+    # exact-duplicate pairs (same canonical fingerprint, both docs long
+    # enough to carry >= MIN_SHARED selected fingerprints) must be found
+    # with 100% containment of the smaller selected set
+    from kafka_exercise_spark.catalog import load_table
+    from kafka_exercise_spark.functions.text import normalized_text
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", normalized_text(F.col("text")).alias("canon")
+    )
+    dup_pair = (
+        docs.alias("x")
+        .join(
+            docs.alias("y"),
+            (F.col("x.canon") == F.col("y.canon"))
+            & (F.col("x.doc_id") < F.col("y.doc_id"))
+            & (F.length("x.canon") >= 200),
+        )
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .first()
+    )
+    if dup_pair is not None:
+        found = {(r.id_a, r.id_b): r for r in rows}
+        r = found.get((dup_pair.a, dup_pair.b))
+        assert r is not None and r.overlap_ppm == 1_000_000
