@@ -276,7 +276,9 @@ def quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "lang",
             "doc_id",
-            F.floor(F.col("n_chars") * 1000 / F.col("n_tok")).alias("milli_cpt"),
+            # integer div == oracle `//` at any magnitude (n_tok > 0
+            # filtered above, n_chars >= 0, so div == floor here)
+            F.expr("(n_chars * 1000) div n_tok").alias("milli_cpt"),
         )
     )
     quartiles = scored.groupBy("lang").agg(

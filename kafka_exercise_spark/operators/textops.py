@@ -1098,9 +1098,9 @@ def bpe_segment_words(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn(
             "compression_ppm",
-            F.floor(
-                F.col("merged_symbols") * 1_000_000 / F.col("base_symbols")
-            ).cast("long"),
+            # integer div == the oracle's `//` at ANY magnitude (the
+            # double-division floor is only exact below 2^53)
+            F.expr("(merged_symbols * 1000000) div base_symbols"),
         )
     )
 
