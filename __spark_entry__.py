@@ -343,6 +343,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnowing_overlap_pairs": dedup.winnowing_overlap_pairs,
         # PII detect+redact battery, redaction proven by md5 across engines
         "pii_scrub_report": dataquality.pii_scrub_report,
+        # train→eval contamination census at 3 detection strengths
+        "split_leakage_report": dedup.split_leakage_report,
+        # kNN majority-vote label propagation over the embedding corpus
+        "knn_label_vote": similarity.knn_label_vote,
     }
     # The r05 driver window (first 50) — see the docstring for the policy.
     window = [
@@ -3619,5 +3623,116 @@ def oracle_sql() -> dict[str, str]:
                (len(dirty) - len(redacted))::BIGINT AS chars_removed,
                md5(redacted) AS redacted_md5
         FROM c
+    """
+    # Train→eval leakage census COMPOSED from the LSH-pair oracle plus the
+    # split_train_valid_test bucket expression and the shared shingle CTE
+    # chain (same df bound as dedup_ngram_jaccard). All counts + integer //.
+    oracles["split_leakage_report"] = f"""
+        WITH d AS (SELECT doc_id,
+                          CASE WHEN ('0x' || substr(md5('split:' || doc_id),
+                                     1, 15))::BIGINT % 100 < 80 THEN 'train'
+                               WHEN ('0x' || substr(md5('split:' || doc_id),
+                                     1, 15))::BIGINT % 100 < 90 THEN 'valid'
+                               ELSE 'test' END AS split,
+                          ('0x' || substr(md5({_CANON}), 1, 15))::BIGINT AS fp
+                   FROM documents),
+        tfp AS (SELECT DISTINCT fp FROM d WHERE split = 'train'),
+        ex AS (SELECT split, count(*) AS n_exact_leak
+               FROM d WHERE split <> 'train'
+                       AND fp IN (SELECT fp FROM tfp)
+               GROUP BY split),
+        p AS (SELECT id_a, id_b FROM ({oracles["dedup_minhash_lsh"]})),
+        lab AS (SELECT p.id_a, p.id_b, da.split AS sa, db.split AS sb
+                FROM p JOIN d da ON da.doc_id = p.id_a
+                       JOIN d db ON db.doc_id = p.id_b),
+        ndoc AS (SELECT DISTINCT doc_id, split FROM (
+                   SELECT id_b AS doc_id, sb AS split FROM lab
+                   WHERE sa = 'train' AND sb <> 'train'
+                   UNION ALL
+                   SELECT id_a AS doc_id, sa AS split FROM lab
+                   WHERE sb = 'train' AND sa <> 'train')),
+        nd AS (SELECT split, count(*) AS n_neardup_leak
+               FROM ndoc GROUP BY split),
+        c AS (SELECT doc_id, {_CANON} AS canon FROM documents),
+        wh AS (SELECT doc_id,
+                      CASE WHEN len(canon) - {dedup.WINNOW_K} + 1 >= 1 THEN
+                        list_transform(
+                            generate_series(1, len(canon) - {dedup.WINNOW_K} + 1),
+                            i -> ('0x' || substr(md5(substr(canon, i,
+                                 {dedup.WINNOW_K})), 1, 15))::BIGINT)
+                      ELSE []::BIGINT[] END AS hs
+               FROM c),
+        ws AS (SELECT doc_id,
+                      CASE WHEN len(hs) - {dedup.WINNOW_W} + 1 >= 1 THEN
+                             list_distinct(list_transform(
+                                 generate_series(1, len(hs) - {dedup.WINNOW_W} + 1),
+                                 j -> list_min(hs[j:j + {dedup.WINNOW_W} - 1])))
+                           WHEN len(hs) >= 1 THEN [list_min(hs)]
+                           ELSE []::BIGINT[] END AS sel
+               FROM wh),
+        winv AS (SELECT ws.doc_id, unnest(sel) AS fp, d.split
+                 FROM ws JOIN d ON d.doc_id = ws.doc_id),
+        wdfc AS (SELECT fp, count(*) AS dfq FROM winv GROUP BY fp),
+        wrare AS (SELECT winv.doc_id, winv.fp, winv.split
+                  FROM winv JOIN wdfc USING (fp)
+                  WHERE dfq <= {dedup.WINNOW_DF_MAX}),
+        wtfp AS (SELECT DISTINCT fp FROM wrare WHERE split = 'train'),
+        wper AS (SELECT doc_id, split, count(*) AS n_rare,
+                        sum(CASE WHEN fp IN (SELECT fp FROM wtfp)
+                                 THEN 1 ELSE 0 END) AS n_hit
+                 FROM wrare WHERE split <> 'train' GROUP BY 1, 2),
+        wl AS (SELECT split, count(*) AS n_winnow_leak FROM wper
+               WHERE (n_hit * 1000000) // n_rare >= {dedup.SPLIT_LEAK_WINNOW_PPM}
+               GROUP BY split),
+        tot AS (SELECT split, count(*) AS n_docs
+                FROM d WHERE split <> 'train' GROUP BY split)
+        SELECT tot.split, n_docs,
+               coalesce(ex.n_exact_leak, 0)::BIGINT AS n_exact_leak,
+               coalesce(nd.n_neardup_leak, 0)::BIGINT AS n_neardup_leak,
+               coalesce(wl.n_winnow_leak, 0)::BIGINT AS n_winnow_leak,
+               ((coalesce(nd.n_neardup_leak, 0) * 1000000) // n_docs)::BIGINT
+                   AS neardup_ppm,
+               ((coalesce(wl.n_winnow_leak, 0) * 1000000) // n_docs)::BIGINT
+                   AS winnow_ppm
+        FROM tot LEFT JOIN ex USING (split)
+                 LEFT JOIN nd USING (split)
+                 LEFT JOIN wl USING (split)
+    """
+    # kNN label vote: integer squared-L2 over the shared fixed-point
+    # quantization, (d2 asc, vec_id) neighbor cut, (votes desc, label asc)
+    # winner — every step engine-exact.
+    oracles["knn_label_vote"] = f"""
+        WITH e AS (SELECT vec_id, label,
+                          list_transform(embedding::DOUBLE[],
+                              x -> round(x * {similarity.PROJ_SCALE})::BIGINT)
+                              AS qv
+                   FROM embeddings),
+        q AS (SELECT vec_id AS query_id, label AS true_label, qv AS qqv
+              FROM e WHERE vec_id < {similarity.N_QUERIES}),
+        sc AS (SELECT q.query_id, q.true_label, e.vec_id, e.label,
+                      list_sum(list_transform(
+                          generate_series(1, len(e.qv)),
+                          i -> (e.qv[i] - q.qqv[i]) * (e.qv[i] - q.qqv[i])
+                      ))::BIGINT AS d2
+               FROM e CROSS JOIN q
+               WHERE e.vec_id >= {similarity.N_QUERIES}),
+        top AS (SELECT * FROM (
+                  SELECT *, row_number() OVER (PARTITION BY query_id
+                                               ORDER BY d2 ASC, vec_id ASC)
+                              AS rk
+                  FROM sc)
+                WHERE rk <= {similarity.KNN_K}),
+        v AS (SELECT query_id, true_label, label, count(*) AS n_votes
+              FROM top GROUP BY 1, 2, 3),
+        best AS (SELECT * FROM (
+                   SELECT *, row_number() OVER (PARTITION BY query_id
+                                                ORDER BY n_votes DESC,
+                                                         label ASC) AS vr
+                   FROM v)
+                 WHERE vr = 1)
+        SELECT query_id, label::BIGINT AS predicted_label,
+               n_votes::BIGINT AS n_votes, true_label::BIGINT AS true_label,
+               (label = true_label) AS correct
+        FROM best
     """
     return oracles

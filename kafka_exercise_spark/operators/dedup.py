@@ -1383,3 +1383,134 @@ def winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("overlap_ppm") >= WINNOW_MIN_PPM)
         .select("id_a", "id_b", "n_shared", "overlap_ppm")
     )
+
+
+#: Winnow-tier leak dose: an eval doc counts as leaked when at least this
+#: fraction (ppm) of its df-bounded winnowed fingerprints already occur in
+#: train — i.e. train contains the majority of the doc's substring content.
+SPLIT_LEAK_WINNOW_PPM = 500_000
+
+
+def _split_of(doc_id: F.Column) -> F.Column:
+    """The 80/10/10 salted-hash split — the SAME assignment expression as
+    ``sampling.split_train_valid_test`` (salt 'split'), so this report
+    audits exactly the splits that operator ships."""
+    from kafka_exercise_spark.operators.sampling import _hash_bucket  # noqa: PLC0415
+
+    b = _hash_bucket(doc_id, "split")
+    return F.when(b < 80, "train").when(b < 90, "valid").otherwise("test")
+
+
+def split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train→eval contamination census across the train/valid/test split —
+    the check every pretraining pipeline runs before trusting held-out
+    loss: how many valid/test documents are reachable from the train set
+    at each of three detection strengths?
+
+    - ``n_exact_leak``: eval docs whose canonical fingerprint also occurs
+      in train (verbatim copies crossing the split boundary);
+    - ``n_neardup_leak``: eval docs linked to a train doc by a VERIFIED
+      MinHash-LSH near-dup pair (the materialized pair table
+      ``dedup_minhash_lsh`` — paid once per session, shared here);
+    - ``n_winnow_leak``: eval docs MORE THAN HALF of whose df-bounded
+      winnowed fingerprints (``_winnow_rare_frame`` — char 16-gram
+      window minima, the substring-level detector) also occur in train.
+      The dose threshold matters: a token-shingle "any shared n-gram"
+      criterion is vacuous on a small shared vocabulary (every doc shares
+      SOME bigram with train), while "≥ ``SPLIT_LEAK_WINNOW_PPM`` of the
+      doc's selected fingerprints" measures how much of the document's
+      *substring content* the train set already contains — near-verbatim
+      leakage scores ~10⁶, topically-similar background ~2.5·10⁵.
+
+    Plan at 100 TB: split assignment is a pure map-side expression (no
+    split manifest to join); the exact tier is one semi-join on the 8-byte
+    fingerprint; the near-dup tier reads the already-materialized pair
+    table plus two slim (doc_id → split) joins; the winnow tier reuses the
+    memoized fingerprint posting frame, so the only new work is one
+    broadcast-or-shuffle join on fp + a per-doc count. Leak rates ship as
+    integer ppm (``div`` ≡ the oracle's ``//`` at any magnitude).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    assign = docs.select(
+        "doc_id",
+        _split_of(F.col("doc_id")).alias("split"),
+        md5_hash64(normalized_text(F.col("text"))).alias("fp"),
+    )
+    sp = assign.select("doc_id", "split")
+
+    train_fp = assign.filter(F.col("split") == "train").select("fp").distinct()
+    ev = assign.filter(F.col("split") != "train")
+    exact = (
+        ev.join(train_fp, "fp", "left_semi")
+        .groupBy("split")
+        .agg(F.count("*").alias("n_exact_leak"))
+    )
+
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("id_a", "id_b")
+    lab = pairs.join(
+        sp.withColumnsRenamed({"doc_id": "id_a", "split": "split_a"}), "id_a"
+    ).join(sp.withColumnsRenamed({"doc_id": "id_b", "split": "split_b"}), "id_b")
+    near_docs = (
+        lab.filter((F.col("split_a") == "train") & (F.col("split_b") != "train"))
+        .select(F.col("id_b").alias("doc_id"), F.col("split_b").alias("split"))
+        .union(
+            lab.filter(
+                (F.col("split_b") == "train") & (F.col("split_a") != "train")
+            ).select(F.col("id_a").alias("doc_id"), F.col("split_a").alias("split"))
+        )
+        .distinct()
+    )
+    near = near_docs.groupBy("split").agg(F.count("*").alias("n_neardup_leak"))
+
+    rare = _winnow_rare_frame(spark, sf_dir).join(sp, "doc_id")
+    train_fps = (
+        rare.filter(F.col("split") == "train")
+        .select("fp")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    per_doc = (
+        rare.filter(F.col("split") != "train")
+        .join(train_fps, "fp", "left")
+        .groupBy("doc_id", "split")
+        .agg(
+            F.count("*").alias("n_rare"),
+            F.sum(F.coalesce("hit", F.lit(0))).alias("n_hit"),
+        )
+    )
+    winnow = (
+        per_doc.filter(
+            F.expr("(n_hit * 1000000) div n_rare") >= SPLIT_LEAK_WINNOW_PPM
+        )
+        .groupBy("split")
+        .agg(F.count("*").alias("n_winnow_leak"))
+    )
+
+    totals = sp.filter(F.col("split") != "train").groupBy("split").agg(
+        F.count("*").alias("n_docs")
+    )
+    out = (
+        totals.join(exact, "split", "left")
+        .join(near, "split", "left")
+        .join(winnow, "split", "left")
+        .select(
+            "split",
+            "n_docs",
+            F.coalesce("n_exact_leak", F.lit(0)).cast("long").alias("n_exact_leak"),
+            F.coalesce("n_neardup_leak", F.lit(0))
+            .cast("long")
+            .alias("n_neardup_leak"),
+            F.coalesce("n_winnow_leak", F.lit(0))
+            .cast("long")
+            .alias("n_winnow_leak"),
+        )
+    )
+    return out.select(
+        "split",
+        "n_docs",
+        "n_exact_leak",
+        "n_neardup_leak",
+        "n_winnow_leak",
+        F.expr("(n_neardup_leak * 1000000) div n_docs").alias("neardup_ppm"),
+        F.expr("(n_winnow_leak * 1000000) div n_docs").alias("winnow_ppm"),
+    )

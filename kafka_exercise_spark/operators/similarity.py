@@ -1416,3 +1416,69 @@ def ann_index_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         share_after.alias("share_after_ppm"),
         (share_after - share_before).cast("long").alias("drift_ppm"),
     )
+
+
+#: kNN label-vote parameters: neighbors consulted per query and the
+#: labeled-pool convention (every vec_id >= N_QUERIES is pool; the demo
+#: query rows are held out entirely so no query votes for another).
+KNN_K = 10
+
+
+def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-nearest-neighbor label vote over the embedding corpus — the
+    label-propagation primitive of a training-data pipeline (weak
+    supervision: tag unlabeled documents with the majority label of their
+    nearest labeled neighbors; also the standard probe for embedding
+    quality, cf. the linear/knn probes run on every new encoder).
+
+    Shape is the brute-force ANN baseline (``ann_cosine_topk``): the
+    bounded query set broadcasts, the corpus streams through unshuffled,
+    one ranked window cuts top-``KNN_K`` per query. The vote itself is a
+    tiny groupBy over |queries|·k rows. At 100 TB the corpus side is the
+    scan; swapping the scorer to the IVF/PQ probe turns this into the
+    approximate variant with the same vote tail.
+
+    Exactness: distances are integer squared L2 over ``quantized_vec``
+    fixed-point vectors (diffs ≤ 2^21, squares ≤ 2^42, 64-dim sums
+    ≤ 2^48 — exact in long, any fold order), so the (d2 asc, vec_id)
+    neighbor cut, the vote counts, and the (votes desc, label asc)
+    winner are all engine-independent. Full value-hash oracle.
+    """
+    emb = _embeddings_double(spark, sf_dir).withColumn(
+        "qv", quantized_vec(F.col("emb"))
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("true_label"),
+        F.col("qv").alias("qqv"),
+    )
+    pool = emb.filter(F.col("vec_id") >= N_QUERIES).select(
+        "vec_id", "label", "qv"
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("qqv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = pool.join(F.broadcast(q)).withColumn("d2", d2)
+    w = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("vec_id"))
+    top = scored.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= KNN_K
+    )
+    votes = top.groupBy("query_id", "true_label", "label").agg(
+        F.count("*").alias("n_votes")
+    )
+    vw = Window.partitionBy("query_id").orderBy(
+        F.desc("n_votes"), F.asc("label")
+    )
+    return (
+        votes.withColumn("vr", F.row_number().over(vw))
+        .filter(F.col("vr") == 1)
+        .select(
+            "query_id",
+            F.col("label").cast("long").alias("predicted_label"),
+            F.col("n_votes").cast("long").alias("n_votes"),
+            F.col("true_label").cast("long").alias("true_label"),
+            (F.col("label") == F.col("true_label")).alias("correct"),
+        )
+    )

@@ -1434,3 +1434,105 @@ def test_winnowing_guarantee_and_overlap_bounds(spark, sf_dir):
         found = {(r.id_a, r.id_b): r for r in rows}
         r = found.get((dup_pair.a, dup_pair.b))
         assert r is not None and r.overlap_ppm == 1_000_000
+
+
+def test_knn_label_vote_known_clusters(spark):
+    """Hand-built geometry: each query sits in its own far-apart cluster
+    of 7 same-label + 5 decoy-label pool vectors, so top-10 = 7 + 3 and
+    the majority answer is forced. Checks neighbor cut, vote count, and
+    correctness flag against construction."""
+    from kafka_exercise_spark.operators import similarity as sim
+
+    rows = []
+    vid = sim.N_QUERIES
+    for q in range(sim.N_QUERIES):
+        base = float(q * 30)  # clusters far apart, inside the 2^48 fixed-point bound
+        rows.append((q, [base, 0.0], q))  # the query itself (held out)
+        for i in range(7):  # same-label cluster members, nearest
+            rows.append((vid, [base + 0.001 * (i + 1), 0.0], q)); vid += 1
+        for i in range(5):  # decoy labels, slightly farther
+            rows.append((vid, [base + 0.01 * (i + 1), 0.0], q + 5)); vid += 1
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    orig = sim.load_table
+    sim.load_table = lambda s, d, n: df
+    try:
+        out = {r.query_id: r for r in sim.knn_label_vote(spark, "knn-hand").collect()}
+    finally:
+        sim.load_table = orig
+    assert set(out) == set(range(sim.N_QUERIES))
+    for q, r in out.items():
+        assert r.predicted_label == q
+        assert r.n_votes == 7
+        assert r.true_label == q and bool(r.correct)
+
+
+def test_knn_label_vote_tie_breaks_to_smaller_label(spark):
+    """5-5 vote tie must resolve to the smaller label (the documented
+    (votes desc, label asc) total order)."""
+    from kafka_exercise_spark.operators import similarity as sim
+
+    rows = [(q, [float(q * 30), 0.0], 0) for q in range(sim.N_QUERIES)]
+    vid = sim.N_QUERIES
+    for q in range(sim.N_QUERIES):
+        base = float(q * 30)
+        for i in range(5):
+            rows.append((vid, [base + 0.001 * (i + 1), 0.0], 9)); vid += 1
+        for i in range(5):
+            rows.append((vid, [base + 0.002 * (i + 1), 1.0], 2)); vid += 1
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    orig = sim.load_table
+    sim.load_table = lambda s, d, n: df
+    try:
+        out = sim.knn_label_vote(spark, "knn-tie").collect()
+    finally:
+        sim.load_table = orig
+    for r in out:
+        assert r.n_votes == 5 and r.predicted_label == 2
+
+
+def test_split_leakage_report_against_python_recount(spark, sf_dir):
+    """Independent recount: split assignment re-derived in pure Python
+    (hashlib md5, not the Spark expression), near-dup leak recomputed from
+    the verified pair table, totals = the 80/10/10 census."""
+    import hashlib
+
+    from kafka_exercise_spark.operators import dedup
+
+    def split_of(doc_id: int) -> str:
+        b = int(hashlib.md5(f"split:{doc_id}".encode()).hexdigest()[:15], 16) % 100
+        return "train" if b < 80 else ("valid" if b < 90 else "test")
+
+    report = {r.split: r for r in dedup.split_leakage_report(spark, sf_dir).collect()}
+    assert set(report) == {"valid", "test"}
+
+    from kafka_exercise_spark.catalog import load_table
+
+    ids = [r.doc_id for r in load_table(spark, sf_dir, "documents").select("doc_id").collect()]
+    totals = {"valid": 0, "test": 0}
+    for i in ids:
+        s = split_of(i)
+        if s != "train":
+            totals[s] += 1
+    leak = {"valid": set(), "test": set()}
+    for p in dedup.dedup_minhash_lsh(spark, sf_dir).collect():
+        sa, sb = split_of(p.id_a), split_of(p.id_b)
+        if sa == "train" and sb != "train":
+            leak[sb].add(p.id_b)
+        if sb == "train" and sa != "train":
+            leak[sa].add(p.id_a)
+    for s in ("valid", "test"):
+        r = report[s]
+        assert r.n_docs == totals[s]
+        assert r.n_neardup_leak == len(leak[s])
+        assert r.n_exact_leak == 0  # fixture texts are all unique
+        assert r.neardup_ppm == (r.n_neardup_leak * 1_000_000) // r.n_docs
+        assert r.winnow_ppm == (r.n_winnow_leak * 1_000_000) // r.n_docs
+        assert 0 <= r.n_winnow_leak <= r.n_docs
+    # the fixture plants near-dups, and ~20% of split pairs cross
+    # train↔eval in expectation — require the detector to surface some
+    assert sum(r.n_neardup_leak for r in report.values()) > 0
+    assert sum(r.n_winnow_leak for r in report.values()) > 0
