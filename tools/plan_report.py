@@ -84,6 +84,10 @@ SELECTED = [
     ("attribution_credit", "lookback-bounded join + per-conversion windows"),
     ("drift_report_events", "(type,bucket) combine + broadcast-back totals"),
     ("skew_key_census", "per-key combine; top-k over the tiny key frame"),
+    ("winnowing_overlap_pairs", "df-bounded fingerprint self-join; memoized posting frame"),
+    ("pii_scrub_report", "regex battery all map-side; the 1 shuffle is the fixture-parallelism rebalance"),
+    ("split_leakage_report", "split = map-side expr; reads memoized pair + fp frames"),
+    ("knn_label_vote", "query side broadcast; vote tail is nq x k rows"),
 ]
 
 FULL_PLANS = ["q3_shipping_priority", "dedup_ngram_jaccard"]
