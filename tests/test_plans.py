@@ -376,3 +376,42 @@ def test_no_unexpected_python_eval_nodes_anywhere(spark, sf_dir):
         if n > allow.get(name, 0):
             failures.append((name, n))
     assert not failures, failures
+
+
+def test_pii_scrub_prunes_and_stays_jvm(spark, sf_dir):
+    """Regex battery: no Python, reads only (doc_id, text), and the only
+    exchange is the documented fixture-parallelism rebalance."""
+    from kafka_exercise_spark.operators import dataquality as dq
+
+    df = dq.pii_scrub_report(spark, sf_dir)
+    assert python_eval_count(df) == 0
+    assert shuffle_exchange_count(df) <= 1
+    (cols,) = read_schema_columns(df)
+    assert sorted(cols) == ["doc_id", "text"]
+
+
+def test_winnowing_no_cartesian_no_python(spark, sf_dir):
+    """Winnow overlap: df-bounded equi-self-join — never a cartesian,
+    never Python."""
+    df = dedup.winnowing_overlap_pairs(spark, sf_dir)
+    assert not has_cartesian_product(df)
+    assert python_eval_count(df) == 0
+
+
+def test_split_leakage_no_hints_no_cartesian(spark, sf_dir):
+    """Leakage census: every join unhinted (AQE decides), no cartesian,
+    no Python."""
+    df = dedup.split_leakage_report(spark, sf_dir)
+    assert broadcast_hint_count(df) == 0
+    assert not has_cartesian_product(df)
+    assert python_eval_count(df) == 0
+
+
+def test_knn_vote_broadcasts_queries_single_shuffle(spark, sf_dir):
+    """kNN vote: bounded query side broadcasts; the neighbor window and
+    the vote window share ONE query_id partitioning (no second
+    exchange)."""
+    df = similarity.knn_label_vote(spark, sf_dir)
+    assert broadcast_join_count(df) >= 1
+    assert shuffle_exchange_count(df) == 1
+    assert python_eval_count(df) == 0
