@@ -345,6 +345,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub_report": dataquality.pii_scrub_report,
         # train→eval contamination census at 3 detection strengths
         "split_leakage_report": dedup.split_leakage_report,
+        # Kafka log-compaction semantics: latest-per-key + tombstone delete
+        "log_compaction": merge_ops.log_compaction,
         # kNN majority-vote label propagation over the embedding corpus
         "knn_label_vote": similarity.knn_label_vote,
     }
@@ -3697,6 +3699,23 @@ def oracle_sql() -> dict[str, str]:
         FROM tot LEFT JOIN ex USING (split)
                  LEFT JOIN nd USING (split)
                  LEFT JOIN wl USING (split)
+    """
+    # Log compaction: ranked window on the exact (us, event_id) order;
+    # tombstone rule mirrored; values/props pass through untouched.
+    oracles["log_compaction"] = f"""
+        WITH r AS (SELECT user_id, event_type, event_id, value, props,
+                          epoch_us(ts) AS us,
+                          row_number() OVER (
+                              PARTITION BY user_id, event_type
+                              ORDER BY epoch_us(ts) DESC, event_id DESC) AS rk
+                   FROM events),
+        n AS (SELECT user_id, event_type, count(*) AS n_records
+              FROM r GROUP BY 1, 2)
+        SELECT r.user_id, r.event_type, r.event_id AS last_event_id,
+               r.value, r.props, r.us AS last_us,
+               (n.n_records - 1)::BIGINT AS n_superseded
+        FROM r JOIN n USING (user_id, event_type)
+        WHERE rk = 1 AND value >= {merge_ops.TOMBSTONE_BELOW}
     """
     # kNN label vote: integer squared-L2 over the shared fixed-point
     # quantization, (d2 asc, vec_id) neighbor cut, (votes desc, label asc)

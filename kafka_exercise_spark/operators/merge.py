@@ -210,3 +210,60 @@ def scd2_rows(m: DataFrame) -> DataFrame:
         F.col("r.valid_to_us").alias("valid_to_us"),
         F.col("r.valid_to_us").isNull().alias("is_current"),
     )
+
+
+#: Log-compaction tombstone rule for the fixture changelog: an event whose
+#: ``value`` falls below this marks a DELETE of its key — the stand-in for
+#: Kafka's null-value tombstone record (the fixture carries no nulls).
+TOMBSTONE_BELOW = 2.0
+
+
+def log_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kafka log-compaction semantics over the events changelog — the
+    log-side dual of MERGE INTO: for every key only the LATEST record
+    matters, and a key whose latest record is a tombstone disappears
+    from the compacted log entirely (kafka.apache.org compaction
+    contract; the reference's Connect pipeline lands on compact-style
+    keyed topics, /root/reference/connect_postgres.config:9-14).
+
+    Fixture framing: key = (user_id, event_type); records order by the
+    exact (unix_micros(ts), event_id) tuple — the same total order every
+    CDC op here uses, so compaction is bit-reproducible; a record with
+    ``value < TOMBSTONE_BELOW`` stands in for Kafka's null-value
+    tombstone. Emitted per SURVIVING key: the latest value/props/ts and
+    how many superseded records compaction dropped (the log-shrink
+    audit a topic owner reads).
+
+    Scale shape: ONE shuffle on the key — the ranked window IS the
+    compaction pass, and Spark plans it as WindowGroupLimit so each map
+    task keeps only its per-key latest candidates before the exchange.
+    At 100 TB keys partition freely (no global order), exactly how
+    broker-side compaction scales by partition.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("us"), F.desc("event_id")
+    )
+    ranked = ev.select(
+        "user_id", "event_type", "event_id", "value", "props", us.alias("us")
+    ).withColumn("rk", F.row_number().over(w))
+    n_per_key = ranked.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("n_records")
+    )
+    latest = ranked.filter(F.col("rk") == 1).drop("rk")
+    return (
+        latest.filter(F.col("value") >= TOMBSTONE_BELOW)
+        .join(n_per_key, ["user_id", "event_type"])
+        .select(
+            "user_id",
+            "event_type",
+            F.col("event_id").alias("last_event_id"),
+            "value",
+            "props",
+            F.col("us").alias("last_us"),
+            (F.col("n_records") - 1).cast("long").alias("n_superseded"),
+        )
+    )

@@ -525,3 +525,53 @@ def test_merge_scd2_consistent_with_flat_merge(spark, sf_dir):
         assert c.last_value == f.last_value
         assert c.last_seen_us == f.last_seen_us
         assert c.action == action_map[f.action]
+
+
+def test_log_compaction_kafka_contract(spark):
+    """The published compaction contract on a hand changelog: (a) only the
+    latest record per key survives; (b) a key whose LATEST record is a
+    tombstone vanishes even with live earlier records; (c) a record after
+    a tombstone resurrects the key; (d) n_superseded counts every dropped
+    record, tombstones included."""
+    import datetime as dt
+
+    from kafka_exercise_spark.operators import merge as m
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    rows = [
+        # key (1,'click'): two updates -> latest survives, 1 superseded
+        (10, ts(1), 1, "click", 5.0, "a"),
+        (11, ts(2), 1, "click", 7.0, "b"),
+        # key (2,'view'): update then tombstone LAST -> key vanishes
+        (20, ts(1), 2, "view", 9.0, "c"),
+        (21, ts(2), 2, "view", 1.0, "d"),
+        # key (3,'buy'): tombstone then update -> resurrected, 1 superseded
+        (30, ts(1), 3, "buy", 0.5, "e"),
+        (31, ts(2), 3, "buy", 4.0, "f"),
+        # key (4,'err'): same ts -> event_id breaks the tie
+        (40, ts(1), 4, "err", 3.0, "g"),
+        (41, ts(1), 4, "err", 6.0, "h"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    orig = m.load_table
+    m.load_table = lambda s, d, n: df
+    try:
+        out = {
+            (r.user_id, r.event_type): r
+            for r in m.log_compaction(spark, "compact-hand").collect()
+        }
+    finally:
+        m.load_table = orig
+    assert set(out) == {(1, "click"), (3, "buy"), (4, "err")}
+    assert out[(1, "click")].value == 7.0 and out[(1, "click")].n_superseded == 1
+    assert out[(3, "buy")].value == 4.0 and out[(3, "buy")].n_superseded == 1
+    r4 = out[(4, "err")]
+    assert r4.last_event_id == 41 and r4.value == 6.0 and r4.n_superseded == 1
