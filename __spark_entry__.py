@@ -347,6 +347,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_leakage_report": dedup.split_leakage_report,
         # Kafka log-compaction semantics: latest-per-key + tombstone delete
         "log_compaction": merge_ops.log_compaction,
+        # compaction as a LIVE versioned-store fold; final ≡ batch
+        "streaming_compaction_replay": streaming_pipeline.streaming_compaction_replay,
         # kNN majority-vote label propagation over the embedding corpus
         "knn_label_vote": similarity.knn_label_vote,
     }
@@ -3717,6 +3719,9 @@ def oracle_sql() -> dict[str, str]:
         FROM r JOIN n USING (user_id, event_type)
         WHERE rk = 1 AND value >= {merge_ops.TOMBSTONE_BELOW}
     """
+    # live compaction replay converges to broker-compaction state ==
+    # the batch operator's output; SAME oracle by design
+    oracles["streaming_compaction_replay"] = oracles["log_compaction"]
     # kNN label vote: integer squared-L2 over the shared fixed-point
     # quantization, (d2 asc, vec_id) neighbor cut, (votes desc, label asc)
     # winner — every step engine-exact.

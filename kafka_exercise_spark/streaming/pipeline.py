@@ -625,3 +625,132 @@ def streaming_scd2_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
         _SCD2_REPLAY_MEMO[memo_key] = final
     return _SCD2_REPLAY_MEMO[memo_key]
+
+
+_COMPACTION_REPLAY_MEMO: dict = register_memo({})
+
+
+def streaming_compaction_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log compaction as the LIVE process it actually is on a broker: the
+    events changelog arrives in micro-batches under real StreamExecution,
+    each batch first compacts ITSELF (per-key latest + record count — the
+    map-side combine of compaction), then folds into a versioned store
+    that keeps the max-(us, event_id) record per key and adds counts.
+    The final store with tombstones filtered hash-equals the batch
+    ``operators/merge.log_compaction`` — the SAME oracle, by design.
+
+    The fold is commutative-associative (counts add; the surviving record
+    is the max under a total order), so out-of-order micro-batches
+    converge to broker-compaction state — the property that lets Kafka
+    compact segments in any order. Versioned stores make redelivery
+    idempotent, same contract as the merge/SCD2 replays.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from kafka_exercise_spark.operators.merge import TOMBSTONE_BELOW
+    from kafka_exercise_spark.streaming.sources import (
+        file_stream,
+        land_events_replay,
+    )
+    from kafka_exercise_spark.streaming.stateful import run_bounded_replay
+
+    def compact(df: DataFrame) -> DataFrame:
+        us = F.unix_micros(F.col("ts"))
+        last = F.max_by(
+            F.struct("event_id", "value", "props"),
+            F.struct(us.alias("us"), "event_id"),
+        )
+        return (
+            df.groupBy("user_id", "event_type")
+            .agg(
+                last.alias("l"),
+                F.max(F.struct(us.alias("us"), "event_id")).alias("mx"),
+                F.count("*").alias("n"),
+            )
+            .select(
+                "user_id",
+                "event_type",
+                F.col("l.event_id").alias("eid"),
+                F.col("l.value").alias("v"),
+                F.col("l.props").alias("p"),
+                F.col("mx.us").alias("us"),
+                "n",
+            )
+        )
+
+    evict_stale_memos(spark)
+    memo_key = (spark.sparkContext.applicationId, sf_dir)
+    if memo_key not in _COMPACTION_REPLAY_MEMO:
+        src_dir, schema = land_events_replay(spark, sf_dir)
+        work = tempfile.mkdtemp(prefix="compaction_replay_")
+        store = os.path.join(work, "store")
+        os.makedirs(store)
+        spark.createDataFrame(
+            [],
+            "user_id long, event_type string, eid long, v double,"
+            " p string, us long, n long",
+        ).write.parquet(os.path.join(store, "v_init"))
+
+        def _version_before(batch_id: int) -> str:
+            prior = [
+                int(d[1:])
+                for d in os.listdir(store)
+                if d != "v_init" and d.startswith("v") and int(d[1:]) < batch_id
+            ]
+            return f"v{max(prior):04d}" if prior else "v_init"
+
+        def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+            b = compact(batch_df).withColumnsRenamed(
+                {"eid": "b_eid", "v": "b_v", "p": "b_p", "us": "b_us", "n": "b_n"}
+            )
+            prev = spark.read.parquet(
+                os.path.join(store, _version_before(batch_id))
+            )
+            in_b = F.col("b_n").isNotNull()
+            in_t = F.col("n").isNotNull()
+            b_newer = in_b & (
+                ~in_t
+                | (F.col("b_us") > F.col("us"))
+                | ((F.col("b_us") == F.col("us")) & (F.col("b_eid") > F.col("eid")))
+            )
+            merged = prev.join(b, ["user_id", "event_type"], "full_outer").select(
+                "user_id",
+                "event_type",
+                F.when(b_newer, F.col("b_eid")).otherwise(F.col("eid")).alias("eid"),
+                F.when(b_newer, F.col("b_v")).otherwise(F.col("v")).alias("v"),
+                F.when(b_newer, F.col("b_p")).otherwise(F.col("p")).alias("p"),
+                F.when(b_newer, F.col("b_us")).otherwise(F.col("us")).alias("us"),
+                (F.coalesce("n", F.lit(0)) + F.coalesce("b_n", F.lit(0)))
+                .cast("long")
+                .alias("n"),
+            )
+            merged.write.mode("overwrite").parquet(
+                os.path.join(store, f"v{batch_id:04d}")
+            )
+
+        stream = file_stream(spark, src_dir, schema, max_files_per_trigger=2)
+        run_bounded_replay(
+            spark,
+            stream,
+            checkpoint=os.path.join(work, "ckpt"),
+            foreach_batch=apply_batch,
+        )
+        final = (
+            spark.read.parquet(os.path.join(store, _version_before(1 << 30)))
+            .filter(F.col("v") >= TOMBSTONE_BELOW)
+            .select(
+                "user_id",
+                "event_type",
+                F.col("eid").alias("last_event_id"),
+                F.col("v").alias("value"),
+                F.col("p").alias("props"),
+                F.col("us").alias("last_us"),
+                (F.col("n") - 1).cast("long").alias("n_superseded"),
+            )
+            .localCheckpoint()
+        )
+        shutil.rmtree(work, ignore_errors=True)
+        _COMPACTION_REPLAY_MEMO[memo_key] = final
+    return _COMPACTION_REPLAY_MEMO[memo_key]
