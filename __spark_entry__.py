@@ -394,7 +394,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_curation_gate",
         "curation_funnel_report",
         # r05 plan changes (broadcast-hint removals / unhinted joins)
-        "funnel_ordered",
         "tfidf_top_terms",
         "lm_unigram_score",
         "heavy_hitters_topk",
@@ -409,6 +408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r05 code+oracle div swaps (values identical, re-verify anyway)
         "ivf_cells_report",
         "mixture_plan",
+        "quality_quantile_filter",
     ]
     assert len(window) == 50 and len(set(window)) == 50
     out = {k: all_q[k] for k in window}
