@@ -351,6 +351,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_compaction_replay": streaming_pipeline.streaming_compaction_replay,
         # kNN majority-vote label propagation over the embedding corpus
         "knn_label_vote": similarity.knn_label_vote,
+        # ITERATIVE BPE trainer: merges interact round over round
+        "bpe_train_merges": textops.bpe_train_merges,
     }
     # The r05 driver window (first 50) — see the docstring for the policy.
     window = [
@@ -3759,4 +3761,41 @@ def oracle_sql() -> dict[str, str]:
                (label = true_label) AS correct
         FROM best
     """
+    # Iterative BPE trainer replayed as an unrolled CTE chain (the Lloyd's
+    # replay pattern): per round — pair counts over the current
+    # segmentation, (f desc, pair asc) argmax, left-to-right
+    # non-overlapping replace (engine-shared single-pass semantics, cf.
+    # bpe_segment_words). Exact integer counts end to end.
+    _bpe_pairs = (
+        "CASE WHEN len(string_split(seg, ' ')) >= 2 THEN"
+        " list_transform(generate_series(1, len(string_split(seg, ' ')) - 1),"
+        " i -> string_split(seg, ' ')[i] || ' ' || string_split(seg, ' ')[i + 1])"
+        " ELSE []::VARCHAR[] END"
+    )
+    _bpe_ctes = [f"""
+        w AS (SELECT w AS word, count(*)::BIGINT AS freq
+              FROM (SELECT unnest({_TOKS}) AS w FROM documents) GROUP BY 1),
+        s0 AS (SELECT word, freq,
+                      trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS seg
+               FROM w)"""]
+    for _r in range(1, textops.BPE_TRAIN_ROUNDS + 1):
+        _bpe_ctes.append(f"""
+        c{_r} AS (SELECT pair, sum(freq)::BIGINT AS f
+                  FROM (SELECT freq, unnest({_bpe_pairs}) AS pair
+                        FROM s{_r - 1})
+                  GROUP BY pair),
+        b{_r} AS (SELECT pair, replace(pair, ' ', '') AS merged, f
+                  FROM c{_r} ORDER BY f DESC, pair ASC LIMIT 1),
+        s{_r} AS (SELECT word, freq,
+                         trim(replace(' ' || seg || ' ',
+                              (SELECT ' ' || pair || ' ' FROM b{_r}),
+                              (SELECT ' ' || merged || ' ' FROM b{_r}))) AS seg
+                  FROM s{_r - 1})""")
+    _bpe_final = "\n        UNION ALL ".join(
+        f"SELECT {_r}::BIGINT AS round, pair, merged, f AS freq FROM b{_r}"
+        for _r in range(1, textops.BPE_TRAIN_ROUNDS + 1)
+    )
+    oracles["bpe_train_merges"] = (
+        "WITH " + ",".join(_bpe_ctes) + "\n        " + _bpe_final
+    )
     return oracles

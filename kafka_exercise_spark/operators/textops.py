@@ -1282,3 +1282,81 @@ def classifier_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .withColumn("agree_ppm", F.expr("(n_agree * 1000000) div n_docs"))
     )
+
+
+#: Iterative BPE trainer rounds. Six is enough for merges to COMPOUND on
+#: the fixture (later rounds pick pairs containing earlier merges), which
+#: is precisely the behavior the one-pass ``bpe_pair_counts`` ranking
+#: cannot capture.
+BPE_TRAIN_ROUNDS = 6
+
+
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ITERATIVE BPE trainer (Sennrich et al. 2016, alg. 1) — the real
+    thing, where merges interact: each round counts adjacent-symbol pairs
+    over the CURRENT segmentation, merges the argmax pair everywhere, and
+    recounts. ``bpe_pair_counts`` ranks round-1 candidates in one pass;
+    this entry learns the actual merge table, where round k's winner may
+    contain round j<k's output symbol.
+
+    Why this scales: BPE training never iterates over the corpus — it
+    iterates over the WORD-FREQUENCY table (one corpus-wide groupBy,
+    paid once), which is Heaps-law sublinear (~10⁶–10⁷ distinct words at
+    web scale). Each round is then: a pair fan-out + one groupBy over
+    the vocab frame, a 1-ROW argmax collect (bounded by construction —
+    the same driver-side pattern as the IVF centroid fit), and a
+    map-side replace. ``localCheckpoint`` per round caps the lineage at
+    O(1) like the power-iteration entries.
+
+    Merge application uses the engine-shared left-to-right
+    non-overlapping ``replace`` on the space-joined segmentation — the
+    SAME single-pass-per-rule semantics ``bpe_segment_words`` documents
+    and pins (consecutive overlapping occurrences 'a b a b' consume the
+    shared boundary and skip the second — identically in Spark and
+    DuckDB, so the oracle replays the fit bit-for-bit as an unrolled CTE
+    chain). All counts are exact integers; argmax tie-break is
+    (freq desc, pair asc).
+    """
+    docs = scale_partitions(load_table(spark, sf_dir, "documents"), spark)
+    vocab = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    seg = vocab.select(
+        "word",
+        "freq",
+        F.trim(F.regexp_replace(F.col("word"), "(.)", "$1 ")).alias("seg"),
+    ).localCheckpoint()
+
+    rows = []
+    for rnd in range(1, BPE_TRAIN_ROUNDS + 1):
+        sy = F.split(F.col("seg"), " ")
+        pair_arr = F.when(
+            F.size(sy) >= 2,
+            F.transform(
+                F.sequence(F.lit(0), F.size(sy) - 2),
+                lambda i: F.concat(F.get(sy, i), F.lit(" "), F.get(sy, i + 1)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        cnt = (
+            seg.select("freq", F.explode(pair_arr).alias("pair"))
+            .groupBy("pair")
+            .agg(F.sum("freq").alias("f"))
+        )
+        top = cnt.orderBy(F.desc("f"), F.asc("pair")).first()
+        merged = top["pair"].replace(" ", "")
+        rows.append((rnd, top["pair"], merged, int(top["f"])))
+        seg = seg.withColumn(
+            "seg",
+            F.trim(
+                F.replace(
+                    F.concat(F.lit(" "), F.col("seg"), F.lit(" ")),
+                    F.lit(f" {top['pair']} "),
+                    F.lit(f" {merged} "),
+                )
+            ),
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        rows, "round long, pair string, merged string, freq long"
+    )

@@ -1536,3 +1536,53 @@ def test_split_leakage_report_against_python_recount(spark, sf_dir):
     # train↔eval in expectation — require the detector to surface some
     assert sum(r.n_neardup_leak for r in report.values()) > 0
     assert sum(r.n_winnow_leak for r in report.values()) > 0
+
+
+def test_bpe_train_merges_matches_pure_python_replay(spark, sf_dir):
+    """Independent fit replay: collect the word-frequency table once, then
+    run the identical algorithm in pure Python (str.replace shares the
+    engines' left-to-right non-overlapping single-pass semantics) and
+    compare the full merge table. Also pins the property the one-pass
+    ranking cannot produce: a later round merges a pair CONTAINING an
+    earlier round's output symbol."""
+    from pyspark.sql import functions as F
+
+    from kafka_exercise_spark.catalog import load_table
+    from kafka_exercise_spark.functions.text import tokens
+    from kafka_exercise_spark.operators import textops
+
+    freqs = {
+        r.word: r.freq
+        for r in load_table(spark, sf_dir, "documents")
+        .select(F.explode(tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .collect()
+    }
+    segs = {w: " ".join(w) for w in freqs}
+    expected = []
+    for rnd in range(1, textops.BPE_TRAIN_ROUNDS + 1):
+        cnt: dict = {}
+        for w, f in freqs.items():
+            sy = segs[w].split(" ")
+            for i in range(len(sy) - 1):
+                p = sy[i] + " " + sy[i + 1]
+                cnt[p] = cnt.get(p, 0) + f
+        pair = min(cnt, key=lambda p: (-cnt[p], p))
+        merged = pair.replace(" ", "")
+        expected.append((rnd, pair, merged, cnt[pair]))
+        for w in segs:
+            segs[w] = (
+                (" " + segs[w] + " ").replace(f" {pair} ", f" {merged} ").strip()
+            )
+    got = [
+        (r.round, r.pair, r.merged, r.freq)
+        for r in textops.bpe_train_merges(spark, sf_dir)
+        .orderBy("round")
+        .collect()
+    ]
+    assert got == expected
+    # merge table sanity: rounds 1..R, all-distinct pairs, positive counts
+    assert [r for r, *_ in got] == list(range(1, textops.BPE_TRAIN_ROUNDS + 1))
+    assert len({p for _, p, _, _ in got}) == len(got)
+    assert all(f > 0 for *_, f in got)
