@@ -353,6 +353,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_label_vote": similarity.knn_label_vote,
         # ITERATIVE BPE trainer: merges interact round over round
         "bpe_train_merges": textops.bpe_train_merges,
+        # which fingerprint family finds which pairs (ensemble audit)
+        "dedup_detector_matrix": dedup.dedup_detector_matrix,
     }
     # The r05 driver window (first 50) — see the docstring for the policy.
     window = [
@@ -3760,6 +3762,31 @@ def oracle_sql() -> dict[str, str]:
                n_votes::BIGINT AS n_votes, true_label::BIGINT AS true_label,
                (label = true_label) AS correct
         FROM best
+    """
+    # Detector-ensemble matrix COMPOSED from all four pair oracles —
+    # membership bits summed per pair, histogrammed per combination.
+    oracles["dedup_detector_matrix"] = f"""
+        WITH u AS (
+          SELECT id_a, id_b, 1 AS bit FROM ({oracles["dedup_minhash_lsh"]})
+          UNION ALL
+          SELECT id_a, id_b, 2 AS bit FROM ({oracles["dedup_simhash_pairs"]})
+          UNION ALL
+          SELECT id_a, id_b, 4 AS bit FROM ({oracles["dedup_ngram_jaccard"]})
+          UNION ALL
+          SELECT id_a, id_b, 8 AS bit FROM ({oracles["winnowing_overlap_pairs"]})
+        ),
+        mk AS (SELECT id_a, id_b, sum(bit)::BIGINT AS mask
+               FROM u GROUP BY 1, 2)
+        SELECT mask,
+               (mask & 1 > 0) AS in_minhash,
+               (mask & 2 > 0) AS in_simhash,
+               (mask & 4 > 0) AS in_ngram,
+               (mask & 8 > 0) AS in_winnow,
+               ((mask & 1 > 0)::INT + (mask & 2 > 0)::INT
+                + (mask & 4 > 0)::INT + (mask & 8 > 0)::INT)::BIGINT
+                   AS n_detectors,
+               count(*) AS n_pairs
+        FROM mk GROUP BY mask
     """
     # Iterative BPE trainer replayed as an unrolled CTE chain (the Lloyd's
     # replay pattern): per round — pair counts over the current

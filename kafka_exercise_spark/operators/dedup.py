@@ -1514,3 +1514,61 @@ def split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(n_neardup_leak * 1000000) div n_docs").alias("neardup_ppm"),
         F.expr("(n_winnow_leak * 1000000) div n_docs").alias("winnow_ppm"),
     )
+
+
+#: Detector bits for the ensemble matrix.
+DETECTOR_BITS = (
+    ("minhash", 1),
+    ("simhash", 2),
+    ("ngram", 4),
+    ("winnow", 8),
+)
+
+
+def dedup_detector_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup detector ENSEMBLE audit: which of the four fingerprinting
+    families (MinHash-LSH set resemblance, SimHash bit signature,
+    df-bounded n-gram Jaccard, winnowing substring overlap) surfaces
+    which verified pairs — the coverage/agreement matrix an owner reads
+    before deciding which detectors a 100 TB dedup run actually needs
+    (pairs only one family finds are that family's unique recall;
+    all-four pairs are budget spent four times).
+
+    One row per detector-combination bitmask with the pair count and
+    decoded membership flags. Cost: the four pair pipelines — every one
+    of which reads session-memoized frames (LSH pair table, hashed
+    shingles, winnow postings, persisted simhash signatures), so the
+    matrix adds only the union + two small groupBys on top of work the
+    dedup family has already paid. All counts exact integers.
+    """
+    frames = {
+        "minhash": dedup_minhash_lsh(spark, sf_dir),
+        "simhash": dedup_simhash_pairs(spark, sf_dir),
+        "ngram": dedup_ngram_jaccard(spark, sf_dir),
+        "winnow": winnowing_overlap_pairs(spark, sf_dir),
+    }
+    u = None
+    for name, bit in DETECTOR_BITS:
+        part = frames[name].select(
+            "id_a", "id_b", F.lit(bit).alias("bit")
+        )
+        u = part if u is None else u.union(part)
+    mask = u.groupBy("id_a", "id_b").agg(F.sum("bit").alias("mask"))
+    flags = [
+        (F.col("mask").bitwiseAND(F.lit(bit)) > 0).alias(f"in_{name}")
+        for name, bit in DETECTOR_BITS
+    ]
+    n_det = None
+    for name, bit in DETECTOR_BITS:
+        c = (F.col("mask").bitwiseAND(F.lit(bit)) > 0).cast("int")
+        n_det = c if n_det is None else n_det + c
+    return (
+        mask.groupBy("mask")
+        .agg(F.count("*").alias("n_pairs"))
+        .select(
+            F.col("mask").cast("long").alias("mask"),
+            *flags,
+            n_det.cast("long").alias("n_detectors"),
+            "n_pairs",
+        )
+    )

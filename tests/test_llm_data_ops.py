@@ -1586,3 +1586,31 @@ def test_bpe_train_merges_matches_pure_python_replay(spark, sf_dir):
     assert [r for r, *_ in got] == list(range(1, textops.BPE_TRAIN_ROUNDS + 1))
     assert len({p for _, p, _, _ in got}) == len(got)
     assert all(f > 0 for *_, f in got)
+
+
+def test_detector_matrix_is_exact_union_histogram(spark, sf_dir):
+    """The matrix must be exactly the histogram of per-pair membership
+    bitmasks recomputed from the four pair frames in Python."""
+    from collections import Counter
+
+    from kafka_exercise_spark.operators import dedup
+
+    sets = {
+        1: {(r.id_a, r.id_b) for r in dedup.dedup_minhash_lsh(spark, sf_dir).collect()},
+        2: {(r.id_a, r.id_b) for r in dedup.dedup_simhash_pairs(spark, sf_dir).collect()},
+        4: {(r.id_a, r.id_b) for r in dedup.dedup_ngram_jaccard(spark, sf_dir).collect()},
+        8: {(r.id_a, r.id_b) for r in dedup.winnowing_overlap_pairs(spark, sf_dir).collect()},
+    }
+    masks: Counter = Counter()
+    for pair in set().union(*sets.values()):
+        masks[sum(bit for bit, ps in sets.items() if pair in ps)] += 1
+    got = {
+        r.mask: r for r in dedup.dedup_detector_matrix(spark, sf_dir).collect()
+    }
+    assert {m: r.n_pairs for m, r in got.items()} == dict(masks)
+    for m, r in got.items():
+        assert r.in_minhash == bool(m & 1)
+        assert r.in_simhash == bool(m & 2)
+        assert r.in_ngram == bool(m & 4)
+        assert r.in_winnow == bool(m & 8)
+        assert r.n_detectors == bin(m).count("1")
