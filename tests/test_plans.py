@@ -415,3 +415,14 @@ def test_knn_vote_broadcasts_queries_single_shuffle(spark, sf_dir):
     assert broadcast_join_count(df) >= 1
     assert shuffle_exchange_count(df) == 1
     assert python_eval_count(df) == 0
+
+
+def test_log_compaction_single_key_shuffle(spark, sf_dir):
+    """Compaction = ONE shuffle on the key: the per-key count window
+    rides the ranked window's exchange (no groupBy + join-back)."""
+    from kafka_exercise_spark.operators import merge as m
+
+    df = m.log_compaction(spark, sf_dir)
+    assert shuffle_exchange_count(df) == 1
+    assert broadcast_join_count(df) == 0
+    assert python_eval_count(df) == 0
