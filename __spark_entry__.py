@@ -355,6 +355,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train_merges": textops.bpe_train_merges,
         # which fingerprint family finds which pairs (ensemble audit)
         "dedup_detector_matrix": dedup.dedup_detector_matrix,
+        # corpus-level novelty/boilerplate: per-doc shingle df profile
+        "text_novelty_score": dedup.text_novelty_score,
     }
     # The r05 driver window (first 50) — see the docstring for the policy.
     window = [
@@ -3762,6 +3764,25 @@ def oracle_sql() -> dict[str, str]:
                n_votes::BIGINT AS n_votes, true_label::BIGINT AS true_label,
                (label = true_label) AS correct
         FROM best
+    """
+    # Novelty/boilerplate: per-doc shingle-df profile over the shared
+    # shingle chain; mean df in centi and unique fraction in ppm via //.
+    oracles["text_novelty_score"] = f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS tok FROM documents),
+        s AS (SELECT doc_id, {_SHINGLES} AS sh FROM t),
+        h AS (SELECT doc_id, {_HSH} AS hb FROM s),
+        inv AS (SELECT doc_id, unnest(hb) AS sg FROM h),
+        dfc AS (SELECT sg, count(*) AS df FROM inv GROUP BY sg),
+        pd AS (SELECT doc_id, count(*)::BIGINT AS n_shingles,
+                      sum(df)::BIGINT AS sum_df,
+                      sum(CASE WHEN df = 1 THEN 1 ELSE 0 END)::BIGINT
+                          AS n_unique
+               FROM inv JOIN dfc USING (sg) GROUP BY doc_id)
+        SELECT doc_id, n_shingles, sum_df,
+               ((sum_df * 100) // n_shingles)::BIGINT AS mean_df_c100,
+               n_unique,
+               ((n_unique * 1000000) // n_shingles)::BIGINT AS unique_ppm
+        FROM pd
     """
     # Detector-ensemble matrix COMPOSED from all four pair oracles —
     # membership bits summed per pair, histogrammed per combination.

@@ -1572,3 +1572,45 @@ def dedup_detector_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_pairs",
         )
     )
+
+
+def text_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level novelty/boilerplate signals per document — the
+    complement of the within-doc repetition filters: how COMMON is this
+    doc's content across the whole corpus? High mean shingle document
+    frequency = templated/boilerplate text (candidate for down-weighting
+    or dedup); a high unique-shingle fraction = content the corpus has
+    nowhere else (fresh signal — or noise worth a quality look).
+
+    Signals per doc, all exact integers: distinct-shingle count, summed
+    corpus df over those shingles, mean df in centi (``div``), count of
+    corpus-unique shingles (df = 1), and the unique fraction in ppm.
+
+    Plan: the family-shared persisted hashed-shingle frame feeds both
+    the df census and the per-doc rollup — the corpus is NOT rescanned;
+    the only new work is one explode + groupBy(shingle) + join back on
+    the 8-byte hash + groupBy(doc). At 100 TB the df census is the same
+    artifact the n-gram dedup path already materializes.
+    """
+    docs = _hashed_shingles_frame(spark, sf_dir).select("doc_id", "hb")
+    inv = docs.select("doc_id", F.explode("hb").alias("s"))
+    dfc = inv.groupBy("s").agg(F.count("*").alias("df"))
+    per_doc = (
+        inv.join(dfc, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum("df").alias("sum_df"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_unique"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        F.col("n_shingles").cast("long").alias("n_shingles"),
+        F.col("sum_df").cast("long").alias("sum_df"),
+        F.expr("(sum_df * 100) div n_shingles").alias("mean_df_c100"),
+        "n_unique",
+        F.expr("(n_unique * 1000000) div n_shingles").alias("unique_ppm"),
+    )

@@ -1614,3 +1614,37 @@ def test_detector_matrix_is_exact_union_histogram(spark, sf_dir):
         assert r.in_ngram == bool(m & 4)
         assert r.in_winnow == bool(m & 8)
         assert r.n_detectors == bin(m).count("1")
+
+
+def test_novelty_score_hand_frame(spark):
+    """Two verbatim-duplicate docs share every shingle (n_unique=0,
+    mean df >= 2); a doc with content nowhere else in the corpus is
+    fully unique (unique_ppm = 1e6)."""
+    from kafka_exercise_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta alpha beta"),
+            (2, "alpha beta gamma delta alpha beta"),
+            (3, "zeta eta theta iota kappa"),
+        ],
+        "doc_id long, text string",
+    )
+    orig = dedup.load_table
+    dedup.load_table = lambda s, d, n: df
+    try:
+        out = {
+            r.doc_id: r
+            for r in dedup.text_novelty_score(spark, "novelty-hand").collect()
+        }
+    finally:
+        dedup.load_table = orig
+    for i in (1, 2):
+        assert out[i].n_unique == 0 and out[i].unique_ppm == 0
+        assert out[i].mean_df_c100 >= 200  # every shingle in both copies
+    r3 = out[3]
+    assert r3.n_unique == r3.n_shingles and r3.unique_ppm == 1_000_000
+    assert r3.mean_df_c100 == 100
+    for r in out.values():
+        assert r.unique_ppm == (r.n_unique * 1_000_000) // r.n_shingles
+        assert r.mean_df_c100 == (r.sum_df * 100) // r.n_shingles
