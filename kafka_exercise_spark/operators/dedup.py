@@ -1438,12 +1438,32 @@ def split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sp = assign.select("doc_id", "split")
 
-    train_fp = assign.filter(F.col("split") == "train").select("fp").distinct()
-    ev = assign.filter(F.col("split") != "train")
+    # exact tier in ONE text scan: group by fingerprint, flag train
+    # presence, and carry per-split eval counts — the semi-join
+    # formulation reads `text` twice (train side + eval side); this
+    # reads it once and reduces to the fp domain immediately
+    fpagg = assign.groupBy("fp").agg(
+        F.max(F.when(F.col("split") == "train", 1).otherwise(0)).alias(
+            "in_train"
+        ),
+        F.sum(F.when(F.col("split") == "valid", 1).otherwise(0)).alias(
+            "n_valid"
+        ),
+        F.sum(F.when(F.col("split") == "test", 1).otherwise(0)).alias("n_test"),
+    )
     exact = (
-        ev.join(train_fp, "fp", "left_semi")
-        .groupBy("split")
-        .agg(F.count("*").alias("n_exact_leak"))
+        fpagg.filter(F.col("in_train") == 1)
+        .agg(
+            F.sum("n_valid").alias("valid"),
+            F.sum("n_test").alias("test"),
+        )
+        .select(
+            F.explode(
+                F.create_map(
+                    F.lit("valid"), F.col("valid"), F.lit("test"), F.col("test")
+                )
+            ).alias("split", "n_exact_leak")
+        )
     )
 
     pairs = dedup_minhash_lsh(spark, sf_dir).select("id_a", "id_b")
