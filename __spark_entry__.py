@@ -334,7 +334,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_source_matrix": dedup.dedup_source_matrix,
         # ---- late r05 (past the window; lead the r06 window with these
         # per the established rotation policy — verify_local covers them
-        # at both sfs now) ----
+        # at both sfs now). ALSO owed an r06 driver row:
+        # quality_quantile_filter (r05 div swap deferred from the
+        # 50-slot r05 window). ----
         # packing-layout audit: per-shard fill + balance skew
         "pack_efficiency_report": sampling.pack_efficiency_report,
         # LSH S-curve: analytic banding probability vs measured pair mass
@@ -400,6 +402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_curation_gate",
         "curation_funnel_report",
         # r05 plan changes (broadcast-hint removals / unhinted joins)
+        "funnel_ordered",
         "tfidf_top_terms",
         "lm_unigram_score",
         "heavy_hitters_topk",
@@ -411,10 +414,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q8_market_share",
         "q9_product_profit",
         "q10_returned_items",
-        # r05 code+oracle div swaps (values identical, re-verify anyway)
+        # r05 code+oracle div swaps (values identical, re-verify anyway).
+        # quality_quantile_filter's identical-class div swap is DEFERRED to
+        # the r06 window (50-slot budget; verify_local covers it at both
+        # sfs this round) — list it with the late-r05 rotation below.
         "ivf_cells_report",
         "mixture_plan",
-        "quality_quantile_filter",
     ]
     assert len(window) == 50 and len(set(window)) == 50
     out = {k: all_q[k] for k in window}
@@ -3561,33 +3566,37 @@ def oracle_sql() -> dict[str, str]:
     # Winnowing (SIGMOD'03): char k-gram hashes -> window-minimum selection
     # -> df-bounded posting self-join. Counts and integer-// containment
     # only — no order-dependent folds, so list_distinct order differences
-    # across engines cannot matter.
+    # across engines cannot matter. The fingerprint chain is ONE macro
+    # shared with split_leakage_report's winnow tier so the two oracles
+    # can never fingerprint the same corpus differently.
+    _winnow_rare_ctes = f"""
+        wc AS (SELECT doc_id, {_CANON} AS canon FROM documents),
+        wh AS (SELECT doc_id,
+                      CASE WHEN len(canon) - {dedup.WINNOW_K} + 1 >= 1 THEN
+                        list_transform(
+                            generate_series(1, len(canon) - {dedup.WINNOW_K} + 1),
+                            i -> ('0x' || substr(md5(substr(canon, i,
+                                 {dedup.WINNOW_K})), 1, 15))::BIGINT)
+                      ELSE []::BIGINT[] END AS hs
+               FROM wc),
+        ws AS (SELECT doc_id,
+                      CASE WHEN len(hs) - {dedup.WINNOW_W} + 1 >= 1 THEN
+                             list_distinct(list_transform(
+                                 generate_series(1, len(hs) - {dedup.WINNOW_W} + 1),
+                                 j -> list_min(hs[j:j + {dedup.WINNOW_W} - 1])))
+                           WHEN len(hs) >= 1 THEN [list_min(hs)]
+                           ELSE []::BIGINT[] END AS sel
+               FROM wh),
+        winv AS (SELECT doc_id, unnest(sel) AS fp FROM ws),
+        wdfc AS (SELECT fp, count(*) AS dfq FROM winv GROUP BY fp),
+        wrare AS (SELECT winv.doc_id, winv.fp FROM winv JOIN wdfc USING (fp)
+                  WHERE dfq <= {dedup.WINNOW_DF_MAX})"""
     oracles["winnowing_overlap_pairs"] = f"""
-        WITH c AS (SELECT doc_id, {_CANON} AS canon FROM documents),
-        h AS (SELECT doc_id,
-                     CASE WHEN len(canon) - {dedup.WINNOW_K} + 1 >= 1 THEN
-                       list_transform(
-                           generate_series(1, len(canon) - {dedup.WINNOW_K} + 1),
-                           i -> ('0x' || substr(md5(substr(canon, i,
-                                {dedup.WINNOW_K})), 1, 15))::BIGINT)
-                     ELSE []::BIGINT[] END AS hs
-              FROM c),
-        s AS (SELECT doc_id,
-                     CASE WHEN len(hs) - {dedup.WINNOW_W} + 1 >= 1 THEN
-                            list_distinct(list_transform(
-                                generate_series(1, len(hs) - {dedup.WINNOW_W} + 1),
-                                j -> list_min(hs[j:j + {dedup.WINNOW_W} - 1])))
-                          WHEN len(hs) >= 1 THEN [list_min(hs)]
-                          ELSE []::BIGINT[] END AS sel
-              FROM h),
-        inv AS (SELECT doc_id, unnest(sel) AS fp FROM s),
-        dfc AS (SELECT fp, count(*) AS df FROM inv GROUP BY fp),
-        rare AS (SELECT inv.doc_id, inv.fp FROM inv JOIN dfc USING (fp)
-                 WHERE df <= {dedup.WINNOW_DF_MAX}),
-        rn AS (SELECT doc_id, count(*)::BIGINT AS n_fp FROM rare GROUP BY doc_id),
+        WITH {_winnow_rare_ctes},
+        rn AS (SELECT doc_id, count(*)::BIGINT AS n_fp FROM wrare GROUP BY doc_id),
         pc AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                       count(*)::BIGINT AS n_shared
-               FROM rare a JOIN rare b
+               FROM wrare a JOIN wrare b
                  ON a.fp = b.fp AND a.doc_id < b.doc_id
                GROUP BY 1, 2 HAVING count(*) >= {dedup.WINNOW_MIN_SHARED})
         SELECT id_a, id_b, n_shared,
@@ -3663,34 +3672,14 @@ def oracle_sql() -> dict[str, str]:
                    WHERE sb = 'train' AND sa <> 'train')),
         nd AS (SELECT split, count(*) AS n_neardup_leak
                FROM ndoc GROUP BY split),
-        c AS (SELECT doc_id, {_CANON} AS canon FROM documents),
-        wh AS (SELECT doc_id,
-                      CASE WHEN len(canon) - {dedup.WINNOW_K} + 1 >= 1 THEN
-                        list_transform(
-                            generate_series(1, len(canon) - {dedup.WINNOW_K} + 1),
-                            i -> ('0x' || substr(md5(substr(canon, i,
-                                 {dedup.WINNOW_K})), 1, 15))::BIGINT)
-                      ELSE []::BIGINT[] END AS hs
-               FROM c),
-        ws AS (SELECT doc_id,
-                      CASE WHEN len(hs) - {dedup.WINNOW_W} + 1 >= 1 THEN
-                             list_distinct(list_transform(
-                                 generate_series(1, len(hs) - {dedup.WINNOW_W} + 1),
-                                 j -> list_min(hs[j:j + {dedup.WINNOW_W} - 1])))
-                           WHEN len(hs) >= 1 THEN [list_min(hs)]
-                           ELSE []::BIGINT[] END AS sel
-               FROM wh),
-        winv AS (SELECT ws.doc_id, unnest(sel) AS fp, d.split
-                 FROM ws JOIN d ON d.doc_id = ws.doc_id),
-        wdfc AS (SELECT fp, count(*) AS dfq FROM winv GROUP BY fp),
-        wrare AS (SELECT winv.doc_id, winv.fp, winv.split
-                  FROM winv JOIN wdfc USING (fp)
-                  WHERE dfq <= {dedup.WINNOW_DF_MAX}),
-        wtfp AS (SELECT DISTINCT fp FROM wrare WHERE split = 'train'),
+        {_winnow_rare_ctes},
+        wsp AS (SELECT wrare.doc_id, wrare.fp, d.split
+                FROM wrare JOIN d ON d.doc_id = wrare.doc_id),
+        wtfp AS (SELECT DISTINCT fp FROM wsp WHERE split = 'train'),
         wper AS (SELECT doc_id, split, count(*) AS n_rare,
                         sum(CASE WHEN fp IN (SELECT fp FROM wtfp)
                                  THEN 1 ELSE 0 END) AS n_hit
-                 FROM wrare WHERE split <> 'train' GROUP BY 1, 2),
+                 FROM wsp WHERE split <> 'train' GROUP BY 1, 2),
         wl AS (SELECT split, count(*) AS n_winnow_leak FROM wper
                WHERE (n_hit * 1000000) // n_rare >= {dedup.SPLIT_LEAK_WINNOW_PPM}
                GROUP BY split),

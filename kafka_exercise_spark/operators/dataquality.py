@@ -304,7 +304,7 @@ def drift_report_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: battery top-to-bottom, and every replacement token is digit-free so a
 #: later pattern can never match inside an earlier redaction.
 PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
-    ("email", r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}", "<EMAIL>"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("phone", r"\b\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
     ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
     ("idnum", r"\b\d{9,}\b", "<ID>"),
@@ -326,6 +326,10 @@ def pii_scrub_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``regexp_replace`` chain, with the redacted text proven
     byte-identical across engines by its md5 — a value-level proof the
     scrub transformation itself matches, not just the counts.
+    ``chars_removed`` is a NET length delta: it can be ≤ 0 when a match
+    is at most as long as its replacement token (a 6-char email vs the
+    7-char ``<EMAIL>``) — the injected fixture PII is all longer than
+    its token, so the fixture rows stay strictly positive.
 
     Plan: map-only — one pruned (doc_id, text) scan, all regex work
     JVM-side inside whole-stage codegen, zero shuffles, no UDFs. At

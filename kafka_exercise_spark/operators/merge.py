@@ -234,11 +234,14 @@ def log_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     how many superseded records compaction dropped (the log-shrink
     audit a topic owner reads).
 
-    Scale shape: ONE shuffle on the key — the ranked window IS the
-    compaction pass, and Spark plans it as WindowGroupLimit so each map
-    task keeps only its per-key latest candidates before the exchange.
-    At 100 TB keys partition freely (no global order), exactly how
-    broker-side compaction scales by partition.
+    Scale shape: ONE shuffle on the key, shared by both window
+    functions (rank and per-key count — same partitioning, one
+    exchange). NB: the count window's presence blocks Spark's
+    InferWindowGroupLimit rewrite (it only fires on a Filter directly
+    above a lone rank window), so there is no map-side top-1 pruning
+    here — dropping the n_superseded audit column would enable it, a
+    documented trade. At 100 TB keys partition freely (no global
+    order), exactly how broker-side compaction scales by partition.
     """
     ev = load_table(spark, sf_dir, "events")
     us = F.unix_micros(F.col("ts"))

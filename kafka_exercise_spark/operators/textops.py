@@ -1345,6 +1345,11 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("freq").alias("f"))
         )
         top = cnt.orderBy(F.desc("f"), F.asc("pair")).first()
+        if top is None:
+            # degenerate corpus (single-char vocabulary, or fully merged
+            # before the round budget is spent): stop with the merges
+            # learned so far rather than indexing a missing row
+            break
         merged = top["pair"].replace(" ", "")
         rows.append((rnd, top["pair"], merged, int(top["f"])))
         seg = seg.withColumn(

@@ -214,8 +214,10 @@ def test_pii_scrub_detects_and_redacts_all_planted_pii(spark, sf_dir):
         assert r.n_ipv4 == (1 if did % 7 == 0 else 0)
         assert r.n_idnum == (1 if did % 11 == 0 else 0)
         assert r.n_pii == r.n_email + r.n_phone + r.n_ipv4 + r.n_idnum
-        # redaction strictly shrinks iff something was found (every
-        # replacement token is shorter than the shortest possible match)
+        # chars_removed is a NET delta; the invariant below holds for the
+        # FIXTURE because every injected string is longer than its token
+        # (a natural 6-char email vs the 7-char <EMAIL> would go negative
+        # — pinned in test_pii_chars_removed_is_a_net_delta)
         assert (r.chars_removed > 0) == (r.n_pii > 0)
 
 
@@ -244,3 +246,34 @@ def test_pii_battery_leaves_no_residual_matches(spark):
         for t in out.values():
             assert not re.search(pat, t), (pat, t)
     assert out[4] == "no pii here at all"
+
+
+def test_pii_chars_removed_is_a_net_delta(spark):
+    """Pin the documented edge: a 6-char email redacted by the 7-char
+    <EMAIL> token yields chars_removed = -1, and a MIXED-CASE email must
+    be caught (the battery shares textops.pii_redact's case class)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from kafka_exercise_spark.operators import dataquality as dq
+
+    probes = {1: "x a@b.co y", 2: "Contact John.Doe@Example.COM now"}
+    df = spark.createDataFrame(
+        list(probes.items()), "doc_id long, text string"
+    )
+    red = F.col("text")
+    for _, pat, repl in dq.PII_PATTERNS:
+        red = F.regexp_replace(red, pat, repl)
+    out = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id",
+            red.alias("r"),
+            (F.length("text") - F.length(red)).alias("delta"),
+        ).collect()
+    }
+    assert out[1].r == "x <EMAIL> y" and out[1].delta == -1
+    assert out[2].r == "Contact <EMAIL> now"
+    email_pat = dq.PII_PATTERNS[0][1]
+    assert re.search(email_pat, "John.Doe@Example.COM")

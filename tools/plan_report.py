@@ -88,7 +88,7 @@ SELECTED = [
     ("pii_scrub_report", "regex battery all map-side; the 1 shuffle is the fixture-parallelism rebalance"),
     ("split_leakage_report", "split = map-side expr; reads memoized pair + fp frames"),
     ("knn_label_vote", "query side broadcast; vote tail is nq x k rows"),
-    ("log_compaction", "ONE key shuffle; ranked window plans as WindowGroupLimit"),
+    ("log_compaction", "ONE key shuffle shared by rank + count windows"),
     ("dedup_detector_matrix", "union of memoized pair frames + 2 tiny groupBys"),
     # bpe_train_merges is deliberately absent: constructing its plan RUNS
     # the iterative fit (bounded per-round argmax collects), same exclusion

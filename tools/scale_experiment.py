@@ -74,6 +74,12 @@ QUERIES = {
     # pair-join families over the replicated customer/lineitem tables
     "er_fuzzy_pairs": entityres.er_fuzzy_pairs,  # delete-1 blocked join
     "basket_pair_rules": market.basket_pair_rules,  # within-basket pairs
+    # r05 additions — char-fingerprint posting join; iterative vocab fit
+    # (winnow fingerprints are disjoint across copies via the vocabulary
+    # rename, so pair structure replicates linearly; the BPE trainer's
+    # per-round cost tracks the ×k vocabulary, never the corpus)
+    "winnowing_overlap_pairs": dedup.winnowing_overlap_pairs,
+    "bpe_train_merges": textops.bpe_train_merges,
 }
 
 
