@@ -359,6 +359,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_detector_matrix": dedup.dedup_detector_matrix,
         # corpus-level novelty/boilerplate: per-doc shingle df profile
         "text_novelty_score": dedup.text_novelty_score,
+        # difficulty-banded curriculum schedule (easy->hard token ramp)
+        "curriculum_plan": textops.curriculum_plan,
     }
     # The r05 driver window (first 50) — see the docstring for the policy.
     window = [
@@ -3797,6 +3799,29 @@ def oracle_sql() -> dict[str, str]:
                    AS n_detectors,
                count(*) AS n_pairs
         FROM mk GROUP BY mask
+    """
+    # Curriculum schedule COMPOSED from the LM-score oracle: fixed-width
+    # micro-nat bands (never ntile), cumulative window over the band frame.
+    oracles["curriculum_plan"] = f"""
+        WITH s AS (SELECT doc_id, n_tokens,
+                          round(cross_entropy_nats
+                                * {textops.LM_COST_SCALE})::BIGINT AS ce_unat
+                   FROM ({oracles["lm_unigram_score"]})),
+        b AS (SELECT ce_unat // {textops.CURRICULUM_BAND_UNAT} AS band,
+                     count(*)::BIGINT AS n_docs,
+                     sum(n_tokens)::BIGINT AS tokens
+              FROM s GROUP BY 1),
+        c AS (SELECT *,
+                     sum(tokens) OVER (ORDER BY band
+                         ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_tokens,
+                     sum(tokens) OVER ()::BIGINT AS total_tokens
+              FROM b)
+        SELECT band,
+               (band * {textops.CURRICULUM_BAND_UNAT})::BIGINT AS ce_lo_unat,
+               n_docs, tokens, cum_tokens,
+               ((cum_tokens * 1000000) // total_tokens)::BIGINT
+                   AS cum_share_ppm
+        FROM c
     """
     # Iterative BPE trainer replayed as an unrolled CTE chain (the Lloyd's
     # replay pattern): per round — pair counts over the current

@@ -1365,3 +1365,57 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "round long, pair string, merged string, freq long"
     )
+
+
+#: Curriculum band width in integer micro-nats of unigram cross-entropy.
+CURRICULUM_BAND_UNAT = 50_000
+
+
+def curriculum_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-learning schedule over the corpus: band every document
+    by LM difficulty (unigram cross-entropy — the standard cheap
+    difficulty proxy), order bands easy→hard, and report per phase the
+    doc count, token mass, cumulative tokens, and cumulative share — the
+    sheet a training job consumes to feed easy data first and ramp.
+
+    Banding is a fixed-width integer floor over micro-nats
+    (``CURRICULUM_BAND_UNAT``), NEVER an ntile — quantile banding is a
+    single-task global sort at 100 TB, while a fixed grid is a map-side
+    expression (the same argument as classifier_calibration_report).
+    The cumulative window runs over the ≤ dozens-of-bands frame, not the
+    corpus. Exactness: micro-nats recover the scorer's integer exactly
+    (round(ce·10⁶) of the same double in both engines), and every ratio
+    is integer ``div``.
+    """
+    scored = lm_unigram_score(spark, sf_dir).select(
+        "doc_id",
+        "n_tokens",
+        F.round(F.col("cross_entropy_nats") * LM_COST_SCALE)
+        .cast("long")
+        .alias("ce_unat"),
+    )
+    banded = scored.select(
+        "n_tokens", F.expr(f"ce_unat div {CURRICULUM_BAND_UNAT}").alias("band")
+    )
+    per_band = banded.groupBy("band").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("tokens"),
+    )
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    w = Window.orderBy("band").rowsBetween(Window.unboundedPreceding, 0)
+    total = per_band.agg(F.sum("tokens").alias("total_tokens"))
+    return (
+        per_band.withColumn("cum_tokens", F.sum("tokens").over(w))
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("band").cast("long").alias("band"),
+            (F.col("band") * CURRICULUM_BAND_UNAT).cast("long").alias("ce_lo_unat"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("tokens").cast("long").alias("tokens"),
+            F.col("cum_tokens").cast("long").alias("cum_tokens"),
+            F.expr("(cum_tokens * 1000000) div total_tokens").alias(
+                "cum_share_ppm"
+            ),
+        )
+    )

@@ -1648,3 +1648,30 @@ def test_novelty_score_hand_frame(spark):
     for r in out.values():
         assert r.unique_ppm == (r.n_unique * 1_000_000) // r.n_shingles
         assert r.mean_df_c100 == (r.sum_df * 100) // r.n_shingles
+
+
+def test_curriculum_plan_is_consistent_with_lm_scores(spark, sf_dir):
+    """Recount the banding from the scorer's own output: band histogram,
+    running token sums, and the final cumulative share of exactly 1e6."""
+    from kafka_exercise_spark.operators import textops
+
+    scored = textops.lm_unigram_score(spark, sf_dir).collect()
+    bands: dict = {}
+    for r in scored:
+        b = round(r.cross_entropy_nats * textops.LM_COST_SCALE) // (
+            textops.CURRICULUM_BAND_UNAT
+        )
+        n, t = bands.get(b, (0, 0))
+        bands[b] = (n + 1, t + r.n_tokens)
+    rows = sorted(
+        textops.curriculum_plan(spark, sf_dir).collect(), key=lambda r: r.band
+    )
+    assert {r.band: (r.n_docs, r.tokens) for r in rows} == bands
+    cum = 0
+    total = sum(t for _, t in bands.values())
+    for r in rows:
+        cum += r.tokens
+        assert r.cum_tokens == cum
+        assert r.cum_share_ppm == (cum * 1_000_000) // total
+        assert r.ce_lo_unat == r.band * textops.CURRICULUM_BAND_UNAT
+    assert rows[-1].cum_share_ppm == 1_000_000
