@@ -1404,10 +1404,16 @@ def curriculum_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window  # noqa: PLC0415
 
     w = Window.orderBy("band").rowsBetween(Window.unboundedPreceding, 0)
-    total = per_band.agg(F.sum("tokens").alias("total_tokens"))
+    # total as a WHOLE-FRAME window, not an agg + crossJoin back: the agg
+    # branch re-evaluates the entire scorer subtree (the plan audit
+    # counted 18 exchanges — 2× the scorer's 7); both windows run over
+    # the tiny band frame in one single-partition pass
+    wall = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     return (
         per_band.withColumn("cum_tokens", F.sum("tokens").over(w))
-        .crossJoin(F.broadcast(total))
+        .withColumn("total_tokens", F.sum("tokens").over(wall))
         .select(
             F.col("band").cast("long").alias("band"),
             (F.col("band") * CURRICULUM_BAND_UNAT).cast("long").alias("ce_lo_unat"),

@@ -90,6 +90,8 @@ SELECTED = [
     ("knn_label_vote", "query side broadcast; vote tail is nq x k rows"),
     ("log_compaction", "ONE key shuffle shared by rank + count windows"),
     ("dedup_detector_matrix", "union of memoized pair frames + 2 tiny groupBys"),
+    ("text_novelty_score", "shared shingle frame; df census + per-doc rollup"),
+    ("curriculum_plan", "fixed micro-nat bands map-side; window over the band frame"),
     # bpe_train_merges is deliberately absent: constructing its plan RUNS
     # the iterative fit (bounded per-round argmax collects), same exclusion
     # class as the streaming replays.
