@@ -575,3 +575,67 @@ def test_log_compaction_kafka_contract(spark):
     assert out[(3, "buy")].value == 4.0 and out[(3, "buy")].n_superseded == 1
     r4 = out[(4, "err")]
     assert r4.last_event_id == 41 and r4.value == 6.0 and r4.n_superseded == 1
+
+
+def test_log_compaction_random_changelogs_match_python(spark):
+    """Seeded random changelogs (duplicate keys, ties, tombstones anywhere
+    in the sequence) must compact exactly like the trivially-correct
+    Python fold: keep the max-(us, event_id) record per key, drop keys
+    whose latest record is a tombstone, count supersedes."""
+    import datetime as dt
+    import random
+
+    from kafka_exercise_spark.operators import merge as m
+
+    rng = random.Random(20240815)
+    # tz-AWARE base so the python fold's epoch micros and Spark's
+    # UTC-session interpretation agree regardless of the host zone
+    t0 = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    for trial in range(3):
+        rows = []
+        for eid in range(200):
+            rows.append(
+                (
+                    eid,
+                    t0 + dt.timedelta(seconds=rng.randrange(50)),  # many ties
+                    rng.randrange(8),
+                    rng.choice(["a", "b", "c"]),
+                    round(rng.uniform(0.0, 10.0), 2),  # ~20% tombstones
+                    f"p{eid}",
+                )
+            )
+        expected = {}
+        counts = {}
+        for eid, ts, uid, et, v, p in rows:
+            us = int(ts.timestamp() * 1_000_000)
+            k = (uid, et)
+            counts[k] = counts.get(k, 0) + 1
+            best = expected.get(k)
+            if best is None or (us, eid) > (best[0], best[1]):
+                expected[k] = (us, eid, v, p)
+        want = {
+            k: (eid, v, p, us, counts[k] - 1)
+            for k, (us, eid, v, p) in expected.items()
+            if v >= m.TOMBSTONE_BELOW
+        }
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        )
+        orig = m.load_table
+        m.load_table = lambda s, d, n: df
+        try:
+            got = {
+                (r.user_id, r.event_type): (
+                    r.last_event_id,
+                    r.value,
+                    r.props,
+                    r.last_us,
+                    r.n_superseded,
+                )
+                for r in m.log_compaction(spark, f"rand-{trial}").collect()
+            }
+        finally:
+            m.load_table = orig
+        assert got == want, f"trial {trial}"
