@@ -361,6 +361,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_novelty_score": dedup.text_novelty_score,
         # difficulty-banded curriculum schedule (easy->hard token ramp)
         "curriculum_plan": textops.curriculum_plan,
+        # the vote tail over the SERVED IVF probe (the 100 TB shape)
+        "knn_label_vote_ivf": similarity.knn_label_vote_ivf,
     }
     # The r05 driver window (first 50) — see the docstring for the policy.
     window = [
@@ -3799,6 +3801,24 @@ def oracle_sql() -> dict[str, str]:
                    AS n_detectors,
                count(*) AS n_pairs
         FROM mk GROUP BY mask
+    """
+    # IVF-probed label vote COMPOSED from the IVF top-k oracle + labels.
+    oracles["knn_label_vote_ivf"] = f"""
+        WITH nb AS (SELECT query_id, neighbor_id
+                    FROM ({oracles["ann_ivf_topk"]})),
+        v AS (SELECT nb.query_id, e.label, count(*)::BIGINT AS n_votes
+              FROM nb JOIN embeddings e ON e.vec_id = nb.neighbor_id
+              GROUP BY 1, 2),
+        best AS (SELECT * FROM (
+                   SELECT *, row_number() OVER (PARTITION BY query_id
+                                                ORDER BY n_votes DESC,
+                                                         label ASC) AS vr
+                   FROM v)
+                 WHERE vr = 1)
+        SELECT b.query_id, b.label::BIGINT AS predicted_label, b.n_votes,
+               q.label::BIGINT AS true_label,
+               (b.label = q.label) AS correct
+        FROM best b JOIN embeddings q ON q.vec_id = b.query_id
     """
     # Curriculum schedule COMPOSED from the LM-score oracle: fixed-width
     # micro-nat bands (never ntile), cumulative window over the band frame.

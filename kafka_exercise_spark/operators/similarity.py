@@ -1482,3 +1482,46 @@ def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("label") == F.col("true_label")).alias("correct"),
         )
     )
+
+
+def knn_label_vote_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE-PATH twin of ``knn_label_vote``: the same majority-vote
+    tail over the SERVED IVF index's top-k (``ann_ivf_topk`` — 4/16
+    cells probed, ~25% of the corpus scanned) instead of the brute-force
+    scan. This is exactly how label propagation runs at 100 TB: the
+    expensive part is the ANN probe against the partition-pruned cell
+    files; the vote itself never changes shape (|queries|·k rows).
+
+    Output schema matches the exact variant, so disagreement between the
+    two IS the recall cost of the index — inspectable side by side with
+    ``ann_recall_report``. Deterministic end to end: the probe list is
+    the hash-checked IVF result; the (votes desc, label asc) winner rule
+    is shared.
+    """
+    nbrs = ann_ivf_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    emb = load_table(spark, sf_dir, "embeddings")
+    labels = emb.select("vec_id", F.col("label"))
+    q_labels = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("true_label"),
+    )
+    votes = (
+        nbrs.join(labels, nbrs.neighbor_id == labels.vec_id)
+        .groupBy("query_id", "label")
+        .agg(F.count("*").alias("n_votes"))
+    )
+    vw = Window.partitionBy("query_id").orderBy(
+        F.desc("n_votes"), F.asc("label")
+    )
+    return (
+        votes.withColumn("vr", F.row_number().over(vw))
+        .filter(F.col("vr") == 1)
+        .join(F.broadcast(q_labels), "query_id")
+        .select(
+            "query_id",
+            F.col("label").cast("long").alias("predicted_label"),
+            F.col("n_votes").cast("long").alias("n_votes"),
+            F.col("true_label").cast("long").alias("true_label"),
+            (F.col("label") == F.col("true_label")).alias("correct"),
+        )
+    )

@@ -1675,3 +1675,33 @@ def test_curriculum_plan_is_consistent_with_lm_scores(spark, sf_dir):
         assert r.cum_share_ppm == (cum * 1_000_000) // total
         assert r.ce_lo_unat == r.band * textops.CURRICULUM_BAND_UNAT
     assert rows[-1].cum_share_ppm == 1_000_000
+
+
+def test_knn_vote_ivf_matches_vote_over_probe_list(spark, sf_dir):
+    """The IVF vote must be exactly the majority vote recomputed in
+    Python over ann_ivf_topk's neighbor list (same tie rule)."""
+    from collections import Counter
+
+    from kafka_exercise_spark.catalog import load_table
+    from kafka_exercise_spark.operators import similarity as sim
+
+    labels = {
+        r.vec_id: r.label
+        for r in load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "label")
+        .collect()
+    }
+    probe: dict = {}
+    for r in sim.ann_ivf_topk(spark, sf_dir).collect():
+        probe.setdefault(r.query_id, []).append(r.neighbor_id)
+    got = {
+        r.query_id: r for r in sim.knn_label_vote_ivf(spark, sf_dir).collect()
+    }
+    assert set(got) == set(probe)
+    for q, nbrs in probe.items():
+        cnt = Counter(labels[n] for n in nbrs)
+        pred = min(cnt, key=lambda l: (-cnt[l], l))
+        r = got[q]
+        assert r.predicted_label == pred and r.n_votes == cnt[pred]
+        assert r.true_label == labels[q]
+        assert r.correct == (pred == labels[q])
