@@ -168,15 +168,16 @@ def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_exercise_spark.functions.text import shingles_all  # noqa: PLC0415
 
     docs = scale_partitions(load_table(spark, sf_dir, "documents"), spark)
-    tok = tokens(F.col("text"))
-    # materialize each shingle array ONCE behind a projection barrier:
-    # inlining g2/g3 into the final select re-evaluates the full
-    # tokenize+n-gram tree per reference (size + 2 dup_frac uses each) —
-    # measured 2.6s -> 1.7s at sf0.1 with the barrier
-    step = docs.select(
+    # TWO projection barriers: tok first (the index-based shingle
+    # transform otherwise re-tokenizes per element — O(len²) per doc),
+    # then each shingle array ONCE (inlining g2/g3 into the final select
+    # re-evaluates the n-gram tree per reference; measured 2.6s -> 1.7s
+    # at sf0.1 for that half alone)
+    with_tok = docs.select("doc_id", tokens(F.col("text")).alias("tok"))
+    step = with_tok.select(
         "doc_id",
-        shingles_all(tok, 2).alias("g2"),
-        shingles_all(tok, 3).alias("g3"),
+        shingles_all(F.col("tok"), 2).alias("g2"),
+        shingles_all(F.col("tok"), 3).alias("g3"),
     )
 
     def dup_frac(g: F.Column) -> F.Column:
@@ -243,9 +244,12 @@ def corpus_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_exercise_spark.functions.text import shingles_all  # noqa: PLC0415
 
     docs = scale_partitions(load_table(spark, sf_dir, "documents"), spark)
-    g2 = shingles_all(tokens(F.col("text")), 2)
+    # token projection barrier (see quality_repetition): the shingle
+    # transform must index a materialized array, not re-tokenize per index
+    with_tok = docs.select(tokens(F.col("text")).alias("tok"))
+    g2 = shingles_all(F.col("tok"), 2)
     return (
-        docs.select(F.explode(g2).alias("ngram"))
+        with_tok.select(F.explode(g2).alias("ngram"))
         .groupBy("ngram")
         .agg(F.count("*").alias("n_occurrences"))
         .orderBy(F.col("n_occurrences").desc(), F.col("ngram"))
@@ -1331,7 +1335,9 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     rows = []
     for rnd in range(1, BPE_TRAIN_ROUNDS + 1):
-        sy = F.split(F.col("seg"), " ")
+        # symbol array behind a projection barrier — indexing a
+        # materialized array, never re-splitting per pair index
+        sy = F.col("sy")
         pair_arr = F.when(
             F.size(sy) >= 2,
             F.transform(
@@ -1340,7 +1346,8 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).otherwise(F.array().cast("array<string>"))
         cnt = (
-            seg.select("freq", F.explode(pair_arr).alias("pair"))
+            seg.select("freq", F.split(F.col("seg"), " ").alias("sy"))
+            .select("freq", F.explode(pair_arr).alias("pair"))
             .groupBy("pair")
             .agg(F.sum("freq").alias("f"))
         )
