@@ -363,6 +363,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curriculum_plan": textops.curriculum_plan,
         # the vote tail over the SERVED IVF probe (the 100 TB shape)
         "knn_label_vote_ivf": similarity.knn_label_vote_ivf,
+        # per-rule ablation of the Gopher battery (filter tuning sheet)
+        "quality_ablation_report": textops.quality_ablation_report,
     }
     # The r05 driver window (first 50) — see the docstring for the policy.
     window = [
@@ -3819,6 +3821,28 @@ def oracle_sql() -> dict[str, str]:
                q.label::BIGINT AS true_label,
                (b.label = q.label) AS correct
         FROM best b JOIN embeddings q ON q.vec_id = b.query_id
+    """
+    # Per-rule ablation COMPOSED from the Gopher oracle: exact-token
+    # membership via delimiter wrapping, one 6-group aggregate.
+    _rules_arr = "['" + "', '".join(textops.GOPHER_RULES) + "']"
+    oracles["quality_ablation_report"] = f"""
+        WITH g AS (SELECT reject_reasons
+                   FROM ({oracles["gopher_quality_filter"]})),
+        x AS (SELECT g.reject_reasons,
+                     (',' || g.reject_reasons || ',') AS wrapped,
+                     unnest({_rules_arr}) AS rule
+              FROM g)
+        SELECT rule,
+               count(*)::BIGINT AS n_docs,
+               sum((reject_reasons <> '')::INT)::BIGINT AS n_rejected,
+               sum(contains(wrapped, ',' || rule || ',')::INT)::BIGINT
+                   AS n_flagged,
+               sum((reject_reasons = rule)::INT)::BIGINT AS n_sole,
+               ((sum(contains(wrapped, ',' || rule || ',')::INT) * 1000000)
+                // count(*))::BIGINT AS flagged_ppm,
+               ((sum((reject_reasons = rule)::INT) * 1000000)
+                // count(*))::BIGINT AS sole_ppm
+        FROM x GROUP BY rule
     """
     # Curriculum schedule COMPOSED from the LM-score oracle: fixed-width
     # micro-nat bands (never ntile), cumulative window over the band frame.

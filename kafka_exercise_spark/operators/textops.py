@@ -1432,3 +1432,56 @@ def curriculum_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+#: The Gopher battery's rule tags, in battery order — MUST mirror the
+#: literals in ``gopher_quality_filter``'s reasons builder (pinned by
+#: test_quality_ablation_tags_match_battery).
+GOPHER_RULES = (
+    "too_few_words",
+    "too_many_words",
+    "word_length",
+    "non_alpha",
+    "symbols",
+    "stopwords",
+)
+
+
+def quality_ablation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-rule ablation of the Gopher battery — the filter-tuning
+    diagnostic: for each rule, how many documents does it flag at all
+    (``n_flagged``), and how many does it REJECT SOLELY (``n_sole`` — the
+    docs that come back if just this rule is dropped)? A rule with high
+    n_flagged but near-zero n_sole is redundant with the rest of the
+    battery; a rule carrying large n_sole is the one actually shaping
+    the corpus and deserves threshold scrutiny.
+
+    One pass over the battery output (which is itself one map-only
+    scan): per doc, explode the fixed 6-rule list with membership flags
+    computed from the comma-joined reasons string (exact-token match via
+    delimiter wrapping), then a 6-group aggregate. All integers; rates
+    in ppm via ``div``.
+    """
+    g = gopher_quality_filter(spark, sf_dir).select("reject_reasons")
+    wrapped = F.concat(F.lit(","), F.col("reject_reasons"), F.lit(","))
+    per_rule = g.select(
+        "reject_reasons",
+        wrapped.alias("wrapped"),
+        F.explode(F.array(*[F.lit(r) for r in GOPHER_RULES])).alias("rule"),
+    ).select(
+        "rule",
+        F.col("wrapped")
+        .contains(F.concat(F.lit(","), F.col("rule"), F.lit(",")))
+        .cast("int")
+        .alias("flagged"),
+        (F.col("reject_reasons") == F.col("rule")).cast("int").alias("sole"),
+        (F.col("reject_reasons") != "").cast("int").alias("rejected"),
+    )
+    return per_rule.groupBy("rule").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("rejected").cast("long").alias("n_rejected"),
+        F.sum("flagged").cast("long").alias("n_flagged"),
+        F.sum("sole").cast("long").alias("n_sole"),
+        F.expr("(sum(flagged) * 1000000) div count(*)").alias("flagged_ppm"),
+        F.expr("(sum(sole) * 1000000) div count(*)").alias("sole_ppm"),
+    )

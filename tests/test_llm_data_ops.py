@@ -1705,3 +1705,33 @@ def test_knn_vote_ivf_matches_vote_over_probe_list(spark, sf_dir):
         assert r.predicted_label == pred and r.n_votes == cnt[pred]
         assert r.true_label == labels[q]
         assert r.correct == (pred == labels[q])
+
+
+def test_quality_ablation_tags_match_battery(spark, sf_dir):
+    """GOPHER_RULES must cover every tag the battery emits, and the
+    report's counts must equal a python recount over the battery output
+    (n_sole <= n_flagged, Σ n_sole <= n_rejected by definition)."""
+    from kafka_exercise_spark.operators import textops
+
+    reasons = [
+        r.reject_reasons
+        for r in textops.gopher_quality_filter(spark, sf_dir)
+        .select("reject_reasons")
+        .collect()
+    ]
+    emitted_tags = {t for s in reasons for t in s.split(",") if t}
+    assert emitted_tags <= set(textops.GOPHER_RULES)
+    got = {
+        r.rule: r
+        for r in textops.quality_ablation_report(spark, sf_dir).collect()
+    }
+    assert set(got) == set(textops.GOPHER_RULES)
+    n_rejected = sum(1 for s in reasons if s)
+    for rule in textops.GOPHER_RULES:
+        flagged = sum(1 for s in reasons if rule in s.split(","))
+        sole = sum(1 for s in reasons if s == rule)
+        r = got[rule]
+        assert (r.n_flagged, r.n_sole) == (flagged, sole)
+        assert r.n_docs == len(reasons) and r.n_rejected == n_rejected
+        assert r.n_sole <= r.n_flagged
+    assert sum(r.n_sole for r in got.values()) <= n_rejected
