@@ -365,6 +365,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_label_vote_ivf": similarity.knn_label_vote_ivf,
         # per-rule ablation of the Gopher battery (filter tuning sheet)
         "quality_ablation_report": textops.quality_ablation_report,
+        # filtered vector search: label-constrained top-k + over-fetch depth
+        "ann_filtered_topk": similarity.ann_filtered_topk,
     }
     # The r05 driver window (first 50) — see the docstring for the policy.
     window = [
@@ -3843,6 +3845,29 @@ def oracle_sql() -> dict[str, str]:
                ((sum((reject_reasons = rule)::INT) * 1000000)
                 // count(*))::BIGINT AS sole_ppm
         FROM x GROUP BY rule
+    """
+    # Filtered ANN: one scored pass, unfiltered + filtered ranks from two
+    # windows over the same partitioning; 9-dp/vec_id determinism rule.
+    oracles["ann_filtered_topk"] = f"""
+        WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb
+                   FROM embeddings),
+        q AS (SELECT vec_id AS query_id, label AS q_label, emb AS q_emb
+              FROM e WHERE vec_id < {similarity.N_QUERIES}),
+        sc AS (SELECT q.query_id, q.q_label, e.vec_id, e.label,
+                      round(list_cosine_similarity(e.emb, q.q_emb), 9) AS c
+               FROM e CROSS JOIN q WHERE e.vec_id >= {similarity.N_QUERIES}),
+        r AS (SELECT *,
+                     (label = q_label) AS match,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY c DESC, vec_id ASC)
+                         AS global_rank,
+                     row_number() OVER (PARTITION BY query_id,
+                                                     (label = q_label)
+                                        ORDER BY c DESC, vec_id ASC) AS rk
+              FROM sc)
+        SELECT query_id, vec_id AS neighbor_id, round(c, 6) AS cos,
+               rk AS "rank", global_rank
+        FROM r WHERE match AND rk <= {similarity.TOP_K}
     """
     # Curriculum schedule COMPOSED from the LM-score oracle: fixed-width
     # micro-nat bands (never ntile), cumulative window over the band frame.

@@ -1525,3 +1525,49 @@ def knn_label_vote_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("label") == F.col("true_label")).alias("correct"),
         )
     )
+
+
+def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search — top-k under a metadata predicate (here:
+    candidates sharing the query's label), the operation every vector
+    store struggles with at scale. Emits, per surviving neighbor, BOTH
+    its filtered rank and its rank in the UNFILTERED ordering
+    (``global_rank``): the k-th filtered neighbor's global rank IS the
+    over-fetch factor a post-filter strategy must use, so this one frame
+    quantifies pre-filter vs post-filter for the corpus — the sizing
+    number a filtered-ANN deployment needs before choosing a strategy.
+
+    One scored pass (query side broadcast, corpus unshuffled), then two
+    ranked windows over the SAME query_id partitioning — one exchange
+    total. Ranking rounds to 9 dp with vec_id tie-break (the family's
+    determinism rule); a full value-hash oracle replays it.
+    """
+    emb = _embeddings_double(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("emb").alias("q_emb"),
+    )
+    scored = (
+        emb.join(F.broadcast(q), F.col("vec_id") >= N_QUERIES)
+        .withColumn("c", F.round(cosine(F.col("emb"), F.col("q_emb")), 9))
+    )
+    wg = Window.partitionBy("query_id").orderBy(F.desc("c"), F.asc("vec_id"))
+    wf = Window.partitionBy("query_id", "match").orderBy(
+        F.desc("c"), F.asc("vec_id")
+    )
+    ranked = (
+        scored.withColumn("match", (F.col("label") == F.col("q_label")))
+        .withColumn("global_rank", F.row_number().over(wg))
+        .withColumn("rk", F.row_number().over(wf))
+    )
+    return (
+        ranked.filter(F.col("match") & (F.col("rk") <= TOP_K))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(F.col("c"), 6).alias("cos"),
+            F.col("rk").cast("long").alias("rank"),
+            F.col("global_rank").cast("long").alias("global_rank"),
+        )
+    )

