@@ -3809,7 +3809,8 @@ def oracle_sql() -> dict[str, str]:
     # IVF-probed label vote COMPOSED from the IVF top-k oracle + labels.
     oracles["knn_label_vote_ivf"] = f"""
         WITH nb AS (SELECT query_id, neighbor_id
-                    FROM ({oracles["ann_ivf_topk"]})),
+                    FROM ({oracles["ann_ivf_topk"]})
+                    WHERE neighbor_id >= {similarity.N_QUERIES}),
         v AS (SELECT nb.query_id, e.label, count(*)::BIGINT AS n_votes
               FROM nb JOIN embeddings e ON e.vec_id = nb.neighbor_id
               GROUP BY 1, 2),

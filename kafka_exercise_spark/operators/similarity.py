@@ -1424,6 +1424,33 @@ def ann_index_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
 KNN_K = 10
 
 
+def _vote_tail(nbr_labeled: DataFrame, q_labels: DataFrame) -> DataFrame:
+    """THE majority-vote tail shared by both kNN vote entries: count
+    votes per (query, label), pick the (n_votes desc, label asc) winner,
+    join the query's true label, emit the family's fixed schema — one
+    definition so the exact and IVF variants can never drift on the tie
+    rule or casts. Inputs: (query_id, label) neighbor rows; (query_id,
+    true_label) per query."""
+    votes = nbr_labeled.groupBy("query_id", "label").agg(
+        F.count("*").alias("n_votes")
+    )
+    vw = Window.partitionBy("query_id").orderBy(
+        F.desc("n_votes"), F.asc("label")
+    )
+    return (
+        votes.withColumn("vr", F.row_number().over(vw))
+        .filter(F.col("vr") == 1)
+        .join(F.broadcast(q_labels), "query_id")
+        .select(
+            "query_id",
+            F.col("label").cast("long").alias("predicted_label"),
+            F.col("n_votes").cast("long").alias("n_votes"),
+            F.col("true_label").cast("long").alias("true_label"),
+            (F.col("label") == F.col("true_label")).alias("correct"),
+        )
+    )
+
+
 def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-nearest-neighbor label vote over the embedding corpus — the
     label-propagation primitive of a training-data pipeline (weak
@@ -1460,27 +1487,14 @@ def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    scored = pool.join(F.broadcast(q)).withColumn("d2", d2)
+    scored = pool.join(F.broadcast(q.drop("true_label"))).withColumn("d2", d2)
     w = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("vec_id"))
     top = scored.withColumn("rk", F.row_number().over(w)).filter(
         F.col("rk") <= KNN_K
     )
-    votes = top.groupBy("query_id", "true_label", "label").agg(
-        F.count("*").alias("n_votes")
-    )
-    vw = Window.partitionBy("query_id").orderBy(
-        F.desc("n_votes"), F.asc("label")
-    )
-    return (
-        votes.withColumn("vr", F.row_number().over(vw))
-        .filter(F.col("vr") == 1)
-        .select(
-            "query_id",
-            F.col("label").cast("long").alias("predicted_label"),
-            F.col("n_votes").cast("long").alias("n_votes"),
-            F.col("true_label").cast("long").alias("true_label"),
-            (F.col("label") == F.col("true_label")).alias("correct"),
-        )
+    return _vote_tail(
+        top.select("query_id", "label"),
+        q.select("query_id", "true_label"),
     )
 
 
@@ -1492,11 +1506,14 @@ def knn_label_vote_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     expensive part is the ANN probe against the partition-pruned cell
     files; the vote itself never changes shape (|queries|·k rows).
 
-    Output schema matches the exact variant, so disagreement between the
-    two IS the recall cost of the index — inspectable side by side with
-    ``ann_recall_report``. Deterministic end to end: the probe list is
-    the hash-checked IVF result; the (votes desc, label asc) winner rule
-    is shared.
+    Output schema matches the exact variant, and the vote/tie-break tail
+    is the SHARED ``_vote_tail`` (drift-proof by construction). Held-out
+    convention also shared: other query vectors are excluded from the
+    probe list before voting. NB the two entries are not a pure recall
+    comparison — the IVF probe ranks by 9-dp cosine while the exact
+    variant ranks by integer squared L2, so on unnormalized embeddings
+    they can legitimately pick different neighbors even at recall 1.0;
+    recall itself is measured like-for-like in ``ann_recall_report``.
     """
     nbrs = ann_ivf_topk(spark, sf_dir).select("query_id", "neighbor_id")
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1505,26 +1522,12 @@ def knn_label_vote_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("true_label"),
     )
-    votes = (
-        nbrs.join(labels, nbrs.neighbor_id == labels.vec_id)
-        .groupBy("query_id", "label")
-        .agg(F.count("*").alias("n_votes"))
+    nbr_labeled = (
+        nbrs.filter(F.col("neighbor_id") >= N_QUERIES)
+        .join(labels, nbrs.neighbor_id == labels.vec_id)
+        .select("query_id", "label")
     )
-    vw = Window.partitionBy("query_id").orderBy(
-        F.desc("n_votes"), F.asc("label")
-    )
-    return (
-        votes.withColumn("vr", F.row_number().over(vw))
-        .filter(F.col("vr") == 1)
-        .join(F.broadcast(q_labels), "query_id")
-        .select(
-            "query_id",
-            F.col("label").cast("long").alias("predicted_label"),
-            F.col("n_votes").cast("long").alias("n_votes"),
-            F.col("true_label").cast("long").alias("true_label"),
-            (F.col("label") == F.col("true_label")).alias("correct"),
-        )
-    )
+    return _vote_tail(nbr_labeled, q_labels)
 
 
 def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

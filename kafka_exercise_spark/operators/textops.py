@@ -779,20 +779,21 @@ def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("symbol_ppm"),
         "n_stop_distinct",
     )
+    # conditions keyed by GOPHER_RULES — the battery EMITS exactly those
+    # tags in that order, so quality_ablation_report's rule list can
+    # never drift from the battery (single source of truth, asserted)
+    conditions = {
+        "too_few_words": F.col("n_words") < GOPHER_MIN_WORDS,
+        "too_many_words": F.col("n_words") > GOPHER_MAX_WORDS,
+        "word_length": (F.col("mean_word_c100") < GOPHER_MIN_MEAN_WORD_C100)
+        | (F.col("mean_word_c100") > GOPHER_MAX_MEAN_WORD_C100),
+        "non_alpha": F.col("alpha_ppm") < GOPHER_MIN_ALPHA_PPM,
+        "symbols": F.col("symbol_ppm") > GOPHER_MAX_SYMBOL_PPM,
+        "stopwords": F.col("n_stop_distinct") < GOPHER_MIN_STOPWORDS,
+    }
+    assert set(conditions) == set(GOPHER_RULES)
     reasons = F.concat_ws(
-        ",",
-        F.when(F.col("n_words") < GOPHER_MIN_WORDS, F.lit("too_few_words")),
-        F.when(F.col("n_words") > GOPHER_MAX_WORDS, F.lit("too_many_words")),
-        F.when(
-            (F.col("mean_word_c100") < GOPHER_MIN_MEAN_WORD_C100)
-            | (F.col("mean_word_c100") > GOPHER_MAX_MEAN_WORD_C100),
-            F.lit("word_length"),
-        ),
-        F.when(F.col("alpha_ppm") < GOPHER_MIN_ALPHA_PPM, F.lit("non_alpha")),
-        F.when(F.col("symbol_ppm") > GOPHER_MAX_SYMBOL_PPM, F.lit("symbols")),
-        F.when(
-            F.col("n_stop_distinct") < GOPHER_MIN_STOPWORDS, F.lit("stopwords")
-        ),
+        ",", *[F.when(conditions[tag], F.lit(tag)) for tag in GOPHER_RULES]
     )
     return scored.withColumn("reject_reasons", reasons).withColumn(
         "keep", F.col("reject_reasons") == ""
@@ -1434,9 +1435,10 @@ def curriculum_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: The Gopher battery's rule tags, in battery order — MUST mirror the
-#: literals in ``gopher_quality_filter``'s reasons builder (pinned by
-#: test_quality_ablation_tags_match_battery).
+#: The Gopher battery's rule tags, in battery order — the SINGLE source
+#: of truth: ``gopher_quality_filter`` builds its reasons string from
+#: exactly these keys (asserted in the builder), so the ablation report
+#: cannot drift from the battery.
 GOPHER_RULES = (
     "too_few_words",
     "too_many_words",

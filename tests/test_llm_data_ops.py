@@ -1693,7 +1693,8 @@ def test_knn_vote_ivf_matches_vote_over_probe_list(spark, sf_dir):
     }
     probe: dict = {}
     for r in sim.ann_ivf_topk(spark, sf_dir).collect():
-        probe.setdefault(r.query_id, []).append(r.neighbor_id)
+        if r.neighbor_id >= sim.N_QUERIES:  # held-out convention
+            probe.setdefault(r.query_id, []).append(r.neighbor_id)
     got = {
         r.query_id: r for r in sim.knn_label_vote_ivf(spark, sf_dir).collect()
     }
@@ -1738,11 +1739,11 @@ def test_quality_ablation_tags_match_battery(spark, sf_dir):
 
 
 def test_ann_filtered_topk_contract(spark, sf_dir):
-    """Filtered search invariants: every neighbor shares the query's
-    label; filtered ranks are 1..k dense per query; global_rank >= rank
-    always (the filter can only push results deeper); and each query's
-    k-th global_rank equals the over-fetch depth recomputed from the
-    exact baseline ordering."""
+    """Filtered search invariants plus a FULL python recount: every
+    neighbor shares the query's label; filtered ranks are 1..k dense per
+    query; global_rank >= rank; and both rank columns equal a from-
+    scratch recount of the (round9(cos) desc, vec_id) ordering over the
+    collected embeddings."""
     from kafka_exercise_spark.catalog import load_table
     from kafka_exercise_spark.operators import similarity as sim
 
@@ -1767,3 +1768,29 @@ def test_ann_filtered_topk_contract(spark, sf_dir):
         # global ranks strictly increase with filtered rank
         grs = [r.global_rank for r in rs]
         assert grs == sorted(grs) and len(set(grs)) == len(grs)
+    # full recount of both orderings from the raw embeddings
+    import math
+
+    vecs = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb) if na * nb > 0 else 0.0
+
+    for q in range(sim.N_QUERIES):
+        order = sorted(
+            (v for v in vecs if v >= sim.N_QUERIES),
+            key=lambda v: (-round(cos(vecs[q], vecs[v]), 9), v),
+        )
+        grank = {v: i + 1 for i, v in enumerate(order)}
+        matches = [v for v in order if labels[v] == labels[q]]
+        expected = matches[: sim.TOP_K]
+        rs = sorted(per_q[q], key=lambda r: r.rank)
+        assert [r.neighbor_id for r in rs] == expected
+        for r in rs:
+            assert r.global_rank == grank[r.neighbor_id]
