@@ -355,6 +355,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_label_vote": similarity.knn_label_vote,
         # ITERATIVE BPE trainer: merges interact round over round
         "bpe_train_merges": textops.bpe_train_merges,
+        # apply the TRAINED merges to the corpus (tokenizer runtime shape)
+        "bpe_apply_trained": textops.bpe_apply_trained,
         # which fingerprint family finds which pairs (ensemble audit)
         "dedup_detector_matrix": dedup.dedup_detector_matrix,
         # corpus-level novelty/boilerplate: per-doc shingle df profile
@@ -3929,5 +3931,20 @@ def oracle_sql() -> dict[str, str]:
     )
     oracles["bpe_train_merges"] = (
         "WITH " + ",".join(_bpe_ctes) + "\n        " + _bpe_final
+    )
+    # apply the trained segmentation: the fit chain's final s{R} CTE IS
+    # the trained vocab — one join of the exploded corpus against it
+    oracles["bpe_apply_trained"] = (
+        "WITH " + ",".join(_bpe_ctes) + f""",
+        tr AS (SELECT word, len(string_split(seg, ' '))::BIGINT AS n_sym
+               FROM s{textops.BPE_TRAIN_ROUNDS}),
+        cw AS (SELECT source, unnest({_TOKS}) AS word FROM documents)
+        SELECT source, count(*)::BIGINT AS n_words,
+               sum(len(word))::BIGINT AS base_symbols,
+               sum(n_sym)::BIGINT AS trained_symbols,
+               ((sum(n_sym) * 1000000) // sum(len(word)))::BIGINT
+                   AS compression_ppm
+        FROM cw JOIN tr USING (word)
+        GROUP BY source"""
     )
     return oracles

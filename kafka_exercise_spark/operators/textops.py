@@ -1296,7 +1296,10 @@ def classifier_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame
 BPE_TRAIN_ROUNDS = 6
 
 
-def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+_BPE_FIT_MEMO: dict = register_memo({})
+
+
+def _bpe_fit(spark: SparkSession, sf_dir: str):
     """The ITERATIVE BPE trainer (Sennrich et al. 2016, alg. 1) — the real
     thing, where merges interact: each round counts adjacent-symbol pairs
     over the CURRENT segmentation, merges the argmax pair everywhere, and
@@ -1322,6 +1325,10 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     chain). All counts are exact integers; argmax tie-break is
     (freq desc, pair asc).
     """
+    evict_stale_memos(spark)
+    memo_key = (spark.sparkContext.applicationId, sf_dir)
+    if memo_key in _BPE_FIT_MEMO:
+        return _BPE_FIT_MEMO[memo_key]
     docs = scale_partitions(load_table(spark, sf_dir, "documents"), spark)
     vocab = (
         docs.select(F.explode(tokens(F.col("text"))).alias("word"))
@@ -1370,8 +1377,53 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ),
         ).localCheckpoint()
-    return spark.createDataFrame(
+    merges = spark.createDataFrame(
         rows, "round long, pair string, merged string, freq long"
+    )
+    _BPE_FIT_MEMO[memo_key] = (merges, seg)
+    return _BPE_FIT_MEMO[memo_key]
+
+
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See ``_bpe_fit`` — this entry returns the learned merge table."""
+    return _bpe_fit(spark, sf_dir)[0]
+
+
+def bpe_apply_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Close the train→apply loop: segment the corpus with the ITERATIVE
+    trainer's learned merges and report the compression per source,
+    side by side with the character baseline. Because the fit already
+    produced the final vocabulary segmentation (word → symbols after all
+    rounds), application is ONE broadcast-or-shuffle join of the
+    corpus's exploded words against the Heaps-sublinear vocab frame —
+    the trained tokenizer's runtime shape at 100 TB (the merge table
+    ships; the corpus streams).
+
+    All integers: per-source word count, character-symbol baseline,
+    trained symbol count, compression in ppm via ``div``. The oracle
+    replays the fit (the trainer's unrolled CTE chain) and the same
+    join.
+    """
+    _, seg = _bpe_fit(spark, sf_dir)
+    trained = seg.select(
+        "word", F.size(F.split(F.col("seg"), " ")).alias("n_sym")
+    )
+    docs = scale_partitions(load_table(spark, sf_dir, "documents"), spark)
+    words = docs.select(
+        "source", F.explode(tokens(F.col("text"))).alias("word")
+    )
+    return (
+        words.join(trained, "word")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum(F.length("word")).cast("long").alias("base_symbols"),
+            F.sum("n_sym").cast("long").alias("trained_symbols"),
+        )
+        .withColumn(
+            "compression_ppm",
+            F.expr("(trained_symbols * 1000000) div base_symbols"),
+        )
     )
 
 

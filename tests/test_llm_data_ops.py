@@ -1794,3 +1794,56 @@ def test_ann_filtered_topk_contract(spark, sf_dir):
         assert [r.neighbor_id for r in rs] == expected
         for r in rs:
             assert r.global_rank == grank[r.neighbor_id]
+
+
+def test_bpe_apply_trained_matches_python_fit_application(spark, sf_dir):
+    """Apply must equal the python fit's final segmentation joined to the
+    corpus: per-source word counts, char baseline, trained symbol sums."""
+    from pyspark.sql import functions as F
+
+    from kafka_exercise_spark.catalog import load_table
+    from kafka_exercise_spark.functions.text import tokens
+    from kafka_exercise_spark.operators import textops
+
+    word_rows = (
+        load_table(spark, sf_dir, "documents")
+        .select("source", F.explode(tokens(F.col("text"))).alias("word"))
+        .collect()
+    )
+    freqs: dict = {}
+    for r in word_rows:
+        freqs[r.word] = freqs.get(r.word, 0) + 1
+    segs = {w: " ".join(w) for w in freqs}
+    for _ in range(textops.BPE_TRAIN_ROUNDS):
+        cnt: dict = {}
+        for w, f in freqs.items():
+            sy = segs[w].split(" ")
+            for i in range(len(sy) - 1):
+                p = sy[i] + " " + sy[i + 1]
+                cnt[p] = cnt.get(p, 0) + f
+        if not cnt:
+            break
+        pair = min(cnt, key=lambda p: (-cnt[p], p))
+        merged = pair.replace(" ", "")
+        for w in segs:
+            segs[w] = (
+                (" " + segs[w] + " ").replace(f" {pair} ", f" {merged} ").strip()
+            )
+    expected: dict = {}
+    for r in word_rows:
+        n, b, t = expected.get(r.source, (0, 0, 0))
+        expected[r.source] = (
+            n + 1,
+            b + len(r.word),
+            t + len(segs[r.word].split(" ")),
+        )
+    got = {
+        r.source: r
+        for r in textops.bpe_apply_trained(spark, sf_dir).collect()
+    }
+    assert set(got) == set(expected)
+    for src, (n, b, t) in expected.items():
+        r = got[src]
+        assert (r.n_words, r.base_symbols, r.trained_symbols) == (n, b, t)
+        assert r.compression_ppm == (t * 1_000_000) // b
+        assert r.trained_symbols <= r.base_symbols  # merges only shrink
