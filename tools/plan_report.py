@@ -88,6 +88,8 @@ SELECTED = [
     ("pii_scrub_report", "regex battery all map-side; the 1 shuffle is the fixture-parallelism rebalance"),
     ("split_leakage_report", "split = map-side expr; reads memoized pair + fp frames"),
     ("knn_label_vote", "query side broadcast; vote tail is nq x k rows"),
+    ("ann_filtered_topk", "one scored pass; filtered + global ranks share one exchange"),
+    ("quality_ablation_report", "6-rule explode over the map-only battery; one agg"),
     ("log_compaction", "ONE key shuffle shared by rank + count windows"),
     ("dedup_detector_matrix", "union of memoized pair frames + 2 tiny groupBys"),
     ("text_novelty_score", "shared shingle frame; df census + per-doc rollup"),
