@@ -332,10 +332,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_calibration_report": textops.classifier_calibration_report,
         # source×source near-dup matrix: who copies from whom
         "dedup_source_matrix": dedup.dedup_source_matrix,
-        # ---- late r05 (past the window; lead the r06 window with these
-        # per the established rotation policy — verify_local covers them
-        # at both sfs now). ALSO owed an r06 driver row:
-        # quality_quantile_filter (r05 div swap deferred from the
+        # ---- late r05: EVERY entry from here to the end of this dict is
+        # past the r05 window — lead the r06 window with ALL of them (16
+        # entries) per the established rotation policy; verify_local
+        # covers each at both sfs this round. ALSO owed an r06 driver
+        # row: quality_quantile_filter (r05 div swap deferred from the
         # 50-slot r05 window). ----
         # packing-layout audit: per-shard fill + balance skew
         "pack_efficiency_report": sampling.pack_efficiency_report,
