@@ -370,6 +370,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_ablation_report": textops.quality_ablation_report,
         # filtered vector search: label-constrained top-k + over-fetch depth
         "ann_filtered_topk": similarity.ann_filtered_topk,
+        # duplicate groups over the winnowing pair graph (family symmetry)
+        "winnow_components": dedup.winnow_components,
     }
     # The r05 driver window (first 50) — see the docstring for the policy.
     window = [
@@ -3783,6 +3785,28 @@ def oracle_sql() -> dict[str, str]:
                n_unique,
                ((n_unique * 1000000) // n_shingles)::BIGINT AS unique_ppm
         FROM pd
+    """
+    # Winnow components: recursive reachability over the winnow pair
+    # oracle, same contraction tail as dedup_components.
+    oracles["winnow_components"] = f"""
+        WITH RECURSIVE p AS (SELECT id_a, id_b
+                             FROM ({oracles["winnowing_overlap_pairs"]})),
+        und AS (SELECT id_a AS src, id_b AS dst FROM p
+                UNION ALL
+                SELECT id_b, id_a FROM p),
+        reach AS (
+          SELECT src, dst FROM und
+          UNION
+          SELECT r.src, u.dst FROM reach r
+          JOIN und u ON r.dst = u.src
+          WHERE u.dst != r.src),
+        comp AS (
+          SELECT src AS doc_id, least(src, min(dst)) AS comp
+          FROM reach GROUP BY src)
+        SELECT doc_id, comp,
+               count(*) OVER (PARTITION BY comp) AS comp_size,
+               doc_id = comp AS is_survivor
+        FROM comp
     """
     # Detector-ensemble matrix COMPOSED from all four pair oracles —
     # membership bits summed per pair, histogrammed per combination.

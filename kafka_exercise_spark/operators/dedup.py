@@ -1646,3 +1646,16 @@ def text_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_unique",
         F.expr("(n_unique * 1000000) div n_shingles").alias("unique_ppm"),
     )
+
+
+def winnow_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate groups over the WINNOWING pair graph — the same
+    union-find contraction the MinHash and SemDeDup families feed,
+    applied to the substring-overlap detector: syndication chains (A
+    quotes B quotes C) become one component even when the chain's ends
+    share too little for a direct pair. Completes the detector-family
+    symmetry: every pair generator here ends in the same groups →
+    survivors step. Composition only — the pair frame is the memoized
+    winnow join, the contraction is ``_components_from_pairs``."""
+    pairs = winnowing_overlap_pairs(spark, sf_dir).select("id_a", "id_b")
+    return _components_from_pairs(spark, pairs, id_name="doc_id")
