@@ -333,7 +333,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # source×source near-dup matrix: who copies from whom
         "dedup_source_matrix": dedup.dedup_source_matrix,
         # ---- late r05: EVERY entry from here to the end of this dict is
-        # past the r05 window — lead the r06 window with ALL of them (16
+        # past the r05 window — lead the r06 window with ALL of them (17
         # entries) per the established rotation policy; verify_local
         # covers each at both sfs this round. ALSO owed an r06 driver
         # row: quality_quantile_filter (r05 div swap deferred from the
@@ -3931,24 +3931,30 @@ def oracle_sql() -> dict[str, str]:
         " i -> string_split(seg, ' ')[i] || ' ' || string_split(seg, ' ')[i + 1])"
         " ELSE []::VARCHAR[] END"
     )
+    # per-round CTEs MATERIALIZED: DuckDB inlines CTEs by default, and
+    # each round references its predecessor 3× (count guard + pair +
+    # merged) — 3^R replays without materialization (the documented
+    # iterative-oracle rule; the power-iteration chain hit the same)
     _bpe_ctes = [f"""
-        w AS (SELECT w AS word, count(*)::BIGINT AS freq
+        w AS MATERIALIZED (SELECT w AS word, count(*)::BIGINT AS freq
               FROM (SELECT unnest({_TOKS}) AS w FROM documents) GROUP BY 1),
-        s0 AS (SELECT word, freq,
+        s0 AS MATERIALIZED (SELECT word, freq,
                       trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS seg
                FROM w)"""]
     for _r in range(1, textops.BPE_TRAIN_ROUNDS + 1):
         _bpe_ctes.append(f"""
-        c{_r} AS (SELECT pair, sum(freq)::BIGINT AS f
+        c{_r} AS MATERIALIZED (SELECT pair, sum(freq)::BIGINT AS f
                   FROM (SELECT freq, unnest({_bpe_pairs}) AS pair
                         FROM s{_r - 1})
                   GROUP BY pair),
-        b{_r} AS (SELECT pair, replace(pair, ' ', '') AS merged, f
+        b{_r} AS MATERIALIZED (SELECT pair, replace(pair, ' ', '') AS merged, f
                   FROM c{_r} ORDER BY f DESC, pair ASC LIMIT 1),
-        s{_r} AS (SELECT word, freq,
-                         trim(replace(' ' || seg || ' ',
-                              (SELECT ' ' || pair || ' ' FROM b{_r}),
-                              (SELECT ' ' || merged || ' ' FROM b{_r}))) AS seg
+        s{_r} AS MATERIALIZED (SELECT word, freq,
+                         CASE WHEN (SELECT count(*) FROM b{_r}) = 0 THEN seg
+                              ELSE trim(replace(' ' || seg || ' ',
+                                   (SELECT ' ' || pair || ' ' FROM b{_r}),
+                                   (SELECT ' ' || merged || ' ' FROM b{_r})))
+                         END AS seg
                   FROM s{_r - 1})""")
     _bpe_final = "\n        UNION ALL ".join(
         f"SELECT {_r}::BIGINT AS round, pair, merged, f AS freq FROM b{_r}"

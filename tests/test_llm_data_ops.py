@@ -1538,6 +1538,33 @@ def test_split_leakage_report_against_python_recount(spark, sf_dir):
     assert sum(r.n_winnow_leak for r in report.values()) > 0
 
 
+
+
+def _python_bpe_fit(freqs, rounds):
+    """Reference BPE fit shared by both BPE tests: returns (merge_table,
+    final_segs). str.replace shares the engines' left-to-right
+    non-overlapping single-pass semantics."""
+    segs = {w: " ".join(w) for w in freqs}
+    table = []
+    for rnd in range(1, rounds + 1):
+        cnt: dict = {}
+        for w, f in freqs.items():
+            sy = segs[w].split(" ")
+            for i in range(len(sy) - 1):
+                pp = sy[i] + " " + sy[i + 1]
+                cnt[pp] = cnt.get(pp, 0) + f
+        if not cnt:
+            break
+        pair = min(cnt, key=lambda p: (-cnt[p], p))
+        merged = pair.replace(" ", "")
+        table.append((rnd, pair, merged, cnt[pair]))
+        for w in segs:
+            segs[w] = (
+                (" " + segs[w] + " ").replace(f" {pair} ", f" {merged} ").strip()
+            )
+    return table, segs
+
+
 def test_bpe_train_merges_matches_pure_python_replay(spark, sf_dir):
     """Independent fit replay: collect the word-frequency table once, then
     run the identical algorithm in pure Python (str.replace shares the
@@ -1559,22 +1586,7 @@ def test_bpe_train_merges_matches_pure_python_replay(spark, sf_dir):
         .agg(F.count("*").alias("freq"))
         .collect()
     }
-    segs = {w: " ".join(w) for w in freqs}
-    expected = []
-    for rnd in range(1, textops.BPE_TRAIN_ROUNDS + 1):
-        cnt: dict = {}
-        for w, f in freqs.items():
-            sy = segs[w].split(" ")
-            for i in range(len(sy) - 1):
-                p = sy[i] + " " + sy[i + 1]
-                cnt[p] = cnt.get(p, 0) + f
-        pair = min(cnt, key=lambda p: (-cnt[p], p))
-        merged = pair.replace(" ", "")
-        expected.append((rnd, pair, merged, cnt[pair]))
-        for w in segs:
-            segs[w] = (
-                (" " + segs[w] + " ").replace(f" {pair} ", f" {merged} ").strip()
-            )
+    expected, _ = _python_bpe_fit(freqs, textops.BPE_TRAIN_ROUNDS)
     got = [
         (r.round, r.pair, r.merged, r.freq)
         for r in textops.bpe_train_merges(spark, sf_dir)
@@ -1813,22 +1825,7 @@ def test_bpe_apply_trained_matches_python_fit_application(spark, sf_dir):
     freqs: dict = {}
     for r in word_rows:
         freqs[r.word] = freqs.get(r.word, 0) + 1
-    segs = {w: " ".join(w) for w in freqs}
-    for _ in range(textops.BPE_TRAIN_ROUNDS):
-        cnt: dict = {}
-        for w, f in freqs.items():
-            sy = segs[w].split(" ")
-            for i in range(len(sy) - 1):
-                p = sy[i] + " " + sy[i + 1]
-                cnt[p] = cnt.get(p, 0) + f
-        if not cnt:
-            break
-        pair = min(cnt, key=lambda p: (-cnt[p], p))
-        merged = pair.replace(" ", "")
-        for w in segs:
-            segs[w] = (
-                (" " + segs[w] + " ").replace(f" {pair} ", f" {merged} ").strip()
-            )
+    _, segs = _python_bpe_fit(freqs, textops.BPE_TRAIN_ROUNDS)
     expected: dict = {}
     for r in word_rows:
         n, b, t = expected.get(r.source, (0, 0, 0))

@@ -1,8 +1,10 @@
 #!/usr/bin/env bash
 # One-command round validation: the full battery the verify skill describes.
 # Usage: bash tools/roundcheck.sh          (~25 min on local[32])
-# Exits non-zero on the first failing stage; prints a per-stage verdict.
-set -u
+# Runs every stage, prints a per-stage verdict, exits non-zero if ANY
+# stage failed. pipefail is load-bearing: without it the `| tail` pipes
+# would swallow the tools' exit codes.
+set -u -o pipefail
 cd "$(dirname "$0")/.."
 fail=0
 stage() { echo "=== $1"; }
