@@ -1844,3 +1844,42 @@ def test_bpe_apply_trained_matches_python_fit_application(spark, sf_dir):
         assert (r.n_words, r.base_symbols, r.trained_symbols) == (n, b, t)
         assert r.compression_ppm == (t * 1_000_000) // b
         assert r.trained_symbols <= r.base_symbols  # merges only shrink
+
+
+def test_winnowing_published_guarantee_on_planted_substrings(spark):
+    """Schleimer et al.'s theorem, checked empirically on constructed
+    pairs: two documents sharing ANY substring of length >= k + w - 1
+    must share at least one selected (window-minimum) fingerprint. Build
+    20 pairs of random-noise docs with a planted shared substring of
+    exactly k + w - 1 canonical characters; every pair must share a
+    selected fp BEFORE df-bounding (df <= 40 < WINNOW_DF_MAX here, so
+    the memoized rare frame sees them all)."""
+    import random
+
+    from kafka_exercise_spark.operators import dedup
+
+    rng = random.Random(7)
+    alpha = "abcdefghij"
+    need = dedup.WINNOW_K + dedup.WINNOW_W - 1
+
+    def noise(n):
+        return "".join(rng.choice(alpha) for _ in range(n))
+
+    rows = []
+    for p in range(20):
+        shared = noise(need)
+        rows.append((2 * p, noise(40) + shared + noise(40)))
+        rows.append((2 * p + 1, noise(40) + shared + noise(40)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    orig = dedup.load_table
+    dedup.load_table = lambda s, d, n: df
+    try:
+        fps = dedup._winnow_rare_frame(spark, "winnow-guarantee").collect()
+    finally:
+        dedup.load_table = orig
+    by_doc: dict = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    for p in range(20):
+        a, b = by_doc.get(2 * p, set()), by_doc.get(2 * p + 1, set())
+        assert a & b, f"pair {p} shares a {need}-char substring but no fp"
