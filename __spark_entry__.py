@@ -372,6 +372,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_filtered_topk": similarity.ann_filtered_topk,
         # duplicate groups over the winnowing pair graph (family symmetry)
         "winnow_components": dedup.winnow_components,
+        # executive sheet: docs/tokens each dedup tier can remove
+        "dedup_savings_report": dedup.dedup_savings_report,
     }
     # The r05 driver window (first 50) — see the docstring for the policy.
     window = [
@@ -3807,6 +3809,46 @@ def oracle_sql() -> dict[str, str]:
                count(*) OVER (PARTITION BY comp) AS comp_size,
                doc_id = comp AS is_survivor
         FROM comp
+    """
+    # Dedup savings sheet COMPOSED from the exact-fp aggregate and both
+    # component oracles, joined to per-doc token counts; fixed tier grid.
+    oracles["dedup_savings_report"] = f"""
+        WITH tk AS (SELECT doc_id, len({_TOKS})::BIGINT AS n_tok
+                    FROM documents),
+        tt AS (SELECT sum(n_tok)::BIGINT AS total_tok FROM tk),
+        fpx AS (SELECT doc_id,
+                       ('0x' || substr(md5({_CANON}), 1, 15))::BIGINT AS fp
+                FROM documents),
+        fpm AS (SELECT doc_id, fp,
+                       min(doc_id) OVER (PARTITION BY fp) AS survivor,
+                       count(*) OVER (PARTITION BY fp) AS gsize
+                FROM fpx),
+        u AS (
+          SELECT 'exact' AS tier, fp::VARCHAR AS comp, doc_id,
+                 doc_id <> survivor AS removable
+          FROM fpm WHERE gsize > 1
+          UNION ALL
+          SELECT 'minhash', comp::VARCHAR, doc_id, NOT is_survivor
+          FROM ({oracles["dedup_components"]})
+          UNION ALL
+          SELECT 'winnow', comp::VARCHAR, doc_id, NOT is_survivor
+          FROM ({oracles["winnow_components"]})),
+        ag AS (SELECT tier,
+                      count(DISTINCT comp)::BIGINT AS n_groups,
+                      count(*)::BIGINT AS n_docs_in_groups,
+                      sum(removable::INT)::BIGINT AS n_removable,
+                      sum(CASE WHEN removable THEN tk.n_tok ELSE 0 END)::BIGINT
+                          AS tokens_removable
+               FROM u JOIN tk USING (doc_id) GROUP BY tier),
+        grid AS (SELECT unnest(['exact', 'minhash', 'winnow']) AS tier)
+        SELECT grid.tier,
+               coalesce(n_groups, 0)::BIGINT AS n_groups,
+               coalesce(n_docs_in_groups, 0)::BIGINT AS n_docs_in_groups,
+               coalesce(n_removable, 0)::BIGINT AS n_removable,
+               coalesce(tokens_removable, 0)::BIGINT AS tokens_removable,
+               ((coalesce(tokens_removable, 0) * 1000000)
+                // (SELECT total_tok FROM tt))::BIGINT AS removable_token_ppm
+        FROM grid LEFT JOIN ag USING (tier)
     """
     # Detector-ensemble matrix COMPOSED from all four pair oracles —
     # membership bits summed per pair, histogrammed per combination.

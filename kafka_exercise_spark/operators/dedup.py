@@ -1659,3 +1659,85 @@ def winnow_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     winnow join, the contraction is ``_components_from_pairs``."""
     pairs = winnowing_overlap_pairs(spark, sf_dir).select("id_a", "id_b")
     return _components_from_pairs(spark, pairs, id_name="doc_id")
+
+
+def dedup_savings_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The executive dedup sheet: what does each tier BUY? Per tier
+    (exact fingerprints / MinHash-LSH components / winnowing
+    components): duplicate-group count, documents involved, documents
+    removable (everything but each group's survivor), the removable
+    TOKEN mass, and that mass as ppm of the corpus — the number that
+    decides whether a 100 TB dedup pass pays for itself.
+
+    Pure composition: exact groups from the fingerprint aggregate, the
+    two component tiers from the memoized pair frames via the shared
+    contraction; per-doc token counts are one map-only scan joined to
+    the (tiny) non-survivor lists. All integers, ppm via ``div``.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok_counts = docs.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tok"),
+    )
+    total = tok_counts.agg(F.sum("n_tok").alias("total_tok"))
+
+    fp = docs.select(
+        "doc_id", md5_hash64(normalized_text(F.col("text"))).alias("fp")
+    )
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    fpw = Window.partitionBy("fp")
+    exact_marked = fp.withColumn("survivor", F.min("doc_id").over(fpw)).withColumn(
+        "gsize", F.count("*").over(fpw)
+    )
+    exact = exact_marked.filter(F.col("gsize") > 1).select(
+        F.lit("exact").alias("tier"),
+        F.col("fp").cast("string").alias("comp"),
+        "doc_id",
+        (F.col("doc_id") != F.col("survivor")).alias("removable"),
+    )
+
+    def comp_tier(name: str, comps: DataFrame) -> DataFrame:
+        return comps.select(
+            F.lit(name).alias("tier"),
+            F.col("comp").cast("string").alias("comp"),
+            "doc_id",
+            (~F.col("is_survivor")).alias("removable"),
+        )
+
+    tiers = (
+        exact.union(comp_tier("minhash", dedup_components(spark, sf_dir)))
+        .union(comp_tier("winnow", winnow_components(spark, sf_dir)))
+        .join(tok_counts, "doc_id")
+    )
+    agg = tiers.groupBy("tier").agg(
+        F.count_distinct("comp").alias("n_groups"),
+        F.count("*").alias("n_docs_in_groups"),
+        F.sum(F.col("removable").cast("int")).cast("long").alias("n_removable"),
+        F.sum(F.when(F.col("removable"), F.col("n_tok")).otherwise(0))
+        .cast("long")
+        .alias("tokens_removable"),
+    )
+    # fixed tier grid so a tier with zero groups (the fixture's exact
+    # tier — all texts unique) still reports a zero row
+    grid = spark.createDataFrame(
+        [("exact",), ("minhash",), ("winnow",)], "tier string"
+    )
+    return (
+        grid.join(agg, "tier", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "tier",
+            F.coalesce("n_groups", F.lit(0)).cast("long").alias("n_groups"),
+            F.coalesce("n_docs_in_groups", F.lit(0))
+            .cast("long")
+            .alias("n_docs_in_groups"),
+            F.coalesce("n_removable", F.lit(0)).cast("long").alias("n_removable"),
+            F.coalesce("tokens_removable", F.lit(0))
+            .cast("long")
+            .alias("tokens_removable"),
+            F.expr(
+                "(coalesce(tokens_removable, 0) * 1000000) div total_tok"
+            ).alias("removable_token_ppm"),
+        )
+    )

@@ -1883,3 +1883,39 @@ def test_winnowing_published_guarantee_on_planted_substrings(spark):
     for p in range(20):
         a, b = by_doc.get(2 * p, set()), by_doc.get(2 * p + 1, set())
         assert a & b, f"pair {p} shares a {need}-char substring but no fp"
+
+
+def test_dedup_savings_report_recount(spark, sf_dir):
+    """Recount every tier from the component frames + token counts in
+    Python; the fixture's exact tier must be the zero row (all texts
+    unique)."""
+    from pyspark.sql import functions as F
+
+    from kafka_exercise_spark.catalog import load_table
+    from kafka_exercise_spark.functions.text import tokens
+    from kafka_exercise_spark.operators import dedup
+
+    tok = {
+        r.doc_id: r.n
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.size(tokens(F.col("text"))).alias("n"))
+        .collect()
+    }
+    total = sum(tok.values())
+    got = {r.tier: r for r in dedup.dedup_savings_report(spark, sf_dir).collect()}
+    assert set(got) == {"exact", "minhash", "winnow"}
+    ex = got["exact"]
+    assert (ex.n_groups, ex.n_removable, ex.tokens_removable) == (0, 0, 0)
+    for tier, fn in (
+        ("minhash", dedup.dedup_components),
+        ("winnow", dedup.winnow_components),
+    ):
+        rows = fn(spark, sf_dir).collect()
+        comps = {r.comp for r in rows}
+        removable = [r.doc_id for r in rows if not r.is_survivor]
+        r = got[tier]
+        assert r.n_groups == len(comps)
+        assert r.n_docs_in_groups == len(rows)
+        assert r.n_removable == len(removable)
+        assert r.tokens_removable == sum(tok[d] for d in removable)
+        assert r.removable_token_ppm == (r.tokens_removable * 1_000_000) // total
