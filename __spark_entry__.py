@@ -3810,8 +3810,9 @@ def oracle_sql() -> dict[str, str]:
                doc_id = comp AS is_survivor
         FROM comp
     """
-    # Dedup savings sheet COMPOSED from the exact-fp aggregate and both
-    # component oracles, joined to per-doc token counts; fixed tier grid.
+    # Dedup savings sheet: the exact tier derives from the SAME shared
+    # fingerprint macro ({_CANON} + the md5-64 reduction) dedup_exact's
+    # oracle uses; the component tiers COMPOSE those oracles verbatim.
     oracles["dedup_savings_report"] = f"""
         WITH tk AS (SELECT doc_id, len({_TOKS})::BIGINT AS n_tok
                     FROM documents),
@@ -3846,8 +3847,10 @@ def oracle_sql() -> dict[str, str]:
                coalesce(n_docs_in_groups, 0)::BIGINT AS n_docs_in_groups,
                coalesce(n_removable, 0)::BIGINT AS n_removable,
                coalesce(tokens_removable, 0)::BIGINT AS tokens_removable,
-               ((coalesce(tokens_removable, 0) * 1000000)
-                // (SELECT total_tok FROM tt))::BIGINT AS removable_token_ppm
+               (CASE WHEN (SELECT total_tok FROM tt) > 0
+                     THEN (coalesce(tokens_removable, 0) * 1000000)
+                          // (SELECT total_tok FROM tt)
+                     ELSE 0 END)::BIGINT AS removable_token_ppm
         FROM grid LEFT JOIN ag USING (tier)
     """
     # Detector-ensemble matrix COMPOSED from all four pair oracles —

@@ -130,13 +130,22 @@ def _hashed_shingles_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+def _fp_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, fp): THE canonical fingerprint projection — one definition
+    shared by ``dedup_exact`` and ``dedup_savings_report`` so the two can
+    never disagree on what an exact duplicate is."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", md5_hash64(normalized_text(F.col("text"))).alias("fp")
+    )
+
+
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup groups: canonical fingerprint → min(doc_id) survivor +
     duplicate count. (Fixture texts are all unique, so every group has
     n_copies = 1 — the oracle still checks all 500 fingerprint values.)"""
-    docs = load_table(spark, sf_dir, "documents")
     return (
-        docs.select("doc_id", md5_hash64(normalized_text(F.col("text"))).alias("fp"))
+        _fp_frame(spark, sf_dir)
         .groupBy("fp")
         .agg(
             F.min("doc_id").alias("survivor_doc_id"),
@@ -1674,16 +1683,22 @@ def dedup_savings_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     contraction; per-doc token counts are one map-only scan joined to
     the (tiny) non-survivor lists. All integers, ppm via ``div``.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    tok_counts = docs.select(
-        "doc_id",
-        F.size(tokens(F.col("text"))).cast("long").alias("n_tok"),
+    # per-doc token counts MEMOIZED (memo_frame house pattern): the frame
+    # feeds both the removable join and the total aggregate — without the
+    # memo those are two full tokenize scans in one plan
+    tok_counts = memo_frame(
+        spark,
+        ("tok_counts", sf_dir),
+        lambda: load_table(spark, sf_dir, "documents").select(
+            "doc_id",
+            F.size(tokens(F.col("text"))).cast("long").alias("n_tok"),
+        ),
     )
     total = tok_counts.agg(F.sum("n_tok").alias("total_tok"))
 
-    fp = docs.select(
-        "doc_id", md5_hash64(normalized_text(F.col("text"))).alias("fp")
-    )
+    # exact tier derives from THE shared fingerprint projection
+    # (_fp_frame — the same frame dedup_exact aggregates)
+    fp = _fp_frame(spark, sf_dir)
     from pyspark.sql import Window  # noqa: PLC0415
 
     fpw = Window.partitionBy("fp")
@@ -1736,8 +1751,12 @@ def dedup_savings_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("tokens_removable", F.lit(0))
             .cast("long")
             .alias("tokens_removable"),
-            F.expr(
-                "(coalesce(tokens_removable, 0) * 1000000) div total_tok"
-            ).alias("removable_token_ppm"),
+            F.when(
+                F.col("total_tok") > 0,
+                F.expr("(coalesce(tokens_removable, 0) * 1000000) div total_tok"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("removable_token_ppm"),
         )
     )
