@@ -333,11 +333,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # source×source near-dup matrix: who copies from whom
         "dedup_source_matrix": dedup.dedup_source_matrix,
         # ---- late r05: EVERY entry from here to the end of this dict is
-        # past the r05 window — lead the r06 window with ALL of them (17
-        # entries) per the established rotation policy; verify_local
-        # covers each at both sfs this round. ALSO owed an r06 driver
-        # row: quality_quantile_filter (r05 div swap deferred from the
-        # 50-slot r05 window). ----
+        # past the r05 window — lead the r06 window with ALL of them (no
+        # fixed count: anything appended below this line is in the queue)
+        # per the established rotation policy; verify_local covers each
+        # at both sfs this round. ALSO owed an r06 driver row:
+        # quality_quantile_filter (r05 div swap deferred from the 50-slot
+        # r05 window). ----
         # packing-layout audit: per-shard fill + balance skew
         "pack_efficiency_report": sampling.pack_efficiency_report,
         # LSH S-curve: analytic banding probability vs measured pair mass
