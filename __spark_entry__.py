@@ -375,6 +375,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_components": dedup.winnow_components,
         # executive sheet: docs/tokens each dedup tier can remove
         "dedup_savings_report": dedup.dedup_savings_report,
+        # winnow containment-cutoff ladder from one scored pair pass
+        "winnow_threshold_sweep": dedup.winnow_threshold_sweep,
     }
     # The r05 driver window (first 50) — see the docstring for the policy.
     window = [
@@ -3853,6 +3855,37 @@ def oracle_sql() -> dict[str, str]:
                           // (SELECT total_tok FROM tt)
                      ELSE 0 END)::BIGINT AS removable_token_ppm
         FROM grid LEFT JOIN ag USING (tier)
+    """
+    # Winnow threshold sweep: the shared winnow CTE macro + scored pairs
+    # floored at the loosest rung, exploded over the literal ladder.
+    _wsweep = "[" + ", ".join(str(v) for v in dedup.WINNOW_SWEEP_PPM) + "]"
+    oracles["winnow_threshold_sweep"] = f"""
+        WITH {_winnow_rare_ctes},
+        rn AS (SELECT doc_id, count(*)::BIGINT AS n_fp
+               FROM wrare GROUP BY doc_id),
+        pc AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                      count(*)::BIGINT AS n_shared
+               FROM wrare a JOIN wrare b
+                 ON a.fp = b.fp AND a.doc_id < b.doc_id
+               GROUP BY 1, 2 HAVING count(*) >= {dedup.WINNOW_MIN_SHARED}),
+        sp AS (SELECT id_a, id_b,
+                      ((n_shared * 1000000)
+                       // least(na.n_fp, nb.n_fp))::BIGINT AS overlap_ppm
+               FROM pc JOIN rn na ON na.doc_id = id_a
+                       JOIN rn nb ON nb.doc_id = id_b
+               WHERE (n_shared * 1000000) // least(na.n_fp, nb.n_fp)
+                     >= {min(dedup.WINNOW_SWEEP_PPM)}),
+        sw AS (SELECT id_a, id_b, overlap_ppm,
+                      unnest({_wsweep}) AS threshold_ppm
+               FROM sp),
+        f AS (SELECT * FROM sw WHERE overlap_ppm >= threshold_ppm),
+        np AS (SELECT threshold_ppm, count(*)::BIGINT AS n_pairs
+               FROM f GROUP BY 1),
+        nd AS (SELECT threshold_ppm, count(DISTINCT id)::BIGINT AS n_docs
+               FROM (SELECT threshold_ppm, unnest([id_a, id_b]) AS id FROM f)
+               GROUP BY 1)
+        SELECT np.threshold_ppm::BIGINT AS threshold_ppm, n_pairs, n_docs
+        FROM np JOIN nd USING (threshold_ppm)
     """
     # Detector-ensemble matrix COMPOSED from all four pair oracles —
     # membership bits summed per pair, histogrammed per combination.

@@ -1377,6 +1377,16 @@ def winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     posting index could never broadcast) -> pair groupBy. No driver
     collect, no cartesian.
     """
+    return _winnow_scored_pairs(spark, sf_dir).filter(
+        F.col("overlap_ppm") >= WINNOW_MIN_PPM
+    )
+
+
+def _winnow_scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scored winnow pairs (id_a, id_b, n_shared, overlap_ppm) floored at
+    ``WINNOW_MIN_SHARED`` only — ONE plan serving both the production
+    overlap entry (which applies the ``WINNOW_MIN_PPM`` emit floor) and
+    the threshold sweep (which ladders over ppm cutoffs)."""
     rare = _winnow_rare_frame(spark, sf_dir)
     rn = rare.groupBy("doc_id").agg(F.count("*").alias("n_fp"))
     a, b = rare.alias("a"), rare.hint("shuffle_hash").alias("b")
@@ -1401,8 +1411,49 @@ def winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "overlap_ppm",
             F.expr("(n_shared * 1000000) div least(n_a, n_b)"),
         )
-        .filter(F.col("overlap_ppm") >= WINNOW_MIN_PPM)
         .select("id_a", "id_b", "n_shared", "overlap_ppm")
+    )
+
+
+#: Winnow sweep ladder (overlap ppm cutoffs, loosest first).
+WINNOW_SWEEP_PPM = (
+    200_000, 300_000, 400_000, 500_000, 600_000, 800_000, 950_000,
+)
+
+
+def winnow_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-tuning report for the winnowing detector — the same
+    artifact ``dedup_threshold_sweep`` gives embedding dedup: pair and
+    affected-doc counts at a ladder of overlap-ppm cutoffs, from ONE
+    memoized pass over the scored pair frame. Each row answers "how much
+    would this containment cutoff flag?" before committing
+    ``WINNOW_MIN_PPM`` to a full run. All counts exact integers.
+    """
+    pairs = memo_frame(
+        spark,
+        ("winnow_sweep_pairs", sf_dir),
+        lambda: _winnow_scored_pairs(spark, sf_dir).filter(
+            F.col("overlap_ppm") >= min(WINNOW_SWEEP_PPM)
+        ),
+    )
+    swept = pairs.select(
+        "id_a",
+        "id_b",
+        F.explode(F.lit(list(WINNOW_SWEEP_PPM))).alias("threshold_ppm"),
+        "overlap_ppm",
+    ).where(F.col("overlap_ppm") >= F.col("threshold_ppm"))
+    n_pairs = swept.groupBy("threshold_ppm").agg(F.count("*").alias("n_pairs"))
+    ids = swept.select(
+        "threshold_ppm",
+        F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias("id"),
+    )
+    n_docs = ids.groupBy("threshold_ppm").agg(
+        F.count_distinct("id").alias("n_docs")
+    )
+    return n_pairs.join(n_docs, "threshold_ppm").select(
+        F.col("threshold_ppm").cast("long").alias("threshold_ppm"),
+        "n_pairs",
+        "n_docs",
     )
 
 

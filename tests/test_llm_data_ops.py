@@ -1919,3 +1919,22 @@ def test_dedup_savings_report_recount(spark, sf_dir):
         assert r.n_removable == len(removable)
         assert r.tokens_removable == sum(tok[d] for d in removable)
         assert r.removable_token_ppm == (r.tokens_removable * 1_000_000) // total
+
+
+def test_winnow_sweep_monotone_and_anchored(spark, sf_dir):
+    """Tightening the cutoff can only shrink counts, and the production
+    floor's rung must equal the production pair count exactly."""
+    from kafka_exercise_spark.operators import dedup
+
+    rows = sorted(
+        dedup.winnow_threshold_sweep(spark, sf_dir).collect(),
+        key=lambda r: r.threshold_ppm,
+    )
+    assert [r.threshold_ppm for r in rows] == sorted(dedup.WINNOW_SWEEP_PPM)
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_pairs >= b.n_pairs and a.n_docs >= b.n_docs
+    anchored = {r.threshold_ppm: r.n_pairs for r in rows}
+    assert (
+        anchored[dedup.WINNOW_MIN_PPM]
+        == dedup.winnowing_overlap_pairs(spark, sf_dir).count()
+    )
