@@ -377,6 +377,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_savings_report": dedup.dedup_savings_report,
         # winnow containment-cutoff ladder from one scored pair pass
         "winnow_threshold_sweep": dedup.winnow_threshold_sweep,
+        # ---- new in r06 ----
+        # incoming batch probed against the corpus winnow posting index
+        "winnow_incremental": dedup.winnow_incremental,
+        # the same probe as a LIVE per-micro-batch admission gate
+        "streaming_winnow_replay": streaming_stateful.streaming_winnow_replay,
     }
     # The r05 driver window (first 50) — see the docstring for the policy.
     window = [
@@ -2738,6 +2743,7 @@ def oracle_sql() -> dict[str, str]:
                    row_number() OVER (ORDER BY cnt DESC, pair ASC)
                        AS merge_rank
             FROM c
+            QUALIFY merge_rank <= {textops.BPE_RANK_CAP}
         """,
         # RANGE trailing window over the hour number; one integer div
         "hourly_anomaly_scores": f"""
@@ -3625,6 +3631,27 @@ def oracle_sql() -> dict[str, str]:
         WHERE (n_shared * 1000000) // least(na.n_fp, nb.n_fp)
                   >= {dedup.WINNOW_MIN_PPM}
     """
+    # Incremental winnow probe COMPOSED from the pair oracle: the batch
+    # operator's output is by construction the batch-crossing subset of
+    # winnowing_overlap_pairs (same census, same floors, same integer
+    # containment), re-labeled so the batch side is always new_doc_id.
+    # The streaming twin replays the SAME contract through a real
+    # StreamExecution (union over micro-batches ≡ batch), so it shares
+    # the oracle verbatim — the dedup_incremental/streaming_neardup
+    # pattern, ported to the winnow tier.
+    oracles["winnow_incremental"] = f"""
+        WITH base AS (SELECT * FROM ({oracles["winnowing_overlap_pairs"]})),
+        lbl AS (SELECT doc_id,
+                       source = '{dedup.INCREMENTAL_NEW_SOURCE}' AS is_new
+                FROM documents)
+        SELECT CASE WHEN la.is_new THEN id_a ELSE id_b END AS new_doc_id,
+               CASE WHEN la.is_new THEN id_b ELSE id_a END AS old_doc_id,
+               n_shared, overlap_ppm
+        FROM base JOIN lbl la ON la.doc_id = id_a
+                  JOIN lbl lb ON lb.doc_id = id_b
+        WHERE la.is_new <> lb.is_new
+    """
+    oracles["streaming_winnow_replay"] = oracles["winnow_incremental"]
     # PII scrub: injection expressions and the regex battery are BOTH
     # composed from dataquality.PII_PATTERNS so the two sides cannot
     # drift; patterns use only the ASCII regex subset Java and RE2 agree

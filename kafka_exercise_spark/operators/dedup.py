@@ -1275,6 +1275,65 @@ WINNOW_MIN_SHARED = 8
 WINNOW_MIN_PPM = 500_000
 
 
+def winnow_selected(docs: DataFrame) -> DataFrame:
+    """Winnowing fingerprint selection for a (doc_id, text) frame:
+    canonical form → char ``WINNOW_K``-gram md5 hashes → window-minimum
+    selection over every ``WINNOW_W`` consecutive hashes → distinct
+    selected fingerprints, exploded to a (doc_id, fp) posting frame.
+
+    ONE primitive shared by the corpus index build (``_winnow_rare_frame``)
+    and the streaming admission probe (streaming_winnow_replay's
+    per-micro-batch fingerprinting of arriving text), so the selection
+    scheme can never drift between index and probe — the same
+    shared-primitive contract as ``probe_index`` in the MinHash tier.
+    All map-side codegen HOFs; no shuffle, no Python.
+    """
+    # materialize canon behind a projection barrier BEFORE the k-gram
+    # fan-out: inlined, the full normalize (lower + regexp + trim)
+    # re-evaluates once per transform element — O(len²) per doc,
+    # measured 10× slower on the fixture (5.2 s → 0.5 s per build)
+    canoned = docs.select(
+        "doc_id", normalized_text(F.col("text")).alias("canon")
+    )
+    canon = F.col("canon")
+    n_grams = F.length(canon) - WINNOW_K + 1
+
+    def gram_hash(g):
+        return F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long")
+
+    hashed = canoned.select(
+        "doc_id",
+        F.when(
+            n_grams >= 1,
+            F.transform(
+                F.sequence(F.lit(1), n_grams),
+                lambda i: gram_hash(F.substr(canon, i, F.lit(WINNOW_K))),
+            ),
+        )
+        .otherwise(F.array().cast("array<bigint>"))
+        .alias("hs"),
+    )
+    n_wins = F.size(F.col("hs")) - WINNOW_W + 1
+    selected = hashed.select(
+        "doc_id",
+        F.when(
+            n_wins >= 1,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), n_wins),
+                    lambda j: F.array_min(
+                        F.slice(F.col("hs"), j, WINNOW_W)
+                    ),
+                )
+            ),
+        )
+        .when(F.size(F.col("hs")) >= 1, F.array(F.array_min(F.col("hs"))))
+        .otherwise(F.array().cast("array<bigint>"))
+        .alias("sel"),
+    )
+    return selected.select("doc_id", F.explode("sel").alias("fp"))
+
+
 def _winnow_rare_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Memoized (doc_id, fp) posting frame of df-bounded winnowed
     fingerprints — the winnowing analog of ``_hashed_shingles_frame``.
@@ -1292,50 +1351,7 @@ def _winnow_rare_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def build_inv() -> DataFrame:
         docs = scale_partitions(load_table(spark, sf_dir, "documents"), spark)
-        # materialize canon behind a projection barrier BEFORE the k-gram
-        # fan-out: inlined, the full normalize (lower + regexp + trim)
-        # re-evaluates once per transform element — O(len²) per doc,
-        # measured 10× slower on the fixture (5.2 s → 0.5 s per build)
-        canoned = docs.select(
-            "doc_id", normalized_text(F.col("text")).alias("canon")
-        )
-        canon = F.col("canon")
-        n_grams = F.length(canon) - WINNOW_K + 1
-
-        def gram_hash(g):
-            return F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long")
-
-        hashed = canoned.select(
-            "doc_id",
-            F.when(
-                n_grams >= 1,
-                F.transform(
-                    F.sequence(F.lit(1), n_grams),
-                    lambda i: gram_hash(F.substr(canon, i, F.lit(WINNOW_K))),
-                ),
-            )
-            .otherwise(F.array().cast("array<bigint>"))
-            .alias("hs"),
-        )
-        n_wins = F.size(F.col("hs")) - WINNOW_W + 1
-        selected = hashed.select(
-            "doc_id",
-            F.when(
-                n_wins >= 1,
-                F.array_distinct(
-                    F.transform(
-                        F.sequence(F.lit(1), n_wins),
-                        lambda j: F.array_min(
-                            F.slice(F.col("hs"), j, WINNOW_W)
-                        ),
-                    )
-                ),
-            )
-            .when(F.size(F.col("hs")) >= 1, F.array(F.array_min(F.col("hs"))))
-            .otherwise(F.array().cast("array<bigint>"))
-            .alias("sel"),
-        )
-        return selected.select("doc_id", F.explode("sel").alias("fp"))
+        return winnow_selected(docs)
 
     inv = memo_frame(spark, ("winnow_inv", sf_dir), build_inv)
 
@@ -1455,6 +1471,116 @@ def winnow_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_pairs",
         "n_docs",
     )
+
+
+def winnow_corpus_sides(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(old_rare, old_counts, fp_domain): the corpus half of winnow-tier
+    admission control — ONE builder shared by the batch operator
+    (``winnow_incremental``) and the streaming replay so the index layout
+    can never drift between the two (the ``corpus_probe_sides`` contract,
+    ported to the winnowing tier).
+
+    All three frames derive from the session-memoized
+    ``_winnow_rare_frame`` (df-bounded full-corpus posting index), so
+    building them adds NO new corpus scan. The df census is therefore the
+    post-ingest corpus census — the lake index refreshed before admission
+    control runs, which is the conservative choice: a fingerprint the
+    arriving batch itself makes ubiquitous stops scoring on BOTH sides.
+    The batch/old split is two joins against the broadcast batch id list
+    (batch-bounded by the incremental contract) — the corpus posting
+    frame is never shuffled on doc_id.
+
+    - ``old_rare``: (doc_id, fp) postings of the existing corpus;
+    - ``old_counts``: (old_doc_id, n_old) rare-fingerprint count per
+      existing doc — the containment denominator's corpus side;
+    - ``fp_domain``: distinct df-bounded fingerprints — what an arriving
+      batch's freshly-computed fingerprints are filtered against before
+      probing (the streaming replay's admission filter).
+    """
+    rare = _winnow_rare_frame(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    new_ids = docs.filter(F.col("source") == INCREMENTAL_NEW_SOURCE).select(
+        "doc_id"
+    )
+    old_rare = rare.join(F.broadcast(new_ids), "doc_id", "left_anti")
+    old_counts = old_rare.groupBy("doc_id").agg(
+        F.count("*").alias("n_old")
+    ).withColumnsRenamed({"doc_id": "old_doc_id"})
+    fp_domain = rare.select("fp").distinct()
+    return old_rare, old_counts, fp_domain
+
+
+def winnow_probe_index(
+    new_rare: DataFrame, old_rare: DataFrame, old_counts: DataFrame
+) -> DataFrame:
+    """Probe an incoming batch's df-bounded winnow fingerprints against
+    the corpus posting index — THE winnow-tier admission-control
+    primitive, shared verbatim by ``winnow_incremental`` and the
+    streaming replay's per-micro-batch probe so the containment math can
+    never drift between the two.
+
+    ``new_rare``: incoming (doc_id, fp) rare-fingerprint postings
+    (batch-sized — broadcasts). ``old_rare`` / ``old_counts``: the
+    corpus side, typically prebuilt and materialized once
+    (``winnow_corpus_sides``). The posting join broadcasts the batch
+    side, so the corpus postings stream through map-side — no corpus
+    shuffle, no self-join; candidate fan-out is bounded by
+    ``WINNOW_DF_MAX`` per batch posting.
+    """
+    nr = new_rare.withColumnsRenamed({"doc_id": "new_doc_id"})
+    new_counts = nr.groupBy("new_doc_id").agg(F.count("*").alias("n_new"))
+    pairs = (
+        old_rare.withColumnsRenamed({"doc_id": "old_doc_id"})
+        .join(F.broadcast(nr), "fp")
+        .groupBy("new_doc_id", "old_doc_id")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= WINNOW_MIN_SHARED)
+    )
+    return (
+        pairs.join(F.broadcast(new_counts), "new_doc_id")
+        .join(old_counts, "old_doc_id")
+        .withColumn(
+            "overlap_ppm",
+            F.expr("(n_shared * 1000000) div least(n_new, n_old)"),
+        )
+        .filter(F.col("overlap_ppm") >= WINNOW_MIN_PPM)
+        .select("new_doc_id", "old_doc_id", "n_shared", "overlap_ppm")
+    )
+
+
+def winnow_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental winnow-tier check: the INCOMING batch's winnowed
+    fingerprints probed against the EXISTING corpus posting index — the
+    winnowing analog of ``dedup_incremental``, closing the family gap the
+    r5 detector matrix exposed (simhash/winnow contribute unique recall,
+    so an online curation gate needs a winnow probe too, not just the
+    MinHash band probe).
+
+    The corpus NEVER self-joins: the batch posting frame (bounded by
+    batch size) broadcasts against the df-bounded corpus postings, so
+    per-day cost is O(batch × WINNOW_DF_MAX) probes into the served lake
+    index regardless of corpus size. Containment uses the same integer
+    ppm ``div`` and the same ``least(n_new, n_old)`` denominator as
+    ``winnowing_overlap_pairs``, so the emitted pairs are EXACTLY the
+    batch-crossing subset of that operator's output (the composition the
+    oracle checks).
+
+    Output: (new_doc_id, old_doc_id, n_shared, overlap_ppm) — the
+    admission reject/link list for the incoming batch.
+    """
+    rare = _winnow_rare_frame(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    new_ids = docs.filter(F.col("source") == INCREMENTAL_NEW_SOURCE).select(
+        "doc_id"
+    )
+    # batch postings = the memoized full-corpus rare frame restricted to
+    # the batch — identical to fingerprinting the batch text and keeping
+    # fps inside the census domain (what the streaming twin does live)
+    new_rare = rare.join(F.broadcast(new_ids), "doc_id")
+    old_rare, old_counts, _ = winnow_corpus_sides(spark, sf_dir)
+    return winnow_probe_index(new_rare, old_rare, old_counts)
 
 
 #: Winnow-tier leak dose: an eval doc counts as leaked when at least this

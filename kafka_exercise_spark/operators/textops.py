@@ -800,6 +800,15 @@ def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Output contract of ``bpe_pair_counts``: only the top this-many pairs by
+#: (count desc, pair asc) are ranked and emitted. A CONSTANT ladder —
+#: comfortably above ``BPE_APPLY_MERGES`` (the only downstream consumer's
+#: read depth) — so ranking never needs a global sort of the full pair
+#: frame: ``orderBy().limit(N)`` plans as TakeOrderedAndProject, a
+#: distributed per-partition top-N + driver-side merge of N-row heads.
+BPE_RANK_CAP = 512
+
+
 def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide adjacent-character pair frequencies — the first merge
     step of BPE tokenizer training (Sennrich et al. 2016): the pair with
@@ -807,10 +816,14 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: explode words → per-word pair fan-out via a JVM
     ``transform(sequence)`` (no Python) → ONE pair-key aggregation with
-    map-side partials. The output cardinality is bounded by the character
-    alphabet squared (~1.3k for ASCII), so the final rank window runs on a
-    tiny frame regardless of corpus size — the 100 TB cost is the token
-    aggregation shuffle only.
+    map-side partials → distributed TopK (``limit(BPE_RANK_CAP)`` after
+    the sort = TakeOrderedAndProject: each partition keeps its own
+    ``BPE_RANK_CAP``-row head, the driver merges heads) → rank window
+    over the now constant-bounded (≤ ``BPE_RANK_CAP``-row) remainder.
+    The observed-bigram frame is alphabet-bounded in THEORY (~1.3k for
+    ASCII) but web-scale corpora observe 10⁵–10⁷ distinct byte bigrams;
+    the cap makes the ranking cost constant by CONSTRUCTION instead —
+    the 100 TB cost is the pair aggregation shuffle only.
     """
     docs = scale_partitions(load_table(spark, sf_dir, "documents"), spark)
     words = docs.select(F.explode(tokens(F.col("text"))).alias("w")).filter(
@@ -825,11 +838,23 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("pair")
     )
     counts = pairs.groupBy("pair").agg(F.count("*").alias("cnt"))
-    from pyspark.sql import Window  # noqa: PLC0415
-
-    w = Window.orderBy(F.desc("cnt"), F.asc("pair"))
-    return counts.select(
-        "pair", "cnt", F.row_number().over(w).cast("long").alias("merge_rank")
+    top = counts.orderBy(F.desc("cnt"), F.asc("pair")).limit(BPE_RANK_CAP)
+    # Rank = 1 + how many head rows sort strictly before this one — a
+    # broadcast theta self-join over the ≤ BPE_RANK_CAP-row head (≤ 512²
+    # comparisons, constant by construction) instead of an unpartitioned
+    # rank window, which would warn (and at unbounded input, single-
+    # partition-sort) no matter how small the frame provably is. (pair,
+    # cnt) is unique per row post-groupBy, so the order is total and the
+    # rank dense.
+    before = (
+        (F.col("y.cnt") > F.col("x.cnt"))
+        | ((F.col("y.cnt") == F.col("x.cnt")) & (F.col("y.pair") < F.col("x.pair")))
+    )
+    return (
+        top.alias("x")
+        .join(F.broadcast(top.alias("y")), before, "left")
+        .groupBy(F.col("x.pair").alias("pair"), F.col("x.cnt").alias("cnt"))
+        .agg((F.count(F.col("y.pair")) + 1).cast("long").alias("merge_rank"))
     )
 
 
@@ -1034,7 +1059,10 @@ def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: Merges applied by the segmentation pass (top-N by corpus pair count).
+#: Must sit inside bpe_pair_counts' emitted rank ladder, or the consumer
+#: would read ranks the TopK cap dropped.
 BPE_APPLY_MERGES = 8
+assert BPE_APPLY_MERGES <= BPE_RANK_CAP
 
 #: Collected merge tables per (application, sf_dir) — 8 strings each.
 _BPE_MERGES_MEMO: dict[tuple[str, str], list[str]] = register_memo({})

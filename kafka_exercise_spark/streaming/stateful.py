@@ -443,9 +443,88 @@ def streaming_neardup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result
 
 
+def streaming_winnow_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming winnow-tier admission control: incoming documents
+    replayed in micro-batches, each winnow-fingerprinted ON ARRIVAL and
+    probed against the corpus posting index inside ``foreachBatch`` —
+    the online twin of ``dedup.winnow_incremental``, completing the
+    detector family's streaming story (the MinHash tier has had this
+    shape since r3; the r5 detector matrix showed winnow finds pairs the
+    band probe misses, so the online curation gate needs both probes).
+
+    Contract: arriving text is fingerprinted live by the SAME
+    ``winnow_selected`` primitive the index build uses, filtered to the
+    served df-census domain, then probed by the SAME
+    ``winnow_probe_index`` the batch operator uses — so the union of the
+    per-micro-batch reject lists equals the batch output exactly, and
+    the driver oracle-checks a real StreamExecution run with plain SQL.
+
+    Scale shape: the corpus side (postings, per-doc counts, census
+    domain) is built once per (session, sf_dir) from the memoized rare
+    frame and served like a lake index; each micro-batch broadcasts only
+    its own fingerprints against it. Results append to a parquet sink
+    dir (exactly-once via the foreachBatch append + file-source log).
+    """
+    from kafka_exercise_spark.catalog import load_table  # noqa: PLC0415
+    from kafka_exercise_spark.operators.dedup import (  # noqa: PLC0415
+        INCREMENTAL_NEW_SOURCE,
+        winnow_corpus_sides,
+        winnow_probe_index,
+        winnow_selected,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_new = F.col("source") == INCREMENTAL_NEW_SOURCE
+
+    evict_stale_memos(spark)
+    memo_key = (spark.sparkContext.applicationId, sf_dir)
+    if memo_key not in _WINNOW_INDEX_MEMO:
+        old_rare, old_counts, fp_domain = winnow_corpus_sides(spark, sf_dir)
+        _WINNOW_INDEX_MEMO[memo_key] = (
+            old_rare.localCheckpoint(),
+            old_counts.localCheckpoint(),
+            fp_domain.localCheckpoint(),
+        )
+    old_rare, old_counts, fp_domain = _WINNOW_INDEX_MEMO[memo_key]
+
+    work = tempfile.mkdtemp(prefix="winnow_replay_")
+    src = os.path.join(work, "src")
+    out = os.path.join(work, "out")
+    new_docs = docs.filter(is_new).select("doc_id", "text")
+    new_docs.repartition(4).write.mode("overwrite").parquet(src)
+    src_schema = new_docs.schema
+
+    def probe(batch_df: DataFrame, batch_id: int) -> None:
+        # fingerprint the arriving text live (shared selection primitive),
+        # keep only census-domain fps, probe with the shared primitive —
+        # each doc's text arrives whole, so its pair rows are complete
+        # within its own micro-batch and the union over batches ≡ batch
+        sel = winnow_selected(batch_df)
+        batch_rare = fp_domain.join(F.broadcast(sel), "fp").select(
+            "doc_id", "fp"
+        )
+        verified = winnow_probe_index(batch_rare, old_rare, old_counts)
+        verified.write.mode("append").parquet(out)
+
+    stream = file_stream(spark, src, src_schema, max_files_per_trigger=2)
+    run_bounded_replay(
+        spark, stream, checkpoint=os.path.join(work, "ckpt"),
+        name="winnow_contract", foreach_batch=probe,
+    )
+    result = spark.read.parquet(out).localCheckpoint()
+    shutil.rmtree(work, ignore_errors=True)
+    return result
+
+
 #: Materialized corpus LSH index for streaming admission control, keyed by
 #: (application, sf_dir) — the long-lived side of continuous ingest dedup.
 _NEARDUP_INDEX_MEMO: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = register_memo({})
+
+#: Materialized corpus winnow index (postings, per-doc counts, census
+#: domain) for streaming admission control — same contract as above.
+_WINNOW_INDEX_MEMO: dict[
+    tuple[str, str], tuple[DataFrame, DataFrame, DataFrame]
+] = register_memo({})
 
 #: output schema for the transformWithState distinct-type tracker
 _TWS_OUTPUT = "user_id bigint, n_event_types bigint"

@@ -98,6 +98,22 @@ def test_sort_topk_no_global_sort(spark, sf_dir):
     assert shuffle_exchange_count(df) == 0
 
 
+def test_bpe_pair_counts_rank_is_capped_topk(spark, sf_dir):
+    """The merge-rank ladder must come from a distributed TopK
+    (TakeOrderedAndProject at BPE_RANK_CAP) + a broadcast rank join over
+    the constant-bounded head — NEVER an unpartitioned rank window, which
+    single-partition-sorts the full observed-bigram frame (10⁵–10⁷ rows
+    at web scale). Regression fence for the r5 plan-audit finding."""
+    from kafka_exercise_spark.plans import explain_str
+
+    df = textops.bpe_pair_counts(spark, sf_dir)
+    plan = explain_str(df, "simple")
+    assert f"TakeOrderedAndProject(limit={textops.BPE_RANK_CAP}" in plan
+    # no window operator anywhere in this plan — rank is a bounded join
+    assert "Window" not in plan
+    assert python_eval_count(df) == 0
+
+
 def test_q6_scan_only_full_pushdown(spark, sf_dir):
     """Q6 is the pushdown litmus test: all predicates reach the scan, the
     global agg needs no data shuffle, and only 4 columns are read."""
@@ -194,6 +210,24 @@ def test_multimodal_is_the_only_python_path(spark, sf_dir):
     """Pandas-UDF decode plumbing is explicitly Python (and only it)."""
     df = multimodal.multimodal_features(spark, sf_dir)
     assert python_eval_count(df) >= 1
+
+
+def test_winnow_incremental_broadcasts_batch_side_only(spark, sf_dir):
+    """The winnow admission probe must broadcast ONLY batch-bounded frames
+    (the incoming ids, postings, counts) — the corpus posting index streams
+    through map-side, never self-joins, never shuffles on doc_id. All four
+    hints in this plan sit on frames bounded by the incoming batch."""
+    from kafka_exercise_spark.operators import dedup
+
+    df = dedup.winnow_incremental(spark, sf_dir)
+    assert not has_cartesian_product(df)
+    assert python_eval_count(df) == 0
+    # 4 authored hints, all batch-bounded: new_ids (batch split ×2 — keep
+    # and anti), batch postings, batch counts. The analyzed plan inlines
+    # the new_ids-hinted subtrees twice each (pairs + counts consumers),
+    # so the occurrence counter reads 6 — same inline-twice accounting as
+    # the q11 entry. A higher count means someone hinted a new frame.
+    assert broadcast_hint_count(df) == 6
 
 
 def test_exact_dedup_pushes_projection(spark, sf_dir):

@@ -175,6 +175,24 @@ def test_streaming_neardup_equals_incremental_batch(spark, sf_dir):
     assert streamed  # the fixture's planted near-dups guarantee links
 
 
+def test_streaming_winnow_equals_incremental_batch(spark, sf_dir):
+    """The union of per-micro-batch winnow probes — arriving text
+    fingerprinted LIVE by the shared selection primitive — equals the
+    batch probe over the memoized posting index (r6 family closure)."""
+    from kafka_exercise_spark.operators import dedup
+
+    streamed = {
+        (r.new_doc_id, r.old_doc_id, r.n_shared, r.overlap_ppm)
+        for r in stateful.streaming_winnow_replay(spark, sf_dir).collect()
+    }
+    batch = {
+        (r.new_doc_id, r.old_doc_id, r.n_shared, r.overlap_ppm)
+        for r in dedup.winnow_incremental(spark, sf_dir).collect()
+    }
+    assert streamed == batch
+    assert streamed  # the fixture's planted near-dups guarantee links
+
+
 def test_streaming_enrich_equals_batch_join(spark, sf_dir):
     """Stream-static broadcast enrichment + aggregate == batch join+agg."""
     streamed = {
