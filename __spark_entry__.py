@@ -382,6 +382,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_incremental": dedup.winnow_incremental,
         # the same probe as a LIVE per-micro-batch admission gate
         "streaming_winnow_replay": streaming_stateful.streaming_winnow_replay,
+        # per-doc final disposition + reason chain (the audit lineage
+        # artifact) composed from gate, survivor, split and mixture
+        "curation_run_manifest": textops.curation_run_manifest,
+        # source × disposition rollup of the manifest (keep-rate sheet)
+        "source_disposition_matrix": textops.source_disposition_matrix,
+        # deterministic per-tier pair sample for human QA review
+        "dedup_pair_audit_sample": dedup.dedup_pair_audit_sample,
     }
     # The r05 driver window (first 50) — see the docstring for the policy.
     window = [
@@ -3652,6 +3659,91 @@ def oracle_sql() -> dict[str, str]:
         WHERE la.is_new <> lb.is_new
     """
     oracles["streaming_winnow_replay"] = oracles["winnow_incremental"]
+    # Curation-run manifest COMPOSED from its four source oracles (gate,
+    # survivor choice, split expression, mixture sheet) — the derived
+    # lineage artifact can never drift from the stages it audits.
+    oracles["curation_run_manifest"] = f"""
+        WITH gate AS (SELECT doc_id, n_tokens, keep AS quality_keep,
+                             reject_reasons
+                      FROM ({oracles["curation_pipeline"]})),
+        can AS (SELECT doc_id, comp, is_canonical
+                FROM ({oracles["dedup_cluster_canonicals"]})),
+        cid AS (SELECT comp, doc_id AS canonical_id FROM can
+                WHERE is_canonical),
+        dup AS (SELECT can.doc_id, can.is_canonical, cid.canonical_id
+                FROM can JOIN cid USING (comp)),
+        mix AS (SELECT source, rate_bps FROM ({oracles["mixture_plan"]})),
+        d AS (SELECT doc_id, source,
+                     CASE WHEN ('0x' || substr(md5('split:' || doc_id),
+                                1, 15))::BIGINT % 100 < 80 THEN 'train'
+                          WHEN ('0x' || substr(md5('split:' || doc_id),
+                                1, 15))::BIGINT % 100 < 90 THEN 'valid'
+                          ELSE 'test' END AS split
+              FROM documents),
+        base AS (SELECT d.doc_id, d.source, d.split, gate.n_tokens,
+                        gate.quality_keep, gate.reject_reasons,
+                        coalesce(dup.is_canonical, TRUE) AS is_canonical,
+                        coalesce(dup.canonical_id, d.doc_id)::BIGINT
+                            AS canonical_id,
+                        mix.rate_bps::BIGINT AS rate_bps
+                 FROM d JOIN gate USING (doc_id)
+                        LEFT JOIN dup USING (doc_id)
+                        LEFT JOIN mix USING (source))
+        SELECT *,
+               CASE WHEN NOT quality_keep THEN 'reject_quality'
+                    WHEN NOT is_canonical THEN 'reject_duplicate'
+                    WHEN split <> 'train' THEN 'held_out'
+                    ELSE 'train' END AS disposition,
+               CASE WHEN NOT quality_keep THEN reject_reasons
+                    WHEN NOT is_canonical
+                        THEN 'dup_of:' || canonical_id::VARCHAR
+                    WHEN split <> 'train' THEN 'split:' || split
+                    ELSE 'rate_bps:' || rate_bps::VARCHAR END AS reason
+        FROM base
+    """
+    # Source × disposition rollup COMPOSED from the manifest oracle.
+    oracles["source_disposition_matrix"] = f"""
+        WITH m AS (SELECT source, disposition, n_tokens
+                   FROM ({oracles["curation_run_manifest"]})),
+        a AS (SELECT source, disposition, count(*)::BIGINT AS n_docs,
+                     sum(n_tokens)::BIGINT AS n_tokens
+              FROM m GROUP BY 1, 2)
+        SELECT source, disposition, n_docs, n_tokens,
+               ((n_docs * 1000000)
+                // sum(n_docs) OVER (PARTITION BY source))::BIGINT
+                   AS docs_ppm,
+               (CASE WHEN sum(n_tokens) OVER (PARTITION BY source) > 0
+                     THEN (n_tokens * 1000000)
+                          // sum(n_tokens) OVER (PARTITION BY source)
+                     ELSE 0 END)::BIGINT AS tokens_ppm
+        FROM a
+    """
+    # Per-tier audit sample COMPOSED from the four pair oracles; the
+    # salted pair hash mirrors functions.text.md5_hash64 exactly.
+    oracles["dedup_pair_audit_sample"] = f"""
+        WITH u AS (
+          SELECT 'minhash' AS tier, id_a, id_b
+          FROM ({oracles["dedup_minhash_lsh"]})
+          UNION ALL
+          SELECT 'simhash', id_a, id_b FROM ({oracles["dedup_simhash_pairs"]})
+          UNION ALL
+          SELECT 'ngram', id_a, id_b FROM ({oracles["dedup_ngram_jaccard"]})
+          UNION ALL
+          SELECT 'winnow', id_a, id_b
+          FROM ({oracles["winnowing_overlap_pairs"]})
+        ),
+        nd AS (SELECT id_a, id_b, count(*)::BIGINT AS n_detectors
+               FROM u GROUP BY 1, 2),
+        s AS (SELECT tier, id_a, id_b,
+                     row_number() OVER (PARTITION BY tier ORDER BY
+                         ('0x' || substr(md5('audit:' || id_a::VARCHAR
+                             || ':' || id_b::VARCHAR), 1, 15))::BIGINT ASC,
+                         id_a ASC, id_b ASC)::BIGINT AS sample_rank
+              FROM u)
+        SELECT s.tier, s.sample_rank, s.id_a, s.id_b, nd.n_detectors
+        FROM s JOIN nd USING (id_a, id_b)
+        WHERE s.sample_rank <= {dedup.AUDIT_SAMPLE_N}
+    """
     # PII scrub: injection expressions and the regex battery are BOTH
     # composed from dataquality.PII_PATTERNS so the two sides cannot
     # drift; patterns use only the ASCII regex subset Java and RE2 agree

@@ -1937,3 +1937,60 @@ def dedup_savings_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("removable_token_ppm"),
         )
     )
+
+
+#: Pairs pulled per detector tier for the human-QA audit sheet.
+AUDIT_SAMPLE_N = 10
+
+
+def dedup_pair_audit_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic human-QA sample of near-dup pairs, per detector tier
+    — the review sheet a curation owner pulls before trusting a detector
+    at 100 TB: ``AUDIT_SAMPLE_N`` pairs from each family, chosen by a
+    salted pair hash (uniform over the tier's output, reproducible in
+    any engine — the repo's no-RNG sampling rule), each annotated with
+    how many OTHER tiers also flag it (a pair only one family finds is
+    exactly the kind a human should look at).
+
+    Cost: the four pair pipelines all read session-memoized frames (the
+    detector-matrix contract), so this adds one union, one pair-mask
+    groupBy, and a per-tier top-N window over tier-bounded groups — the
+    window is partitioned by tier and capped at ``AUDIT_SAMPLE_N``
+    (WindowGroupLimit pushes the cap map-side), never a global sort.
+    """
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    frames = {
+        "minhash": dedup_minhash_lsh(spark, sf_dir),
+        "simhash": dedup_simhash_pairs(spark, sf_dir),
+        "ngram": dedup_ngram_jaccard(spark, sf_dir),
+        "winnow": winnowing_overlap_pairs(spark, sf_dir),
+    }
+    u = None
+    for name, _bit in DETECTOR_BITS:
+        part = frames[name].select(
+            F.lit(name).alias("tier"), "id_a", "id_b"
+        )
+        u = part if u is None else u.union(part)
+    n_det = u.groupBy("id_a", "id_b").agg(
+        F.count("*").cast("long").alias("n_detectors")
+    )
+    h = md5_hash64(
+        F.concat(
+            F.lit("audit:"),
+            F.col("id_a").cast("string"),
+            F.lit(":"),
+            F.col("id_b").cast("string"),
+        )
+    )
+    w = Window.partitionBy("tier").orderBy(
+        F.asc("h"), F.asc("id_a"), F.asc("id_b")
+    )
+    sampled = (
+        u.withColumn("h", h)
+        .withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("sample_rank") <= AUDIT_SAMPLE_N)
+    )
+    return sampled.join(n_det, ["id_a", "id_b"]).select(
+        "tier", "sample_rank", "id_a", "id_b", "n_detectors"
+    )

@@ -1567,3 +1567,140 @@ def quality_ablation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(sum(flagged) * 1000000) div count(*)").alias("flagged_ppm"),
         F.expr("(sum(sole) * 1000000) div count(*)").alias("sole_ppm"),
     )
+
+
+def curation_run_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document FINAL disposition for a full curation run, with an
+    auditable reason chain — the lineage artifact a 100 TB run ships to
+    auditors, composing the engine's own stages end to end:
+
+    1. quality gate (``curation_decisions`` — the same projection the
+       batch pipeline and the streaming admission gate share);
+    2. dedup survivor choice (``dedup_cluster_canonicals`` — quality-
+       aware argmax per near-dup cluster);
+    3. split assignment (``_split_of`` — the salted-hash 80/10/10 the
+       split operator ships);
+    4. mixture targets (``mixture_plan`` — the per-source sampling rate
+       the token-budget selection will apply).
+
+    Policy order is the deployed one (cheap map-side gate first, dedup
+    second, split third, mixture last); the FIRST failing stage names
+    the disposition, and every stage's signal is still emitted so an
+    auditor can re-derive any decision. Dispositions partition the
+    corpus: reject_quality / reject_duplicate / held_out / train.
+
+    Scale shape: ONE documents scan (the decision projection is map-only
+    and carries source/split as per-row expressions), left-joined to the
+    cluster frame (O(near-dup docs), orders smaller than the corpus —
+    unhinted, AQE picks the strategy) and to the |sources|-row mixture
+    sheet. The canonical-id lookup is a self-join of the small cluster
+    frame on comp. No new corpus scan beyond what the composed stages'
+    memoized/map-only plans already cost.
+    """
+    from kafka_exercise_spark.operators.dedup import (  # noqa: PLC0415
+        _split_of,
+        dedup_cluster_canonicals,
+    )
+    from kafka_exercise_spark.operators.sampling import (  # noqa: PLC0415
+        mixture_plan,
+    )
+
+    docs = scale_partitions(load_table(spark, sf_dir, "documents"), spark)
+    base = curation_decisions(docs).select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.col("keep").alias("quality_keep"),
+        "reject_reasons",
+        _split_of(F.col("doc_id")).alias("split"),
+    )
+    canon = dedup_cluster_canonicals(spark, sf_dir).select(
+        "doc_id", "comp", "is_canonical"
+    )
+    cid = canon.filter("is_canonical").select(
+        "comp", F.col("doc_id").alias("canonical_id")
+    )
+    dup = canon.join(cid, "comp").select(
+        "doc_id", "is_canonical", "canonical_id"
+    )
+    mix = mixture_plan(spark, sf_dir).select("source", "rate_bps")
+    m = base.join(dup, "doc_id", "left").join(mix, "source", "left")
+    is_canon = F.coalesce(F.col("is_canonical"), F.lit(True))
+    canonical_id = F.coalesce(F.col("canonical_id"), F.col("doc_id"))
+    disposition = (
+        F.when(~F.col("quality_keep"), F.lit("reject_quality"))
+        .when(~is_canon, F.lit("reject_duplicate"))
+        .when(F.col("split") != "train", F.lit("held_out"))
+        .otherwise(F.lit("train"))
+    )
+    reason = (
+        F.when(~F.col("quality_keep"), F.col("reject_reasons"))
+        .when(
+            ~is_canon,
+            F.concat(F.lit("dup_of:"), canonical_id.cast("string")),
+        )
+        .when(
+            F.col("split") != "train",
+            F.concat(F.lit("split:"), F.col("split")),
+        )
+        .otherwise(
+            F.concat(F.lit("rate_bps:"), F.col("rate_bps").cast("string"))
+        )
+    )
+    return m.select(
+        "doc_id",
+        "source",
+        "split",
+        "n_tokens",
+        "quality_keep",
+        "reject_reasons",
+        is_canon.alias("is_canonical"),
+        canonical_id.cast("long").alias("canonical_id"),
+        F.col("rate_bps").cast("long").alias("rate_bps"),
+        disposition.alias("disposition"),
+        reason.alias("reason"),
+    )
+
+
+def source_disposition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source × disposition rollup of the curation-run manifest — the
+    one-page answer to "which sources are we actually keeping, and where
+    do the rest go?": per (source, disposition), document and token
+    counts plus each disposition's share of its source in ppm. The sheet
+    that catches a source whose keep-rate quietly collapses after a
+    policy change, and the per-source evidence behind the corpus-level
+    ``curation_funnel_report``.
+
+    Cost on top of the manifest: one groupBy over its map-only output
+    and per-source share windows over the |sources|×|dispositions|
+    aggregate frame (bounded, partitioned by source — never a global
+    sort). All integers; shares by integer ``div``.
+    """
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    m = curation_run_manifest(spark, sf_dir)
+    agg = m.groupBy("source", "disposition").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+    )
+    w = Window.partitionBy("source")
+    return (
+        agg.withColumn("src_docs", F.sum("n_docs").over(w))
+        .withColumn("src_tokens", F.sum("n_tokens").over(w))
+        .select(
+            "source",
+            "disposition",
+            "n_docs",
+            "n_tokens",
+            F.expr("(n_docs * 1000000) div src_docs")
+            .cast("long")
+            .alias("docs_ppm"),
+            F.when(
+                F.col("src_tokens") > 0,
+                F.expr("(n_tokens * 1000000) div src_tokens"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("tokens_ppm"),
+        )
+    )
