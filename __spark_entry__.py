@@ -389,6 +389,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_disposition_matrix": textops.source_disposition_matrix,
         # deterministic per-tier pair sample for human QA review
         "dedup_pair_audit_sample": dedup.dedup_pair_audit_sample,
+        # scan-cost vs recall@k per ANN variant (+ exact anchor row)
+        "ann_pareto_report": similarity.ann_pareto_report,
     }
     # The r05 driver window (first 50) — see the docstring for the policy.
     window = [
@@ -3700,6 +3702,68 @@ def oracle_sql() -> dict[str, str]:
                     WHEN split <> 'train' THEN 'split:' || split
                     ELSE 'rate_bps:' || rate_bps::VARCHAR END AS reason
         FROM base
+    """
+    # Cost-vs-recall Pareto sheet: recall rows COMPOSED from the recall
+    # oracle (+ the exact anchor); candidate counts replayed from the
+    # same index structures — LSH buckets (CTEs renamed le/lb to compose
+    # with the IVF fit chain in one WITH) and the IVF probe ranking.
+    _mp_masks = ", ".join(
+        str(m)
+        for m in [0] + [1 << h for h in range(similarity.N_HYPERPLANES)]
+    )
+    oracles["ann_pareto_report"] = f"""
+        WITH {_ivf_ctes()},
+        le AS (SELECT vec_id,
+                      list_transform(embedding::DOUBLE[],
+                          x -> round(x * {similarity.PROJ_SCALE})) AS lei
+               FROM embeddings),
+        lb AS (SELECT vec_id, {_lsh_bucket_sql("lei")} AS bucket FROM le),
+        bs AS (SELECT bucket, count(*) AS n FROM lb GROUP BY bucket),
+        qb AS (SELECT vec_id AS query_id, bucket AS q_bucket FROM lb
+               WHERE vec_id < {similarity.N_QUERIES}),
+        single AS (SELECT 'lsh_bucketed' AS method, query_id,
+                          (bs.n - 1)::BIGINT AS n_candidates
+                   FROM qb JOIN bs ON bs.bucket = qb.q_bucket),
+        mp AS (SELECT query_id, xor(q_bucket, u.m) AS pb
+               FROM qb CROSS JOIN (SELECT unnest([{_mp_masks}]) AS m) u),
+        multi AS (SELECT 'lsh_multiprobe' AS method, query_id,
+                         (sum(coalesce(bs.n, 0)) - 1)::BIGINT AS n_candidates
+                  FROM mp LEFT JOIN bs ON bs.bucket = mp.pb
+                  GROUP BY query_id),
+        iprobe AS (SELECT query_id, cell FROM (
+            SELECT ei.vec_id AS query_id, c.cell,
+                   row_number() OVER (PARTITION BY ei.vec_id
+                       ORDER BY {_d2_sql("ei.e", "c.c")}, c.cell) AS rn
+            FROM ei CROSS JOIN c{similarity.IVF_ITERS} c
+            WHERE ei.vec_id < {similarity.N_QUERIES})
+            WHERE rn <= {similarity.N_PROBE}),
+        cs AS (SELECT cell, count(*) AS n FROM cellof GROUP BY cell),
+        ivfc AS (SELECT query_id,
+                        (sum(coalesce(cs.n, 0)) - 1)::BIGINT AS n_candidates
+                 FROM iprobe LEFT JOIN cs USING (cell) GROUP BY query_id),
+        nc AS (SELECT count(*)::BIGINT AS n_corpus FROM embeddings),
+        cand AS (
+          SELECT * FROM single
+          UNION ALL SELECT * FROM multi
+          UNION ALL SELECT 'ivf', query_id, n_candidates FROM ivfc
+          UNION ALL SELECT 'ivf_pq', query_id, n_candidates FROM ivfc
+          UNION ALL SELECT 'exact', query_id, n_corpus - 1
+                    FROM qb CROSS JOIN nc),
+        recs AS (SELECT method, query_id, n_matched, recall_ppm
+                 FROM ({oracles["ann_recall_report"]})
+                 UNION ALL
+                 SELECT 'exact', query_id,
+                        {similarity.TOP_K}::BIGINT AS n_matched,
+                        1000000::BIGINT AS recall_ppm
+                 FROM qb)
+        SELECT cand.method, cand.query_id, cand.n_candidates,
+               ((cand.n_candidates * 1000000)
+                // (nc.n_corpus - 1))::BIGINT AS cand_ppm,
+               recs.n_matched, recs.recall_ppm
+        FROM cand
+        JOIN recs ON recs.method = cand.method
+                 AND recs.query_id = cand.query_id
+        CROSS JOIN nc
     """
     # Source × disposition rollup COMPOSED from the manifest oracle.
     oracles["source_disposition_matrix"] = f"""

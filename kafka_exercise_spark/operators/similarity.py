@@ -182,6 +182,21 @@ def int_cos_e6(ea: F.Column, eb: F.Column) -> F.Column:
     )
 
 
+def _ranked_cells(ei, centers) -> list[int]:
+    """All cells ranked by exact integer d² to the query's quantized
+    vector (ties → lowest cell) — THE probe-cell ranking shared by every
+    IVF consumer (ivf / ivf-pq / pareto), pure driver-side Python ints
+    over the bounded demo query panel (the Janino-recompile avoidance
+    pattern the ivf docstrings document)."""
+    return [
+        cell
+        for _, cell in sorted(
+            (sum((a - b) * (a - b) for a, b in zip(ei, c)), cell)
+            for cell, c in enumerate(centers)
+        )
+    ]
+
+
 def _ivf_centroids(emb: DataFrame) -> list[list[int]]:
     """Deterministic KMeans coarse quantizer, trained driver-side — in
     EXACT fixed-point integers, so the entire fit (and hence every cell
@@ -339,15 +354,11 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "emb", "ei")
         .collect()
     )
-    probes = []
-    for r in q_rows:
-        ranked = sorted(
-            (sum((a - b) * (a - b) for a, b in zip(r.ei, c)), cell)
-            for cell, c in enumerate(centers)
-        )
-        probes.extend(
-            (r.vec_id, list(r.emb), cell) for _, cell in ranked[:N_PROBE]
-        )
+    probes = [
+        (r.vec_id, list(r.emb), cell)
+        for r in q_rows
+        for cell in _ranked_cells(r.ei, centers)[:N_PROBE]
+    ]
     q_cells = spark.createDataFrame(
         probes, "query_id long, q_emb array<double>, probe_cell int"
     )
@@ -1059,10 +1070,7 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     probes = []
     for r in q_rows:
-        ranked = sorted(
-            (sum((a - b) * (a - b) for a, b in zip(r.ei, c)), cell)
-            for cell, c in enumerate(centers)
-        )
+        ranked_cells = _ranked_cells(r.ei, centers)
         tables = [
             [
                 sum(
@@ -1076,7 +1084,7 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             for m, book in enumerate(books)
         ]
         probes.extend(
-            (r.vec_id, cell, *tables) for _, cell in ranked[:N_PROBE]
+            (r.vec_id, cell, *tables) for cell in ranked_cells[:N_PROBE]
         )
     q_cells = spark.createDataFrame(
         probes,
@@ -1572,5 +1580,114 @@ def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("c"), 6).alias("cos"),
             F.col("rk").cast("long").alias("rank"),
             F.col("global_rank").cast("long").alias("global_rank"),
+        )
+    )
+
+
+def ann_pareto_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost-vs-recall Pareto sheet for the ANN family — the page an index
+    owner actually reads when choosing a variant: per (method, query),
+    HOW MANY candidates the method scores (its scan cost) against its
+    recall@``TOP_K`` vs the exact baseline. Complements
+    ``ann_recall_report`` (quality only) with the cost axis; the exact
+    baseline appears as its own row (recall 10⁶ ppm, cost = the whole
+    pool) so every trade-off is on one sheet. IVF and IVF-PQ probe the
+    SAME cells — identical candidate counts by construction — which is
+    the point: IVF-PQ buys its speed per candidate (2-byte ADC codes vs
+    a 64-dim float fold), not by pruning harder.
+
+    Candidate counts come from the SERVED index structures alone (bucket
+    sizes from the memoized LSH frame, cell sizes from the memoized IVF
+    assignment, probe lists from the shared ``_ranked_cells`` ranking) —
+    nothing is re-scored, so the report costs two small groupBys plus
+    bounded joins over the ``N_QUERIES`` panel. All integers; shares in
+    ppm via integer ``div``.
+    """
+    lsh = _lsh_indexed(spark, sf_dir)
+    n_corpus = lsh.agg(F.count("*").cast("long").alias("n_corpus"))
+    qb = lsh.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("bucket").alias("q_bucket")
+    )
+    bsz = lsh.groupBy("bucket").agg(F.count("*").alias("n"))
+    single = qb.join(bsz, F.col("q_bucket") == F.col("bucket")).select(
+        F.lit("lsh_bucketed").alias("method"),
+        "query_id",
+        (F.col("n") - 1).cast("long").alias("n_candidates"),
+    )
+    masks = F.array(
+        *[F.lit(m) for m in [0] + [1 << h for h in range(N_HYPERPLANES)]]
+    )
+    probes = qb.select(
+        "query_id",
+        F.explode(
+            F.transform(masks, lambda m: F.col("q_bucket").bitwiseXOR(m))
+        ).alias("pb"),
+    )
+    multi = (
+        probes.join(bsz, F.col("pb") == F.col("bucket"), "left")
+        .groupBy("query_id")
+        .agg(
+            (F.sum(F.coalesce(F.col("n"), F.lit(0))) - 1)
+            .cast("long")
+            .alias("n_candidates")
+        )
+        .select(F.lit("lsh_multiprobe").alias("method"), "query_id", "n_candidates")
+    )
+    assigned, centers = _ivf_assign(spark, sf_dir)
+    q_rows = (
+        assigned.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "ei")
+        .collect()
+    )
+    probe_rows = [
+        (r.vec_id, cell)
+        for r in q_rows
+        for cell in _ranked_cells(r.ei, centers)[:N_PROBE]
+    ]
+    pdf = spark.createDataFrame(probe_rows, "query_id long, cell int")
+    csz = assigned.groupBy("cell").agg(F.count("*").alias("n"))
+    # left join: a probed-but-empty cell contributes 0 candidates; the
+    # query's own cell is always probed (nearest centroid = assignment),
+    # so −1 removes exactly the self row, mirroring the scorers' filter
+    ivf_counts = (
+        pdf.join(csz, "cell", "left")
+        .groupBy("query_id")
+        .agg(
+            (F.sum(F.coalesce(F.col("n"), F.lit(0))) - 1)
+            .cast("long")
+            .alias("n_candidates")
+        )
+    )
+    ivf = ivf_counts.select(
+        F.lit("ivf").alias("method"), "query_id", "n_candidates"
+    )
+    ivf_pq = ivf_counts.select(
+        F.lit("ivf_pq").alias("method"), "query_id", "n_candidates"
+    )
+    exact_cand = qb.crossJoin(F.broadcast(n_corpus)).select(
+        F.lit("exact").alias("method"),
+        "query_id",
+        (F.col("n_corpus") - 1).cast("long").alias("n_candidates"),
+    )
+    cand = single.unionByName(multi).unionByName(ivf).unionByName(ivf_pq).unionByName(exact_cand)
+    exact_rec = qb.select(
+        F.lit("exact").alias("method"),
+        "query_id",
+        F.lit(TOP_K).cast("long").alias("n_matched"),
+        F.lit(1_000_000).cast("long").alias("recall_ppm"),
+    )
+    recall_all = ann_recall_report(spark, sf_dir).unionByName(exact_rec)
+    return (
+        cand.join(recall_all, ["method", "query_id"])
+        .crossJoin(F.broadcast(n_corpus))
+        .select(
+            "method",
+            "query_id",
+            "n_candidates",
+            F.expr("(n_candidates * 1000000) div (n_corpus - 1)")
+            .cast("long")
+            .alias("cand_ppm"),
+            "n_matched",
+            "recall_ppm",
         )
     )

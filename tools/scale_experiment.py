@@ -53,7 +53,7 @@ WORK = "/tmp/spark_graft_scale"
 
 #: Bump when build_scaled's table layout changes (which tables are
 #: replicated and how) — see the _DONE stamp check.
-BUILD_LAYOUT_VERSION = "v2-replicates-events-documents-customer-lineitem"
+BUILD_LAYOUT_VERSION = "v3-replicates-events-documents-customer-lineitem-embeddings"
 
 QUERIES = {
     "quality_repetition": textops.quality_repetition,
@@ -80,6 +80,21 @@ QUERIES = {
     # per-round cost tracks the ×k vocabulary, never the corpus)
     "winnowing_overlap_pairs": dedup.winnowing_overlap_pairs,
     "bpe_train_merges": textops.bpe_train_merges,
+    # r06 additions — the composition/meta operators (VERDICT r5 #5): each
+    # claims "memoized family frames + small aggregates" as its marginal
+    # cost. They run AFTER their source families above, so the per-dir
+    # memos those entries warmed are in place and the rung times the
+    # composition itself (plus any family only the composite builds —
+    # e.g. the detector matrix's simhash side — which is its real cost).
+    "dedup_detector_matrix": dedup.dedup_detector_matrix,
+    "dedup_savings_report": dedup.dedup_savings_report,
+    "split_leakage_report": dedup.split_leakage_report,
+    # the ANN acceptance harness over the ×k-replicated embeddings table:
+    # every variant's index/scan cost is per-(query,candidate), queries a
+    # fixed panel — linear rungs mean no hidden all-pairs in the family
+    "ann_recall_report": similarity.ann_recall_report,
+    # this round's capstone composition (gate + survivors + split + mix)
+    "curation_run_manifest": textops.curation_run_manifest,
 }
 
 
@@ -190,10 +205,30 @@ def build_scaled(spark, k: int) -> str:
     for p in li_parts[1:]:
         li_k = li_k.unionByName(p)
     li_k.write.parquet(os.path.join(out, "lineitem.parquet"))
+    # embeddings ×k for the ANN family: vec_id offset keeps ids unique;
+    # vectors replicate UNPERTURBED — retrieval cost is per
+    # (query, candidate) with a FIXED query panel (vec_id < N_QUERIES
+    # stays the original panel), so cells/buckets grow k× fatter and the
+    # scan work grows linearly, which is exactly the capacity question
+    # the rung asks. No pair structure exists to densify quadratically.
+    emb = load_table(spark, BASE, "embeddings")
+    n_emb = emb.count()
+    emb_parts = [
+        emb.select(
+            (F.col("vec_id") + F.lit(i * n_emb)).alias("vec_id"),
+            *[c for c in emb.columns if c != "vec_id"],
+        )
+        for i in range(k)
+    ]
+    emb_k = emb_parts[0]
+    for p in emb_parts[1:]:
+        emb_k = emb_k.unionByName(p)
+    emb_k.write.parquet(os.path.join(out, "embeddings.parquet"))
+    _scaled = ("events", "documents", "customer", "lineitem", "embeddings")
     for t in TABLES:
         src = table_path(BASE, t)
         dst = table_path(out, t)
-        if t not in ("events", "documents", "customer", "lineitem") and os.path.exists(src):
+        if t not in _scaled and os.path.exists(src):
             os.symlink(src, dst)
     with open(os.path.join(out, "_DONE"), "w") as f:
         f.write(BUILD_LAYOUT_VERSION)
