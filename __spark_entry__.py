@@ -51,21 +51,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Ordering note: the driver's correctness pass covers the first 50
     entries; the explicit ``window`` list below pins that set and the
-    rest follow in registry order. r05 rotation (VERDICT r4 ask #2): the
-    two flagships, then the 19 late-r4 entries that had never had a
-    driver CORRECTNESS row (closing the evidence story — after r05 every
-    registry entry has a driver-recorded green hash across r01–r05),
-    then the NINE new r05 entries, then as many r05-changed entries as
-    the remaining slots hold: the six value-affecting integer-div ratio
-    rewrites, the hint-removal relational queries the r4 verdict graded
-    perf-weak (q3/q5/join_customer_orders/q18/q7/q8/q10; plus q9), and
-    the highest-risk div-swap pair (ivf_cells_report fixed a real
-    Spark-vs-oracle division-idiom mismatch; mixture_plan swapped both
-    sides). Changed entries past slot 50 (q2/q11/q14–q21's hint
-    removals, embedding_anisotropy's both-sides div swap, the
-    funnel/tfidf/lm/heavy-hitters unhinted joins) are value-unchanged by
-    construction and covered by this session's verify_local sweeps at
-    BOTH sf0.01 and sf0.1, plus pytest.
+    rest follow in registry order. r06 rotation (VERDICT r5 ask #1): the
+    two flagships, then the FULL late-r05 positional queue — the 19
+    entries that had never had a driver CORRECTNESS row — plus the
+    deferred quality_quantile_filter div-swap re-verify (after r06,
+    every registry entry that existed at the r06 freeze has a
+    driver-recorded green hash across r01–r06), then the nine
+    relational hint-removals whose r05 plan change never got an r05
+    driver row (values unchanged; old rows r01/r02), the two entries
+    whose plan changed THIS round (bpe_pair_counts' distributed-TopK
+    rank cap and its consumer bpe_segment_words), the six NEW r06
+    entries (winnow_incremental + streaming twin, curation_run_manifest,
+    source_disposition_matrix, dedup_pair_audit_sample,
+    ann_pareto_report), and fresh rows for the entries those
+    compositions read from (the audit sample's pair sources, the
+    manifest's gate/split sources, and the ANN family the _ranked_cells
+    refactor touched). Everything outside the window is covered by this
+    session's verify_local sweeps at BOTH sf0.01 and sf0.1, plus pytest.
     """
     all_q = {
         # §2.2 P1/P4/P5/P6/P8 — formatted-date filter (CSAS jovens)
@@ -332,13 +334,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_calibration_report": textops.classifier_calibration_report,
         # source×source near-dup matrix: who copies from whom
         "dedup_source_matrix": dedup.dedup_source_matrix,
-        # ---- late r05: EVERY entry from here to the end of this dict is
-        # past the r05 window — lead the r06 window with ALL of them (no
-        # fixed count: anything appended below this line is in the queue)
-        # per the established rotation policy; verify_local covers each
-        # at both sfs this round. ALSO owed an r06 driver row:
-        # quality_quantile_filter (r05 div swap deferred from the 50-slot
-        # r05 window). ----
+        # ---- late r05 (ALL in the r06 window below — the positional
+        # queue was executed in full this round, plus the deferred
+        # quality_quantile_filter re-verify). ----
         # packing-layout audit: per-shard fill + balance skew
         "pack_efficiency_report": sampling.pack_efficiency_report,
         # LSH S-curve: analytic banding probability vs measured pair mass
@@ -391,67 +389,81 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_pair_audit_sample": dedup.dedup_pair_audit_sample,
         # scan-cost vs recall@k per ANN variant (+ exact anchor row)
         "ann_pareto_report": similarity.ann_pareto_report,
+        # ---- late r06: EVERY entry appended below this line after the
+        # r06 window froze is past that window — lead the r07 window
+        # with ALL of them (positional queue, no fixed count), per the
+        # established rotation policy. (Empty at freeze time: every r06
+        # addition made it into the r06 window.) ----
     }
-    # The r05 driver window (first 50) — see the docstring for the policy.
+    # The r06 driver window (first 50) — see the docstring for the
+    # policy. Composition: flagships, then the FULL late-r05 positional
+    # queue (19 entries, VERDICT r5 ask #1) + the deferred
+    # quality_quantile_filter div-swap re-verify, then the 9 relational
+    # hint-removals whose r05 plan change never got an r05 driver row
+    # (values unchanged, old rows r01/r02), the two entries whose plan
+    # changed THIS round (bpe TopK rank cap), the 6 new r06 entries, and
+    # finally fresh rows for the entries this round's compositions and
+    # refactors read from (the audit sample's three pair sources, the
+    # manifest's gate/split sources, and the ANN family the
+    # _ranked_cells refactor touched).
     window = [
         "jovens",
         "idadecont",
-        # the 19 never-driver-verified late-r4 entries
-        "er_fuzzy_pairs",
-        "graph_pagerank",
-        "lm_bigram_score",
-        "weighted_sample_topn",
-        "k_anonymity_report",
-        "drift_report_events",
-        "skew_key_census",
+        # the 19 never-driver-verified late-r5 entries (positional queue)
+        "pack_efficiency_report",
+        "minhash_s_curve",
+        "winnowing_overlap_pairs",
+        "pii_scrub_report",
+        "split_leakage_report",
+        "log_compaction",
+        "streaming_compaction_replay",
+        "knn_label_vote",
+        "bpe_train_merges",
+        "bpe_apply_trained",
+        "dedup_detector_matrix",
+        "text_novelty_score",
+        "curriculum_plan",
+        "knn_label_vote_ivf",
+        "quality_ablation_report",
+        "ann_filtered_topk",
+        "winnow_components",
+        "dedup_savings_report",
+        "winnow_threshold_sweep",
+        # deferred from the r05 window (identical-class div swap)
+        "quality_quantile_filter",
+        # r05 broadcast-hint removals never driver-re-verified in r05
+        "q2_min_cost_supplier",
+        "q11_important_stock",
+        "q14_promo_effect",
+        "q15_top_supplier",
+        "q16_supplier_cnt",
+        "q17_small_qty_revenue",
+        "q19_disjunctive_join",
+        "q20_potential_promotion",
+        "q21_waiting_supplier",
+        # r06 plan change: distributed TopK rank cap (+ its consumer)
+        "bpe_pair_counts",
         "bpe_segment_words",
-        "dedup_threshold_sweep",
-        "rfm_segments",
-        "attribution_credit",
-        "hourly_anomaly_scores",
-        "basket_pair_rules",
-        "resample_ffill_events",
-        "twa_value_per_user",
-        "embedding_top_component",
-        "embedding_anisotropy",
-        "merge_upsert_profiles",
-        "streaming_merge_replay",
-        # new in r05
-        "merge_scd2_apply",
-        "ann_recall_report",
-        "ann_index_refresh",
-        "streaming_scd2_replay",
-        "dedup_cluster_canonicals",
-        "span_corruption_masks",
-        "tokenizer_fertility_report",
-        "classifier_calibration_report",
-        "dedup_source_matrix",
-        # r05 integer-div ratio fixes (ADVICE r4) — re-verify
-        "gopher_quality_filter",
-        "corpus_profile",
-        "contamination_report",
-        "bm25_topk",
-        "streaming_curation_gate",
-        "curation_funnel_report",
-        # r05 plan changes (broadcast-hint removals / unhinted joins)
-        "funnel_ordered",
-        "tfidf_top_terms",
-        "lm_unigram_score",
-        "heavy_hitters_topk",
-        "q3_shipping_priority",
-        "q5_local_supplier",
-        "join_customer_orders",
-        "q18_large_orders",
-        "q7_volume_shipping",
-        "q8_market_share",
-        "q9_product_profit",
-        "q10_returned_items",
-        # r05 code+oracle div swaps (values identical, re-verify anyway).
-        # quality_quantile_filter's identical-class div swap is DEFERRED to
-        # the r06 window (50-slot budget; verify_local covers it at both
-        # sfs this round) — list it with the late-r05 rotation below.
-        "ivf_cells_report",
-        "mixture_plan",
+        # new in r06
+        "winnow_incremental",
+        "streaming_winnow_replay",
+        "curation_run_manifest",
+        "source_disposition_matrix",
+        "dedup_pair_audit_sample",
+        "ann_pareto_report",
+        # fresh rows for this round's composition sources / refactored
+        # consumers (oldest-evidence-first within the family)
+        "curation_pipeline",
+        "dedup_minhash_lsh",
+        "dedup_simhash_pairs",
+        "dedup_ngram_jaccard",
+        "dedup_components",
+        "split_train_valid_test",
+        "ann_cosine_topk",
+        "ann_ivf_topk",
+        "ann_ivf_pq_topk",
+        "ann_lsh_bucketed",
+        "ann_lsh_multiprobe",
     ]
     assert len(window) == 50 and len(set(window)) == 50
     out = {k: all_q[k] for k in window}

@@ -1938,3 +1938,65 @@ def test_winnow_sweep_monotone_and_anchored(spark, sf_dir):
         anchored[dedup.WINNOW_MIN_PPM]
         == dedup.winnowing_overlap_pairs(spark, sf_dir).count()
     )
+
+
+def test_curation_manifest_partitions_corpus_with_consistent_reasons(
+    spark, sf_dir
+):
+    """The manifest must cover every document exactly once, name the FIRST
+    failing stage, and keep each reason consistent with its disposition —
+    the properties that make it trustworthy as an audit artifact."""
+    from kafka_exercise_spark.catalog import load_table
+    from kafka_exercise_spark.operators import textops
+
+    m = textops.curation_run_manifest(spark, sf_dir).cache()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert m.count() == n_docs
+    assert m.select("doc_id").distinct().count() == n_docs
+    rows = m.collect()
+    for r in rows:
+        if r.disposition == "reject_quality":
+            assert not r.quality_keep and r.reason == r.reject_reasons
+        elif r.disposition == "reject_duplicate":
+            assert r.quality_keep and not r.is_canonical
+            assert r.reason == f"dup_of:{r.canonical_id}"
+            assert r.canonical_id != r.doc_id
+        elif r.disposition == "held_out":
+            assert r.quality_keep and r.is_canonical
+            assert r.split in ("valid", "test")
+            assert r.reason == f"split:{r.split}"
+        else:
+            assert r.disposition == "train" and r.split == "train"
+            assert r.reason == f"rate_bps:{r.rate_bps}"
+        # docs outside any dedup cluster are their own canonical
+        if r.is_canonical:
+            assert r.canonical_id == r.doc_id
+    # all four dispositions actually occur on the fixture
+    assert {r.disposition for r in rows} == {
+        "reject_quality", "reject_duplicate", "held_out", "train"
+    }
+    m.unpersist()
+
+
+def test_pair_audit_sample_caps_and_agreement(spark, sf_dir):
+    """Each tier contributes at most AUDIT_SAMPLE_N pairs with dense
+    deterministic ranks, and the cross-tier agreement count is consistent
+    with the pair's actual tier membership."""
+    from kafka_exercise_spark.operators import dedup
+
+    rows = dedup.dedup_pair_audit_sample(spark, sf_dir).collect()
+    by_tier = {}
+    for r in rows:
+        by_tier.setdefault(r.tier, []).append(r)
+    assert set(by_tier) <= {"minhash", "simhash", "ngram", "winnow"}
+    for tier, trs in by_tier.items():
+        ranks = sorted(r.sample_rank for r in trs)
+        assert ranks == list(range(1, len(ranks) + 1))
+        assert len(trs) <= dedup.AUDIT_SAMPLE_N
+    # a pair sampled in two tiers must report the same n_detectors, >= 2
+    seen = {}
+    for r in rows:
+        key = (r.id_a, r.id_b)
+        if key in seen:
+            assert seen[key] == r.n_detectors and r.n_detectors >= 2
+        seen[key] = r.n_detectors

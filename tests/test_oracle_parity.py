@@ -90,26 +90,33 @@ def test_tokens_shingles_hash_parity(spark, texts):
         assert g.h == e[3], texts
 
 
-def test_r05_window_leads_with_unverified_entries():
-    """The driver records only the first 50 queries() entries; r05 must
-    lead with the 19 entries that have never had a driver CORRECTNESS
-    row (VERDICT r4 ask #2) plus every r05 addition — an accidental
-    reorder would silently burn the round's only driver evidence."""
+def test_r06_window_leads_with_unverified_entries():
+    """The driver records only the first 50 queries() entries; r06 must
+    lead with the 19 late-r5 entries that have never had a driver
+    CORRECTNESS row (VERDICT r5 ask #1, the positional queue) plus the
+    deferred quality_quantile_filter re-verify and every r06 addition —
+    an accidental reorder would silently burn the round's only driver
+    evidence."""
     import __spark_entry__ as entrymod
 
     first50 = list(entrymod.queries())[:50]
     never_verified = {
-        "er_fuzzy_pairs", "graph_pagerank", "lm_bigram_score",
-        "weighted_sample_topn", "k_anonymity_report", "drift_report_events",
-        "skew_key_census", "bpe_segment_words", "dedup_threshold_sweep",
-        "rfm_segments", "attribution_credit", "hourly_anomaly_scores",
-        "basket_pair_rules", "resample_ffill_events", "twa_value_per_user",
-        "embedding_top_component", "embedding_anisotropy",
-        "merge_upsert_profiles", "streaming_merge_replay",
+        "pack_efficiency_report", "minhash_s_curve",
+        "winnowing_overlap_pairs", "pii_scrub_report",
+        "split_leakage_report", "log_compaction",
+        "streaming_compaction_replay", "knn_label_vote",
+        "bpe_train_merges", "bpe_apply_trained", "dedup_detector_matrix",
+        "text_novelty_score", "curriculum_plan", "knn_label_vote_ivf",
+        "quality_ablation_report", "ann_filtered_topk",
+        "winnow_components", "dedup_savings_report",
+        "winnow_threshold_sweep", "quality_quantile_filter",
     }
-    r05_new = {
-        "merge_scd2_apply", "ann_recall_report", "ann_index_refresh",
-        "streaming_scd2_replay", "dedup_cluster_canonicals",
+    r06_new = {
+        "winnow_incremental", "streaming_winnow_replay",
+        "curation_run_manifest", "source_disposition_matrix",
+        "dedup_pair_audit_sample", "ann_pareto_report",
+        # changed this round: TopK rank cap + its consumer
+        "bpe_pair_counts", "bpe_segment_words",
     }
-    assert never_verified | r05_new <= set(first50)
+    assert never_verified | r06_new <= set(first50)
     assert first50[:2] == ["jovens", "idadecont"]  # flagships stay first

@@ -94,6 +94,13 @@ SELECTED = [
     ("dedup_detector_matrix", "union of memoized pair frames + 2 tiny groupBys"),
     ("text_novelty_score", "shared shingle frame; df census + per-doc rollup"),
     ("curriculum_plan", "fixed micro-nat bands map-side; window over the band frame"),
+    # r06 additions
+    ("bpe_pair_counts", "distributed TopK (TakeOrderedAndProject) + bounded rank join — no global rank window"),
+    ("winnow_incremental", "batch postings broadcast into the corpus index; corpus never self-joins"),
+    ("curation_run_manifest", "ONE doc scan + left joins to cluster frame and the per-source mixture sheet"),
+    ("source_disposition_matrix", "one groupBy over the manifest; per-source windows on a bounded frame"),
+    ("dedup_pair_audit_sample", "memoized pair frames; per-tier capped window (WindowGroupLimit)"),
+    ("ann_pareto_report", "bucket/cell censuses of served indexes; bounded panel joins"),
     # bpe_train_merges is deliberately absent: constructing its plan RUNS
     # the iterative fit (bounded per-round argmax collects), same exclusion
     # class as the streaming replays.
