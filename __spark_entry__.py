@@ -392,8 +392,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- late r06: EVERY entry appended below this line after the
         # r06 window froze is past that window — lead the r07 window
         # with ALL of them (positional queue, no fixed count), per the
-        # established rotation policy. (Empty at freeze time: every r06
-        # addition made it into the r06 window.) ----
+        # established rotation policy. verify_local covers each at both
+        # sfs this round. ----
+        # LSH bucket census + Hamming-1 probe-load (ivf_cells twin)
+        "lsh_buckets_report": similarity.lsh_buckets_report,
+        # epoch/repetition schedule when targets exceed availability
+        "mixture_epoch_schedule": sampling.mixture_epoch_schedule,
     }
     # The r06 driver window (first 50) — see the docstring for the
     # policy. Composition: flagships, then the FULL late-r05 positional
@@ -3776,6 +3780,44 @@ def oracle_sql() -> dict[str, str]:
         JOIN recs ON recs.method = cand.method
                  AND recs.query_id = cand.query_id
         CROSS JOIN nc
+    """
+    # LSH bucket census: same le/lb replay as the pareto oracle; the
+    # probe-load column replays the bounded Hamming-1 fan-out.
+    oracles["lsh_buckets_report"] = f"""
+        WITH le AS (SELECT vec_id,
+                           list_transform(embedding::DOUBLE[],
+                               x -> round(x * {similarity.PROJ_SCALE})) AS lei
+                    FROM embeddings),
+        lb AS (SELECT vec_id, {_lsh_bucket_sql("lei")} AS bucket FROM le),
+        pb AS (SELECT bucket, count(*)::BIGINT AS n_vectors,
+                      min(vec_id) AS min_vec_id, max(vec_id) AS max_vec_id
+               FROM lb GROUP BY bucket),
+        tot AS (SELECT count(*)::BIGINT AS t FROM lb),
+        nbr AS (SELECT bucket, xor(bucket, u.m) AS probe_src
+                FROM pb CROSS JOIN (SELECT unnest([{_mp_masks}]) AS m) u),
+        ld AS (SELECT nbr.bucket,
+                      sum(s.n_vectors)::BIGINT AS probe_queries
+               FROM nbr JOIN pb s ON s.bucket = nbr.probe_src
+               GROUP BY nbr.bucket)
+        SELECT pb.bucket::BIGINT AS bucket, pb.n_vectors,
+               pb.min_vec_id, pb.max_vec_id,
+               ((pb.n_vectors * 1000000) // tot.t)::BIGINT AS share_ppm,
+               ld.probe_queries
+        FROM pb JOIN ld USING (bucket) CROSS JOIN tot
+    """
+    # Epoch schedule COMPOSED from the mixture-plan oracle.
+    oracles["mixture_epoch_schedule"] = f"""
+        WITH p AS (SELECT * FROM ({oracles["mixture_plan"]}))
+        SELECT source, weight, avail_tokens, target_tokens,
+               ((target_tokens * 1000) // avail_tokens)::BIGINT
+                   AS epochs_milli,
+               (target_tokens // avail_tokens)::BIGINT AS full_epochs,
+               (target_tokens
+                - (target_tokens // avail_tokens) * avail_tokens)::BIGINT
+                   AS partial_tokens,
+               ((target_tokens * 1000) // avail_tokens)
+                   > {sampling.EPOCH_CAP_MILLI} AS over_epoch_cap
+        FROM p
     """
     # Source × disposition rollup COMPOSED from the manifest oracle.
     oracles["source_disposition_matrix"] = f"""

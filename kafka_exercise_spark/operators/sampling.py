@@ -478,3 +478,46 @@ def pack_efficiency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(total_tokens * n_shards * 1000000) div corpus_tokens"
         ).alias("skew_ppm"),
     )
+
+
+#: Repetition red line for the epoch schedule, in milli-epochs: past ~4
+#: epochs over the same data, additional repeats return rapidly
+#: diminishing value (Muennighoff et al. 2023, "Scaling Data-Constrained
+#: Language Models") — sources scheduled beyond this get flagged.
+EPOCH_CAP_MILLI = 4_000
+
+
+def mixture_epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch/repetition schedule per source — the LLaMA-style data-table
+    companion to ``mixture_plan``: when a source's token TARGET exceeds
+    what it has AVAILABLE, the training run repeats the source; this
+    sheet states, in exact integers, how many times (milli-epochs =
+    target·1000 ``div`` avail), how the last partial epoch splits
+    (full_epochs + partial_tokens), and whether the repetition crosses
+    the diminishing-returns red line (``EPOCH_CAP_MILLI``) a data owner
+    must sign off on.
+
+    Unlike ``mixture_plan`` (which CAPS targets at availability and
+    reports the shortfall), the schedule presumes the mixture weights
+    are non-negotiable and data repeats to meet them — the two sheets
+    together are the "cut the target or repeat the data?" decision.
+    Cost: arithmetic over the |sources|-row mixture inventory — the one
+    corpus scan is the token count ``mixture_plan`` already pays; oracle
+    composed from its oracle so the two sheets can never disagree.
+    """
+    plan = mixture_plan(spark, sf_dir)
+    epochs_milli = F.expr("(target_tokens * 1000) div avail_tokens")
+    full_epochs = F.expr("target_tokens div avail_tokens")
+    return plan.select(
+        "source",
+        "weight",
+        "avail_tokens",
+        "target_tokens",
+        epochs_milli.cast("long").alias("epochs_milli"),
+        full_epochs.cast("long").alias("full_epochs"),
+        (
+            F.col("target_tokens")
+            - full_epochs * F.col("avail_tokens")
+        ).cast("long").alias("partial_tokens"),
+        (epochs_milli > EPOCH_CAP_MILLI).alias("over_epoch_cap"),
+    )

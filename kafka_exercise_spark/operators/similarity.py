@@ -1691,3 +1691,60 @@ def ann_pareto_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall_ppm",
         )
     )
+
+
+def lsh_buckets_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH index-quality audit — the hyperplane-bucket twin of
+    ``ivf_cells_report``: per-bucket population and corpus share, plus
+    each bucket's share of the MULTIPROBE workload (every bucket is
+    probed by queries whose bucket lies within Hamming distance 1, so a
+    fat bucket taxes H+1 probe sets, not just its own). The balance
+    sheet an owner reads before trusting "probe 7/64 buckets ≈ 11% of
+    the corpus" — one skewed bucket quietly re-inflates that fraction.
+
+    All exact integers (counts + integer-``div`` ppm shares); one
+    aggregate over the served LSH frame (the memoized index — the corpus
+    is not rescanned) plus a bounded |buckets|×(H+1) neighbor fan-out
+    for the probe-load column.
+    """
+    lsh = _lsh_indexed(spark, sf_dir)
+    total = lsh.count()  # served-index row count — metadata-cheap
+    per_bucket = lsh.groupBy(
+        F.col("bucket").cast("long").alias("bucket")
+    ).agg(
+        F.count("*").alias("n_vectors"),
+        F.min("vec_id").alias("min_vec_id"),
+        F.max("vec_id").alias("max_vec_id"),
+    )
+    # probe-load: bucket b is scanned by any query hashed to b or to a
+    # Hamming-1 neighbor of b — sum the neighbor buckets' populations
+    # over the explicit XOR-mask fan-out (|buckets|·(H+1) rows, bounded
+    # by the hyperplane count, never corpus-sized)
+    masks = F.array(
+        *[F.lit(m) for m in [0] + [1 << h for h in range(N_HYPERPLANES)]]
+    )
+    nbr = per_bucket.select(
+        "bucket",
+        F.explode(
+            F.transform(masks, lambda m: F.col("bucket").bitwiseXOR(m))
+        ).alias("probe_src"),
+    )
+    src_sz = per_bucket.select(
+        F.col("bucket").alias("probe_src"), F.col("n_vectors").alias("src_n")
+    )
+    load = (
+        nbr.join(src_sz, "probe_src")
+        .groupBy("bucket")
+        .agg(F.sum("src_n").cast("long").alias("probe_queries"))
+    )
+    return (
+        per_bucket.join(load, "bucket")
+        .select(
+            "bucket",
+            "n_vectors",
+            "min_vec_id",
+            "max_vec_id",
+            F.expr(f"(n_vectors * 1000000) div {total}").alias("share_ppm"),
+            "probe_queries",
+        )
+    )
