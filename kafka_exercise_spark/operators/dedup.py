@@ -1743,6 +1743,35 @@ DETECTOR_BITS = (
 )
 
 
+def _tier_pairs_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized (tier, id_a, id_b) union of all four detector families'
+    verified pairs — materialized ONCE per (session, corpus) and served
+    to every ensemble consumer (``dedup_detector_matrix``,
+    ``dedup_pair_audit_sample``), which previously each re-ran the four
+    pair joins per call (~3–5 s each at sf0.1 even with the family
+    frames memoized, because the ngram/simhash/winnow JOINS themselves
+    re-executed). At 100 TB this union IS the per-tier pair table a
+    dedup run writes to the lake before any ensemble analysis reads it.
+    """
+
+    def build() -> DataFrame:
+        frames = {
+            "minhash": dedup_minhash_lsh(spark, sf_dir),
+            "simhash": dedup_simhash_pairs(spark, sf_dir),
+            "ngram": dedup_ngram_jaccard(spark, sf_dir),
+            "winnow": winnowing_overlap_pairs(spark, sf_dir),
+        }
+        u = None
+        for name, _bit in DETECTOR_BITS:
+            part = frames[name].select(
+                F.lit(name).alias("tier"), "id_a", "id_b"
+            )
+            u = part if u is None else u.union(part)
+        return u
+
+    return memo_frame(spark, ("tier_pairs", sf_dir), build)
+
+
 def dedup_detector_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup detector ENSEMBLE audit: which of the four fingerprinting
     families (MinHash-LSH set resemblance, SimHash bit signature,
@@ -1759,18 +1788,14 @@ def dedup_detector_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     matrix adds only the union + two small groupBys on top of work the
     dedup family has already paid. All counts exact integers.
     """
-    frames = {
-        "minhash": dedup_minhash_lsh(spark, sf_dir),
-        "simhash": dedup_simhash_pairs(spark, sf_dir),
-        "ngram": dedup_ngram_jaccard(spark, sf_dir),
-        "winnow": winnowing_overlap_pairs(spark, sf_dir),
-    }
-    u = None
+    bit_expr = F.lit(None).cast("long")
     for name, bit in DETECTOR_BITS:
-        part = frames[name].select(
-            "id_a", "id_b", F.lit(bit).alias("bit")
+        bit_expr = F.when(F.col("tier") == name, F.lit(bit)).otherwise(
+            bit_expr
         )
-        u = part if u is None else u.union(part)
+    u = _tier_pairs_frame(spark, sf_dir).select(
+        "id_a", "id_b", bit_expr.alias("bit")
+    )
     mask = u.groupBy("id_a", "id_b").agg(F.sum("bit").alias("mask"))
     flags = [
         (F.col("mask").bitwiseAND(F.lit(bit)) > 0).alias(f"in_{name}")
@@ -1952,26 +1977,16 @@ def dedup_pair_audit_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     how many OTHER tiers also flag it (a pair only one family finds is
     exactly the kind a human should look at).
 
-    Cost: the four pair pipelines all read session-memoized frames (the
-    detector-matrix contract), so this adds one union, one pair-mask
-    groupBy, and a per-tier top-N window over tier-bounded groups — the
-    window is partitioned by tier and capped at ``AUDIT_SAMPLE_N``
-    (WindowGroupLimit pushes the cap map-side), never a global sort.
+    Cost: reads the session-memoized per-tier pair table
+    (``_tier_pairs_frame`` — the lake artifact every ensemble consumer
+    shares), so this adds one agreement groupBy and a per-tier top-N
+    window over tier-bounded groups — the window is partitioned by tier
+    and capped at ``AUDIT_SAMPLE_N`` (WindowGroupLimit pushes the cap
+    map-side), never a global sort.
     """
     from pyspark.sql import Window  # noqa: PLC0415
 
-    frames = {
-        "minhash": dedup_minhash_lsh(spark, sf_dir),
-        "simhash": dedup_simhash_pairs(spark, sf_dir),
-        "ngram": dedup_ngram_jaccard(spark, sf_dir),
-        "winnow": winnowing_overlap_pairs(spark, sf_dir),
-    }
-    u = None
-    for name, _bit in DETECTOR_BITS:
-        part = frames[name].select(
-            F.lit(name).alias("tier"), "id_a", "id_b"
-        )
-        u = part if u is None else u.union(part)
+    u = _tier_pairs_frame(spark, sf_dir)
     n_det = u.groupBy("id_a", "id_b").agg(
         F.count("*").cast("long").alias("n_detectors")
     )
