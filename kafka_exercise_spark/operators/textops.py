@@ -1595,8 +1595,19 @@ def curation_run_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     unhinted, AQE picks the strategy) and to the |sources|-row mixture
     sheet. The canonical-id lookup is a self-join of the small cluster
     frame on comp. No new corpus scan beyond what the composed stages'
-    memoized/map-only plans already cost.
+    memoized/map-only plans already cost. The finished manifest is
+    itself MEMOIZED per (session, corpus) — it is the staging table a
+    run writes to the lake, and every downstream rollup
+    (``source_disposition_matrix``) reads the served copy.
     """
+    return memo_frame(
+        spark,
+        ("curation_manifest", sf_dir),
+        lambda: _build_curation_manifest(spark, sf_dir),
+    )
+
+
+def _build_curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_exercise_spark.operators.dedup import (  # noqa: PLC0415
         _split_of,
         dedup_cluster_canonicals,
