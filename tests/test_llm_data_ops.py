@@ -2000,3 +2000,45 @@ def test_pair_audit_sample_caps_and_agreement(spark, sf_dir):
         if key in seen:
             assert seen[key] == r.n_detectors and r.n_detectors >= 2
         seen[key] = r.n_detectors
+
+
+def test_winnow_selection_guarantee_on_planted_substrings(spark):
+    """Schleimer et al.'s published winnowing guarantee: any shared
+    substring of length >= WINNOW_K + WINNOW_W - 1 contributes at least
+    one COMMON selected fingerprint. Planted deterministically: 25 doc
+    pairs share a random-ish substring exactly that long, embedded in
+    otherwise-disjoint text; every pair must intersect. (Normalization
+    lowercases and collapses whitespace, so payloads avoid both.)"""
+    import hashlib as _h
+
+    from kafka_exercise_spark.operators.dedup import (
+        WINNOW_K,
+        WINNOW_W,
+        winnow_selected,
+    )
+
+    min_len = WINNOW_K + WINNOW_W - 1
+
+    def blob(tag: str, n: int) -> str:
+        out = []
+        i = 0
+        while sum(len(s) for s in out) < n:
+            out.append(_h.md5(f"{tag}:{i}".encode()).hexdigest())
+            i += 1
+        return "".join(out)[:n]
+
+    rows = []
+    for p in range(25):
+        shared = blob(f"shared{p}", min_len)
+        rows.append((2 * p, blob(f"a{p}", 40) + shared + blob(f"b{p}", 40)))
+        rows.append(
+            (2 * p + 1, blob(f"c{p}", 55) + shared + blob(f"d{p}", 25))
+        )
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = winnow_selected(docs).collect()
+    by_doc: dict[int, set[int]] = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    for p in range(25):
+        common = by_doc[2 * p] & by_doc[2 * p + 1]
+        assert common, f"pair {p}: guarantee violated"
