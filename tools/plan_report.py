@@ -121,6 +121,13 @@ def main() -> None:
         "broadcast joins, Python-eval nodes, whole-stage-codegen spans,",
         "parquet pushed filters (count), read-schema width per scan.",
         "",
+        "Entries served from a session memo (detector matrix, audit",
+        "sample, manifest + its rollup) show the SERVED plan — a",
+        "localCheckpoint scan with `-` scan cols: the production shape",
+        "where the staging/pair table is read from the lake. Their",
+        "one-time build cost is the memo builder's plan, audited via",
+        "the scaling rungs (SCALING_r{N}.json).",
+        "",
         "Broadcast policy (r05): explicit hints exist ONLY on",
         "fixed-cardinality frames (region/nation/≤25-row joins, 1-row",
         "scalars, bounded query panels). Every ∝-data side joins",
