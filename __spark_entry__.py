@@ -398,6 +398,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_buckets_report": similarity.lsh_buckets_report,
         # epoch/repetition schedule when targets exceed availability
         "mixture_epoch_schedule": sampling.mixture_epoch_schedule,
+        # ITERATIVE mini-batch integer perceptron: distill the rule
+        # battery into a learned filter (fit replayed in SQL, like BPE)
+        "perceptron_train_rounds": textops.perceptron_train_rounds,
+        # held-out confusion/agreement of the averaged model per split
+        "perceptron_eval_report": textops.perceptron_eval_report,
     }
     # The r06 driver window (first 50) — see the docstring for the
     # policy. Composition: flagships, then the FULL late-r05 positional
@@ -750,6 +755,78 @@ _LSH_CTES = """t AS (SELECT doc_id, {toks} AS tok FROM documents),
               FROM cand
               JOIN h ha ON ha.doc_id = id_a
               JOIN h hb2 ON hb2.doc_id = id_b)"""
+
+
+
+
+def _perc_ctes(gopher_sql: str) -> str:
+    """DuckDB replay of the ENTIRE mini-batch integer perceptron fit
+    (textops._perceptron_fit): binary hashed-token features + bias +
+    length-deciles, rule-battery labels, train-split restriction, then
+    PERC_EPOCHS × PERC_BATCHES unrolled synchronized rounds — margins
+    against the previous weights, misclassified-batch weight delta
+    (lr = 1), full-outer weight fold. Every step is exact integer, so
+    the weight history matches Spark bit-for-bit — the same unrolled
+    exactness discipline as the k-means and BPE fit chains. Per-round
+    CTEs are MATERIALIZED (the repo's iterative-CTE blowup rule)."""
+    from kafka_exercise_spark.operators import textops as t
+
+    dim = t.PERC_DIM
+    parts = [
+        f"""ptok AS (SELECT doc_id, unnest({_TOKS}) AS tk FROM documents),
+            praw AS (SELECT doc_id,
+                            ('0x' || substr(md5(tk), 1, 15))::BIGINT
+                                % {t.FEATURE_HASH_DIM} AS bucket,
+                            count(*) AS n
+                     FROM ptok GROUP BY 1, 2),
+            pfe AS (SELECT doc_id, bucket, 1::BIGINT AS cnt FROM praw
+                    UNION ALL
+                    SELECT doc_id, {t.PERC_LEN_SLOT},
+                           (sum(n) // 10)::BIGINT
+                    FROM praw GROUP BY doc_id
+                    UNION ALL
+                    SELECT doc_id, {t.PERC_BIAS_SLOT}, 1::BIGINT
+                    FROM documents),
+            plab AS (SELECT doc_id,
+                            (CASE WHEN keep THEN 1 ELSE -1 END)::BIGINT AS y
+                     FROM ({gopher_sql})),
+            pf AS MATERIALIZED (SELECT f.doc_id, f.bucket, f.cnt, l.y,
+                       CASE WHEN ('0x' || substr(md5('split:' || f.doc_id),
+                                  1, 15))::BIGINT % 100 < 80 THEN 'train'
+                            WHEN ('0x' || substr(md5('split:' || f.doc_id),
+                                  1, 15))::BIGINT % 100 < 90 THEN 'valid'
+                            ELSE 'test' END AS split
+                FROM pfe f JOIN plab l USING (doc_id)),
+            pt AS MATERIALIZED (SELECT * FROM pf WHERE split = 'train'),
+            pw0 AS (SELECT unnest(range({dim}))::BIGINT AS bucket,
+                           0::BIGINT AS w)"""
+    ]
+    r = 0
+    for epoch in range(1, t.PERC_EPOCHS + 1):
+        for batch in range(t.PERC_BATCHES):
+            r += 1
+            mb = (
+                f"('0x' || substr(md5('perc:{epoch}:' || p.doc_id), 1, 15))"
+                f"::BIGINT % {t.PERC_BATCHES} = {batch}"
+            )
+            parts.append(
+                f"""pm{r} AS MATERIALIZED (
+                    SELECT p.doc_id, p.y, sum(p.cnt * w.w)::BIGINT AS margin
+                    FROM pt p JOIN pw{r - 1} w USING (bucket)
+                    WHERE {mb} GROUP BY 1, 2)"""
+            )
+            parts.append(
+                f"""pd{r} AS (SELECT p.bucket, sum(p.y * p.cnt)::BIGINT AS dw
+                    FROM pt p JOIN pm{r} m
+                      ON m.doc_id = p.doc_id AND m.y * m.margin <= 0
+                    GROUP BY 1)"""
+            )
+            parts.append(
+                f"""pw{r} AS MATERIALIZED (
+                    SELECT wp.bucket, (wp.w + coalesce(d.dw, 0))::BIGINT AS w
+                    FROM pw{r - 1} wp LEFT JOIN pd{r} d USING (bucket))"""
+            )
+    return ",\n            ".join(parts)
 
 
 def _lsh_ctes() -> str:
@@ -3818,6 +3895,51 @@ def oracle_sql() -> dict[str, str]:
                ((target_tokens * 1000) // avail_tokens)
                    > {sampling.EPOCH_CAP_MILLI} AS over_epoch_cap
         FROM p
+    """
+    # Perceptron trainer: the fit replays as the unrolled CTE chain
+    # (_perc_ctes, composed from the gopher-label oracle); the train
+    # report is one row per round, the eval report scores the SUMMED
+    # per-round weights (≡ the averaged model's sign) over all splits.
+    _perc_chain = _perc_ctes(oracles["gopher_quality_filter"])
+    _perc_rounds = textops.PERC_EPOCHS * textops.PERC_BATCHES
+    _perc_report_rows = []
+    _r = 0
+    for _e in range(1, textops.PERC_EPOCHS + 1):
+        for _b in range(textops.PERC_BATCHES):
+            _r += 1
+            _perc_report_rows.append(
+                f"""SELECT {_r}::BIGINT AS round, {_e}::BIGINT AS epoch,
+                       {_b}::BIGINT AS batch,
+                       (SELECT count(*) FROM pm{_r})::BIGINT AS n_batch,
+                       (SELECT coalesce(sum((y * margin <= 0)::INT), 0)
+                        FROM pm{_r})::BIGINT AS n_misclassified,
+                       (SELECT sum(abs(w)) FROM pw{_r})::BIGINT AS w_l1,
+                       (SELECT sum((w <> 0)::INT) FROM pw{_r})::BIGINT
+                           AS w_nonzero"""
+            )
+    oracles["perceptron_train_rounds"] = f"""
+        WITH {_perc_chain}
+        {" UNION ALL ".join(_perc_report_rows)}
+    """
+    _perc_w_union = " UNION ALL ".join(
+        f"SELECT bucket, w FROM pw{r}" for r in range(1, _perc_rounds + 1)
+    )
+    oracles["perceptron_eval_report"] = f"""
+        WITH {_perc_chain},
+        pwavg AS (SELECT bucket, sum(w)::BIGINT AS w
+                  FROM ({_perc_w_union}) GROUP BY bucket),
+        pmf AS (SELECT p.doc_id, p.split, p.y,
+                       sum(p.cnt * w.w)::BIGINT AS margin
+                FROM pf p JOIN pwavg w USING (bucket)
+                GROUP BY 1, 2, 3),
+        pc AS (SELECT split,
+                      count(*)::BIGINT AS n_docs,
+                      sum((y = 1 AND margin > 0)::INT)::BIGINT AS n_tp,
+                      sum((y = -1 AND margin > 0)::INT)::BIGINT AS n_fp,
+                      sum((y = -1 AND margin <= 0)::INT)::BIGINT AS n_tn,
+                      sum((y = 1 AND margin <= 0)::INT)::BIGINT AS n_fn
+               FROM pmf GROUP BY split)
+        SELECT *, ((n_tp + n_tn) * 1000000) // n_docs AS agree_ppm FROM pc
     """
     # Source × disposition rollup COMPOSED from the manifest oracle.
     oracles["source_disposition_matrix"] = f"""

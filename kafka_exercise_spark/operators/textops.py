@@ -1715,3 +1715,275 @@ def source_disposition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("tokens_ppm"),
         )
     )
+
+
+# ---- iterative perceptron training (distill the rule battery) ----
+
+#: Deterministic mini-batches per epoch and epochs for the perceptron
+#: trainer — one synchronized weight update per (epoch, batch) round,
+#: the parameter-server/parallel-SGD cadence. Mini-batch membership is
+#: re-hashed PER EPOCH (salt carries the epoch), the distributed stand-in
+#: for per-epoch reshuffling.
+PERC_BATCHES = 8
+PERC_EPOCHS = 3
+
+#: Bias / length feature slots appended after the hashed-token buckets.
+PERC_BIAS_SLOT = FEATURE_HASH_DIM
+PERC_LEN_SLOT = FEATURE_HASH_DIM + 1
+PERC_DIM = FEATURE_HASH_DIM + 2
+
+#: (applicationId, sf_dir) → (per-round stats rows, per-round weight
+#: history) — the fitted model, shared by the train and eval reports.
+_PERC_FIT_MEMO: dict[tuple[str, str], tuple[list, list]] = register_memo({})
+
+
+def _perceptron_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized training table for the perceptron: one row per
+    (doc, feature slot) with an integer feature value, the rule-battery
+    label (+1 keep / −1 reject — the weak supervision a fastText-style
+    quality filter is really trained on), and the doc's salted-hash
+    split. Features: BINARY hashed-token buckets (presence, not counts —
+    raw counts let the majority class dominate every bucket's mass and
+    the fit degenerates to always-keep), a BIAS slot (constant 1 — the
+    intercept that lets a negative threshold form against the
+    length-driven reject rules), and a LENGTH slot (tokens ``div`` 10).
+    Built once per (session, corpus): one tokenize scan + a
+    (doc, bucket) combine + one doc-keyed join to the battery labels —
+    at 100 TB this IS the feature table a training job stages to the
+    lake."""
+    from kafka_exercise_spark.operators.dedup import _split_of  # noqa: PLC0415
+
+    def build() -> DataFrame:
+        docs = scale_partitions(load_table(spark, sf_dir, "documents"), spark)
+        raw = (
+            docs.select(
+                "doc_id", F.explode(tokens(F.col("text"))).alias("t")
+            )
+            .select(
+                "doc_id",
+                F.pmod(md5_hash64(F.col("t")), F.lit(FEATURE_HASH_DIM))
+                .cast("int")
+                .alias("bucket"),
+            )
+            .groupBy("doc_id", "bucket")
+            .agg(F.count("*").cast("long").alias("n"))
+        )
+        binary = raw.select(
+            "doc_id", "bucket", F.lit(1).cast("long").alias("cnt")
+        )
+        length = raw.groupBy("doc_id").agg(
+            F.expr("sum(n) div 10").cast("long").alias("cnt")
+        ).select(
+            "doc_id", F.lit(PERC_LEN_SLOT).cast("int").alias("bucket"), "cnt"
+        )
+        bias = docs.select(
+            "doc_id",
+            F.lit(PERC_BIAS_SLOT).cast("int").alias("bucket"),
+            F.lit(1).cast("long").alias("cnt"),
+        )
+        feats = binary.unionByName(length).unionByName(bias)
+        labels = gopher_quality_filter(spark, sf_dir).select(
+            "doc_id",
+            F.when(F.col("keep"), F.lit(1))
+            .otherwise(F.lit(-1))
+            .cast("long")
+            .alias("y"),
+            _split_of(F.col("doc_id")).alias("split"),
+        )
+        return feats.join(labels, "doc_id")
+
+    return memo_frame(spark, ("perc_features", sf_dir), build)
+
+
+def _perc_batch_of(epoch: int) -> F.Column:
+    """Deterministic mini-batch id for this epoch — salted per epoch so
+    every epoch re-partitions the training set (the distributed stand-in
+    for reshuffling)."""
+    return F.pmod(
+        md5_hash64(
+            F.concat(
+                F.lit(f"perc:{epoch}:"), F.col("doc_id").cast("string")
+            )
+        ),
+        F.lit(PERC_BATCHES),
+    )
+
+
+def _perceptron_fit(spark: SparkSession, sf_dir: str) -> tuple[list, list]:
+    """Fit the mini-batch integer perceptron on the TRAIN split and
+    memoize (per-round stats, per-round weight history). lr = 1; every
+    quantity is an exact integer, so the whole fit — like the k-means
+    and BPE fits — replays bit-for-bit in the DuckDB oracle's unrolled
+    CTE chain.
+
+    The shipped model is the AVERAGED perceptron (Freund & Schapire
+    1999): synchronized batch updates on non-separable data oscillate
+    (visible in the round trace), and the weight average is the standard
+    stabilizer. A prediction's sign under the average equals its sign
+    under the SUM of the per-round weight vectors (positive scaling), so
+    the averaged model stays all-integer — no division ever happens."""
+    evict_stale_memos(spark)
+    memo_key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _PERC_FIT_MEMO.get(memo_key)
+    if hit is not None:
+        return hit
+    f = _perceptron_features(spark, sf_dir).filter(
+        F.col("split") == "train"
+    )
+    w = [0] * PERC_DIM
+    history: list[list[int]] = []
+    stats_rows: list[tuple] = []
+    rnd = 0
+    for epoch in range(1, PERC_EPOCHS + 1):
+        fb = f.withColumn("mb", _perc_batch_of(epoch))
+        for batch in range(PERC_BATCHES):
+            rnd += 1
+            w_lit = F.lit(w).cast("array<bigint>")
+            part = f.sparkSession  # noqa: F841 — keep flake quiet
+            margins = (
+                fb.filter(F.col("mb") == batch)
+                .select(
+                    "doc_id",
+                    "y",
+                    (
+                        F.element_at(w_lit, F.col("bucket") + 1)
+                        * F.col("cnt")
+                    ).alias("p"),
+                    "bucket",
+                    "cnt",
+                )
+                .groupBy("doc_id", "y")
+                .agg(F.sum("p").cast("long").alias("margin"))
+            )
+            miscl = margins.filter(F.col("y") * F.col("margin") <= 0)
+            # BOUNDED collects (the BPE/k-means pattern): one stats row
+            # and one ≤PERC_DIM-row weight delta per round
+            n_batch, n_miscl = margins.agg(
+                F.count("*").cast("long"),
+                F.coalesce(
+                    F.sum(
+                        (F.col("y") * F.col("margin") <= 0).cast("int")
+                    ),
+                    F.lit(0),
+                ).cast("long"),
+            ).collect()[0]
+            delta_rows = (
+                fb.filter(F.col("mb") == batch)
+                .join(miscl.select("doc_id"), "doc_id")
+                .groupBy("bucket")
+                .agg(
+                    F.sum(F.col("y") * F.col("cnt"))
+                    .cast("long")
+                    .alias("dw")
+                )
+                .collect()
+            )
+            for r in delta_rows:
+                w[r.bucket] += r.dw
+            history.append(list(w))
+            stats_rows.append(
+                (
+                    rnd,
+                    epoch,
+                    batch,
+                    int(n_batch),
+                    int(n_miscl),
+                    sum(abs(x) for x in w),
+                    sum(1 for x in w if x != 0),
+                )
+            )
+    _PERC_FIT_MEMO[memo_key] = (stats_rows, history)
+    return stats_rows, history
+
+
+def perceptron_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ITERATIVE model training on the cluster — a mini-batch integer
+    perceptron that distills the Gopher rule battery into a learned
+    hashed-bag-of-words filter (the real-world pattern behind fastText
+    quality classifiers: train a cheap model on rule-labeled data, then
+    deploy the model where the rules don't transfer). Rounds interact:
+    each round's weight update changes the next round's misclassified
+    set, exactly like the BPE trainer's merges — a one-shot ranking
+    cannot produce this fit. One synchronized update per (epoch,
+    mini-batch) is the parameter-server cadence; mini-batches re-hash
+    per epoch (deterministic reshuffle).
+
+    Per round over the memoized TRAIN-split feature table: one aggregate
+    pass computes each batch doc's margin against the current weights (a
+    ``PERC_DIM``-long literal — no join), one bounded stats collect, and
+    one ≤``PERC_DIM``-row weight-delta collect (Δw_b = Σ y·x over the
+    batch's misclassified docs, lr = 1). All exact integers, so the
+    DuckDB oracle replays the ENTIRE fit as an unrolled materialized CTE
+    chain — the same discipline as the k-means and BPE fits. At 100 TB
+    each round is one map+combine aggregate over the staged feature
+    table; the driver holds only the 66-int weight vector.
+
+    Output: one row per round — epoch, batch, batch size, misclassified
+    count, and the weight vector's L1 mass / nonzero count (the
+    convergence trace an owner reads before shipping the model; the
+    oscillation it shows is WHY the eval entry ships the averaged
+    model).
+    """
+    stats_rows, _history = _perceptron_fit(spark, sf_dir)
+    return spark.createDataFrame(
+        stats_rows,
+        "round long, epoch long, batch long, n_batch long, "
+        "n_misclassified long, w_l1 long, w_nonzero long",
+    )
+
+
+def perceptron_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out evaluation of the trained perceptron: per split, the
+    confusion counts and agreement rate between the AVERAGED model's
+    sign and the rule battery's label. The train row shows fit quality;
+    the valid / test rows are the generalization check (those docs never
+    touched the fit — their very split assignment kept them out of every
+    round), so this report is what decides whether the distilled model
+    replaces the battery at 100 TB.
+
+    One aggregate pass over the memoized feature table scored against
+    the summed-weight literal (≡ the averaged model's sign — integer,
+    see ``_perceptron_fit``); all counts exact integers, agreement in
+    ppm by integer ``div``. Oracle: the fit replays in SQL (the train
+    oracle's CTE chain) and this report is one GROUP BY on top.
+    """
+    _stats, history = _perceptron_fit(spark, sf_dir)
+    w_sum = [sum(step[b] for step in history) for b in range(PERC_DIM)]
+    f = _perceptron_features(spark, sf_dir)
+    w_lit = F.lit(w_sum).cast("array<bigint>")
+    margins = (
+        f.select(
+            "doc_id",
+            "split",
+            "y",
+            (F.element_at(w_lit, F.col("bucket") + 1) * F.col("cnt")).alias(
+                "p"
+            ),
+        )
+        .groupBy("doc_id", "split", "y")
+        .agg(F.sum("p").cast("long").alias("margin"))
+    )
+    pred = margins.withColumn("pred", F.col("margin") > 0)
+    truth = F.col("y") == 1
+    return (
+        pred.groupBy("split")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum((truth & F.col("pred")).cast("int"))
+            .cast("long")
+            .alias("n_tp"),
+            F.sum((~truth & F.col("pred")).cast("int"))
+            .cast("long")
+            .alias("n_fp"),
+            F.sum((~truth & ~F.col("pred")).cast("int"))
+            .cast("long")
+            .alias("n_tn"),
+            F.sum((truth & ~F.col("pred")).cast("int"))
+            .cast("long")
+            .alias("n_fn"),
+        )
+        .withColumn(
+            "agree_ppm",
+            F.expr("((n_tp + n_tn) * 1000000) div n_docs").cast("long"),
+        )
+    )

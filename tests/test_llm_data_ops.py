@@ -2042,3 +2042,57 @@ def test_winnow_selection_guarantee_on_planted_substrings(spark):
     for p in range(25):
         common = by_doc[2 * p] & by_doc[2 * p + 1]
         assert common, f"pair {p}: guarantee violated"
+
+
+def test_perceptron_fit_matches_pure_python_replay(spark, sf_dir):
+    """The distributed mini-batch fit must equal a sequential pure-Python
+    replay from the same feature table — the BPE-trainer pinning pattern:
+    if partitioning, join order, or collect merging ever perturbed an
+    update, the weight trajectory (and this test) would diverge."""
+    import hashlib as _h
+
+    from kafka_exercise_spark.operators.textops import (
+        PERC_BATCHES,
+        PERC_DIM,
+        PERC_EPOCHS,
+        _perceptron_features,
+        _perceptron_fit,
+    )
+
+    feats = [
+        (r.doc_id, r.bucket, r.cnt, r.y)
+        for r in _perceptron_features(spark, sf_dir)
+        .filter(F.col("split") == "train")
+        .collect()
+    ]
+    stats_rows, history = _perceptron_fit(spark, sf_dir)
+
+    def batch_of(doc_id: int, epoch: int) -> int:
+        h = int(_h.md5(f"perc:{epoch}:{doc_id}".encode()).hexdigest()[:15], 16)
+        return h % PERC_BATCHES
+
+    by_doc: dict[int, list] = {}
+    for d, b, c, y in feats:
+        by_doc.setdefault(d, []).append((b, c, y))
+    w = [0] * PERC_DIM
+    replay = []
+    for epoch in range(1, PERC_EPOCHS + 1):
+        for t in range(PERC_BATCHES):
+            docs = [d for d in by_doc if batch_of(d, epoch) == t]
+            miscl = [
+                d
+                for d in docs
+                if by_doc[d][0][2]
+                * sum(c * w[b] for b, c, _y in by_doc[d])
+                <= 0
+            ]
+            for d in miscl:
+                y = by_doc[d][0][2]
+                for b, c, _y in by_doc[d]:
+                    w[b] += y * c
+            replay.append(list(w))
+    assert replay == history
+    # and the trace's bookkeeping matches the replayed weights
+    assert [r[5] for r in stats_rows] == [
+        sum(abs(x) for x in step) for step in replay
+    ]

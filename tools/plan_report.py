@@ -101,9 +101,9 @@ SELECTED = [
     ("source_disposition_matrix", "one groupBy over the manifest; per-source windows on a bounded frame"),
     ("dedup_pair_audit_sample", "memoized pair frames; per-tier capped window (WindowGroupLimit)"),
     ("ann_pareto_report", "bucket/cell censuses of served indexes; bounded panel joins"),
-    # bpe_train_merges is deliberately absent: constructing its plan RUNS
-    # the iterative fit (bounded per-round argmax collects), same exclusion
-    # class as the streaming replays.
+    # bpe_train_merges and the perceptron entries are deliberately
+    # absent: constructing their plans RUNS the iterative fits (bounded
+    # per-round collects), same exclusion class as the streaming replays.
 ]
 
 FULL_PLANS = ["q3_shipping_priority", "dedup_ngram_jaccard"]
