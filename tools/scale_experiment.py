@@ -95,6 +95,12 @@ QUERIES = {
     "ann_recall_report": similarity.ann_recall_report,
     # this round's capstone composition (gate + survivors + split + mix)
     "curation_run_manifest": textops.curation_run_manifest,
+    # late-r06 additions: the winnow admission probe (batch × corpus
+    # posting join — the incremental shape) and the iterative perceptron
+    # fit (per-round cost = one aggregate over the ×k feature table; the
+    # round count is FIXED, so wall should track k, never k²)
+    "winnow_incremental": dedup.winnow_incremental,
+    "perceptron_train_rounds": textops.perceptron_train_rounds,
 }
 
 
