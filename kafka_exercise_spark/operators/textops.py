@@ -1839,7 +1839,6 @@ def _perceptron_fit(spark: SparkSession, sf_dir: str) -> tuple[list, list]:
         for batch in range(PERC_BATCHES):
             rnd += 1
             w_lit = F.lit(w).cast("array<bigint>")
-            part = f.sparkSession  # noqa: F841 — keep flake quiet
             margins = (
                 fb.filter(F.col("mb") == batch)
                 .select(
