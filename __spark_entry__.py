@@ -403,6 +403,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perceptron_train_rounds": textops.perceptron_train_rounds,
         # held-out confusion/agreement of the averaged model per split
         "perceptron_eval_report": textops.perceptron_eval_report,
+        # deploy the averaged model corpus-wide (train→apply closure)
+        "perceptron_apply_scores": textops.perceptron_apply_scores,
+        # the same model as a LIVE per-micro-batch ingest gate
+        "streaming_model_gate_replay": (
+            streaming_pipeline.streaming_model_gate_replay
+        ),
     }
     # The r06 driver window (first 50) — see the docstring for the
     # policy. Composition: flagships, then the FULL late-r05 positional
@@ -3941,6 +3947,20 @@ def oracle_sql() -> dict[str, str]:
                FROM pmf GROUP BY split)
         SELECT *, ((n_tp + n_tn) * 1000000) // n_docs AS agree_ppm FROM pc
     """
+    # Batch apply + streaming deployment of the averaged model: one
+    # projection over the replayed margins frame; the streaming twin
+    # shares featurizer and weights with the batch path by construction
+    # (union over micro-batches ≡ batch), so it shares the oracle.
+    oracles["perceptron_apply_scores"] = f"""
+        WITH {_perc_chain},
+        pwavg AS (SELECT bucket, sum(w)::BIGINT AS w
+                  FROM ({_perc_w_union}) GROUP BY bucket)
+        SELECT p.doc_id, p.split, sum(p.cnt * w.w)::BIGINT AS margin,
+               sum(p.cnt * w.w) > 0 AS keep
+        FROM pf p JOIN pwavg w USING (bucket)
+        GROUP BY p.doc_id, p.split
+    """
+    oracles["streaming_model_gate_replay"] = oracles["perceptron_apply_scores"]
     # Source × disposition rollup COMPOSED from the manifest oracle.
     oracles["source_disposition_matrix"] = f"""
         WITH m AS (SELECT source, disposition, n_tokens

@@ -1755,33 +1755,7 @@ def _perceptron_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def build() -> DataFrame:
         docs = scale_partitions(load_table(spark, sf_dir, "documents"), spark)
-        raw = (
-            docs.select(
-                "doc_id", F.explode(tokens(F.col("text"))).alias("t")
-            )
-            .select(
-                "doc_id",
-                F.pmod(md5_hash64(F.col("t")), F.lit(FEATURE_HASH_DIM))
-                .cast("int")
-                .alias("bucket"),
-            )
-            .groupBy("doc_id", "bucket")
-            .agg(F.count("*").cast("long").alias("n"))
-        )
-        binary = raw.select(
-            "doc_id", "bucket", F.lit(1).cast("long").alias("cnt")
-        )
-        length = raw.groupBy("doc_id").agg(
-            F.expr("sum(n) div 10").cast("long").alias("cnt")
-        ).select(
-            "doc_id", F.lit(PERC_LEN_SLOT).cast("int").alias("bucket"), "cnt"
-        )
-        bias = docs.select(
-            "doc_id",
-            F.lit(PERC_BIAS_SLOT).cast("int").alias("bucket"),
-            F.lit(1).cast("long").alias("cnt"),
-        )
-        feats = binary.unionByName(length).unionByName(bias)
+        feats = perceptron_featurize(docs)
         labels = gopher_quality_filter(spark, sf_dir).select(
             "doc_id",
             F.when(F.col("keep"), F.lit(1))
@@ -1793,6 +1767,73 @@ def _perceptron_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         return feats.join(labels, "doc_id")
 
     return memo_frame(spark, ("perc_features", sf_dir), build)
+
+
+
+
+def perceptron_featurize(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) → integer feature rows (doc_id, bucket, cnt):
+    binary hashed-token buckets, the bias slot (constant 1, emitted for
+    EVERY doc — zero-token docs still score), and the length slot
+    (tokens ``div`` 10). ONE primitive shared by the corpus
+    feature-table build and the streaming scorer's live per-micro-batch
+    featurization, so train-time and serve-time features can never skew
+    — the winnow_selected contract, ported to the model family. All
+    map-side + one (doc, bucket) combine; no Python."""
+    raw = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
+        .select(
+            "doc_id",
+            F.pmod(md5_hash64(F.col("t")), F.lit(FEATURE_HASH_DIM))
+            .cast("int")
+            .alias("bucket"),
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    binary = raw.select(
+        "doc_id", "bucket", F.lit(1).cast("long").alias("cnt")
+    )
+    length = raw.groupBy("doc_id").agg(
+        F.expr("sum(n) div 10").cast("long").alias("cnt")
+    ).select(
+        "doc_id", F.lit(PERC_LEN_SLOT).cast("int").alias("bucket"), "cnt"
+    )
+    bias = docs.select(
+        "doc_id",
+        F.lit(PERC_BIAS_SLOT).cast("int").alias("bucket"),
+        F.lit(1).cast("long").alias("cnt"),
+    )
+    return binary.unionByName(length).unionByName(bias)
+
+
+def perceptron_model_weights(spark: SparkSession, sf_dir: str) -> list:
+    """The deployable model: the integer SUM of the fit's per-round
+    weight vectors (sign-equivalent to the averaged perceptron — see
+    ``_perceptron_fit``). ONE accessor shared by the eval report, the
+    batch apply, and the streaming scorer, so every consumer serves the
+    same fit."""
+    _stats, history = _perceptron_fit(spark, sf_dir)
+    return [sum(step[b] for step in history) for b in range(PERC_DIM)]
+
+
+def perceptron_score(feats: DataFrame, w: list) -> DataFrame:
+    """Score (doc_id, bucket, cnt) feature rows against an integer
+    weight vector: one groupBy(doc) aggregate over a weight LITERAL (no
+    join), margin exact integer, keep = margin > 0. Shared by batch
+    apply and the streaming scorer."""
+    w_lit = F.lit(w).cast("array<bigint>")
+    return (
+        feats.select(
+            "doc_id",
+            (F.element_at(w_lit, F.col("bucket") + 1) * F.col("cnt")).alias(
+                "p"
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("p").cast("long").alias("margin"))
+        .withColumn("keep", F.col("margin") > 0)
+    )
 
 
 def _perc_batch_of(epoch: int) -> F.Column:
@@ -1946,8 +1987,7 @@ def perceptron_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ppm by integer ``div``. Oracle: the fit replays in SQL (the train
     oracle's CTE chain) and this report is one GROUP BY on top.
     """
-    _stats, history = _perceptron_fit(spark, sf_dir)
-    w_sum = [sum(step[b] for step in history) for b in range(PERC_DIM)]
+    w_sum = perceptron_model_weights(spark, sf_dir)
     f = _perceptron_features(spark, sf_dir)
     w_lit = F.lit(w_sum).cast("array<bigint>")
     margins = (
@@ -1985,4 +2025,30 @@ def perceptron_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "agree_ppm",
             F.expr("((n_tp + n_tn) * 1000000) div n_docs").cast("long"),
         )
+    )
+
+
+def perceptron_apply_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deploy the trained model corpus-wide — the train→apply closure
+    the BPE family has (``bpe_apply_trained``): every document scored by
+    the averaged perceptron's integer weights, with its split and the
+    final keep decision. This is the model-scored curation signal a
+    100 TB run would land next to the rule battery's column; the weights
+    ship as a 66-long literal, the corpus streams through one aggregate
+    — the fastText-deployment shape.
+
+    Oracle: the fit replays in SQL and this is one projection over the
+    replayed margins frame.
+    """
+    from kafka_exercise_spark.operators.dedup import _split_of  # noqa: PLC0415
+
+    w = perceptron_model_weights(spark, sf_dir)
+    feats = _perceptron_features(spark, sf_dir).select(
+        "doc_id", "bucket", "cnt"
+    )
+    return perceptron_score(feats, w).select(
+        "doc_id",
+        _split_of(F.col("doc_id")).alias("split"),
+        "margin",
+        "keep",
     )

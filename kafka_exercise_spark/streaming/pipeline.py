@@ -754,3 +754,76 @@ def streaming_compaction_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
         _COMPACTION_REPLAY_MEMO[memo_key] = final
     return _COMPACTION_REPLAY_MEMO[memo_key]
+
+
+#: Landed per-micro-batch model scores, keyed by (application, sf_dir).
+_MODEL_GATE_MEMO: dict = register_memo({})
+
+
+def streaming_model_gate_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deploy the TRAINED quality model online: documents replayed in
+    micro-batches under real StreamExecution, each batch featurized LIVE
+    by the SAME ``perceptron_featurize`` primitive the training table
+    used and scored against the SAME served weights
+    (``perceptron_model_weights``) — the fastText-gate-at-ingest shape,
+    and the model twin of ``streaming_curation_gate`` (which deploys the
+    rule battery). Because featurizer and weights are shared objects,
+    train-time and serve-time scoring can never skew; per-doc scores are
+    independent, so the union over micro-batches equals the batch
+    ``perceptron_apply_scores`` exactly and the two entries share one
+    oracle.
+
+    Scale shape: the weights ride in the closure as a 66-int literal
+    (at 100 TB: the model artifact every executor holds); each
+    micro-batch pays one map + (doc, bucket) combine + doc aggregate —
+    no state store, no corpus access. Results append to a parquet sink
+    dir (exactly-once via the foreachBatch append + file-source log).
+    """
+    import os  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from kafka_exercise_spark.catalog import load_table  # noqa: PLC0415
+    from kafka_exercise_spark.operators.dedup import _split_of  # noqa: PLC0415
+    from kafka_exercise_spark.operators.textops import (  # noqa: PLC0415
+        perceptron_featurize,
+        perceptron_model_weights,
+        perceptron_score,
+    )
+    from kafka_exercise_spark.streaming.sources import file_stream  # noqa: PLC0415
+    from kafka_exercise_spark.streaming.stateful import (  # noqa: PLC0415
+        run_bounded_replay,
+    )
+
+    evict_stale_memos(spark)
+    memo_key = (spark.sparkContext.applicationId, sf_dir)
+    if memo_key not in _MODEL_GATE_MEMO:
+        w = perceptron_model_weights(spark, sf_dir)
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        work = tempfile.mkdtemp(prefix="model_gate_")
+        src = os.path.join(work, "src")
+        out = os.path.join(work, "out")
+        docs.repartition(4).write.mode("overwrite").parquet(src)
+        schema = docs.schema
+
+        def score(batch_df: DataFrame, batch_id: int) -> None:
+            scored = perceptron_score(perceptron_featurize(batch_df), w)
+            scored.select(
+                "doc_id",
+                _split_of(F.col("doc_id")).alias("split"),
+                "margin",
+                "keep",
+            ).write.mode("append").parquet(out)
+
+        stream = file_stream(spark, src, schema, max_files_per_trigger=2)
+        run_bounded_replay(
+            spark,
+            stream,
+            checkpoint=os.path.join(work, "ckpt"),
+            name="model_gate_contract",
+            foreach_batch=score,
+        )
+        final = spark.read.parquet(out).localCheckpoint()
+        shutil.rmtree(work, ignore_errors=True)
+        _MODEL_GATE_MEMO[memo_key] = final
+    return _MODEL_GATE_MEMO[memo_key]
