@@ -32,7 +32,10 @@ import sys
 import time
 
 REPEATS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
-FAST_CUTOFF = 0.3  # sec — below this, 3-sample medians are noise-dominated
+FAST_CUTOFF = 1.0  # sec — below this, 3-sample medians are noise-dominated
+# (r7: raised 0.3 → 1.0 — the r5→r6 diff flagged three 0.3–0.7 s entries as
+# ">1.25× regressions" that were pure repeat noise; 7-sample medians on the
+# sub-second tail cost ~2 min extra wall and stop the false flags.)
 FAST_REPEATS = 7  # total samples collected for sub-cutoff queries
 PRINT_BUDGET = 1950  # bytes — keep the whole line inside the driver's tail
 #: The single query whose median wall defines stream_rows_per_sec (see
@@ -104,7 +107,14 @@ def run() -> dict:
         for name, ts in samples.items()
         if all(t >= 0 for t in ts) and statistics.median(ts) < FAST_CUTOFF
     ]
-    if THROUGHPUT_ANCHOR in samples and THROUGHPUT_ANCHOR not in fast:
+    if (
+        THROUGHPUT_ANCHOR in samples
+        and THROUGHPUT_ANCHOR not in fast
+        # Same failure guard as the fast-tail filter: a failing anchor
+        # must not be re-run 4 more times with -1.0 sentinels polluting
+        # its 7-sample median (it stays -1.0 via the all() in timings).
+        and all(t >= 0 for t in samples[THROUGHPUT_ANCHOR])
+    ):
         fast.append(THROUGHPUT_ANCHOR)
     for _ in range(FAST_REPEATS - REPEATS):
         for name in fast:

@@ -1708,7 +1708,12 @@ def lsh_buckets_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     for the probe-load column.
     """
     lsh = _lsh_indexed(spark, sf_dir)
-    total = lsh.count()  # served-index row count — metadata-cheap
+    # total as an IN-PLAN 1-row aggregate (broadcast cross join below,
+    # the ann_pareto_report n_corpus pattern) — an eager .count() here
+    # would run a Spark job as a side effect of merely BUILDING the
+    # DataFrame, which plan-introspection tooling would silently execute
+    # (r7 ADVICE; every other report is construction-pure).
+    total = lsh.agg(F.count("*").cast("long").alias("total_n"))
     per_bucket = lsh.groupBy(
         F.col("bucket").cast("long").alias("bucket")
     ).agg(
@@ -1739,12 +1744,13 @@ def lsh_buckets_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         per_bucket.join(load, "bucket")
+        .crossJoin(F.broadcast(total))
         .select(
             "bucket",
             "n_vectors",
             "min_vec_id",
             "max_vec_id",
-            F.expr(f"(n_vectors * 1000000) div {total}").alias("share_ppm"),
+            F.expr("(n_vectors * 1000000) div total_n").alias("share_ppm"),
             "probe_queries",
         )
     )

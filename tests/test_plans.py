@@ -99,18 +99,27 @@ def test_sort_topk_no_global_sort(spark, sf_dir):
 
 
 def test_bpe_pair_counts_rank_is_capped_topk(spark, sf_dir):
-    """The merge-rank ladder must come from a distributed TopK
-    (TakeOrderedAndProject at BPE_RANK_CAP) + a broadcast rank join over
-    the constant-bounded head — NEVER an unpartitioned rank window, which
-    single-partition-sorts the full observed-bigram frame (10⁵–10⁷ rows
-    at web scale). Regression fence for the r5 plan-audit finding."""
+    """The merge-rank ladder must come from ONE distributed TopK
+    (TakeOrderedAndProject at BPE_RANK_CAP) with the rank window ABOVE
+    the cap — never an unpartitioned rank over the full observed-bigram
+    frame (10⁵–10⁷ rows at web scale; the r5 plan-audit finding), and
+    never two copies of the scan+aggregation subtree (the r6 broadcast
+    theta-rank shape, which ReusedExchange never deduped — r7 ADVICE)."""
+    import re
+
     from kafka_exercise_spark.plans import explain_str
 
     df = textops.bpe_pair_counts(spark, sf_dir)
     plan = explain_str(df, "simple")
     assert f"TakeOrderedAndProject(limit={textops.BPE_RANK_CAP}" in plan
-    # no window operator anywhere in this plan — rank is a bounded join
-    assert "Window" not in plan
+    fplan = explain_str(df, "formatted")
+    # the corpus is scanned exactly once — rank must not duplicate the
+    # scan + pair-aggregation subtree
+    assert len(set(re.findall(r"\((\d+)\) Scan parquet", fplan))) == 1
+    # the window's input is the capped head: TopK appears BELOW it in
+    # simple-mode text (physical plans print top-down)
+    assert "Window" in plan
+    assert plan.index("Window") < plan.index("TakeOrderedAndProject")
     assert python_eval_count(df) == 0
 
 
@@ -225,9 +234,11 @@ def test_winnow_incremental_broadcasts_batch_side_only(spark, sf_dir):
     # 4 authored hints, all batch-bounded: new_ids (batch split ×2 — keep
     # and anti), batch postings, batch counts. The analyzed plan inlines
     # the new_ids-hinted subtrees twice each (pairs + counts consumers),
-    # so the occurrence counter reads 6 — same inline-twice accounting as
-    # the q11 entry. A higher count means someone hinted a new frame.
-    assert broadcast_hint_count(df) == 6
+    # so the occurrence counter reads 6 — an analyzer inlining artifact
+    # (same as the q11 entry) that an optimizer/version change may shrink
+    # without any real regression. Assert the BOUND only: more than 6
+    # occurrences means someone hinted a new (possibly scaling) frame.
+    assert 1 <= broadcast_hint_count(df) <= 6
 
 
 def test_exact_dedup_pushes_projection(spark, sf_dir):
