@@ -51,23 +51,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Ordering note: the driver's correctness pass covers the first 50
     entries; the explicit ``window`` list below pins that set and the
-    rest follow in registry order. r06 rotation (VERDICT r5 ask #1): the
-    two flagships, then the FULL late-r05 positional queue — the 19
-    entries that had never had a driver CORRECTNESS row — plus the
-    deferred quality_quantile_filter div-swap re-verify (after r06,
-    every registry entry that existed at the r06 freeze has a
-    driver-recorded green hash across r01–r06), then the nine
-    relational hint-removals whose r05 plan change never got an r05
-    driver row (values unchanged; old rows r01/r02), the two entries
-    whose plan changed THIS round (bpe_pair_counts' distributed-TopK
-    rank cap and its consumer bpe_segment_words), the six NEW r06
-    entries (winnow_incremental + streaming twin, curation_run_manifest,
-    source_disposition_matrix, dedup_pair_audit_sample,
-    ann_pareto_report), and fresh rows for the entries those
-    compositions read from (the audit sample's pair sources, the
-    manifest's gate/split sources, and the ANN family the _ranked_cells
-    refactor touched). Everything outside the window is covered by this
-    session's verify_local sweeps at BOTH sf0.01 and sf0.1, plus pytest.
+    rest follow in registry order. r07 rotation (VERDICT r6 ask #1): the
+    two flagships, then the FULL late-r06 positional queue — the 6
+    entries that had never had a driver CORRECTNESS row (the perceptron
+    family + lsh_buckets_report + mixture_epoch_schedule), the 3 NEW
+    r07 entries closing the model-vs-rules loop
+    (model_rule_disagreement_report, model_gate_threshold_sweep,
+    curation_manifest_model_gate — VERDICT r6 asks #5/#6), the one
+    entry whose plan changed THIS round (bpe_pair_counts'
+    single-subtree rank), and the 38 entries with the OLDEST driver
+    evidence (last green r02/r03) — after r06 closed the
+    "every entry has a driver row" invariant, the window's spare slots
+    now refresh the far tail of the evidence ledger. Everything outside
+    the window is covered by this session's verify_local sweeps at BOTH
+    sf0.01 and sf0.1, plus pytest.
     """
     all_q = {
         # §2.2 P1/P4/P5/P6/P8 — formatted-date filter (CSAS jovens)
@@ -409,76 +406,88 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_model_gate_replay": (
             streaming_pipeline.streaming_model_gate_replay
         ),
+        # ---- new in r07 ----
+        # rule-keep × model-keep confusion per (split, source) + examples
+        "model_rule_disagreement_report": (
+            textops.model_rule_disagreement_report
+        ),
+        # keep-rate / rule-agreement at a ladder of margin thresholds
+        "model_gate_threshold_sweep": textops.model_gate_threshold_sweep,
+        # the manifest with the model deployed as a 5th disposition stage
+        "curation_manifest_model_gate": textops.curation_manifest_model_gate,
+        # ---- late r07: EVERY entry appended below this line after the
+        # r07 window froze is past that window — lead the r08 window
+        # with ALL of them (positional queue), per the established
+        # rotation policy. ----
     }
-    # The r06 driver window (first 50) — see the docstring for the
-    # policy. Composition: flagships, then the FULL late-r05 positional
-    # queue (19 entries, VERDICT r5 ask #1) + the deferred
-    # quality_quantile_filter div-swap re-verify, then the 9 relational
-    # hint-removals whose r05 plan change never got an r05 driver row
-    # (values unchanged, old rows r01/r02), the two entries whose plan
-    # changed THIS round (bpe TopK rank cap), the 6 new r06 entries, and
-    # finally fresh rows for the entries this round's compositions and
-    # refactors read from (the audit sample's three pair sources, the
-    # manifest's gate/split sources, and the ANN family the
-    # _ranked_cells refactor touched).
+    # The r07 driver window (first 50) — see the docstring for the
+    # policy. Composition: flagships, then the FULL late-r06 positional
+    # queue (6 entries — the perceptron family + the two census sheets,
+    # VERDICT r6 ask #1), the 3 NEW r07 entries (the model-vs-rules
+    # closure: disagreement report, threshold sweep, model-gated
+    # manifest — VERDICT r6 asks #5/#6), the one entry whose plan
+    # changed THIS round (bpe_pair_counts: single-subtree rank, r7
+    # ADVICE; lsh_buckets_report's in-plan-total change is already in
+    # the queue), and then the 38 entries with the OLDEST driver
+    # evidence on record (green r01/r02 or r03, never re-verified
+    # since) — refreshing the far tail of the evidence ledger now that
+    # every entry has at least one driver row.
     window = [
         "jovens",
         "idadecont",
-        # the 19 never-driver-verified late-r5 entries (positional queue)
-        "pack_efficiency_report",
-        "minhash_s_curve",
-        "winnowing_overlap_pairs",
-        "pii_scrub_report",
-        "split_leakage_report",
-        "log_compaction",
-        "streaming_compaction_replay",
-        "knn_label_vote",
-        "bpe_train_merges",
-        "bpe_apply_trained",
-        "dedup_detector_matrix",
-        "text_novelty_score",
-        "curriculum_plan",
-        "knn_label_vote_ivf",
-        "quality_ablation_report",
-        "ann_filtered_topk",
-        "winnow_components",
-        "dedup_savings_report",
-        "winnow_threshold_sweep",
-        # deferred from the r05 window (identical-class div swap)
-        "quality_quantile_filter",
-        # r05 broadcast-hint removals never driver-re-verified in r05
-        "q2_min_cost_supplier",
-        "q11_important_stock",
-        "q14_promo_effect",
-        "q15_top_supplier",
-        "q16_supplier_cnt",
-        "q17_small_qty_revenue",
-        "q19_disjunctive_join",
-        "q20_potential_promotion",
-        "q21_waiting_supplier",
-        # r06 plan change: distributed TopK rank cap (+ its consumer)
+        # the 6 never-driver-verified late-r6 entries (positional queue)
+        "lsh_buckets_report",
+        "mixture_epoch_schedule",
+        "perceptron_train_rounds",
+        "perceptron_eval_report",
+        "perceptron_apply_scores",
+        "streaming_model_gate_replay",
+        # new in r07
+        "model_rule_disagreement_report",
+        "model_gate_threshold_sweep",
+        "curation_manifest_model_gate",
+        # r07 plan change: single-subtree row_number rank over the head
         "bpe_pair_counts",
-        "bpe_segment_words",
-        # new in r06
-        "winnow_incremental",
-        "streaming_winnow_replay",
-        "curation_run_manifest",
-        "source_disposition_matrix",
-        "dedup_pair_audit_sample",
-        "ann_pareto_report",
-        # fresh rows for this round's composition sources / refactored
-        # consumers (oldest-evidence-first within the family)
-        "curation_pipeline",
-        "dedup_minhash_lsh",
-        "dedup_simhash_pairs",
-        "dedup_ngram_jaccard",
-        "dedup_components",
-        "split_train_valid_test",
-        "ann_cosine_topk",
-        "ann_ivf_topk",
-        "ann_ivf_pq_topk",
-        "ann_lsh_bucketed",
-        "ann_lsh_multiprobe",
+        # oldest driver evidence (last green r02) — refresh
+        "custstream_pretty",
+        "select_star",
+        "idadeclass",
+        "groupby_count",
+        "q1_pricing_summary",
+        "sort_topk",
+        "distinct_mktsegments",
+        "set_ops_nations",
+        "semi_anti_join",
+        "having_filter",
+        "window_rank_orders",
+        "q4_order_priority",
+        "q6_forecast_revenue",
+        "q13_order_distribution",
+        "q22_dormant_customers",
+        "salted_agg_events",
+        "outer_join_customers_orders",
+        "pivot_orders_status",
+        "unpivot_event_stats",
+        "grouping_sets_orders",
+        "cross_join_region_pairs",
+        "json_extract_events",
+        "agg_stats_events",
+        "rollup_orders",
+        "cube_events_day",
+        "approx_aggs_events",
+        "stats_ext_events",
+        "asof_join_events",
+        "range_join_tiers",
+        # oldest driver evidence (last green r03) — refresh
+        "zorder_events",
+        "manifest_pruned_scan",
+        "dq_report",
+        "streaming_dq_gate",
+        "jovens_epoch_wire",
+        "avro_wire_roundtrip",
+        "ksql_jovens",
+        "ksql_idadecont",
+        "streaming_idadecont_replay",
     ]
     assert len(window) == 50 and len(set(window)) == 50
     out = {k: all_q[k] for k in window}
@@ -3961,6 +3970,76 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY p.doc_id, p.split
     """
     oracles["streaming_model_gate_replay"] = oracles["perceptron_apply_scores"]
+    # Model-vs-rules closure (r07): all three compose the SAME replayed
+    # fit (the _perc_chain CTEs) — the rule label is max(y) per doc from
+    # the feature CTE (y is constant per doc: a lossless dedup), the
+    # model side is the summed-weight margin, so neither sheet can ever
+    # drift from the deployed model or the battery.
+    _perc_scored = f"""
+        pwavg AS (SELECT bucket, sum(w)::BIGINT AS w
+                  FROM ({_perc_w_union}) GROUP BY bucket),
+        sc AS (SELECT p.doc_id, p.split, max(p.y) AS y,
+                      sum(p.cnt * w.w)::BIGINT AS margin,
+                      sum(p.cnt * w.w) > 0 AS keep
+               FROM pf p JOIN pwavg w USING (bucket)
+               GROUP BY 1, 2)"""
+    oracles["model_rule_disagreement_report"] = f"""
+        WITH {_perc_chain},
+        {_perc_scored},
+        j AS (SELECT sc.*, d.source FROM sc
+              JOIN documents d USING (doc_id))
+        SELECT split, source,
+               count(*)::BIGINT AS n_docs,
+               sum((y = 1 AND keep)::INT)::BIGINT AS n_both_keep,
+               sum((y = -1 AND keep)::INT)::BIGINT AS n_model_only,
+               sum((y = 1 AND NOT keep)::INT)::BIGINT AS n_rule_only,
+               sum((y = -1 AND NOT keep)::INT)::BIGINT AS n_both_reject,
+               coalesce(min(CASE WHEN y = -1 AND keep THEN doc_id END),
+                        -1)::BIGINT AS model_only_example,
+               coalesce(min(CASE WHEN y = 1 AND NOT keep THEN doc_id END),
+                        -1)::BIGINT AS rule_only_example,
+               (((sum((y = 1 AND keep)::INT)
+                  + sum((y = -1 AND NOT keep)::INT)) * 1000000)
+                // count(*))::BIGINT AS agree_ppm
+        FROM j GROUP BY 1, 2
+    """
+    _sweep_last = textops.MODEL_SWEEP_STEPS - 1
+    oracles["model_gate_threshold_sweep"] = f"""
+        WITH {_perc_chain},
+        {_perc_scored},
+        ext AS (SELECT min(margin) AS mn, max(margin) AS mx FROM sc),
+        th AS (SELECT g.step::BIGINT AS step,
+                      (ext.mn + ((ext.mx - ext.mn) * g.step)
+                          // {_sweep_last})::BIGINT AS theta
+               FROM ext, generate_series(0, {_sweep_last}) AS g(step))
+        SELECT th.step, th.theta,
+               count(*)::BIGINT AS n_docs,
+               sum((sc.margin > th.theta)::INT)::BIGINT AS n_keep,
+               sum(((sc.margin > th.theta) = (sc.y = 1))::INT)::BIGINT
+                   AS n_agree,
+               ((sum((sc.margin > th.theta)::INT) * 1000000)
+                // count(*))::BIGINT AS keep_ppm,
+               ((sum(((sc.margin > th.theta) = (sc.y = 1))::INT) * 1000000)
+                // count(*))::BIGINT AS agree_ppm
+        FROM sc, th GROUP BY 1, 2
+    """
+    oracles["curation_manifest_model_gate"] = f"""
+        WITH m AS (SELECT * FROM ({oracles["curation_run_manifest"]})),
+        s AS (SELECT doc_id, margin AS model_margin, keep AS model_keep
+              FROM ({oracles["perceptron_apply_scores"]}))
+        SELECT m.doc_id, m.source, m.split, m.n_tokens, m.quality_keep,
+               s.model_keep, s.model_margin, m.is_canonical,
+               m.canonical_id, m.rate_bps,
+               CASE WHEN m.disposition = 'reject_quality'
+                        THEN 'reject_quality'
+                    WHEN NOT s.model_keep THEN 'reject_model'
+                    ELSE m.disposition END AS disposition,
+               CASE WHEN m.disposition = 'reject_quality' THEN m.reason
+                    WHEN NOT s.model_keep
+                        THEN 'model_margin:' || s.model_margin::VARCHAR
+                    ELSE m.reason END AS reason
+        FROM m JOIN s USING (doc_id)
+    """
     # Source × disposition rollup COMPOSED from the manifest oracle.
     oracles["source_disposition_matrix"] = f"""
         WITH m AS (SELECT source, disposition, n_tokens

@@ -2051,3 +2051,201 @@ def perceptron_apply_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         "margin",
         "keep",
     )
+
+#: Number of candidate thresholds in the model-gate sweep — evenly
+#: spaced integer cut points spanning [min margin, max margin], so the
+#: sheet always covers the whole observed distribution regardless of the
+#: corpus' margin scale.
+MODEL_SWEEP_STEPS = 9
+
+
+def _model_vs_rule_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, split, y, margin, keep): every document's averaged-model
+    score next to its rule-battery label — the shared input of the
+    disagreement report and the threshold sweep. One doc-keyed join of
+    the batch apply output against the doc-level labels already sitting
+    in the memoized feature table (max(y) per doc — y is constant per
+    doc, so this is a lossless dedup, NOT a new documents scan)."""
+    labels = (
+        _perceptron_features(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(F.max("y").cast("long").alias("y"))
+    )
+    return perceptron_apply_scores(spark, sf_dir).join(labels, "doc_id")
+
+
+def model_rule_disagreement_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per (split, source): the rule-keep × model-keep confusion between
+    the Gopher rule battery and the deployed averaged perceptron, with
+    one example doc id per disagreement cell — the sheet that decides
+    whether the distilled model can REPLACE the battery (high agreement
+    everywhere) or where it diverges (one source's agreement collapsing
+    names the subpopulation the model never learned). Examples are the
+    MIN doc id of each cell (deterministic; −1 when the cell is empty),
+    so an auditor can pull the exact documents behind any number.
+
+    Cost: the scored frame (one aggregate over the memoized feature
+    table), a doc-keyed join to the label dedup, one pruned 2-column
+    documents scan for source, and a |splits|×|sources| groupBy — at
+    100 TB the corpus streams once; the report frame is bounded.
+    Agreement in ppm by integer ``div``.
+    """
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    j = _model_vs_rule_frame(spark, sf_dir).join(src, "doc_id")
+    rule = F.col("y") == 1
+    model = F.col("keep")
+    return (
+        j.groupBy("split", "source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum((rule & model).cast("int"))
+            .cast("long")
+            .alias("n_both_keep"),
+            F.sum((~rule & model).cast("int"))
+            .cast("long")
+            .alias("n_model_only"),
+            F.sum((rule & ~model).cast("int"))
+            .cast("long")
+            .alias("n_rule_only"),
+            F.sum((~rule & ~model).cast("int"))
+            .cast("long")
+            .alias("n_both_reject"),
+            F.coalesce(
+                F.min(F.when(~rule & model, F.col("doc_id"))), F.lit(-1)
+            )
+            .cast("long")
+            .alias("model_only_example"),
+            F.coalesce(
+                F.min(F.when(rule & ~model, F.col("doc_id"))), F.lit(-1)
+            )
+            .cast("long")
+            .alias("rule_only_example"),
+        )
+        .withColumn(
+            "agree_ppm",
+            F.expr(
+                "((n_both_keep + n_both_reject) * 1000000) div n_docs"
+            ).cast("long"),
+        )
+    )
+
+
+def model_gate_threshold_sweep(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Calibration sweep for the model gate's deploy threshold — the
+    ``winnow_threshold_sweep`` pattern applied to the model family:
+    ``perceptron_apply_scores`` keeps at margin > 0, but 0 is a
+    convention, not a measurement. For ``MODEL_SWEEP_STEPS`` evenly
+    spaced integer thresholds θ spanning the OBSERVED margin range, this
+    reports the keep rate and the agreement with the rule battery at
+    margin > θ — turning the threshold choice into data (pick the θ that
+    trades keep-rate against rule agreement the way the run's budget
+    wants).
+
+    Shape: the scored frame's min/max (one 1-row aggregate, kept
+    IN-PLAN and broadcast — never a driver-side collect), a constant
+    ``MODEL_SWEEP_STEPS``-way fan-out of the corpus-bounded scored
+    frame, and one (step, θ) groupBy with map-side partials. θ is
+    derived with integer ``div`` ((mx−mn)·step ≥ 0, so truncation ≡
+    floor on both engines); all counts exact integers, rates in ppm.
+    """
+    j = _model_vs_rule_frame(spark, sf_dir)
+    ext = j.agg(
+        F.min("margin").cast("long").alias("mn"),
+        F.max("margin").cast("long").alias("mx"),
+    )
+    steps = ext.select(
+        F.explode(
+            F.sequence(F.lit(0), F.lit(MODEL_SWEEP_STEPS - 1))
+        ).alias("step"),
+        "mn",
+        "mx",
+    ).select(
+        F.col("step").cast("long").alias("step"),
+        (
+            F.col("mn")
+            + F.expr(f"((mx - mn) * step) div {MODEL_SWEEP_STEPS - 1}")
+        )
+        .cast("long")
+        .alias("theta"),
+    )
+    gate = F.col("margin") > F.col("theta")
+    agree = gate == (F.col("y") == 1)
+    return (
+        j.crossJoin(F.broadcast(steps))
+        .groupBy("step", "theta")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(gate.cast("int")).cast("long").alias("n_keep"),
+            F.sum(agree.cast("int")).cast("long").alias("n_agree"),
+        )
+        .withColumn(
+            "keep_ppm",
+            F.expr("(n_keep * 1000000) div n_docs").cast("long"),
+        )
+        .withColumn(
+            "agree_ppm",
+            F.expr("(n_agree * 1000000) div n_docs").cast("long"),
+        )
+    )
+
+
+def curation_manifest_model_gate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The curation-run manifest with the trained model deployed as a
+    FIFTH disposition stage — the "what if we ship it" twin of
+    ``curation_run_manifest``: policy order becomes quality gate →
+    model gate → dedup survivor → split → mixture (the model slots
+    directly after the rule gate because it is the same cheap map-side
+    shape — a 66-int literal against the feature aggregate). Diffing
+    this manifest's disposition column against the rule-only manifest's
+    is exactly the per-document view of
+    ``model_rule_disagreement_report``'s aggregate cells.
+
+    Cost on top of the two served frames (the memoized manifest, the
+    model scores' one feature aggregate): a single doc-keyed join — no
+    new corpus scan. Reason strings carry the model margin so every
+    model rejection is re-derivable.
+    """
+    m = curation_run_manifest(spark, sf_dir)
+    sc = perceptron_apply_scores(spark, sf_dir).select(
+        "doc_id",
+        F.col("margin").alias("model_margin"),
+        F.col("keep").alias("model_keep"),
+    )
+    j = m.join(sc, "doc_id")
+    disposition = (
+        F.when(
+            F.col("disposition") == "reject_quality", F.lit("reject_quality")
+        )
+        .when(~F.col("model_keep"), F.lit("reject_model"))
+        .otherwise(F.col("disposition"))
+    )
+    reason = (
+        F.when(F.col("disposition") == "reject_quality", F.col("reason"))
+        .when(
+            ~F.col("model_keep"),
+            F.concat(
+                F.lit("model_margin:"), F.col("model_margin").cast("string")
+            ),
+        )
+        .otherwise(F.col("reason"))
+    )
+    return j.select(
+        "doc_id",
+        "source",
+        "split",
+        "n_tokens",
+        "quality_keep",
+        "model_keep",
+        "model_margin",
+        "is_canonical",
+        "canonical_id",
+        "rate_bps",
+        disposition.alias("disposition"),
+        reason.alias("reason"),
+    )

@@ -2096,3 +2096,107 @@ def test_perceptron_fit_matches_pure_python_replay(spark, sf_dir):
     assert [r[5] for r in stats_rows] == [
         sum(abs(x) for x in step) for step in replay
     ]
+
+
+def test_model_rule_disagreement_cells_partition(spark, sf_dir):
+    """Per (split, source): the four confusion cells partition n_docs,
+    agree_ppm re-derives from the cells, and every example id really
+    belongs to its cell (or is the −1 empty sentinel)."""
+    from kafka_exercise_spark.operators.textops import (
+        model_rule_disagreement_report,
+        perceptron_apply_scores,
+    )
+
+    rows = model_rule_disagreement_report(spark, sf_dir).collect()
+    assert rows
+    scores = {
+        r.doc_id: r.keep
+        for r in perceptron_apply_scores(spark, sf_dir).collect()
+    }
+    for r in rows:
+        assert (
+            r.n_both_keep + r.n_model_only + r.n_rule_only + r.n_both_reject
+            == r.n_docs
+        )
+        assert r.agree_ppm == (
+            (r.n_both_keep + r.n_both_reject) * 1_000_000
+        ) // r.n_docs
+        # example ids: model_only → model keeps; rule_only → model rejects
+        if r.n_model_only == 0:
+            assert r.model_only_example == -1
+        else:
+            assert scores[r.model_only_example] is True
+        if r.n_rule_only == 0:
+            assert r.rule_only_example == -1
+        else:
+            assert scores[r.rule_only_example] is False
+
+
+def test_model_gate_threshold_sweep_shape(spark, sf_dir):
+    """The sweep spans the observed margin range with a monotone
+    keep-rate: theta ladder ascends min→max, n_keep is non-increasing in
+    theta, the top step keeps nothing (margin > max is empty), and every
+    ppm re-derives from its counts."""
+    from kafka_exercise_spark.operators.textops import (
+        MODEL_SWEEP_STEPS,
+        model_gate_threshold_sweep,
+        perceptron_apply_scores,
+    )
+
+    rows = sorted(
+        model_gate_threshold_sweep(spark, sf_dir).collect(),
+        key=lambda r: r.step,
+    )
+    assert len(rows) == MODEL_SWEEP_STEPS
+    margins = [
+        r.margin for r in perceptron_apply_scores(spark, sf_dir).collect()
+    ]
+    assert rows[0].theta == min(margins)
+    assert rows[-1].theta == max(margins)
+    assert rows[-1].n_keep == 0
+    for a, b in zip(rows, rows[1:]):
+        assert a.theta <= b.theta
+        assert a.n_keep >= b.n_keep
+    for r in rows:
+        assert r.n_docs == len(margins)
+        assert r.n_keep == sum(m > r.theta for m in margins)
+        assert r.keep_ppm == (r.n_keep * 1_000_000) // r.n_docs
+        assert r.agree_ppm == (r.n_agree * 1_000_000) // r.n_docs
+
+
+def test_curation_manifest_model_gate_stage_order(spark, sf_dir):
+    """The model-gated manifest must only ever (a) keep the base
+    manifest's disposition verbatim, or (b) replace it with reject_model
+    WHEN the base stage was not reject_quality AND the model rejects —
+    the 5th stage slots strictly after the quality gate and before
+    everything else. Reasons for model rejections carry the margin."""
+    from kafka_exercise_spark.operators.textops import (
+        curation_manifest_model_gate,
+        curation_run_manifest,
+    )
+
+    base = {
+        r.doc_id: r for r in curation_run_manifest(spark, sf_dir).collect()
+    }
+    gated = curation_manifest_model_gate(spark, sf_dir).collect()
+    assert len(gated) == len(base)
+    n_model_rejects = 0
+    for g in gated:
+        b = base[g.doc_id]
+        if g.disposition == "reject_model":
+            n_model_rejects += 1
+            assert b.disposition != "reject_quality"
+            assert g.model_keep is False
+            assert g.reason == f"model_margin:{g.model_margin}"
+        else:
+            assert g.disposition == b.disposition
+            assert g.reason == b.reason
+            # unchanged disposition ⇒ either quality already rejected it
+            # or the model kept it
+            assert b.disposition == "reject_quality" or g.model_keep
+    # the model column itself is not degenerate on the fixture (whether a
+    # reject_model disposition appears depends on overlap with the
+    # quality gate — at sf0.001 every model reject is also a quality
+    # reject, so assert the score column, not the disposition count)
+    assert any(not g.model_keep for g in gated)
+    assert any(g.model_keep for g in gated)

@@ -90,33 +90,25 @@ def test_tokens_shingles_hash_parity(spark, texts):
         assert g.h == e[3], texts
 
 
-def test_r06_window_leads_with_unverified_entries():
-    """The driver records only the first 50 queries() entries; r06 must
-    lead with the 19 late-r5 entries that have never had a driver
-    CORRECTNESS row (VERDICT r5 ask #1, the positional queue) plus the
-    deferred quality_quantile_filter re-verify and every r06 addition —
-    an accidental reorder would silently burn the round's only driver
-    evidence."""
+def test_r07_window_leads_with_unverified_entries():
+    """The driver records only the first 50 queries() entries; r07 must
+    lead with the 6 late-r6 entries that have never had a driver
+    CORRECTNESS row (VERDICT r6 ask #1, the positional queue) plus every
+    r07 addition and this round's plan change — an accidental reorder
+    would silently burn the round's only driver evidence."""
     import __spark_entry__ as entrymod
 
     first50 = list(entrymod.queries())[:50]
     never_verified = {
-        "pack_efficiency_report", "minhash_s_curve",
-        "winnowing_overlap_pairs", "pii_scrub_report",
-        "split_leakage_report", "log_compaction",
-        "streaming_compaction_replay", "knn_label_vote",
-        "bpe_train_merges", "bpe_apply_trained", "dedup_detector_matrix",
-        "text_novelty_score", "curriculum_plan", "knn_label_vote_ivf",
-        "quality_ablation_report", "ann_filtered_topk",
-        "winnow_components", "dedup_savings_report",
-        "winnow_threshold_sweep", "quality_quantile_filter",
+        "lsh_buckets_report", "mixture_epoch_schedule",
+        "perceptron_train_rounds", "perceptron_eval_report",
+        "perceptron_apply_scores", "streaming_model_gate_replay",
     }
-    r06_new = {
-        "winnow_incremental", "streaming_winnow_replay",
-        "curation_run_manifest", "source_disposition_matrix",
-        "dedup_pair_audit_sample", "ann_pareto_report",
-        # changed this round: TopK rank cap + its consumer
-        "bpe_pair_counts", "bpe_segment_words",
+    r07_new = {
+        "model_rule_disagreement_report", "model_gate_threshold_sweep",
+        "curation_manifest_model_gate",
+        # changed this round: single-subtree row_number rank
+        "bpe_pair_counts",
     }
-    assert never_verified | r06_new <= set(first50)
+    assert never_verified | r07_new <= set(first50)
     assert first50[:2] == ["jovens", "idadecont"]  # flagships stay first
