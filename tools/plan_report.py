@@ -95,15 +95,19 @@ SELECTED = [
     ("text_novelty_score", "shared shingle frame; df census + per-doc rollup"),
     ("curriculum_plan", "fixed micro-nat bands map-side; window over the band frame"),
     # r06 additions
-    ("bpe_pair_counts", "distributed TopK (TakeOrderedAndProject) + bounded rank join — no global rank window"),
+    ("bpe_pair_counts", "ONE scan+agg subtree -> distributed TopK (TakeOrderedAndProject); rank window input is the <=512-row head"),
     ("winnow_incremental", "batch postings broadcast into the corpus index; corpus never self-joins"),
     ("curation_run_manifest", "ONE doc scan + left joins to cluster frame and the per-source mixture sheet"),
     ("source_disposition_matrix", "one groupBy over the manifest; per-source windows on a bounded frame"),
     ("dedup_pair_audit_sample", "memoized pair frames; per-tier capped window (WindowGroupLimit)"),
     ("ann_pareto_report", "bucket/cell censuses of served indexes; bounded panel joins"),
-    # bpe_train_merges and the perceptron entries are deliberately
-    # absent: constructing their plans RUNS the iterative fits (bounded
-    # per-round collects), same exclusion class as the streaming replays.
+    # r07 additions
+    ("lsh_buckets_report", "one agg over the served LSH frame; total is an in-plan 1-row aggregate (construction-pure since r7)"),
+    # bpe_train_merges, the perceptron entries, and the r7 model-vs-rules
+    # sheets (disagreement / threshold sweep / model-gated manifest) are
+    # deliberately absent: constructing their plans RUNS the iterative
+    # fit (bounded per-round collects), same exclusion class as the
+    # streaming replays.
 ]
 
 FULL_PLANS = ["q3_shipping_priority", "dedup_ngram_jaccard"]
