@@ -415,6 +415,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "model_gate_threshold_sweep": textops.model_gate_threshold_sweep,
         # the manifest with the model deployed as a 5th disposition stage
         "curation_manifest_model_gate": textops.curation_manifest_model_gate,
+        # one online round on the arriving src0 batch vs the served model
+        "perceptron_incremental_update": (
+            textops.perceptron_incremental_update
+        ),
+        # per-slot weight + hashed-bucket census (interpretability sheet)
+        "model_weight_report": textops.model_weight_report,
         # ---- late r07: EVERY entry appended below this line after the
         # r07 window froze is past that window — lead the r08 window
         # with ALL of them (positional queue), per the established
@@ -446,6 +452,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "model_rule_disagreement_report",
         "model_gate_threshold_sweep",
         "curation_manifest_model_gate",
+        "perceptron_incremental_update",
+        "model_weight_report",
         # r07 plan change: single-subtree row_number rank over the head
         "bpe_pair_counts",
         # oldest driver evidence (last green r02) — refresh
@@ -486,8 +494,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jovens_epoch_wire",
         "avro_wire_roundtrip",
         "ksql_jovens",
-        "ksql_idadecont",
-        "streaming_idadecont_replay",
+        # (ksql_idadecont and streaming_idadecont_replay — the two
+        # youngest of the r03 refresh set — yielded their slots to the
+        # two late-r07 model entries; both are green in this session's
+        # verify_local sweeps at both sfs and have r03 driver rows)
     ]
     assert len(window) == 50 and len(set(window)) == 50
     out = {k: all_q[k] for k in window}
@@ -4039,6 +4049,57 @@ def oracle_sql() -> dict[str, str]:
                         THEN 'model_margin:' || s.model_margin::VARCHAR
                     ELSE m.reason END AS reason
         FROM m JOIN s USING (doc_id)
+    """
+    # Online update: one more unrolled round on the served (summed)
+    # weights, restricted to the src0 batch — lr=1 exact integers, so
+    # the ledger replays bit-for-bit like every fit round before it.
+    oracles["perceptron_incremental_update"] = f"""
+        WITH {_perc_chain},
+        pwavg AS (SELECT bucket, sum(w)::BIGINT AS w
+                  FROM ({_perc_w_union}) GROUP BY bucket),
+        bids AS (SELECT doc_id FROM documents
+                 WHERE source = '{dedup.INCREMENTAL_NEW_SOURCE}'),
+        bm AS (SELECT p.doc_id, max(p.y) AS y,
+                      sum(p.cnt * w.w)::BIGINT AS margin
+               FROM pf p JOIN pwavg w USING (bucket)
+               JOIN bids USING (doc_id)
+               GROUP BY 1),
+        mis AS (SELECT doc_id FROM bm WHERE y * margin <= 0),
+        dwq AS (SELECT p.bucket, sum(p.y * p.cnt)::BIGINT AS dw
+                FROM pf p JOIN mis USING (doc_id)
+                JOIN bids USING (doc_id)
+                GROUP BY 1),
+        grid AS (SELECT unnest(range({textops.PERC_DIM}))::BIGINT AS bucket)
+        SELECT g.bucket,
+               coalesce(w.w, 0)::BIGINT AS w_before,
+               coalesce(d.dw, 0)::BIGINT AS dw,
+               (coalesce(w.w, 0) + coalesce(d.dw, 0))::BIGINT AS w_after
+        FROM grid g
+        LEFT JOIN pwavg w USING (bucket)
+        LEFT JOIN dwq d USING (bucket)
+    """
+    oracles["model_weight_report"] = f"""
+        WITH {_perc_chain},
+        pwavg AS (SELECT bucket, sum(w)::BIGINT AS w
+                  FROM ({_perc_w_union}) GROUP BY bucket),
+        tb AS (SELECT doc_id, tk,
+                      ('0x' || substr(md5(tk), 1, 15))::BIGINT
+                          % {textops.FEATURE_HASH_DIM} AS bucket
+               FROM ptok),
+        a AS (SELECT bucket,
+                     count(DISTINCT tk)::BIGINT AS n_distinct_tokens,
+                     count(DISTINCT doc_id)::BIGINT AS n_docs,
+                     min(tk) AS example_token
+              FROM tb GROUP BY 1),
+        grid AS (SELECT unnest(range({textops.PERC_DIM}))::BIGINT AS bucket)
+        SELECT g.bucket,
+               coalesce(w.w, 0)::BIGINT AS weight,
+               coalesce(a.n_distinct_tokens, 0)::BIGINT AS n_distinct_tokens,
+               coalesce(a.n_docs, 0)::BIGINT AS n_docs,
+               coalesce(a.example_token, '') AS example_token
+        FROM grid g
+        LEFT JOIN pwavg w USING (bucket)
+        LEFT JOIN a USING (bucket)
     """
     # Source × disposition rollup COMPOSED from the manifest oracle.
     oracles["source_disposition_matrix"] = f"""

@@ -2249,3 +2249,122 @@ def curation_manifest_model_gate(
         disposition.alias("disposition"),
         reason.alias("reason"),
     )
+
+
+def perceptron_incremental_update(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Online model maintenance — the model family's twin of
+    ``ann_index_refresh``: the INCOMING batch (the incremental
+    contract's ``source == src0`` convention shared with
+    ``dedup_incremental`` / ``winnow_incremental``) drives ONE
+    synchronized perceptron round against the SERVED weights, and the
+    report is the full per-bucket weight ledger (w_before, dw, w_after)
+    an owner reads before promoting the updated model. Warm-start
+    semantics are the standard ones: ship the averaged fit's summed
+    weights, continue with vanilla lr=1 updates on arriving
+    rule-labeled data — every quantity stays an exact integer, so the
+    update replays bit-for-bit in the oracle (one more unrolled round
+    on top of the fit's CTE chain, restricted to the batch).
+
+    Cost: one aggregate over the memoized feature table restricted to
+    the broadcast batch ids (batch-bounded by the incremental
+    contract), one ≤``PERC_DIM``-row delta aggregate, and the constant
+    ``PERC_DIM``-row output grid. The corpus is never rescanned; at
+    100 TB this is the nightly model-refresh job reading the staged
+    feature table's newest partition.
+    """
+    from kafka_exercise_spark.operators.dedup import (  # noqa: PLC0415
+        INCREMENTAL_NEW_SOURCE,
+    )
+
+    w = perceptron_model_weights(spark, sf_dir)
+    w_lit = F.lit(w).cast("array<bigint>")
+    new_ids = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("source") == INCREMENTAL_NEW_SOURCE)
+        .select("doc_id")
+    )
+    batch = _perceptron_features(spark, sf_dir).join(
+        F.broadcast(new_ids), "doc_id"
+    )
+    margins = (
+        batch.select(
+            "doc_id",
+            "y",
+            (F.element_at(w_lit, F.col("bucket") + 1) * F.col("cnt")).alias(
+                "p"
+            ),
+        )
+        .groupBy("doc_id", "y")
+        .agg(F.sum("p").cast("long").alias("margin"))
+    )
+    miscl = margins.filter(F.col("y") * F.col("margin") <= 0).select("doc_id")
+    dw = (
+        batch.join(miscl, "doc_id")
+        .groupBy("bucket")
+        .agg(F.sum(F.col("y") * F.col("cnt")).cast("long").alias("dw"))
+    )
+    grid = spark.range(PERC_DIM).select(F.col("id").cast("int").alias("bucket"))
+    w_before = F.element_at(w_lit, F.col("bucket") + 1)
+    return (
+        grid.join(dw, "bucket", "left")
+        .select(
+            F.col("bucket").cast("long").alias("bucket"),
+            w_before.cast("long").alias("w_before"),
+            F.coalesce(F.col("dw"), F.lit(0)).cast("long").alias("dw"),
+            (w_before + F.coalesce(F.col("dw"), F.lit(0)))
+            .cast("long")
+            .alias("w_after"),
+        )
+    )
+
+
+def model_weight_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model interpretability sheet — per feature slot of the deployed
+    averaged perceptron: the integer weight next to what the slot
+    MEANS on this corpus (for hashed-token buckets: how many distinct
+    token types share the bucket, how many documents touch it, and the
+    lexicographically-first token as a pull-able example; the bias and
+    length slots report zeros/empty). The sheet an owner reads to sanity-
+    check WHAT the distilled model learned before trusting the
+    disagreement report's aggregate numbers — a heavy negative weight on
+    a bucket whose example token is a stopword tells a different story
+    than one on a spam n-gram. Hash collisions are visible by
+    construction (n_distinct_tokens > 1 marks shared buckets — the
+    hashing-trick trade-off made inspectable).
+
+    Cost: one tokenize scan + a (bucket) aggregate with two exact
+    distincts over the ``FEATURE_HASH_DIM``-bounded key domain, joined
+    to the constant ``PERC_DIM``-row grid; weights ship as the served
+    66-int literal. All integers / binary-collated strings.
+    """
+    w = perceptron_model_weights(spark, sf_dir)
+    w_lit = F.lit(w).cast("array<bigint>")
+    docs = scale_partitions(load_table(spark, sf_dir, "documents"), spark)
+    tb = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("t")
+    ).select(
+        "doc_id",
+        "t",
+        F.pmod(md5_hash64(F.col("t")), F.lit(FEATURE_HASH_DIM))
+        .cast("int")
+        .alias("bucket"),
+    )
+    agg = tb.groupBy("bucket").agg(
+        F.count_distinct("t").cast("long").alias("n_distinct_tokens"),
+        F.count_distinct("doc_id").cast("long").alias("n_docs"),
+        F.min("t").alias("example_token"),
+    )
+    grid = spark.range(PERC_DIM).select(F.col("id").cast("int").alias("bucket"))
+    return grid.join(agg, "bucket", "left").select(
+        F.col("bucket").cast("long").alias("bucket"),
+        F.element_at(w_lit, F.col("bucket") + 1)
+        .cast("long")
+        .alias("weight"),
+        F.coalesce(F.col("n_distinct_tokens"), F.lit(0))
+        .cast("long")
+        .alias("n_distinct_tokens"),
+        F.coalesce(F.col("n_docs"), F.lit(0)).cast("long").alias("n_docs"),
+        F.coalesce(F.col("example_token"), F.lit("")).alias("example_token"),
+    )

@@ -2200,3 +2200,81 @@ def test_curation_manifest_model_gate_stage_order(spark, sf_dir):
     # reject, so assert the score column, not the disposition count)
     assert any(not g.model_keep for g in gated)
     assert any(g.model_keep for g in gated)
+
+
+def test_perceptron_incremental_update_replays_in_python(spark, sf_dir):
+    """The online round's weight ledger must equal a pure-Python replay
+    of one lr=1 perceptron step on the served weights over the src0
+    batch — the fit-pinning pattern applied to the maintenance path —
+    and the ledger must be internally consistent (w_after = w_before +
+    dw, w_before = the served model, full PERC_DIM grid)."""
+    from kafka_exercise_spark.operators.dedup import INCREMENTAL_NEW_SOURCE
+    from kafka_exercise_spark.operators.textops import (
+        PERC_DIM,
+        _perceptron_features,
+        perceptron_incremental_update,
+        perceptron_model_weights,
+    )
+
+    rows = sorted(
+        perceptron_incremental_update(spark, sf_dir).collect(),
+        key=lambda r: r.bucket,
+    )
+    assert [r.bucket for r in rows] == list(range(PERC_DIM))
+    w = perceptron_model_weights(spark, sf_dir)
+    assert [r.w_before for r in rows] == w
+    for r in rows:
+        assert r.w_after == r.w_before + r.dw
+    # pure-Python replay of the single round over the batch features
+    from kafka_exercise_spark.catalog import load_table
+
+    batch_ids = {
+        r.doc_id
+        for r in load_table(spark, sf_dir, "documents")
+        .filter(F.col("source") == INCREMENTAL_NEW_SOURCE)
+        .select("doc_id")
+        .collect()
+    }
+    by_doc: dict[int, list] = {}
+    for r in _perceptron_features(spark, sf_dir).collect():
+        if r.doc_id in batch_ids:
+            by_doc.setdefault(r.doc_id, []).append((r.bucket, r.cnt, r.y))
+    dw = [0] * PERC_DIM
+    for feats in by_doc.values():
+        y = feats[0][2]
+        margin = sum(c * w[b] for b, c, _y in feats)
+        if y * margin <= 0:
+            for b, c, _y in feats:
+                dw[b] += y * c
+    assert [r.dw for r in rows] == dw
+
+
+def test_model_weight_report_census(spark, sf_dir):
+    """Per-slot sheet: full PERC_DIM grid, weights equal the served
+    model, the bias/length slots carry no token census, and every
+    hashed bucket's example token really hashes to that bucket."""
+    import hashlib as _h
+
+    from kafka_exercise_spark.operators.textops import (
+        FEATURE_HASH_DIM,
+        PERC_BIAS_SLOT,
+        PERC_DIM,
+        PERC_LEN_SLOT,
+        model_weight_report,
+        perceptron_model_weights,
+    )
+
+    rows = sorted(
+        model_weight_report(spark, sf_dir).collect(), key=lambda r: r.bucket
+    )
+    assert [r.bucket for r in rows] == list(range(PERC_DIM))
+    assert [r.weight for r in rows] == perceptron_model_weights(spark, sf_dir)
+    for r in rows:
+        if r.bucket in (PERC_BIAS_SLOT, PERC_LEN_SLOT):
+            assert r.n_distinct_tokens == 0 and r.example_token == ""
+        elif r.example_token:
+            h = int(
+                _h.md5(r.example_token.encode()).hexdigest()[:15], 16
+            )
+            assert h % FEATURE_HASH_DIM == r.bucket
+            assert r.n_distinct_tokens >= 1 and r.n_docs >= 1

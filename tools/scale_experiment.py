@@ -101,6 +101,14 @@ QUERIES = {
     # round count is FIXED, so wall should track k, never k²)
     "winnow_incremental": dedup.winnow_incremental,
     "perceptron_train_rounds": textops.perceptron_train_rounds,
+    # r07 additions — the model-vs-rules sheets. They run AFTER the fit
+    # (perceptron_train_rounds) and the manifest above, so their rungs
+    # time the marginal composition cost each claims: one labels join +
+    # a (split, source) groupBy; a constant 9-way fan-out groupBy; one
+    # doc-keyed join over two served frames.
+    "model_rule_disagreement_report": textops.model_rule_disagreement_report,
+    "model_gate_threshold_sweep": textops.model_gate_threshold_sweep,
+    "curation_manifest_model_gate": textops.curation_manifest_model_gate,
 }
 
 
