@@ -73,7 +73,14 @@ def get_spark(
                 "SPARK_GRAFT_WAREHOUSE", "/tmp/spark_graft_warehouse"
             ),
         )
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Single-JVM local mode: the driver heap IS the cluster. 8g was
+        # undersized once the registry passed ~200 queries per bench pass —
+        # localCheckpoint memo blocks spilled/evicted under churn and
+        # memo-served entries re-read from disk, inflating medians ~13%
+        # across the board (measured r7). 24g leaves >100 GiB headroom for
+        # Python workers on the 128 GiB host. On a real cluster this knob
+        # is per-executor memory and does not exist here.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
     )
     if master is not None:
         builder = builder.master(master)
