@@ -421,6 +421,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # per-slot weight + hashed-bucket census (interpretability sheet)
         "model_weight_report": textops.model_weight_report,
+        # the same update round as LIVE per-micro-batch delta pushes
+        "streaming_model_update_replay": (
+            streaming_pipeline.streaming_model_update_replay
+        ),
         # ---- late r07: EVERY entry appended below this line after the
         # r07 window froze is past that window — lead the r08 window
         # with ALL of them (positional queue), per the established
@@ -454,6 +458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_manifest_model_gate",
         "perceptron_incremental_update",
         "model_weight_report",
+        "streaming_model_update_replay",
         # r07 plan change: single-subtree row_number rank over the head
         "bpe_pair_counts",
         # oldest driver evidence (last green r02) — refresh
@@ -493,11 +498,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dq_gate",
         "jovens_epoch_wire",
         "avro_wire_roundtrip",
-        "ksql_jovens",
-        # (ksql_idadecont and streaming_idadecont_replay — the two
-        # youngest of the r03 refresh set — yielded their slots to the
-        # two late-r07 model entries; both are green in this session's
-        # verify_local sweeps at both sfs and have r03 driver rows)
+        # (ksql_jovens, ksql_idadecont and streaming_idadecont_replay —
+        # the three youngest of the r03 refresh set — yielded their
+        # slots to the three late-r07 model entries; all are green in
+        # this session's verify_local sweeps at both sfs and have r03
+        # driver rows)
     ]
     assert len(window) == 50 and len(set(window)) == 50
     out = {k: all_q[k] for k in window}
@@ -4078,6 +4083,13 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN pwavg w USING (bucket)
         LEFT JOIN dwq d USING (bucket)
     """
+    # The live update's per-micro-batch partial deltas are computed
+    # against the FIXED pre-round weights, so their sum ≡ the batch
+    # round's ledger — shared oracle (the model-gate contract, applied
+    # to maintenance).
+    oracles["streaming_model_update_replay"] = (
+        oracles["perceptron_incremental_update"]
+    )
     oracles["model_weight_report"] = f"""
         WITH {_perc_chain},
         pwavg AS (SELECT bucket, sum(w)::BIGINT AS w

@@ -744,6 +744,16 @@ def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     this runs at codegen scan throughput like the rest of the rule family.
     """
     docs = scale_partitions(load_table(spark, sf_dir, "documents"), spark)
+    return gopher_decisions(docs)
+
+
+def gopher_decisions(docs: DataFrame) -> DataFrame:
+    """The Gopher battery over ANY documents-shaped frame — the
+    frame-shaped primitive behind ``gopher_quality_filter``, shared with
+    the streaming model-update replay so live batch labeling can never
+    drift from the labels the trainer was fitted on (the
+    ``curation_decisions`` / ``perceptron_featurize`` contract, applied
+    to the rule battery). Map-only per doc."""
     tok = tokens(F.col("text"))
     n_words = F.size(tok)
     word_chars = F.aggregate(

@@ -827,3 +827,122 @@ def streaming_model_gate_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
         _MODEL_GATE_MEMO[memo_key] = final
     return _MODEL_GATE_MEMO[memo_key]
+
+
+#: Landed per-micro-batch partial weight deltas, keyed by (app, sf_dir).
+_MODEL_UPDATE_MEMO: dict = register_memo({})
+
+
+def streaming_model_update_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The ONLINE form of ``perceptron_incremental_update``: the arriving
+    src0 batch replayed in micro-batches under real StreamExecution, each
+    micro-batch featurized LIVE (``perceptron_featurize``), rule-labeled
+    LIVE (``gopher_decisions`` — the SAME frame-shaped battery the
+    training labels came from), scored against the FIXED served weights,
+    and its misclassified docs' partial weight deltas appended to the
+    sink. Because the synchronized round's misclassification test reads
+    only the FIXED pre-round weights, per-doc delta contributions are
+    additive across micro-batches — the summed partials equal the batch
+    round's ledger EXACTLY, so the two entries share one oracle (the
+    ``streaming_model_gate_replay`` contract, applied to maintenance).
+
+    Scale shape per micro-batch: one map + (doc, bucket) combine, one
+    doc aggregate against the 66-int weight literal, one bounded
+    ≤``PERC_DIM``-row partial-delta append — no state store, no corpus
+    access; the final fold is one ``PERC_DIM``-bounded groupBy over the
+    landed partials. This is the parameter-server gradient-push shape:
+    workers push bounded deltas, the fold applies them once per round.
+    """
+    import os  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from kafka_exercise_spark.catalog import load_table  # noqa: PLC0415
+    from kafka_exercise_spark.operators.dedup import (  # noqa: PLC0415
+        INCREMENTAL_NEW_SOURCE,
+    )
+    from kafka_exercise_spark.operators.textops import (  # noqa: PLC0415
+        PERC_DIM,
+        gopher_decisions,
+        perceptron_featurize,
+        perceptron_model_weights,
+        perceptron_score,
+    )
+    from kafka_exercise_spark.streaming.sources import file_stream  # noqa: PLC0415
+    from kafka_exercise_spark.streaming.stateful import (  # noqa: PLC0415
+        run_bounded_replay,
+    )
+
+    evict_stale_memos(spark)
+    memo_key = (spark.sparkContext.applicationId, sf_dir)
+    if memo_key not in _MODEL_UPDATE_MEMO:
+        w = perceptron_model_weights(spark, sf_dir)
+        docs = (
+            load_table(spark, sf_dir, "documents")
+            .filter(F.col("source") == INCREMENTAL_NEW_SOURCE)
+            .select("doc_id", "text")
+        )
+        work = tempfile.mkdtemp(prefix="model_update_")
+        src = os.path.join(work, "src")
+        out = os.path.join(work, "out")
+        docs.repartition(4).write.mode("overwrite").parquet(src)
+        schema = docs.schema
+
+        def push_deltas(batch_df: DataFrame, batch_id: int) -> None:
+            feats = perceptron_featurize(batch_df)
+            labels = gopher_decisions(batch_df).select(
+                "doc_id",
+                F.when(F.col("keep"), F.lit(1))
+                .otherwise(F.lit(-1))
+                .cast("long")
+                .alias("y"),
+            )
+            miscl = (
+                perceptron_score(feats, w)
+                .join(labels, "doc_id")
+                .filter(F.col("y") * F.col("margin") <= 0)
+                .select("doc_id", "y")
+            )
+            (
+                feats.join(miscl, "doc_id")
+                .groupBy("bucket")
+                .agg(F.sum(F.col("y") * F.col("cnt")).cast("long").alias("dw"))
+                .write.mode("append")
+                .parquet(out)
+            )
+
+        stream = file_stream(spark, src, schema, max_files_per_trigger=2)
+        run_bounded_replay(
+            spark,
+            stream,
+            checkpoint=os.path.join(work, "ckpt"),
+            name="model_update_contract",
+            foreach_batch=push_deltas,
+        )
+        folded = (
+            spark.read.parquet(out)
+            .groupBy("bucket")
+            .agg(F.sum("dw").cast("long").alias("dw"))
+        )
+        w_lit = F.lit(w).cast("array<bigint>")
+        grid = spark.range(PERC_DIM).select(
+            F.col("id").cast("int").alias("bucket")
+        )
+        w_before = F.element_at(w_lit, F.col("bucket") + 1)
+        final = (
+            grid.join(folded, "bucket", "left")
+            .select(
+                F.col("bucket").cast("long").alias("bucket"),
+                w_before.cast("long").alias("w_before"),
+                F.coalesce(F.col("dw"), F.lit(0)).cast("long").alias("dw"),
+                (w_before + F.coalesce(F.col("dw"), F.lit(0)))
+                .cast("long")
+                .alias("w_after"),
+            )
+            .localCheckpoint()
+        )
+        shutil.rmtree(work, ignore_errors=True)
+        _MODEL_UPDATE_MEMO[memo_key] = final
+    return _MODEL_UPDATE_MEMO[memo_key]

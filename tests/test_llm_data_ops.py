@@ -2278,3 +2278,26 @@ def test_model_weight_report_census(spark, sf_dir):
             )
             assert h % FEATURE_HASH_DIM == r.bucket
             assert r.n_distinct_tokens >= 1 and r.n_docs >= 1
+
+
+def test_streaming_model_update_equals_batch_round(spark, sf_dir):
+    """The live per-micro-batch delta pushes must fold to EXACTLY the
+    batch update round's ledger — additive because each micro-batch's
+    misclassification test reads only the fixed pre-round weights (the
+    synchronized-round contract the shared oracle rests on)."""
+    from kafka_exercise_spark.operators.textops import (
+        perceptron_incremental_update,
+    )
+    from kafka_exercise_spark.streaming.pipeline import (
+        streaming_model_update_replay,
+    )
+
+    batch = {
+        r.bucket: (r.w_before, r.dw, r.w_after)
+        for r in perceptron_incremental_update(spark, sf_dir).collect()
+    }
+    live = {
+        r.bucket: (r.w_before, r.dw, r.w_after)
+        for r in streaming_model_update_replay(spark, sf_dir).collect()
+    }
+    assert live == batch

@@ -107,7 +107,7 @@ def test_r07_window_leads_with_unverified_entries():
     r07_new = {
         "model_rule_disagreement_report", "model_gate_threshold_sweep",
         "curation_manifest_model_gate", "perceptron_incremental_update",
-        "model_weight_report",
+        "model_weight_report", "streaming_model_update_replay",
         # changed this round: single-subtree row_number rank
         "bpe_pair_counts",
     }
