@@ -471,3 +471,31 @@ def test_log_compaction_single_key_shuffle(spark, sf_dir):
     assert shuffle_exchange_count(df) == 1
     assert broadcast_join_count(df) == 0
     assert python_eval_count(df) == 0
+
+
+def test_model_sheets_plan_shape(spark, sf_dir):
+    """The r7 model-vs-rules sheets stay JVM-side and bounded: zero
+    Python-eval nodes anywhere; the disagreement report's documents scan
+    reads ONLY (doc_id, source) — the corpus text never re-tokenizes for
+    the join; the threshold sweep's constant 9-row fan-out joins as a
+    broadcast; nothing plans a cartesian product."""
+    df_dis = textops.model_rule_disagreement_report(spark, sf_dir)
+    assert python_eval_count(df_dis) == 0
+    assert not has_cartesian_product(df_dis)
+    # every parquet scan in this plan is the pruned 2-column source map
+    # (the feature/label sides are memo-served localCheckpoint frames)
+    for cols in read_schema_columns(df_dis):
+        assert set(cols) <= {"doc_id", "source"}
+
+    df_sw = textops.model_gate_threshold_sweep(spark, sf_dir)
+    assert python_eval_count(df_sw) == 0
+    assert not has_cartesian_product(df_sw)
+    assert broadcast_join_count(df_sw) >= 1  # the 9-row theta ladder
+
+    df_up = textops.perceptron_incremental_update(spark, sf_dir)
+    assert python_eval_count(df_up) == 0
+    assert not has_cartesian_product(df_up)
+
+    df_wr = textops.model_weight_report(spark, sf_dir)
+    assert python_eval_count(df_wr) == 0
+    assert not has_cartesian_product(df_wr)
