@@ -429,6 +429,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r07 window froze is past that window — lead the r08 window
         # with ALL of them (positional queue), per the established
         # rotation policy. ----
+        # soft dedup: per-doc 1/|cluster| sampling weights (keep copies,
+        # down-weight — the hard-removal alternative)
+        "dedup_soft_weights": dedup.dedup_soft_weights,
     }
     # The r07 driver window (first 50) — see the docstring for the
     # policy. Composition: flagships, then the FULL late-r06 positional
@@ -4090,6 +4093,17 @@ def oracle_sql() -> dict[str, str]:
     oracles["streaming_model_update_replay"] = (
         oracles["perceptron_incremental_update"]
     )
+    # Soft dedup COMPOSED from the components oracle: weights can never
+    # drift from the clusters they down-weight.
+    oracles["dedup_soft_weights"] = f"""
+        WITH c AS (SELECT doc_id, comp, comp_size
+                   FROM ({oracles["dedup_components"]}))
+        SELECT d.doc_id,
+               coalesce(c.comp, d.doc_id)::BIGINT AS comp,
+               coalesce(c.comp_size, 1)::BIGINT AS cluster_size,
+               (1000000 // coalesce(c.comp_size, 1))::BIGINT AS weight_ppm
+        FROM documents d LEFT JOIN c USING (doc_id)
+    """
     oracles["model_weight_report"] = f"""
         WITH {_perc_chain},
         pwavg AS (SELECT bucket, sum(w)::BIGINT AS w

@@ -2009,3 +2009,42 @@ def dedup_pair_audit_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampled.join(n_det, ["id_a", "id_b"]).select(
         "tier", "sample_rank", "id_a", "id_b", "n_detectors"
     )
+
+
+def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SOFT dedup — per-document sampling weights instead of removal:
+    every member of a near-dup cluster gets weight 1/|cluster| (integer
+    ppm), singletons keep weight 1. The "count each duplicated document
+    once in expectation" alternative to hard removal (discussed next to
+    hard dedup in Lee et al. 2022): a sampler that draws by these
+    weights sees the same content distribution hard dedup produces while
+    keeping every copy available (useful when copies differ in
+    formatting and a random representative beats a fixed canonical).
+    This is the weight column a token-budget selection stage consumes
+    next to the mixture rates.
+
+    Cost: one doc_id-only corpus scan left-joined to the near-dup
+    component frame (O(near-dup docs), orders smaller than the corpus —
+    unhinted, AQE picks the strategy). Weight in integer ppm via ``div``
+    ≡ the oracle's ``//`` at any magnitude.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    comps = dedup_components(spark, sf_dir).select(
+        "doc_id", "comp", "comp_size"
+    )
+    return (
+        docs.join(comps, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("comp"), F.col("doc_id"))
+            .cast("long")
+            .alias("comp"),
+            F.coalesce(F.col("comp_size"), F.lit(1))
+            .cast("long")
+            .alias("cluster_size"),
+        )
+        .withColumn(
+            "weight_ppm",
+            F.expr("1000000 div cluster_size").cast("long"),
+        )
+    )

@@ -2301,3 +2301,38 @@ def test_streaming_model_update_equals_batch_round(spark, sf_dir):
         for r in streaming_model_update_replay(spark, sf_dir).collect()
     }
     assert live == batch
+
+
+def test_dedup_soft_weights_match_clusters(spark, sf_dir):
+    """Every near-dup cluster member carries weight 1e6 // |cluster|,
+    singletons carry exactly 1e6 with comp = their own id, and summing a
+    cluster's weights recovers ~1e6 (one expected copy per cluster)."""
+    from kafka_exercise_spark.operators.dedup import (
+        dedup_components,
+        dedup_soft_weights,
+    )
+
+    rows = dedup_soft_weights(spark, sf_dir).collect()
+    comps = {r.doc_id: r for r in dedup_components(spark, sf_dir).collect()}
+    n_docs_in_clusters = 0
+    by_comp: dict[int, list] = {}
+    for r in rows:
+        assert r.weight_ppm == 1_000_000 // r.cluster_size
+        if r.doc_id in comps:
+            c = comps[r.doc_id]
+            assert (r.comp, r.cluster_size) == (c.comp, c.comp_size)
+            n_docs_in_clusters += 1
+            by_comp.setdefault(r.comp, []).append(r)
+        else:
+            assert (r.comp, r.cluster_size, r.weight_ppm) == (
+                r.doc_id,
+                1,
+                1_000_000,
+            )
+    assert n_docs_in_clusters == len(comps)
+    for members in by_comp.values():
+        assert len(members) == members[0].cluster_size
+        total = sum(m.weight_ppm for m in members)
+        # integer div floors each member, so the cluster total is within
+        # cluster_size of exactly 1e6
+        assert 1_000_000 - members[0].cluster_size < total <= 1_000_000
