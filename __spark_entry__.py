@@ -432,6 +432,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # soft dedup: per-doc 1/|cluster| sampling weights (keep copies,
         # down-weight — the hard-removal alternative)
         "dedup_soft_weights": dedup.dedup_soft_weights,
+        # temperature-scaled mixture shares p_i ∝ n_i^α (mT5 recipe)
+        "mixture_temperature_plan": sampling.mixture_temperature_plan,
     }
     # The r07 driver window (first 50) — see the docstring for the
     # policy. Composition: flagships, then the FULL late-r06 positional
@@ -4093,6 +4095,39 @@ def oracle_sql() -> dict[str, str]:
     oracles["streaming_model_update_replay"] = (
         oracles["perceptron_incremental_update"]
     )
+    # Temperature-scaled mixture: n^α via correctly-rounded sqrt chains
+    # (identical doubles both engines), denominator folded over the
+    # SOURCE-ORDERED list, one 0-dp round — the pinned float discipline.
+    oracles["mixture_temperature_plan"] = f"""
+        WITH inv AS (SELECT source, count(*)::BIGINT AS n_docs,
+                            sum(len({_TOKS}))::BIGINT AS avail_tokens
+                     FROM documents GROUP BY source),
+        lst AS (SELECT list(avail_tokens ORDER BY source) AS toks,
+                       sum(avail_tokens)::BIGINT AS sum_toks
+                FROM inv),
+        al AS (SELECT unnest([{", ".join(str(a) for a in sampling.MIX_TEMPERATURES_MILLI)}])::BIGINT
+                   AS alpha_milli),
+        j AS (SELECT al.alpha_milli, inv.source, inv.n_docs,
+                     inv.avail_tokens, lst.toks, lst.sum_toks
+              FROM al, inv, lst),
+        w AS (SELECT *,
+                CASE WHEN alpha_milli = 1000 THEN avail_tokens::DOUBLE
+                     WHEN alpha_milli = 500 THEN sqrt(avail_tokens::DOUBLE)
+                     ELSE sqrt(sqrt(avail_tokens::DOUBLE)) END AS wv,
+                CASE WHEN alpha_milli = 1000
+                     THEN list_sum(list_transform(toks, x -> x::DOUBLE))
+                     WHEN alpha_milli = 500
+                     THEN list_sum(list_transform(toks,
+                                                  x -> sqrt(x::DOUBLE)))
+                     ELSE list_sum(list_transform(toks,
+                              x -> sqrt(sqrt(x::DOUBLE)))) END AS sum_w
+              FROM j)
+        SELECT alpha_milli, source, n_docs, avail_tokens,
+               round(wv * 1000000.0 / sum_w)::BIGINT AS share_ppm,
+               ((avail_tokens * 1000000) // sum_toks)::BIGINT
+                   AS prop_share_ppm
+        FROM w
+    """
     # Soft dedup COMPOSED from the components oracle: weights can never
     # drift from the clusters they down-weight.
     oracles["dedup_soft_weights"] = f"""

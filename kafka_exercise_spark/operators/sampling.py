@@ -521,3 +521,104 @@ def mixture_epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("partial_tokens"),
         (epochs_milli > EPOCH_CAP_MILLI).alias("over_epoch_cap"),
     )
+
+
+#: Temperature ladder for the temperature-scaled mixture, in milli-alpha:
+#: 1000 = proportional (α=1), 500 = square root (α=½, the mT5 default
+#: neighborhood), 250 = fourth root (α=¼, aggressive low-resource boost).
+#: Restricted to halving powers ON PURPOSE: IEEE sqrt is correctly
+#: rounded in both engines (identical doubles from identical inputs),
+#: where a general pow(n, 0.3) is not — the repo's oracle-exactness rule.
+MIX_TEMPERATURES_MILLI = (1000, 500, 250)
+
+
+def mixture_temperature_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture sampling (the mT5 / XLM-R recipe):
+    per-source sampling shares p_i ∝ n_i^α for a ladder of temperatures
+    α ∈ {1, ½, ¼}, next to the exact proportional share — the sheet that
+    shows HOW MUCH each α boosts low-resource sources before a mixture
+    owner picks one (α=1 reads the corpus as-is; lower α flattens the
+    source distribution toward uniform).
+
+    Exactness: token inventories are exact integers; n^α is a chain of
+    correctly-rounded IEEE sqrts on identical doubles; the share
+    denominator folds the SOURCE-ORDERED weight list (the pinned-fold
+    rule), and the only rounding is ONE 0-dp round of identical doubles
+    — the proven cross-engine float discipline. The proportional
+    reference share is pure integer ``div``.
+
+    Cost: one token-count scan (map-side combine to |sources| rows), a
+    |sources|-row window to share the inventory vector, and a constant
+    |ladder|-way fan-out — the plan is corpus-scan-bound like
+    ``mixture_plan``.
+    """
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    from kafka_exercise_spark.functions.text import tokens  # noqa: PLC0415
+
+    docs = load_table(spark, sf_dir, "documents")
+    inv = (
+        docs.select("source", F.size(tokens(F.col("text"))).alias("n_tok"))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("avail_tokens"),
+        )
+    )
+    # the source-ordered inventory vector, shared per row via a window
+    # over the TINY |sources|-row frame (the mixture_plan idiom)
+    inv_arr = F.array_sort(
+        F.collect_list(F.struct("source", "avail_tokens")).over(
+            Window.partitionBy()
+        )
+    )
+    base = (
+        inv.withColumn(
+            "toks",
+            F.transform(inv_arr, lambda s: s["avail_tokens"]),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "avail_tokens",
+            "toks",
+            F.explode(
+                F.lit(list(MIX_TEMPERATURES_MILLI)).cast("array<bigint>")
+            ).alias("alpha_milli"),
+        )
+    )
+
+    def temp_w(n_long):
+        d = n_long.cast("double")
+        return (
+            F.when(F.col("alpha_milli") == 1000, d)
+            .when(F.col("alpha_milli") == 500, F.sqrt(d))
+            .otherwise(F.sqrt(F.sqrt(d)))
+        )
+
+    w = temp_w(F.col("avail_tokens"))
+    sum_w = F.aggregate(
+        F.transform(F.col("toks"), lambda x: temp_w(x)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    sum_toks = F.aggregate(
+        F.col("toks"), F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    return (
+        base.withColumn("sum_toks", sum_toks)
+        .select(
+            "alpha_milli",
+            "source",
+            "n_docs",
+            "avail_tokens",
+            F.round(w * F.lit(1_000_000.0) / sum_w, 0)
+            .cast("long")
+            .alias("share_ppm"),
+            # exact-integer proportional reference (≡ α=1 up to the 0-dp
+            # round; kept integer `div` so the anchor column never floats)
+            F.expr("(avail_tokens * 1000000) div sum_toks")
+            .cast("long")
+            .alias("prop_share_ppm"),
+        )
+    )

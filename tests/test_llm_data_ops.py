@@ -2336,3 +2336,35 @@ def test_dedup_soft_weights_match_clusters(spark, sf_dir):
         # integer div floors each member, so the cluster total is within
         # cluster_size of exactly 1e6
         assert 1_000_000 - members[0].cluster_size < total <= 1_000_000
+
+
+def test_mixture_temperature_plan_flattens(spark, sf_dir):
+    """Temperature semantics: at α=1 the rounded share equals the exact
+    proportional share (±1 ppm, round vs floor); lowering α moves every
+    below-average source UP and every above-average source DOWN (the
+    flattening that is the whole point); each α's shares sum to ~1e6."""
+    from kafka_exercise_spark.operators.sampling import (
+        MIX_TEMPERATURES_MILLI,
+        mixture_temperature_plan,
+    )
+
+    rows = mixture_temperature_plan(spark, sf_dir).collect()
+    by_alpha: dict[int, dict[str, tuple]] = {}
+    for r in rows:
+        by_alpha.setdefault(r.alpha_milli, {})[r.source] = r
+    assert sorted(by_alpha) == sorted(MIX_TEMPERATURES_MILLI)
+    sources = set(by_alpha[1000])
+    n = len(sources)
+    for a, per_src in by_alpha.items():
+        assert set(per_src) == sources
+        total = sum(r.share_ppm for r in per_src.values())
+        assert abs(total - 1_000_000) <= n  # one 0-dp round per source
+    uniform = 1_000_000 // n
+    for s in sources:
+        r1000, r500, r250 = (by_alpha[a][s] for a in (1000, 500, 250))
+        assert abs(r1000.share_ppm - r1000.prop_share_ppm) <= 1
+        shares = [r1000.share_ppm, r500.share_ppm, r250.share_ppm]
+        if r1000.share_ppm < uniform - n:  # clearly below-average source
+            assert shares == sorted(shares)  # monotone boost as α drops
+        elif r1000.share_ppm > uniform + n:  # clearly above-average
+            assert shares == sorted(shares, reverse=True)
