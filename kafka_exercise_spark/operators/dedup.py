@@ -2028,7 +2028,9 @@ def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     unhinted, AQE picks the strategy). Weight in integer ppm via ``div``
     ≡ the oracle's ``//`` at any magnitude.
     """
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = scale_partitions(
+        load_table(spark, sf_dir, "documents"), spark
+    ).select("doc_id")
     comps = dedup_components(spark, sf_dir).select(
         "doc_id", "comp", "comp_size"
     )

@@ -23,6 +23,21 @@ from pyspark.sql import SparkSession
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def _default_driver_mem() -> str:
+    """Quarter of physical RAM, clamped to [4g, 24g] (whole GiB).
+
+    Falls back to 4g when the host's memory is unreadable (non-Linux /
+    restricted sysconf) — the conservative end, never the 24g bench
+    setting, so the library default cannot OOM-kill a small host.
+    """
+    try:
+        total = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+    except (ValueError, OSError, AttributeError):
+        return "4g"
+    quarter_gib = total // (4 * 1024**3)
+    return f"{min(24, max(4, quarter_gib))}g"
+
+
 def get_spark(
     app_name: str = "kafka_exercise_spark",
     master: str | None = None,
@@ -77,10 +92,14 @@ def get_spark(
         # undersized once the registry passed ~200 queries per bench pass —
         # localCheckpoint memo blocks spilled/evicted under churn and
         # memo-served entries re-read from disk, inflating medians ~13%
-        # across the board (measured r7). 24g leaves >100 GiB headroom for
-        # Python workers on the 128 GiB host. On a real cluster this knob
+        # across the board (measured r7). The default scales with the
+        # HOST, not a fixed 24g: a quarter of physical RAM clamped to
+        # [4g, 24g], so a 16 GiB laptop gets 4g instead of an OOM-killed
+        # JVM while the 128 GiB bench host still gets the full 24g.
+        # SPARK_GRAFT_DRIVER_MEM overrides. On a real cluster this knob
         # is per-executor memory and does not exist here.
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", _default_driver_mem()))
     )
     if master is not None:
         builder = builder.master(master)
