@@ -51,20 +51,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Ordering note: the driver's correctness pass covers the first 50
     entries; the explicit ``window`` list below pins that set and the
-    rest follow in registry order. r07 rotation (VERDICT r6 ask #1): the
-    two flagships, then the FULL late-r06 positional queue — the 6
-    entries that had never had a driver CORRECTNESS row (the perceptron
-    family + lsh_buckets_report + mixture_epoch_schedule), the 3 NEW
-    r07 entries closing the model-vs-rules loop
-    (model_rule_disagreement_report, model_gate_threshold_sweep,
-    curation_manifest_model_gate — VERDICT r6 asks #5/#6), the one
-    entry whose plan changed THIS round (bpe_pair_counts'
-    single-subtree rank), and the 38 entries with the OLDEST driver
-    evidence (last green r02/r03) — after r06 closed the
-    "every entry has a driver row" invariant, the window's spare slots
-    now refresh the far tail of the evidence ledger. Everything outside
-    the window is covered by this session's verify_local sweeps at BOTH
-    sf0.01 and sf0.1, plus pytest.
+    rest follow in registry order. r08 rotation (VERDICT r7 ask #1): the
+    two flagships, then the FULL late-r07 positional queue — the 2
+    entries that had never had a driver CORRECTNESS row
+    (dedup_soft_weights — whose scan also gained the scale_partitions
+    wrapper this round — and mixture_temperature_plan), the 3 NEW r08
+    entries (token_budget_weighted: the soft-dedup × temperature-budget
+    capstone, VERDICT r7 ask #2; model_promotion_report +
+    model_batch_drift_report: the online-maintenance audit pair, asks
+    #5/#6), then the oldest-evidence refresh: all 32 entries whose last
+    driver row is r03 (including the three that yielded their r07 slots
+    — ksql_jovens, ksql_idadecont, streaming_idadecont_replay) and the
+    11 alphabetically-first of the 26 whose last row is r04. Everything
+    outside the window is covered by this session's verify_local sweeps
+    at BOTH sf0.01 and sf0.1, plus pytest.
     """
     all_q = {
         # §2.2 P1/P4/P5/P6/P8 — formatted-date filter (CSAS jovens)
@@ -434,80 +434,82 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_soft_weights": dedup.dedup_soft_weights,
         # temperature-scaled mixture shares p_i ∝ n_i^α (mT5 recipe)
         "mixture_temperature_plan": sampling.mixture_temperature_plan,
+        # ---- new in r08 ----
+        # soft-dedup draw + temperature-share budgets in ONE selection
+        # plan (the capstone both r07 sheets exist to feed)
+        "token_budget_weighted": sampling.token_budget_weighted,
+        # before/after keep-rate + agreement audit of the online update
+        # (the sheet read before promoting the nightly model refresh)
+        "model_promotion_report": textops.model_promotion_report,
+        # rule-vs-model confusion restricted to the arriving src0 batch
+        # vs the rest-of-corpus baseline (drift before ingestion)
+        "model_batch_drift_report": textops.model_batch_drift_report,
     }
-    # The r07 driver window (first 50) — see the docstring for the
-    # policy. Composition: flagships, then the FULL late-r06 positional
-    # queue (6 entries — the perceptron family + the two census sheets,
-    # VERDICT r6 ask #1), the 3 NEW r07 entries (the model-vs-rules
-    # closure: disagreement report, threshold sweep, model-gated
-    # manifest — VERDICT r6 asks #5/#6), the one entry whose plan
-    # changed THIS round (bpe_pair_counts: single-subtree rank, r7
-    # ADVICE; lsh_buckets_report's in-plan-total change is already in
-    # the queue), and then the 38 entries with the OLDEST driver
-    # evidence on record (green r01/r02 or r03, never re-verified
-    # since) — refreshing the far tail of the evidence ledger now that
-    # every entry has at least one driver row.
+    # The r08 driver window (first 50) — see the docstring for the
+    # policy. Composition: flagships, the FULL late-r07 positional
+    # queue (2 entries, VERDICT r7 finding #1), the 3 NEW r08 entries
+    # (VERDICT r7 asks #2/#5/#6), then the oldest-evidence refresh:
+    # the COMPLETE 32-entry r03-last-green cohort (restoring the
+    # yielded ksql/streaming trio) and the 11 alphabetically-first of
+    # the 26-entry r04 cohort. The remaining 15 r04 rows lead the r09
+    # refresh queue.
     window = [
         "jovens",
         "idadecont",
-        # the 6 never-driver-verified late-r6 entries (positional queue)
-        "lsh_buckets_report",
-        "mixture_epoch_schedule",
-        "perceptron_train_rounds",
-        "perceptron_eval_report",
-        "perceptron_apply_scores",
-        "streaming_model_gate_replay",
-        # new in r07
-        "model_rule_disagreement_report",
-        "model_gate_threshold_sweep",
-        "curation_manifest_model_gate",
-        "perceptron_incremental_update",
-        "model_weight_report",
-        "streaming_model_update_replay",
-        # r07 plan change: single-subtree row_number rank over the head
-        "bpe_pair_counts",
-        # oldest driver evidence (last green r02) — refresh
-        "custstream_pretty",
-        "select_star",
-        "idadeclass",
-        "groupby_count",
-        "q1_pricing_summary",
-        "sort_topk",
-        "distinct_mktsegments",
-        "set_ops_nations",
-        "semi_anti_join",
-        "having_filter",
-        "window_rank_orders",
-        "q4_order_priority",
-        "q6_forecast_revenue",
-        "q13_order_distribution",
-        "q22_dormant_customers",
-        "salted_agg_events",
-        "outer_join_customers_orders",
-        "pivot_orders_status",
-        "unpivot_event_stats",
-        "grouping_sets_orders",
-        "cross_join_region_pairs",
-        "json_extract_events",
-        "agg_stats_events",
-        "rollup_orders",
-        "cube_events_day",
-        "approx_aggs_events",
-        "stats_ext_events",
-        "asof_join_events",
-        "range_join_tiers",
-        # oldest driver evidence (last green r03) — refresh
-        "zorder_events",
-        "manifest_pruned_scan",
-        "dq_report",
-        "streaming_dq_gate",
-        "jovens_epoch_wire",
-        "avro_wire_roundtrip",
-        # (ksql_jovens, ksql_idadecont and streaming_idadecont_replay —
-        # the three youngest of the r03 refresh set — yielded their
-        # slots to the three late-r07 model entries; all are green in
-        # this session's verify_local sweeps at both sfs and have r03
-        # driver rows)
+        # the 2 never-driver-verified late-r7 entries (positional
+        # queue); dedup_soft_weights' scan also changed this round
+        # (scale_partitions wrapper — r7 ADVICE)
+        "dedup_soft_weights",
+        "mixture_temperature_plan",
+        # new in r08
+        "token_budget_weighted",
+        "model_promotion_report",
+        "model_batch_drift_report",
+        # oldest driver evidence (last green r03) — the full cohort
+        "corpus_ngram_counts",
+        "dedup_exact",
+        "dedup_passages",
+        "dedup_simhash",
+        "doc_fingerprint",
+        "doc_length_histogram",
+        "domain_cap",
+        "embedding_quantize",
+        "global_shuffle",
+        "incremental_source_snapshot",
+        "ksql_idadecont",
+        "ksql_jovens",
+        "multimodal_meta",
+        "pack_sequences",
+        "pii_redact",
+        "q12_priority_class",
+        "quality_repetition",
+        "sample_hash_stratified",
+        "serving_lake_rollup",
+        "session_window_events",
+        "streaming_dedup_replay",
+        "streaming_enrich_replay",
+        "streaming_idadecont_replay",
+        "streaming_join_replay",
+        "streaming_neardup_replay",
+        "streaming_session_replay",
+        "streaming_user_state_replay",
+        "text_langid",
+        "text_quality_score",
+        "text_token_stats",
+        "token_budget_select",
+        "user_event_gaps",
+        # oldest driver evidence (last green r04) — first 11 of 26
+        "avro_embeddings_roundtrip",
+        "chunk_documents",
+        "classifier_quality_score",
+        "decontaminate_bloom",
+        "decontaminate_ngram",
+        "decontaminate_semantic",
+        "dedup_embedding_cosine",
+        "dedup_incremental",
+        "dedup_semantic",
+        "dedup_semantic_components",
+        "domain_mix_resample",
     ]
     assert len(window) == 50 and len(set(window)) == 50
     out = {k: all_q[k] for k in window}
@@ -4095,6 +4097,102 @@ def oracle_sql() -> dict[str, str]:
     oracles["streaming_model_update_replay"] = (
         oracles["perceptron_incremental_update"]
     )
+    # Promotion audit (r08): the update round replays EXACTLY as in the
+    # incremental oracle, then BOTH weight tables score the corpus in
+    # one aggregation — the report is conditional sums on top, so it
+    # can never drift from the published ledger.
+    oracles["model_promotion_report"] = f"""
+        WITH {_perc_chain},
+        pwavg AS (SELECT bucket, sum(w)::BIGINT AS w
+                  FROM ({_perc_w_union}) GROUP BY bucket),
+        bids AS (SELECT doc_id FROM documents
+                 WHERE source = '{dedup.INCREMENTAL_NEW_SOURCE}'),
+        bm AS (SELECT p.doc_id, max(p.y) AS y,
+                      sum(p.cnt * w.w)::BIGINT AS margin
+               FROM pf p JOIN pwavg w USING (bucket)
+               JOIN bids USING (doc_id)
+               GROUP BY 1),
+        mis AS (SELECT doc_id FROM bm WHERE y * margin <= 0),
+        dwq AS (SELECT p.bucket, sum(p.y * p.cnt)::BIGINT AS dw
+                FROM pf p JOIN mis USING (doc_id)
+                JOIN bids USING (doc_id)
+                GROUP BY 1),
+        wgrid AS (SELECT unnest(range({textops.PERC_DIM}))::BIGINT AS bucket),
+        wab AS (SELECT g.bucket,
+                       coalesce(w.w, 0)::BIGINT AS w_before,
+                       (coalesce(w.w, 0) + coalesce(d.dw, 0))::BIGINT
+                           AS w_after
+                FROM wgrid g
+                LEFT JOIN pwavg w USING (bucket)
+                LEFT JOIN dwq d USING (bucket)),
+        sm AS (SELECT p.doc_id, p.split,
+                      sum(p.cnt * wab.w_before)::BIGINT AS margin_before,
+                      sum(p.cnt * wab.w_after)::BIGINT AS margin_after
+               FROM pf p JOIN wab USING (bucket)
+               GROUP BY 1, 2),
+        jj AS (SELECT sm.*, d.source FROM sm JOIN documents d USING (doc_id))
+        SELECT split, source, count(*)::BIGINT AS n_docs,
+               sum((margin_before > 0)::INT)::BIGINT AS n_keep_before,
+               sum((margin_after > 0)::INT)::BIGINT AS n_keep_after,
+               sum((margin_after > 0 AND margin_before <= 0)::INT)::BIGINT
+                   AS n_gained,
+               sum((margin_before > 0 AND margin_after <= 0)::INT)::BIGINT
+                   AS n_lost,
+               ((sum((margin_before > 0)::INT) * 1000000)
+                // count(*))::BIGINT AS keep_before_ppm,
+               ((sum((margin_after > 0)::INT) * 1000000)
+                // count(*))::BIGINT AS keep_after_ppm,
+               (((count(*)
+                  - sum((margin_after > 0 AND margin_before <= 0)::INT)
+                  - sum((margin_before > 0 AND margin_after <= 0)::INT))
+                 * 1000000) // count(*))::BIGINT AS agree_ppm,
+               (((sum((margin_after > 0)::INT) * 1000000) // count(*))
+                - ((sum((margin_before > 0)::INT) * 1000000)
+                   // count(*)))::BIGINT AS keep_delta_ppm
+        FROM jj GROUP BY 1, 2
+    """
+    # Batch drift monitor (r08): the disagreement sheet's confusion,
+    # conditionally split batch-vs-rest in ONE aggregation; −1 empty
+    # sentinels mirror the Spark side exactly.
+    oracles["model_batch_drift_report"] = f"""
+        WITH {_perc_chain},
+        {_perc_scored},
+        jj AS (SELECT sc.*, d.source FROM sc
+               JOIN documents d USING (doc_id)),
+        a AS (SELECT split,
+                 sum((source = '{dedup.INCREMENTAL_NEW_SOURCE}')::INT)::BIGINT
+                     AS n_batch,
+                 sum((source = '{dedup.INCREMENTAL_NEW_SOURCE}'
+                      AND y = 1 AND keep)::INT)::BIGINT AS n_both_keep,
+                 sum((source = '{dedup.INCREMENTAL_NEW_SOURCE}'
+                      AND y = -1 AND keep)::INT)::BIGINT AS n_model_only,
+                 sum((source = '{dedup.INCREMENTAL_NEW_SOURCE}'
+                      AND y = 1 AND NOT keep)::INT)::BIGINT AS n_rule_only,
+                 sum((source = '{dedup.INCREMENTAL_NEW_SOURCE}'
+                      AND y = -1 AND NOT keep)::INT)::BIGINT
+                     AS n_both_reject,
+                 sum((source = '{dedup.INCREMENTAL_NEW_SOURCE}'
+                      AND (y = 1) = keep)::INT)::BIGINT AS batch_agree,
+                 sum((source <> '{dedup.INCREMENTAL_NEW_SOURCE}')::INT)::BIGINT
+                     AS n_rest,
+                 sum((source <> '{dedup.INCREMENTAL_NEW_SOURCE}'
+                      AND (y = 1) = keep)::INT)::BIGINT AS rest_agree
+              FROM jj GROUP BY split)
+        SELECT split, n_batch, n_both_keep, n_model_only, n_rule_only,
+               n_both_reject,
+               (CASE WHEN n_batch > 0
+                     THEN (batch_agree * 1000000) // n_batch
+                     ELSE -1 END)::BIGINT AS batch_agree_ppm,
+               n_rest,
+               (CASE WHEN n_rest > 0
+                     THEN (rest_agree * 1000000) // n_rest
+                     ELSE -1 END)::BIGINT AS rest_agree_ppm,
+               (CASE WHEN n_batch > 0 AND n_rest > 0
+                     THEN (batch_agree * 1000000) // n_batch
+                          - (rest_agree * 1000000) // n_rest
+                     ELSE 0 END)::BIGINT AS drift_ppm
+        FROM a
+    """
     # Temperature-scaled mixture: n^α via correctly-rounded sqrt chains
     # (identical doubles both engines), denominator folded over the
     # SOURCE-ORDERED list, one 0-dp round — the pinned float discipline.
@@ -4138,6 +4236,37 @@ def oracle_sql() -> dict[str, str]:
                coalesce(c.comp_size, 1)::BIGINT AS cluster_size,
                (1000000 // coalesce(c.comp_size, 1))::BIGINT AS weight_ppm
         FROM documents d LEFT JOIN c USING (doc_id)
+    """
+    # Weighted budget selection (r08): COMPOSED from the soft-weights
+    # and temperature oracles — the draw is the hash-Bernoulli at
+    # exactly weight_ppm, the fill is the token_budget_select window
+    # rule under the α=½ share's token budget. All integers.
+    oracles["token_budget_weighted"] = f"""
+        WITH w AS (SELECT doc_id, weight_ppm
+                   FROM ({oracles["dedup_soft_weights"]})),
+        b AS (SELECT source,
+                     ((share_ppm * {sampling.MIX_PLAN_BUDGET})
+                      // 1000000)::BIGINT AS budget_tokens
+              FROM ({oracles["mixture_temperature_plan"]})
+              WHERE alpha_milli = {sampling.BUDGET_ALPHA_MILLI}),
+        d AS (SELECT source, doc_id, len({_TOKS})::BIGINT AS n_tok,
+                     ('0x' || substr(md5('softdraw:' || doc_id), 1, 15))::BIGINT
+                         % 1000000 AS draw,
+                     ('0x' || substr(md5('wbudget:' || doc_id), 1, 15))::BIGINT
+                         AS hk
+              FROM documents),
+        s AS (SELECT d.*, w.weight_ppm FROM d JOIN w USING (doc_id)
+              WHERE draw < weight_ppm),
+        c AS (SELECT s.source, s.doc_id, s.weight_ppm, s.n_tok,
+                     b.budget_tokens,
+                     sum(s.n_tok) OVER (PARTITION BY s.source
+                                        ORDER BY s.hk, s.doc_id
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS cum_tok
+              FROM s JOIN b USING (source))
+        SELECT source, doc_id, weight_ppm, n_tok,
+               cum_tok::BIGINT AS cum_tok, budget_tokens
+        FROM c WHERE cum_tok - n_tok < budget_tokens
     """
     oracles["model_weight_report"] = f"""
         WITH {_perc_chain},

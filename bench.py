@@ -41,6 +41,27 @@ PRINT_BUDGET = 1950  # bytes — keep the whole line inside the driver's tail
 #: The single query whose median wall defines stream_rows_per_sec (see
 #: the metric-definition comment in run()).
 THROUGHPUT_ANCHOR = "streaming_idadecont_replay"
+#: Entries whose steady-state bench cost is a MEMO-SERVED frame read, not
+#: a full re-execution (r8, VERDICT r7 ask #8): these replays memoize
+#: their final frame per (applicationId, sf_dir) — the production
+#: contract is "replay once, serve many", so the 0.02–0.25 s medians
+#: below measure the served-read path (what a downstream consumer pays),
+#: NOT the replay build. The build cost is audited separately by the
+#: scaling rungs (SCALING_r*.json) and each entry's first bench pass.
+#: Recorded into bench_results.json so round-over-round diffs and
+#: outside readers don't misread the served-read rows as replay cost.
+#: The ``streaming_*_replay`` entries NOT in this list (idadecont, user
+#: state, dedup, neardup, enrich, winnow, session, join) re-execute
+#: their StreamExecution micro-batch replay on every pass.
+MEMO_SERVED = (
+    "streaming_merge_replay",
+    "streaming_scd2_replay",
+    "streaming_compaction_replay",
+    "streaming_model_gate_replay",
+    "streaming_model_update_replay",
+    "streaming_dq_gate",
+    "streaming_curation_gate",
+)
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -132,6 +153,9 @@ def run() -> dict:
         "repeats": REPEATS,
         "fast_repeats": FAST_REPEATS,
         "sf": float(m.group(1)) if m else None,
+        # see the MEMO_SERVED comment: these medians are served-frame
+        # reads (production steady state), not replay build cost
+        "memo_served": [n for n in MEMO_SERVED if n in timings],
     }
     # Reference-comparable throughput. METRIC DEFINITION (pinned r6):
     # stream_rows_per_sec = |events fixture| / median wall of the ONE
@@ -161,7 +185,11 @@ def _printable(out: dict) -> dict:
     # failures first, then slowest → fastest
     order = sorted(full, key=lambda k: (full[k] >= 0, -full[k]))
     compact = dict.fromkeys(order)
-    view = {k: v for k, v in out.items() if k != "queries"}
+    # memo_served is artifact documentation — ~200 bytes that would
+    # evict real query entries from the budgeted print line
+    view = {
+        k: v for k, v in out.items() if k not in ("queries", "memo_served")
+    }
     view["n_queries"] = len(full)
     view["detail"] = "bench_results.json"
     for name in order:

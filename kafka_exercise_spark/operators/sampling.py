@@ -531,6 +531,10 @@ def mixture_epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: where a general pow(n, 0.3) is not — the repo's oracle-exactness rule.
 MIX_TEMPERATURES_MILLI = (1000, 500, 250)
 
+#: Temperature the weighted budget selection reads its per-source shares
+#: at — α=½, the mT5 default (must be a member of the ladder above).
+BUDGET_ALPHA_MILLI = 500
+
 
 def mixture_temperature_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-scaled mixture sampling (the mT5 / XLM-R recipe):
@@ -620,5 +624,85 @@ def mixture_temperature_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(avail_tokens * 1000000) div sum_toks")
             .cast("long")
             .alias("prop_share_ppm"),
+        )
+    )
+
+
+def token_budget_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted token-budget selection — the capstone that makes soft
+    dedup + the temperature mixture ONE executable plan: draw documents
+    by their soft-dedup weights (``dedup_soft_weights``: a near-dup
+    cluster of k contributes ~1 expected survivor, a pseudo-random
+    representative per Lee et al. 2022's count-once-in-expectation
+    reading), then fill each source's token budget — the α=½ (mT5
+    default) share of ``mixture_temperature_plan`` applied to the total
+    plan budget — in deterministic hash order (the
+    ``token_budget_select`` greedy-fill rule: a doc is kept iff its
+    running total BEFORE it is under the budget).
+
+    Both stages are integer-exact pure functions of (salt, doc_id):
+    the draw keeps a doc iff H("softdraw:", doc_id) mod 1e6 <
+    weight_ppm (a hash-Bernoulli with exactly the soft weight as its
+    rate), and the fill orders by a second, independent salt — so
+    membership is reproducible across reruns, partitionings and
+    engines, and the oracle COMPOSES the soft-weights and temperature
+    oracles so the three sheets can never drift.
+
+    Cost: one tokenize scan, a doc-keyed join to the soft-weight frame
+    (itself one scan + the memoized component frame), a broadcast of
+    the |sources|-row budget sheet, and ONE window partitioned by
+    source — shuffle key = source, the ``token_budget_select`` scale
+    shape (shard by (source, H(doc) mod S) with budget/S per shard at
+    100 TB; mechanical extension of this exact plan).
+    """
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    from kafka_exercise_spark.functions.text import tokens  # noqa: PLC0415
+    from kafka_exercise_spark.operators.dedup import (  # noqa: PLC0415
+        dedup_soft_weights,
+    )
+
+    weights = dedup_soft_weights(spark, sf_dir).select("doc_id", "weight_ppm")
+    budgets = (
+        mixture_temperature_plan(spark, sf_dir)
+        .filter(F.col("alpha_milli") == BUDGET_ALPHA_MILLI)
+        .select(
+            "source",
+            F.expr(f"(share_ppm * {MIX_PLAN_BUDGET}) div 1000000")
+            .cast("long")
+            .alias("budget_tokens"),
+        )
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tok"),
+    )
+    draw = F.pmod(
+        md5_hash64(
+            F.concat(F.lit("softdraw:"), F.col("doc_id").cast("string"))
+        ),
+        F.lit(1_000_000),
+    )
+    hk = md5_hash64(
+        F.concat(F.lit("wbudget:"), F.col("doc_id").cast("string"))
+    )
+    survivors = (
+        docs.join(weights, "doc_id")
+        .filter(draw < F.col("weight_ppm"))
+        .select("source", "doc_id", "n_tok", "weight_ppm", hk.alias("hk"))
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("hk", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        survivors.join(F.broadcast(budgets), "source")
+        .withColumn("cum_tok", F.sum("n_tok").over(w).cast("long"))
+        .filter(F.col("cum_tok") - F.col("n_tok") < F.col("budget_tokens"))
+        .select(
+            "source", "doc_id", "weight_ppm", "n_tok", "cum_tok",
+            "budget_tokens",
         )
     )

@@ -2378,3 +2378,197 @@ def model_weight_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n_docs"), F.lit(0)).cast("long").alias("n_docs"),
         F.coalesce(F.col("example_token"), F.lit("")).alias("example_token"),
     )
+
+
+_PERC_UPDATED_MEMO: dict[tuple[str, str], list] = register_memo({})
+
+
+def perceptron_updated_weights(spark: SparkSession, sf_dir: str) -> list:
+    """The CANDIDATE model: served weights + the incremental round's
+    deltas (``perceptron_incremental_update``'s ``w_after`` column),
+    collected once per (app, sf_dir) — a bounded ≤``PERC_DIM``-row
+    collect of the update ledger, the same class as the fit's own
+    per-round collects. ONE accessor so the promotion report and any
+    future consumer score the exact ledger the update entry publishes."""
+    evict_stale_memos(spark)
+    memo_key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _PERC_UPDATED_MEMO.get(memo_key)
+    if hit is not None:
+        return hit
+    rows = (
+        perceptron_incremental_update(spark, sf_dir)
+        .select("bucket", "w_after")
+        .collect()
+    )
+    w = [0] * PERC_DIM
+    for r in rows:
+        w[r["bucket"]] = r["w_after"]
+    _PERC_UPDATED_MEMO[memo_key] = w
+    return w
+
+
+def model_promotion_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Before/after promotion audit for the online update — the sheet an
+    owner reads before promoting the nightly refresh, completing the
+    online-maintenance loop the way the disagreement report completed
+    the deploy loop: per (split, source), the corpus-wide keep decisions
+    of the SERVED averaged model (w_before) next to the UPDATED
+    candidate (w_after = w_before + the incremental round's deltas),
+    with the flip counts (gained = newly kept, lost = newly dropped),
+    both keep-rates, their delta, and the decision agreement — all in
+    integer ppm. A promotion that flips 0.1% of one source is routine;
+    one that flips 20% of a split the update batch never touched is the
+    regression this sheet exists to catch BEFORE deployment.
+
+    Cost: ONE aggregate over the memoized feature table scoring BOTH
+    weight literals in the same pass (two sums, no second scan), a
+    doc-keyed join to the pruned 2-column documents scan for source,
+    and a |splits|×|sources| groupBy. The candidate weights come from
+    the memoized ≤``PERC_DIM``-row ledger collect — the corpus is never
+    rescanned to build them. Oracle: the fit + update replay in SQL and
+    this report is one conditional aggregation on top, so it can never
+    drift from the update entry's published ledger.
+    """
+    w_b = perceptron_model_weights(spark, sf_dir)
+    w_a = perceptron_updated_weights(spark, sf_dir)
+    wb_lit = F.lit(w_b).cast("array<bigint>")
+    wa_lit = F.lit(w_a).cast("array<bigint>")
+    f = _perceptron_features(spark, sf_dir)
+    margins = (
+        f.select(
+            "doc_id",
+            "split",
+            (F.element_at(wb_lit, F.col("bucket") + 1) * F.col("cnt")).alias(
+                "pb"
+            ),
+            (F.element_at(wa_lit, F.col("bucket") + 1) * F.col("cnt")).alias(
+                "pa"
+            ),
+        )
+        .groupBy("doc_id", "split")
+        .agg(
+            F.sum("pb").cast("long").alias("margin_before"),
+            F.sum("pa").cast("long").alias("margin_after"),
+        )
+    )
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    j = margins.join(src, "doc_id")
+    kb = F.col("margin_before") > 0
+    ka = F.col("margin_after") > 0
+    return (
+        j.groupBy("split", "source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(kb.cast("int")).cast("long").alias("n_keep_before"),
+            F.sum(ka.cast("int")).cast("long").alias("n_keep_after"),
+            F.sum((ka & ~kb).cast("int")).cast("long").alias("n_gained"),
+            F.sum((kb & ~ka).cast("int")).cast("long").alias("n_lost"),
+        )
+        .select(
+            "split",
+            "source",
+            "n_docs",
+            "n_keep_before",
+            "n_keep_after",
+            "n_gained",
+            "n_lost",
+            F.expr("(n_keep_before * 1000000) div n_docs")
+            .cast("long")
+            .alias("keep_before_ppm"),
+            F.expr("(n_keep_after * 1000000) div n_docs")
+            .cast("long")
+            .alias("keep_after_ppm"),
+            F.expr(
+                "((n_docs - n_gained - n_lost) * 1000000) div n_docs"
+            )
+            .cast("long")
+            .alias("agree_ppm"),
+            (
+                F.expr("(n_keep_after * 1000000) div n_docs")
+                - F.expr("(n_keep_before * 1000000) div n_docs")
+            )
+            .cast("long")
+            .alias("keep_delta_ppm"),
+        )
+    )
+
+
+def model_batch_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-vs-model drift monitor for the ARRIVING batch — the
+    incremental contract (``source == src0``) applied to the
+    disagreement sheet: per split, the rule-keep × model-keep confusion
+    restricted to the incoming batch, next to the rest-of-corpus
+    agreement the model was accepted at, and the drift delta. Read
+    BEFORE the update round ingests the batch: batch agreement tracking
+    the corpus baseline means the rules and the served model still
+    describe the new data the same way; a collapsed batch agreement
+    names a distribution shift the owner must triage (fix the rules?
+    retrain?) rather than silently average into the model.
+
+    Cost: the scored frame both parents already pay (one aggregate over
+    the memoized feature table + the label dedup), one pruned 2-column
+    documents scan for source, and ONE conditional aggregation to
+    |splits| rows — batch and rest cells in the same pass, no second
+    scan. Agreements in integer ppm with explicit −1 empty-cell
+    sentinels (a split with no batch rows reports −1, never a
+    divide-by-zero, and its drift is pinned 0). Oracle composed from
+    the same replayed fit as the disagreement report.
+    """
+    from kafka_exercise_spark.operators.dedup import (  # noqa: PLC0415
+        INCREMENTAL_NEW_SOURCE,
+    )
+
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    j = _model_vs_rule_frame(spark, sf_dir).join(src, "doc_id")
+    is_batch = F.col("source") == INCREMENTAL_NEW_SOURCE
+    rule = F.col("y") == 1
+    model = F.col("keep")
+    agree = rule == model
+    agg = j.groupBy("split").agg(
+        F.sum(is_batch.cast("int")).cast("long").alias("n_batch"),
+        F.sum((is_batch & rule & model).cast("int"))
+        .cast("long")
+        .alias("n_both_keep"),
+        F.sum((is_batch & ~rule & model).cast("int"))
+        .cast("long")
+        .alias("n_model_only"),
+        F.sum((is_batch & rule & ~model).cast("int"))
+        .cast("long")
+        .alias("n_rule_only"),
+        F.sum((is_batch & ~rule & ~model).cast("int"))
+        .cast("long")
+        .alias("n_both_reject"),
+        F.sum((is_batch & agree).cast("int"))
+        .cast("long")
+        .alias("batch_agree"),
+        F.sum((~is_batch).cast("int")).cast("long").alias("n_rest"),
+        F.sum((~is_batch & agree).cast("int"))
+        .cast("long")
+        .alias("rest_agree"),
+    )
+    batch_ppm = F.when(
+        F.col("n_batch") > 0,
+        F.expr("(batch_agree * 1000000) div n_batch"),
+    ).otherwise(F.lit(-1))
+    rest_ppm = F.when(
+        F.col("n_rest") > 0,
+        F.expr("(rest_agree * 1000000) div n_rest"),
+    ).otherwise(F.lit(-1))
+    return agg.select(
+        "split",
+        "n_batch",
+        "n_both_keep",
+        "n_model_only",
+        "n_rule_only",
+        "n_both_reject",
+        batch_ppm.cast("long").alias("batch_agree_ppm"),
+        "n_rest",
+        rest_ppm.cast("long").alias("rest_agree_ppm"),
+        F.when(
+            (F.col("n_batch") > 0) & (F.col("n_rest") > 0),
+            batch_ppm - rest_ppm,
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("drift_ppm"),
+    )

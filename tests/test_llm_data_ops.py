@@ -2368,3 +2368,109 @@ def test_mixture_temperature_plan_flattens(spark, sf_dir):
             assert shares == sorted(shares)  # monotone boost as α drops
         elif r1000.share_ppm > uniform + n:  # clearly above-average
             assert shares == sorted(shares, reverse=True)
+
+
+def test_model_promotion_report_matches_ledgers(spark, sf_dir):
+    """The promotion sheet can't drift from its parents: the BEFORE
+    side reproduces the deployed apply scores exactly, the AFTER side
+    scores the incremental ledger's w_after vector, and the flip/rate
+    arithmetic is internally consistent in exact integers."""
+    from kafka_exercise_spark.catalog import load_table
+    from kafka_exercise_spark.operators.textops import (
+        model_promotion_report,
+        perceptron_apply_scores,
+        perceptron_incremental_update,
+        perceptron_model_weights,
+        perceptron_updated_weights,
+    )
+
+    rows = model_promotion_report(spark, sf_dir).collect()
+    # w_after accessor == the published ledger column
+    ledger = {
+        r.bucket: r.w_after
+        for r in perceptron_incremental_update(spark, sf_dir).collect()
+    }
+    w_after = perceptron_updated_weights(spark, sf_dir)
+    assert w_after == [ledger[b] for b in range(len(w_after))]
+    # the update round really changed the model at this sf (the sheet
+    # is non-trivial) ...
+    assert w_after != perceptron_model_weights(spark, sf_dir)
+    # ... and the BEFORE side == the deployed apply entry, per
+    # (split, source)
+    src = {
+        r.doc_id: r.source
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "source")
+        .collect()
+    }
+    before: dict[tuple, int] = {}
+    n_all: dict[tuple, int] = {}
+    for r in perceptron_apply_scores(spark, sf_dir).collect():
+        key = (r.split, src[r.doc_id])
+        n_all[key] = n_all.get(key, 0) + 1
+        if r.keep:
+            before[key] = before.get(key, 0) + 1
+    assert {(r.split, r.source): r.n_keep_before for r in rows} == {
+        k: before.get(k, 0) for k in n_all
+    }
+    for r in rows:
+        assert r.n_docs == n_all[(r.split, r.source)]
+        assert r.n_keep_after == r.n_keep_before + r.n_gained - r.n_lost
+        assert r.keep_before_ppm == r.n_keep_before * 1_000_000 // r.n_docs
+        assert r.keep_after_ppm == r.n_keep_after * 1_000_000 // r.n_docs
+        assert r.keep_delta_ppm == r.keep_after_ppm - r.keep_before_ppm
+        assert (
+            r.agree_ppm
+            == (r.n_docs - r.n_gained - r.n_lost) * 1_000_000 // r.n_docs
+        )
+
+
+def test_model_batch_drift_report_restricts_disagreement(spark, sf_dir):
+    """The drift monitor IS the disagreement sheet restricted to the
+    src0 batch: its confusion cells equal the disagreement report's
+    src0 rows, batch+rest partition each split's corpus, and the ppm
+    columns follow the exact-integer definitions (−1 sentinels when a
+    side is empty, drift pinned 0)."""
+    from kafka_exercise_spark.operators.dedup import INCREMENTAL_NEW_SOURCE
+    from kafka_exercise_spark.operators.textops import (
+        model_batch_drift_report,
+        model_rule_disagreement_report,
+    )
+
+    drift = {r.split: r for r in model_batch_drift_report(spark, sf_dir).collect()}
+    dis = model_rule_disagreement_report(spark, sf_dir).collect()
+    batch_rows = {
+        r.split: r for r in dis if r.source == INCREMENTAL_NEW_SOURCE
+    }
+    assert batch_rows, "fixture must have src0 docs"
+    totals: dict[str, int] = {}
+    agrees: dict[str, int] = {}
+    for r in dis:
+        totals[r.split] = totals.get(r.split, 0) + r.n_docs
+        agrees[r.split] = (
+            agrees.get(r.split, 0) + r.n_both_keep + r.n_both_reject
+        )
+    for split, d in drift.items():
+        b = batch_rows.get(split)
+        if b is None:
+            assert (d.n_batch, d.batch_agree_ppm, d.drift_ppm) == (0, -1, 0)
+            continue
+        assert (
+            d.n_batch,
+            d.n_both_keep,
+            d.n_model_only,
+            d.n_rule_only,
+            d.n_both_reject,
+        ) == (
+            b.n_docs,
+            b.n_both_keep,
+            b.n_model_only,
+            b.n_rule_only,
+            b.n_both_reject,
+        )
+        assert d.n_batch + d.n_rest == totals[split]
+        batch_agree = b.n_both_keep + b.n_both_reject
+        rest_agree = agrees[split] - batch_agree
+        assert d.batch_agree_ppm == batch_agree * 1_000_000 // d.n_batch
+        assert d.rest_agree_ppm == rest_agree * 1_000_000 // d.n_rest
+        assert d.drift_ppm == d.batch_agree_ppm - d.rest_agree_ppm

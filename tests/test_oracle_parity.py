@@ -90,26 +90,25 @@ def test_tokens_shingles_hash_parity(spark, texts):
         assert g.h == e[3], texts
 
 
-def test_r07_window_leads_with_unverified_entries():
-    """The driver records only the first 50 queries() entries; r07 must
-    lead with the 6 late-r6 entries that have never had a driver
-    CORRECTNESS row (VERDICT r6 ask #1, the positional queue) plus every
-    r07 addition and this round's plan change — an accidental reorder
-    would silently burn the round's only driver evidence."""
+def test_r08_window_leads_with_unverified_entries():
+    """The driver records only the first 50 queries() entries; r08 must
+    lead with the 2 late-r7 entries that have never had a driver
+    CORRECTNESS row (VERDICT r7 finding #1, the positional queue) plus
+    every r08 addition, then the full r03-last-green refresh cohort —
+    an accidental reorder would silently burn the round's only driver
+    evidence."""
     import __spark_entry__ as entrymod
 
     first50 = list(entrymod.queries())[:50]
-    never_verified = {
-        "lsh_buckets_report", "mixture_epoch_schedule",
-        "perceptron_train_rounds", "perceptron_eval_report",
-        "perceptron_apply_scores", "streaming_model_gate_replay",
+    never_verified = {"dedup_soft_weights", "mixture_temperature_plan"}
+    r08_new = {
+        "token_budget_weighted",
+        "model_promotion_report",
+        "model_batch_drift_report",
     }
-    r07_new = {
-        "model_rule_disagreement_report", "model_gate_threshold_sweep",
-        "curation_manifest_model_gate", "perceptron_incremental_update",
-        "model_weight_report", "streaming_model_update_replay",
-        # changed this round: single-subtree row_number rank
-        "bpe_pair_counts",
+    # the three that yielded their r07 slots must be restored
+    yielded_r07 = {
+        "ksql_jovens", "ksql_idadecont", "streaming_idadecont_replay",
     }
-    assert never_verified | r07_new <= set(first50)
+    assert never_verified | r08_new | yielded_r07 <= set(first50)
     assert first50[:2] == ["jovens", "idadecont"]  # flagships stay first

@@ -499,3 +499,30 @@ def test_model_sheets_plan_shape(spark, sf_dir):
     df_wr = textops.model_weight_report(spark, sf_dir)
     assert python_eval_count(df_wr) == 0
     assert not has_cartesian_product(df_wr)
+
+
+def test_r8_capstone_sheets_plan_shape(spark, sf_dir):
+    """The r8 additions stay JVM-side and bounded: zero Python-eval
+    nodes; the weighted budget selection broadcasts its |sources|-row
+    budget sheet and shuffles the corpus once (the per-source window);
+    the promotion sheet's parquet scans read ONLY (doc_id, source) —
+    both weight vectors ship as literals, never a corpus rescan; the
+    drift monitor likewise; nothing plans a cartesian product."""
+    from kafka_exercise_spark.operators import sampling
+
+    df_tb = sampling.token_budget_weighted(spark, sf_dir)
+    assert python_eval_count(df_tb) == 0
+    assert not has_cartesian_product(df_tb)
+    assert broadcast_join_count(df_tb) >= 1  # the budget sheet
+
+    df_pr = textops.model_promotion_report(spark, sf_dir)
+    assert python_eval_count(df_pr) == 0
+    assert not has_cartesian_product(df_pr)
+    for cols in read_schema_columns(df_pr):
+        assert set(cols) <= {"doc_id", "source"}
+
+    df_dr = textops.model_batch_drift_report(spark, sf_dir)
+    assert python_eval_count(df_dr) == 0
+    assert not has_cartesian_product(df_dr)
+    for cols in read_schema_columns(df_dr):
+        assert set(cols) <= {"doc_id", "source"}

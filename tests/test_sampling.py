@@ -241,3 +241,66 @@ def test_weighted_sample_prefers_heavy_docs(spark, sf_dir):
         .first()[0]
     )
     assert sample_mean > corpus_mean
+
+
+def test_token_budget_weighted_composes_parents(spark, sf_dir):
+    """The capstone's three contracts hold exactly: (1) membership =
+    hash-Bernoulli at the doc's soft weight (recomputed bit-for-bit in
+    pure Python), (2) each source's budget is the α=½ temperature share
+    of the plan budget, (3) within a source the kept set is the greedy
+    hash-order fill over the weighted survivors — and the whole thing is
+    deterministic across reruns."""
+    import hashlib
+
+    from kafka_exercise_spark.catalog import load_table
+    from kafka_exercise_spark.functions.text import tokens
+    from kafka_exercise_spark.operators.dedup import dedup_soft_weights
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    rows = sampling.token_budget_weighted(spark, sf_dir).collect()
+    assert rows, "selection must be non-trivial at this sf"
+    weights = {
+        r.doc_id: r.weight_ppm
+        for r in dedup_soft_weights(spark, sf_dir).collect()
+    }
+    budgets = {
+        r.source: (r.share_ppm * sampling.MIX_PLAN_BUDGET) // 1_000_000
+        for r in sampling.mixture_temperature_plan(spark, sf_dir)
+        .filter(F.col("alpha_milli") == sampling.BUDGET_ALPHA_MILLI)
+        .collect()
+    }
+    for r in rows:
+        assert r.weight_ppm == weights[r.doc_id]
+        assert h60(f"softdraw:{r.doc_id}") % 1_000_000 < r.weight_ppm
+        assert r.budget_tokens == budgets[r.source]
+        assert r.cum_tok - r.n_tok < r.budget_tokens
+    # full greedy replay: survivors in hash order, kept while the
+    # running total BEFORE the doc is under the source's budget
+    docs = {
+        r.doc_id: (r.source, r.n_tok)
+        for r in load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "source",
+            F.size(tokens(F.col("text"))).cast("long").alias("n_tok"),
+        )
+        .collect()
+    }
+    survivors: dict[str, list] = {}
+    for doc_id, (source, n_tok) in docs.items():
+        if h60(f"softdraw:{doc_id}") % 1_000_000 < weights[doc_id]:
+            survivors.setdefault(source, []).append(
+                (h60(f"wbudget:{doc_id}"), doc_id, n_tok)
+            )
+    expected = set()
+    for source, docs_s in survivors.items():
+        cum = 0
+        for _hk, doc_id, n_tok in sorted(docs_s):
+            if cum < budgets[source]:
+                expected.add(doc_id)
+            cum += n_tok
+    assert {r.doc_id for r in rows} == expected
+    again = sampling.token_budget_weighted(spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
