@@ -109,6 +109,15 @@ QUERIES = {
     "model_rule_disagreement_report": textops.model_rule_disagreement_report,
     "model_gate_threshold_sweep": textops.model_gate_threshold_sweep,
     "curation_manifest_model_gate": textops.curation_manifest_model_gate,
+    # r08 additions — the weighted-selection capstone (draw map-side +
+    # one per-source window over the survivor set; runs AFTER the dedup
+    # families so the component memo is warm and the rung times the
+    # selection itself) and the two online-model audit sheets (one
+    # feature-table aggregate each + a (split, source)/(split) groupBy;
+    # after the fit like the r07 sheets).
+    "token_budget_weighted": sampling.token_budget_weighted,
+    "model_promotion_report": textops.model_promotion_report,
+    "model_batch_drift_report": textops.model_batch_drift_report,
 }
 
 
