@@ -56,13 +56,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     entries that had never had a driver CORRECTNESS row
     (dedup_soft_weights — whose scan also gained the scale_partitions
     wrapper this round — and mixture_temperature_plan), the 3 NEW r08
-    entries (token_budget_weighted: the soft-dedup × temperature-budget
-    capstone, VERDICT r7 ask #2; model_promotion_report +
-    model_batch_drift_report: the online-maintenance audit pair, asks
-    #5/#6), then the oldest-evidence refresh: all 32 entries whose last
-    driver row is r03 (including the three that yielded their r07 slots
-    — ksql_jovens, ksql_idadecont, streaming_idadecont_replay) and the
-    11 alphabetically-first of the 26 whose last row is r04. Everything
+    entries (token_budget_weighted + its fill report: the soft-dedup ×
+    temperature-budget capstone, VERDICT r7 ask #2;
+    model_promotion_report + model_batch_drift_report: the
+    online-maintenance audit pair, asks #5/#6), then the
+    oldest-evidence refresh: all 32 entries whose last driver row is
+    r03 (including the three that yielded their r07 slots —
+    ksql_jovens, ksql_idadecont, streaming_idadecont_replay) and the
+    10 alphabetically-first of the 26 whose last row is r04. Everything
     outside the window is covered by this session's verify_local sweeps
     at BOTH sf0.01 and sf0.1, plus pytest.
     """
@@ -438,6 +439,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # soft-dedup draw + temperature-share budgets in ONE selection
         # plan (the capstone both r07 sheets exist to feed)
         "token_budget_weighted": sampling.token_budget_weighted,
+        # per-source pool-vs-budget utilization of that selection
+        # (unfilled = the actionable under-supply signal)
+        "token_budget_fill_report": sampling.token_budget_fill_report,
         # before/after keep-rate + agreement audit of the online update
         # (the sheet read before promoting the nightly model refresh)
         "model_promotion_report": textops.model_promotion_report,
@@ -450,8 +454,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # queue (2 entries, VERDICT r7 finding #1), the 3 NEW r08 entries
     # (VERDICT r7 asks #2/#5/#6), then the oldest-evidence refresh:
     # the COMPLETE 32-entry r03-last-green cohort (restoring the
-    # yielded ksql/streaming trio) and the 11 alphabetically-first of
-    # the 26-entry r04 cohort. The remaining 15 r04 rows lead the r09
+    # yielded ksql/streaming trio) and the 10 alphabetically-first of
+    # the 26-entry r04 cohort. The remaining 16 r04 rows lead the r09
     # refresh queue.
     window = [
         "jovens",
@@ -461,8 +465,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (scale_partitions wrapper — r7 ADVICE)
         "dedup_soft_weights",
         "mixture_temperature_plan",
-        # new in r08
+        # new in r08 (4 entries)
         "token_budget_weighted",
+        "token_budget_fill_report",
         "model_promotion_report",
         "model_batch_drift_report",
         # oldest driver evidence (last green r03) — the full cohort
@@ -498,7 +503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_stats",
         "token_budget_select",
         "user_event_gaps",
-        # oldest driver evidence (last green r04) — first 11 of 26
+        # oldest driver evidence (last green r04) — first 10 of 26
         "avro_embeddings_roundtrip",
         "chunk_documents",
         "classifier_quality_score",
@@ -509,7 +514,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental",
         "dedup_semantic",
         "dedup_semantic_components",
-        "domain_mix_resample",
     ]
     assert len(window) == 50 and len(set(window)) == 50
     out = {k: all_q[k] for k in window}
@@ -4267,6 +4271,35 @@ def oracle_sql() -> dict[str, str]:
         SELECT source, doc_id, weight_ppm, n_tok,
                cum_tok::BIGINT AS cum_tok, budget_tokens
         FROM c WHERE cum_tok - n_tok < budget_tokens
+    """
+    # Fill report COMPOSED from the selection oracle + the same survivor
+    # CTE: pool-vs-budget utilization can never drift from the kept set.
+    oracles["token_budget_fill_report"] = f"""
+        WITH k AS (SELECT * FROM ({oracles["token_budget_weighted"]})),
+        w AS (SELECT doc_id, weight_ppm
+              FROM ({oracles["dedup_soft_weights"]})),
+        d AS (SELECT source, doc_id, len({_TOKS})::BIGINT AS n_tok,
+                     ('0x' || substr(md5('softdraw:' || doc_id), 1, 15))::BIGINT
+                         % 1000000 AS draw
+              FROM documents),
+        s AS (SELECT d.source, d.n_tok FROM d JOIN w USING (doc_id)
+              WHERE draw < weight_ppm),
+        pool AS (SELECT source, count(*)::BIGINT AS n_survivors,
+                        sum(n_tok)::BIGINT AS survivor_tokens
+                 FROM s GROUP BY source),
+        kk AS (SELECT source, count(*)::BIGINT AS n_kept,
+                      sum(n_tok)::BIGINT AS kept_tokens,
+                      min(budget_tokens)::BIGINT AS budget_tokens
+               FROM k GROUP BY source)
+        SELECT pool.source, kk.budget_tokens, pool.n_survivors,
+               pool.survivor_tokens, kk.n_kept, kk.kept_tokens,
+               ((kk.kept_tokens * 1000000) // kk.budget_tokens)::BIGINT
+                   AS fill_ppm,
+               greatest(kk.budget_tokens - kk.kept_tokens, 0)::BIGINT
+                   AS unfilled_tokens,
+               greatest(kk.kept_tokens - kk.budget_tokens, 0)::BIGINT
+                   AS overshoot_tokens
+        FROM pool JOIN kk USING (source)
     """
     oracles["model_weight_report"] = f"""
         WITH {_perc_chain},

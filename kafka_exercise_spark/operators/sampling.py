@@ -657,13 +657,28 @@ def token_budget_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window  # noqa: PLC0415
 
-    from kafka_exercise_spark.functions.text import tokens  # noqa: PLC0415
-    from kafka_exercise_spark.operators.dedup import (  # noqa: PLC0415
-        dedup_soft_weights,
+    survivors = _weighted_survivor_frame(spark, sf_dir)
+    w = (
+        Window.partitionBy("source")
+        .orderBy("hk", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        survivors.join(F.broadcast(_source_budgets(spark, sf_dir)), "source")
+        .withColumn("cum_tok", F.sum("n_tok").over(w).cast("long"))
+        .filter(F.col("cum_tok") - F.col("n_tok") < F.col("budget_tokens"))
+        .select(
+            "source", "doc_id", "weight_ppm", "n_tok", "cum_tok",
+            "budget_tokens",
+        )
     )
 
-    weights = dedup_soft_weights(spark, sf_dir).select("doc_id", "weight_ppm")
-    budgets = (
+
+def _source_budgets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, budget_tokens): the α=``BUDGET_ALPHA_MILLI`` temperature
+    share of the plan budget, integer ``div`` — the |sources|-row sheet
+    both the selection and its fill report broadcast."""
+    return (
         mixture_temperature_plan(spark, sf_dir)
         .filter(F.col("alpha_milli") == BUDGET_ALPHA_MILLI)
         .select(
@@ -673,6 +688,20 @@ def token_budget_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("budget_tokens"),
         )
     )
+
+
+def _weighted_survivor_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, doc_id, n_tok, weight_ppm, hk): the post-draw pool the
+    weighted budget fill selects from — every doc whose salted hash
+    lands under its soft-dedup weight (hash-Bernoulli at exactly
+    weight_ppm). Shared by the selection and the fill report so the
+    two can never disagree about who survived the draw."""
+    from kafka_exercise_spark.functions.text import tokens  # noqa: PLC0415
+    from kafka_exercise_spark.operators.dedup import (  # noqa: PLC0415
+        dedup_soft_weights,
+    )
+
+    weights = dedup_soft_weights(spark, sf_dir).select("doc_id", "weight_ppm")
     docs = load_table(spark, sf_dir, "documents").select(
         "source",
         "doc_id",
@@ -687,22 +716,64 @@ def token_budget_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     hk = md5_hash64(
         F.concat(F.lit("wbudget:"), F.col("doc_id").cast("string"))
     )
-    survivors = (
+    return (
         docs.join(weights, "doc_id")
         .filter(draw < F.col("weight_ppm"))
         .select("source", "doc_id", "n_tok", "weight_ppm", hk.alias("hk"))
     )
-    w = (
-        Window.partitionBy("source")
-        .orderBy("hk", "doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+
+def token_budget_fill_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source utilization sheet for the weighted budget selection —
+    the ``pack_efficiency_report`` of the capstone: what the post-draw
+    pool offered (soft dedup SHRINKS the effective pool — a heavily
+    duplicated source can under-supply its budget even when its raw
+    token count looks ample), what the greedy fill realized against the
+    temperature budget, and the two failure directions an owner acts
+    on: ``unfilled_tokens`` (pool exhausted under budget → raise α,
+    lower the budget, or source more data) and ``overshoot_tokens``
+    (the one doc that straddles the boundary — bounded by max doc
+    length by construction). fill_ppm is integer ``div``.
+
+    Cost: the survivor frame both parents pay (one tokenize scan + the
+    soft-weight join), ONE groupBy(source) on it, one groupBy(source)
+    on the kept set, and a |sources|-row join — strictly cheaper than
+    the selection itself.
+    """
+    pool = _weighted_survivor_frame(spark, sf_dir).groupBy("source").agg(
+        F.count("*").cast("long").alias("n_survivors"),
+        F.sum("n_tok").cast("long").alias("survivor_tokens"),
+    )
+    kept = (
+        token_budget_weighted(spark, sf_dir)
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_kept"),
+            F.sum("n_tok").cast("long").alias("kept_tokens"),
+        )
     )
     return (
-        survivors.join(F.broadcast(budgets), "source")
-        .withColumn("cum_tok", F.sum("n_tok").over(w).cast("long"))
-        .filter(F.col("cum_tok") - F.col("n_tok") < F.col("budget_tokens"))
+        pool.join(kept, "source")
+        .join(F.broadcast(_source_budgets(spark, sf_dir)), "source")
         .select(
-            "source", "doc_id", "weight_ppm", "n_tok", "cum_tok",
+            "source",
             "budget_tokens",
+            "n_survivors",
+            "survivor_tokens",
+            "n_kept",
+            "kept_tokens",
+            F.expr("(kept_tokens * 1000000) div budget_tokens")
+            .cast("long")
+            .alias("fill_ppm"),
+            F.greatest(
+                F.expr("budget_tokens - kept_tokens"), F.lit(0)
+            )
+            .cast("long")
+            .alias("unfilled_tokens"),
+            F.greatest(
+                F.expr("kept_tokens - budget_tokens"), F.lit(0)
+            )
+            .cast("long")
+            .alias("overshoot_tokens"),
         )
     )

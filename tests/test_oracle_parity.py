@@ -103,6 +103,7 @@ def test_r08_window_leads_with_unverified_entries():
     never_verified = {"dedup_soft_weights", "mixture_temperature_plan"}
     r08_new = {
         "token_budget_weighted",
+        "token_budget_fill_report",
         "model_promotion_report",
         "model_batch_drift_report",
     }

@@ -304,3 +304,31 @@ def test_token_budget_weighted_composes_parents(spark, sf_dir):
     assert {r.doc_id for r in rows} == expected
     again = sampling.token_budget_weighted(spark, sf_dir).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_token_budget_fill_report_reconciles(spark, sf_dir):
+    """The utilization sheet reconciles exactly with its parents: kept
+    counts/tokens re-aggregate the selection, the survivor pool is the
+    draw recomputed, fill/unfilled/overshoot follow the integer
+    definitions, and every source with kept rows appears."""
+    kept = sampling.token_budget_weighted(spark, sf_dir).collect()
+    rows = {r.source: r for r in sampling.token_budget_fill_report(spark, sf_dir).collect()}
+    by_src: dict[str, list] = {}
+    for r in kept:
+        by_src.setdefault(r.source, []).append(r)
+    assert set(rows) == set(by_src)
+    for source, ks in by_src.items():
+        r = rows[source]
+        assert r.n_kept == len(ks)
+        assert r.kept_tokens == sum(k.n_tok for k in ks)
+        assert r.budget_tokens == ks[0].budget_tokens
+        assert r.n_survivors >= r.n_kept
+        assert r.survivor_tokens >= r.kept_tokens
+        assert r.fill_ppm == r.kept_tokens * 1_000_000 // r.budget_tokens
+        assert r.unfilled_tokens == max(r.budget_tokens - r.kept_tokens, 0)
+        assert r.overshoot_tokens == max(r.kept_tokens - r.budget_tokens, 0)
+        # exactly one of the two failure directions can be nonzero
+        assert r.unfilled_tokens == 0 or r.overshoot_tokens == 0
+        # greedy fill invariant: unfilled > 0 only when the pool ran dry
+        if r.unfilled_tokens > 0:
+            assert r.n_kept == r.n_survivors
