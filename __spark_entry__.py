@@ -4272,34 +4272,52 @@ def oracle_sql() -> dict[str, str]:
                cum_tok::BIGINT AS cum_tok, budget_tokens
         FROM c WHERE cum_tok - n_tok < budget_tokens
     """
-    # Fill report COMPOSED from the selection oracle + the same survivor
-    # CTE: pool-vs-budget utilization can never drift from the kept set.
+    # Fill report: the SAME survivor/window CTEs as the selection with
+    # the keep decision re-evaluated as a predicate in one conditional
+    # aggregation (pool and kept sides together) — utilization can
+    # never drift from the kept set, and the oracle mirrors the
+    # engine's one-pass plan.
     oracles["token_budget_fill_report"] = f"""
-        WITH k AS (SELECT * FROM ({oracles["token_budget_weighted"]})),
-        w AS (SELECT doc_id, weight_ppm
-              FROM ({oracles["dedup_soft_weights"]})),
+        WITH w AS (SELECT doc_id, weight_ppm
+                   FROM ({oracles["dedup_soft_weights"]})),
+        b AS (SELECT source,
+                     ((share_ppm * {sampling.MIX_PLAN_BUDGET})
+                      // 1000000)::BIGINT AS budget_tokens
+              FROM ({oracles["mixture_temperature_plan"]})
+              WHERE alpha_milli = {sampling.BUDGET_ALPHA_MILLI}),
         d AS (SELECT source, doc_id, len({_TOKS})::BIGINT AS n_tok,
                      ('0x' || substr(md5('softdraw:' || doc_id), 1, 15))::BIGINT
-                         % 1000000 AS draw
+                         % 1000000 AS draw,
+                     ('0x' || substr(md5('wbudget:' || doc_id), 1, 15))::BIGINT
+                         AS hk
               FROM documents),
-        s AS (SELECT d.source, d.n_tok FROM d JOIN w USING (doc_id)
+        s AS (SELECT d.* FROM d JOIN w USING (doc_id)
               WHERE draw < weight_ppm),
-        pool AS (SELECT source, count(*)::BIGINT AS n_survivors,
-                        sum(n_tok)::BIGINT AS survivor_tokens
-                 FROM s GROUP BY source),
-        kk AS (SELECT source, count(*)::BIGINT AS n_kept,
-                      sum(n_tok)::BIGINT AS kept_tokens,
-                      min(budget_tokens)::BIGINT AS budget_tokens
-               FROM k GROUP BY source)
-        SELECT pool.source, kk.budget_tokens, pool.n_survivors,
-               pool.survivor_tokens, kk.n_kept, kk.kept_tokens,
-               ((kk.kept_tokens * 1000000) // kk.budget_tokens)::BIGINT
+        c AS (SELECT s.source, s.n_tok, b.budget_tokens,
+                     sum(s.n_tok) OVER (PARTITION BY s.source
+                                        ORDER BY s.hk, s.doc_id
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS cum_tok
+              FROM s JOIN b USING (source)),
+        a AS (SELECT source,
+                     min(budget_tokens)::BIGINT AS budget_tokens,
+                     count(*)::BIGINT AS n_survivors,
+                     sum(n_tok)::BIGINT AS survivor_tokens,
+                     sum((cum_tok - n_tok < budget_tokens)::INT)::BIGINT
+                         AS n_kept,
+                     coalesce(sum(CASE WHEN cum_tok - n_tok < budget_tokens
+                                       THEN n_tok END), 0)::BIGINT
+                         AS kept_tokens
+              FROM c GROUP BY source)
+        SELECT source, budget_tokens, n_survivors, survivor_tokens,
+               n_kept, kept_tokens,
+               ((kept_tokens * 1000000) // budget_tokens)::BIGINT
                    AS fill_ppm,
-               greatest(kk.budget_tokens - kk.kept_tokens, 0)::BIGINT
+               greatest(budget_tokens - kept_tokens, 0)::BIGINT
                    AS unfilled_tokens,
-               greatest(kk.kept_tokens - kk.budget_tokens, 0)::BIGINT
+               greatest(kept_tokens - budget_tokens, 0)::BIGINT
                    AS overshoot_tokens
-        FROM pool JOIN kk USING (source)
+        FROM a WHERE n_kept > 0
     """
     oracles["model_weight_report"] = f"""
         WITH {_perc_chain},

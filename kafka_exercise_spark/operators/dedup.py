@@ -2011,6 +2011,14 @@ def dedup_pair_audit_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: The soft-dedup weight as a SQL fragment over a (possibly NULL)
+#: comp_size column — 1/|cluster| in integer ppm, singletons exactly 1e6.
+#: ONE definition shared by ``dedup_soft_weights`` and the weighted
+#: budget selection's survivor frame (sampling.py) so the draw can never
+#: use a different weight than the published sheet.
+SOFT_WEIGHT_PPM_EXPR = "1000000 div coalesce(comp_size, 1)"
+
+
 def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SOFT dedup — per-document sampling weights instead of removal:
     every member of a near-dup cluster gets weight 1/|cluster| (integer
@@ -2034,19 +2042,11 @@ def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     comps = dedup_components(spark, sf_dir).select(
         "doc_id", "comp", "comp_size"
     )
-    return (
-        docs.join(comps, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce(F.col("comp"), F.col("doc_id"))
-            .cast("long")
-            .alias("comp"),
-            F.coalesce(F.col("comp_size"), F.lit(1))
-            .cast("long")
-            .alias("cluster_size"),
-        )
-        .withColumn(
-            "weight_ppm",
-            F.expr("1000000 div cluster_size").cast("long"),
-        )
+    return docs.join(comps, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("comp"), F.col("doc_id")).cast("long").alias("comp"),
+        F.coalesce(F.col("comp_size"), F.lit(1))
+        .cast("long")
+        .alias("cluster_size"),
+        F.expr(SOFT_WEIGHT_PPM_EXPR).cast("long").alias("weight_ppm"),
     )

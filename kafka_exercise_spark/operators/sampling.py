@@ -694,14 +694,20 @@ def _weighted_survivor_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(source, doc_id, n_tok, weight_ppm, hk): the post-draw pool the
     weighted budget fill selects from — every doc whose salted hash
     lands under its soft-dedup weight (hash-Bernoulli at exactly
-    weight_ppm). Shared by the selection and the fill report so the
-    two can never disagree about who survived the draw."""
+    weight_ppm). The weight is computed INLINE from the O(near-dup)
+    component frame via the shared ``SOFT_WEIGHT_PPM_EXPR`` fragment —
+    same definition as ``dedup_soft_weights``' published column, so the
+    draw can never disagree with the sheet, but the join is corpus ×
+    near-dup-set (left, unhinted — AQE broadcasts while the component
+    frame fits) instead of the corpus × corpus shuffle that joining the
+    full weight column would cost."""
     from kafka_exercise_spark.functions.text import tokens  # noqa: PLC0415
     from kafka_exercise_spark.operators.dedup import (  # noqa: PLC0415
-        dedup_soft_weights,
+        SOFT_WEIGHT_PPM_EXPR,
+        dedup_components,
     )
 
-    weights = dedup_soft_weights(spark, sf_dir).select("doc_id", "weight_ppm")
+    comps = dedup_components(spark, sf_dir).select("doc_id", "comp_size")
     docs = load_table(spark, sf_dir, "documents").select(
         "source",
         "doc_id",
@@ -717,7 +723,10 @@ def _weighted_survivor_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("wbudget:"), F.col("doc_id").cast("string"))
     )
     return (
-        docs.join(weights, "doc_id")
+        docs.join(comps, "doc_id", "left")
+        .withColumn(
+            "weight_ppm", F.expr(SOFT_WEIGHT_PPM_EXPR).cast("long")
+        )
         .filter(draw < F.col("weight_ppm"))
         .select("source", "doc_id", "n_tok", "weight_ppm", hk.alias("hk"))
     )
@@ -735,26 +744,41 @@ def token_budget_fill_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the one doc that straddles the boundary — bounded by max doc
     length by construction). fill_ppm is integer ``div``.
 
-    Cost: the survivor frame both parents pay (one tokenize scan + the
-    soft-weight join), ONE groupBy(source) on it, one groupBy(source)
-    on the kept set, and a |sources|-row join — strictly cheaper than
-    the selection itself.
+    Cost: ONE pass — the survivor frame (one tokenize scan + the
+    soft-weight join), the selection's own per-source window, and one
+    conditional groupBy(source) that computes the pool AND the kept
+    side together (the keep decision is re-evaluated as a predicate on
+    the running total, not re-joined) — strictly cheaper than running
+    the selection and a second pool scan. Sources that keep nothing
+    are filtered like the two-frame inner join would (also fences the
+    budget=0 ⇒ fill_ppm division: n_kept > 0 implies budget > 0).
     """
-    pool = _weighted_survivor_frame(spark, sf_dir).groupBy("source").agg(
-        F.count("*").cast("long").alias("n_survivors"),
-        F.sum("n_tok").cast("long").alias("survivor_tokens"),
+    s = _weighted_survivor_frame(spark, sf_dir).join(
+        F.broadcast(_source_budgets(spark, sf_dir)), "source"
     )
-    kept = (
-        token_budget_weighted(spark, sf_dir)
-        .groupBy("source")
-        .agg(
-            F.count("*").cast("long").alias("n_kept"),
-            F.sum("n_tok").cast("long").alias("kept_tokens"),
-        )
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    w = (
+        Window.partitionBy("source")
+        .orderBy("hk", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    c = s.withColumn("cum_tok", F.sum("n_tok").over(w).cast("long"))
+    kept_cond = F.col("cum_tok") - F.col("n_tok") < F.col("budget_tokens")
     return (
-        pool.join(kept, "source")
-        .join(F.broadcast(_source_budgets(spark, sf_dir)), "source")
+        c.groupBy("source")
+        .agg(
+            F.min("budget_tokens").cast("long").alias("budget_tokens"),
+            F.count("*").cast("long").alias("n_survivors"),
+            F.sum("n_tok").cast("long").alias("survivor_tokens"),
+            F.sum(kept_cond.cast("int")).cast("long").alias("n_kept"),
+            F.coalesce(
+                F.sum(F.when(kept_cond, F.col("n_tok"))), F.lit(0)
+            )
+            .cast("long")
+            .alias("kept_tokens"),
+        )
+        .filter(F.col("n_kept") > 0)
         .select(
             "source",
             "budget_tokens",
