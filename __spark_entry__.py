@@ -55,7 +55,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     two flagships, then the FULL late-r07 positional queue — the 2
     entries that had never had a driver CORRECTNESS row
     (dedup_soft_weights — whose scan also gained the scale_partitions
-    wrapper this round — and mixture_temperature_plan), the 3 NEW r08
+    wrapper this round — and mixture_temperature_plan), the 4 NEW r08
     entries (token_budget_weighted + its fill report: the soft-dedup ×
     temperature-budget capstone, VERDICT r7 ask #2;
     model_promotion_report + model_batch_drift_report: the
