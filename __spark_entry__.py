@@ -448,6 +448,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rule-vs-model confusion restricted to the arriving src0 batch
         # vs the rest-of-corpus baseline (drift before ingestion)
         "model_batch_drift_report": textops.model_batch_drift_report,
+        # ---- late r08: EVERY entry appended below this line after the
+        # r08 window froze is past that window — lead the r09 window
+        # with ALL of them (positional queue), per the established
+        # rotation policy. ----
+        # (rule-only → model-gated) disposition transition matrix: the
+        # deploy-impact summary with doc/token mass per moved cell
+        "model_gate_impact_matrix": textops.model_gate_impact_matrix,
+        # the REPLACEMENT twin: model in the quality slot — where the
+        # battery-vs-model mass really moves, priced in tokens
+        "model_replace_impact_matrix": textops.model_replace_impact_matrix,
     }
     # The r08 driver window (first 50) — see the docstring for the
     # policy. Composition: flagships, the FULL late-r07 positional
@@ -4065,6 +4075,42 @@ def oracle_sql() -> dict[str, str]:
                         THEN 'model_margin:' || s.model_margin::VARCHAR
                     ELSE m.reason END AS reason
         FROM m JOIN s USING (doc_id)
+    """
+    # Deploy-impact transition matrix (late r08): COMPOSED from both
+    # manifest oracles — the cells can never drift from either sheet.
+    oracles["model_gate_impact_matrix"] = f"""
+        WITH b AS (SELECT doc_id, n_tokens,
+                          disposition AS disposition_before
+                   FROM ({oracles["curation_run_manifest"]})),
+        g AS (SELECT doc_id, disposition AS disposition_after
+              FROM ({oracles["curation_manifest_model_gate"]}))
+        SELECT disposition_before, disposition_after,
+               count(*)::BIGINT AS n_docs,
+               sum(n_tokens)::BIGINT AS n_tokens,
+               min(doc_id)::BIGINT AS example_doc_id,
+               disposition_before <> disposition_after AS changed
+        FROM b JOIN g USING (doc_id)
+        GROUP BY 1, 2
+    """
+    # Replacement twin: the manifest's when-chain with model_keep in
+    # the quality slot — same composed-oracle discipline.
+    oracles["model_replace_impact_matrix"] = f"""
+        WITH b AS (SELECT doc_id, n_tokens,
+                          disposition AS disposition_before
+                   FROM ({oracles["curation_run_manifest"]})),
+        g AS (SELECT doc_id,
+                     CASE WHEN NOT model_keep THEN 'reject_model'
+                          WHEN NOT is_canonical THEN 'reject_duplicate'
+                          WHEN split <> 'train' THEN 'held_out'
+                          ELSE 'train' END AS disposition_after
+              FROM ({oracles["curation_manifest_model_gate"]}))
+        SELECT disposition_before, disposition_after,
+               count(*)::BIGINT AS n_docs,
+               sum(n_tokens)::BIGINT AS n_tokens,
+               min(doc_id)::BIGINT AS example_doc_id,
+               disposition_before <> disposition_after AS changed
+        FROM b JOIN g USING (doc_id)
+        GROUP BY 1, 2
     """
     # Online update: one more unrolled round on the served (summed)
     # weights, restricted to the src0 batch — lr=1 exact integers, so

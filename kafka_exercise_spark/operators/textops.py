@@ -2572,3 +2572,100 @@ def model_batch_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("drift_ppm"),
     )
+
+
+def model_gate_impact_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deploy-impact transition matrix — the one-glance answer to "what
+    does shipping the model gate actually change": per (rule-only
+    disposition → model-gated disposition) cell, the document count,
+    the token mass that moves, and the MIN doc id as a pull-able
+    example (the disagreement report's determinism convention). The
+    diagonal is everything the model leaves alone; the off-diagonal is
+    exactly the `reject_model` mass broken out by WHERE it came from —
+    a model that mostly rejects would-be `train` docs is doing its job,
+    one that eats `held_out` rows is quietly shrinking the eval sets,
+    which no aggregate keep-rate surfaces.
+
+    Cost: one doc-keyed join of the two manifests (both memo-served —
+    the rule manifest and the model scores are already materialized;
+    the model-gated column derives in-plan) + a groupBy bounded by
+    |dispositions|² ≤ 25 cells. No corpus scan. Oracle composed from
+    both manifest oracles so the matrix can never drift from either.
+
+    Measured on the fixtures (all scales): ALL-DIAGONAL — every doc
+    the model would reject is already ``reject_quality`` under the
+    broader curation battery (the model was distilled from the Gopher
+    subset of it), so deploying the gate ON TOP of the full battery
+    moves nothing. That is the decision this sheet feeds: the model's
+    value here is REPLACING the expensive battery (per the
+    disagreement report), not stacking on it.
+    """
+    base = curation_run_manifest(spark, sf_dir).select(
+        "doc_id", "n_tokens", F.col("disposition").alias("disposition_before")
+    )
+    gated = curation_manifest_model_gate(spark, sf_dir).select(
+        "doc_id", F.col("disposition").alias("disposition_after")
+    )
+    return (
+        base.join(gated, "doc_id")
+        .groupBy("disposition_before", "disposition_after")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.min("doc_id").cast("long").alias("example_doc_id"),
+        )
+        .withColumn(
+            "changed",
+            F.col("disposition_before") != F.col("disposition_after"),
+        )
+    )
+
+
+def model_replace_impact_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REPLACEMENT twin of ``model_gate_impact_matrix`` — what
+    changes if the trained model REPLACES the quality battery as the
+    manifest's first disposition stage (the decision the disagreement
+    report exists to inform, and the economically interesting one: the
+    battery is the expensive stage at 100 TB, the model is a 66-int
+    literal). Per (battery disposition → model-first disposition) cell:
+    doc count, token mass, MIN doc id example, changed flag. Unlike the
+    stacking matrix (measured all-diagonal on the fixtures — the
+    battery subsumes the model's rejections), this one shows REAL moved
+    mass in both directions: reject_quality→train is the model's
+    permissive side admitting docs the battery rejects (the
+    model_only disagreement cells, with their token mass priced), and
+    reject_quality→reject_model is rejection that survives the swap
+    under a different name (volume kept, reason changed).
+
+    Cost: one doc-keyed join of the two memo-served manifests; the
+    replacement disposition recomputes the manifest's own when-chain
+    with ``model_keep`` in the quality slot — a map-side expression
+    over columns the gated manifest already carries (model_keep,
+    is_canonical, split), no new corpus scan; |dispositions|²-bounded
+    groupBy. Oracle composed from both manifest oracles with the same
+    CASE chain.
+    """
+    base = curation_run_manifest(spark, sf_dir).select(
+        "doc_id", "n_tokens", F.col("disposition").alias("disposition_before")
+    )
+    g = curation_manifest_model_gate(spark, sf_dir)
+    replace_disp = (
+        F.when(~F.col("model_keep"), F.lit("reject_model"))
+        .when(~F.col("is_canonical"), F.lit("reject_duplicate"))
+        .when(F.col("split") != "train", F.lit("held_out"))
+        .otherwise(F.lit("train"))
+    )
+    gated = g.select("doc_id", replace_disp.alias("disposition_after"))
+    return (
+        base.join(gated, "doc_id")
+        .groupBy("disposition_before", "disposition_after")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.min("doc_id").cast("long").alias("example_doc_id"),
+        )
+        .withColumn(
+            "changed",
+            F.col("disposition_before") != F.col("disposition_after"),
+        )
+    )

@@ -2474,3 +2474,95 @@ def test_model_batch_drift_report_restricts_disagreement(spark, sf_dir):
         assert d.batch_agree_ppm == batch_agree * 1_000_000 // d.n_batch
         assert d.rest_agree_ppm == rest_agree * 1_000_000 // d.n_rest
         assert d.drift_ppm == d.batch_agree_ppm - d.rest_agree_ppm
+
+
+def test_model_gate_impact_matrix_reconciles(spark, sf_dir):
+    """The transition matrix is exactly the two manifests joined: cell
+    masses re-aggregate the per-doc transitions, the only movement
+    targets reject_model (the gate can't resurrect or re-route docs),
+    rows partition the corpus, and the changed flag marks precisely the
+    off-diagonal."""
+    from kafka_exercise_spark.operators.textops import (
+        curation_manifest_model_gate,
+        curation_run_manifest,
+        model_gate_impact_matrix,
+    )
+
+    rows = model_gate_impact_matrix(spark, sf_dir).collect()
+    base = {
+        r.doc_id: (r.disposition, r.n_tokens)
+        for r in curation_run_manifest(spark, sf_dir).collect()
+    }
+    gated = {
+        r.doc_id: r.disposition
+        for r in curation_manifest_model_gate(spark, sf_dir).collect()
+    }
+    expected: dict[tuple, list] = {}
+    for doc_id, (before, n_tok) in base.items():
+        expected.setdefault((before, gated[doc_id]), []).append(
+            (doc_id, n_tok)
+        )
+    assert {(r.disposition_before, r.disposition_after) for r in rows} == set(
+        expected
+    )
+    assert sum(r.n_docs for r in rows) == len(base)
+    for r in rows:
+        cell = expected[(r.disposition_before, r.disposition_after)]
+        assert r.n_docs == len(cell)
+        assert r.n_tokens == sum(t for _, t in cell)
+        assert r.example_doc_id == min(d for d, _ in cell)
+        assert r.changed == (r.disposition_before != r.disposition_after)
+        if r.changed:
+            assert r.disposition_after == "reject_model"
+            assert r.disposition_before != "reject_quality"
+    # No moved-cell assertion: on ALL fixture scales the matrix is
+    # measured all-diagonal — every doc the model would reject is
+    # already reject_quality under the broader curation battery (the
+    # 5 gopher-vs-model rule_only docs at sf0.01 all carry
+    # reject_quality), so stacking the gate moves nothing. That is the
+    # sheet's real finding, not a triviality: it says ship the model
+    # INSTEAD of the expensive battery, not on top of it.
+
+
+def test_model_replace_impact_matrix_reconciles(spark, sf_dir):
+    """The replacement matrix re-derives per doc: disposition_after is
+    the manifest's when-chain with model_keep in the quality slot; cell
+    masses/examples re-aggregate the per-doc transitions; rows
+    partition the corpus; and (unlike the stacking matrix) the only
+    cells that can move INTO train are battery rejections — the
+    model's permissive side."""
+    from kafka_exercise_spark.operators.textops import (
+        curation_manifest_model_gate,
+        curation_run_manifest,
+        model_replace_impact_matrix,
+    )
+
+    rows = model_replace_impact_matrix(spark, sf_dir).collect()
+    base = {
+        r.doc_id: (r.disposition, r.n_tokens)
+        for r in curation_run_manifest(spark, sf_dir).collect()
+    }
+    expected: dict[tuple, list] = {}
+    for g in curation_manifest_model_gate(spark, sf_dir).collect():
+        if not g.model_keep:
+            after = "reject_model"
+        elif not g.is_canonical:
+            after = "reject_duplicate"
+        elif g.split != "train":
+            after = "held_out"
+        else:
+            after = "train"
+        before, n_tok = base[g.doc_id]
+        expected.setdefault((before, after), []).append((g.doc_id, n_tok))
+    assert {(r.disposition_before, r.disposition_after) for r in rows} == set(
+        expected
+    )
+    assert sum(r.n_docs for r in rows) == len(base)
+    for r in rows:
+        cell = expected[(r.disposition_before, r.disposition_after)]
+        assert r.n_docs == len(cell)
+        assert r.n_tokens == sum(t for _, t in cell)
+        assert r.example_doc_id == min(d for d, _ in cell)
+        assert r.changed == (r.disposition_before != r.disposition_after)
+        if r.disposition_after == "train" and r.changed:
+            assert r.disposition_before == "reject_quality"
