@@ -526,3 +526,17 @@ def test_r8_capstone_sheets_plan_shape(spark, sf_dir):
     assert not has_cartesian_product(df_dr)
     for cols in read_schema_columns(df_dr):
         assert set(cols) <= {"doc_id", "source"}
+
+
+def test_impact_matrices_read_no_parquet(spark, sf_dir):
+    """The deploy-impact matrices are pure compositions over the
+    memo-served manifest/feature frames: zero Python-eval nodes, no
+    cartesian product, and — the load-bearing fact — NO parquet scan at
+    all (a corpus rescan sneaking into what claims to be a served-frame
+    join would show up here first)."""
+    df_g = textops.model_gate_impact_matrix(spark, sf_dir)
+    df_r = textops.model_replace_impact_matrix(spark, sf_dir)
+    for df in (df_g, df_r):
+        assert python_eval_count(df) == 0
+        assert not has_cartesian_product(df)
+        assert read_schema_columns(df) == []
