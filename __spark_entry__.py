@@ -458,6 +458,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the REPLACEMENT twin: model in the quality slot — where the
         # battery-vs-model mass really moves, priced in tokens
         "model_replace_impact_matrix": textops.model_replace_impact_matrix,
+        # per-doc eval-contamination REPAIR actions (detect → repair,
+        # closing the split-leakage loop; GPT-3 appendix-C practice)
+        "split_repair_plan": dedup.split_repair_plan,
     }
     # The r08 driver window (first 50) — see the docstring for the
     # policy. Composition: flagships, the FULL late-r07 positional
@@ -4520,6 +4523,53 @@ def oracle_sql() -> dict[str, str]:
         FROM tot LEFT JOIN ex USING (split)
                  LEFT JOIN nd USING (split)
                  LEFT JOIN wl USING (split)
+    """
+    # Per-doc repair plan (late r08): the census's three tiers as
+    # per-doc flags + the deterministic action — same CTE fragments as
+    # the census so the two sheets can never disagree about who leaked.
+    oracles["split_repair_plan"] = f"""
+        WITH d AS (SELECT doc_id,
+                          CASE WHEN ('0x' || substr(md5('split:' || doc_id),
+                                     1, 15))::BIGINT % 100 < 80 THEN 'train'
+                               WHEN ('0x' || substr(md5('split:' || doc_id),
+                                     1, 15))::BIGINT % 100 < 90 THEN 'valid'
+                               ELSE 'test' END AS split,
+                          ('0x' || substr(md5({_CANON}), 1, 15))::BIGINT AS fp
+                   FROM documents),
+        tfp AS (SELECT DISTINCT fp FROM d WHERE split = 'train'),
+        ex AS (SELECT DISTINCT doc_id FROM d
+               WHERE split <> 'train' AND fp IN (SELECT fp FROM tfp)),
+        p AS (SELECT id_a, id_b FROM ({oracles["dedup_minhash_lsh"]})),
+        lab AS (SELECT p.id_a, p.id_b, da.split AS sa, db.split AS sb
+                FROM p JOIN d da ON da.doc_id = p.id_a
+                       JOIN d db ON db.doc_id = p.id_b),
+        ndoc AS (SELECT DISTINCT doc_id FROM (
+                   SELECT id_b AS doc_id FROM lab
+                   WHERE sa = 'train' AND sb <> 'train'
+                   UNION ALL
+                   SELECT id_a AS doc_id FROM lab
+                   WHERE sb = 'train' AND sa <> 'train')),
+        {_winnow_rare_ctes},
+        wsp AS (SELECT wrare.doc_id, wrare.fp, d.split
+                FROM wrare JOIN d ON d.doc_id = wrare.doc_id),
+        wtfp AS (SELECT DISTINCT fp FROM wsp WHERE split = 'train'),
+        wper AS (SELECT doc_id,
+                        ((sum(CASE WHEN fp IN (SELECT fp FROM wtfp)
+                                   THEN 1 ELSE 0 END) * 1000000)
+                         // count(*))::BIGINT AS winnow_ppm
+                 FROM wsp WHERE split <> 'train' GROUP BY 1),
+        j AS (SELECT d.doc_id, d.split,
+                     d.doc_id IN (SELECT doc_id FROM ex) AS exact_leak,
+                     d.doc_id IN (SELECT doc_id FROM ndoc) AS neardup_leak,
+                     coalesce(wper.winnow_ppm, 0)::BIGINT AS winnow_ppm
+              FROM d LEFT JOIN wper USING (doc_id)
+              WHERE d.split <> 'train')
+        SELECT doc_id, split, exact_leak, neardup_leak, winnow_ppm,
+               CASE WHEN exact_leak OR neardup_leak THEN 'drop_from_eval'
+                    ELSE 'flag_review' END AS action
+        FROM j
+        WHERE exact_leak OR neardup_leak
+              OR winnow_ppm >= {dedup.SPLIT_LEAK_WINNOW_PPM}
     """
     # Log compaction: ranked window on the exact (us, event_id) order;
     # tombstone rule mirrored; values/props pass through untouched.

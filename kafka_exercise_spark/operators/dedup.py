@@ -2050,3 +2050,116 @@ def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("cluster_size"),
         F.expr(SOFT_WEIGHT_PPM_EXPR).cast("long").alias("weight_ppm"),
     )
+
+
+def split_repair_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document REPAIR plan for train→eval contamination — the
+    action sheet `split_leakage_report`'s census exists to trigger
+    (detect → repair, the same loop-closing the model and dedup
+    families got): every valid/test document flagged by any of the
+    three detection tiers, with its tier flags, its winnow substring
+    dose, and the deterministic action a pretraining pipeline takes
+    (the GPT-3 appendix-C practice: contaminated eval examples are
+    REMOVED from eval — held-out loss on a memorized document measures
+    memory, not generalization):
+
+    - ``drop_from_eval``: the doc is an exact fingerprint copy of a
+      train doc OR a verified MinHash near-dup of one — the eval row
+      is unusable as held-out signal;
+    - ``flag_review``: winnow dose ≥ ``SPLIT_LEAK_WINNOW_PPM`` only
+      (substantial substring overlap without a verified doc-level
+      match — quote-heavy or boilerplate cases a human adjudicates).
+
+    Never reassigns docs INTO train: that would condition the training
+    set on the eval sets' contents (the split stays a pure function of
+    doc_id). Counts reconcile with the census by construction: the
+    report's three tiers are this frame's three flags aggregated.
+
+    Plan: the same three tiers the census pays — one fp semi-join, the
+    memoized LSH pair frame with two slim split joins, the memoized
+    winnow posting frame with one per-doc dose aggregate — then one
+    left-join assembly over the eval doc list; everything doc_id-keyed,
+    no new corpus scan beyond the census's own. Output is
+    O(contaminated eval docs).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    assign = docs.select(
+        "doc_id",
+        _split_of(F.col("doc_id")).alias("split"),
+        md5_hash64(normalized_text(F.col("text"))).alias("fp"),
+    )
+    sp = assign.select("doc_id", "split")
+    evals = assign.filter(F.col("split") != "train")
+
+    train_fp = (
+        assign.filter(F.col("split") == "train").select("fp").distinct()
+    )
+    exact = (
+        evals.join(train_fp, "fp", "leftsemi")
+        .select("doc_id")
+        .withColumn("exact_leak", F.lit(True))
+    )
+
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("id_a", "id_b")
+    lab = pairs.join(
+        sp.withColumnsRenamed({"doc_id": "id_a", "split": "split_a"}), "id_a"
+    ).join(sp.withColumnsRenamed({"doc_id": "id_b", "split": "split_b"}), "id_b")
+    near = (
+        lab.filter((F.col("split_a") == "train") & (F.col("split_b") != "train"))
+        .select(F.col("id_b").alias("doc_id"))
+        .union(
+            lab.filter(
+                (F.col("split_b") == "train") & (F.col("split_a") != "train")
+            ).select(F.col("id_a").alias("doc_id"))
+        )
+        .distinct()
+        .withColumn("neardup_leak", F.lit(True))
+    )
+
+    rare = _winnow_rare_frame(spark, sf_dir).join(sp, "doc_id")
+    train_fps = (
+        rare.filter(F.col("split") == "train")
+        .select("fp")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    dose = (
+        rare.filter(F.col("split") != "train")
+        .join(train_fps, "fp", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.expr(
+                "(sum(coalesce(hit, 0)) * 1000000) div count(*)"
+            )
+            .cast("long")
+            .alias("winnow_ppm")
+        )
+    )
+
+    j = (
+        evals.select("doc_id", "split")
+        .join(exact, "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .join(dose, "doc_id", "left")
+        .select(
+            "doc_id",
+            "split",
+            F.coalesce("exact_leak", F.lit(False)).alias("exact_leak"),
+            F.coalesce("neardup_leak", F.lit(False)).alias("neardup_leak"),
+            F.coalesce("winnow_ppm", F.lit(0)).cast("long").alias("winnow_ppm"),
+        )
+    )
+    return (
+        j.filter(
+            F.col("exact_leak")
+            | F.col("neardup_leak")
+            | (F.col("winnow_ppm") >= SPLIT_LEAK_WINNOW_PPM)
+        )
+        .withColumn(
+            "action",
+            F.when(
+                F.col("exact_leak") | F.col("neardup_leak"),
+                F.lit("drop_from_eval"),
+            ).otherwise(F.lit("flag_review")),
+        )
+    )

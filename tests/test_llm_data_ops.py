@@ -2566,3 +2566,33 @@ def test_model_replace_impact_matrix_reconciles(spark, sf_dir):
         assert r.changed == (r.disposition_before != r.disposition_after)
         if r.disposition_after == "train" and r.changed:
             assert r.disposition_before == "reject_quality"
+
+
+def test_split_repair_plan_reconciles_with_census(spark, sf_dir):
+    """The repair plan's per-doc flags aggregate EXACTLY to the leakage
+    census: per split, the exact/neardup/winnow flag counts equal the
+    report's three tiers; actions follow the deterministic policy
+    (doc-level match => drop_from_eval, dose-only => flag_review); no
+    train docs appear; every emitted row is flagged by some tier."""
+    from kafka_exercise_spark.operators.dedup import (
+        SPLIT_LEAK_WINNOW_PPM,
+        split_leakage_report,
+        split_repair_plan,
+    )
+
+    plan = split_repair_plan(spark, sf_dir).collect()
+    census = {r.split: r for r in split_leakage_report(spark, sf_dir).collect()}
+    agg = {s: [0, 0, 0] for s in census}
+    for r in plan:
+        assert r.split in ("valid", "test")
+        dose = r.winnow_ppm >= SPLIT_LEAK_WINNOW_PPM
+        assert r.exact_leak or r.neardup_leak or dose
+        assert r.action == (
+            "drop_from_eval" if r.exact_leak or r.neardup_leak
+            else "flag_review"
+        )
+        agg[r.split][0] += int(r.exact_leak)
+        agg[r.split][1] += int(r.neardup_leak)
+        agg[r.split][2] += int(dose)
+    for s, c in census.items():
+        assert agg[s] == [c.n_exact_leak, c.n_neardup_leak, c.n_winnow_leak]
