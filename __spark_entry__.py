@@ -464,7 +464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
     # The r08 driver window (first 50) — see the docstring for the
     # policy. Composition: flagships, the FULL late-r07 positional
-    # queue (2 entries, VERDICT r7 finding #1), the 3 NEW r08 entries
+    # queue (2 entries, VERDICT r7 finding #1), the 4 NEW r08 entries
     # (VERDICT r7 asks #2/#5/#6), then the oldest-evidence refresh:
     # the COMPLETE 32-entry r03-last-green cohort (restoring the
     # yielded ksql/streaming trio) and the 10 alphabetically-first of
@@ -4079,13 +4079,16 @@ def oracle_sql() -> dict[str, str]:
                     ELSE m.reason END AS reason
         FROM m JOIN s USING (doc_id)
     """
-    # Deploy-impact transition matrix (late r08): COMPOSED from both
-    # manifest oracles — the cells can never drift from either sheet.
-    oracles["model_gate_impact_matrix"] = f"""
+    # Deploy-impact transition matrices (late r08): ONE SQL template
+    # (mirroring textops._impact_matrix) instantiated per twin with its
+    # disposition_after select — COMPOSED from both manifest oracles,
+    # so neither the cells nor the twins' shapes can drift.
+    def _impact_matrix_sql(after_expr: str) -> str:
+        return f"""
         WITH b AS (SELECT doc_id, n_tokens,
                           disposition AS disposition_before
                    FROM ({oracles["curation_run_manifest"]})),
-        g AS (SELECT doc_id, disposition AS disposition_after
+        g AS (SELECT doc_id, {after_expr} AS disposition_after
               FROM ({oracles["curation_manifest_model_gate"]}))
         SELECT disposition_before, disposition_after,
                count(*)::BIGINT AS n_docs,
@@ -4095,67 +4098,25 @@ def oracle_sql() -> dict[str, str]:
         FROM b JOIN g USING (doc_id)
         GROUP BY 1, 2
     """
+
+    oracles["model_gate_impact_matrix"] = _impact_matrix_sql("disposition")
     # Replacement twin: the manifest's when-chain with model_keep in
-    # the quality slot — same composed-oracle discipline.
-    oracles["model_replace_impact_matrix"] = f"""
-        WITH b AS (SELECT doc_id, n_tokens,
-                          disposition AS disposition_before
-                   FROM ({oracles["curation_run_manifest"]})),
-        g AS (SELECT doc_id,
-                     CASE WHEN NOT model_keep THEN 'reject_model'
-                          WHEN NOT is_canonical THEN 'reject_duplicate'
-                          WHEN split <> 'train' THEN 'held_out'
-                          ELSE 'train' END AS disposition_after
-              FROM ({oracles["curation_manifest_model_gate"]}))
-        SELECT disposition_before, disposition_after,
-               count(*)::BIGINT AS n_docs,
-               sum(n_tokens)::BIGINT AS n_tokens,
-               min(doc_id)::BIGINT AS example_doc_id,
-               disposition_before <> disposition_after AS changed
-        FROM b JOIN g USING (doc_id)
-        GROUP BY 1, 2
-    """
+    # the quality slot.
+    oracles["model_replace_impact_matrix"] = _impact_matrix_sql(
+        """CASE WHEN NOT model_keep THEN 'reject_model'
+                WHEN NOT is_canonical THEN 'reject_duplicate'
+                WHEN split <> 'train' THEN 'held_out'
+                ELSE 'train' END"""
+    )
     # Online update: one more unrolled round on the served (summed)
     # weights, restricted to the src0 batch — lr=1 exact integers, so
     # the ledger replays bit-for-bit like every fit round before it.
-    oracles["perceptron_incremental_update"] = f"""
-        WITH {_perc_chain},
-        pwavg AS (SELECT bucket, sum(w)::BIGINT AS w
-                  FROM ({_perc_w_union}) GROUP BY bucket),
-        bids AS (SELECT doc_id FROM documents
-                 WHERE source = '{dedup.INCREMENTAL_NEW_SOURCE}'),
-        bm AS (SELECT p.doc_id, max(p.y) AS y,
-                      sum(p.cnt * w.w)::BIGINT AS margin
-               FROM pf p JOIN pwavg w USING (bucket)
-               JOIN bids USING (doc_id)
-               GROUP BY 1),
-        mis AS (SELECT doc_id FROM bm WHERE y * margin <= 0),
-        dwq AS (SELECT p.bucket, sum(p.y * p.cnt)::BIGINT AS dw
-                FROM pf p JOIN mis USING (doc_id)
-                JOIN bids USING (doc_id)
-                GROUP BY 1),
-        grid AS (SELECT unnest(range({textops.PERC_DIM}))::BIGINT AS bucket)
-        SELECT g.bucket,
-               coalesce(w.w, 0)::BIGINT AS w_before,
-               coalesce(d.dw, 0)::BIGINT AS dw,
-               (coalesce(w.w, 0) + coalesce(d.dw, 0))::BIGINT AS w_after
-        FROM grid g
-        LEFT JOIN pwavg w USING (bucket)
-        LEFT JOIN dwq d USING (bucket)
-    """
-    # The live update's per-micro-batch partial deltas are computed
-    # against the FIXED pre-round weights, so their sum ≡ the batch
-    # round's ledger — shared oracle (the model-gate contract, applied
-    # to maintenance).
-    oracles["streaming_model_update_replay"] = (
-        oracles["perceptron_incremental_update"]
-    )
-    # Promotion audit (r08): the update round replays EXACTLY as in the
-    # incremental oracle, then BOTH weight tables score the corpus in
-    # one aggregation — the report is conditional sums on top, so it
-    # can never drift from the published ledger.
-    oracles["model_promotion_report"] = f"""
-        WITH {_perc_chain},
+    # ONE definition of the update round's CTE suffix (pwavg → ledger
+    # grid), shared verbatim by the incremental entry AND the promotion
+    # audit below — composition at the Python level (DuckDB rejects
+    # re-declaring the fit chain's CTE names when nesting the full
+    # oracle as a subquery), so the two can never drift.
+    _perc_update_ctes = f"""
         pwavg AS (SELECT bucket, sum(w)::BIGINT AS w
                   FROM ({_perc_w_union}) GROUP BY bucket),
         bids AS (SELECT doc_id FROM documents
@@ -4173,11 +4134,32 @@ def oracle_sql() -> dict[str, str]:
         wgrid AS (SELECT unnest(range({textops.PERC_DIM}))::BIGINT AS bucket),
         wab AS (SELECT g.bucket,
                        coalesce(w.w, 0)::BIGINT AS w_before,
+                       coalesce(d.dw, 0)::BIGINT AS dw,
                        (coalesce(w.w, 0) + coalesce(d.dw, 0))::BIGINT
                            AS w_after
                 FROM wgrid g
                 LEFT JOIN pwavg w USING (bucket)
-                LEFT JOIN dwq d USING (bucket)),
+                LEFT JOIN dwq d USING (bucket))"""
+    oracles["perceptron_incremental_update"] = f"""
+        WITH {_perc_chain},
+        {_perc_update_ctes}
+        SELECT bucket, w_before, dw, w_after FROM wab
+    """
+    # The live update's per-micro-batch partial deltas are computed
+    # against the FIXED pre-round weights, so their sum ≡ the batch
+    # round's ledger — shared oracle (the model-gate contract, applied
+    # to maintenance).
+    oracles["streaming_model_update_replay"] = (
+        oracles["perceptron_incremental_update"]
+    )
+    # Promotion audit (r08): the update round's ledger is the SAME
+    # _perc_update_ctes suffix the incremental entry publishes (one
+    # Python fragment — can never drift), then BOTH weight columns
+    # score the corpus in one aggregation with the report as
+    # conditional sums on top.
+    oracles["model_promotion_report"] = f"""
+        WITH {_perc_chain},
+        {_perc_update_ctes},
         sm AS (SELECT p.doc_id, p.split,
                       sum(p.cnt * wab.w_before)::BIGINT AS margin_before,
                       sum(p.cnt * wab.w_after)::BIGINT AS margin_after

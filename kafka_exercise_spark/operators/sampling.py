@@ -532,8 +532,13 @@ def mixture_epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
 MIX_TEMPERATURES_MILLI = (1000, 500, 250)
 
 #: Temperature the weighted budget selection reads its per-source shares
-#: at — α=½, the mT5 default (must be a member of the ladder above).
+#: at — α=½, the mT5 default. MUST be a member of the ladder above: the
+#: budget sheet filters the temperature plan on it, and a non-member
+#: would silently produce an EMPTY selection that still hash-matches its
+#: (equally empty) composed oracle — asserted at import so a retune of
+#: the ladder fails loudly instead.
 BUDGET_ALPHA_MILLI = 500
+assert BUDGET_ALPHA_MILLI in MIX_TEMPERATURES_MILLI
 
 
 def mixture_temperature_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -655,17 +660,8 @@ def token_budget_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape (shard by (source, H(doc) mod S) with budget/S per shard at
     100 TB; mechanical extension of this exact plan).
     """
-    from pyspark.sql import Window  # noqa: PLC0415
-
-    survivors = _weighted_survivor_frame(spark, sf_dir)
-    w = (
-        Window.partitionBy("source")
-        .orderBy("hk", "doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     return (
-        survivors.join(F.broadcast(_source_budgets(spark, sf_dir)), "source")
-        .withColumn("cum_tok", F.sum("n_tok").over(w).cast("long"))
+        _cumulated_survivor_frame(spark, sf_dir)
         .filter(F.col("cum_tok") - F.col("n_tok") < F.col("budget_tokens"))
         .select(
             "source", "doc_id", "weight_ppm", "n_tok", "cum_tok",
@@ -732,6 +728,26 @@ def _weighted_survivor_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cumulated_survivor_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The survivor pool joined to its budgets with the greedy-fill
+    running total: (source, doc_id, n_tok, weight_ppm, hk,
+    budget_tokens, cum_tok). The ONE definition of the fill order
+    ((hk, doc_id), prefix-before-the-doc rule) both the selection and
+    its fill report consume — an edit to the tie-break or window frame
+    cannot desynchronize them."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    s = _weighted_survivor_frame(spark, sf_dir).join(
+        F.broadcast(_source_budgets(spark, sf_dir)), "source"
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("hk", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return s.withColumn("cum_tok", F.sum("n_tok").over(w).cast("long"))
+
+
 def token_budget_fill_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source utilization sheet for the weighted budget selection —
     the ``pack_efficiency_report`` of the capstone: what the post-draw
@@ -753,17 +769,7 @@ def token_budget_fill_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     are filtered like the two-frame inner join would (also fences the
     budget=0 ⇒ fill_ppm division: n_kept > 0 implies budget > 0).
     """
-    s = _weighted_survivor_frame(spark, sf_dir).join(
-        F.broadcast(_source_budgets(spark, sf_dir)), "source"
-    )
-    from pyspark.sql import Window  # noqa: PLC0415
-
-    w = (
-        Window.partitionBy("source")
-        .orderBy("hk", "doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    c = s.withColumn("cum_tok", F.sum("n_tok").over(w).cast("long"))
+    c = _cumulated_survivor_frame(spark, sf_dir)
     kept_cond = F.col("cum_tok") - F.col("n_tok") < F.col("budget_tokens")
     return (
         c.groupBy("source")

@@ -2600,11 +2600,22 @@ def model_gate_impact_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     value here is REPLACING the expensive battery (per the
     disagreement report), not stacking on it.
     """
-    base = curation_run_manifest(spark, sf_dir).select(
-        "doc_id", "n_tokens", F.col("disposition").alias("disposition_before")
-    )
     gated = curation_manifest_model_gate(spark, sf_dir).select(
         "doc_id", F.col("disposition").alias("disposition_after")
+    )
+    return _impact_matrix(spark, sf_dir, gated)
+
+
+def _impact_matrix(
+    spark: SparkSession, sf_dir: str, gated: DataFrame
+) -> DataFrame:
+    """Shared matrix contract for the impact twins: join the rule-only
+    manifest to a (doc_id, disposition_after) frame, aggregate per
+    transition cell (count, token mass, MIN-doc-id example), flag the
+    off-diagonal. ONE definition so the twins cannot diverge in shape
+    or conventions."""
+    base = curation_run_manifest(spark, sf_dir).select(
+        "doc_id", "n_tokens", F.col("disposition").alias("disposition_before")
     )
     return (
         base.join(gated, "doc_id")
@@ -2645,27 +2656,13 @@ def model_replace_impact_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy. Oracle composed from both manifest oracles with the same
     CASE chain.
     """
-    base = curation_run_manifest(spark, sf_dir).select(
-        "doc_id", "n_tokens", F.col("disposition").alias("disposition_before")
-    )
-    g = curation_manifest_model_gate(spark, sf_dir)
     replace_disp = (
         F.when(~F.col("model_keep"), F.lit("reject_model"))
         .when(~F.col("is_canonical"), F.lit("reject_duplicate"))
         .when(F.col("split") != "train", F.lit("held_out"))
         .otherwise(F.lit("train"))
     )
-    gated = g.select("doc_id", replace_disp.alias("disposition_after"))
-    return (
-        base.join(gated, "doc_id")
-        .groupBy("disposition_before", "disposition_after")
-        .agg(
-            F.count("*").cast("long").alias("n_docs"),
-            F.sum("n_tokens").cast("long").alias("n_tokens"),
-            F.min("doc_id").cast("long").alias("example_doc_id"),
-        )
-        .withColumn(
-            "changed",
-            F.col("disposition_before") != F.col("disposition_after"),
-        )
+    gated = curation_manifest_model_gate(spark, sf_dir).select(
+        "doc_id", replace_disp.alias("disposition_after")
     )
+    return _impact_matrix(spark, sf_dir, gated)

@@ -104,14 +104,16 @@ SELECTED = [
     # r07 additions
     ("lsh_buckets_report", "one agg over the served LSH frame; total is an in-plan 1-row aggregate (construction-pure since r7)"),
     # r08 additions
-    ("dedup_soft_weights", "doc_id-only scan left-joined to the O(near-dup) component frame; weight is integer div"),
     ("mixture_temperature_plan", "one token-count scan to |sources| rows; |ladder| fan-out over the tiny frame"),
-    ("token_budget_weighted", "hash-Bernoulli draw map-side; |sources|-row budget sheet broadcast; ONE per-source window"),
-    # bpe_train_merges, the perceptron entries, and the r7/r8 model
-    # sheets (disagreement / threshold sweep / model-gated manifest /
-    # promotion / batch drift) are deliberately absent: constructing
-    # their plans RUNS the iterative fit (bounded per-round collects),
-    # same exclusion class as the streaming replays.
+    # bpe_train_merges, the perceptron entries, the r7/r8 model sheets
+    # (disagreement / threshold sweep / model-gated manifest /
+    # promotion / batch drift / impact matrices), and the
+    # component-frame consumers (dedup_soft_weights,
+    # token_budget_weighted, split_repair_plan) are deliberately
+    # absent: constructing their plans RUNS an iterative fit or the
+    # union-find contraction (bounded per-round collects), same
+    # exclusion class as the streaming replays. Their plan shapes are
+    # fenced in tests/test_plans.py instead.
 ]
 
 FULL_PLANS = ["q3_shipping_priority", "dedup_ngram_jaccard"]

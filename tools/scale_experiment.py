@@ -118,6 +118,13 @@ QUERIES = {
     "token_budget_weighted": sampling.token_budget_weighted,
     "model_promotion_report": textops.model_promotion_report,
     "model_batch_drift_report": textops.model_batch_drift_report,
+    # late-r08 additions — pure compositions over memo-served frames
+    # (run after their parents above, so the rung times the marginal
+    # join/aggregate each claims): BOTH deploy-impact matrices and the
+    # per-doc leakage repair plan (same tiers as split_leakage_report).
+    "model_gate_impact_matrix": textops.model_gate_impact_matrix,
+    "model_replace_impact_matrix": textops.model_replace_impact_matrix,
+    "split_repair_plan": dedup.split_repair_plan,
 }
 
 
