@@ -461,6 +461,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per-doc eval-contamination REPAIR actions (detect → repair,
         # closing the split-leakage loop; GPT-3 appendix-C practice)
         "split_repair_plan": dedup.split_repair_plan,
+        # bucketed-batching economics: pow-2 length buckets, padded
+        # mass, batch shape, pad-waste ppm (the packing alternative)
+        "length_bucket_plan": sampling.length_bucket_plan,
+        # per-(shard, seq_bin) writer manifest of the packed layout
+        # (COMPOSED from the pack_sequences oracle)
+        "output_shard_manifest": sampling.output_shard_manifest,
+        # DPO-style mirror preference pairs from the quality model's
+        # integer logits (COMPOSED from the classifier oracle)
+        "preference_pairs": textops.preference_pairs,
+        # DPR-style contrastive records: ANN pool split into positives
+        # (SemDeDup pairs) vs hard negatives (COMPOSED oracles)
+        "hard_negatives_topk": similarity.hard_negatives_topk,
+        # FIM (prefix/middle/suffix) transformation plan — the code-model
+        # twin of span_corruption_masks, same md5-derived determinism
+        "fim_split_plan": textops.fim_split_plan,
+        # packing vs bucketed batching: the 2-row loader-layout decision
+        # sheet (COMPOSED from both layout oracles)
+        "packing_vs_bucketing_report": sampling.packing_vs_bucketing_report,
     }
     # The r08 driver window (first 50) — see the docstring for the
     # policy. Composition: flagships, the FULL late-r07 positional
@@ -4895,4 +4913,168 @@ def oracle_sql() -> dict[str, str]:
         FROM cw JOIN tr USING (word)
         GROUP BY source"""
     )
+    # bucketed-batching economics: pow-2 CASE ladder built from the SAME
+    # LENGTH_BUCKETS constant the Spark side folds, so the rungs cannot
+    # desynchronize; all-integer masses and ceiling-div batch counts
+    _bucket_case = (
+        "CASE "
+        + " ".join(
+            f"WHEN eff_tok <= {r} THEN {r}"
+            for r in sampling.LENGTH_BUCKETS
+        )
+        + " END"
+    )
+    _cap = sampling.LENGTH_BUCKETS[-1]
+    _bb = sampling.BUCKET_BATCH_TOKENS
+    oracles["length_bucket_plan"] = f"""
+        WITH t AS (SELECT least(len({_TOKS}), {_cap})::BIGINT AS eff_tok,
+                          (len({_TOKS}) > {_cap})::INT AS truncated
+                   FROM documents),
+        b AS (SELECT ({_bucket_case})::BIGINT AS bucket, eff_tok, truncated
+              FROM t),
+        g AS (SELECT bucket, count(*)::BIGINT AS n_docs,
+                     sum(truncated)::BIGINT AS n_truncated,
+                     sum(eff_tok)::BIGINT AS token_mass
+              FROM b GROUP BY bucket)
+        SELECT bucket, n_docs, n_truncated, token_mass,
+               (n_docs * bucket)::BIGINT AS padded_mass,
+               ({_bb} // bucket)::BIGINT AS seqs_per_batch,
+               ((n_docs + ({_bb} // bucket) - 1)
+                // ({_bb} // bucket))::BIGINT AS n_batches,
+               (((n_docs * bucket - token_mass) * 1000000)
+                // (n_docs * bucket))::BIGINT AS pad_waste_ppm
+        FROM g
+    """
+    # per-file writer manifest COMPOSED from the pack_sequences oracle so
+    # the two layout sheets can never drift
+    oracles["output_shard_manifest"] = f"""
+        WITH pk AS (SELECT * FROM ({oracles["pack_sequences"]}))
+        SELECT shard::BIGINT AS shard, seq_bin::BIGINT AS seq_bin,
+               count(*)::BIGINT AS n_docs,
+               sum(n_tok)::BIGINT AS bin_tokens,
+               min(doc_id)::BIGINT AS first_doc_id,
+               max(doc_id)::BIGINT AS last_doc_id,
+               ((sum(n_tok) * 1000000)
+                // {sampling.PACK_BUDGET_TOKENS})::BIGINT AS fill_ppm
+        FROM pk GROUP BY shard, seq_bin
+    """
+    # DPO mirror pairing COMPOSED from the classifier oracle: same
+    # (logit DESC, doc_id) ranking, odd-middle exclusion, strict margin
+    oracles["preference_pairs"] = f"""
+        WITH s AS (SELECT doc_id, logit
+                   FROM ({oracles["classifier_quality_score"]})),
+        d AS (SELECT doc_id, lang FROM documents),
+        j AS (SELECT lang, s.doc_id AS doc_id, logit
+              FROM s JOIN d USING (doc_id)),
+        r AS (SELECT lang, doc_id, logit,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY logit DESC, doc_id ASC)
+                         AS rnk,
+                     count(*) OVER (PARTITION BY lang) AS n
+              FROM j),
+        p AS (SELECT lang, least(rnk, n + 1 - rnk) AS pair_idx,
+                     rnk * 2 <= n AS chosen_side, doc_id, logit
+              FROM r WHERE rnk * 2 != n + 1),
+        g AS (SELECT lang, pair_idx,
+                     max(CASE WHEN chosen_side THEN doc_id END)::BIGINT
+                         AS chosen_doc_id,
+                     max(CASE WHEN chosen_side THEN logit END)::BIGINT
+                         AS chosen_logit,
+                     max(CASE WHEN NOT chosen_side THEN doc_id END)::BIGINT
+                         AS rejected_doc_id,
+                     max(CASE WHEN NOT chosen_side THEN logit END)::BIGINT
+                         AS rejected_logit
+              FROM p GROUP BY lang, pair_idx)
+        SELECT lang, pair_idx::BIGINT AS pair_idx, chosen_doc_id,
+               chosen_logit, rejected_doc_id, rejected_logit,
+               (chosen_logit - rejected_logit)::BIGINT AS margin
+        FROM g
+        WHERE chosen_logit - rejected_logit >= {textops.PREF_MARGIN_MIN}
+    """
+    # contrastive-record mining COMPOSED from the ANN and SemDeDup
+    # oracles: pool split by duplicate membership, per-role re-rank on
+    # the published 6-dp cosine with the neighbor-id tie-break
+    oracles["hard_negatives_topk"] = f"""
+        WITH cand AS (SELECT query_id, neighbor_id, cos
+                      FROM ({oracles["ann_cosine_topk"]})),
+        dup AS (SELECT id_a, id_b FROM ({oracles["dedup_semantic"]})),
+        sym AS (SELECT id_a AS query_id, id_b AS neighbor_id FROM dup
+                UNION ALL
+                SELECT id_b, id_a FROM dup),
+        rolled AS (SELECT c.query_id, c.neighbor_id, c.cos,
+                          CASE WHEN s.query_id IS NOT NULL THEN 'positive'
+                               ELSE 'hard_negative' END AS role
+                   FROM cand c
+                   LEFT JOIN sym s USING (query_id, neighbor_id)),
+        r AS (SELECT *, row_number() OVER (PARTITION BY query_id, role
+                                           ORDER BY cos DESC,
+                                                    neighbor_id ASC)
+                            AS role_rank
+              FROM rolled)
+        SELECT query_id, neighbor_id, cos, role,
+               role_rank::BIGINT AS role_rank
+        FROM r WHERE role_rank <= {similarity.NEG_K}
+    """
+    # FIM plan: the same md5 arithmetic as the Spark side (60-bit positive
+    # hash, so % == pmod), cut points ordered by least/greatest
+    oracles["fim_split_plan"] = f"""
+        WITH b AS (SELECT doc_id, len({_TOKS})::BIGINT AS n_tokens
+                   FROM documents),
+        s AS (SELECT doc_id, n_tokens,
+                     ('0x' || substr(md5('fim:' || doc_id), 1, 15))::BIGINT
+                         % 100 < {textops.FIM_RATE_PCT} AS fim_applied,
+                     ('0x' || substr(md5('fimu:' || doc_id), 1, 15))::BIGINT
+                         % (n_tokens + 1) AS u_raw,
+                     ('0x' || substr(md5('fimv:' || doc_id), 1, 15))::BIGINT
+                         % (n_tokens + 1) AS v_raw,
+                     ('0x' || substr(md5('fimmode:' || doc_id), 1,
+                                     15))::BIGINT % 2 = 0 AS psm
+              FROM b)
+        SELECT doc_id, fim_applied,
+               CASE WHEN NOT fim_applied THEN 'none'
+                    WHEN psm THEN 'psm' ELSE 'spm' END AS fim_mode,
+               n_tokens,
+               (CASE WHEN fim_applied THEN least(u_raw, v_raw)
+                     ELSE n_tokens END)::BIGINT AS prefix_len,
+               (CASE WHEN fim_applied
+                     THEN greatest(u_raw, v_raw) - least(u_raw, v_raw)
+                     ELSE 0 END)::BIGINT AS middle_len,
+               (CASE WHEN fim_applied
+                     THEN n_tokens - greatest(u_raw, v_raw)
+                     ELSE 0 END)::BIGINT AS suffix_len
+        FROM s
+    """
+    # loader-layout decision sheet COMPOSED from both layout oracles:
+    # packing units = per-shard ceiling sequences (overflow included),
+    # bucketing capacity = full batch reservations
+    oracles["packing_vs_bucketing_report"] = f"""
+        WITH pk AS (SELECT * FROM ({oracles["pack_sequences"]})),
+        ps AS (SELECT shard, sum(n_tok)::BIGINT AS tok,
+                      count(*)::BIGINT AS docs
+               FROM pk GROUP BY shard),
+        p AS (SELECT 'packing' AS strategy,
+                     sum(docs)::BIGINT AS n_docs,
+                     sum((tok + {sampling.PACK_BUDGET_TOKENS} - 1)
+                         // {sampling.PACK_BUDGET_TOKENS})::BIGINT
+                         AS n_units,
+                     sum(tok)::BIGINT AS real_tokens,
+                     (sum((tok + {sampling.PACK_BUDGET_TOKENS} - 1)
+                          // {sampling.PACK_BUDGET_TOKENS})
+                      * {sampling.PACK_BUDGET_TOKENS})::BIGINT
+                         AS capacity_tokens
+              FROM ps),
+        lb AS (SELECT * FROM ({oracles["length_bucket_plan"]})),
+        bu AS (SELECT 'bucketing' AS strategy,
+                      sum(n_docs)::BIGINT AS n_docs,
+                      sum(n_batches)::BIGINT AS n_units,
+                      sum(token_mass)::BIGINT AS real_tokens,
+                      sum(n_batches * seqs_per_batch * bucket)::BIGINT
+                          AS capacity_tokens
+               FROM lb),
+        u AS (SELECT * FROM p UNION ALL SELECT * FROM bu)
+        SELECT strategy, n_docs, n_units, real_tokens, capacity_tokens,
+               (((capacity_tokens - real_tokens) * 1000000)
+                // capacity_tokens)::BIGINT AS overhead_ppm
+        FROM u
+    """
     return oracles

@@ -807,3 +807,208 @@ def token_budget_fill_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("overshoot_tokens"),
         )
     )
+
+
+#: Power-of-two length-bucket ladder for bucketed batching. Docs longer
+#: than the top rung (= PACK_BUDGET_TOKENS, the trainer context length)
+#: are truncated to it — the loader-side convention bucketed batching
+#: shares with packing.
+LENGTH_BUCKETS = tuple(
+    1 << p for p in range(4, PACK_BUDGET_TOKENS.bit_length())
+)
+
+#: Per-batch token budget of the bucketed loader: a batch holds
+#: ``BUCKET_BATCH_TOKENS div bucket`` sequences of one bucket's length.
+BUCKET_BATCH_TOKENS = 4096
+
+
+def length_bucket_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-batching economics sheet — the OTHER standard loader
+    layout next to ``pack_sequences``: round every document's length up
+    to a power-of-two bucket, batch same-bucket sequences together, and
+    price the padding that packing avoids. Per bucket: document count,
+    truncation count, real token mass, padded mass (every doc pays its
+    bucket ceiling), batch shape at a fixed per-batch token budget, and
+    the padding waste in integer ppm — the sheet a trainer owner reads
+    to decide packing vs bucketing for a run (bucketing keeps document
+    boundaries — no cross-doc attention contamination — at the cost of
+    pad tokens; this prices that cost exactly).
+
+    All exact integers: the bucket is a CASE ladder over the fixed
+    ``LENGTH_BUCKETS`` rungs, truncation is ``least(n_tok, top rung)``,
+    batches per bucket is a ceiling ``div``, and waste_ppm divides two
+    exact sums. Cost: ONE tokenize scan + one |buckets|-row groupBy with
+    map-side combine — at 100 TB a single map-reduce with an 8-row
+    result, no window, no join.
+    """
+    from kafka_exercise_spark.functions.text import tokens  # noqa: PLC0415
+
+    cap = LENGTH_BUCKETS[-1]
+    docs = scale_partitions(load_table(spark, sf_dir, "documents"), spark)
+    # TWO projection barriers (the quality_repetition lesson): tokenize
+    # once per row, then reference the materialized eff_tok column from
+    # the 8-rung CASE ladder — inlining would re-tokenize per rung
+    base = docs.select(
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tok")
+    )
+    step = base.select(
+        F.least(F.col("n_tok"), F.lit(cap)).alias("eff_tok"),
+        (F.col("n_tok") > cap).cast("int").alias("truncated"),
+    )
+    bucket = F.lit(None).cast("long")
+    for rung in reversed(LENGTH_BUCKETS):
+        bucket = F.when(F.col("eff_tok") <= rung, F.lit(rung)).otherwise(
+            bucket
+        )
+    per_doc = step.select(
+        bucket.alias("bucket"), "eff_tok", "truncated"
+    )
+    spb = F.expr(f"{BUCKET_BATCH_TOKENS} div bucket")
+    return (
+        per_doc.groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("truncated").cast("long").alias("n_truncated"),
+            F.sum("eff_tok").cast("long").alias("token_mass"),
+        )
+        .select(
+            "bucket",
+            "n_docs",
+            "n_truncated",
+            "token_mass",
+            (F.col("n_docs") * F.col("bucket"))
+            .cast("long")
+            .alias("padded_mass"),
+            spb.cast("long").alias("seqs_per_batch"),
+            F.expr(
+                f"(n_docs + ({BUCKET_BATCH_TOKENS} div bucket) - 1)"
+                f" div ({BUCKET_BATCH_TOKENS} div bucket)"
+            )
+            .cast("long")
+            .alias("n_batches"),
+            F.expr(
+                "((n_docs * bucket - token_mass) * 1000000)"
+                " div (n_docs * bucket)"
+            )
+            .cast("long")
+            .alias("pad_waste_ppm"),
+        )
+    )
+
+
+def output_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-FILE writer manifest of the packed layout — the companion
+    ``pack_efficiency_report`` reads per SHARD: one row per (shard,
+    seq_bin) output unit with document count, token mass, the doc-id
+    range the assembler concatenates, and the bin's fill vs the
+    sequence budget in ppm. This is the manifest a shard writer emits
+    next to each output file (and what a resumable writer diffs against
+    to skip completed bins) — the last planning sheet between
+    ``pack_sequences``' per-doc layout and bytes on disk.
+
+    Token mass attributes a boundary-crossing doc to the bin it STARTS
+    in (the ``pack_sequences`` rule), so fill_ppm > 1 000 000 marks the
+    bins whose tail doc overflows into the next sequence — exactly the
+    bins an assembler must carry state across. All exact integers; the
+    oracle is COMPOSED from the ``pack_sequences`` oracle so the two
+    layouts can never drift. Cost: one groupBy over the packed frame,
+    shuffle key = (shard, seq_bin) — at 100 TB this IS the output-file
+    partitioning, so the manifest falls out of the write's own shuffle.
+    """
+    packed = pack_sequences(spark, sf_dir)
+    return (
+        packed.groupBy("shard", "seq_bin")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("bin_tokens"),
+            F.min("doc_id").cast("long").alias("first_doc_id"),
+            F.max("doc_id").cast("long").alias("last_doc_id"),
+        )
+        .select(
+            F.col("shard").cast("long").alias("shard"),
+            F.col("seq_bin").cast("long").alias("seq_bin"),
+            "n_docs",
+            "bin_tokens",
+            "first_doc_id",
+            "last_doc_id",
+            F.expr(f"(bin_tokens * 1000000) div {PACK_BUDGET_TOKENS}")
+            .cast("long")
+            .alias("fill_ppm"),
+        )
+    )
+
+
+def packing_vs_bucketing_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The loader-layout DECISION sheet: packing vs bucketed batching on
+    the same corpus, one row per strategy — emitted units (assembler
+    sequences vs batches), real token mass, the capacity those units
+    reserve, and the overhead in integer ppm. Packing's overhead is the
+    per-shard last-sequence underfill (boundary-crossing docs overflow
+    forward, so emitted sequences = ceil(shard tokens / budget) — the
+    count an assembler actually writes); bucketing's is pad-to-bucket
+    waste plus last-batch slack. This is the one-glance comparison the
+    two audit sheets (``pack_efficiency_report``, ``length_bucket_plan``)
+    exist to feed — the trade priced: packing wastes almost nothing but
+    crosses document boundaries; bucketing preserves boundaries and
+    pays the ppm printed here.
+
+    All exact integers (ceiling ``div``s and two-sum ppm). Cost: reuses
+    the two parents' single-scan plans and folds each to ONE row —
+    strictly the parents' cost at 100 TB. Oracle COMPOSED from both
+    parents' oracles, so the decision sheet can never drift from the
+    layouts it compares.
+    """
+    budget = PACK_BUDGET_TOKENS
+    packed = pack_sequences(spark, sf_dir)
+    pk = (
+        packed.groupBy("shard")
+        .agg(
+            F.sum("n_tok").cast("long").alias("tok"),
+            F.count("*").cast("long").alias("docs"),
+        )
+        .agg(
+            F.sum("docs").cast("long").alias("n_docs"),
+            F.sum(F.expr(f"(tok + {budget} - 1) div {budget}"))
+            .cast("long")
+            .alias("n_units"),
+            F.sum("tok").cast("long").alias("real_tokens"),
+        )
+        .select(
+            F.lit("packing").alias("strategy"),
+            "n_docs",
+            "n_units",
+            "real_tokens",
+            (F.col("n_units") * budget)
+            .cast("long")
+            .alias("capacity_tokens"),
+        )
+    )
+    bk = (
+        length_bucket_plan(spark, sf_dir)
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("n_batches").cast("long").alias("n_units"),
+            F.sum("token_mass").cast("long").alias("real_tokens"),
+            F.sum(
+                F.col("n_batches")
+                * F.col("seqs_per_batch")
+                * F.col("bucket")
+            )
+            .cast("long")
+            .alias("capacity_tokens"),
+        )
+        .select(
+            F.lit("bucketing").alias("strategy"),
+            "n_docs",
+            "n_units",
+            "real_tokens",
+            "capacity_tokens",
+        )
+    )
+    return pk.unionByName(bk).withColumn(
+        "overhead_ppm",
+        F.expr(
+            "((capacity_tokens - real_tokens) * 1000000)"
+            " div capacity_tokens"
+        ).cast("long"),
+    )

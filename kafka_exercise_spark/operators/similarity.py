@@ -1754,3 +1754,56 @@ def lsh_buckets_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "probe_queries",
         )
     )
+
+
+#: Hard negatives kept per query (and positives cap per query) in the
+#: contrastive-training record pool mined from the ANN candidate set.
+NEG_K = 5
+
+
+def hard_negatives_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPR-style contrastive-training data mining (Karpukhin et al. 2020,
+    arXiv:2004.04906 §4.2): for each query, split its ANN candidate pool
+    into POSITIVES (candidates that are semantic duplicates of the query
+    — the SemDeDup pair set, the same "these mean the same thing" oracle
+    the dedup family uses) and HARD NEGATIVES (close in embedding space
+    but NOT duplicates — the near-misses that make a retriever learn),
+    keeping the top ``NEG_K`` of each role by cosine. This is the step
+    that turns a curated corpus + ANN index into (query, positive,
+    negatives) training records for a retrieval/embedding model.
+
+    Pool-bounded semantics by design: candidates come from
+    ``ann_cosine_topk``'s top-10 (at 100 TB, the served IVF index's
+    candidate stage — same frame shape), so mining cost is |queries| ×
+    TOP_K, never a corpus scan; the duplicate set is the memoized
+    SemDeDup pair frame (O(near-dup) rows, broadcast side of the role
+    split). Ranking reuses the candidates' published 6-dp cosine with a
+    neighbor-id tie-break, so the cut is deterministic and the oracle —
+    COMPOSED from the ANN and SemDeDup oracles — replays it exactly.
+    """
+    cand = ann_cosine_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id", "cos"
+    )
+    dup = dedup_semantic(spark, sf_dir).select("id_a", "id_b")
+    sym = dup.unionByName(
+        dup.select(
+            F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")
+        )
+    ).select(
+        F.col("id_a").alias("query_id"),
+        F.col("id_b").alias("neighbor_id"),
+        F.lit(True).alias("is_dup"),
+    )
+    rolled = cand.join(F.broadcast(sym), ["query_id", "neighbor_id"], "left")
+    role = F.when(
+        F.col("is_dup").isNotNull(), F.lit("positive")
+    ).otherwise(F.lit("hard_negative"))
+    w = Window.partitionBy("query_id", "role").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    return (
+        rolled.withColumn("role", role)
+        .withColumn("role_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("role_rank") <= NEG_K)
+        .select("query_id", "neighbor_id", "cos", "role", "role_rank")
+    )

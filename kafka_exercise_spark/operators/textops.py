@@ -2666,3 +2666,148 @@ def model_replace_impact_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", replace_disp.alias("disposition_after")
     )
     return _impact_matrix(spark, sf_dir, gated)
+
+
+#: Minimum integer-logit margin for a preference pair to be emitted:
+#: 1 = the chosen doc must be STRICTLY better under the quality model
+#: (equal-logit mirror pairs carry no preference signal and are dropped).
+PREF_MARGIN_MIN = 1
+
+
+def preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair construction for DPO/RLHF-style post-training
+    (Rafailov et al. 2023, arXiv:2305.18290): within each language,
+    rank documents by the quality model's exact integer logit
+    (``classifier_quality_score``) and mirror-pair the ranking — rank i
+    (chosen) against rank n+1-i (rejected) — emitting one (chosen,
+    rejected, margin) record per pair with a strictly positive margin.
+    Mirror pairing maximizes the summed margin over any perfect
+    matching of the ranking and gives every document at most one pair,
+    so the pair set is disjoint, deterministic, and auditable — the
+    construction step between a scored corpus and a preference-tuning
+    run.
+
+    All exact integers: logits are the classifier's integer dot
+    products, ordering is (logit DESC, doc_id) so ties cannot reorder
+    across engines, odd-size middle rows are excluded, and zero-margin
+    pairs are dropped (``PREF_MARGIN_MIN``). The pairing itself is a
+    groupBy over (lang, pair_idx = least(rank, n+1-rank)) with
+    conditional aggregates — NO self-join, so the scored frame is read
+    once. Cost: the classifier's one token shuffle, a doc-keyed join to
+    the column-pruned (doc_id, lang) scan, one window and one groupBy
+    both keyed by lang — at 100 TB the window shards as (lang, H(doc)
+    mod S) with per-shard mirror pairing, the ``token_budget_select``
+    two-level extension of this exact plan.
+    """
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    scores = classifier_quality_score(spark, sf_dir).select(
+        "doc_id", "logit"
+    )
+    langs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    j = scores.join(langs, "doc_id")
+    w = Window.partitionBy("lang").orderBy(F.desc("logit"), F.asc("doc_id"))
+    wn = Window.partitionBy("lang")
+    ranked = (
+        j.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .withColumn("n", F.count("*").over(wn).cast("long"))
+        .filter(F.col("rnk") * 2 != F.col("n") + 1)
+        .withColumn(
+            "pair_idx",
+            F.least(F.col("rnk"), F.col("n") + 1 - F.col("rnk")),
+        )
+        .withColumn("chosen_side", F.col("rnk") * 2 <= F.col("n"))
+    )
+    chosen = F.when(F.col("chosen_side"), F.col("doc_id"))
+    rejected = F.when(~F.col("chosen_side"), F.col("doc_id"))
+    return (
+        ranked.groupBy("lang", "pair_idx")
+        .agg(
+            F.max(chosen).cast("long").alias("chosen_doc_id"),
+            F.max(F.when(F.col("chosen_side"), F.col("logit")))
+            .cast("long")
+            .alias("chosen_logit"),
+            F.max(rejected).cast("long").alias("rejected_doc_id"),
+            F.max(F.when(~F.col("chosen_side"), F.col("logit")))
+            .cast("long")
+            .alias("rejected_logit"),
+        )
+        .withColumn(
+            "margin",
+            (F.col("chosen_logit") - F.col("rejected_logit")).cast("long"),
+        )
+        .filter(F.col("margin") >= PREF_MARGIN_MIN)
+        .select(
+            "lang",
+            F.col("pair_idx").cast("long").alias("pair_idx"),
+            "chosen_doc_id",
+            "chosen_logit",
+            "rejected_doc_id",
+            "rejected_logit",
+            "margin",
+        )
+    )
+
+
+#: Fraction of documents the FIM transformation applies to, in percent —
+#: the paper's headline recipe trains at a 50% FIM rate with no
+#: left-to-right capability cost ("FIM-for-free").
+FIM_RATE_PCT = 50
+
+
+def fim_split_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-Middle transformation planning (Bavarian et al. 2022,
+    arXiv:2207.14255) — the code-model twin of ``span_corruption_masks``:
+    per document, a DETERMINISTIC plan of the FIM rewrite. A doc is
+    transformed iff its salted hash lands under ``FIM_RATE_PCT``; two
+    hash-derived cut points split its token sequence into (prefix,
+    middle, suffix), and one more hash bit picks PSM vs SPM ordering
+    (the paper's joint 50/50 mode mix). Untransformed docs pass through
+    as pure prefix.
+
+    Everything is a pure function of (salt, doc_id, n_tokens) — like
+    the span-corruption plan, re-running the pipeline at any scale or
+    partitioning yields byte-identical training examples, and the
+    emitted span lengths are the audit trail. Map-only: one pruned scan
+    behind a projection barrier (tokenize once, cut twice), no shuffle,
+    no Python; the oracle replays the same md5 arithmetic.
+    """
+    docs = scale_partitions(load_table(spark, sf_dir, "documents"), spark)
+
+    def h(tag: str) -> F.Column:
+        return md5_hash64(
+            F.concat(F.lit(tag), F.col("doc_id").cast("string"))
+        )
+
+    base = docs.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    step = base.select(
+        "doc_id",
+        "n_tokens",
+        (F.pmod(h("fim:"), F.lit(100)) < FIM_RATE_PCT).alias("fim_applied"),
+        F.pmod(h("fimu:"), F.col("n_tokens") + 1).alias("u_raw"),
+        F.pmod(h("fimv:"), F.col("n_tokens") + 1).alias("v_raw"),
+        (F.pmod(h("fimmode:"), F.lit(2)) == 0).alias("psm"),
+    )
+    u = F.least(F.col("u_raw"), F.col("v_raw"))
+    v = F.greatest(F.col("u_raw"), F.col("v_raw"))
+    ap = F.col("fim_applied")
+    return step.select(
+        "doc_id",
+        "fim_applied",
+        F.when(~ap, F.lit("none"))
+        .when(F.col("psm"), F.lit("psm"))
+        .otherwise(F.lit("spm"))
+        .alias("fim_mode"),
+        "n_tokens",
+        F.when(ap, u).otherwise(F.col("n_tokens"))
+        .cast("long")
+        .alias("prefix_len"),
+        F.when(ap, v - u).otherwise(F.lit(0)).cast("long").alias("middle_len"),
+        F.when(ap, F.col("n_tokens") - v)
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("suffix_len"),
+    )

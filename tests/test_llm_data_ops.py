@@ -2596,3 +2596,110 @@ def test_split_repair_plan_reconciles_with_census(spark, sf_dir):
         agg[r.split][2] += int(dose)
     for s, c in census.items():
         assert agg[s] == [c.n_exact_leak, c.n_neardup_leak, c.n_winnow_leak]
+
+
+def test_preference_pairs_mirror_matching(spark, sf_dir):
+    pairs = textops.preference_pairs(spark, sf_dir).collect()
+    scores = {
+        r.doc_id: r.logit
+        for r in textops.classifier_quality_score(spark, sf_dir)
+        .select("doc_id", "logit")
+        .collect()
+    }
+    assert pairs
+    seen = set()
+    for p in pairs:
+        # strict preference, and logits are the classifier's own
+        assert p.margin >= textops.PREF_MARGIN_MIN
+        assert p.chosen_logit == scores[p.chosen_doc_id]
+        assert p.rejected_logit == scores[p.rejected_doc_id]
+        assert p.chosen_logit - p.rejected_logit == p.margin
+        # a document appears in AT MOST one pair, on one side
+        for d in (p.chosen_doc_id, p.rejected_doc_id):
+            assert d not in seen
+            seen.add(d)
+    # mirror pairing: per lang, pair count ≤ n div 2 (margin-0 pairs and
+    # the odd middle are dropped)
+    from kafka_exercise_spark.catalog import load_table
+
+    n_by_lang = {
+        r.lang: r.n
+        for r in load_table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    by_lang = {}
+    for p in pairs:
+        by_lang[p.lang] = by_lang.get(p.lang, 0) + 1
+    for lang, cnt in by_lang.items():
+        assert cnt <= n_by_lang[lang] // 2
+
+
+def test_preference_pairs_is_deterministic(spark, sf_dir):
+    a = sorted(map(tuple, textops.preference_pairs(spark, sf_dir).collect()))
+    b = sorted(map(tuple, textops.preference_pairs(spark, sf_dir).collect()))
+    assert a == b
+
+
+def test_hard_negatives_split_roles_correctly(spark, sf_dir):
+    recs = similarity.hard_negatives_topk(spark, sf_dir).collect()
+    assert recs
+    dup = {
+        (r.id_a, r.id_b)
+        for r in similarity.dedup_semantic(spark, sf_dir)
+        .select("id_a", "id_b")
+        .collect()
+    }
+    cand = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ann_cosine_topk(spark, sf_dir).collect()
+    }
+    per_role = {}
+    for r in recs:
+        # every record comes from the ANN candidate pool
+        assert (r.query_id, r.neighbor_id) in cand
+        is_dup = (
+            min(r.query_id, r.neighbor_id),
+            max(r.query_id, r.neighbor_id),
+        ) in dup
+        assert (r.role == "positive") == is_dup
+        assert 1 <= r.role_rank <= similarity.NEG_K
+        key = (r.query_id, r.role)
+        per_role.setdefault(key, []).append(r)
+    # ranks are contiguous and ordered by (cos desc, neighbor_id asc)
+    for rows in per_role.values():
+        rows.sort(key=lambda r: r.role_rank)
+        assert [r.role_rank for r in rows] == list(range(1, len(rows) + 1))
+        ordered = sorted(rows, key=lambda r: (-r.cos, r.neighbor_id))
+        assert [r.neighbor_id for r in ordered] == [
+            r.neighbor_id for r in rows
+        ]
+
+
+def test_fim_split_plan_partitions_every_doc(spark, sf_dir):
+    rows = textops.fim_split_plan(spark, sf_dir).collect()
+    assert rows
+    n_applied = 0
+    for r in rows:
+        assert r.fim_mode in ("none", "psm", "spm")
+        assert (r.fim_mode != "none") == r.fim_applied
+        # the three spans partition the token sequence exactly
+        assert r.prefix_len + r.middle_len + r.suffix_len == r.n_tokens
+        assert r.prefix_len >= 0 and r.middle_len >= 0 and r.suffix_len >= 0
+        if not r.fim_applied:
+            assert (r.prefix_len, r.middle_len, r.suffix_len) == (
+                r.n_tokens,
+                0,
+                0,
+            )
+        else:
+            n_applied += 1
+    # hash rate realization: the 50% gate lands in a sane band
+    assert 0.35 < n_applied / len(rows) < 0.65
+
+
+def test_fim_split_plan_is_deterministic(spark, sf_dir):
+    a = sorted(map(tuple, textops.fim_split_plan(spark, sf_dir).collect()))
+    b = sorted(map(tuple, textops.fim_split_plan(spark, sf_dir).collect()))
+    assert a == b

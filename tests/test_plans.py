@@ -540,3 +540,41 @@ def test_impact_matrices_read_no_parquet(spark, sf_dir):
         assert python_eval_count(df) == 0
         assert not has_cartesian_product(df)
         assert read_schema_columns(df) == []
+
+
+def test_r8_training_data_sheets_plan_shape(spark, sf_dir):
+    """The late-r8 training-data entries stay JVM-side and bounded:
+    zero Python-eval nodes, no cartesian product anywhere; the FIM plan
+    is map-only (zero shuffles — like span_corruption_masks, modulo the
+    scale_partitions repartition); preference pairing joins the scored
+    frame to a (doc_id, lang)-pruned scan and NEVER self-joins; the
+    contrastive miner broadcasts the duplicate pair set."""
+    from kafka_exercise_spark.operators import sampling, similarity
+
+    df_fim = textops.fim_split_plan(spark, sf_dir)
+    assert python_eval_count(df_fim) == 0
+    assert not has_cartesian_product(df_fim)
+    # map-only: the only exchange is the scale_partitions repartition
+    assert shuffle_exchange_count(df_fim) <= 1
+    for cols in read_schema_columns(df_fim):
+        assert set(cols) <= {"doc_id", "text"}
+
+    df_pp = textops.preference_pairs(spark, sf_dir)
+    assert python_eval_count(df_pp) == 0
+    assert not has_cartesian_product(df_pp)
+    # the lang side is a pruned 2-column scan; the classifier side
+    # reads (doc_id, text) — nothing else touches parquet
+    for cols in read_schema_columns(df_pp):
+        assert set(cols) <= {"doc_id", "lang"} or set(cols) <= {
+            "doc_id",
+            "text",
+        }
+
+    df_hn = similarity.hard_negatives_topk(spark, sf_dir)
+    assert python_eval_count(df_hn) == 0
+    assert not has_cartesian_product(df_hn)
+    assert broadcast_join_count(df_hn) >= 1  # the dup pair set
+
+    df_pb = sampling.packing_vs_bucketing_report(spark, sf_dir)
+    assert python_eval_count(df_pb) == 0
+    assert not has_cartesian_product(df_pb)

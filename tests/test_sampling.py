@@ -332,3 +332,92 @@ def test_token_budget_fill_report_reconciles(spark, sf_dir):
         # greedy fill invariant: unfilled > 0 only when the pool ran dry
         if r.unfilled_tokens > 0:
             assert r.n_kept == r.n_survivors
+
+
+def test_length_bucket_plan_prices_padding_exactly(spark, sf_dir):
+    from kafka_exercise_spark.catalog import load_table
+
+    rows = sampling.length_bucket_plan(spark, sf_dir).collect()
+    total = load_table(spark, sf_dir, "documents").count()
+    assert sum(r.n_docs for r in rows) == total
+    for r in rows:
+        assert r.bucket in sampling.LENGTH_BUCKETS
+        # padded mass is the per-slot ceiling; waste is its exact ppm gap
+        assert r.padded_mass == r.n_docs * r.bucket
+        assert 0 <= r.token_mass <= r.padded_mass
+        assert r.pad_waste_ppm == (
+            (r.padded_mass - r.token_mass) * 1_000_000 // r.padded_mass
+        )
+        # batch shape: ceiling division, last batch possibly short
+        assert r.seqs_per_batch == sampling.BUCKET_BATCH_TOKENS // r.bucket
+        assert (r.n_batches - 1) * r.seqs_per_batch < r.n_docs
+        assert r.n_docs <= r.n_batches * r.seqs_per_batch
+        # truncation only exists in the top bucket
+        if r.bucket != sampling.LENGTH_BUCKETS[-1]:
+            assert r.n_truncated == 0
+
+
+def test_output_shard_manifest_reconciles_with_packing(spark, sf_dir):
+    packed = sampling.pack_sequences(spark, sf_dir)
+    man = sampling.output_shard_manifest(spark, sf_dir)
+    rows = man.collect()
+    assert sum(r.n_docs for r in rows) == packed.count()
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r)
+        assert r.first_doc_id <= r.last_doc_id
+        assert r.bin_tokens >= 0
+        assert r.fill_ppm == (
+            r.bin_tokens * 1_000_000 // sampling.PACK_BUDGET_TOKENS
+        )
+    for shard, bins in by_shard.items():
+        # bins are contiguous 0..max per shard (cumulative-sum intervals)
+        idx = sorted(b.seq_bin for b in bins)
+        assert idx == list(range(len(idx)))
+        # every bin except the shard's last starts a doc past the budget
+        # boundary (fill >= 1e6 possible only via the overflow rule)
+        for b in sorted(bins, key=lambda x: x.seq_bin)[:-1]:
+            assert b.bin_tokens > 0
+
+
+def test_layout_sheets_stay_jvm_side(spark, sf_dir):
+    for df in (
+        sampling.length_bucket_plan(spark, sf_dir),
+        sampling.output_shard_manifest(spark, sf_dir),
+    ):
+        assert python_eval_count(df) == 0
+    # one scan + one partial-agg shuffle (plus the family-standard
+    # scale_partitions repartition): the bucket plan never joins
+    assert shuffle_exchange_count(
+        sampling.length_bucket_plan(spark, sf_dir)
+    ) == 2
+
+
+def test_packing_vs_bucketing_report_reconciles(spark, sf_dir):
+    rows = {
+        r.strategy: r
+        for r in sampling.packing_vs_bucketing_report(
+            spark, sf_dir
+        ).collect()
+    }
+    assert set(rows) == {"packing", "bucketing"}
+    packed = sampling.pack_sequences(spark, sf_dir)
+    buckets = sampling.length_bucket_plan(spark, sf_dir).collect()
+    pk, bu = rows["packing"], rows["bucketing"]
+    # both strategies lay out the same corpus
+    assert pk.n_docs == bu.n_docs == packed.count()
+    assert pk.real_tokens == sum(
+        r.n_tok for r in packed.select("n_tok").collect()
+    )
+    assert bu.real_tokens == sum(r.token_mass for r in buckets)
+    assert bu.n_units == sum(r.n_batches for r in buckets)
+    for r in (pk, bu):
+        assert r.capacity_tokens >= r.real_tokens
+        assert r.overhead_ppm == (
+            (r.capacity_tokens - r.real_tokens)
+            * 1_000_000
+            // r.capacity_tokens
+        )
+    # the sheet's thesis: packing reserves (weakly) less capacity for
+    # the full token mass than bucketing reserves for the truncated one
+    assert pk.overhead_ppm <= bu.overhead_ppm

@@ -114,6 +114,15 @@ SELECTED = [
     # union-find contraction (bounded per-round collects), same
     # exclusion class as the streaming replays. Their plan shapes are
     # fenced in tests/test_plans.py instead.
+    ("length_bucket_plan", "tokenize behind projection barriers; 8-row agg with map-side combine"),
+    ("output_shard_manifest", "groupBy (shard, seq_bin) = the write's own output partitioning"),
+    ("packing_vs_bucketing_report", "both layouts folded to 1 row each; parents' scans, nothing more"),
+    ("fim_split_plan", "map-only md5 plan, byte-reproducible; zero data shuffle"),
+    # preference_pairs is a classifier consumer (one token shuffle +
+    # doc-keyed lang join + lang window, no self-join) — its shape is
+    # fenced in test_plans.py::test_r8_training_data_sheets_plan_shape;
+    # hard_negatives_topk consumes the memoized SemDeDup frame (same
+    # exclusion class as the other component-frame consumers above).
 ]
 
 FULL_PLANS = ["q3_shipping_priority", "dedup_ngram_jaccard"]
