@@ -125,6 +125,29 @@ QUERIES = {
     "model_gate_impact_matrix": textops.model_gate_impact_matrix,
     "model_replace_impact_matrix": textops.model_replace_impact_matrix,
     "split_repair_plan": dedup.split_repair_plan,
+    # late-r08 training-data construction sheets: two map+agg layout
+    # sheets (scan-bound — should track corpus size exactly), their
+    # 2-row decision composition, the map-only FIM plan, the per-lang
+    # mirror pairing (classifier shuffle + lang window — the window's
+    # per-lang task grows ×k, the shape the two-level shard extension
+    # addresses at real scale), and the pool-bounded contrastive miner
+    # (|queries|×TOP_K candidates — should be FLAT, not linear: the
+    # pool, not the corpus, is the cost driver; only the memoized
+    # index build underneath tracks k).
+    "length_bucket_plan": sampling.length_bucket_plan,
+    "output_shard_manifest": sampling.output_shard_manifest,
+    "packing_vs_bucketing_report": sampling.packing_vs_bucketing_report,
+    "fim_split_plan": textops.fim_split_plan,
+    "preference_pairs": textops.preference_pairs,
+    # the SemDeDup pair-frame build gets its OWN rung (within-cell
+    # self-join, Σ|cell|² by design — and the scale fixture fattens the
+    # SAME cells ×k because the quantizer is the FIXED served centroid
+    # set, so this rung grows ~k², unlike production where k-means k
+    # grows with the corpus and cells stay bounded). Running it first
+    # warms the session memo so the miner below times its own claim —
+    # the pool-bounded candidate split — not its parent's build.
+    "dedup_semantic": similarity.dedup_semantic,
+    "hard_negatives_topk": similarity.hard_negatives_topk,
 }
 
 
@@ -273,7 +296,12 @@ def main() -> None:
     # scale-independent, and per-dir memos (localCheckpoint) stay cold for
     # the timed dirs — so timings below measure data volume, not compilation
     warm = "/root/testdata/sf0.01"
-    for fn in QUERIES.values():
+    only = os.environ.get("SPARK_GRAFT_SCALE_ONLY")
+    queries = QUERIES
+    if only:
+        wanted = {x.strip() for x in only.split(",")}
+        queries = {k: v for k, v in QUERIES.items() if k in wanted}
+    for fn in queries.values():
         fn(spark, warm).write.format("noop").mode("overwrite").save()
     # the 1x baseline goes through build_scaled too: identical storage
     # format (timestamp encoding, file layout) on every rung, so ratios
@@ -283,9 +311,13 @@ def main() -> None:
         int(x)
         for x in os.environ.get("SPARK_GRAFT_SCALE_RUNGS", "1,4,8").split(",")
     )
+    # `queries` already honors SPARK_GRAFT_SCALE_ONLY (comma-separated
+    # names, registry order preserved): re-rung one family without
+    # paying the full ladder. Families that time a MARGINAL cost still
+    # need their memo parents listed first.
     dirs = {k: build_scaled(spark, k) for k in rungs}
     results: dict[str, dict[str, float]] = {}
-    for name, fn in QUERIES.items():
+    for name, fn in queries.items():
         results[name] = {}
         for k, d in dirs.items():
             t0 = time.perf_counter()
