@@ -2703,3 +2703,84 @@ def test_fim_split_plan_is_deterministic(spark, sf_dir):
     a = sorted(map(tuple, textops.fim_split_plan(spark, sf_dir).collect()))
     b = sorted(map(tuple, textops.fim_split_plan(spark, sf_dir).collect()))
     assert a == b
+
+
+def test_fim_split_plan_matches_pure_python_md5_replay(spark, sf_dir):
+    """The FIM plan is a pure function of (salt, doc_id, n_tokens) — so an
+    independent Python implementation of the md5 arithmetic must reproduce
+    every row. Catches any drift in the hash/pmod/least-greatest chain
+    (the same class of bug the int_cos_e6 bit-parity test guards)."""
+    import hashlib
+
+    def h64(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    for r in textops.fim_split_plan(spark, sf_dir).collect():
+        applied = h64(f"fim:{r.doc_id}") % 100 < textops.FIM_RATE_PCT
+        assert r.fim_applied == applied
+        if not applied:
+            assert r.fim_mode == "none"
+            assert (r.prefix_len, r.middle_len, r.suffix_len) == (
+                r.n_tokens,
+                0,
+                0,
+            )
+            continue
+        u_raw = h64(f"fimu:{r.doc_id}") % (r.n_tokens + 1)
+        v_raw = h64(f"fimv:{r.doc_id}") % (r.n_tokens + 1)
+        u, v = min(u_raw, v_raw), max(u_raw, v_raw)
+        psm = h64(f"fimmode:{r.doc_id}") % 2 == 0
+        assert r.fim_mode == ("psm" if psm else "spm")
+        assert (r.prefix_len, r.middle_len, r.suffix_len) == (
+            u,
+            v - u,
+            r.n_tokens - v,
+        )
+
+
+def test_preference_pairs_matches_pure_python_matching(spark, sf_dir):
+    """Full expected-set replay: rebuild the per-language mirror matching
+    in plain Python from the classifier's own scores and assert the Spark
+    pair set is EXACTLY it — not just invariant-consistent."""
+    from kafka_exercise_spark.catalog import load_table
+
+    scores = {
+        r.doc_id: r.logit
+        for r in textops.classifier_quality_score(spark, sf_dir)
+        .select("doc_id", "logit")
+        .collect()
+    }
+    langs = {
+        r.doc_id: r.lang
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang")
+        .collect()
+    }
+    by_lang: dict[str, list[int]] = {}
+    for d, lang in langs.items():
+        if d in scores:
+            by_lang.setdefault(lang, []).append(d)
+    expected = set()
+    for lang, docs in by_lang.items():
+        ranked = sorted(docs, key=lambda d: (-scores[d], d))
+        n = len(ranked)
+        for i in range(n // 2):
+            chosen, rejected = ranked[i], ranked[n - 1 - i]
+            margin = scores[chosen] - scores[rejected]
+            if margin >= textops.PREF_MARGIN_MIN:
+                expected.add(
+                    (
+                        lang,
+                        i + 1,
+                        chosen,
+                        scores[chosen],
+                        rejected,
+                        scores[rejected],
+                        margin,
+                    )
+                )
+    got = {
+        tuple(r)
+        for r in textops.preference_pairs(spark, sf_dir).collect()
+    }
+    assert got == expected
