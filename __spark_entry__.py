@@ -479,6 +479,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # packing vs bucketed batching: the 2-row loader-layout decision
         # sheet (COMPOSED from both layout oracles)
         "packing_vs_bucketing_report": sampling.packing_vs_bucketing_report,
+        # label-noise audit of the preference set: pairs whose two sides
+        # are near-dups of EACH OTHER (poisoned DPO labels), per lang
+        "preference_pair_dedup_audit": textops.preference_pair_dedup_audit,
     }
     # The r08 driver window (first 50) — see the docstring for the
     # policy. Composition: flagships, the FULL late-r07 positional
@@ -5076,5 +5079,30 @@ def oracle_sql() -> dict[str, str]:
                (((capacity_tokens - real_tokens) * 1000000)
                 // capacity_tokens)::BIGINT AS overhead_ppm
         FROM u
+    """
+    # preference label-noise audit COMPOSED from the preference and
+    # components oracles (the audit can never drift from what it audits)
+    oracles["preference_pair_dedup_audit"] = f"""
+        WITH pp AS (SELECT * FROM ({oracles["preference_pairs"]})),
+        comp AS (SELECT doc_id, comp
+                 FROM ({oracles["dedup_components"]})),
+        j AS (SELECT pp.lang, pp.pair_idx,
+                     cc.comp AS comp_c, cr.comp AS comp_r
+              FROM pp
+              LEFT JOIN comp cc ON cc.doc_id = pp.chosen_doc_id
+              LEFT JOIN comp cr ON cr.doc_id = pp.rejected_doc_id),
+        g AS (SELECT lang, count(*) AS n_pairs,
+                     sum((comp_c IS NOT NULL
+                          AND comp_c = comp_r)::INT) AS n_poisoned,
+                     coalesce(min(CASE WHEN comp_c IS NOT NULL
+                                        AND comp_c = comp_r
+                                       THEN pair_idx END), -1)
+                         AS example_pair_idx
+              FROM j GROUP BY lang)
+        SELECT lang, n_pairs::BIGINT AS n_pairs,
+               n_poisoned::BIGINT AS n_poisoned,
+               ((n_poisoned * 1000000) // n_pairs)::BIGINT AS poisoned_ppm,
+               example_pair_idx::BIGINT AS example_pair_idx
+        FROM g
     """
     return oracles

@@ -2811,3 +2811,62 @@ def fim_split_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("suffix_len"),
     )
+
+
+def preference_pair_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise audit of the preference set: a pair whose chosen and
+    rejected documents are NEAR-DUPLICATES of each other carries no real
+    preference signal (the "texts are interchangeable, labels say one is
+    better" failure mode that poisons DPO training) — this sheet counts
+    them per language against the near-dup component frame, with the
+    poisoned rate in integer ppm and a MIN pair_idx example to pull
+    (−1 when clean). The audit-twin convention every stage in this
+    engine gets, applied to the session's preference family; mirror
+    pairing ranks extremes against extremes, so the expected reading is
+    ~0 — a non-zero row is the actionable finding.
+
+    Cost: the pairing's own plan + two doc-keyed left joins against the
+    memoized O(near-dup) component frame (unhinted — AQE broadcasts
+    while it fits, per the standing policy) and a |langs|-row groupBy.
+    Oracle COMPOSED from the preference and components oracles so the
+    audit can never drift from what it audits.
+    """
+    from kafka_exercise_spark.operators.dedup import (  # noqa: PLC0415
+        dedup_components,
+    )
+
+    pp = preference_pairs(spark, sf_dir)
+    comps = dedup_components(spark, sf_dir).select("doc_id", "comp")
+    c_ch = comps.withColumnsRenamed(
+        {"doc_id": "chosen_doc_id", "comp": "comp_chosen"}
+    )
+    c_re = comps.withColumnsRenamed(
+        {"doc_id": "rejected_doc_id", "comp": "comp_rejected"}
+    )
+    j = pp.join(c_ch, "chosen_doc_id", "left").join(
+        c_re, "rejected_doc_id", "left"
+    )
+    poisoned = F.col("comp_chosen").isNotNull() & (
+        F.col("comp_chosen") == F.col("comp_rejected")
+    )
+    return (
+        j.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.sum(poisoned.cast("int")).cast("long").alias("n_poisoned"),
+            F.coalesce(
+                F.min(F.when(poisoned, F.col("pair_idx"))), F.lit(-1)
+            )
+            .cast("long")
+            .alias("example_pair_idx"),
+        )
+        .select(
+            "lang",
+            "n_pairs",
+            "n_poisoned",
+            F.expr("(n_poisoned * 1000000) div n_pairs")
+            .cast("long")
+            .alias("poisoned_ppm"),
+            "example_pair_idx",
+        )
+    )

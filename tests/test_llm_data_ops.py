@@ -2784,3 +2784,36 @@ def test_preference_pairs_matches_pure_python_matching(spark, sf_dir):
         for r in textops.preference_pairs(spark, sf_dir).collect()
     }
     assert got == expected
+
+
+def test_preference_pair_dedup_audit_reconciles(spark, sf_dir):
+    audit = {
+        r.lang: r
+        for r in textops.preference_pair_dedup_audit(spark, sf_dir).collect()
+    }
+    pairs = textops.preference_pairs(spark, sf_dir).collect()
+    comp = {
+        r.doc_id: r.comp
+        for r in dedup.dedup_components(spark, sf_dir)
+        .select("doc_id", "comp")
+        .collect()
+    }
+    by_lang: dict[str, list] = {}
+    for p in pairs:
+        by_lang.setdefault(p.lang, []).append(p)
+    assert set(audit) == set(by_lang)
+    for lang, rows in by_lang.items():
+        a = audit[lang]
+        assert a.n_pairs == len(rows)
+        poisoned = [
+            p
+            for p in rows
+            if p.chosen_doc_id in comp
+            and comp.get(p.chosen_doc_id) == comp.get(p.rejected_doc_id)
+        ]
+        assert a.n_poisoned == len(poisoned)
+        assert a.poisoned_ppm == a.n_poisoned * 1_000_000 // a.n_pairs
+        if poisoned:
+            assert a.example_pair_idx == min(p.pair_idx for p in poisoned)
+        else:
+            assert a.example_pair_idx == -1
