@@ -482,6 +482,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # label-noise audit of the preference set: pairs whose two sides
         # are near-dups of EACH OTHER (poisoned DPO labels), per lang
         "preference_pair_dedup_audit": textops.preference_pair_dedup_audit,
+        # the END-TO-END export capstone: pack the SELECTED corpus
+        # (weighted-budget survivors) and emit the per-file writer
+        # manifest (COMPOSED from the selection oracle)
+        "export_shard_manifest": sampling.export_shard_manifest,
     }
     # The r08 driver window (first 50) — see the docstring for the
     # policy. Composition: flagships, the FULL late-r07 positional
@@ -5104,5 +5108,31 @@ def oracle_sql() -> dict[str, str]:
                ((n_poisoned * 1000000) // n_pairs)::BIGINT AS poisoned_ppm,
                example_pair_idx::BIGINT AS example_pair_idx
         FROM g
+    """
+    # end-to-end export capstone COMPOSED from the weighted-selection
+    # oracle: the pack_sequences window arithmetic over the SELECTED
+    # docs' already-computed token counts, rolled to the file manifest
+    oracles["export_shard_manifest"] = f"""
+        WITH sel AS (SELECT doc_id, n_tok
+                     FROM ({oracles["token_budget_weighted"]})),
+        pk AS (SELECT doc_id, doc_id % {sampling.PACK_SHARDS} AS shard,
+                      n_tok,
+                      (sum(n_tok) OVER (PARTITION BY doc_id % {sampling.PACK_SHARDS}
+                           ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING))::BIGINT AS cum_tok
+               FROM sel),
+        b AS (SELECT shard, n_tok, doc_id,
+                     CAST(floor((cum_tok - n_tok)
+                          / {sampling.PACK_BUDGET_TOKENS}) AS BIGINT)
+                         AS seq_bin
+              FROM pk)
+        SELECT shard::BIGINT AS shard, seq_bin,
+               count(*)::BIGINT AS n_docs,
+               sum(n_tok)::BIGINT AS bin_tokens,
+               min(doc_id)::BIGINT AS first_doc_id,
+               max(doc_id)::BIGINT AS last_doc_id,
+               ((sum(n_tok) * 1000000)
+                // {sampling.PACK_BUDGET_TOKENS})::BIGINT AS fill_ppm
+        FROM b GROUP BY shard, seq_bin
     """
     return oracles

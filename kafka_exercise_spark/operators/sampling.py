@@ -1012,3 +1012,68 @@ def packing_vs_bucketing_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div capacity_tokens"
         ).cast("long"),
     )
+
+
+def export_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END export manifest — the one sheet a shard writer
+    takes to disk: pack the SELECTED corpus (the soft-dedup ×
+    temperature-budget survivors of ``token_budget_weighted``, i.e.
+    what the pipeline actually kept) into training sequences and emit
+    the per-(shard, seq_bin) writer manifest. This chains the whole
+    engine — dedup components → soft weights → temperature budgets →
+    greedy fill → contiguous packing → file manifest — into one
+    executable plan; ``output_shard_manifest`` is the same sheet over
+    the RAW corpus, so diffing the two prices what curation removed
+    from every output file.
+
+    The packed layout reuses the ``pack_sequences`` rules verbatim
+    (pmod shard, doc_id order, start-bin attribution for
+    boundary-crossers) over the selection's ALREADY-COMPUTED token
+    counts — no re-tokenize: the selection's one scan is the only
+    corpus touch, then a per-shard window and the manifest groupBy,
+    both keyed by the output partitioning. Oracle COMPOSED from the
+    ``token_budget_weighted`` oracle plus the same window arithmetic,
+    so selection and export can never drift.
+    """
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    sel = token_budget_weighted(spark, sf_dir).select("doc_id", "n_tok")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = (
+        sel.select(
+            "doc_id",
+            F.pmod(F.col("doc_id"), F.lit(PACK_SHARDS)).alias("shard"),
+            "n_tok",
+        )
+        .withColumn("cum_tok", F.sum("n_tok").over(w))
+        .withColumn(
+            "seq_bin",
+            F.floor(
+                (F.col("cum_tok") - F.col("n_tok")) / PACK_BUDGET_TOKENS
+            ),
+        )
+    )
+    return (
+        packed.groupBy("shard", "seq_bin")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("bin_tokens"),
+            F.min("doc_id").cast("long").alias("first_doc_id"),
+            F.max("doc_id").cast("long").alias("last_doc_id"),
+        )
+        .select(
+            F.col("shard").cast("long").alias("shard"),
+            F.col("seq_bin").cast("long").alias("seq_bin"),
+            "n_docs",
+            "bin_tokens",
+            "first_doc_id",
+            "last_doc_id",
+            F.expr(f"(bin_tokens * 1000000) div {PACK_BUDGET_TOKENS}")
+            .cast("long")
+            .alias("fill_ppm"),
+        )
+    )

@@ -421,3 +421,23 @@ def test_packing_vs_bucketing_report_reconciles(spark, sf_dir):
     # the sheet's thesis: packing reserves (weakly) less capacity for
     # the full token mass than bucketing reserves for the truncated one
     assert pk.overhead_ppm <= bu.overhead_ppm
+
+
+def test_export_shard_manifest_packs_exactly_the_selection(spark, sf_dir):
+    sel = sampling.token_budget_weighted(spark, sf_dir).collect()
+    man = sampling.export_shard_manifest(spark, sf_dir).collect()
+    # the export covers exactly the selection's docs and token mass
+    assert sum(r.n_docs for r in man) == len(sel)
+    assert sum(r.bin_tokens for r in man) == sum(r.n_tok for r in sel)
+    # strictly smaller than the raw-corpus manifest (curation removed mass)
+    raw = sampling.output_shard_manifest(spark, sf_dir).collect()
+    assert sum(r.bin_tokens for r in man) < sum(r.bin_tokens for r in raw)
+    # per-shard bins contiguous from 0 — the pack_sequences rule held
+    by_shard: dict[int, list[int]] = {}
+    for r in man:
+        by_shard.setdefault(r.shard, []).append(r.seq_bin)
+        assert r.fill_ppm == (
+            r.bin_tokens * 1_000_000 // sampling.PACK_BUDGET_TOKENS
+        )
+    for bins in by_shard.values():
+        assert sorted(bins) == list(range(len(bins)))

@@ -148,6 +148,11 @@ QUERIES = {
     # the pool-bounded candidate split — not its parent's build.
     "dedup_semantic": similarity.dedup_semantic,
     "hard_negatives_topk": similarity.hard_negatives_topk,
+    # the preference audit and export capstone run AFTER their parents
+    # (classifier/components; weighted selection) — marginal-join rungs.
+    # Added post-SCALING_r08; first rings lead the r9 ladder.
+    "preference_pair_dedup_audit": textops.preference_pair_dedup_audit,
+    "export_shard_manifest": sampling.export_shard_manifest,
 }
 
 
