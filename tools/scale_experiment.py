@@ -59,6 +59,10 @@ QUERIES = {
     "quality_repetition": textops.quality_repetition,
     "idadecont": pipeline_ops.idadecont,
     "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
+    # the union-find contraction gets its OWN rung (memo-served since
+    # late r8): consumers below (soft weights / weighted budget / the
+    # preference audit / export capstone) then time their marginal cost
+    "dedup_components": dedup.dedup_components,
     "session_window_events": analytic.session_window_events,
     # r03 additions — one per new plan family
     "token_budget_select": sampling.token_budget_select,  # per-lang window fill
