@@ -5096,9 +5096,11 @@ def oracle_sql() -> dict[str, str]:
               LEFT JOIN comp cc ON cc.doc_id = pp.chosen_doc_id
               LEFT JOIN comp cr ON cr.doc_id = pp.rejected_doc_id),
         g AS (SELECT lang, count(*) AS n_pairs,
-                     sum((comp_c IS NOT NULL
-                          AND comp_c = comp_r)::INT) AS n_poisoned,
+                     coalesce(sum((comp_c IS NOT NULL
+                          AND comp_r IS NOT NULL
+                          AND comp_c = comp_r)::INT), 0) AS n_poisoned,
                      coalesce(min(CASE WHEN comp_c IS NOT NULL
+                                        AND comp_r IS NOT NULL
                                         AND comp_c = comp_r
                                        THEN pair_idx END), -1)
                          AS example_pair_idx

@@ -136,30 +136,71 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from kafka_exercise_spark.functions.text import tokens  # noqa: PLC0415
 
-    from pyspark.sql import Window  # noqa: PLC0415
-
     docs = load_table(spark, sf_dir, "documents")
     n_tok = F.size(tokens(F.col("text"))).cast("long")
+    budget = F.lit(PACK_BUDGET_TOKENS)
+    return _packed_layout(
+        docs.select("doc_id", n_tok.alias("n_tok"))
+    ).withColumn(
+        "offset_in_bin",
+        F.col("cum_tok") - F.col("n_tok") - F.col("seq_bin") * budget,
+    )
+
+
+def _packed_layout(sel: DataFrame) -> DataFrame:
+    """THE packing rule, in one place: given (doc_id, n_tok), emit
+    (doc_id, shard, n_tok, cum_tok, seq_bin) — pmod shard, doc_id-order
+    running total per shard, start-bin attribution for boundary
+    crossers. ``pack_sequences`` (raw corpus), ``output_shard_manifest``
+    and ``export_shard_manifest`` (selected corpus) all consume this
+    single definition, so the rule cannot drift between the layout and
+    its manifests."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
     w = (
         Window.partitionBy("shard")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    budget = F.lit(PACK_BUDGET_TOKENS)
     return (
-        docs.select(
+        sel.select(
             "doc_id",
             F.pmod(F.col("doc_id"), F.lit(PACK_SHARDS)).alias("shard"),
-            n_tok.alias("n_tok"),
+            "n_tok",
         )
         .withColumn("cum_tok", F.sum("n_tok").over(w))
         .withColumn(
             "seq_bin",
-            F.floor((F.col("cum_tok") - F.col("n_tok")) / budget),
+            F.floor(
+                (F.col("cum_tok") - F.col("n_tok"))
+                / F.lit(PACK_BUDGET_TOKENS)
+            ),
         )
-        .withColumn(
-            "offset_in_bin",
-            F.col("cum_tok") - F.col("n_tok") - F.col("seq_bin") * budget,
+    )
+
+
+def _shard_manifest(packed: DataFrame) -> DataFrame:
+    """The per-(shard, seq_bin) writer-manifest rollup both manifest
+    entries share: doc count, token mass, doc-id range, fill vs the
+    sequence budget in ppm."""
+    return (
+        packed.groupBy("shard", "seq_bin")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("bin_tokens"),
+            F.min("doc_id").cast("long").alias("first_doc_id"),
+            F.max("doc_id").cast("long").alias("last_doc_id"),
+        )
+        .select(
+            F.col("shard").cast("long").alias("shard"),
+            F.col("seq_bin").cast("long").alias("seq_bin"),
+            "n_docs",
+            "bin_tokens",
+            "first_doc_id",
+            "last_doc_id",
+            F.expr(f"(bin_tokens * 1000000) div {PACK_BUDGET_TOKENS}")
+            .cast("long")
+            .alias("fill_ppm"),
         )
     )
 
@@ -816,6 +857,10 @@ def token_budget_fill_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 LENGTH_BUCKETS = tuple(
     1 << p for p in range(4, PACK_BUDGET_TOKENS.bit_length())
 )
+# the ladder's top rung must BE the packing budget, or the two layouts'
+# shared truncation convention silently diverges (a non-power-of-two
+# budget would top out one rung short)
+assert LENGTH_BUCKETS[-1] == PACK_BUDGET_TOKENS
 
 #: Per-batch token budget of the bucketed loader: a batch holds
 #: ``BUCKET_BATCH_TOKENS div bucket`` sequences of one bucket's length.
@@ -915,27 +960,7 @@ def output_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle key = (shard, seq_bin) — at 100 TB this IS the output-file
     partitioning, so the manifest falls out of the write's own shuffle.
     """
-    packed = pack_sequences(spark, sf_dir)
-    return (
-        packed.groupBy("shard", "seq_bin")
-        .agg(
-            F.count("*").cast("long").alias("n_docs"),
-            F.sum("n_tok").cast("long").alias("bin_tokens"),
-            F.min("doc_id").cast("long").alias("first_doc_id"),
-            F.max("doc_id").cast("long").alias("last_doc_id"),
-        )
-        .select(
-            F.col("shard").cast("long").alias("shard"),
-            F.col("seq_bin").cast("long").alias("seq_bin"),
-            "n_docs",
-            "bin_tokens",
-            "first_doc_id",
-            "last_doc_id",
-            F.expr(f"(bin_tokens * 1000000) div {PACK_BUDGET_TOKENS}")
-            .cast("long")
-            .alias("fill_ppm"),
-        )
-    )
+    return _shard_manifest(pack_sequences(spark, sf_dir))
 
 
 def packing_vs_bucketing_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1035,45 +1060,5 @@ def export_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``token_budget_weighted`` oracle plus the same window arithmetic,
     so selection and export can never drift.
     """
-    from pyspark.sql import Window  # noqa: PLC0415
-
     sel = token_budget_weighted(spark, sf_dir).select("doc_id", "n_tok")
-    w = (
-        Window.partitionBy("shard")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    packed = (
-        sel.select(
-            "doc_id",
-            F.pmod(F.col("doc_id"), F.lit(PACK_SHARDS)).alias("shard"),
-            "n_tok",
-        )
-        .withColumn("cum_tok", F.sum("n_tok").over(w))
-        .withColumn(
-            "seq_bin",
-            F.floor(
-                (F.col("cum_tok") - F.col("n_tok")) / PACK_BUDGET_TOKENS
-            ),
-        )
-    )
-    return (
-        packed.groupBy("shard", "seq_bin")
-        .agg(
-            F.count("*").cast("long").alias("n_docs"),
-            F.sum("n_tok").cast("long").alias("bin_tokens"),
-            F.min("doc_id").cast("long").alias("first_doc_id"),
-            F.max("doc_id").cast("long").alias("last_doc_id"),
-        )
-        .select(
-            F.col("shard").cast("long").alias("shard"),
-            F.col("seq_bin").cast("long").alias("seq_bin"),
-            "n_docs",
-            "bin_tokens",
-            "first_doc_id",
-            "last_doc_id",
-            F.expr(f"(bin_tokens * 1000000) div {PACK_BUDGET_TOKENS}")
-            .cast("long")
-            .alias("fill_ppm"),
-        )
-    )
+    return _shard_manifest(_packed_layout(sel))

@@ -1764,13 +1764,25 @@ NEG_K = 5
 def hard_negatives_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DPR-style contrastive-training data mining (Karpukhin et al. 2020,
     arXiv:2004.04906 §4.2): for each query, split its ANN candidate pool
-    into POSITIVES (candidates that are semantic duplicates of the query
-    — the SemDeDup pair set, the same "these mean the same thing" oracle
-    the dedup family uses) and HARD NEGATIVES (close in embedding space
-    but NOT duplicates — the near-misses that make a retriever learn),
-    keeping the top ``NEG_K`` of each role by cosine. This is the step
-    that turns a curated corpus + ANN index into (query, positive,
-    negatives) training records for a retrieval/embedding model.
+    into POSITIVES (candidates the SemDeDup pair set marks as semantic
+    duplicates of the query — the same "these mean the same thing"
+    oracle the dedup family uses) and HARD NEGATIVES (close in
+    embedding space but not so marked — the near-misses that make a
+    retriever learn), keeping the top ``NEG_K`` of each role by cosine.
+    This is the step that turns a curated corpus + ANN index into
+    (query, positive, negatives) training records for a
+    retrieval/embedding model.
+
+    Known miss class, inherited deliberately: SemDeDup compares pairs
+    WITHIN an IVF cell, so a true paraphrase that lands in a different
+    cell than the query is not in the pair set and will be emitted as a
+    top-ranked hard negative — the same cell-boundary recall gap the
+    SemDeDup entry itself documents (and `ann_recall_report` prices for
+    the index). Production mitigations are the standard ones: raise the
+    quantizer's probe count for the dup pass, or post-filter negatives
+    above a cosine ceiling; both change THIS entry's role split only
+    through the pair set it consumes, so the contract here stays
+    "pair-set membership", not "global semantic truth".
 
     Pool-bounded semantics by design: candidates come from
     ``ann_cosine_topk``'s top-10 (at 100 TB, the served IVF index's

@@ -2846,8 +2846,14 @@ def preference_pair_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = pp.join(c_ch, "chosen_doc_id", "left").join(
         c_re, "rejected_doc_id", "left"
     )
-    poisoned = F.col("comp_chosen").isNotNull() & (
-        F.col("comp_chosen") == F.col("comp_rejected")
+    # both sides must be non-null BEFORE the equality: TRUE & NULL is
+    # NULL in SQL three-valued logic, and a lang whose every pair had
+    # exactly one side in a component would sum all-NULLs to NULL
+    # instead of 0 poisoned
+    poisoned = (
+        F.col("comp_chosen").isNotNull()
+        & F.col("comp_rejected").isNotNull()
+        & (F.col("comp_chosen") == F.col("comp_rejected"))
     )
     return (
         j.groupBy("lang")

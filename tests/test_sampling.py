@@ -370,10 +370,15 @@ def test_output_shard_manifest_reconciles_with_packing(spark, sf_dir):
         assert r.fill_ppm == (
             r.bin_tokens * 1_000_000 // sampling.PACK_BUDGET_TOKENS
         )
+    # a doc spanning >= 2 budgets legitimately skips a bin (start-bin
+    # attribution); only assert contiguity when the fixture has none
+    max_tok = max(r.n_tok for r in packed.select("n_tok").collect())
     for shard, bins in by_shard.items():
-        # bins are contiguous 0..max per shard (cumulative-sum intervals)
         idx = sorted(b.seq_bin for b in bins)
-        assert idx == list(range(len(idx)))
+        assert idx[0] == 0 and len(set(idx)) == len(idx)
+        if max_tok < 2 * sampling.PACK_BUDGET_TOKENS:
+            # bins are contiguous 0..max per shard (cumsum intervals)
+            assert idx == list(range(len(idx)))
         # every bin except the shard's last starts a doc past the budget
         # boundary (fill >= 1e6 possible only via the overflow rule)
         for b in sorted(bins, key=lambda x: x.seq_bin)[:-1]:
@@ -418,9 +423,11 @@ def test_packing_vs_bucketing_report_reconciles(spark, sf_dir):
             * 1_000_000
             // r.capacity_tokens
         )
-    # the sheet's thesis: packing reserves (weakly) less capacity for
-    # the full token mass than bucketing reserves for the truncated one
-    assert pk.overhead_ppm <= bu.overhead_ppm
+    # NOT asserted: pk.overhead_ppm <= bu.overhead_ppm. It holds on the
+    # fixtures (and usually in practice), but it is not a theorem — a
+    # corpus of exact power-of-two doc lengths in full batches gives
+    # bucketing zero overhead while packing still pays last-sequence
+    # underfill. The sheet reports; it doesn't promise an ordering.
 
 
 def test_export_shard_manifest_packs_exactly_the_selection(spark, sf_dir):
@@ -432,7 +439,9 @@ def test_export_shard_manifest_packs_exactly_the_selection(spark, sf_dir):
     # strictly smaller than the raw-corpus manifest (curation removed mass)
     raw = sampling.output_shard_manifest(spark, sf_dir).collect()
     assert sum(r.bin_tokens for r in man) < sum(r.bin_tokens for r in raw)
-    # per-shard bins contiguous from 0 — the pack_sequences rule held
+    # per-shard bins start at 0 and are unique; contiguity only when no
+    # selected doc spans >= 2 budgets (start-bin attribution skips bins)
+    max_tok = max(r.n_tok for r in sel)
     by_shard: dict[int, list[int]] = {}
     for r in man:
         by_shard.setdefault(r.shard, []).append(r.seq_bin)
@@ -440,4 +449,7 @@ def test_export_shard_manifest_packs_exactly_the_selection(spark, sf_dir):
             r.bin_tokens * 1_000_000 // sampling.PACK_BUDGET_TOKENS
         )
     for bins in by_shard.values():
-        assert sorted(bins) == list(range(len(bins)))
+        idx = sorted(bins)
+        assert idx[0] == 0 and len(set(idx)) == len(idx)
+        if max_tok < 2 * sampling.PACK_BUDGET_TOKENS:
+            assert idx == list(range(len(idx)))

@@ -309,6 +309,12 @@ def main() -> None:
     queries = QUERIES
     if only:
         wanted = {x.strip() for x in only.split(",")}
+        unknown = wanted - set(QUERIES)
+        if unknown:
+            raise SystemExit(
+                f"SPARK_GRAFT_SCALE_ONLY names not in the ladder: "
+                f"{sorted(unknown)} (known: {sorted(QUERIES)})"
+            )
         queries = {k: v for k, v in QUERIES.items() if k in wanted}
     for fn in queries.values():
         fn(spark, warm).write.format("noop").mode("overwrite").save()
