@@ -5080,8 +5080,10 @@ def oracle_sql() -> dict[str, str]:
                FROM lb),
         u AS (SELECT * FROM p UNION ALL SELECT * FROM bu)
         SELECT strategy, n_docs, n_units, real_tokens, capacity_tokens,
-               (((capacity_tokens - real_tokens) * 1000000)
-                // capacity_tokens)::BIGINT AS overhead_ppm
+               (CASE WHEN capacity_tokens > 0
+                     THEN ((capacity_tokens - real_tokens) * 1000000)
+                          // capacity_tokens
+                     ELSE 0 END)::BIGINT AS overhead_ppm
         FROM u
     """
     # preference label-noise audit COMPOSED from the preference and

@@ -859,8 +859,16 @@ LENGTH_BUCKETS = tuple(
 )
 # the ladder's top rung must BE the packing budget, or the two layouts'
 # shared truncation convention silently diverges (a non-power-of-two
-# budget would top out one rung short)
-assert LENGTH_BUCKETS[-1] == PACK_BUDGET_TOKENS
+# budget would top out one rung short). Explicit raise, not assert:
+# this guard must survive `python -O`.
+if LENGTH_BUCKETS[-1] != PACK_BUDGET_TOKENS:
+    raise ValueError(
+        "LENGTH_BUCKETS top rung "
+        f"({LENGTH_BUCKETS[-1]}) != PACK_BUDGET_TOKENS "
+        f"({PACK_BUDGET_TOKENS}): the packing budget must be a power of "
+        "two so the bucket ladder tops out exactly at the trainer "
+        "context length"
+    )
 
 #: Per-batch token budget of the bucketed loader: a batch holds
 #: ``BUCKET_BATCH_TOKENS div bucket`` sequences of one bucket's length.
@@ -1030,11 +1038,16 @@ def packing_vs_bucketing_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "capacity_tokens",
         )
     )
+    # CASE-guard the ppm: on an empty corpus the no-groupBy aggs still
+    # emit one row with NULL/0 sums, where Spark's `div` yields NULL but
+    # DuckDB's `//` errors — the guard (mirrored in the oracle) keeps
+    # engine and oracle identical on the degenerate input.
     return pk.unionByName(bk).withColumn(
         "overhead_ppm",
         F.expr(
-            "((capacity_tokens - real_tokens) * 1000000)"
-            " div capacity_tokens"
+            "CASE WHEN capacity_tokens > 0 THEN"
+            " ((capacity_tokens - real_tokens) * 1000000)"
+            " div capacity_tokens ELSE 0 END"
         ).cast("long"),
     )
 

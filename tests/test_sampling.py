@@ -392,10 +392,13 @@ def test_layout_sheets_stay_jvm_side(spark, sf_dir):
     ):
         assert python_eval_count(df) == 0
     # one scan + one partial-agg shuffle (plus the family-standard
-    # scale_partitions repartition): the bucket plan never joins
+    # scale_partitions repartition): the bucket plan never joins.
+    # Upper bound, not exact — AQE coalescing or a scale_partitions
+    # tweak may legitimately drop an exchange without breaking the
+    # one-scan + one-partial-agg contract.
     assert shuffle_exchange_count(
         sampling.length_bucket_plan(spark, sf_dir)
-    ) == 2
+    ) <= 2
 
 
 def test_packing_vs_bucketing_report_reconciles(spark, sf_dir):
