@@ -51,21 +51,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Ordering note: the driver's correctness pass covers the first 50
     entries; the explicit ``window`` list below pins that set and the
-    rest follow in registry order. r08 rotation (VERDICT r7 ask #1): the
-    two flagships, then the FULL late-r07 positional queue — the 2
-    entries that had never had a driver CORRECTNESS row
-    (dedup_soft_weights — whose scan also gained the scale_partitions
-    wrapper this round — and mixture_temperature_plan), the 4 NEW r08
-    entries (token_budget_weighted + its fill report: the soft-dedup ×
-    temperature-budget capstone, VERDICT r7 ask #2;
-    model_promotion_report + model_batch_drift_report: the
-    online-maintenance audit pair, asks #5/#6), then the
-    oldest-evidence refresh: all 32 entries whose last driver row is
-    r03 (including the three that yielded their r07 slots —
-    ksql_jovens, ksql_idadecont, streaming_idadecont_replay) and the
-    10 alphabetically-first of the 26 whose last row is r04. Everything
-    outside the window is covered by this session's verify_local sweeps
-    at BOTH sf0.01 and sf0.1, plus pytest.
+    rest follow in registry order. r09 rotation (VERDICT r8 ask #2): the
+    two flagships, then the FULL late-r08 positional queue — the 11
+    entries that had never had a driver CORRECTNESS row (both
+    deploy-impact matrices, split_repair_plan, length_bucket_plan, both
+    shard manifests, preference_pairs + its dedup audit,
+    hard_negatives_topk, fim_split_plan, packing_vs_bucketing_report),
+    the 2 NEW r09 entries (curation_export_delta: the raw-vs-selected
+    manifest diff the export capstone promised, VERDICT r8 ask #5;
+    preference_pair_repair_plan: the preference family's detect→repair
+    action sheet, ask #6), then the oldest-evidence refresh: the FULL
+    16-entry r04-last-green cohort (restoring the every-entry-has-
+    driver-evidence invariant through r04) and the 19 alphabetically-
+    first of the 47 whose last row is r05; the remaining 28 r05 rows
+    lead the r10 refresh queue. Everything outside the window is
+    covered by this session's verify_local sweeps plus pytest.
     """
     all_q = {
         # §2.2 P1/P4/P5/P6/P8 — formatted-date filter (CSAS jovens)
@@ -486,72 +486,76 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (weighted-budget survivors) and emit the per-file writer
         # manifest (COMPOSED from the selection oracle)
         "export_shard_manifest": sampling.export_shard_manifest,
+        # ---- new in r09 ----
+        # per-shard raw-vs-selected manifest diff: what curation removed
+        # from every output file (the diff the export capstone promised)
+        "curation_export_delta": sampling.curation_export_delta,
+        # the preference family's detect→repair action sheet: clean
+        # pairs kept, poisoned pairs' sides mirror re-paired per lang
+        "preference_pair_repair_plan": textops.preference_pair_repair_plan,
     }
-    # The r08 driver window (first 50) — see the docstring for the
-    # policy. Composition: flagships, the FULL late-r07 positional
-    # queue (2 entries, VERDICT r7 finding #1), the 4 NEW r08 entries
-    # (VERDICT r7 asks #2/#5/#6), then the oldest-evidence refresh:
-    # the COMPLETE 32-entry r03-last-green cohort (restoring the
-    # yielded ksql/streaming trio) and the 10 alphabetically-first of
-    # the 26-entry r04 cohort. The remaining 16 r04 rows lead the r09
-    # refresh queue.
+    # The r09 driver window (first 50) — see the docstring for the
+    # policy. Composition: flagships, the FULL late-r08 positional
+    # queue (11 entries, VERDICT r8 finding #3 / ask #2), the 2 NEW
+    # r09 entries (asks #5/#6), then the oldest-evidence refresh: the
+    # COMPLETE 16-entry r04-last-green cohort and the 19
+    # alphabetically-first of the 47-entry r05 cohort. The remaining
+    # 28 r05 rows lead the r10 refresh queue.
     window = [
         "jovens",
         "idadecont",
-        # the 2 never-driver-verified late-r7 entries (positional
-        # queue); dedup_soft_weights' scan also changed this round
-        # (scale_partitions wrapper — r7 ADVICE)
-        "dedup_soft_weights",
-        "mixture_temperature_plan",
-        # new in r08 (4 entries)
-        "token_budget_weighted",
-        "token_budget_fill_report",
-        "model_promotion_report",
-        "model_batch_drift_report",
-        # oldest driver evidence (last green r03) — the full cohort
-        "corpus_ngram_counts",
-        "dedup_exact",
-        "dedup_passages",
-        "dedup_simhash",
-        "doc_fingerprint",
-        "doc_length_histogram",
-        "domain_cap",
-        "embedding_quantize",
-        "global_shuffle",
-        "incremental_source_snapshot",
-        "ksql_idadecont",
-        "ksql_jovens",
-        "multimodal_meta",
-        "pack_sequences",
-        "pii_redact",
-        "q12_priority_class",
-        "quality_repetition",
-        "sample_hash_stratified",
-        "serving_lake_rollup",
-        "session_window_events",
-        "streaming_dedup_replay",
-        "streaming_enrich_replay",
-        "streaming_idadecont_replay",
-        "streaming_join_replay",
-        "streaming_neardup_replay",
-        "streaming_session_replay",
-        "streaming_user_state_replay",
-        "text_langid",
-        "text_quality_score",
-        "text_token_stats",
-        "token_budget_select",
-        "user_event_gaps",
-        # oldest driver evidence (last green r04) — first 10 of 26
-        "avro_embeddings_roundtrip",
-        "chunk_documents",
-        "classifier_quality_score",
-        "decontaminate_bloom",
-        "decontaminate_ngram",
-        "decontaminate_semantic",
-        "dedup_embedding_cosine",
-        "dedup_incremental",
-        "dedup_semantic",
-        "dedup_semantic_components",
+        # the 11 never-driver-verified late-r8 entries (positional queue)
+        "model_gate_impact_matrix",
+        "model_replace_impact_matrix",
+        "split_repair_plan",
+        "length_bucket_plan",
+        "output_shard_manifest",
+        "preference_pairs",
+        "hard_negatives_topk",
+        "fim_split_plan",
+        "packing_vs_bucketing_report",
+        "preference_pair_dedup_audit",
+        "export_shard_manifest",
+        # new in r09 (2 entries)
+        "curation_export_delta",
+        "preference_pair_repair_plan",
+        # oldest driver evidence (last green r04) — the full cohort
+        "domain_mix_resample",
+        "embed_feature_hashing",
+        "embedding_outliers",
+        "hybrid_search_topk",
+        "jsonl_roundtrip",
+        "ksql_join_within",
+        "minhash_signatures",
+        "multimodal_features",
+        "multimodal_frame_sample",
+        "pq_encode",
+        "retention_cohorts",
+        "scd2_user_versions",
+        "sliding_window_events",
+        "sparse_ann_topk",
+        "text_token_entropy",
+        "window_distribution_orders",
+        # oldest driver evidence (last green r05) — first 19 of 47
+        "ann_index_refresh",
+        "ann_recall_report",
+        "attribution_credit",
+        "basket_pair_rules",
+        "bm25_topk",
+        "classifier_calibration_report",
+        "contamination_report",
+        "corpus_profile",
+        "curation_funnel_report",
+        "dedup_cluster_canonicals",
+        "dedup_source_matrix",
+        "dedup_threshold_sweep",
+        "drift_report_events",
+        "embedding_anisotropy",
+        "embedding_top_component",
+        "er_fuzzy_pairs",
+        "funnel_ordered",
+        "gopher_quality_filter",
+        "graph_pagerank",
     ]
     assert len(window) == 50 and len(set(window)) == 50
     out = {k: all_q[k] for k in window}
@@ -5138,5 +5142,95 @@ def oracle_sql() -> dict[str, str]:
                ((sum(n_tok) * 1000000)
                 // {sampling.PACK_BUDGET_TOKENS})::BIGINT AS fill_ppm
         FROM b GROUP BY shard, seq_bin
+    """
+    # per-shard raw-vs-selected diff COMPOSED from the two manifest
+    # oracles (the delta can never drift from the manifests it prices)
+    oracles["curation_export_delta"] = f"""
+        WITH r AS (SELECT shard, sum(n_docs)::BIGINT AS raw_docs,
+                          sum(bin_tokens)::BIGINT AS raw_tokens,
+                          count(*)::BIGINT AS raw_bins
+                   FROM ({oracles["output_shard_manifest"]})
+                   GROUP BY shard),
+        s AS (SELECT shard, sum(n_docs)::BIGINT AS sel_docs,
+                     sum(bin_tokens)::BIGINT AS sel_tokens,
+                     count(*)::BIGINT AS sel_bins
+              FROM ({oracles["export_shard_manifest"]})
+              GROUP BY shard),
+        j AS (SELECT r.shard, raw_docs, raw_tokens, raw_bins,
+                     coalesce(sel_docs, 0)::BIGINT AS sel_docs,
+                     coalesce(sel_tokens, 0)::BIGINT AS sel_tokens,
+                     coalesce(sel_bins, 0)::BIGINT AS sel_bins
+              FROM r LEFT JOIN s ON s.shard = r.shard)
+        SELECT shard::BIGINT AS shard, raw_docs, raw_tokens, raw_bins,
+               sel_docs, sel_tokens, sel_bins,
+               (raw_docs - sel_docs)::BIGINT AS removed_docs,
+               (raw_tokens - sel_tokens)::BIGINT AS removed_tokens,
+               (CASE WHEN raw_tokens > 0
+                     THEN ((raw_tokens - sel_tokens) * 1000000)
+                          // raw_tokens
+                     ELSE 0 END)::BIGINT AS removed_ppm,
+               (raw_bins - sel_bins)::BIGINT AS bins_saved
+        FROM j
+    """
+    # preference repair COMPOSED from the preference + components
+    # oracles: clean pairs pass through, poisoned pairs' sides are
+    # mirror re-paired within lang (rank by chosen_logit DESC), a
+    # candidate survives only with margin >= min and distinct comps
+    oracles["preference_pair_repair_plan"] = f"""
+        WITH pp AS (SELECT * FROM ({oracles["preference_pairs"]})),
+        comp AS (SELECT doc_id, comp
+                 FROM ({oracles["dedup_components"]})),
+        j AS (SELECT pp.*, cc.comp AS comp_c, cr.comp AS comp_r
+              FROM pp
+              LEFT JOIN comp cc ON cc.doc_id = pp.chosen_doc_id
+              LEFT JOIN comp cr ON cr.doc_id = pp.rejected_doc_id),
+        kept AS (SELECT lang, pair_idx::BIGINT AS pair_idx,
+                        chosen_doc_id, chosen_logit,
+                        rejected_doc_id, rejected_logit, margin,
+                        'kept' AS provenance
+                 FROM j
+                 WHERE NOT (comp_c IS NOT NULL AND comp_r IS NOT NULL
+                            AND comp_c = comp_r)),
+        pois AS (SELECT * FROM j
+                 WHERE comp_c IS NOT NULL AND comp_r IS NOT NULL
+                   AND comp_c = comp_r),
+        rk AS (SELECT *,
+                      row_number() OVER (PARTITION BY lang
+                                         ORDER BY chosen_logit DESC,
+                                                  pair_idx) AS rnk,
+                      count(*) OVER (PARTITION BY lang) AS m
+               FROM pois),
+        sides AS (SELECT lang, rnk AS new_idx, TRUE AS is_chosen,
+                         chosen_doc_id AS doc, chosen_logit AS logit,
+                         comp_c AS comp
+                  FROM rk
+                  UNION ALL
+                  SELECT lang, m + 1 - rnk, FALSE,
+                         rejected_doc_id, rejected_logit, comp_r
+                  FROM rk),
+        g AS (SELECT lang, new_idx,
+                     max(CASE WHEN is_chosen THEN doc END)::BIGINT
+                         AS chosen_doc_id,
+                     max(CASE WHEN is_chosen THEN logit END)::BIGINT
+                         AS chosen_logit,
+                     max(CASE WHEN is_chosen THEN comp END)::BIGINT
+                         AS comp_chosen,
+                     max(CASE WHEN NOT is_chosen THEN doc END)::BIGINT
+                         AS rejected_doc_id,
+                     max(CASE WHEN NOT is_chosen THEN logit END)::BIGINT
+                         AS rejected_logit,
+                     max(CASE WHEN NOT is_chosen THEN comp END)::BIGINT
+                         AS comp_rejected
+              FROM sides GROUP BY lang, new_idx),
+        rep AS (SELECT lang, new_idx::BIGINT AS pair_idx,
+                       chosen_doc_id, chosen_logit,
+                       rejected_doc_id, rejected_logit,
+                       (chosen_logit - rejected_logit)::BIGINT AS margin,
+                       'repaired' AS provenance
+                FROM g
+                WHERE chosen_logit - rejected_logit
+                          >= {textops.PREF_MARGIN_MIN}
+                  AND comp_chosen != comp_rejected)
+        SELECT * FROM kept UNION ALL SELECT * FROM rep
     """
     return oracles

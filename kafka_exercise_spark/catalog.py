@@ -17,6 +17,7 @@ projections expressed on these views push down to the parquet scan (Catalyst
 from __future__ import annotations
 
 import os
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -113,6 +114,37 @@ def evict_stale_memos(spark: SparkSession) -> None:
                     pass
 
 
+#: Append-only log of cold memo builds: {"memo", "seconds"} per build.
+#: The scaling harness drains this around each timed run so every rung
+#: self-attributes — "slow because the shared pair frame was cold HERE"
+#: is recorded instead of adjudicated after the fact (the SCALING_r08
+#: lesson: un-attributed super-linear rungs on composition entries).
+MEMO_BUILD_LOG: list[dict] = []
+
+
+def log_memo_build(name: str, seconds: float) -> None:
+    """Record one cold memo build. Called by ``memo_frame`` and by the
+    ad-hoc served-index memos (LSH pairs, IVF assignment, BPE/perceptron
+    fits, …) at their build sites."""
+    MEMO_BUILD_LOG.append({"memo": name, "seconds": round(seconds, 3)})
+
+
+def drain_memo_build_log() -> list[dict]:
+    """Return and clear the accumulated build records (harness hook)."""
+    out = list(MEMO_BUILD_LOG)
+    MEMO_BUILD_LOG.clear()
+    return out
+
+
+def timed_build(name: str, build):
+    """Run ``build()``, logging its wall time as a cold memo build —
+    the one-liner the ad-hoc memo sites wrap their build call in."""
+    t0 = time.perf_counter()
+    out = build()
+    log_memo_build(name, time.perf_counter() - t0)
+    return out
+
+
 #: Served-frame memo: (applicationId, *key) → materialized DataFrame.
 #: The SAME contract as the similarity/dedup index memos — a frame an
 #: operator family reads repeatedly is materialized ONCE per session per
@@ -142,7 +174,7 @@ def memo_frame(spark: SparkSession, key: tuple, build) -> DataFrame:
     k = (spark.sparkContext.applicationId, *key)
     df = _FRAME_MEMO.get(k)
     if df is None:
-        df = build().localCheckpoint()
+        df = timed_build(str(key[0]), lambda: build().localCheckpoint())
         _FRAME_MEMO[k] = df
     return df
 

@@ -27,6 +27,8 @@ value-reproducible in the DuckDB oracle.
 
 from __future__ import annotations
 
+import time
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
@@ -34,9 +36,11 @@ from pyspark.storagelevel import StorageLevel
 from kafka_exercise_spark.catalog import (
     evict_stale_memos,
     load_table,
+    log_memo_build,
     memo_frame,
     register_memo,
     scale_partitions,
+    timed_build,
 )
 from kafka_exercise_spark.functions.text import (
     MINHASH_MOD,
@@ -122,10 +126,15 @@ def _hashed_shingles_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     df = _HASHED_SHINGLES_MEMO.get(key)
     if df is None:
-        df = _with_hashed_shingles(
-            scale_partitions(load_table(spark, sf_dir, "documents"), spark)
-        ).persist(StorageLevel.MEMORY_AND_DISK)
-        df.count()
+
+        def _build():
+            out = _with_hashed_shingles(
+                scale_partitions(load_table(spark, sf_dir, "documents"), spark)
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+            out.count()
+            return out
+
+        df = timed_build("hashed_shingles", _build)
         _HASHED_SHINGLES_MEMO[key] = df
     return df
 
@@ -285,7 +294,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     evict_stale_memos(spark)
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _LSH_PAIRS_MEMO:
-        _LSH_PAIRS_MEMO[key] = _lsh_pairs_plan(spark, sf_dir).localCheckpoint()
+        _LSH_PAIRS_MEMO[key] = timed_build(
+            "lsh_pairs",
+            lambda: _lsh_pairs_plan(spark, sf_dir).localCheckpoint(),
+        )
     return _LSH_PAIRS_MEMO[key]
 
 
@@ -577,6 +589,7 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     evict_stale_memos(spark)
     memo_key = (spark.sparkContext.applicationId, sf_dir)
     if memo_key not in _BLOOM_EVAL_MEMO:
+        _t0_build = time.perf_counter()
         # split BEFORE shingling so each side's doc_id predicate reaches the
         # parquet scan — filtering the shingled+repartitioned frame instead
         # costs a full corpus shingle pass per eval-side use (measured: 2x
@@ -613,6 +626,7 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
             for p in _bloom_probe_positions(h):
                 bits[p] = 1
         _BLOOM_EVAL_MEMO[memo_key] = (eval_hashes, bytes(bits))
+        log_memo_build("bloom_eval", time.perf_counter() - _t0_build)
     eval_hashes, bits_bytes = _BLOOM_EVAL_MEMO[memo_key]
     # verify side reuses the driver-resident hashes as a local relation —
     # re-deriving it from `raw` would compile (another ~3s) and execute the

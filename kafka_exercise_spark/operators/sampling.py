@@ -1075,3 +1075,90 @@ def export_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     sel = token_budget_weighted(spark, sf_dir).select("doc_id", "n_tok")
     return _shard_manifest(_packed_layout(sel))
+
+
+def _manifest_per_shard(manifest: DataFrame, prefix: str) -> DataFrame:
+    """Fold a per-(shard, seq_bin) writer manifest to one row per shard:
+    doc mass, token mass, and the file (bin) count — the granularity the
+    raw/selected diff is taken at (seq_bin layouts are NOT comparable
+    across the two corpora: removing docs re-flows every later bin)."""
+    return manifest.groupBy("shard").agg(
+        F.sum("n_docs").cast("long").alias(f"{prefix}_docs"),
+        F.sum("bin_tokens").cast("long").alias(f"{prefix}_tokens"),
+        F.count("*").cast("long").alias(f"{prefix}_bins"),
+    )
+
+
+def curation_export_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The diff ``export_shard_manifest``'s docstring promises: per
+    output SHARD, what curation removed — raw-corpus mass
+    (``output_shard_manifest``) vs selected-corpus mass
+    (``export_shard_manifest``), removed docs/tokens, removal rate in
+    integer ppm, and the output files (sequence bins) the selection
+    saves. This prices the whole curation chain — dedup components →
+    soft weights → temperature budgets → greedy fill — at the
+    granularity a shard writer sees, closing the construction layer the
+    way ``token_budget_fill_report`` closed the budget stage.
+
+    The diff is taken per shard, not per (shard, seq_bin): the pmod
+    doc_id shard is identical in both layouts, but bin boundaries
+    re-flow when docs are removed, so bin-level rows compare different
+    doc sets. Selected ⊆ raw doc-for-doc (same tokenizer, same shard
+    rule), so removed_docs/removed_tokens are non-negative by
+    construction; a shard whose every doc was removed coalesces to 0.
+
+    Cost: the two parents' plans (each already a single corpus scan +
+    the output write's own shuffle) folded to |shards| rows each, then
+    one |shards|-row join — at 100 TB the diff itself touches only
+    manifest-sized frames, never the corpus. Oracle COMPOSED from both
+    manifests' oracles, so the delta can never drift from the
+    manifests it prices.
+    """
+    raw = _manifest_per_shard(
+        output_shard_manifest(spark, sf_dir), "raw"
+    )
+    sel = _manifest_per_shard(
+        export_shard_manifest(spark, sf_dir), "sel"
+    )
+    return (
+        raw.join(sel, "shard", "left")
+        .select(
+            F.col("shard").cast("long").alias("shard"),
+            "raw_docs",
+            "raw_tokens",
+            "raw_bins",
+            F.coalesce("sel_docs", F.lit(0)).cast("long").alias("sel_docs"),
+            F.coalesce("sel_tokens", F.lit(0))
+            .cast("long")
+            .alias("sel_tokens"),
+            F.coalesce("sel_bins", F.lit(0)).cast("long").alias("sel_bins"),
+        )
+        .select(
+            "shard",
+            "raw_docs",
+            "raw_tokens",
+            "raw_bins",
+            "sel_docs",
+            "sel_tokens",
+            "sel_bins",
+            (F.col("raw_docs") - F.col("sel_docs"))
+            .cast("long")
+            .alias("removed_docs"),
+            (F.col("raw_tokens") - F.col("sel_tokens"))
+            .cast("long")
+            .alias("removed_tokens"),
+            # CASE-guarded like overhead_ppm: an all-empty-doc shard has
+            # raw_tokens = 0, where Spark div yields NULL but DuckDB //
+            # errors
+            F.expr(
+                "CASE WHEN raw_tokens > 0 THEN"
+                " ((raw_tokens - sel_tokens) * 1000000) div raw_tokens"
+                " ELSE 0 END"
+            )
+            .cast("long")
+            .alias("removed_ppm"),
+            (F.col("raw_bins") - F.col("sel_bins"))
+            .cast("long")
+            .alias("bins_saved"),
+        )
+    )

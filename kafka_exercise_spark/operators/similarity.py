@@ -18,6 +18,8 @@ loop beats Arrow round-trips; it wins only at ≥ ~1k dims.
 
 from __future__ import annotations
 
+import time
+
 import math
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -26,7 +28,9 @@ from pyspark.sql import functions as F
 from kafka_exercise_spark.catalog import (
     evict_stale_memos,
     load_table,
+    log_memo_build,
     register_memo,
+    timed_build,
 )
 from kafka_exercise_spark.functions.text import md5_hash64
 from kafka_exercise_spark.functions.vectors import cosine, dot
@@ -121,10 +125,11 @@ def _lsh_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     df = _LSH_INDEX_MEMO.get(key)
     if df is None:
-        df = (
-            _embeddings_double(spark, sf_dir)
+        df = timed_build(
+            "lsh_index",
+            lambda: _embeddings_double(spark, sf_dir)
             .withColumn("bucket", lsh_bucket(F.col("emb")))
-            .localCheckpoint()
+            .localCheckpoint(),
         )
         _LSH_INDEX_MEMO[key] = df
     return df
@@ -281,10 +286,13 @@ def _ivf_assign(spark: SparkSession, sf_dir: str):
     memo_key = (spark.sparkContext.applicationId, sf_dir)
     centers = _IVF_INDEX.get(memo_key)
     if centers is None:
-        centers = _IVF_INDEX[memo_key] = _ivf_centroids(emb)
+        centers = _IVF_INDEX[memo_key] = timed_build(
+            "ivf_centroids", lambda: _ivf_centroids(emb)
+        )
 
     assigned = _IVF_ASSIGNED_MEMO.get(memo_key)
     if assigned is None:
+        _t0_build = time.perf_counter()
         # the assignment scan runs ONCE per (session, corpus) and is pinned
         # — every IVF consumer (ANN probe, SemDeDup) then reads the
         # materialized index instead of re-running the per-row 16-cell
@@ -323,6 +331,7 @@ def _ivf_assign(spark: SparkSession, sf_dir: str):
             .localCheckpoint()
         )
         _IVF_ASSIGNED_MEMO[memo_key] = assigned
+        log_memo_build("ivf_assigned", time.perf_counter() - _t0_build)
     return assigned, centers
 
 
@@ -606,6 +615,7 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached = _SEMANTIC_PAIRS_MEMO.get(memo_key)
     if cached is not None:
         return cached
+    _t0_build = time.perf_counter()
     assigned, _ = _ivf_assign(spark, sf_dir)
     # both self-join sides project straight off the materialized index
     # (which already carries the fixed-point ints the pair stage needs)
@@ -629,6 +639,7 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     _SEMANTIC_PAIRS_MEMO[memo_key] = pairs
+    log_memo_build("semantic_pairs", time.perf_counter() - _t0_build)
     return pairs
 
 
@@ -963,7 +974,9 @@ def pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     bkey = (spark.sparkContext.applicationId, sf_dir)
     books = _PQ_CODEBOOKS.get(bkey)
     if books is None:
-        books = _PQ_CODEBOOKS[bkey] = _pq_codebooks(emb)
+        books = _PQ_CODEBOOKS[bkey] = timed_build(
+            "pq_codebooks", lambda: _pq_codebooks(emb)
+        )
     out = emb.withColumn("ei", quantized_vec(F.col("emb")))
     code_cols = []
     err_total = F.lit(0).cast("long")
@@ -1048,8 +1061,9 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     bkey = (spark.sparkContext.applicationId, sf_dir)
     books = _PQ_CODEBOOKS.get(bkey)
     if books is None:
-        books = _PQ_CODEBOOKS[bkey] = _pq_codebooks(
-            _embeddings_double(spark, sf_dir)
+        books = _PQ_CODEBOOKS[bkey] = timed_build(
+            "pq_codebooks",
+            lambda: _pq_codebooks(_embeddings_double(spark, sf_dir)),
         )
     # the code table is part of the served index — encoded once per
     # (session, corpus) and pinned, like the cell assignment (at 100 TB
@@ -1057,10 +1071,11 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     memo_key = (spark.sparkContext.applicationId, sf_dir)
     codes = _PQ_CODES_MEMO.get(memo_key)
     if codes is None:
-        codes = (
-            pq_encode(spark, sf_dir)
+        codes = timed_build(
+            "pq_codes",
+            lambda: pq_encode(spark, sf_dir)
             .select("vec_id", "code0", "code1", "code2", "code3")
-            .localCheckpoint()
+            .localCheckpoint(),
         )
         _PQ_CODES_MEMO[memo_key] = codes
     q_rows = (
@@ -1189,6 +1204,7 @@ def _power_fit(
     memo = _PI_FIT_MEMO.get(key)
     if memo is not None:
         return memo
+    _t0_build = time.perf_counter()
     emb = _embeddings_double(spark, sf_dir)
     q = (
         emb.select(
@@ -1244,6 +1260,7 @@ def _power_fit(
             .localCheckpoint()
         )
     _PI_FIT_MEMO[key] = (q, v)
+    log_memo_build("power_fit", time.perf_counter() - _t0_build)
     return q, v
 
 

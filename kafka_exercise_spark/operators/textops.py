@@ -9,12 +9,15 @@ the cost is one pruned-column parquet scan at full codegen throughput.
 
 from __future__ import annotations
 
+import time
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kafka_exercise_spark.catalog import (
     evict_stale_memos,
     load_table,
+    log_memo_build,
     memo_frame,
     register_memo,
     scale_partitions,
@@ -1109,6 +1112,7 @@ def bpe_segment_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     memo_key = (spark.sparkContext.applicationId, sf_dir)
     merges = _BPE_MERGES_MEMO.get(memo_key)
     if merges is None:
+        _t0_build = time.perf_counter()
         merges = [
             r.pair
             for r in bpe_pair_counts(spark, sf_dir)
@@ -1117,6 +1121,7 @@ def bpe_segment_words(spark: SparkSession, sf_dir: str) -> DataFrame:
             .collect()
         ]
         _BPE_MERGES_MEMO[memo_key] = merges
+        log_memo_build("bpe_merges", time.perf_counter() - _t0_build)
     docs = scale_partitions(load_table(spark, sf_dir, "documents"), spark)
     words = docs.select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("w")
@@ -1366,6 +1371,7 @@ def _bpe_fit(spark: SparkSession, sf_dir: str):
     memo_key = (spark.sparkContext.applicationId, sf_dir)
     if memo_key in _BPE_FIT_MEMO:
         return _BPE_FIT_MEMO[memo_key]
+    _t0_build = time.perf_counter()
     docs = scale_partitions(load_table(spark, sf_dir, "documents"), spark)
     vocab = (
         docs.select(F.explode(tokens(F.col("text"))).alias("word"))
@@ -1418,6 +1424,7 @@ def _bpe_fit(spark: SparkSession, sf_dir: str):
         rows, "round long, pair string, merged string, freq long"
     )
     _BPE_FIT_MEMO[memo_key] = (merges, seg)
+    log_memo_build("bpe_fit", time.perf_counter() - _t0_build)
     return _BPE_FIT_MEMO[memo_key]
 
 
@@ -1877,6 +1884,7 @@ def _perceptron_fit(spark: SparkSession, sf_dir: str) -> tuple[list, list]:
     hit = _PERC_FIT_MEMO.get(memo_key)
     if hit is not None:
         return hit
+    _t0_build = time.perf_counter()
     f = _perceptron_features(spark, sf_dir).filter(
         F.col("split") == "train"
     )
@@ -1942,6 +1950,7 @@ def _perceptron_fit(spark: SparkSession, sf_dir: str) -> tuple[list, list]:
                 )
             )
     _PERC_FIT_MEMO[memo_key] = (stats_rows, history)
+    log_memo_build("perc_fit", time.perf_counter() - _t0_build)
     return stats_rows, history
 
 
@@ -2395,6 +2404,7 @@ def perceptron_updated_weights(spark: SparkSession, sf_dir: str) -> list:
     hit = _PERC_UPDATED_MEMO.get(memo_key)
     if hit is not None:
         return hit
+    _t0_build = time.perf_counter()
     rows = (
         perceptron_incremental_update(spark, sf_dir)
         .select("bucket", "w_after")
@@ -2404,6 +2414,7 @@ def perceptron_updated_weights(spark: SparkSession, sf_dir: str) -> list:
     for r in rows:
         w[r["bucket"]] = r["w_after"]
     _PERC_UPDATED_MEMO[memo_key] = w
+    log_memo_build("perc_updated", time.perf_counter() - _t0_build)
     return w
 
 
@@ -2831,30 +2842,12 @@ def preference_pair_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle COMPOSED from the preference and components oracles so the
     audit can never drift from what it audits.
     """
-    from kafka_exercise_spark.operators.dedup import (  # noqa: PLC0415
-        dedup_components,
-    )
-
-    pp = preference_pairs(spark, sf_dir)
-    comps = dedup_components(spark, sf_dir).select("doc_id", "comp")
-    c_ch = comps.withColumnsRenamed(
-        {"doc_id": "chosen_doc_id", "comp": "comp_chosen"}
-    )
-    c_re = comps.withColumnsRenamed(
-        {"doc_id": "rejected_doc_id", "comp": "comp_rejected"}
-    )
-    j = pp.join(c_ch, "chosen_doc_id", "left").join(
-        c_re, "rejected_doc_id", "left"
-    )
+    j = _preference_pairs_with_comps(spark, sf_dir)
     # both sides must be non-null BEFORE the equality: TRUE & NULL is
     # NULL in SQL three-valued logic, and a lang whose every pair had
     # exactly one side in a component would sum all-NULLs to NULL
-    # instead of 0 poisoned
-    poisoned = (
-        F.col("comp_chosen").isNotNull()
-        & F.col("comp_rejected").isNotNull()
-        & (F.col("comp_chosen") == F.col("comp_rejected"))
-    )
+    # instead of 0 poisoned (predicate shared with the repair plan)
+    poisoned = _pair_poisoned()
     return (
         j.groupBy("lang")
         .agg(
@@ -2875,4 +2868,171 @@ def preference_pair_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("poisoned_ppm"),
             "example_pair_idx",
         )
+    )
+
+
+def _preference_pairs_with_comps(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The preference set LEFT-joined to the near-dup component frame on
+    both sides — the shared input of the audit and the repair plan (one
+    definition, so census and action sheet cannot disagree on what
+    "poisoned" means). Columns: the pair columns + nullable
+    comp_chosen / comp_rejected."""
+    from kafka_exercise_spark.operators.dedup import (  # noqa: PLC0415
+        dedup_components,
+    )
+
+    pp = preference_pairs(spark, sf_dir)
+    comps = dedup_components(spark, sf_dir).select("doc_id", "comp")
+    c_ch = comps.withColumnsRenamed(
+        {"doc_id": "chosen_doc_id", "comp": "comp_chosen"}
+    )
+    c_re = comps.withColumnsRenamed(
+        {"doc_id": "rejected_doc_id", "comp": "comp_rejected"}
+    )
+    return pp.join(c_ch, "chosen_doc_id", "left").join(
+        c_re, "rejected_doc_id", "left"
+    )
+
+
+def _pair_poisoned() -> F.Column:
+    """Three-valued-logic-safe poisoned predicate shared by the audit
+    and the repair plan: both sides in a component AND the same
+    component. (A function, not a module constant: building a Column
+    requires an active SparkContext.)"""
+    return (
+        F.col("comp_chosen").isNotNull()
+        & F.col("comp_rejected").isNotNull()
+        & (F.col("comp_chosen") == F.col("comp_rejected"))
+    )
+
+
+def _repair_preference_pairs(joined: DataFrame) -> DataFrame:
+    """THE repair rule, over a ``_preference_pairs_with_comps``-shaped
+    frame (separated from the sf_dir entry so the re-pair branch is
+    unit-testable on synthetic poisoned input — the fixture corpus's
+    mirror pairing is expected ~poison-free, which would leave the
+    branch untested).
+
+    Clean pairs pass through as ``provenance = 'kept'``. Poisoned pairs
+    (chosen ≈ rejected, no real preference signal) are broken up and
+    their sides RE-PAIRED within language: rank the poisoned pairs by
+    (chosen_logit DESC, pair_idx), then mirror the ranking — the chosen
+    doc of rank r against the rejected doc of rank m+1−r — the same
+    max-total-margin matching the original construction uses, applied
+    to the freed sides. A re-paired candidate is emitted as
+    ``provenance = 'repaired'`` only if it is well-formed: margin ≥
+    ``PREF_MARGIN_MIN`` and its two sides are NOT near-dups of each
+    other (both comps are non-null by construction — poisoned docs are
+    component members — so the inequality is never NULL; the odd
+    middle rank r = m+1−r reconstructs the original poisoned pair and
+    is killed by that same comp check). Everything else is dropped.
+
+    Counts reconcile with ``preference_pair_dedup_audit`` by
+    construction: kept = n_pairs − n_poisoned per lang, repaired ≤
+    n_poisoned. Plan: the shared joined frame read once, one window
+    over the O(poisoned) subset, a 2-row-per-pair side explosion of
+    that subset, and one (lang, new_idx) groupBy — NO self-join, the
+    ``preference_pairs`` trick reused. At 100 TB the poisoned subset
+    is audit-sized (~0 by design), so the repair adds noise-level work
+    to the pairing's own plan.
+    """
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    pair_cols = [
+        "lang",
+        "pair_idx",
+        "chosen_doc_id",
+        "chosen_logit",
+        "rejected_doc_id",
+        "rejected_logit",
+        "margin",
+    ]
+    kept = joined.filter(~_pair_poisoned()).select(
+        *pair_cols, F.lit("kept").alias("provenance")
+    )
+    poisoned = joined.filter(_pair_poisoned())
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("chosen_logit"), F.asc("pair_idx")
+    )
+    wn = Window.partitionBy("lang")
+    ranked = poisoned.withColumn(
+        "rnk", F.row_number().over(w).cast("long")
+    ).withColumn("m", F.count("*").over(wn).cast("long"))
+    sides = ranked.select(
+        "lang",
+        F.col("rnk").alias("new_idx"),
+        F.lit(True).alias("is_chosen"),
+        F.col("chosen_doc_id").alias("doc"),
+        F.col("chosen_logit").alias("logit"),
+        F.col("comp_chosen").alias("comp"),
+    ).unionByName(
+        ranked.select(
+            "lang",
+            (F.col("m") + 1 - F.col("rnk")).alias("new_idx"),
+            F.lit(False).alias("is_chosen"),
+            F.col("rejected_doc_id").alias("doc"),
+            F.col("rejected_logit").alias("logit"),
+            F.col("comp_rejected").alias("comp"),
+        )
+    )
+    c = F.when(F.col("is_chosen"), F.col("doc"))
+    r = F.when(~F.col("is_chosen"), F.col("doc"))
+    repaired = (
+        sides.groupBy("lang", "new_idx")
+        .agg(
+            F.max(c).cast("long").alias("chosen_doc_id"),
+            F.max(F.when(F.col("is_chosen"), F.col("logit")))
+            .cast("long")
+            .alias("chosen_logit"),
+            F.max(F.when(F.col("is_chosen"), F.col("comp")))
+            .cast("long")
+            .alias("comp_chosen"),
+            F.max(r).cast("long").alias("rejected_doc_id"),
+            F.max(F.when(~F.col("is_chosen"), F.col("logit")))
+            .cast("long")
+            .alias("rejected_logit"),
+            F.max(F.when(~F.col("is_chosen"), F.col("comp")))
+            .cast("long")
+            .alias("comp_rejected"),
+        )
+        .withColumn(
+            "margin",
+            (F.col("chosen_logit") - F.col("rejected_logit")).cast("long"),
+        )
+        .filter(
+            (F.col("margin") >= PREF_MARGIN_MIN)
+            & (F.col("comp_chosen") != F.col("comp_rejected"))
+        )
+        .select(
+            "lang",
+            F.col("new_idx").cast("long").alias("pair_idx"),
+            "chosen_doc_id",
+            "chosen_logit",
+            "rejected_doc_id",
+            "rejected_logit",
+            "margin",
+            F.lit("repaired").alias("provenance"),
+        )
+    )
+    return kept.unionByName(repaired)
+
+
+def preference_pair_repair_plan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The ACTION sheet ``preference_pair_dedup_audit``'s census exists
+    to trigger — the ``split_repair_plan`` pattern (detect → repair)
+    applied to the preference family: the preference set AFTER repair,
+    one row per surviving pair with its provenance ('kept' = original
+    clean pair, 'repaired' = re-paired from the freed sides of poisoned
+    pairs). A DPO run reads THIS sheet, not the raw pairing; the audit
+    stays the census that says how much repair happened. Repair rule,
+    cost, and the no-self-join plan: ``_repair_preference_pairs``.
+    Oracle COMPOSED from the preference and components oracles — the
+    same two frames, so plan and audit can never drift.
+    """
+    return _repair_preference_pairs(
+        _preference_pairs_with_comps(spark, sf_dir)
     )

@@ -33,7 +33,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
-from kafka_exercise_spark.catalog import evict_stale_memos, register_memo
+from kafka_exercise_spark.catalog import (
+    evict_stale_memos,
+    register_memo,
+    timed_build,
+)
 from kafka_exercise_spark.streaming.sources import file_stream, land_events_replay
 from kafka_exercise_spark.streaming.tuning import bounded_replay_conf
 
@@ -404,13 +408,14 @@ def streaming_neardup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     evict_stale_memos(spark)
     memo_key = (spark.sparkContext.applicationId, sf_dir)
     if memo_key not in _NEARDUP_INDEX_MEMO:
-        bands, sets_ = corpus_probe_sides(
-            scale_partitions(docs.filter(~is_new), spark)
-        )
-        _NEARDUP_INDEX_MEMO[memo_key] = (
-            bands.localCheckpoint(),
-            sets_.localCheckpoint(),
-        )
+
+        def _build():
+            bands, sets_ = corpus_probe_sides(
+                scale_partitions(docs.filter(~is_new), spark)
+            )
+            return (bands.localCheckpoint(), sets_.localCheckpoint())
+
+        _NEARDUP_INDEX_MEMO[memo_key] = timed_build("neardup_index", _build)
     old_bands, old_sets = _NEARDUP_INDEX_MEMO[memo_key]
 
     work = tempfile.mkdtemp(prefix="neardup_replay_")
@@ -479,12 +484,18 @@ def streaming_winnow_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     evict_stale_memos(spark)
     memo_key = (spark.sparkContext.applicationId, sf_dir)
     if memo_key not in _WINNOW_INDEX_MEMO:
-        old_rare, old_counts, fp_domain = winnow_corpus_sides(spark, sf_dir)
-        _WINNOW_INDEX_MEMO[memo_key] = (
-            old_rare.localCheckpoint(),
-            old_counts.localCheckpoint(),
-            fp_domain.localCheckpoint(),
-        )
+
+        def _build():
+            old_rare, old_counts, fp_domain = winnow_corpus_sides(
+                spark, sf_dir
+            )
+            return (
+                old_rare.localCheckpoint(),
+                old_counts.localCheckpoint(),
+                fp_domain.localCheckpoint(),
+            )
+
+        _WINNOW_INDEX_MEMO[memo_key] = timed_build("winnow_index", _build)
     old_rare, old_counts, fp_domain = _WINNOW_INDEX_MEMO[memo_key]
 
     work = tempfile.mkdtemp(prefix="winnow_replay_")

@@ -2817,3 +2817,110 @@ def test_preference_pair_dedup_audit_reconciles(spark, sf_dir):
             assert a.example_pair_idx == min(p.pair_idx for p in poisoned)
         else:
             assert a.example_pair_idx == -1
+
+
+def test_preference_repair_plan_keeps_clean_fixture(spark, sf_dir):
+    """The fixture corpus's mirror pairing is poison-free (audited ~0 by
+    design), so the repair plan must be exactly the pairing with
+    provenance 'kept' — nothing dropped, nothing invented."""
+    plan = textops.preference_pair_repair_plan(spark, sf_dir).collect()
+    assert all(r.provenance == "kept" for r in plan)
+    pairs = {
+        (p.lang, p.pair_idx): p
+        for p in textops.preference_pairs(spark, sf_dir).collect()
+    }
+    assert {(r.lang, r.pair_idx) for r in plan} == set(pairs)
+    for r in plan:
+        p = pairs[(r.lang, r.pair_idx)]
+        assert (r.chosen_doc_id, r.rejected_doc_id, r.margin) == (
+            p.chosen_doc_id,
+            p.rejected_doc_id,
+            p.margin,
+        )
+
+
+def _pref_pair_row(
+    lang, pair_idx, c_doc, c_logit, r_doc, r_logit, comp_c, comp_r
+):
+    return (
+        lang,
+        pair_idx,
+        c_doc,
+        c_logit,
+        r_doc,
+        r_logit,
+        c_logit - r_logit,
+        comp_c,
+        comp_r,
+    )
+
+
+def test_preference_repair_synthetic_poisoned(spark):
+    """Exercise the re-pair branch the fixture never reaches: mirror
+    re-pairing of poisoned sides by (chosen_logit DESC), middle
+    self-pair killed by the comp check, same-comp candidates dropped,
+    negative-margin candidates dropped, null-comp pairs kept."""
+    schema = (
+        "lang string, pair_idx long, chosen_doc_id long,"
+        " chosen_logit long, rejected_doc_id long, rejected_logit long,"
+        " margin long, comp_chosen long, comp_rejected long"
+    )
+    rows = [
+        # clean pair (no comps) -> kept
+        _pref_pair_row("xx", 1, 101, 100, 201, 10, None, None),
+        # one-sided comp -> NOT poisoned (3VL guard) -> kept
+        _pref_pair_row("xx", 6, 106, 15, 206, 5, 5000, None),
+        # four poisoned pairs, ranked r=1..4 by chosen_logit DESC
+        _pref_pair_row("xx", 2, 102, 90, 202, 80, 1000, 1000),
+        _pref_pair_row("xx", 3, 103, 70, 203, 60, 2000, 2000),
+        _pref_pair_row("xx", 4, 104, 50, 204, 40, 2000, 2000),
+        _pref_pair_row("xx", 5, 105, 30, 205, 20, 4000, 4000),
+        # odd-m lang: the single poisoned pair can only re-pair with
+        # itself (r = m+1-r) and must die on the comp check
+        _pref_pair_row("yy", 1, 301, 50, 401, 40, 7000, 7000),
+    ]
+    joined = spark.createDataFrame(rows, schema)
+    out = textops._repair_preference_pairs(joined).collect()
+    kept = {(r.lang, r.pair_idx) for r in out if r.provenance == "kept"}
+    assert kept == {("xx", 1), ("xx", 6)}
+    repaired = {
+        (r.lang, r.pair_idx): r for r in out if r.provenance == "repaired"
+    }
+    # mirror over the poisoned ranking: new_idx 1 = chosen of r1 (102)
+    # with rejected of r4 (205) -> margin 70, comps 1000 != 4000: LIVES.
+    # new_idx 2 = 103 + 204: comps 2000 == 2000 -> dropped.
+    # new_idx 3 = 104 + 203: margin 50-60 < 0 -> dropped.
+    # new_idx 4 = 105 + 202: margin 30-80 < 0 -> dropped.
+    # yy's middle self-pair -> dropped (same comp).
+    assert set(repaired) == {("xx", 1)}
+    r = repaired[("xx", 1)]
+    assert (r.chosen_doc_id, r.rejected_doc_id, r.margin) == (102, 205, 70)
+    assert r.chosen_logit == 90 and r.rejected_logit == 20
+
+
+def test_curation_export_delta_reconciles(spark, sf_dir):
+    """The delta must be exactly the per-shard fold of its two parent
+    manifests, with non-negative removals (selected is doc-for-doc a
+    subset of raw under the same shard rule and tokenizer)."""
+    from kafka_exercise_spark.operators import sampling
+
+    def fold(df):
+        agg = {}
+        for r in df.collect():
+            d, t, b = agg.get(r.shard, (0, 0, 0))
+            agg[r.shard] = (d + r.n_docs, t + r.bin_tokens, b + 1)
+        return agg
+
+    raw = fold(sampling.output_shard_manifest(spark, sf_dir))
+    sel = fold(sampling.export_shard_manifest(spark, sf_dir))
+    delta = sampling.curation_export_delta(spark, sf_dir).collect()
+    assert {r.shard for r in delta} == set(raw)
+    for r in delta:
+        rd, rt, rb = raw[r.shard]
+        sd, st, sb = sel.get(r.shard, (0, 0, 0))
+        assert (r.raw_docs, r.raw_tokens, r.raw_bins) == (rd, rt, rb)
+        assert (r.sel_docs, r.sel_tokens, r.sel_bins) == (sd, st, sb)
+        assert r.removed_docs == rd - sd >= 0
+        assert r.removed_tokens == rt - st >= 0
+        assert r.bins_saved == rb - sb >= 0
+        assert r.removed_ppm == (rt - st) * 1_000_000 // rt

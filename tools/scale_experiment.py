@@ -33,7 +33,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
-from kafka_exercise_spark.catalog import TABLES, load_table, table_path
+from kafka_exercise_spark.catalog import (
+    TABLES,
+    drain_memo_build_log,
+    load_table,
+    table_path,
+)
 from kafka_exercise_spark.operators import (
     analytic,
     dedup,
@@ -157,6 +162,11 @@ QUERIES = {
     # Added post-SCALING_r08; first rings lead the r9 ladder.
     "preference_pair_dedup_audit": textops.preference_pair_dedup_audit,
     "export_shard_manifest": sampling.export_shard_manifest,
+    # r09 additions — pure compositions (run after their parents above):
+    # the per-shard raw-vs-selected manifest diff and the preference
+    # repair plan (audit-joined frame + an O(poisoned) re-pair window)
+    "curation_export_delta": sampling.curation_export_delta,
+    "preference_pair_repair_plan": textops.preference_pair_repair_plan,
 }
 
 
@@ -331,13 +341,29 @@ def main() -> None:
     # paying the full ladder. Families that time a MARGINAL cost still
     # need their memo parents listed first.
     dirs = {k: build_scaled(spark, k) for k in rungs}
-    results: dict[str, dict[str, float]] = {}
+    results: dict[str, dict] = {}
+    drain_memo_build_log()  # warm-phase builds are not rung evidence
     for name, fn in queries.items():
         results[name] = {}
+        builds: dict[str, dict[str, float]] = {}
         for k, d in dirs.items():
             t0 = time.perf_counter()
             fn(spark, d).write.format("noop").mode("overwrite").save()
             results[name][f"x{k}"] = round(time.perf_counter() - t0, 3)
+            # self-attribution (the SCALING_r08 lesson): every cold memo
+            # built INSIDE this timed run is named with its build cost,
+            # so a super-linear-looking rung carries its own explanation
+            # — "first entry to touch the shared frame on this dir".
+            cold = drain_memo_build_log()
+            if cold:
+                per = {}
+                for c in cold:
+                    per[c["memo"]] = round(
+                        per.get(c["memo"], 0.0) + c["seconds"], 3
+                    )
+                builds[f"x{k}"] = per
+        if builds:
+            results[name]["build_s"] = builds
     print(json.dumps(results))
 
 
