@@ -90,26 +90,48 @@ def test_tokens_shingles_hash_parity(spark, texts):
         assert g.h == e[3], texts
 
 
-def test_r08_window_leads_with_unverified_entries():
-    """The driver records only the first 50 queries() entries; r08 must
-    lead with the 2 late-r7 entries that have never had a driver
-    CORRECTNESS row (VERDICT r7 finding #1, the positional queue) plus
-    every r08 addition, then the full r03-last-green refresh cohort —
+def test_r09_window_leads_with_unverified_entries():
+    """The driver records only the first 50 queries() entries; r09 must
+    lead with the 11 late-r8 entries that have never had a driver
+    CORRECTNESS row (VERDICT r8 finding #3, the positional queue) plus
+    every r09 addition, then the full r04-last-green refresh cohort —
     an accidental reorder would silently burn the round's only driver
     evidence."""
     import __spark_entry__ as entrymod
 
     first50 = list(entrymod.queries())[:50]
-    never_verified = {"dedup_soft_weights", "mixture_temperature_plan"}
-    r08_new = {
-        "token_budget_weighted",
-        "token_budget_fill_report",
-        "model_promotion_report",
-        "model_batch_drift_report",
+    never_verified = {
+        "model_gate_impact_matrix",
+        "model_replace_impact_matrix",
+        "split_repair_plan",
+        "length_bucket_plan",
+        "output_shard_manifest",
+        "preference_pairs",
+        "hard_negatives_topk",
+        "fim_split_plan",
+        "packing_vs_bucketing_report",
+        "preference_pair_dedup_audit",
+        "export_shard_manifest",
     }
-    # the three that yielded their r07 slots must be restored
-    yielded_r07 = {
-        "ksql_jovens", "ksql_idadecont", "streaming_idadecont_replay",
+    r09_new = {"curation_export_delta", "preference_pair_repair_plan"}
+    # the full 16-entry r04-last-green cohort must be refreshed
+    r04_cohort = {
+        "domain_mix_resample",
+        "embed_feature_hashing",
+        "embedding_outliers",
+        "hybrid_search_topk",
+        "jsonl_roundtrip",
+        "ksql_join_within",
+        "minhash_signatures",
+        "multimodal_features",
+        "multimodal_frame_sample",
+        "pq_encode",
+        "retention_cohorts",
+        "scd2_user_versions",
+        "sliding_window_events",
+        "sparse_ann_topk",
+        "text_token_entropy",
+        "window_distribution_orders",
     }
-    assert never_verified | r08_new | yielded_r07 <= set(first50)
+    assert never_verified | r09_new | r04_cohort <= set(first50)
     assert first50[:2] == ["jovens", "idadecont"]  # flagships stay first

@@ -354,6 +354,10 @@ def main() -> None:
             # built INSIDE this timed run is named with its build cost,
             # so a super-linear-looking rung carries its own explanation
             # — "first entry to touch the shared frame on this dir".
+            # Caveat: builds NEST (lsh_pairs calls hashed_shingles), and
+            # an outer build's seconds INCLUDE its inner builds' — sum
+            # the build_s map and you double-count; read it as "which
+            # frames were cold here and what did each cost end-to-end".
             cold = drain_memo_build_log()
             if cold:
                 per = {}

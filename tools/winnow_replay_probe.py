@@ -1,0 +1,70 @@
+"""Order-isolated re-measure of ``streaming_winnow_replay`` (VERDICT r8
+finding #2 / ask #3): BENCH_r08 read 5.06 s vs 2.52 s in r7 with
+stateful.py unchanged — above the documented 1.43x host-tenancy band, so
+it gets the same protocol ``model_gate_threshold_sweep`` got in r8
+(README "Bench note (late r8, RESOLVED with data)"): fresh session, the
+replay's parents warmed first, 7 timed samples, median.
+
+The entry's cost decomposes as (a) the one-time winnow corpus-index memo
+build (rare-fingerprint postings + per-doc counts + census domain — cold
+only on the FIRST call per (session, sf_dir)), and (b) the per-call
+StreamExecution replay: 4 micro-batches, each probing the served index.
+The memo-build instrumentation (catalog.MEMO_BUILD_LOG) separates the
+two; bench passes after the first measure only (b).
+
+Usage: python tools/winnow_replay_probe.py [sf_dir]
+Prints one JSON line {"build": {...}, "samples": [...], "median": s}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from kafka_exercise_spark.catalog import drain_memo_build_log
+from kafka_exercise_spark.session import get_spark
+from kafka_exercise_spark.streaming import stateful
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+SAMPLES = int(os.environ.get("WINNOW_PROBE_SAMPLES", "7"))
+
+
+def main() -> None:
+    spark = get_spark("winnow_replay_probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # warm JVM
+    drain_memo_build_log()
+    # first call: pays the corpus index build (attributed separately)
+    t0 = time.perf_counter()
+    stateful.streaming_winnow_replay(spark, SF).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    first = round(time.perf_counter() - t0, 3)
+    builds = drain_memo_build_log()
+    samples = []
+    for _ in range(SAMPLES):
+        t0 = time.perf_counter()
+        stateful.streaming_winnow_replay(spark, SF).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        samples.append(round(time.perf_counter() - t0, 3))
+    print(
+        json.dumps(
+            {
+                "sf": SF,
+                "first_call_s": first,
+                "build": builds,
+                "samples": samples,
+                "median": round(statistics.median(samples), 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
