@@ -493,6 +493,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the preference family's detect→repair action sheet: clean
         # pairs kept, poisoned pairs' sides mirror re-paired per lang
         "preference_pair_repair_plan": textops.preference_pair_repair_plan,
+        # ---- late r09: EVERY entry appended below this line after the
+        # r09 window froze is past that window — lead the r10 window
+        # with ALL of them (positional queue), per the established
+        # rotation policy. ----
+        # Hamming-cutoff tuning sweep for the SimHash detector (the
+        # sheet the other three near-dup families already have)
+        "simhash_threshold_sweep": dedup.simhash_threshold_sweep,
+        # DPO margin-distribution sheet on a fixed integer band grid
+        "preference_margin_histogram": textops.preference_margin_histogram,
     }
     # The r09 driver window (first 50) — see the docstring for the
     # policy. Composition: flagships, the FULL late-r08 positional
@@ -5232,5 +5241,73 @@ def oracle_sql() -> dict[str, str]:
                           >= {textops.PREF_MARGIN_MIN}
                   AND comp_chosen != comp_rejected)
         SELECT * FROM kept UNION ALL SELECT * FROM rep
+    """
+    # SimHash cutoff sweep: the pair oracle's exact CTE chain scored at
+    # the d<=3 pigeonhole recall bound, exploded over the threshold
+    # ladder (thresholds with zero pairs emit no row in either engine)
+    oracles["simhash_threshold_sweep"] = f"""
+        WITH t AS (SELECT doc_id,
+                       list_distinct({_TOKS}) AS tok FROM documents),
+        hv AS (SELECT doc_id,
+                      unnest(list_transform(tok,
+                          x -> ('0x' || substr(md5(x), 1, 15))::BIGINT)) AS h
+               FROM t),
+        n AS (SELECT doc_id, count(*) AS n FROM hv GROUP BY doc_id),
+        v AS (SELECT doc_id, u.b AS b,
+                     count(*) FILTER ((h >> u.b) & 1 = 1) AS ones
+              FROM hv CROSS JOIN (SELECT unnest(range(0, 60)) AS b) u
+              GROUP BY doc_id, u.b),
+        sh AS (SELECT v.doc_id,
+                      sum(CASE WHEN ones * 2 > n.n
+                               THEN (1::BIGINT << b) ELSE 0 END)::BIGINT
+                          AS simhash
+               FROM v JOIN n USING (doc_id) GROUP BY v.doc_id),
+        bands AS (SELECT doc_id, simhash, u.b AS band,
+                         (simhash >> (u.b * 15)) & 32767 AS key
+                  FROM sh CROSS JOIN (SELECT unnest(range(0, 4)) AS b) u),
+        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                        a.simhash AS sa, b.simhash AS sb
+                 FROM bands a JOIN bands b
+                   ON a.band = b.band AND a.key = b.key
+                  AND a.doc_id < b.doc_id),
+        scored AS (SELECT id_a, id_b,
+                          bit_count(xor(sa, sb))::BIGINT AS hamming
+                   FROM cand
+                   WHERE bit_count(xor(sa, sb))
+                             <= {dedup.SIMHASH_SWEEP_MAX}),
+        sw AS (SELECT u.t AS threshold, id_a, id_b
+               FROM scored CROSS JOIN
+                    (SELECT unnest(range(0, {dedup.SIMHASH_SWEEP_MAX + 1}))
+                         AS t) u
+               WHERE hamming <= u.t),
+        np AS (SELECT threshold, count(*)::BIGINT AS n_pairs
+               FROM sw GROUP BY threshold),
+        nd AS (SELECT threshold, count(DISTINCT id)::BIGINT AS n_docs
+               FROM (SELECT threshold, unnest([id_a, id_b]) AS id FROM sw)
+               GROUP BY threshold)
+        SELECT np.threshold::BIGINT AS threshold, n_pairs, n_docs
+        FROM np JOIN nd USING (threshold)
+    """
+    # DPO margin histogram COMPOSED from the preference oracle: log2
+    # bands from the SAME generated CASE ladder, per-lang share in ppm
+    oracles["preference_margin_histogram"] = f"""
+        WITH pp AS (SELECT lang, margin
+                    FROM ({oracles["preference_pairs"]})),
+        b AS (SELECT lang,
+                     ({textops._margin_band_case("margin")})::BIGINT
+                         AS margin_band,
+                     margin
+              FROM pp),
+        h AS (SELECT lang, margin_band, count(*)::BIGINT AS n_pairs,
+                     min(margin)::BIGINT AS min_margin,
+                     max(margin)::BIGINT AS max_margin
+              FROM b GROUP BY lang, margin_band),
+        tt AS (SELECT lang, count(*)::BIGINT AS lang_pairs
+               FROM pp GROUP BY lang)
+        SELECT h.lang, margin_band::BIGINT AS margin_band,
+               (1::BIGINT << margin_band)::BIGINT AS band_lo,
+               n_pairs, min_margin, max_margin,
+               ((n_pairs * 1000000) // lang_pairs)::BIGINT AS share_ppm
+        FROM h JOIN tt ON tt.lang = h.lang
     """
     return oracles

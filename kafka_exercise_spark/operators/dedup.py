@@ -342,16 +342,15 @@ SIMHASH_BANDS = 4  # 15 bits each over the 60-bit fingerprint
 HAMMING_MAX = 2
 
 
-def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup PAIRS via Hamming-band blocking.
-
-    A pair within Hamming distance d of a 60-bit simhash agrees exactly on
-    ≥ (bands − d) of 4 15-bit bands for d < 4... more usefully: any pair
-    with d ≤ 3 collides on at least one band (pigeonhole), so banding the
-    fingerprint into 4 keys turns near-dup search into an equi-join, same
-    shape as the MinHash LSH path. Collided candidates are then verified
-    with the exact popcount of XOR; the band stage only bounds recall for
-    d > 3, never precision. One fingerprint scan, one band self-join.
+def _simhash_scored_pairs(
+    spark: SparkSession, sf_dir: str, hmax: int
+) -> DataFrame:
+    """THE simhash pair plan, cutoff-parametrized: banded candidates
+    verified with exact popcount-of-xor, distinct survivors with
+    ``hamming <= hmax``. ``dedup_simhash_pairs`` (hmax = HAMMING_MAX)
+    and ``simhash_threshold_sweep`` (hmax = SIMHASH_SWEEP_MAX, the d<=3
+    pigeonhole recall bound of 4 bands) share this single definition so
+    the sweep can never disagree with the detector it tunes.
 
     The fingerprint column is persisted (eagerly, tiny: two longs per doc)
     before banding: without the boundary Catalyst inlines the 60-bit fold
@@ -399,8 +398,76 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
             ).cast("long").alias("hamming"),
         )
-        .filter(F.col("hamming") <= HAMMING_MAX)
+        .filter(F.col("hamming") <= F.lit(hmax))
         .distinct()
+    )
+
+
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup PAIRS via Hamming-band blocking.
+
+    A pair within Hamming distance d of a 60-bit simhash agrees exactly on
+    ≥ (bands − d) of 4 15-bit bands for d < 4... more usefully: any pair
+    with d ≤ 3 collides on at least one band (pigeonhole), so banding the
+    fingerprint into 4 keys turns near-dup search into an equi-join, same
+    shape as the MinHash LSH path. Collided candidates are then verified
+    with the exact popcount of XOR; the band stage only bounds recall for
+    d > 3, never precision. One fingerprint scan, one band self-join
+    (plan shared with the threshold sweep: ``_simhash_scored_pairs``).
+    """
+    return _simhash_scored_pairs(spark, sf_dir, HAMMING_MAX)
+
+
+#: Sweep ceiling = the 4-band pigeonhole recall bound: every pair with
+#: Hamming distance <= 3 is guaranteed to band-collide, so sweeping past
+#: 3 would silently under-count (banding bounds recall above d=3).
+SIMHASH_SWEEP_MAX = 3
+
+
+def simhash_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-tuning report for the SimHash detector — the sheet the
+    other three near-dup families already have (``minhash_s_curve`` /
+    ``dedup_threshold_sweep`` / ``winnow_threshold_sweep``), closing the
+    ensemble's tuning symmetry: pair and affected-doc counts at every
+    Hamming cutoff 0..SIMHASH_SWEEP_MAX, from ONE pass over the banded
+    pair plan scored at the recall-complete d<=3 bound. Each row answers
+    "how much would HAMMING_MAX = t flag?" before committing a cutoff to
+    a full dedup run — on 60-bit fingerprints of prose-scale corpora the
+    same sweep spans ~3-8 bits; the shape, one scored frame exploded
+    over a constant threshold ladder, is identical at any width.
+
+    Cost: the pair join ``dedup_simhash_pairs`` already pays (one
+    fingerprint scan + one band self-join, candidate mass measured
+    exactly linear in corpus size — tools/detector_scale_probe.py), a
+    constant <=4-way explode of the O(pairs) survivor frame, and two
+    |thresholds|-row aggregates. Thresholds with zero surviving pairs
+    emit no row — identically in both engines (groupBy drops empty
+    groups). Oracle mirrors the pair oracle's CTE chain at the sweep
+    cutoff.
+    """
+    scored = _simhash_scored_pairs(spark, sf_dir, SIMHASH_SWEEP_MAX)
+    swept = scored.select(
+        "id_a",
+        "id_b",
+        F.explode(
+            F.lit(list(range(SIMHASH_SWEEP_MAX + 1)))
+        ).alias("threshold"),
+        "hamming",
+    ).where(F.col("hamming") <= F.col("threshold"))
+    n_pairs = swept.groupBy("threshold").agg(
+        F.count("*").cast("long").alias("n_pairs")
+    )
+    ids = swept.select(
+        "threshold",
+        F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias("id"),
+    )
+    n_docs = ids.groupBy("threshold").agg(
+        F.count_distinct("id").cast("long").alias("n_docs")
+    )
+    return n_pairs.join(n_docs, "threshold").select(
+        F.col("threshold").cast("long").alias("threshold"),
+        "n_pairs",
+        "n_docs",
     )
 
 

@@ -3036,3 +3036,77 @@ def preference_pair_repair_plan(
     return _repair_preference_pairs(
         _preference_pairs_with_comps(spark, sf_dir)
     )
+
+
+#: Top rung of the margin histogram's log2 band ladder (2^40 ≈ 1.1e12
+#: comfortably bounds any integer-logit margin this classifier emits).
+PREF_MARGIN_MAX_POW = 40
+
+
+def _margin_band_case(col: str) -> str:
+    """SQL CASE ladder mapping a positive integer margin to its log2
+    band p (2^p <= margin < 2^(p+1)) — generated from the same constant
+    in BOTH engines so band edges are exact (the LENGTH_BUCKETS
+    discipline: no float log2 at power-of-two boundaries, never an
+    ntile, which is a single-task global sort at 100 TB)."""
+    return (
+        "CASE "
+        + " ".join(
+            f"WHEN {col} < {1 << (p + 1)} THEN {p}"
+            for p in range(PREF_MARGIN_MAX_POW + 1)
+        )
+        + f" ELSE {PREF_MARGIN_MAX_POW + 1} END"
+    )
+
+
+def preference_margin_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Margin-distribution sheet of the preference set — the number a
+    DPO run owner reads before choosing a margin filter or the loss
+    temperature β (Rafailov et al. 2023 §4: pair quality tracks the
+    chosen-vs-rejected gap; tiny margins are label noise, huge margins
+    are trivially-easy pairs that contribute little gradient). Per
+    (lang, log2 margin band): pair count, the band's exact observed
+    margin range, and the band's share of its language's pairs in
+    integer ppm. Log2 bands because fixed-point logit margins span
+    decades (36k…43M on the fixtures) — a linear grid would emit one
+    row per pair at the bottom and one giant band at the top.
+
+    All exact integers: the band is a generated power-of-two CASE
+    ladder (``_margin_band_case`` — shared with the oracle, no float
+    log2), margins strictly positive by construction, the share divides
+    two counts. Cost: the pairing's own plan + ONE |bands|-row groupBy
+    and a per-lang total join (a |langs|-row broadcast) — noise next to
+    the classifier's token shuffle. Oracle COMPOSED from the preference
+    oracle so the histogram can never drift from the pairing.
+    """
+    pp = preference_pairs(spark, sf_dir).select("lang", "margin")
+    banded = pp.select(
+        "lang",
+        F.expr(_margin_band_case("margin")).cast("long").alias(
+            "margin_band"
+        ),
+        "margin",
+    )
+    hist = banded.groupBy("lang", "margin_band").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.min("margin").cast("long").alias("min_margin"),
+        F.max("margin").cast("long").alias("max_margin"),
+    )
+    totals = pp.groupBy("lang").agg(
+        F.count("*").cast("long").alias("lang_pairs")
+    )
+    return hist.join(F.broadcast(totals), "lang").select(
+        "lang",
+        "margin_band",
+        F.expr("shiftleft(1L, cast(margin_band AS int))")
+        .cast("long")
+        .alias("band_lo"),
+        "n_pairs",
+        "min_margin",
+        "max_margin",
+        F.expr("(n_pairs * 1000000) div lang_pairs")
+        .cast("long")
+        .alias("share_ppm"),
+    )

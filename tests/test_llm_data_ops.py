@@ -2924,3 +2924,49 @@ def test_curation_export_delta_reconciles(spark, sf_dir):
         assert r.removed_tokens == rt - st >= 0
         assert r.bins_saved == rb - sb >= 0
         assert r.removed_ppm == (rt - st) * 1_000_000 // rt
+
+
+def test_simhash_threshold_sweep_reconciles(spark, sf_dir):
+    """The sweep's row at the deployed cutoff must equal the detector's
+    own output (shared plan), counts must be monotone in the cutoff,
+    and affected docs can never exceed 2 pairs' worth of endpoints."""
+    sweep = {
+        r.threshold: r
+        for r in dedup.simhash_threshold_sweep(spark, sf_dir).collect()
+    }
+    pairs = dedup.dedup_simhash_pairs(spark, sf_dir).collect()
+    assert sweep[dedup.HAMMING_MAX].n_pairs == len(pairs)
+    docs_at_max = {d for p in pairs for d in (p.id_a, p.id_b)}
+    assert sweep[dedup.HAMMING_MAX].n_docs == len(docs_at_max)
+    ts = sorted(sweep)
+    assert ts == list(range(min(ts), min(ts) + len(ts)))
+    for lo, hi in zip(ts, ts[1:]):
+        assert sweep[lo].n_pairs <= sweep[hi].n_pairs
+        assert sweep[lo].n_docs <= sweep[hi].n_docs
+    for r in sweep.values():
+        assert 0 < r.n_docs <= 2 * r.n_pairs
+
+
+def test_preference_margin_histogram_reconciles(spark, sf_dir):
+    """Histogram rows must partition the pairing exactly: per-lang pair
+    counts sum back, every pair's margin falls inside its band's pow-2
+    interval, and shares are the integer-div of the recounted sizes."""
+    pairs = textops.preference_pairs(spark, sf_dir).collect()
+    hist = textops.preference_margin_histogram(spark, sf_dir).collect()
+    per_lang: dict[str, int] = {}
+    for p in pairs:
+        per_lang[p.lang] = per_lang.get(p.lang, 0) + 1
+    assert sum(r.n_pairs for r in hist) == len(pairs)
+    for r in hist:
+        assert r.band_lo == 1 << r.margin_band
+        assert r.band_lo <= r.min_margin <= r.max_margin < 2 * r.band_lo
+        assert r.share_ppm == r.n_pairs * 1_000_000 // per_lang[r.lang]
+    # recount one lang's bands purely in python
+    lang = hist[0].lang
+    expected: dict[int, int] = {}
+    for p in pairs:
+        if p.lang == lang:
+            band = p.margin.bit_length() - 1
+            expected[band] = expected.get(band, 0) + 1
+    got = {r.margin_band: r.n_pairs for r in hist if r.lang == lang}
+    assert got == expected

@@ -167,6 +167,12 @@ QUERIES = {
     # repair plan (audit-joined frame + an O(poisoned) re-pair window)
     "curation_export_delta": sampling.curation_export_delta,
     "preference_pair_repair_plan": textops.preference_pair_repair_plan,
+    # late-r09 additions: the simhash cutoff sweep (one pass over the
+    # banded pair plan at d<=3 — candidate mass measured exactly linear,
+    # tools/detector_scale_probe.py) and the DPO margin histogram (the
+    # pairing's plan + a |bands|-row groupBy)
+    "simhash_threshold_sweep": dedup.simhash_threshold_sweep,
+    "preference_margin_histogram": textops.preference_margin_histogram,
 }
 
 
