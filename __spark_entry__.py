@@ -502,6 +502,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_threshold_sweep": dedup.simhash_threshold_sweep,
         # DPO margin-distribution sheet on a fixed integer band grid
         "preference_margin_histogram": textops.preference_margin_histogram,
+        # soft-dedup sampling live at ingest: the selection capstone's
+        # draw stage as a real StreamExecution admission replay
+        "streaming_soft_draw_replay": (
+            streaming_pipeline.streaming_soft_draw_replay
+        ),
     }
     # The r09 driver window (first 50) — see the docstring for the
     # policy. Composition: flagships, the FULL late-r08 positional
@@ -5309,5 +5314,26 @@ def oracle_sql() -> dict[str, str]:
                n_pairs, min_margin, max_margin,
                ((n_pairs * 1000000) // lang_pairs)::BIGINT AS share_ppm
         FROM h JOIN tt ON tt.lang = h.lang
+    """
+    # streaming soft-draw admission COMPOSED from the soft-weights
+    # oracle: union over micro-batches ≡ the batch draw (pure function
+    # of (salt, doc_id)), folded per source — same draw hash as the
+    # token_budget_weighted oracle's
+    oracles["streaming_soft_draw_replay"] = f"""
+        WITH w AS (SELECT doc_id, weight_ppm
+                   FROM ({oracles["dedup_soft_weights"]})),
+        d AS (SELECT source, doc_id, len({_TOKS})::BIGINT AS n_tok,
+                     ('0x' || substr(md5('softdraw:' || doc_id), 1, 15))::BIGINT
+                         % 1000000 AS draw
+              FROM documents),
+        j AS (SELECT d.source, d.n_tok,
+                     (draw < weight_ppm) AS kept
+              FROM d JOIN w USING (doc_id))
+        SELECT source, count(*)::BIGINT AS n_docs,
+               sum(kept::INT)::BIGINT AS n_kept,
+               coalesce(sum(CASE WHEN kept THEN n_tok END), 0)::BIGINT
+                   AS kept_tokens,
+               ((sum(kept::INT) * 1000000) // count(*))::BIGINT AS kept_ppm
+        FROM j GROUP BY source
     """
     return oracles

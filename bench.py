@@ -61,6 +61,7 @@ MEMO_SERVED = (
     "streaming_model_update_replay",
     "streaming_dq_gate",
     "streaming_curation_gate",
+    "streaming_soft_draw_replay",
 )
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))

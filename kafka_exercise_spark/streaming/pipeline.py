@@ -946,3 +946,134 @@ def streaming_model_update_replay(
         shutil.rmtree(work, ignore_errors=True)
         _MODEL_UPDATE_MEMO[memo_key] = final
     return _MODEL_UPDATE_MEMO[memo_key]
+
+
+_SOFT_DRAW_MEMO: dict = register_memo({})
+
+
+def streaming_soft_draw_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft-dedup sampling as STREAMING admission control under real
+    StreamExecution — the construction layer's ingest twin (the
+    ``streaming_curation_gate`` shape applied to the weighted-selection
+    capstone's DRAW stage): documents arrive in micro-batches, each
+    batch probes the served near-dup component frame (the long-lived
+    index side — ``dedup_components`` is already memo-served, the lake
+    table analog), computes its soft weight via the SHARED
+    ``SOFT_WEIGHT_PPM_EXPR`` fragment, and keeps a doc iff its
+    hash-Bernoulli draw lands under the weight — Lee et al. 2022's
+    count-once-in-expectation sampling, live at ingest.
+
+    The draw is a pure integer function of (salt, doc_id) — the exact
+    property that makes it STREAMABLE: no per-batch state, no order
+    dependence, union over micro-batches ≡ the batch draw, so the
+    oracle composes from the published soft-weights sheet. (The fill
+    stage is deliberately NOT streamed: greedy budget fill is a global
+    hash-order decision — its streaming form needs a per-source
+    running-total state whose admissions would depend on arrival order,
+    a different contract than the batch selection; the draw is the
+    stage with an exact streaming twin.)
+
+    Each micro-batch lands keep/drop-routed parquet with its token
+    count and weight under ``batch=<id>`` (overwrite → idempotent
+    replay, the gate family's contract); the entry folds the landed
+    state to the per-source admission sheet: docs seen, docs kept,
+    kept token mass, realized keep rate in ppm — vs the weights sheet's
+    EXPECTED rate, the acceptance check a continuous-ingest owner
+    reads. Zero added shuffles inside a batch (one doc-keyed join to
+    the O(near-dup) served frame — AQE broadcasts while it fits — and
+    map-side expressions).
+    """
+    import os  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from kafka_exercise_spark.catalog import load_table  # noqa: PLC0415
+    from kafka_exercise_spark.functions.text import (  # noqa: PLC0415
+        md5_hash64,
+        tokens,
+    )
+    from kafka_exercise_spark.operators.dedup import (  # noqa: PLC0415
+        SOFT_WEIGHT_PPM_EXPR,
+        dedup_components,
+    )
+    from kafka_exercise_spark.streaming.sources import (  # noqa: PLC0415
+        file_stream,
+    )
+    from kafka_exercise_spark.streaming.stateful import (  # noqa: PLC0415
+        run_bounded_replay,
+    )
+
+    evict_stale_memos(spark)
+    memo_key = (spark.sparkContext.applicationId, sf_dir)
+    if memo_key not in _SOFT_DRAW_MEMO:
+        comps = dedup_components(spark, sf_dir).select(
+            "doc_id", "comp_size"
+        )
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "source", "text"
+        )
+        work = tempfile.mkdtemp(prefix="soft_draw_")
+        src = os.path.join(work, "src")
+        out = os.path.join(work, "drawn")
+        docs.repartition(4).write.mode("overwrite").parquet(src)
+        schema = docs.schema
+        draw = F.pmod(
+            md5_hash64(
+                F.concat(
+                    F.lit("softdraw:"), F.col("doc_id").cast("string")
+                )
+            ),
+            F.lit(1_000_000),
+        )
+
+        def admit(batch_df: DataFrame, batch_id: int) -> None:
+            decided = (
+                batch_df.join(comps, "doc_id", "left")
+                .withColumn(
+                    "weight_ppm",
+                    F.expr(SOFT_WEIGHT_PPM_EXPR).cast("long"),
+                )
+                .withColumn(
+                    "n_tok", F.size(tokens(F.col("text"))).cast("long")
+                )
+                .withColumn(
+                    "routed",
+                    F.when(draw < F.col("weight_ppm"), "keep").otherwise(
+                        "drop"
+                    ),
+                )
+            )
+            decided.select(
+                "doc_id", "source", "n_tok", "weight_ppm", "routed"
+            ).write.mode("overwrite").partitionBy("routed").parquet(
+                os.path.join(out, f"batch={batch_id}")
+            )
+
+        stream = file_stream(spark, src, schema, max_files_per_trigger=2)
+        run_bounded_replay(
+            spark,
+            stream,
+            checkpoint=os.path.join(work, "ckpt"),
+            foreach_batch=admit,
+        )
+        _SOFT_DRAW_MEMO[memo_key] = out
+    out = _SOFT_DRAW_MEMO[memo_key]
+
+    landed = spark.read.parquet(out)
+    kept = F.when(F.col("routed") == "keep", 1).otherwise(0)
+    return (
+        landed.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(kept).cast("long").alias("n_kept"),
+            F.coalesce(
+                F.sum(F.when(F.col("routed") == "keep", F.col("n_tok"))),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("kept_tokens"),
+        )
+        .withColumn(
+            "kept_ppm",
+            F.expr("(n_kept * 1000000) div n_docs").cast("long"),
+        )
+    )

@@ -311,3 +311,63 @@ def test_streaming_scd2_replay_equals_batch_apply(spark, sf_dir):
     got = {tuple(r) for r in streaming_scd2_replay(spark, sf_dir).collect()}
     want = {tuple(r) for r in merge_scd2_apply(spark, sf_dir).collect()}
     assert got == want
+
+
+def test_streaming_soft_draw_replay_equals_batch_draw(spark, sf_dir):
+    """The replayed admission sheet must equal the batch draw exactly:
+    the draw is a pure function of (salt, doc_id), so micro-batch
+    arrival cannot change membership — re-derive keep decisions
+    batch-side from the published soft-weights sheet and compare."""
+    from pyspark.sql import functions as F
+
+    from kafka_exercise_spark.functions.text import md5_hash64, tokens
+    from kafka_exercise_spark.operators.dedup import dedup_soft_weights
+    from kafka_exercise_spark.streaming.pipeline import (
+        streaming_soft_draw_replay,
+    )
+
+    got = {
+        r.source: r
+        for r in streaming_soft_draw_replay(spark, sf_dir).collect()
+    }
+    w = dedup_soft_weights(spark, sf_dir).select("doc_id", "weight_ppm")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", F.size(tokens(F.col("text"))).alias("n_tok")
+    )
+    draw = F.pmod(
+        md5_hash64(
+            F.concat(F.lit("softdraw:"), F.col("doc_id").cast("string"))
+        ),
+        F.lit(1_000_000),
+    )
+    expected = {
+        r.source: r
+        for r in docs.join(w, "doc_id")
+        .withColumn("kept", draw < F.col("weight_ppm"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("kept").cast("int")).alias("n_kept"),
+            F.coalesce(
+                F.sum(F.when(F.col("kept"), F.col("n_tok"))), F.lit(0)
+            ).alias("kept_tokens"),
+        )
+        .collect()
+    }
+    assert set(got) == set(expected)
+    for src, e in expected.items():
+        g = got[src]
+        assert (g.n_docs, g.n_kept, g.kept_tokens) == (
+            e.n_docs,
+            e.n_kept,
+            e.kept_tokens,
+        )
+        assert g.kept_ppm == g.n_kept * 1_000_000 // g.n_docs
+    # idempotent replay: the second call serves the same landed state
+    again = {
+        r.source: r
+        for r in streaming_soft_draw_replay(spark, sf_dir).collect()
+    }
+    assert {s: (r.n_docs, r.n_kept) for s, r in again.items()} == {
+        s: (r.n_docs, r.n_kept) for s, r in got.items()
+    }
