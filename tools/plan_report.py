@@ -123,6 +123,12 @@ SELECTED = [
     # fenced in test_plans.py::test_r8_training_data_sheets_plan_shape;
     # hard_negatives_topk consumes the memoized SemDeDup frame (same
     # exclusion class as the other component-frame consumers above).
+    # ---- r9 ----
+    ("curation_export_delta", "both manifests folded to per-shard rows; one shards-row join — the corpus is never touched by the diff"),
+    ("preference_pair_repair_plan", "pairing plan read once; O(poisoned) window + 2-row side explode + one groupBy, no self-join"),
+    ("simhash_threshold_sweep", "the pair plan scored once at d<=3; constant 4-way explode of the survivor frame"),
+    ("preference_margin_histogram", "pow-2 CASE band map-side; bands-row groupBy + langs-row broadcast total"),
+    ("streaming_soft_draw_replay", "served landed state read; per-batch: one join to the O(near-dup) served frame, map-side draw"),
 ]
 
 FULL_PLANS = ["q3_shipping_priority", "dedup_ngram_jaccard"]
