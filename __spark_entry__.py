@@ -507,6 +507,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_soft_draw_replay": (
             streaming_pipeline.streaming_soft_draw_replay
         ),
+        # per-(bucket, batch) writer manifest of the bucketed layout —
+        # the output_shard_manifest twin for the other loader layout
+        "bucket_batch_manifest": sampling.bucket_batch_manifest,
     }
     # The r09 driver window (first 50) — see the docstring for the
     # policy. Composition: flagships, the FULL late-r08 positional
@@ -5335,5 +5338,42 @@ def oracle_sql() -> dict[str, str]:
                    AS kept_tokens,
                ((sum(kept::INT) * 1000000) // count(*))::BIGINT AS kept_ppm
         FROM j GROUP BY source
+    """
+    # bucketed-batching writer manifest: the length_bucket_plan CASE
+    # ladder + the same doc_id-order window arithmetic as the engine
+    _bb_bucket_case = (
+        "CASE "
+        + " ".join(
+            f"WHEN eff_tok <= {r} THEN {r}"
+            for r in sampling.LENGTH_BUCKETS
+        )
+        + " END"
+    )
+    oracles["bucket_batch_manifest"] = f"""
+        WITH t AS (SELECT doc_id,
+                          least(len({_TOKS}),
+                                {sampling.LENGTH_BUCKETS[-1]})::BIGINT
+                              AS eff_tok
+                   FROM documents),
+        b AS (SELECT doc_id, ({_bb_bucket_case})::BIGINT AS bucket,
+                     eff_tok
+              FROM t),
+        a AS (SELECT doc_id, bucket, eff_tok,
+                     ((row_number() OVER (PARTITION BY bucket
+                                          ORDER BY doc_id) - 1)
+                      // ({sampling.BUCKET_BATCH_TOKENS} // bucket))::BIGINT
+                         AS batch_idx
+              FROM b)
+        SELECT bucket, batch_idx,
+               count(*)::BIGINT AS n_seqs,
+               sum(eff_tok)::BIGINT AS real_tokens,
+               (count(*) * bucket)::BIGINT AS padded_tokens,
+               (CASE WHEN count(*) * bucket > 0 THEN
+                     ((count(*) * bucket - sum(eff_tok)) * 1000000)
+                     // (count(*) * bucket)
+                ELSE 0 END)::BIGINT AS pad_ppm,
+               min(doc_id)::BIGINT AS first_doc_id,
+               max(doc_id)::BIGINT AS last_doc_id
+        FROM a GROUP BY bucket, batch_idx
     """
     return oracles

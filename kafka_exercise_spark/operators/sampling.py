@@ -1162,3 +1162,86 @@ def curation_export_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("bins_saved"),
         )
     )
+
+
+def bucket_batch_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-BATCH writer manifest of the bucketed-batching layout — the
+    ``output_shard_manifest`` twin for the OTHER loader layout, closing
+    the symmetry: packing has layout (``pack_sequences``) + manifest
+    (+ export capstone); bucketing had only the economics sheet
+    (``length_bucket_plan``). One row per (bucket, batch_idx) batch a
+    bucketed loader emits: sequence count, real token mass, the padded
+    mass the batch reserves (n_seqs × bucket — every doc pays its
+    bucket ceiling), pad waste in integer ppm, and the doc-id range the
+    loader reads — what a resumable bucketed writer diffs against, like
+    the packing manifest.
+
+    Batch assignment is the deterministic rule the economics sheet
+    already prices: docs ordered by doc_id within their bucket,
+    batch_idx = rank div seqs_per_batch (seqs_per_batch =
+    ``BUCKET_BATCH_TOKENS div bucket``) — the same doc_id-order
+    convention as ``pack_sequences``, so the two layouts are
+    order-comparable. All exact integers. Counts reconcile with
+    ``length_bucket_plan`` by construction: per bucket, Σ n_seqs =
+    n_docs and max(batch_idx)+1 = n_batches.
+
+    Cost: ONE tokenize scan behind the same projection barriers, a
+    window partitioned by bucket, and the per-(bucket, batch) groupBy —
+    at 100 TB the 8-rung bucket key is too coarse for one window task
+    each, so the production form shards as (bucket, H(doc) mod S) with
+    per-shard batch numbering (batches never span shards — the same
+    two-level extension every window op in this module documents);
+    the manifest then falls out of the loader's own write partitioning.
+    """
+    from kafka_exercise_spark.functions.text import tokens  # noqa: PLC0415
+
+    cap = LENGTH_BUCKETS[-1]
+    docs = scale_partitions(load_table(spark, sf_dir, "documents"), spark)
+    base = docs.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tok"),
+    )
+    step = base.select(
+        "doc_id",
+        F.least(F.col("n_tok"), F.lit(cap)).alias("eff_tok"),
+    )
+    bucket = F.lit(None).cast("long")
+    for rung in reversed(LENGTH_BUCKETS):
+        bucket = F.when(F.col("eff_tok") <= rung, F.lit(rung)).otherwise(
+            bucket
+        )
+    per_doc = step.select("doc_id", bucket.alias("bucket"), "eff_tok")
+    assigned = per_doc.withColumn(
+        "batch_idx",
+        F.expr(
+            f"(row_number() OVER (PARTITION BY bucket ORDER BY doc_id)"
+            f" - 1) div ({BUCKET_BATCH_TOKENS} div bucket)"
+        ).cast("long"),
+    )
+    return (
+        assigned.groupBy("bucket", "batch_idx")
+        .agg(
+            F.count("*").cast("long").alias("n_seqs"),
+            F.sum("eff_tok").cast("long").alias("real_tokens"),
+            F.min("doc_id").cast("long").alias("first_doc_id"),
+            F.max("doc_id").cast("long").alias("last_doc_id"),
+        )
+        .select(
+            F.col("bucket").cast("long").alias("bucket"),
+            F.col("batch_idx").cast("long").alias("batch_idx"),
+            "n_seqs",
+            "real_tokens",
+            (F.col("n_seqs") * F.col("bucket"))
+            .cast("long")
+            .alias("padded_tokens"),
+            F.expr(
+                "CASE WHEN n_seqs * bucket > 0 THEN"
+                " ((n_seqs * bucket - real_tokens) * 1000000)"
+                " div (n_seqs * bucket) ELSE 0 END"
+            )
+            .cast("long")
+            .alias("pad_ppm"),
+            "first_doc_id",
+            "last_doc_id",
+        )
+    )

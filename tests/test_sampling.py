@@ -456,3 +456,34 @@ def test_export_shard_manifest_packs_exactly_the_selection(spark, sf_dir):
         assert idx[0] == 0 and len(set(idx)) == len(idx)
         if max_tok < 2 * sampling.PACK_BUDGET_TOKENS:
             assert idx == list(range(len(idx)))
+
+
+def test_bucket_batch_manifest_reconciles_with_plan(spark, sf_dir):
+    """The manifest must partition the economics sheet exactly: per
+    bucket, Σ n_seqs = n_docs and max(batch_idx)+1 = n_batches; every
+    non-final batch is full; padded mass and pad ppm are exact."""
+    plan = {
+        r.bucket: r
+        for r in sampling.length_bucket_plan(spark, sf_dir).collect()
+    }
+    rows = sampling.bucket_batch_manifest(spark, sf_dir).collect()
+    by_bucket: dict[int, list] = {}
+    for r in rows:
+        by_bucket.setdefault(r.bucket, []).append(r)
+    assert set(by_bucket) == set(plan)
+    for bucket, batches in by_bucket.items():
+        p = plan[bucket]
+        assert sum(b.n_seqs for b in batches) == p.n_docs
+        assert max(b.batch_idx for b in batches) + 1 == p.n_batches
+        assert sum(b.real_tokens for b in batches) == p.token_mass
+        spb = sampling.BUCKET_BATCH_TOKENS // bucket
+        for b in sorted(batches, key=lambda x: x.batch_idx)[:-1]:
+            assert b.n_seqs == spb  # only the last batch may be short
+        for b in batches:
+            assert b.padded_tokens == b.n_seqs * bucket
+            assert b.pad_ppm == (
+                (b.padded_tokens - b.real_tokens)
+                * 1_000_000
+                // b.padded_tokens
+            )
+            assert b.first_doc_id <= b.last_doc_id

@@ -129,6 +129,7 @@ SELECTED = [
     ("simhash_threshold_sweep", "the pair plan scored once at d<=3; constant 4-way explode of the survivor frame"),
     ("preference_margin_histogram", "pow-2 CASE band map-side; bands-row groupBy + langs-row broadcast total"),
     ("streaming_soft_draw_replay", "served landed state read; per-batch: one join to the O(near-dup) served frame, map-side draw"),
+    ("bucket_batch_manifest", "one tokenize scan; per-bucket window then (bucket, batch) groupBy = the loader write partitioning"),
 ]
 
 FULL_PLANS = ["q3_shipping_priority", "dedup_ngram_jaccard"]

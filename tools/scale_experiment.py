@@ -173,6 +173,8 @@ QUERIES = {
     # pairing's plan + a |bands|-row groupBy)
     "simhash_threshold_sweep": dedup.simhash_threshold_sweep,
     "preference_margin_histogram": textops.preference_margin_histogram,
+    # bucketed-layout manifest: scan-bound like its economics sheet
+    "bucket_batch_manifest": sampling.bucket_batch_manifest,
 }
 
 
