@@ -51,21 +51,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Ordering note: the driver's correctness pass covers the first 50
     entries; the explicit ``window`` list below pins that set and the
-    rest follow in registry order. r09 rotation (VERDICT r8 ask #2): the
-    two flagships, then the FULL late-r08 positional queue — the 11
-    entries that had never had a driver CORRECTNESS row (both
-    deploy-impact matrices, split_repair_plan, length_bucket_plan, both
-    shard manifests, preference_pairs + its dedup audit,
-    hard_negatives_topk, fim_split_plan, packing_vs_bucketing_report),
-    the 2 NEW r09 entries (curation_export_delta: the raw-vs-selected
-    manifest diff the export capstone promised, VERDICT r8 ask #5;
-    preference_pair_repair_plan: the preference family's detect→repair
-    action sheet, ask #6), then the oldest-evidence refresh: the FULL
-    16-entry r04-last-green cohort (restoring the every-entry-has-
-    driver-evidence invariant through r04) and the 19 alphabetically-
-    first of the 47 whose last row is r05; the remaining 28 r05 rows
-    lead the r10 refresh queue. Everything outside the window is
-    covered by this session's verify_local sweeps plus pytest.
+    rest follow in registry order.
+
+    WINDOW COMPOSITION POLICY (stable since r05; refresh weighting
+    added r10 per VERDICT r9 ask #8). Slots are assigned in priority
+    order:
+
+    1. The two flagships (``jovens``, ``idadecont``) — every round.
+    2. The positional queue: every entry added AFTER the previous
+       round's window froze (it has never had a driver row).
+    3. New entries added THIS round.
+    4. Oldest-evidence refresh, taken cohort-by-cohort (a cohort = all
+       entries whose last green driver row is round N, smallest N
+       first). WITHIN a cohort the order is WEIGHTED, not alphabetical:
+       (a) streaming replays first — their results depend on the
+       StreamExecution harness AND their batch parents, so they have
+       the most ways to silently drift; (b) composition capstones /
+       matrices second (entries whose plan composes 2+ parent entries
+       — manifest diffs, detector matrices, audit samples, pareto and
+       ablation sheets) — a parent change invalidates their evidence
+       even when their own code is untouched; (c) alphabetical rest —
+       leaf entries whose plans change least. At 225+ entries a full
+       refresh cycle spans ~5 rounds; this ordering makes the
+       staleness window shortest exactly where drift risk is highest.
+
+    r10 rotation: flagships, the 4-entry late-r09 positional queue
+    (simhash_threshold_sweep, preference_margin_histogram,
+    streaming_soft_draw_replay, bucket_batch_manifest), the 3 NEW r10
+    entries (bucket_export_manifest + bucket_export_delta: the
+    bucketed layout's export capstone and curation delta, VERDICT r9
+    ask #4; preference_filtered_export: the DPO-ready margin-band
+    filtered export, ask #5), the COMPLETE 28-entry r05-last-green
+    cohort, and the first 13 of the 47-entry r06 cohort in the
+    weighted order above (2 streaming replays, 7 capstones, 4
+    alphabetical). The remaining 34 r06 rows lead the r11 refresh
+    queue. Everything outside the window is covered by this session's
+    verify_local sweeps plus pytest.
     """
     all_q = {
         # §2.2 P1/P4/P5/P6/P8 — formatted-date filter (CSAS jovens)
@@ -510,69 +531,79 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per-(bucket, batch) writer manifest of the bucketed layout —
         # the output_shard_manifest twin for the other loader layout
         "bucket_batch_manifest": sampling.bucket_batch_manifest,
+        # ---- new in r10 ----
+        # the bucketed layout's SELECTED-corpus manifest: the bucket-batch
+        # rule over the weighted-selection survivors (export twin)
+        "bucket_export_manifest": sampling.bucket_export_manifest,
+        # per-bucket raw-vs-selected diff — what curation removed from
+        # every length bucket (the curation_export_delta twin)
+        "bucket_export_delta": sampling.bucket_export_delta,
+        # DPO-ready export capstone: margin-band filter over the
+        # REPAIRED preference set, per-lang kept/dropped counts
+        "preference_filtered_export": textops.preference_filtered_export,
     }
-    # The r09 driver window (first 50) — see the docstring for the
-    # policy. Composition: flagships, the FULL late-r08 positional
-    # queue (11 entries, VERDICT r8 finding #3 / ask #2), the 2 NEW
-    # r09 entries (asks #5/#6), then the oldest-evidence refresh: the
-    # COMPLETE 16-entry r04-last-green cohort and the 19
-    # alphabetically-first of the 47-entry r05 cohort. The remaining
-    # 28 r05 rows lead the r10 refresh queue.
+    # The r10 driver window (first 50) — see the docstring for the
+    # policy. Composition: flagships, the FULL late-r09 positional
+    # queue (4 entries, VERDICT r9 finding #2 / ask #1), the 3 NEW r10
+    # entries (asks #4/#5: the bucketed-layout export manifest + delta
+    # and the preference filtered-export capstone), the COMPLETE
+    # 28-entry r05-last-green cohort (restoring the evidence floor to
+    # r06), and 13 of the 47-entry r06 cohort picked by the WEIGHTED
+    # refresh policy (ask #8, documented in the docstring): streaming
+    # replays first, composition capstones second, alphabetical rest.
+    # The remaining 34 r06 rows lead the r11 refresh queue
+    # (alphabetical after the same weighting).
     window = [
         "jovens",
         "idadecont",
-        # the 11 never-driver-verified late-r8 entries (positional queue)
-        "model_gate_impact_matrix",
-        "model_replace_impact_matrix",
-        "split_repair_plan",
-        "length_bucket_plan",
-        "output_shard_manifest",
-        "preference_pairs",
-        "hard_negatives_topk",
-        "fim_split_plan",
-        "packing_vs_bucketing_report",
-        "preference_pair_dedup_audit",
-        "export_shard_manifest",
-        # new in r09 (2 entries)
-        "curation_export_delta",
-        "preference_pair_repair_plan",
-        # oldest driver evidence (last green r04) — the full cohort
-        "domain_mix_resample",
-        "embed_feature_hashing",
-        "embedding_outliers",
-        "hybrid_search_topk",
-        "jsonl_roundtrip",
-        "ksql_join_within",
-        "minhash_signatures",
-        "multimodal_features",
-        "multimodal_frame_sample",
-        "pq_encode",
-        "retention_cohorts",
-        "scd2_user_versions",
-        "sliding_window_events",
-        "sparse_ann_topk",
-        "text_token_entropy",
-        "window_distribution_orders",
-        # oldest driver evidence (last green r05) — first 19 of 47
-        "ann_index_refresh",
-        "ann_recall_report",
-        "attribution_credit",
-        "basket_pair_rules",
-        "bm25_topk",
-        "classifier_calibration_report",
-        "contamination_report",
-        "corpus_profile",
-        "curation_funnel_report",
-        "dedup_cluster_canonicals",
-        "dedup_source_matrix",
-        "dedup_threshold_sweep",
-        "drift_report_events",
-        "embedding_anisotropy",
-        "embedding_top_component",
-        "er_fuzzy_pairs",
-        "funnel_ordered",
-        "gopher_quality_filter",
-        "graph_pagerank",
+        "simhash_threshold_sweep",
+        "preference_margin_histogram",
+        "streaming_soft_draw_replay",
+        "bucket_batch_manifest",
+        "bucket_export_manifest",
+        "bucket_export_delta",
+        "preference_filtered_export",
+        "heavy_hitters_topk",
+        "hourly_anomaly_scores",
+        "ivf_cells_report",
+        "join_customer_orders",
+        "k_anonymity_report",
+        "lm_bigram_score",
+        "lm_unigram_score",
+        "merge_scd2_apply",
+        "merge_upsert_profiles",
+        "mixture_plan",
+        "q10_returned_items",
+        "q18_large_orders",
+        "q3_shipping_priority",
+        "q5_local_supplier",
+        "q7_volume_shipping",
+        "q8_market_share",
+        "q9_product_profit",
+        "resample_ffill_events",
+        "rfm_segments",
+        "skew_key_census",
+        "span_corruption_masks",
+        "streaming_curation_gate",
+        "streaming_merge_replay",
+        "streaming_scd2_replay",
+        "tfidf_top_terms",
+        "tokenizer_fertility_report",
+        "twa_value_per_user",
+        "weighted_sample_topn",
+        "streaming_compaction_replay",
+        "streaming_winnow_replay",
+        "curation_run_manifest",
+        "dedup_detector_matrix",
+        "dedup_pair_audit_sample",
+        "dedup_savings_report",
+        "ann_pareto_report",
+        "quality_ablation_report",
+        "source_disposition_matrix",
+        "ann_cosine_topk",
+        "ann_filtered_topk",
+        "ann_ivf_pq_topk",
+        "ann_ivf_topk",
     ]
     assert len(window) == 50 and len(set(window)) == 50
     out = {k: all_q[k] for k in window}
@@ -5375,5 +5406,100 @@ def oracle_sql() -> dict[str, str]:
                min(doc_id)::BIGINT AS first_doc_id,
                max(doc_id)::BIGINT AS last_doc_id
         FROM a GROUP BY bucket, batch_idx
+    """
+    # bucketed EXPORT manifest COMPOSED from the weighted-selection
+    # oracle: the same CASE-ladder/window arithmetic as the raw bucket
+    # manifest, over the selection's already-computed token counts
+    oracles["bucket_export_manifest"] = f"""
+        WITH t AS (SELECT doc_id,
+                          least(n_tok,
+                                {sampling.LENGTH_BUCKETS[-1]})::BIGINT
+                              AS eff_tok
+                   FROM ({oracles["token_budget_weighted"]})),
+        b AS (SELECT doc_id, ({_bb_bucket_case})::BIGINT AS bucket,
+                     eff_tok
+              FROM t),
+        a AS (SELECT doc_id, bucket, eff_tok,
+                     ((row_number() OVER (PARTITION BY bucket
+                                          ORDER BY doc_id) - 1)
+                      // ({sampling.BUCKET_BATCH_TOKENS} // bucket))::BIGINT
+                         AS batch_idx
+              FROM b)
+        SELECT bucket, batch_idx,
+               count(*)::BIGINT AS n_seqs,
+               sum(eff_tok)::BIGINT AS real_tokens,
+               (count(*) * bucket)::BIGINT AS padded_tokens,
+               (CASE WHEN count(*) * bucket > 0 THEN
+                     ((count(*) * bucket - sum(eff_tok)) * 1000000)
+                     // (count(*) * bucket)
+                ELSE 0 END)::BIGINT AS pad_ppm,
+               min(doc_id)::BIGINT AS first_doc_id,
+               max(doc_id)::BIGINT AS last_doc_id
+        FROM a GROUP BY bucket, batch_idx
+    """
+    # per-bucket raw-vs-selected diff COMPOSED from the two bucket
+    # manifest oracles (the curation_export_delta pattern on the other
+    # loader layout)
+    oracles["bucket_export_delta"] = f"""
+        WITH r AS (SELECT bucket, sum(n_seqs)::BIGINT AS raw_docs,
+                          sum(real_tokens)::BIGINT AS raw_tokens,
+                          count(*)::BIGINT AS raw_batches
+                   FROM ({oracles["bucket_batch_manifest"]})
+                   GROUP BY bucket),
+        s AS (SELECT bucket, sum(n_seqs)::BIGINT AS sel_docs,
+                     sum(real_tokens)::BIGINT AS sel_tokens,
+                     count(*)::BIGINT AS sel_batches
+              FROM ({oracles["bucket_export_manifest"]})
+              GROUP BY bucket),
+        j AS (SELECT r.bucket, raw_docs, raw_tokens, raw_batches,
+                     coalesce(sel_docs, 0)::BIGINT AS sel_docs,
+                     coalesce(sel_tokens, 0)::BIGINT AS sel_tokens,
+                     coalesce(sel_batches, 0)::BIGINT AS sel_batches
+              FROM r LEFT JOIN s ON s.bucket = r.bucket)
+        SELECT bucket::BIGINT AS bucket, raw_docs, raw_tokens,
+               raw_batches, sel_docs, sel_tokens, sel_batches,
+               (raw_docs - sel_docs)::BIGINT AS removed_docs,
+               (raw_tokens - sel_tokens)::BIGINT AS removed_tokens,
+               (CASE WHEN raw_tokens > 0
+                     THEN ((raw_tokens - sel_tokens) * 1000000)
+                          // raw_tokens
+                     ELSE 0 END)::BIGINT AS removed_ppm,
+               (raw_batches - sel_batches)::BIGINT AS batches_saved
+        FROM j
+    """
+    # DPO-ready filtered export COMPOSED from the repair-plan oracle:
+    # per-lang min/max occupied log2 band dropped (bottom = label
+    # noise, top = trivially easy), single-band langs count as
+    # dropped_low — the engine's exact edge rule
+    oracles["preference_filtered_export"] = f"""
+        WITH rep AS (SELECT lang, margin
+                     FROM ({oracles["preference_pair_repair_plan"]})),
+        b AS (SELECT lang,
+                     ({textops._margin_band_case("margin")})::BIGINT
+                         AS band,
+                     margin
+              FROM rep),
+        c AS (SELECT lang, min(band)::BIGINT AS low_band,
+                     max(band)::BIGINT AS high_band
+              FROM b GROUP BY lang),
+        t AS (SELECT b.lang, low_band, high_band, margin,
+                     CASE WHEN band = low_band THEN 'dropped_low'
+                          WHEN band = high_band THEN 'dropped_high'
+                          ELSE 'kept' END AS disp
+              FROM b JOIN c ON c.lang = b.lang)
+        SELECT lang, low_band, high_band,
+               count(*)::BIGINT AS n_pairs_in,
+               coalesce(sum((disp = 'kept')::INT), 0)::BIGINT AS n_kept,
+               coalesce(sum((disp = 'dropped_low')::INT), 0)::BIGINT
+                   AS n_dropped_low,
+               coalesce(sum((disp = 'dropped_high')::INT), 0)::BIGINT
+                   AS n_dropped_high,
+               ((coalesce(sum((disp = 'kept')::INT), 0) * 1000000)
+                // count(*))::BIGINT AS kept_ppm,
+               coalesce(min(CASE WHEN disp = 'kept' THEN margin END),
+                        -1)::BIGINT AS min_kept_margin,
+               coalesce(max(CASE WHEN disp = 'kept' THEN margin END),
+                        -1)::BIGINT AS max_kept_margin
+        FROM t GROUP BY lang, low_band, high_band
     """
     return oracles

@@ -342,6 +342,40 @@ SIMHASH_BANDS = 4  # 15 bits each over the 60-bit fingerprint
 HAMMING_MAX = 2
 
 
+#: One persisted (doc_id, simhash) frame per (application, sf_dir), shared
+#: by the detector and its threshold sweep — without the memo a session
+#: exercising both entries pins two copies of the sig frame in the cache
+#: (ADVICE r9 #2). Same contract as _HASHED_SHINGLES_MEMO.
+_SIMHASH_SIG_MEMO: dict[tuple[str, str], DataFrame] = register_memo({})
+
+
+def _simhash_sig_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The memoized, eagerly-persisted (doc_id, simhash) fingerprint frame.
+
+    Persisted before banding: without the boundary Catalyst inlines the
+    60-bit fold expression into every downstream use — including the
+    per-join-row popcount over the band collisions — which measures ~10×
+    slower than computing the fingerprints once.
+    """
+    evict_stale_memos(spark)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _SIMHASH_SIG_MEMO.get(key)
+    if df is None:
+
+        def _build():
+            out = (
+                dedup_simhash(spark, sf_dir)
+                .select("doc_id", "simhash")
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            )
+            out.count()
+            return out
+
+        df = timed_build("simhash_sig", _build)
+        _SIMHASH_SIG_MEMO[key] = df
+    return df
+
+
 def _simhash_scored_pairs(
     spark: SparkSession, sf_dir: str, hmax: int
 ) -> DataFrame:
@@ -352,18 +386,11 @@ def _simhash_scored_pairs(
     pigeonhole recall bound of 4 bands) share this single definition so
     the sweep can never disagree with the detector it tunes.
 
-    The fingerprint column is persisted (eagerly, tiny: two longs per doc)
-    before banding: without the boundary Catalyst inlines the 60-bit fold
-    expression into every downstream use — including the per-join-row
-    popcount over ~3M band collisions — which measures ~10× slower than
-    computing the 5000 fingerprints once.
+    The fingerprint frame is memo-served per (application, sf_dir)
+    (``_simhash_sig_frame``) so the detector and the sweep share ONE
+    persisted copy instead of pinning one each.
     """
-    sig = (
-        dedup_simhash(spark, sf_dir)
-        .select("doc_id", "simhash")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    sig.count()
+    sig = _simhash_sig_frame(spark, sf_dir)
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),

@@ -1195,13 +1195,25 @@ def bucket_batch_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from kafka_exercise_spark.functions.text import tokens  # noqa: PLC0415
 
-    cap = LENGTH_BUCKETS[-1]
     docs = scale_partitions(load_table(spark, sf_dir, "documents"), spark)
     base = docs.select(
         "doc_id",
         F.size(tokens(F.col("text"))).cast("long").alias("n_tok"),
     )
-    step = base.select(
+    return _bucket_batch_layout(base)
+
+
+def _bucket_batch_layout(per_doc: DataFrame) -> DataFrame:
+    """THE bucketed-batching writer-manifest rule, over any (doc_id,
+    n_tok) frame — ONE definition shared by the raw corpus
+    (``bucket_batch_manifest``) and the selected corpus
+    (``bucket_export_manifest``), the ``_shard_manifest`` discipline
+    applied to the other loader layout so raw and selected manifests
+    can never disagree on the batching rule: cap at the top rung,
+    CASE-ladder bucket, doc_id-order batch numbering at the bucket's
+    ``seqs_per_batch``, per-(bucket, batch) rollup."""
+    cap = LENGTH_BUCKETS[-1]
+    step = per_doc.select(
         "doc_id",
         F.least(F.col("n_tok"), F.lit(cap)).alias("eff_tok"),
     )
@@ -1243,5 +1255,119 @@ def bucket_batch_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("pad_ppm"),
             "first_doc_id",
             "last_doc_id",
+        )
+    )
+
+
+def bucket_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bucketed layout's SELECTED-corpus manifest — the
+    ``export_shard_manifest`` twin for the other loader layout, closing
+    the layout symmetry the r9 raw manifest opened: the bucket-batch
+    rule (``_bucket_batch_layout``, shared verbatim with
+    ``bucket_batch_manifest``) applied to the weighted-selection
+    survivors of ``token_budget_weighted`` — i.e. the batches a
+    BUCKETED loader would actually emit after curation. One row per
+    (bucket, batch_idx) with sequence count, real/padded token mass,
+    pad waste in integer ppm, and the doc-id range the loader reads.
+
+    Reuses the selection frame the packing export capstone already
+    builds — the selection's ALREADY-COMPUTED token counts, so the
+    selection's one corpus scan is the only corpus touch; the layout
+    adds a window partitioned by bucket and the manifest groupBy (the
+    same two-level (bucket, H(doc) mod S) sharding note as the raw
+    manifest applies at 100 TB). Oracle COMPOSED from the
+    ``token_budget_weighted`` oracle plus the same CASE-ladder/window
+    arithmetic as the raw-manifest oracle, so selection and bucketed
+    export can never drift.
+    """
+    sel = token_budget_weighted(spark, sf_dir).select("doc_id", "n_tok")
+    return _bucket_batch_layout(sel)
+
+
+def _bucket_manifest_per_bucket(manifest: DataFrame, prefix: str) -> DataFrame:
+    """Fold a per-(bucket, batch_idx) manifest to one row per bucket:
+    sequence (= doc) mass, real token mass, and the batch count — the
+    granularity the raw/selected diff is taken at (batch boundaries are
+    NOT comparable across the two corpora: removing docs renumbers
+    every later batch, the same re-flow argument as
+    ``_manifest_per_shard``)."""
+    return manifest.groupBy("bucket").agg(
+        F.sum("n_seqs").cast("long").alias(f"{prefix}_docs"),
+        F.sum("real_tokens").cast("long").alias(f"{prefix}_tokens"),
+        F.count("*").cast("long").alias(f"{prefix}_batches"),
+    )
+
+
+def bucket_export_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-BUCKET raw-vs-selected diff of the bucketed layout — the
+    ``curation_export_delta`` twin for the other loader layout,
+    completing the manifest → export → delta arc for BOTH layouts: what
+    curation removed from every length bucket (docs, real tokens,
+    removal rate in integer ppm) and the batches the selection saves.
+    Read next to ``curation_export_delta``, a loader owner can now
+    price the same curation run under either layout — including the
+    layout-specific question this sheet answers and the shard delta
+    can't: WHICH sequence lengths curation removes from (soft dedup
+    hits boilerplate-heavy short buckets hardest).
+
+    The diff is per bucket, not per (bucket, batch): the CASE-ladder
+    bucket of a doc is identical in both corpora (same tokenizer, same
+    rungs), but batch numbering re-flows under removal. Selected ⊆ raw
+    doc-for-doc, so removed_* are non-negative by construction; a
+    bucket whose every doc was removed coalesces to 0.
+
+    Cost: the two parents' plans folded to |buckets| (≤ 8) rows each,
+    then one 8-row join — the diff never touches the corpus. Oracle
+    COMPOSED from both bucket-manifest oracles, so the delta can never
+    drift from the manifests it prices.
+    """
+    raw = _bucket_manifest_per_bucket(
+        bucket_batch_manifest(spark, sf_dir), "raw"
+    )
+    sel = _bucket_manifest_per_bucket(
+        bucket_export_manifest(spark, sf_dir), "sel"
+    )
+    return (
+        raw.join(sel, "bucket", "left")
+        .select(
+            F.col("bucket").cast("long").alias("bucket"),
+            "raw_docs",
+            "raw_tokens",
+            "raw_batches",
+            F.coalesce("sel_docs", F.lit(0)).cast("long").alias("sel_docs"),
+            F.coalesce("sel_tokens", F.lit(0))
+            .cast("long")
+            .alias("sel_tokens"),
+            F.coalesce("sel_batches", F.lit(0))
+            .cast("long")
+            .alias("sel_batches"),
+        )
+        .select(
+            "bucket",
+            "raw_docs",
+            "raw_tokens",
+            "raw_batches",
+            "sel_docs",
+            "sel_tokens",
+            "sel_batches",
+            (F.col("raw_docs") - F.col("sel_docs"))
+            .cast("long")
+            .alias("removed_docs"),
+            (F.col("raw_tokens") - F.col("sel_tokens"))
+            .cast("long")
+            .alias("removed_tokens"),
+            # CASE-guarded like curation_export_delta: an all-empty-doc
+            # bucket has raw_tokens = 0, where Spark div yields NULL but
+            # DuckDB // errors
+            F.expr(
+                "CASE WHEN raw_tokens > 0 THEN"
+                " ((raw_tokens - sel_tokens) * 1000000) div raw_tokens"
+                " ELSE 0 END"
+            )
+            .cast("long")
+            .alias("removed_ppm"),
+            (F.col("raw_batches") - F.col("sel_batches"))
+            .cast("long")
+            .alias("batches_saved"),
         )
     )

@@ -3110,3 +3110,94 @@ def preference_margin_histogram(
         .cast("long")
         .alias("share_ppm"),
     )
+
+
+def preference_filtered_export(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The DPO-ready EXPORT capstone of the preference family — the
+    sheet that APPLIES ``preference_margin_histogram``'s finding the way
+    ``export_shard_manifest`` applies the budget sheets: a margin-band
+    filter over the REPAIRED preference set (``preference_pair_repair_plan``),
+    dropping each language's label-noise bottom band (Rafailov et al.
+    2023 §4: tiny margins ≈ annotation noise) and its trivially-easy top
+    band (huge margins contribute ~zero DPO gradient: the sigmoid
+    saturates), emitting per (lang, band cuts): pairs in, pairs kept,
+    dropped-low / dropped-high counts, the kept rate in integer ppm,
+    and the exact kept-margin range. The family now mirrors the
+    curation family's detect → repair → export arc; a DPO run reads
+    this sheet to size its batch plan and pin the filter predicate
+    (the two cut bands) that selects its training rows.
+
+    The cuts are PER-LANGUAGE and data-dependent (min/max occupied log2
+    band of the repaired set) — a fixed global cut would drop whole
+    languages whose logit scale differs. Deterministic edge rule: a
+    band that is both a language's bottom AND top (single-band
+    language) counts as dropped_low — mirrored in the oracle, so
+    engines cannot disagree; a two-band language keeps nothing, which
+    is the honest reading (no mid-band signal to train on). Kept-margin
+    extrema coalesce to -1 when nothing survives.
+
+    All exact integers: bands via the shared ``_margin_band_case``
+    ladder (no float log2, no ntile), shares divide two counts. Cost:
+    the repair plan's own plan + one |langs|-row aggregate broadcast
+    back to the banded pairs and one |langs|-row groupBy — noise next
+    to the classifier's token shuffle; at 100 TB the filter itself is a
+    broadcast-join map stage over the pair frame. Oracle COMPOSED from
+    the repair-plan oracle with the same generated CASE ladder, so the
+    export can never drift from the set it filters.
+    """
+    rep = preference_pair_repair_plan(spark, sf_dir).select(
+        "lang", "margin"
+    )
+    banded = rep.select(
+        "lang",
+        F.expr(_margin_band_case("margin")).cast("long").alias("band"),
+        "margin",
+    )
+    cuts = banded.groupBy("lang").agg(
+        F.min("band").cast("long").alias("low_band"),
+        F.max("band").cast("long").alias("high_band"),
+    )
+    disp = (
+        F.when(F.col("band") == F.col("low_band"), F.lit("dropped_low"))
+        .when(F.col("band") == F.col("high_band"), F.lit("dropped_high"))
+        .otherwise(F.lit("kept"))
+    )
+    tagged = banded.join(F.broadcast(cuts), "lang").select(
+        "lang", "low_band", "high_band", "margin", disp.alias("disp")
+    )
+    kept = F.col("disp") == "kept"
+    return (
+        tagged.groupBy("lang", "low_band", "high_band")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs_in"),
+            F.sum(kept.cast("int")).cast("long").alias("n_kept"),
+            F.sum((F.col("disp") == "dropped_low").cast("int"))
+            .cast("long")
+            .alias("n_dropped_low"),
+            F.sum((F.col("disp") == "dropped_high").cast("int"))
+            .cast("long")
+            .alias("n_dropped_high"),
+            F.coalesce(F.min(F.when(kept, F.col("margin"))), F.lit(-1))
+            .cast("long")
+            .alias("min_kept_margin"),
+            F.coalesce(F.max(F.when(kept, F.col("margin"))), F.lit(-1))
+            .cast("long")
+            .alias("max_kept_margin"),
+        )
+        .select(
+            "lang",
+            "low_band",
+            "high_band",
+            "n_pairs_in",
+            "n_kept",
+            "n_dropped_low",
+            "n_dropped_high",
+            F.expr("(n_kept * 1000000) div n_pairs_in")
+            .cast("long")
+            .alias("kept_ppm"),
+            "min_kept_margin",
+            "max_kept_margin",
+        )
+    )

@@ -948,7 +948,10 @@ def streaming_model_update_replay(
     return _MODEL_UPDATE_MEMO[memo_key]
 
 
-_SOFT_DRAW_MEMO: dict = register_memo({})
+#: value = <mkdtemp work>/drawn — cleanup removes the whole workdir (the
+#: landed src/ copy of documents + checkpoint included), same contract as
+#: the other path-valued gate memos (ADVICE r9 #1).
+_SOFT_DRAW_MEMO: dict = register_memo({}, cleanup=_rm_work_parent)
 
 
 def streaming_soft_draw_replay(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -2970,3 +2970,45 @@ def test_preference_margin_histogram_reconciles(spark, sf_dir):
             expected[band] = expected.get(band, 0) + 1
     got = {r.margin_band: r.n_pairs for r in hist if r.lang == lang}
     assert got == expected
+
+
+def test_preference_filtered_export_reconciles(spark, sf_dir):
+    """The DPO export sheet must be exactly the band-cut fold of the
+    repaired set: recompute per-lang log2 bands in Python, apply the
+    documented edge rule (single-band lang counts as dropped_low),
+    and match every count and the kept-margin extrema."""
+    rep = textops.preference_pair_repair_plan(spark, sf_dir).collect()
+    top = textops.PREF_MARGIN_MAX_POW + 1
+
+    def band(m: int) -> int:
+        return min(m.bit_length() - 1, top)  # margin >= 1 always
+
+    by_lang: dict[str, list[int]] = {}
+    for r in rep:
+        by_lang.setdefault(r.lang, []).append(r.margin)
+    rows = textops.preference_filtered_export(spark, sf_dir).collect()
+    assert {r.lang for r in rows} == set(by_lang)
+    for r in rows:
+        margins = by_lang[r.lang]
+        bands = [band(m) for m in margins]
+        lo, hi = min(bands), max(bands)
+        assert (r.low_band, r.high_band) == (lo, hi)
+        disp = [
+            "dropped_low" if b == lo
+            else "dropped_high" if b == hi
+            else "kept"
+            for b in bands
+        ]
+        assert r.n_pairs_in == len(margins)
+        assert r.n_kept == disp.count("kept")
+        assert r.n_dropped_low == disp.count("dropped_low")
+        assert r.n_dropped_high == disp.count("dropped_high")
+        assert r.n_kept + r.n_dropped_low + r.n_dropped_high == len(margins)
+        assert r.kept_ppm == r.n_kept * 1_000_000 // r.n_pairs_in
+        kept_m = [m for m, d in zip(margins, disp) if d == "kept"]
+        assert r.min_kept_margin == (min(kept_m) if kept_m else -1)
+        assert r.max_kept_margin == (max(kept_m) if kept_m else -1)
+    # the filter keeps something somewhere (the fixture set spans >2
+    # bands in at least one language) — guards against a degenerate
+    # all-dropped sheet silently passing
+    assert sum(r.n_kept for r in rows) > 0

@@ -90,48 +90,65 @@ def test_tokens_shingles_hash_parity(spark, texts):
         assert g.h == e[3], texts
 
 
-def test_r09_window_leads_with_unverified_entries():
-    """The driver records only the first 50 queries() entries; r09 must
-    lead with the 11 late-r8 entries that have never had a driver
-    CORRECTNESS row (VERDICT r8 finding #3, the positional queue) plus
-    every r09 addition, then the full r04-last-green refresh cohort —
+def test_r10_window_leads_with_unverified_entries():
+    """The driver records only the first 50 queries() entries; r10 must
+    lead with the 4 late-r9 entries that have never had a driver
+    CORRECTNESS row (VERDICT r9 finding #2, the positional queue) plus
+    every r10 addition, then the full r05-last-green refresh cohort —
     an accidental reorder would silently burn the round's only driver
     evidence."""
     import __spark_entry__ as entrymod
 
     first50 = list(entrymod.queries())[:50]
     never_verified = {
-        "model_gate_impact_matrix",
-        "model_replace_impact_matrix",
-        "split_repair_plan",
-        "length_bucket_plan",
-        "output_shard_manifest",
-        "preference_pairs",
-        "hard_negatives_topk",
-        "fim_split_plan",
-        "packing_vs_bucketing_report",
-        "preference_pair_dedup_audit",
-        "export_shard_manifest",
+        "simhash_threshold_sweep",
+        "preference_margin_histogram",
+        "streaming_soft_draw_replay",
+        "bucket_batch_manifest",
     }
-    r09_new = {"curation_export_delta", "preference_pair_repair_plan"}
-    # the full 16-entry r04-last-green cohort must be refreshed
-    r04_cohort = {
-        "domain_mix_resample",
-        "embed_feature_hashing",
-        "embedding_outliers",
-        "hybrid_search_topk",
-        "jsonl_roundtrip",
-        "ksql_join_within",
-        "minhash_signatures",
-        "multimodal_features",
-        "multimodal_frame_sample",
-        "pq_encode",
-        "retention_cohorts",
-        "scd2_user_versions",
-        "sliding_window_events",
-        "sparse_ann_topk",
-        "text_token_entropy",
-        "window_distribution_orders",
+    r10_new = {
+        "bucket_export_manifest",
+        "bucket_export_delta",
+        "preference_filtered_export",
     }
-    assert never_verified | r09_new | r04_cohort <= set(first50)
+    # the full 28-entry r05-last-green cohort must be refreshed
+    r05_cohort = {
+        "heavy_hitters_topk",
+        "hourly_anomaly_scores",
+        "ivf_cells_report",
+        "join_customer_orders",
+        "k_anonymity_report",
+        "lm_bigram_score",
+        "lm_unigram_score",
+        "merge_scd2_apply",
+        "merge_upsert_profiles",
+        "mixture_plan",
+        "q10_returned_items",
+        "q18_large_orders",
+        "q3_shipping_priority",
+        "q5_local_supplier",
+        "q7_volume_shipping",
+        "q8_market_share",
+        "q9_product_profit",
+        "resample_ffill_events",
+        "rfm_segments",
+        "skew_key_census",
+        "span_corruption_masks",
+        "streaming_curation_gate",
+        "streaming_merge_replay",
+        "streaming_scd2_replay",
+        "tfidf_top_terms",
+        "tokenizer_fertility_report",
+        "twa_value_per_user",
+        "weighted_sample_topn",
+    }
+    # the weighted-policy head of the r06 cohort (streaming replays,
+    # then composition capstones — ask #8's documented ordering)
+    r06_head = {
+        "streaming_compaction_replay",
+        "streaming_winnow_replay",
+        "curation_run_manifest",
+        "dedup_detector_matrix",
+    }
+    assert never_verified | r10_new | r05_cohort | r06_head <= set(first50)
     assert first50[:2] == ["jovens", "idadecont"]  # flagships stay first

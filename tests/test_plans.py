@@ -578,3 +578,36 @@ def test_r8_training_data_sheets_plan_shape(spark, sf_dir):
     df_pb = sampling.packing_vs_bucketing_report(spark, sf_dir)
     assert python_eval_count(df_pb) == 0
     assert not has_cartesian_product(df_pb)
+
+
+def test_r10_export_sheets_plan_shape(spark, sf_dir):
+    """The r10 additions stay JVM-side and bounded: zero Python-eval
+    nodes, no cartesian product; the bucketed export manifest adds NO
+    new corpus scan over its selection parent (the no-re-tokenize
+    claim: same parquet scans, the layout is windows + groupBy on
+    top); the bucket delta composes the two manifests; the preference
+    export broadcasts its |langs|-row band cuts and its only parquet
+    reads are the repair plan's own pruned scans."""
+    from kafka_exercise_spark.operators import sampling
+
+    df_sel = sampling.token_budget_weighted(spark, sf_dir)
+    df_bm = sampling.bucket_export_manifest(spark, sf_dir)
+    assert python_eval_count(df_bm) == 0
+    assert not has_cartesian_product(df_bm)
+    assert len(read_schema_columns(df_bm)) == len(
+        read_schema_columns(df_sel)
+    )
+
+    df_bd = sampling.bucket_export_delta(spark, sf_dir)
+    assert python_eval_count(df_bd) == 0
+    assert not has_cartesian_product(df_bd)
+
+    df_pf = textops.preference_filtered_export(spark, sf_dir)
+    assert python_eval_count(df_pf) == 0
+    assert not has_cartesian_product(df_pf)
+    assert broadcast_join_count(df_pf) >= 1  # the band cuts
+    for cols in read_schema_columns(df_pf):
+        assert set(cols) <= {"doc_id", "lang"} or set(cols) <= {
+            "doc_id",
+            "text",
+        }

@@ -487,3 +487,64 @@ def test_bucket_batch_manifest_reconciles_with_plan(spark, sf_dir):
                 // b.padded_tokens
             )
             assert b.first_doc_id <= b.last_doc_id
+
+
+def test_bucket_export_manifest_reconciles_with_selection(spark, sf_dir):
+    """The bucketed export manifest must partition the weighted
+    selection exactly (same rule as the raw manifest, over survivors
+    only): Σ n_seqs = |selection|, Σ real_tokens = Σ capped n_tok,
+    strictly less mass than the raw bucket manifest, non-final batches
+    full, pad arithmetic exact."""
+    sel = sampling.token_budget_weighted(spark, sf_dir).collect()
+    cap = sampling.LENGTH_BUCKETS[-1]
+    rows = sampling.bucket_export_manifest(spark, sf_dir).collect()
+    assert sum(r.n_seqs for r in rows) == len(sel)
+    assert sum(r.real_tokens for r in rows) == sum(
+        min(r.n_tok, cap) for r in sel
+    )
+    raw = sampling.bucket_batch_manifest(spark, sf_dir).collect()
+    assert sum(r.real_tokens for r in rows) < sum(
+        r.real_tokens for r in raw
+    )
+    by_bucket: dict[int, list] = {}
+    for r in rows:
+        by_bucket.setdefault(r.bucket, []).append(r)
+    for bucket, batches in by_bucket.items():
+        spb = sampling.BUCKET_BATCH_TOKENS // bucket
+        idx = sorted(b.batch_idx for b in batches)
+        assert idx == list(range(len(idx)))  # dense renumbering
+        for b in sorted(batches, key=lambda x: x.batch_idx)[:-1]:
+            assert b.n_seqs == spb
+        for b in batches:
+            assert b.padded_tokens == b.n_seqs * bucket
+            assert b.pad_ppm == (
+                (b.padded_tokens - b.real_tokens)
+                * 1_000_000
+                // b.padded_tokens
+            )
+
+
+def test_bucket_export_delta_reconciles(spark, sf_dir):
+    """The bucket delta must be exactly the per-bucket fold of its two
+    parent manifests, with non-negative removals (the bucket of a doc
+    is identical in both corpora: same tokenizer, same rungs)."""
+
+    def fold(df):
+        agg = {}
+        for r in df.collect():
+            d, t, b = agg.get(r.bucket, (0, 0, 0))
+            agg[r.bucket] = (d + r.n_seqs, t + r.real_tokens, b + 1)
+        return agg
+
+    raw = fold(sampling.bucket_batch_manifest(spark, sf_dir))
+    sel = fold(sampling.bucket_export_manifest(spark, sf_dir))
+    delta = sampling.bucket_export_delta(spark, sf_dir).collect()
+    assert {r.bucket for r in delta} == set(raw)
+    for r in delta:
+        rd, rt, rb = raw[r.bucket]
+        sd, st, sb = sel.get(r.bucket, (0, 0, 0))
+        assert (r.raw_docs, r.raw_tokens, r.raw_batches) == (rd, rt, rb)
+        assert (r.sel_docs, r.sel_tokens, r.sel_batches) == (sd, st, sb)
+        assert r.removed_docs == rd - sd >= 0
+        assert r.removed_tokens == rt - st >= 0
+        assert r.removed_ppm == (rt - st) * 1_000_000 // rt

@@ -130,6 +130,10 @@ SELECTED = [
     ("preference_margin_histogram", "pow-2 CASE band map-side; bands-row groupBy + langs-row broadcast total"),
     ("streaming_soft_draw_replay", "served landed state read; per-batch: one join to the O(near-dup) served frame, map-side draw"),
     ("bucket_batch_manifest", "one tokenize scan; per-bucket window then (bucket, batch) groupBy = the loader write partitioning"),
+    # ---- r10 ----
+    ("bucket_export_manifest", "selection's token counts reused — no re-tokenize; per-bucket window + (bucket, batch) groupBy"),
+    ("bucket_export_delta", "both bucket manifests folded to <=8 rows each; one 8-row join — the corpus is never touched by the diff"),
+    ("preference_filtered_export", "repaired pairs banded map-side (pow-2 CASE); |langs|-row cuts broadcast back; one groupBy"),
 ]
 
 FULL_PLANS = ["q3_shipping_priority", "dedup_ngram_jaccard"]

@@ -15,7 +15,9 @@ Linear-ish growth (ratio ~= k) is the pass signal: it means no hidden
 all-pairs blowup, no driver-side bottleneck, no partition-count cliff —
 the local[32] proxy for "the plan survives a cluster-scale fan-out".
 
-Usage: python tools/scale_experiment.py
+Usage: python tools/scale_experiment.py --chunked  (fresh JVM per family
+chunk — the committed-artifact form since r10; bare invocation runs one
+session, honoring SPARK_GRAFT_SCALE_ONLY / SPARK_GRAFT_SCALE_WARM)
 Prints one JSON line: {query: {"x1": s, "x4": s, "x8": s}} — one cold run
 per (query, scale); all three rungs read build_scaled output so storage
 format is identical and ratios measure data volume only.
@@ -175,7 +177,138 @@ QUERIES = {
     "preference_margin_histogram": textops.preference_margin_histogram,
     # bucketed-layout manifest: scan-bound like its economics sheet
     "bucket_batch_manifest": sampling.bucket_batch_manifest,
+    # r10 additions: the bucketed layout's selected-corpus twin + delta
+    # (compositions over the selection and the two bucket manifests)
+    # and the DPO filtered-export capstone (repair plan + two |langs|-row
+    # aggregates)
+    "bucket_export_manifest": sampling.bucket_export_manifest,
+    "bucket_export_delta": sampling.bucket_export_delta,
+    "preference_filtered_export": textops.preference_filtered_export,
 }
+
+#: Fresh-session ladder chunks (r10, VERDICT r9 ask #3). The single-JVM
+#: full ladder accumulates ~45 queries x 3 dirs of checkpointed memo
+#: frames in one heap; by the late rungs that session state inflated
+#: sub-linear builds ~2x (dedup_detector_matrix x8: 14.6 s in-ladder vs
+#: 6.96 s fresh — adjudicated r9 with work counters,
+#: tools/detector_scale_probe.py). Chunking runs each family group in
+#: its OWN subprocess/JVM so committed rung numbers ARE the
+#: fresh-session numbers and need no per-round adjudication essay.
+#:
+#: Each chunk lists `warm`: parent entries run UNTIMED on every rung
+#: dir before the chunk's timed loop, so marginal-cost entries keep
+#: exactly the semantics the full ladder gave them (parents' memos
+#: warm, rung = the composition itself). Warm lists are derived from
+#: the SCALING_r09 build_s cold-build map: an entry goes in `warm` iff
+#: a timed entry consumes a memo it builds and it is not itself timed
+#: earlier in the same chunk.
+CHUNKS: tuple[dict, ...] = (
+    {
+        "name": "scan-agg-window",
+        "warm": [],
+        "timed": [
+            "quality_repetition",
+            "idadecont",
+            "session_window_events",
+            "token_budget_select",
+            "chunk_documents",
+            "zorder_events",
+            "bm25_topk",
+            "heavy_hitters_topk",
+            "graph_pagerank",
+            "lm_bigram_score",
+            "resample_ffill_events",
+        ],
+    },
+    {
+        "name": "pair-joins",
+        "warm": [],
+        "timed": [
+            "er_fuzzy_pairs",
+            "basket_pair_rules",
+            "winnowing_overlap_pairs",
+            "winnow_incremental",
+        ],
+    },
+    {
+        # detector matrix times the tier_pairs composition with the
+        # winnow side warm — the exact protocol of the r9 fresh-session
+        # adjudication ("parents warmed as the ladder leaves them")
+        "name": "dedup-core",
+        "warm": ["winnowing_overlap_pairs"],
+        "timed": [
+            "dedup_minhash_lsh",
+            "dedup_components",
+            "dedup_detector_matrix",
+            "dedup_savings_report",
+            "split_leakage_report",
+            "split_repair_plan",
+            "simhash_threshold_sweep",
+        ],
+    },
+    {
+        "name": "ann",
+        "warm": [],
+        "timed": ["ann_recall_report", "dedup_semantic", "hard_negatives_topk"],
+    },
+    {
+        "name": "model-fit",
+        "warm": [],
+        "timed": [
+            "bpe_train_merges",
+            "perceptron_train_rounds",
+            "model_rule_disagreement_report",
+            "model_gate_threshold_sweep",
+            "model_promotion_report",
+            "model_batch_drift_report",
+        ],
+    },
+    {
+        # manifests/capstones consume the component frame, the model
+        # fit, and (for the model-gated variants) the rules manifest
+        "name": "curation-capstones",
+        "warm": [
+            "dedup_minhash_lsh",
+            "dedup_components",
+            "perceptron_train_rounds",
+        ],
+        "timed": [
+            "curation_run_manifest",
+            "curation_manifest_model_gate",
+            "model_gate_impact_matrix",
+            "model_replace_impact_matrix",
+            "token_budget_weighted",
+            "length_bucket_plan",
+            "output_shard_manifest",
+            "packing_vs_bucketing_report",
+            "export_shard_manifest",
+            "curation_export_delta",
+            "bucket_batch_manifest",
+            "bucket_export_manifest",
+            "bucket_export_delta",
+        ],
+    },
+    {
+        "name": "preference",
+        "warm": ["dedup_minhash_lsh", "dedup_components"],
+        "timed": [
+            "preference_pairs",
+            "preference_pair_dedup_audit",
+            "preference_pair_repair_plan",
+            "preference_margin_histogram",
+            "preference_filtered_export",
+            "fim_split_plan",
+        ],
+    },
+)
+
+# every ladder entry must be timed in exactly one chunk — a silently
+# dropped entry would vanish from SCALING_r{N}.json without a trace
+_timed_all = [n for c in CHUNKS for n in c["timed"]]
+assert sorted(_timed_all) == sorted(QUERIES), (
+    sorted(set(QUERIES) ^ set(_timed_all))
+)
+assert all(w in QUERIES for c in CHUNKS for w in c["warm"])
 
 
 def build_scaled(spark, k: int) -> str:
@@ -315,6 +448,43 @@ def build_scaled(spark, k: int) -> str:
     return out
 
 
+def run_chunked() -> None:
+    """Run the ladder as one fresh subprocess/JVM per CHUNKS entry and
+    print the merged JSON — the committed-artifact form since r10 (see
+    the CHUNKS docstring for why). Chunk boundaries and warm lists keep
+    every rung's semantics identical to the old single-session ladder;
+    only the accumulated-heap distortion is removed."""
+    import subprocess  # noqa: PLC0415
+
+    merged: dict[str, dict] = {}
+    for chunk in CHUNKS:
+        env = dict(os.environ)
+        env["SPARK_GRAFT_SCALE_ONLY"] = ",".join(chunk["timed"])
+        if chunk["warm"]:
+            env["SPARK_GRAFT_SCALE_WARM"] = ",".join(chunk["warm"])
+        else:
+            env.pop("SPARK_GRAFT_SCALE_WARM", None)
+        print(f"=== chunk {chunk['name']} ===", file=sys.stderr)
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+        )
+        if proc.returncode != 0:
+            sys.stderr.write(proc.stderr[-4000:])
+            raise SystemExit(
+                f"chunk {chunk['name']} failed (rc={proc.returncode})"
+            )
+        line = proc.stdout.strip().splitlines()[-1]
+        part = json.loads(line)
+        overlap = set(part) & set(merged)
+        assert not overlap, overlap
+        merged.update(part)
+    # registry order, like the single-session ladder
+    print(json.dumps({k: merged[k] for k in QUERIES if k in merged}))
+
+
 def main() -> None:
     spark = get_spark("scale_experiment")
     spark.sparkContext.setLogLevel("ERROR")
@@ -334,6 +504,22 @@ def main() -> None:
                 f"{sorted(unknown)} (known: {sorted(QUERIES)})"
             )
         queries = {k: v for k, v in QUERIES.items() if k in wanted}
+    # untimed per-dir parents (chunked mode): run on every rung dir
+    # BEFORE the timed loop so marginal-cost entries find their memo
+    # parents warm, exactly as the full single-session ladder left them
+    warm_parents = [
+        x.strip()
+        for x in os.environ.get("SPARK_GRAFT_SCALE_WARM", "").split(",")
+        if x.strip()
+    ]
+    unknown_warm = set(warm_parents) - set(QUERIES)
+    if unknown_warm:
+        raise SystemExit(
+            f"SPARK_GRAFT_SCALE_WARM names not in the ladder: "
+            f"{sorted(unknown_warm)}"
+        )
+    for n in warm_parents:
+        QUERIES[n](spark, warm).write.format("noop").mode("overwrite").save()
     for fn in queries.values():
         fn(spark, warm).write.format("noop").mode("overwrite").save()
     # the 1x baseline goes through build_scaled too: identical storage
@@ -349,6 +535,11 @@ def main() -> None:
     # paying the full ladder. Families that time a MARGINAL cost still
     # need their memo parents listed first.
     dirs = {k: build_scaled(spark, k) for k in rungs}
+    for d in dirs.values():
+        for n in warm_parents:
+            QUERIES[n](spark, d).write.format("noop").mode(
+                "overwrite"
+            ).save()
     results: dict[str, dict] = {}
     drain_memo_build_log()  # warm-phase builds are not rung evidence
     for name, fn in queries.items():
@@ -380,4 +571,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--chunked" in sys.argv[1:]:
+        run_chunked()
+    else:
+        main()
