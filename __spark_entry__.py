@@ -77,15 +77,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     r10 rotation: flagships, the 4-entry late-r09 positional queue
     (simhash_threshold_sweep, preference_margin_histogram,
-    streaming_soft_draw_replay, bucket_batch_manifest), the 3 NEW r10
+    streaming_soft_draw_replay, bucket_batch_manifest), the 4 NEW r10
     entries (bucket_export_manifest + bucket_export_delta: the
     bucketed layout's export capstone and curation delta, VERDICT r9
     ask #4; preference_filtered_export: the DPO-ready margin-band
-    filtered export, ask #5), the COMPLETE 28-entry r05-last-green
-    cohort, and the first 13 of the 47-entry r06 cohort in the
-    weighted order above (2 streaming replays, 7 capstones, 4
-    alphabetical). The remaining 34 r06 rows lead the r11 refresh
-    queue. Everything outside the window is covered by this session's
+    filtered export, ask #5; packing_vs_bucketing_selected_report:
+    the layout decision sheet over the selected corpus), the COMPLETE
+    28-entry r05-last-green cohort, and the first 12 of the 47-entry
+    r06 cohort in the weighted order above (2 streaming replays, 7
+    capstones, 3 alphabetical). The remaining 35 r06 rows lead the
+    r11 refresh queue. Everything outside the window is covered by this session's
     verify_local sweeps plus pytest.
     """
     all_q = {
@@ -541,6 +542,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # DPO-ready export capstone: margin-band filter over the
         # REPAIRED preference set, per-lang kept/dropped counts
         "preference_filtered_export": textops.preference_filtered_export,
+        # the layout decision sheet over the SELECTED corpus (what the
+        # trainer actually reads) — the raw sheet's post-curation twin
+        "packing_vs_bucketing_selected_report": (
+            sampling.packing_vs_bucketing_selected_report
+        ),
     }
     # The r10 driver window (first 50) — see the docstring for the
     # policy. Composition: flagships, the FULL late-r09 positional
@@ -563,6 +569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucket_export_manifest",
         "bucket_export_delta",
         "preference_filtered_export",
+        "packing_vs_bucketing_selected_report",
         "heavy_hitters_topk",
         "hourly_anomaly_scores",
         "ivf_cells_report",
@@ -603,7 +610,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk",
         "ann_filtered_topk",
         "ann_ivf_pq_topk",
-        "ann_ivf_topk",
     ]
     assert len(window) == 50 and len(set(window)) == 50
     out = {k: all_q[k] for k in window}
@@ -5466,6 +5472,44 @@ def oracle_sql() -> dict[str, str]:
                      ELSE 0 END)::BIGINT AS removed_ppm,
                (raw_batches - sel_batches)::BIGINT AS batches_saved
         FROM j
+    """
+    # the layout decision sheet over the SELECTED corpus — COMPOSED
+    # from the selection oracle (packing side: the export manifest's
+    # window-free per-shard fold) and the bucket-export-manifest oracle
+    # (bucketing side: batches reserved full, the raw sheet's rule)
+    oracles["packing_vs_bucketing_selected_report"] = f"""
+        WITH sel AS (SELECT doc_id, n_tok
+                     FROM ({oracles["token_budget_weighted"]})),
+        ps AS (SELECT doc_id % {sampling.PACK_SHARDS} AS shard,
+                      sum(n_tok)::BIGINT AS tok,
+                      count(*)::BIGINT AS docs
+               FROM sel GROUP BY shard),
+        p AS (SELECT 'packing' AS strategy,
+                     sum(docs)::BIGINT AS n_docs,
+                     sum((tok + {sampling.PACK_BUDGET_TOKENS} - 1)
+                         // {sampling.PACK_BUDGET_TOKENS})::BIGINT
+                         AS n_units,
+                     sum(tok)::BIGINT AS real_tokens,
+                     (sum((tok + {sampling.PACK_BUDGET_TOKENS} - 1)
+                          // {sampling.PACK_BUDGET_TOKENS})
+                      * {sampling.PACK_BUDGET_TOKENS})::BIGINT
+                         AS capacity_tokens
+              FROM ps),
+        bm AS (SELECT * FROM ({oracles["bucket_export_manifest"]})),
+        bu AS (SELECT 'bucketing' AS strategy,
+                      sum(n_seqs)::BIGINT AS n_docs,
+                      count(*)::BIGINT AS n_units,
+                      sum(real_tokens)::BIGINT AS real_tokens,
+                      sum(({sampling.BUCKET_BATCH_TOKENS} // bucket)
+                          * bucket)::BIGINT AS capacity_tokens
+               FROM bm),
+        u AS (SELECT * FROM p UNION ALL SELECT * FROM bu)
+        SELECT strategy, n_docs, n_units, real_tokens, capacity_tokens,
+               (CASE WHEN capacity_tokens > 0
+                     THEN ((capacity_tokens - real_tokens) * 1000000)
+                          // capacity_tokens
+                     ELSE 0 END)::BIGINT AS overhead_ppm
+        FROM u
     """
     # DPO-ready filtered export COMPOSED from the repair-plan oracle:
     # per-lang min/max occupied log2 band dropped (bottom = label

@@ -15,6 +15,10 @@ where a median of 3 is ±30%.
 Output contract (r04): the full per-query medians (4 dp) are WRITTEN to
 ``bench_results.json`` next to this file — that artifact, committed per
 round, is the round-over-round regression record covering ALL queries.
+Since r10 the artifact also carries ``cold_builds``: which query paid
+each memoized family frame's cold build this run (the scaling ladder's
+build_s convention) — so a median inflated by set-order carries its own
+attribution instead of needing an order-isolated probe next round.
 The printed JSON line keeps itself ≤ ``PRINT_BUDGET`` bytes (the driver
 records only the last 2000 chars of stdout, and an over-long line means
 ``parsed: null`` in BENCH_r{N}.json): it carries the totals plus the
@@ -67,6 +71,7 @@ MEMO_SERVED = (
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as entrymod  # noqa: E402
+from kafka_exercise_spark.catalog import drain_memo_build_log  # noqa: E402
 from kafka_exercise_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -75,7 +80,13 @@ ARTIFACT = os.path.join(
 )
 
 
-def _run_once(spark, fn, samples: list[float]) -> None:
+def _run_once(
+    spark,
+    fn,
+    samples: list[float],
+    name: str | None = None,
+    cold_builds: dict | None = None,
+) -> None:
     t0 = time.perf_counter()
     try:
         fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
@@ -83,6 +94,19 @@ def _run_once(spark, fn, samples: list[float]) -> None:
     except Exception as e:  # noqa: BLE001
         print(f"bench: query failed: {e}", file=sys.stderr)
         samples.append(-1.0)
+    # Self-attribution (the SCALING build_s convention, applied to bench
+    # per VERDICT r9's recurring "cold parent build lands on whichever
+    # entry runs first" finding): any memoized family frame built INSIDE
+    # this sample is named with its cost under the query that paid it,
+    # so an inflated median in bench_results.json carries its own
+    # explanation instead of needing an order-isolated probe each round.
+    # Same nesting caveat as the ladder: an outer build's seconds include
+    # its inner builds' — read as "which frames were cold here".
+    builds = drain_memo_build_log()
+    if builds and cold_builds is not None and name is not None:
+        per = cold_builds.setdefault(name, {})
+        for c in builds:
+            per[c["memo"]] = round(per.get(c["memo"], 0.0) + c["seconds"], 3)
 
 
 def run() -> dict:
@@ -114,9 +138,11 @@ def run() -> dict:
     # any fresh run sees; interleaving passes keeps each sample honest while
     # the median still cancels host noise.
     samples: dict[str, list[float]] = {name: [] for name in queries}
+    cold_builds: dict[str, dict[str, float]] = {}
+    drain_memo_build_log()  # warm-up builds are nobody's attribution
     for _ in range(REPEATS):
         for name, fn in queries.items():
-            _run_once(spark, fn, samples[name])
+            _run_once(spark, fn, samples[name], name, cold_builds)
     # Extra interleaved passes for the noise-dominated fast tail only —
     # cheap by construction (each added pass costs < FAST_CUTOFF per query).
     # THROUGHPUT_ANCHOR always gets the extra passes too: it is the sole
@@ -140,7 +166,7 @@ def run() -> dict:
         fast.append(THROUGHPUT_ANCHOR)
     for _ in range(FAST_REPEATS - REPEATS):
         for name in fast:
-            _run_once(spark, queries[name], samples[name])
+            _run_once(spark, queries[name], samples[name], name, cold_builds)
     timings = {
         name: round(statistics.median(ts), 4) if all(t >= 0 for t in ts) else -1.0
         for name, ts in samples.items()
@@ -157,6 +183,9 @@ def run() -> dict:
         # see the MEMO_SERVED comment: these medians are served-frame
         # reads (production steady state), not replay build cost
         "memo_served": [n for n in MEMO_SERVED if n in timings],
+        # which query paid each memoized family frame's cold build this
+        # run (artifact-only; see _run_once) — the set-order attribution
+        "cold_builds": cold_builds,
     }
     # Reference-comparable throughput. METRIC DEFINITION (pinned r6):
     # stream_rows_per_sec = |events fixture| / median wall of the ONE
@@ -186,10 +215,12 @@ def _printable(out: dict) -> dict:
     # failures first, then slowest → fastest
     order = sorted(full, key=lambda k: (full[k] >= 0, -full[k]))
     compact = dict.fromkeys(order)
-    # memo_served is artifact documentation — ~200 bytes that would
-    # evict real query entries from the budgeted print line
+    # memo_served / cold_builds are artifact documentation — bytes that
+    # would evict real query entries from the budgeted print line
     view = {
-        k: v for k, v in out.items() if k not in ("queries", "memo_served")
+        k: v
+        for k, v in out.items()
+        if k not in ("queries", "memo_served", "cold_builds")
     }
     view["n_queries"] = len(full)
     view["detail"] = "bench_results.json"

@@ -1371,3 +1371,89 @@ def bucket_export_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("batches_saved"),
         )
     )
+
+
+def packing_vs_bucketing_selected_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The loader-layout decision sheet over the SELECTED corpus — the
+    sheet a loader owner actually decides on: ``packing_vs_bucketing_report``
+    prices the two layouts on the RAW corpus, but the corpus a trainer
+    reads is the weighted-selection survivor set, and curation shifts
+    the answer (soft dedup removes boilerplate-heavy short docs, which
+    changes bucket occupancy and therefore pad waste, while packing's
+    underfill depends only on per-shard token mass). One row per
+    strategy with the same columns as the raw sheet — emitted units,
+    real token mass, reserved capacity, overhead ppm — so the raw and
+    selected sheets diff column-for-column.
+
+    Packing units are per-shard ceiling sequences over the selection's
+    packed layout (``_packed_layout``, the rule shared with
+    ``export_shard_manifest``); bucketing units/capacity fold the
+    selected bucket manifest (``bucket_export_manifest`` — capacity =
+    Σ batches × seqs_per_batch × bucket, every batch reserved full,
+    the raw sheet's rule). All exact integers, ppm CASE-guarded like
+    the raw sheet. Cost: the selection's one corpus scan (shared by
+    both sides through the memoized component frame) + the two layout
+    folds to one row each. Oracle COMPOSED from the selection and
+    bucket-export-manifest oracles, so the decision sheet can never
+    drift from the layouts it compares.
+    """
+    budget = PACK_BUDGET_TOKENS
+    sel = token_budget_weighted(spark, sf_dir).select("doc_id", "n_tok")
+    pk = (
+        _packed_layout(sel)
+        .groupBy("shard")
+        .agg(
+            F.sum("n_tok").cast("long").alias("tok"),
+            F.count("*").cast("long").alias("docs"),
+        )
+        .agg(
+            F.sum("docs").cast("long").alias("n_docs"),
+            F.sum(F.expr(f"(tok + {budget} - 1) div {budget}"))
+            .cast("long")
+            .alias("n_units"),
+            F.sum("tok").cast("long").alias("real_tokens"),
+        )
+        .select(
+            F.lit("packing").alias("strategy"),
+            "n_docs",
+            "n_units",
+            "real_tokens",
+            (F.col("n_units") * budget)
+            .cast("long")
+            .alias("capacity_tokens"),
+        )
+    )
+    bk = (
+        bucket_export_manifest(spark, sf_dir)
+        .agg(
+            F.sum("n_seqs").cast("long").alias("n_docs"),
+            F.count("*").cast("long").alias("n_units"),
+            F.sum("real_tokens").cast("long").alias("real_tokens"),
+            F.sum(
+                F.expr(
+                    f"({BUCKET_BATCH_TOKENS} div bucket) * bucket"
+                )
+            )
+            .cast("long")
+            .alias("capacity_tokens"),
+        )
+        .select(
+            F.lit("bucketing").alias("strategy"),
+            "n_docs",
+            "n_units",
+            "real_tokens",
+            "capacity_tokens",
+        )
+    )
+    # same degenerate-input CASE guard as the raw sheet (empty selection
+    # -> NULL/0 sums; Spark div NULL vs DuckDB // error)
+    return pk.unionByName(bk).withColumn(
+        "overhead_ppm",
+        F.expr(
+            "CASE WHEN capacity_tokens > 0 THEN"
+            " ((capacity_tokens - real_tokens) * 1000000)"
+            " div capacity_tokens ELSE 0 END"
+        ).cast("long"),
+    )

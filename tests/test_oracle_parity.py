@@ -110,6 +110,7 @@ def test_r10_window_leads_with_unverified_entries():
         "bucket_export_manifest",
         "bucket_export_delta",
         "preference_filtered_export",
+        "packing_vs_bucketing_selected_report",
     }
     # the full 28-entry r05-last-green cohort must be refreshed
     r05_cohort = {

@@ -611,3 +611,7 @@ def test_r10_export_sheets_plan_shape(spark, sf_dir):
             "doc_id",
             "text",
         }
+
+    df_ps = sampling.packing_vs_bucketing_selected_report(spark, sf_dir)
+    assert python_eval_count(df_ps) == 0
+    assert not has_cartesian_product(df_ps)

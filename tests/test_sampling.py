@@ -548,3 +548,44 @@ def test_bucket_export_delta_reconciles(spark, sf_dir):
         assert r.removed_docs == rd - sd >= 0
         assert r.removed_tokens == rt - st >= 0
         assert r.removed_ppm == (rt - st) * 1_000_000 // rt
+
+
+def test_packing_vs_bucketing_selected_reconciles(spark, sf_dir):
+    """The selected-corpus decision sheet must be exactly the fold of
+    its parents: packing row from the selection's packed layout
+    (per-shard ceiling units), bucketing row from the selected bucket
+    manifest (batches reserved full); capacity >= real mass on both
+    rows and the ppm arithmetic exact; doc counts equal across the two
+    strategies (same survivor set)."""
+    budget = sampling.PACK_BUDGET_TOKENS
+    sel = sampling.token_budget_weighted(spark, sf_dir).collect()
+    by_shard: dict[int, int] = {}
+    for r in sel:
+        by_shard[r.doc_id % sampling.PACK_SHARDS] = (
+            by_shard.get(r.doc_id % sampling.PACK_SHARDS, 0) + r.n_tok
+        )
+    exp_units = sum((t + budget - 1) // budget for t in by_shard.values())
+    man = sampling.bucket_export_manifest(spark, sf_dir).collect()
+    rows = {
+        r.strategy: r
+        for r in sampling.packing_vs_bucketing_selected_report(
+            spark, sf_dir
+        ).collect()
+    }
+    pk, bk = rows["packing"], rows["bucketing"]
+    assert pk.n_docs == bk.n_docs == len(sel)
+    assert pk.n_units == exp_units
+    assert pk.capacity_tokens == exp_units * budget
+    assert pk.real_tokens == sum(t for t in by_shard.values())
+    assert bk.n_units == len(man)
+    assert bk.real_tokens == sum(r.real_tokens for r in man)
+    assert bk.capacity_tokens == sum(
+        (sampling.BUCKET_BATCH_TOKENS // r.bucket) * r.bucket for r in man
+    )
+    for r in (pk, bk):
+        assert r.capacity_tokens >= r.real_tokens
+        assert r.overhead_ppm == (
+            (r.capacity_tokens - r.real_tokens)
+            * 1_000_000
+            // r.capacity_tokens
+        )

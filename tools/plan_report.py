@@ -134,6 +134,7 @@ SELECTED = [
     ("bucket_export_manifest", "selection's token counts reused — no re-tokenize; per-bucket window + (bucket, batch) groupBy"),
     ("bucket_export_delta", "both bucket manifests folded to <=8 rows each; one 8-row join — the corpus is never touched by the diff"),
     ("preference_filtered_export", "repaired pairs banded map-side (pow-2 CASE); |langs|-row cuts broadcast back; one groupBy"),
+    ("packing_vs_bucketing_selected_report", "selection scanned once; both layouts folded to 1 row each"),
 ]
 
 FULL_PLANS = ["q3_shipping_priority", "dedup_ngram_jaccard"]

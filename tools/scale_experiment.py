@@ -184,6 +184,11 @@ QUERIES = {
     "bucket_export_manifest": sampling.bucket_export_manifest,
     "bucket_export_delta": sampling.bucket_export_delta,
     "preference_filtered_export": textops.preference_filtered_export,
+    # the selected-corpus layout decision sheet (2-row fold of the
+    # selection's packed layout + the selected bucket manifest)
+    "packing_vs_bucketing_selected_report": (
+        sampling.packing_vs_bucketing_selected_report
+    ),
 }
 
 #: Fresh-session ladder chunks (r10, VERDICT r9 ask #3). The single-JVM
@@ -286,6 +291,7 @@ CHUNKS: tuple[dict, ...] = (
             "bucket_batch_manifest",
             "bucket_export_manifest",
             "bucket_export_delta",
+            "packing_vs_bucketing_selected_report",
         ],
     },
     {
