@@ -3147,9 +3147,21 @@ def preference_filtered_export(
     the repair-plan oracle with the same generated CASE ladder, so the
     export can never drift from the set it filters.
     """
-    rep = preference_pair_repair_plan(spark, sf_dir).select(
-        "lang", "margin"
+    return _margin_filtered_export(
+        preference_pair_repair_plan(spark, sf_dir).select("lang", "margin")
     )
+
+
+def _margin_filtered_export(rep: DataFrame) -> DataFrame:
+    """THE margin-band filter rule, over any (lang, margin) frame —
+    separated from the sf_dir entry so the per-lang edge rules are
+    unit-testable on synthetic input (the ``_repair_preference_pairs``
+    precedent): single-band language → everything dropped_low;
+    two-band language → low and high both dropped, nothing kept
+    (kept-margin extrema coalesce to −1); three-plus bands → the
+    interior kept. The fixture corpus exercises only the multi-band
+    path, so without synthetic input the edge branches would ship
+    untested."""
     banded = rep.select(
         "lang",
         F.expr(_margin_band_case("margin")).cast("long").alias("band"),

@@ -3012,3 +3012,41 @@ def test_preference_filtered_export_reconciles(spark, sf_dir):
     # bands in at least one language) — guards against a degenerate
     # all-dropped sheet silently passing
     assert sum(r.n_kept for r in rows) > 0
+
+
+def test_margin_filter_edge_rules_synthetic(spark):
+    """The per-lang band-cut edge rules on synthetic input — the
+    fixture corpus only exercises the multi-band path:
+
+    - 'one': a single occupied band (margins 16..31 are all band 4) →
+      everything dropped_low, nothing dropped_high, kept extrema −1;
+    - 'two': exactly two bands → both cut, nothing kept;
+    - 'tri': three bands → only the interior band survives, extrema
+      are the interior band's exact min/max.
+    """
+    rows = (
+        [("one", m) for m in (16, 20, 31)]
+        + [("two", 3), ("two", 2), ("two", 5)]
+        + [("tri", 1), ("tri", 2), ("tri", 3), ("tri", 4), ("tri", 9)]
+    )
+    rep = spark.createDataFrame(rows, "lang string, margin long")
+    out = {
+        r.lang: r
+        for r in textops._margin_filtered_export(rep).collect()
+    }
+    one = out["one"]
+    assert (one.low_band, one.high_band) == (4, 4)
+    assert (one.n_kept, one.n_dropped_low, one.n_dropped_high) == (0, 3, 0)
+    assert (one.min_kept_margin, one.max_kept_margin) == (-1, -1)
+    assert one.kept_ppm == 0
+    two = out["two"]
+    # margins 2,3 are band 1; margin 5 is band 2 — two occupied bands
+    assert (two.low_band, two.high_band) == (1, 2)
+    assert (two.n_kept, two.n_dropped_low, two.n_dropped_high) == (0, 2, 1)
+    assert (two.min_kept_margin, two.max_kept_margin) == (-1, -1)
+    tri = out["tri"]
+    # bands: 1->0, 2,3->1, 4,9->2,3 ... margins 1(b0) 2,3(b1) 4(b2) 9(b3)
+    assert (tri.low_band, tri.high_band) == (0, 3)
+    assert (tri.n_kept, tri.n_dropped_low, tri.n_dropped_high) == (3, 1, 1)
+    assert (tri.min_kept_margin, tri.max_kept_margin) == (2, 4)
+    assert tri.kept_ppm == 3 * 1_000_000 // 5
