@@ -2878,22 +2878,36 @@ def _preference_pairs_with_comps(
     both sides — the shared input of the audit and the repair plan (one
     definition, so census and action sheet cannot disagree on what
     "poisoned" means). Columns: the pair columns + nullable
-    comp_chosen / comp_rejected."""
-    from kafka_exercise_spark.operators.dedup import (  # noqa: PLC0415
-        dedup_components,
-    )
+    comp_chosen / comp_rejected.
 
-    pp = preference_pairs(spark, sf_dir)
-    comps = dedup_components(spark, sf_dir).select("doc_id", "comp")
-    c_ch = comps.withColumnsRenamed(
-        {"doc_id": "chosen_doc_id", "comp": "comp_chosen"}
-    )
-    c_re = comps.withColumnsRenamed(
-        {"doc_id": "rejected_doc_id", "comp": "comp_rejected"}
-    )
-    return pp.join(c_ch, "chosen_doc_id", "left").join(
-        c_re, "rejected_doc_id", "left"
-    )
+    MEMO-SERVED per (application, sf_dir) since r10: the census, the
+    action sheet, and the filtered export all read this frame, and each
+    previously re-ran the classifier's token shuffle + the lang window
+    + both comp joins per call. At 100 TB this is the materialized
+    pairing table a post-training run lands once and every audit /
+    repair / export job reads — O(|docs|/2) rows, pair columns only.
+    (``preference_pairs`` itself stays un-memoized so its bench row
+    keeps measuring the real pairing; the margin histogram deliberately
+    reads the RAW pairing, not this joined frame.)"""
+
+    def build() -> DataFrame:
+        from kafka_exercise_spark.operators.dedup import (  # noqa: PLC0415
+            dedup_components,
+        )
+
+        pp = preference_pairs(spark, sf_dir)
+        comps = dedup_components(spark, sf_dir).select("doc_id", "comp")
+        c_ch = comps.withColumnsRenamed(
+            {"doc_id": "chosen_doc_id", "comp": "comp_chosen"}
+        )
+        c_re = comps.withColumnsRenamed(
+            {"doc_id": "rejected_doc_id", "comp": "comp_rejected"}
+        )
+        return pp.join(c_ch, "chosen_doc_id", "left").join(
+            c_re, "rejected_doc_id", "left"
+        )
+
+    return memo_frame(spark, ("pref_pairs_comps", sf_dir), build)
 
 
 def _pair_poisoned() -> F.Column:
