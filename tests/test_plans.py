@@ -615,3 +615,20 @@ def test_r10_export_sheets_plan_shape(spark, sf_dir):
     df_ps = sampling.packing_vs_bucketing_selected_report(spark, sf_dir)
     assert python_eval_count(df_ps) == 0
     assert not has_cartesian_product(df_ps)
+
+
+def test_scaling_ladder_chunks_partition_the_registry():
+    """Every ladder entry must be timed in exactly one fresh-session
+    chunk, warm lists must name real entries, and chunk order must
+    respect the registry order within each chunk (the parents-first
+    convention marginal-cost rungs depend on)."""
+    from tools.scale_experiment import CHUNKS, QUERIES
+
+    timed = [n for c in CHUNKS for n in c["timed"]]
+    assert sorted(timed) == sorted(QUERIES)
+    assert len(set(timed)) == len(timed)
+    order = {n: i for i, n in enumerate(QUERIES)}
+    for c in CHUNKS:
+        idx = [order[n] for n in c["timed"]]
+        assert idx == sorted(idx), c["name"]
+        assert all(w in QUERIES for w in c["warm"])

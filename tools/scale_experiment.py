@@ -280,9 +280,9 @@ CHUNKS: tuple[dict, ...] = (
         "timed": [
             "curation_run_manifest",
             "curation_manifest_model_gate",
+            "token_budget_weighted",
             "model_gate_impact_matrix",
             "model_replace_impact_matrix",
-            "token_budget_weighted",
             "length_bucket_plan",
             "output_shard_manifest",
             "packing_vs_bucketing_report",
@@ -298,12 +298,12 @@ CHUNKS: tuple[dict, ...] = (
         "name": "preference",
         "warm": ["dedup_minhash_lsh", "dedup_components"],
         "timed": [
+            "fim_split_plan",
             "preference_pairs",
             "preference_pair_dedup_audit",
             "preference_pair_repair_plan",
             "preference_margin_histogram",
             "preference_filtered_export",
-            "fim_split_plan",
         ],
     },
 )
