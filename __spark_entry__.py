@@ -75,19 +75,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
        refresh cycle spans ~5 rounds; this ordering makes the
        staleness window shortest exactly where drift risk is highest.
 
-    r10 rotation: flagships, the 4-entry late-r09 positional queue
-    (simhash_threshold_sweep, preference_margin_histogram,
-    streaming_soft_draw_replay, bucket_batch_manifest), the 4 NEW r10
-    entries (bucket_export_manifest + bucket_export_delta: the
-    bucketed layout's export capstone and curation delta, VERDICT r9
-    ask #4; preference_filtered_export: the DPO-ready margin-band
-    filtered export, ask #5; packing_vs_bucketing_selected_report:
-    the layout decision sheet over the selected corpus), the COMPLETE
-    28-entry r05-last-green cohort, and the first 12 of the 47-entry
-    r06 cohort in the weighted order above (2 streaming replays, 7
-    capstones, 3 alphabetical). The remaining 35 r06 rows lead the
-    r11 refresh queue. Everything outside the window is covered by this session's
-    verify_local sweeps plus pytest.
+    r11 rotation: flagships, no positional queue (every r10 addition
+    was inside the r10 window), the 2 NEW r11 entries
+    (preference_export_manifest: the DPO export's per-output-unit
+    writer manifest, VERDICT r10 ask #4; export_version_delta: the
+    cross-version per-shard export diff under the arriving src0
+    batch, stretch ask #7), the COMPLETE remaining 35-entry
+    r06-last-green cohort (alphabetical — r10 already consumed that
+    cohort's 2 streaming replays, 7 capstones and first 3
+    alphabetical), and the first 11 of the 48-entry r07 cohort in the
+    weighted order above: its 3 streaming replays (streaming_dq_gate,
+    streaming_model_gate_replay, streaming_model_update_replay), its
+    2 cross-family composition capstones
+    (model_rule_disagreement_report: rule×model confusion;
+    curation_manifest_model_gate: manifest + model gate — the other
+    r07 report sheets each compose a single parent, and sweeps are
+    classified alphabetical per the r06-cohort precedent), then 6
+    alphabetical (agg_stats_events … cross_join_region_pairs). The
+    remaining 37 r07 rows lead the r12 refresh queue. Everything
+    outside the window is covered by this session's verify_local
+    sweeps plus pytest.
+
+    Steady-state refresh floor (VERDICT r10 ask #8): at 231 entries
+    and a 50-slot window spending ~2 slots/round on flagships and a
+    further few on new entries, a full refresh cycle spans ~5 rounds,
+    so the steady-state evidence floor is r{N-5} with the weighted
+    ordering keeping the oldest cohort concentrated in the
+    lowest-drift-risk leaf entries (streaming replays and capstones
+    refresh first within every cohort). That floor is acceptable
+    because the driver row is the SECOND line of defense: every entry
+    is re-verified value-exact against DuckDB at sf0.01 by the
+    in-session verify_local sweep every round, so a ≤5-round-old
+    driver row is corroborated by at-most-hours-old local evidence.
+    If the registry keeps growing past ~280 the window should be
+    renegotiated with the driver.
     """
     all_q = {
         # §2.2 P1/P4/P5/P6/P8 — formatted-date filter (CSAS jovens)
@@ -547,69 +568,86 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "packing_vs_bucketing_selected_report": (
             sampling.packing_vs_bucketing_selected_report
         ),
+        # ---- new in r11 ----
+        # per-output-unit writer manifest of the DPO export: the
+        # (lang, H(pair) mod S) shard rollup over the filtered export's
+        # KEPT pairs — the resumable-writer contract every other export
+        # family already ends in (VERDICT r10 ask #4)
+        "preference_export_manifest": textops.preference_export_manifest,
+        # cross-VERSION export delta: what the arriving src0 batch
+        # changes in the packed export manifest — per-shard
+        # added/removed doc+token mass between corpus v (sans src0)
+        # and v+batch, selection re-run exactly on v (VERDICT r10
+        # stretch ask #7)
+        "export_version_delta": sampling.export_version_delta,
     }
-    # The r10 driver window (first 50) — see the docstring for the
-    # policy. Composition: flagships, the FULL late-r09 positional
-    # queue (4 entries, VERDICT r9 finding #2 / ask #1), the 3 NEW r10
-    # entries (asks #4/#5: the bucketed-layout export manifest + delta
-    # and the preference filtered-export capstone), the COMPLETE
-    # 28-entry r05-last-green cohort (restoring the evidence floor to
-    # r06), and 13 of the 47-entry r06 cohort picked by the WEIGHTED
-    # refresh policy (ask #8, documented in the docstring): streaming
-    # replays first, composition capstones second, alphabetical rest.
-    # The remaining 34 r06 rows lead the r11 refresh queue
-    # (alphabetical after the same weighting).
+    # The r11 driver window (first 50) — see the docstring for the
+    # policy and this round's exact composition (VERDICT r10 ask #1;
+    # arithmetic cross-checked against the mechanical ledger of all
+    # ten CORRECTNESS files this session — ADVICE r10 item #1 asked
+    # for comment/docstring agreement, both now say the same thing):
+    # 2 flagships + 2 NEW r11 entries + the COMPLETE remaining
+    # 35-entry r06-last-green cohort (alphabetical: its weighted head
+    # — 2 streaming replays, 7 capstones, 3 alphabetical — was
+    # refreshed in r10) + the first 11 of the 48-entry r07 cohort in
+    # the weighted order (3 streaming replays, 2 cross-family
+    # capstones, 6 alphabetical). 2+2+35+11 = 50; the remaining 37
+    # r07 rows lead the r12 refresh queue.
     window = [
         "jovens",
         "idadecont",
-        "simhash_threshold_sweep",
-        "preference_margin_histogram",
-        "streaming_soft_draw_replay",
-        "bucket_batch_manifest",
-        "bucket_export_manifest",
-        "bucket_export_delta",
-        "preference_filtered_export",
-        "packing_vs_bucketing_selected_report",
-        "heavy_hitters_topk",
-        "hourly_anomaly_scores",
-        "ivf_cells_report",
-        "join_customer_orders",
-        "k_anonymity_report",
-        "lm_bigram_score",
-        "lm_unigram_score",
-        "merge_scd2_apply",
-        "merge_upsert_profiles",
-        "mixture_plan",
-        "q10_returned_items",
-        "q18_large_orders",
-        "q3_shipping_priority",
-        "q5_local_supplier",
-        "q7_volume_shipping",
-        "q8_market_share",
-        "q9_product_profit",
-        "resample_ffill_events",
-        "rfm_segments",
-        "skew_key_census",
-        "span_corruption_masks",
-        "streaming_curation_gate",
-        "streaming_merge_replay",
-        "streaming_scd2_replay",
-        "tfidf_top_terms",
-        "tokenizer_fertility_report",
-        "twa_value_per_user",
-        "weighted_sample_topn",
-        "streaming_compaction_replay",
-        "streaming_winnow_replay",
-        "curation_run_manifest",
-        "dedup_detector_matrix",
-        "dedup_pair_audit_sample",
-        "dedup_savings_report",
-        "ann_pareto_report",
-        "quality_ablation_report",
-        "source_disposition_matrix",
-        "ann_cosine_topk",
-        "ann_filtered_topk",
-        "ann_ivf_pq_topk",
+        # -- new r11 --
+        "preference_export_manifest",
+        "export_version_delta",
+        # -- the full remaining r06 cohort (35, alphabetical) --
+        "ann_ivf_topk",
+        "ann_lsh_bucketed",
+        "ann_lsh_multiprobe",
+        "bpe_apply_trained",
+        "bpe_segment_words",
+        "bpe_train_merges",
+        "curation_pipeline",
+        "curriculum_plan",
+        "dedup_components",
+        "dedup_minhash_lsh",
+        "dedup_ngram_jaccard",
+        "dedup_simhash_pairs",
+        "knn_label_vote",
+        "knn_label_vote_ivf",
+        "log_compaction",
+        "minhash_s_curve",
+        "pack_efficiency_report",
+        "pii_scrub_report",
+        "q11_important_stock",
+        "q14_promo_effect",
+        "q15_top_supplier",
+        "q16_supplier_cnt",
+        "q17_small_qty_revenue",
+        "q19_disjunctive_join",
+        "q20_potential_promotion",
+        "q21_waiting_supplier",
+        "q2_min_cost_supplier",
+        "quality_quantile_filter",
+        "split_leakage_report",
+        "split_train_valid_test",
+        "text_novelty_score",
+        "winnow_components",
+        "winnow_incremental",
+        "winnow_threshold_sweep",
+        "winnowing_overlap_pairs",
+        # -- r07 cohort, weighted head (3 streaming, 2 capstones,
+        #    6 alphabetical) --
+        "streaming_dq_gate",
+        "streaming_model_gate_replay",
+        "streaming_model_update_replay",
+        "model_rule_disagreement_report",
+        "curation_manifest_model_gate",
+        "agg_stats_events",
+        "approx_aggs_events",
+        "asof_join_events",
+        "avro_wire_roundtrip",
+        "bpe_pair_counts",
+        "cross_join_region_pairs",
     ]
     assert len(window) == 50 and len(set(window)) == 50
     out = {k: all_q[k] for k in window}
@@ -970,6 +1008,93 @@ def _lsh_ctes() -> str:
     return _LSH_CTES.format(
         toks=_TOKS, shingles=_SHINGLES, hsh=_HSH, mh_list=_MH_LIST
     )
+
+
+def _comps_reach_sql(pairs_sql: str) -> str:
+    """Connected-components oracle over a PARAMETERIZED pair list — the
+    und/reach/comp contraction chain shared by the published
+    ``dedup_components`` oracle (pairs = the full verified LSH list) and
+    the cross-version delta's v-side components (the same list with
+    both endpoints outside the arriving batch — exact, because an LSH
+    pair is a per-doc-pure function of its endpoints). One definition,
+    so the two versions' component semantics cannot drift."""
+    return f"""
+            WITH RECURSIVE {_lsh_ctes()},
+            pairs AS ({pairs_sql}),
+            und AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                    UNION ALL
+                    SELECT id_b, id_a FROM pairs),
+            reach AS (
+              SELECT src, dst FROM und
+              UNION
+              SELECT r.src, u.dst FROM reach r
+              JOIN und u ON r.dst = u.src
+              WHERE u.dst != r.src),
+            comp AS (
+              SELECT src AS doc_id, least(src, min(dst)) AS comp
+              FROM reach GROUP BY src)
+            SELECT doc_id, comp,
+                   count(*) OVER (PARTITION BY comp) AS comp_size,
+                   doc_id = comp AS is_survivor
+            FROM comp
+        """
+
+
+def _weighted_sel_sql(docs_where: str, comps_sql: str) -> str:
+    """The weighted-budget selection as SQL over a VERSION-FILTERED
+    corpus: soft-dedup weights from the given component oracle,
+    α=``BUDGET_ALPHA_MILLI`` budgets re-derived on the filtered
+    corpus's own source inventory (shares renormalize when a source
+    appears/disappears — the sqrt/round/source-ordered-fold float
+    discipline of the published mixture oracle, specialized to the
+    budget α), hash-Bernoulli draw, greedy (hk, doc_id) fill. The
+    cross-version delta runs this at both versions; the published
+    ``token_budget_weighted`` oracle keeps its composed form — a
+    pytest pins this builder at docs_where=TRUE value-equal to it, so
+    the two definitions cannot drift."""
+    from kafka_exercise_spark.operators import sampling
+
+    # the sqrt below IS α=½ — a ladder retune must fail loudly here,
+    # not silently ship a wrong v-side budget
+    assert sampling.BUDGET_ALPHA_MILLI == 500
+    return f"""
+        WITH cmp AS (SELECT doc_id, comp_size FROM ({comps_sql})),
+        w AS (SELECT d0.doc_id,
+                     (1000000 // coalesce(cmp.comp_size, 1))::BIGINT
+                         AS weight_ppm
+              FROM (SELECT doc_id FROM documents WHERE {docs_where}) d0
+              LEFT JOIN cmp USING (doc_id)),
+        inv AS (SELECT source, sum(len({_TOKS}))::BIGINT AS avail_tokens
+                FROM documents WHERE {docs_where} GROUP BY source),
+        lst AS (SELECT list_sum(list_transform(
+                           list(avail_tokens ORDER BY source),
+                           x -> sqrt(x::DOUBLE))) AS sum_w
+                FROM inv),
+        b AS (SELECT source,
+                     ((round(sqrt(avail_tokens::DOUBLE) * 1000000.0
+                             / sum_w)::BIGINT
+                       * {sampling.MIX_PLAN_BUDGET}) // 1000000)::BIGINT
+                         AS budget_tokens
+              FROM inv, lst),
+        d AS (SELECT source, doc_id, len({_TOKS})::BIGINT AS n_tok,
+                     ('0x' || substr(md5('softdraw:' || doc_id), 1, 15))::BIGINT
+                         % 1000000 AS draw,
+                     ('0x' || substr(md5('wbudget:' || doc_id), 1, 15))::BIGINT
+                         AS hk
+              FROM documents WHERE {docs_where}),
+        s AS (SELECT d.*, w.weight_ppm FROM d JOIN w USING (doc_id)
+              WHERE draw < weight_ppm),
+        c AS (SELECT s.source, s.doc_id, s.weight_ppm, s.n_tok,
+                     b.budget_tokens,
+                     sum(s.n_tok) OVER (PARTITION BY s.source
+                                        ORDER BY s.hk, s.doc_id
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS cum_tok
+              FROM s JOIN b USING (source))
+        SELECT source, doc_id, weight_ppm, n_tok,
+               cum_tok::BIGINT AS cum_tok, budget_tokens
+        FROM c WHERE cum_tok - n_tok < budget_tokens
+    """
 
 
 def _rfm_case(col: str, edges: tuple, descending: bool) -> str:
@@ -1884,26 +2009,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b, n_common, jaccard
             FROM verified WHERE jaccard >= 0.08
         """,
-        "dedup_components": f"""
-            WITH RECURSIVE {_lsh_ctes()},
-            pairs AS (SELECT id_a, id_b FROM verified WHERE jaccard >= 0.08),
-            und AS (SELECT id_a AS src, id_b AS dst FROM pairs
-                    UNION ALL
-                    SELECT id_b, id_a FROM pairs),
-            reach AS (
-              SELECT src, dst FROM und
-              UNION
-              SELECT r.src, u.dst FROM reach r
-              JOIN und u ON r.dst = u.src
-              WHERE u.dst != r.src),
-            comp AS (
-              SELECT src AS doc_id, least(src, min(dst)) AS comp
-              FROM reach GROUP BY src)
-            SELECT doc_id, comp,
-                   count(*) OVER (PARTITION BY comp) AS comp_size,
-                   doc_id = comp AS is_survivor
-            FROM comp
-        """,
+        # published full-corpus components — the SAME und/reach/comp
+        # chain the cross-version delta runs on the batch-filtered pair
+        # list, via one shared builder (r11)
+        "dedup_components": _comps_reach_sql(
+            "SELECT id_a, id_b FROM verified WHERE jaccard >= 0.08"
+        ),
         "dedup_incremental": f"""
             WITH {_lsh_ctes()},
             srcmap AS (SELECT doc_id, source FROM documents),
@@ -5545,5 +5656,125 @@ def oracle_sql() -> dict[str, str]:
                coalesce(max(CASE WHEN disp = 'kept' THEN margin END),
                         -1)::BIGINT AS max_kept_margin
         FROM t GROUP BY lang, low_band, high_band
+    """
+    # preference export writer manifest (r11, VERDICT r10 ask #4):
+    # COMPOSED from the repair-plan oracle with the SAME band/cut CTEs
+    # as the filtered-export oracle — kept = strictly interior band
+    # (single-band langs have band = low = high, excluded, matching
+    # the engine's dropped_low edge rule) — then the (lang,
+    # H(pair) mod S) shard rollup over the kept pairs
+    oracles["preference_export_manifest"] = f"""
+        WITH rep AS (SELECT *
+                     FROM ({oracles["preference_pair_repair_plan"]})),
+        b AS (SELECT *,
+                     ({textops._margin_band_case("margin")})::BIGINT
+                         AS band
+              FROM rep),
+        c AS (SELECT lang, min(band)::BIGINT AS low_band,
+                     max(band)::BIGINT AS high_band
+              FROM b GROUP BY lang),
+        k AS (SELECT b.*
+              FROM b JOIN c ON c.lang = b.lang
+              WHERE band != low_band AND band != high_band),
+        s AS (SELECT lang, provenance, margin, chosen_doc_id,
+                     ('0x' || substr(md5('prefexport:' || chosen_doc_id),
+                                     1, 15))::BIGINT
+                         % {textops.PREF_EXPORT_SHARDS} AS shard
+              FROM k)
+        SELECT lang, shard::BIGINT AS shard,
+               count(*)::BIGINT AS n_pairs,
+               coalesce(sum((provenance = 'repaired')::INT), 0)::BIGINT
+                   AS n_repaired,
+               min(margin)::BIGINT AS min_margin,
+               max(margin)::BIGINT AS max_margin,
+               min(chosen_doc_id)::BIGINT AS first_chosen_doc_id,
+               max(chosen_doc_id)::BIGINT AS last_chosen_doc_id
+        FROM s GROUP BY lang, shard
+    """
+    # cross-version export delta (r11, VERDICT r10 stretch ask #7):
+    # the weighted-selection oracle run at BOTH corpus versions via the
+    # shared parameterized builders — v excludes the arriving batch
+    # source everywhere (docs, inventory/budgets, draw pool) and
+    # recomputes components on the batch-filtered pair list (exact: an
+    # LSH pair is per-doc-pure, see _comps_reach_sql) — then per-shard
+    # manifest folds, membership anti-joins, and the ≤|shards|-row diff
+    _batch = dedup.INCREMENTAL_NEW_SOURCE
+    _not_batch = f"source <> '{_batch}'"
+    _batch_ids = (
+        f"SELECT doc_id FROM documents WHERE source = '{_batch}'"
+    )
+    _sel_v_sql = _weighted_sel_sql(
+        _not_batch,
+        _comps_reach_sql(
+            f"""SELECT id_a, id_b FROM verified
+                WHERE jaccard >= 0.08
+                  AND id_a NOT IN ({_batch_ids})
+                  AND id_b NOT IN ({_batch_ids})"""
+        ),
+    )
+    oracles["export_version_delta"] = f"""
+        WITH v1 AS (SELECT doc_id, n_tok
+                    FROM ({oracles["token_budget_weighted"]})),
+        v0 AS (SELECT doc_id, n_tok FROM ({_sel_v_sql})),
+        pk1 AS (SELECT doc_id, doc_id % {sampling.PACK_SHARDS} AS shard,
+                       n_tok,
+                       (sum(n_tok) OVER (
+                            PARTITION BY doc_id % {sampling.PACK_SHARDS}
+                            ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING))::BIGINT AS cum_tok
+                FROM v1),
+        m1 AS (SELECT shard, count(*)::BIGINT AS v1_docs,
+                      sum(n_tok)::BIGINT AS v1_tokens,
+                      count(DISTINCT CAST(floor((cum_tok - n_tok)
+                            / {sampling.PACK_BUDGET_TOKENS}) AS BIGINT)
+                      )::BIGINT AS v1_bins
+               FROM pk1 GROUP BY shard),
+        pk0 AS (SELECT doc_id, doc_id % {sampling.PACK_SHARDS} AS shard,
+                       n_tok,
+                       (sum(n_tok) OVER (
+                            PARTITION BY doc_id % {sampling.PACK_SHARDS}
+                            ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING))::BIGINT AS cum_tok
+                FROM v0),
+        m0 AS (SELECT shard, count(*)::BIGINT AS v_docs,
+                      sum(n_tok)::BIGINT AS v_tokens,
+                      count(DISTINCT CAST(floor((cum_tok - n_tok)
+                            / {sampling.PACK_BUDGET_TOKENS}) AS BIGINT)
+                      )::BIGINT AS v_bins
+               FROM pk0 GROUP BY shard),
+        ad AS (SELECT doc_id % {sampling.PACK_SHARDS} AS shard,
+                      count(*)::BIGINT AS added_docs,
+                      sum(n_tok)::BIGINT AS added_tokens
+               FROM v1 WHERE doc_id NOT IN (SELECT doc_id FROM v0)
+               GROUP BY 1),
+        rm AS (SELECT doc_id % {sampling.PACK_SHARDS} AS shard,
+                      count(*)::BIGINT AS removed_docs,
+                      sum(n_tok)::BIGINT AS removed_tokens
+               FROM v0 WHERE doc_id NOT IN (SELECT doc_id FROM v1)
+               GROUP BY 1),
+        j AS (SELECT shard, v_docs, v_tokens, v_bins,
+                     v1_docs, v1_tokens, v1_bins,
+                     added_docs, added_tokens, removed_docs, removed_tokens
+              FROM m0
+              FULL JOIN m1 USING (shard)
+              FULL JOIN ad USING (shard)
+              FULL JOIN rm USING (shard))
+        SELECT shard::BIGINT AS shard,
+               coalesce(v_docs, 0)::BIGINT AS v_docs,
+               coalesce(v_tokens, 0)::BIGINT AS v_tokens,
+               coalesce(v_bins, 0)::BIGINT AS v_bins,
+               coalesce(v1_docs, 0)::BIGINT AS v1_docs,
+               coalesce(v1_tokens, 0)::BIGINT AS v1_tokens,
+               coalesce(v1_bins, 0)::BIGINT AS v1_bins,
+               coalesce(added_docs, 0)::BIGINT AS added_docs,
+               coalesce(added_tokens, 0)::BIGINT AS added_tokens,
+               coalesce(removed_docs, 0)::BIGINT AS removed_docs,
+               coalesce(removed_tokens, 0)::BIGINT AS removed_tokens,
+               (CASE WHEN coalesce(v_tokens, 0) > 0
+                     THEN ((coalesce(added_tokens, 0)
+                            + coalesce(removed_tokens, 0)) * 1000000)
+                          // v_tokens
+                     ELSE 0 END)::BIGINT AS churn_ppm
+        FROM j
     """
     return oracles

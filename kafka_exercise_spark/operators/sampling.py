@@ -609,11 +609,20 @@ def mixture_temperature_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     |ladder|-way fan-out — the plan is corpus-scan-bound like
     ``mixture_plan``.
     """
+    return _mixture_plan_from(load_table(spark, sf_dir, "documents"))
+
+
+def _mixture_plan_from(docs: DataFrame) -> DataFrame:
+    """THE temperature-plan rule over any documents-shaped frame —
+    separated from the sf_dir entry (r11) so the cross-version export
+    delta can price corpus v (sans the arriving batch) with the SAME
+    share arithmetic the published sheet uses: source inventories,
+    shares and budgets are corpus-dependent (a new source shifts every
+    other source's share), so the v-side budgets must be recomputed on
+    v's own inventory — with one definition, never a fork."""
     from pyspark.sql import Window  # noqa: PLC0415
 
     from kafka_exercise_spark.functions.text import tokens  # noqa: PLC0415
-
-    docs = load_table(spark, sf_dir, "documents")
     inv = (
         docs.select("source", F.size(tokens(F.col("text"))).alias("n_tok"))
         .groupBy("source")
@@ -722,8 +731,16 @@ def _source_budgets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(source, budget_tokens): the α=``BUDGET_ALPHA_MILLI`` temperature
     share of the plan budget, integer ``div`` — the |sources|-row sheet
     both the selection and its fill report broadcast."""
+    return _source_budgets_from(load_table(spark, sf_dir, "documents"))
+
+
+def _source_budgets_from(docs: DataFrame) -> DataFrame:
+    """The budget sheet over any documents-shaped frame — the
+    ``_mixture_plan_from`` share at ``BUDGET_ALPHA_MILLI`` applied to
+    the plan budget (one definition for the published selection and
+    the cross-version delta's v-side rerun)."""
     return (
-        mixture_temperature_plan(spark, sf_dir)
+        _mixture_plan_from(docs)
         .filter(F.col("alpha_milli") == BUDGET_ALPHA_MILLI)
         .select(
             "source",
@@ -745,14 +762,28 @@ def _weighted_survivor_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup-set (left, unhinted — AQE broadcasts while the component
     frame fits) instead of the corpus × corpus shuffle that joining the
     full weight column would cost."""
-    from kafka_exercise_spark.functions.text import tokens  # noqa: PLC0415
     from kafka_exercise_spark.operators.dedup import (  # noqa: PLC0415
-        SOFT_WEIGHT_PPM_EXPR,
         dedup_components,
     )
 
-    comps = dedup_components(spark, sf_dir).select("doc_id", "comp_size")
-    docs = load_table(spark, sf_dir, "documents").select(
+    return _weighted_survivor_from(
+        load_table(spark, sf_dir, "documents"),
+        dedup_components(spark, sf_dir).select("doc_id", "comp_size"),
+    )
+
+
+def _weighted_survivor_from(docs: DataFrame, comps: DataFrame) -> DataFrame:
+    """The post-draw pool over any (documents-shaped frame, component
+    frame) pair — separated (r11) so the cross-version export delta can
+    re-draw corpus v against v's OWN components (near-dup clusters gain
+    members when a batch arrives, so v's weights differ from v+1's) with
+    the same draw/weight rule, never a fork."""
+    from kafka_exercise_spark.functions.text import tokens  # noqa: PLC0415
+    from kafka_exercise_spark.operators.dedup import (  # noqa: PLC0415
+        SOFT_WEIGHT_PPM_EXPR,
+    )
+
+    docs = docs.select(
         "source",
         "doc_id",
         F.size(tokens(F.col("text"))).cast("long").alias("n_tok"),
@@ -783,11 +814,20 @@ def _cumulated_survivor_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     ((hk, doc_id), prefix-before-the-doc rule) both the selection and
     its fill report consume — an edit to the tie-break or window frame
     cannot desynchronize them."""
+    return _cumulate_fill(
+        _weighted_survivor_frame(spark, sf_dir).join(
+            F.broadcast(_source_budgets(spark, sf_dir)), "source"
+        )
+    )
+
+
+def _cumulate_fill(s: DataFrame) -> DataFrame:
+    """The greedy-fill running total ((hk, doc_id) order,
+    prefix-before-the-doc rule) over any budget-joined survivor pool —
+    the window itself, shared by the published selection and the
+    cross-version delta's v-side rerun."""
     from pyspark.sql import Window  # noqa: PLC0415
 
-    s = _weighted_survivor_frame(spark, sf_dir).join(
-        F.broadcast(_source_budgets(spark, sf_dir)), "source"
-    )
     w = (
         Window.partitionBy("source")
         .orderBy("hk", "doc_id")
@@ -1492,5 +1532,160 @@ def packing_vs_bucketing_selected_report(
             "CASE WHEN capacity_tokens > 0 THEN"
             " ((capacity_tokens - real_tokens) * 1000000)"
             " div capacity_tokens ELSE 0 END"
+        ).cast("long"),
+    )
+
+
+def _version_selected_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_tok) the weighted-budget selection WOULD have kept on
+    corpus v — the corpus without the arriving
+    ``INCREMENTAL_NEW_SOURCE`` batch — the previous-day side of the
+    cross-version export delta. Everything corpus-dependent is re-run
+    on v with the SAME shared rules the published selection uses
+    (``_weighted_survivor_from`` / ``_source_budgets_from`` /
+    ``_cumulate_fill``), because none of it is restriction-stable:
+    budgets renormalize when a source appears, and near-dup components
+    can MERGE when batch docs bridge two old clusters — so v's weights
+    differ from v+1's for old docs too (that churn is exactly what the
+    delta sheet exists to price).
+
+    The one stage that IS restriction-stable is the pair list: a
+    MinHash-LSH pair is a per-doc-pure function of its two endpoints
+    (shingles → signatures → shared band key → exact Jaccard verify —
+    no cross-doc state), so pairs(v) ≡ pairs(v+1) with both endpoints
+    outside the batch. The v components therefore reuse the memo-served
+    full pair frame through two broadcast anti-joins against the
+    batch-id list — no second LSH run — and only the O(near-dup)
+    contraction re-runs (on the FILTERED edge list, because removing a
+    bridge doc can split a component: comp_size must come from v's own
+    graph). At 100 TB the v side of all of this is the previous day's
+    persisted index/manifest, not a recompute; the fixture derives both
+    sides from one corpus the way ``dedup_incremental`` does
+    (dedup.py:945). Memo-served: the delta reads it twice (manifest
+    fold + membership anti-join), one build per (application, sf_dir).
+    """
+    from kafka_exercise_spark.catalog import memo_frame  # noqa: PLC0415
+    from kafka_exercise_spark.operators.dedup import (  # noqa: PLC0415
+        INCREMENTAL_NEW_SOURCE,
+        _components_from_pairs,
+        dedup_minhash_lsh,
+    )
+
+    def _build() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        is_batch = F.col("source") == INCREMENTAL_NEW_SOURCE
+        docs_v = docs.filter(~is_batch)
+        batch_ids = docs.filter(is_batch).select("doc_id")
+        pairs_v = (
+            dedup_minhash_lsh(spark, sf_dir)
+            .select("id_a", "id_b")
+            .join(
+                F.broadcast(batch_ids.withColumnRenamed("doc_id", "id_a")),
+                "id_a",
+                "left_anti",
+            )
+            .join(
+                F.broadcast(batch_ids.withColumnRenamed("doc_id", "id_b")),
+                "id_b",
+                "left_anti",
+            )
+        )
+        comps_v = _components_from_pairs(
+            spark, pairs_v, id_name="doc_id"
+        ).select("doc_id", "comp_size")
+        filled = _cumulate_fill(
+            _weighted_survivor_from(docs_v, comps_v).join(
+                F.broadcast(_source_budgets_from(docs_v)), "source"
+            )
+        )
+        return filled.filter(
+            F.col("cum_tok") - F.col("n_tok") < F.col("budget_tokens")
+        ).select("doc_id", "n_tok")
+
+    return memo_frame(spark, ("version_selected", sf_dir), _build)
+
+
+def export_version_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-VERSION export delta — the sheet a daily 100 TB ingest
+    actually ships (VERDICT r10 stretch ask #7): per output shard, what
+    the arriving ``INCREMENTAL_NEW_SOURCE`` batch changes in the packed
+    export manifest between corpus v (without the batch) and v+batch.
+    ``curation_export_delta`` prices raw-vs-selected WITHIN one corpus
+    version; this sheet prices version-vs-version, and its churn is NOT
+    just the batch's own mass: the arrival shifts every source's
+    temperature budget and fattens near-dup clusters, so previously
+    exported docs get EVICTED (priced in ``removed_*``) while batch
+    docs and re-admitted old docs enter (``added_*``). A writer diffs
+    this sheet against its landed files to know which shards to
+    rewrite.
+
+    Grain: per shard (pmod doc_id — version-stable per doc), never per
+    (shard, seq_bin): bin numbering re-flows under insertion/eviction,
+    the ``_manifest_per_shard`` argument. Membership churn comes from
+    two doc_id-keyed anti-joins of the two selection frames — the
+    irreducible cost of "added/removed", and both frames are
+    memo-served (v+1 by ``_selected_frame``, v by
+    ``_version_selected_frame``), so no corpus re-scan. Fold-first
+    discipline: all four inputs (two manifest folds, two churn folds)
+    are ≤``PACK_SHARDS``-row frames BEFORE the final outer joins — the
+    diff never touches the corpus. Reconciliation identities
+    v1_docs − v_docs ≡ added_docs − removed_docs (and the token twin)
+    hold per shard by construction and are pinned in pytest.
+    churn_ppm = (added+removed tokens) ·1e6 div v_tokens, the
+    previous-version base a capacity planner budgets rewrites against
+    (0 when the shard had no v mass, the ``curation_export_delta``
+    empty-cell convention). Oracle COMPOSED from the weighted-selection
+    oracle run at BOTH versions (the v side re-derives budgets,
+    components and the draw on v's own corpus with the same
+    parameterized CTE builders), so the delta can never drift from the
+    selections it diffs.
+    """
+    sel_v1 = _selected_frame(spark, sf_dir)
+    sel_v = _version_selected_frame(spark, sf_dir)
+    man_v1 = _manifest_per_shard(
+        _shard_manifest(_packed_layout(sel_v1)), "v1"
+    )
+    man_v = _manifest_per_shard(_shard_manifest(_packed_layout(sel_v)), "v")
+
+    def churn_fold(df: DataFrame, prefix: str) -> DataFrame:
+        return df.groupBy(
+            F.pmod(F.col("doc_id"), F.lit(PACK_SHARDS))
+            .cast("long")
+            .alias("shard")
+        ).agg(
+            F.count("*").cast("long").alias(f"{prefix}_docs"),
+            F.sum("n_tok").cast("long").alias(f"{prefix}_tokens"),
+        )
+
+    added = churn_fold(
+        sel_v1.join(sel_v.select("doc_id"), "doc_id", "left_anti"), "added"
+    )
+    removed = churn_fold(
+        sel_v.join(sel_v1.select("doc_id"), "doc_id", "left_anti"),
+        "removed",
+    )
+    j = (
+        man_v.join(man_v1, "shard", "full_outer")
+        .join(added, "shard", "full_outer")
+        .join(removed, "shard", "full_outer")
+    )
+    z = [
+        "v_docs", "v_tokens", "v_bins",
+        "v1_docs", "v1_tokens", "v1_bins",
+        "added_docs", "added_tokens", "removed_docs", "removed_tokens",
+    ]
+    j = j.select(
+        F.col("shard").cast("long").alias("shard"),
+        *[
+            F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c)
+            for c in z
+        ],
+    )
+    return j.withColumn(
+        "churn_ppm",
+        F.expr(
+            "CASE WHEN v_tokens > 0 THEN"
+            " ((added_tokens + removed_tokens) * 1000000) div v_tokens"
+            " ELSE 0 END"
         ).cast("long"),
     )

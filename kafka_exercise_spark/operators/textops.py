@@ -3166,20 +3166,21 @@ def preference_filtered_export(
     )
 
 
-def _margin_filtered_export(rep: DataFrame) -> DataFrame:
-    """THE margin-band filter rule, over any (lang, margin) frame —
-    separated from the sf_dir entry so the per-lang edge rules are
-    unit-testable on synthetic input (the ``_repair_preference_pairs``
-    precedent): single-band language → everything dropped_low;
-    two-band language → low and high both dropped, nothing kept
-    (kept-margin extrema coalesce to −1); three-plus bands → the
-    interior kept. The fixture corpus exercises only the multi-band
-    path, so without synthetic input the edge branches would ship
-    untested."""
-    banded = rep.select(
-        "lang",
-        F.expr(_margin_band_case("margin")).cast("long").alias("band"),
-        "margin",
+def _margin_filter_tagged(rep: DataFrame) -> DataFrame:
+    """THE margin-band filter TAGGING rule, over any frame carrying
+    (lang, margin) — every row banded via the shared CASE ladder and
+    stamped with its language's (low_band, high_band) cuts and its
+    disposition ('kept' / 'dropped_low' / 'dropped_high'). ONE
+    definition consumed by both the decision sheet
+    (``_margin_filtered_export``) and the writer manifest
+    (``preference_export_manifest``), so the sheet a DPO owner reads
+    and the manifest their writer resumes from can never disagree on
+    which pairs the filter keeps. Extra input columns (pair ids,
+    provenance) pass through untouched — the manifest needs them, the
+    sheet ignores them. Cost: one |langs|-row aggregate broadcast back
+    to the pair frame — a map stage over O(pairs) at 100 TB."""
+    banded = rep.withColumn(
+        "band", F.expr(_margin_band_case("margin")).cast("long")
     )
     cuts = banded.groupBy("lang").agg(
         F.min("band").cast("long").alias("low_band"),
@@ -3190,9 +3191,23 @@ def _margin_filtered_export(rep: DataFrame) -> DataFrame:
         .when(F.col("band") == F.col("high_band"), F.lit("dropped_high"))
         .otherwise(F.lit("kept"))
     )
-    tagged = banded.join(F.broadcast(cuts), "lang").select(
-        "lang", "low_band", "high_band", "margin", disp.alias("disp")
+    return banded.join(F.broadcast(cuts), "lang").withColumn(
+        "disp", disp
     )
+
+
+def _margin_filtered_export(rep: DataFrame) -> DataFrame:
+    """THE margin-band filter rule, over any (lang, margin) frame —
+    separated from the sf_dir entry so the per-lang edge rules are
+    unit-testable on synthetic input (the ``_repair_preference_pairs``
+    precedent): single-band language → everything dropped_low;
+    two-band language → low and high both dropped, nothing kept
+    (kept-margin extrema coalesce to −1); three-plus bands → the
+    interior kept. The fixture corpus exercises only the multi-band
+    path, so without synthetic input the edge branches would ship
+    untested. Tagging shared with the writer manifest via
+    ``_margin_filter_tagged``."""
+    tagged = _margin_filter_tagged(rep.select("lang", "margin"))
     kept = F.col("disp") == "kept"
     return (
         tagged.groupBy("lang", "low_band", "high_band")
@@ -3225,5 +3240,79 @@ def _margin_filtered_export(rep: DataFrame) -> DataFrame:
             .alias("kept_ppm"),
             "min_kept_margin",
             "max_kept_margin",
+        )
+    )
+
+
+#: Output shards of the preference export writer — the PACK_SHARDS
+#: analog for the pair corpus. In production this is thousands (one per
+#: output file); each (lang, shard) cell is one independent writer task.
+PREF_EXPORT_SHARDS = 8
+
+
+def preference_export_manifest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-output-unit WRITER manifest of the DPO export — the artifact
+    every other export family in the repo already ends in
+    (``output_shard_manifest`` / ``bucket_batch_manifest`` pattern) and
+    the preference arc was missing: ``preference_filtered_export``
+    emits the per-lang DECISION sheet (how many pairs the band filter
+    keeps), but a resumable export writer needs one row per output
+    file to diff its landed files against. This sheet is that row: the
+    established two-level shard rule applied to pairs — (lang,
+    H(pair) mod ``PREF_EXPORT_SHARDS``), H = the repo's 60-bit md5 of
+    the pair's identity (its chosen doc: mirror pairing puts every doc
+    in at most one pair, so chosen_doc_id IS a pair key) — with pair
+    count, repaired-provenance count (the repair plan's accountability
+    carried to the file grain), the exact kept-margin range, and the
+    chosen-doc id range per unit.
+
+    KEPT pairs only, and 'kept' is decided by ``_margin_filter_tagged``
+    — the SAME tagging rule the decision sheet folds — so manifest and
+    sheet cannot disagree on membership: per lang,
+    sum(n_pairs over shards) ≡ the sheet's n_kept (pinned in pytest).
+    Hash sharding (not pmod of the id) because pair ids are rank-
+    correlated within language — consecutive-rank pairs would stripe
+    into the same shard under plain modulo; the salted hash gives every
+    unit an unbiased sample of the lang's margin range, which is what
+    makes the per-unit margin range a useful drift probe.
+
+    Cost: the repair plan's own plan + the |langs|-row cut broadcast +
+    ONE groupBy on (lang, shard) — |langs|·S rows out. At 100 TB S is
+    thousands and the groupBy is the export's natural write
+    partitioning (map-side combine to |langs|·S rows, no skew: the
+    hash equidistributes within lang). Oracle COMPOSED from the
+    repair-plan oracle plus the same generated CASE ladder and cut
+    CTEs as the filtered-export oracle, so the manifest can never
+    drift from the set it files.
+    """
+    rep = preference_pair_repair_plan(spark, sf_dir)
+    kept = _margin_filter_tagged(rep).filter(F.col("disp") == "kept")
+    shard = F.pmod(
+        md5_hash64(
+            F.concat(
+                F.lit("prefexport:"),
+                F.col("chosen_doc_id").cast("string"),
+            )
+        ),
+        F.lit(PREF_EXPORT_SHARDS),
+    )
+    return (
+        kept.withColumn("shard", shard.cast("long"))
+        .groupBy("lang", "shard")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.sum((F.col("provenance") == "repaired").cast("int"))
+            .cast("long")
+            .alias("n_repaired"),
+            F.min("margin").cast("long").alias("min_margin"),
+            F.max("margin").cast("long").alias("max_margin"),
+            F.min("chosen_doc_id")
+            .cast("long")
+            .alias("first_chosen_doc_id"),
+            F.max("chosen_doc_id")
+            .cast("long")
+            .alias("last_chosen_doc_id"),
         )
     )

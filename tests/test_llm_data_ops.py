@@ -3050,3 +3050,141 @@ def test_margin_filter_edge_rules_synthetic(spark):
     assert (tri.n_kept, tri.n_dropped_low, tri.n_dropped_high) == (3, 1, 1)
     assert (tri.min_kept_margin, tri.max_kept_margin) == (2, 4)
     assert tri.kept_ppm == 3 * 1_000_000 // 5
+
+
+def test_preference_export_manifest_reconciles(spark, sf_dir):
+    """The writer manifest must file EXACTLY the pairs the decision
+    sheet keeps: per lang, sum(n_pairs) over shards == the sheet's
+    n_kept, shards stay in [0, PREF_EXPORT_SHARDS), per-unit margin
+    ranges sit inside the sheet's kept range, repaired counts
+    reconcile with the repair plan's kept-side provenance, and a
+    pure-Python re-shard of the kept pairs matches every cell."""
+    sheet = {
+        r.lang: r
+        for r in textops.preference_filtered_export(spark, sf_dir).collect()
+    }
+    man = textops.preference_export_manifest(spark, sf_dir).collect()
+    per_lang_pairs: dict[str, int] = {}
+    per_lang_rep: dict[str, int] = {}
+    for r in man:
+        assert 0 <= r.shard < textops.PREF_EXPORT_SHARDS
+        assert r.n_pairs >= 1
+        assert 0 <= r.n_repaired <= r.n_pairs
+        s = sheet[r.lang]
+        assert s.min_kept_margin <= r.min_margin <= r.max_margin
+        assert r.max_margin <= s.max_kept_margin
+        assert r.first_chosen_doc_id <= r.last_chosen_doc_id
+        per_lang_pairs[r.lang] = per_lang_pairs.get(r.lang, 0) + r.n_pairs
+        per_lang_rep[r.lang] = per_lang_rep.get(r.lang, 0) + r.n_repaired
+    for lang, s in sheet.items():
+        assert per_lang_pairs.get(lang, 0) == s.n_kept
+    # python re-shard of the kept pairs (band rule + md5 mod S)
+    rep = textops.preference_pair_repair_plan(spark, sf_dir).collect()
+    top = textops.PREF_MARGIN_MAX_POW + 1
+
+    def band(m: int) -> int:
+        return min(m.bit_length() - 1, top)
+
+    cuts: dict[str, tuple[int, int]] = {}
+    for lang in {r.lang for r in rep}:
+        bands = [band(r.margin) for r in rep if r.lang == lang]
+        cuts[lang] = (min(bands), max(bands))
+    cells: dict[tuple[str, int], list] = {}
+    n_rep: dict[tuple[str, int], int] = {}
+    for r in rep:
+        lo, hi = cuts[r.lang]
+        if band(r.margin) in (lo, hi):
+            continue
+        h = int(
+            hashlib.md5(
+                f"prefexport:{r.chosen_doc_id}".encode()
+            ).hexdigest()[:15],
+            16,
+        )
+        key = (r.lang, h % textops.PREF_EXPORT_SHARDS)
+        cells.setdefault(key, []).append(r)
+        if r.provenance == "repaired":
+            n_rep[key] = n_rep.get(key, 0) + 1
+    assert {(r.lang, r.shard) for r in man} == set(cells)
+    for r in man:
+        got = cells[(r.lang, r.shard)]
+        assert r.n_pairs == len(got)
+        assert r.n_repaired == n_rep.get((r.lang, r.shard), 0)
+        assert r.min_margin == min(p.margin for p in got)
+        assert r.max_margin == max(p.margin for p in got)
+        assert r.first_chosen_doc_id == min(p.chosen_doc_id for p in got)
+        assert r.last_chosen_doc_id == max(p.chosen_doc_id for p in got)
+
+
+def test_export_version_delta_reconciles(spark, sf_dir):
+    """The cross-version delta's books must balance: per shard the
+    manifest deltas equal the membership churn (v1 − v ≡ added −
+    removed, docs AND tokens), the v+1 side is exactly the published
+    export manifest's per-shard fold, and the v side re-selects ONLY
+    from non-batch docs (no src0 doc can appear in removed — src0
+    never existed in v... it CAN appear in added)."""
+    from kafka_exercise_spark.operators import sampling
+
+    rows = sampling.export_version_delta(spark, sf_dir).collect()
+    assert 1 <= len(rows) <= sampling.PACK_SHARDS
+    for r in rows:
+        assert r.v1_docs - r.v_docs == r.added_docs - r.removed_docs
+        assert r.v1_tokens - r.v_tokens == r.added_tokens - r.removed_tokens
+        base = (
+            (r.added_tokens + r.removed_tokens) * 1_000_000 // r.v_tokens
+            if r.v_tokens > 0
+            else 0
+        )
+        assert r.churn_ppm == base
+    # v+1 side == the published export manifest folded per shard
+    pub = {}
+    for m in sampling.export_shard_manifest(spark, sf_dir).collect():
+        d, t, b = pub.get(m.shard, (0, 0, 0))
+        pub[m.shard] = (d + m.n_docs, t + m.bin_tokens, b + 1)
+    assert {r.shard: (r.v1_docs, r.v1_tokens, r.v1_bins) for r in rows} == pub
+    # the arriving batch really moves mass: some src0 doc is selected
+    # in v+1 (added), and v was computed without src0 entirely
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    src0 = {
+        r.doc_id
+        for r in docs.filter(F.col("source") == "src0")
+        .select("doc_id")
+        .collect()
+    }
+    sel_v = {
+        r.doc_id
+        for r in sampling._version_selected_frame(spark, sf_dir).collect()
+    }
+    assert not (sel_v & src0)
+    assert sum(r.added_docs for r in rows) >= 1
+
+
+def test_weighted_sel_sql_builder_matches_published_oracle(sf_dir):
+    """The parameterized selection SQL builder at docs_where=TRUE must
+    be value-equal to the published composed token_budget_weighted
+    oracle — the pin that lets the cross-version delta share one
+    selection definition without rebuilding the green oracle's text."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf_dir}/documents.parquet'"
+    )
+    built = entrymod._weighted_sel_sql(
+        "TRUE",
+        entrymod._comps_reach_sql(
+            "SELECT id_a, id_b FROM verified WHERE jaccard >= 0.08"
+        ),
+    )
+    published = entrymod.oracle_sql()["token_budget_weighted"]
+    a = con.sql(
+        f"SELECT * FROM ({built}) ORDER BY source, doc_id"
+    ).fetchall()
+    b = con.sql(
+        f"SELECT * FROM ({published}) ORDER BY source, doc_id"
+    ).fetchall()
+    assert a == b
+    assert len(a) > 0

@@ -90,66 +90,71 @@ def test_tokens_shingles_hash_parity(spark, texts):
         assert g.h == e[3], texts
 
 
-def test_r10_window_leads_with_unverified_entries():
-    """The driver records only the first 50 queries() entries; r10 must
-    lead with the 4 late-r9 entries that have never had a driver
-    CORRECTNESS row (VERDICT r9 finding #2, the positional queue) plus
-    every r10 addition, then the full r05-last-green refresh cohort —
-    an accidental reorder would silently burn the round's only driver
-    evidence."""
+def test_r11_window_composition():
+    """The driver records only the first 50 queries() entries; the r11
+    window must be: flagships, the 2 new r11 entries, the COMPLETE
+    remaining 35-entry r06-last-green cohort (VERDICT r10 ask #1 —
+    burning a slot elsewhere would strand an r06 row for another full
+    cycle), then the 11-entry weighted head of the r07 cohort (3
+    streaming replays, 2 cross-family capstones, 6 alphabetical)."""
     import __spark_entry__ as entrymod
 
     first50 = list(entrymod.queries())[:50]
-    never_verified = {
-        "simhash_threshold_sweep",
-        "preference_margin_histogram",
-        "streaming_soft_draw_replay",
-        "bucket_batch_manifest",
+    r11_new = {"preference_export_manifest", "export_version_delta"}
+    # the full remaining r06-last-green cohort (mechanical ledger over
+    # CORRECTNESS_r01..r10: entries whose newest green row is r06)
+    r06_cohort = {
+        "ann_ivf_topk",
+        "ann_lsh_bucketed",
+        "ann_lsh_multiprobe",
+        "bpe_apply_trained",
+        "bpe_segment_words",
+        "bpe_train_merges",
+        "curation_pipeline",
+        "curriculum_plan",
+        "dedup_components",
+        "dedup_minhash_lsh",
+        "dedup_ngram_jaccard",
+        "dedup_simhash_pairs",
+        "knn_label_vote",
+        "knn_label_vote_ivf",
+        "log_compaction",
+        "minhash_s_curve",
+        "pack_efficiency_report",
+        "pii_scrub_report",
+        "q11_important_stock",
+        "q14_promo_effect",
+        "q15_top_supplier",
+        "q16_supplier_cnt",
+        "q17_small_qty_revenue",
+        "q19_disjunctive_join",
+        "q20_potential_promotion",
+        "q21_waiting_supplier",
+        "q2_min_cost_supplier",
+        "quality_quantile_filter",
+        "split_leakage_report",
+        "split_train_valid_test",
+        "text_novelty_score",
+        "winnow_components",
+        "winnow_incremental",
+        "winnow_threshold_sweep",
+        "winnowing_overlap_pairs",
     }
-    r10_new = {
-        "bucket_export_manifest",
-        "bucket_export_delta",
-        "preference_filtered_export",
-        "packing_vs_bucketing_selected_report",
+    # the weighted-policy head of the r07 cohort
+    r07_head = {
+        "streaming_dq_gate",
+        "streaming_model_gate_replay",
+        "streaming_model_update_replay",
+        "model_rule_disagreement_report",
+        "curation_manifest_model_gate",
+        "agg_stats_events",
+        "approx_aggs_events",
+        "asof_join_events",
+        "avro_wire_roundtrip",
+        "bpe_pair_counts",
+        "cross_join_region_pairs",
     }
-    # the full 28-entry r05-last-green cohort must be refreshed
-    r05_cohort = {
-        "heavy_hitters_topk",
-        "hourly_anomaly_scores",
-        "ivf_cells_report",
-        "join_customer_orders",
-        "k_anonymity_report",
-        "lm_bigram_score",
-        "lm_unigram_score",
-        "merge_scd2_apply",
-        "merge_upsert_profiles",
-        "mixture_plan",
-        "q10_returned_items",
-        "q18_large_orders",
-        "q3_shipping_priority",
-        "q5_local_supplier",
-        "q7_volume_shipping",
-        "q8_market_share",
-        "q9_product_profit",
-        "resample_ffill_events",
-        "rfm_segments",
-        "skew_key_census",
-        "span_corruption_masks",
-        "streaming_curation_gate",
-        "streaming_merge_replay",
-        "streaming_scd2_replay",
-        "tfidf_top_terms",
-        "tokenizer_fertility_report",
-        "twa_value_per_user",
-        "weighted_sample_topn",
-    }
-    # the weighted-policy head of the r06 cohort (streaming replays,
-    # then composition capstones — ask #8's documented ordering)
-    r06_head = {
-        "streaming_compaction_replay",
-        "streaming_winnow_replay",
-        "curation_run_manifest",
-        "dedup_detector_matrix",
-    }
-    assert never_verified | r10_new | r05_cohort | r06_head <= set(first50)
     assert first50[:2] == ["jovens", "idadecont"]  # flagships stay first
+    assert set(first50[2:4]) == r11_new
+    assert set(first50) == {"jovens", "idadecont"} | r11_new | r06_cohort | r07_head
+    assert len(r06_cohort) == 35 and len(r07_head) == 11

@@ -617,6 +617,41 @@ def test_r10_export_sheets_plan_shape(spark, sf_dir):
     assert not has_cartesian_product(df_ps)
 
 
+def test_r11_export_sheets_plan_shape(spark, sf_dir):
+    """The r11 additions stay JVM-side and fold-first: the preference
+    writer manifest is the repair plan's own reads + the broadcast band
+    cuts and ONE (lang, shard) groupBy (zero Python-eval nodes in the
+    final plan — the component memo is checkpoint-served); the
+    cross-version delta adds NO parquet read beyond the published
+    selection's own plan: the v side is a memo-served checkpoint
+    (zero scans), the v+1 side is the persist-served selection whose
+    lineage scans show through — so the delta's scan set must equal
+    the selection's exactly, and the ≤8-row manifest/churn folds and
+    outer joins are everything on top."""
+    from kafka_exercise_spark.operators import sampling
+
+    df_pm = textops.preference_export_manifest(spark, sf_dir)
+    assert python_eval_count(df_pm) == 0
+    assert not has_cartesian_product(df_pm)
+    assert broadcast_join_count(df_pm) >= 1  # the band cuts
+    for cols in read_schema_columns(df_pm):
+        assert set(cols) <= {"doc_id", "lang"} or set(cols) <= {
+            "doc_id",
+            "text",
+        }
+
+    df_vd = sampling.export_version_delta(spark, sf_dir)
+    assert python_eval_count(df_vd) == 0
+    assert not has_cartesian_product(df_vd)
+    sel_scans = sorted(
+        map(sorted, read_schema_columns(
+            sampling.token_budget_weighted(spark, sf_dir)
+        ))
+    )
+    vd_scans = sorted(map(sorted, read_schema_columns(df_vd)))
+    assert vd_scans == sel_scans  # v side memo-checkpointed: no extras
+
+
 def test_scaling_ladder_chunks_partition_the_registry():
     """Every ladder entry must be timed in exactly one fresh-session
     chunk, warm lists must name real entries, and chunk order must

@@ -135,6 +135,9 @@ SELECTED = [
     ("bucket_export_delta", "both bucket manifests folded to <=8 rows each; one 8-row join — the corpus is never touched by the diff"),
     ("preference_filtered_export", "repaired pairs banded map-side (pow-2 CASE); |langs|-row cuts broadcast back; one groupBy"),
     ("packing_vs_bucketing_selected_report", "selection scanned once; both layouts folded to 1 row each"),
+    # ---- r11 ----
+    ("preference_export_manifest", "kept pairs tagged by the shared band rule; hash shard map-side; one (lang, shard) groupBy"),
+    ("export_version_delta", "both selections memo-served; four <=8-row folds then outer joins — the diff never touches the corpus"),
 ]
 
 FULL_PLANS = ["q3_shipping_priority", "dedup_ngram_jaccard"]
