@@ -20,7 +20,9 @@ first), not a regression.
 
 Usage: python tools/ann_recall_probe.py [sf_dir]
 Prints one JSON line {"first_call_s": s, "build": {...},
-"samples": [...], "median": s}.
+"samples": [...], "median": s, "host_canary": {...}} — the canary
+(tools/host_canary.py, r11) stamps the session's host quiescence into
+the artifact itself.
 """
 
 from __future__ import annotations
@@ -42,6 +44,14 @@ SAMPLES = int(os.environ.get("ANN_PROBE_SAMPLES", "7"))
 
 
 def main() -> None:
+    # host context FIRST (r11: the settling-window convention in code —
+    # the r10 probe session this file exists because of read 2x with
+    # rising samples right after a multi-JVM sweep); the canary rides
+    # in the JSON line so the number carries its own adjudication
+    # context
+    from tools.host_canary import gate_or_warn
+
+    canary = gate_or_warn("ann_recall_probe")
     spark = get_spark("ann_recall_probe")
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # warm JVM
@@ -68,6 +78,7 @@ def main() -> None:
                 "build": builds,
                 "samples": samples,
                 "median": round(statistics.median(samples), 3),
+                "host_canary": canary,
             }
         )
     )

@@ -110,6 +110,9 @@ def lsh_band_candidates(spark, d: str) -> int:
 
 
 def main() -> None:
+    from tools.host_canary import gate_or_warn  # noqa: PLC0415
+
+    canary = gate_or_warn("detector_scale_probe")
     from kafka_exercise_spark.session import get_spark
 
     spark = get_spark("detector_scale_probe")
@@ -133,6 +136,7 @@ def main() -> None:
         r["ngram_out"] = dedup.dedup_ngram_jaccard(spark, d).count()
         r["ngram_wall"] = round(time.perf_counter() - t0, 3)
         results[f"x{k}"] = r
+    results["host_canary"] = canary
     print(json.dumps(results))
 
 

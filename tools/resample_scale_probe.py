@@ -38,6 +38,9 @@ from tools.scale_experiment import build_scaled
 
 
 def main() -> None:
+    from tools.host_canary import gate_or_warn  # noqa: PLC0415
+
+    canary = gate_or_warn("resample_scale_probe")
     shuffle = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
     spark = get_spark(
         "resample_scale_probe",
@@ -77,6 +80,7 @@ def main() -> None:
             "observed_cells": int(stats["n_observed"]),
             "n_users": int(stats["n_users"]),
         }
+    out["host_canary"] = canary
     print(json.dumps(out))
 
 

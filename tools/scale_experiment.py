@@ -189,6 +189,13 @@ QUERIES = {
     "packing_vs_bucketing_selected_report": (
         sampling.packing_vs_bucketing_selected_report
     ),
+    # r11 additions: the DPO writer manifest (repair plan + broadcast
+    # cuts + one (lang, shard) groupBy) and the cross-version export
+    # delta (the v-side re-selection — filtered pairs, re-contraction,
+    # re-budget — plus ≤8-row folds; its rung prices the v-side rerun,
+    # the v+1 side is the warm selection memo)
+    "preference_export_manifest": textops.preference_export_manifest,
+    "export_version_delta": sampling.export_version_delta,
 }
 
 #: Fresh-session ladder chunks (r10, VERDICT r9 ask #3). The single-JVM
@@ -292,6 +299,7 @@ CHUNKS: tuple[dict, ...] = (
             "bucket_export_manifest",
             "bucket_export_delta",
             "packing_vs_bucketing_selected_report",
+            "export_version_delta",
         ],
     },
     {
@@ -304,6 +312,7 @@ CHUNKS: tuple[dict, ...] = (
             "preference_pair_repair_plan",
             "preference_margin_histogram",
             "preference_filtered_export",
+            "preference_export_manifest",
         ],
     },
 )
@@ -459,9 +468,18 @@ def run_chunked() -> None:
     print the merged JSON — the committed-artifact form since r10 (see
     the CHUNKS docstring for why). Chunk boundaries and warm lists keep
     every rung's semantics identical to the old single-session ladder;
-    only the accumulated-heap distortion is removed."""
+    only the accumulated-heap distortion is removed.
+
+    Leads with the host-quiescence canary (r11, VERDICT r10 ask #5):
+    three fixed-work samples committed into the artifact under
+    ``host_canary``, so every SCALING_r{N}.json carries its own host
+    context — a rung adjudication no longer depends on a README
+    caveat about when the ladder was launched."""
     import subprocess  # noqa: PLC0415
 
+    from tools.host_canary import gate_or_warn  # noqa: PLC0415
+
+    canary = gate_or_warn("scaling ladder (chunked)")
     merged: dict[str, dict] = {}
     for chunk in CHUNKS:
         env = dict(os.environ)
@@ -482,13 +500,31 @@ def run_chunked() -> None:
             raise SystemExit(
                 f"chunk {chunk['name']} failed (rc={proc.returncode})"
             )
-        line = proc.stdout.strip().splitlines()[-1]
-        part = json.loads(line)
+        # the child exits 0 but its stdout may be polluted (Spark/Ivy
+        # banners land on stdout on some configs) or — pathologically —
+        # empty: scan BACKWARDS for the last parseable JSON object so a
+        # stray trailing line cannot sink the whole ladder, and name the
+        # chunk when nothing parses (r10 ADVICE item)
+        part = None
+        for line in reversed(proc.stdout.strip().splitlines()):
+            try:
+                part = json.loads(line)
+                break
+            except ValueError:
+                continue
+        if not isinstance(part, dict):
+            sys.stderr.write(proc.stdout[-2000:])
+            raise SystemExit(
+                f"chunk {chunk['name']}: no JSON result line on stdout"
+            )
         overlap = set(part) & set(merged)
         assert not overlap, overlap
         merged.update(part)
-    # registry order, like the single-session ladder
-    print(json.dumps({k: merged[k] for k in QUERIES if k in merged}))
+    # registry order, like the single-session ladder; the canary rides
+    # along as a non-query key (consumers iterate QUERIES, never keys)
+    out = {k: merged[k] for k in QUERIES if k in merged}
+    out["host_canary"] = canary
+    print(json.dumps(out))
 
 
 def main() -> None:

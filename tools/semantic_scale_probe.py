@@ -42,6 +42,9 @@ from tools.scale_experiment import build_scaled
 
 
 def main() -> None:
+    from tools.host_canary import gate_or_warn  # noqa: PLC0415
+
+    canary = gate_or_warn("semantic_scale_probe")
     spark = get_spark("semantic_scale_probe")
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # warm JVM
@@ -78,6 +81,7 @@ def main() -> None:
             "max_cell": int(stats["max_cell"]),
             "sum_cell_sq": int(stats["sum_cell_sq"]),
         }
+    out["host_canary"] = canary
     print(json.dumps(out))
 
 

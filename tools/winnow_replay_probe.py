@@ -35,6 +35,9 @@ SAMPLES = int(os.environ.get("WINNOW_PROBE_SAMPLES", "7"))
 
 
 def main() -> None:
+    from tools.host_canary import gate_or_warn  # noqa: PLC0415
+
+    canary = gate_or_warn("winnow_replay_probe")
     spark = get_spark("winnow_replay_probe")
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # warm JVM
@@ -61,6 +64,7 @@ def main() -> None:
                 "build": builds,
                 "samples": samples,
                 "median": round(statistics.median(samples), 3),
+                "host_canary": canary,
             }
         )
     )

@@ -39,6 +39,9 @@ from tools.scale_experiment import build_scaled
 
 
 def main() -> None:
+    from tools.host_canary import gate_or_warn  # noqa: PLC0415
+
+    canary = gate_or_warn("winnow_scale_probe")
     spark = get_spark("winnow_scale_probe")
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # warm JVM
@@ -73,6 +76,7 @@ def main() -> None:
             "n_pairs": int(n_pairs),
             "posting_candidates": int(cand),
         }
+    out["host_canary"] = canary
     print(json.dumps(out))
 
 
