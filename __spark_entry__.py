@@ -76,27 +76,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
        staleness window shortest exactly where drift risk is highest.
 
     r11 rotation: flagships, no positional queue (every r10 addition
-    was inside the r10 window), the 2 NEW r11 entries
+    was inside the r10 window), the 3 NEW r11 entries
     (preference_export_manifest: the DPO export's per-output-unit
     writer manifest, VERDICT r10 ask #4; export_version_delta: the
     cross-version per-shard export diff under the arriving src0
-    batch, stretch ask #7), the COMPLETE remaining 35-entry
-    r06-last-green cohort (alphabetical — r10 already consumed that
-    cohort's 2 streaming replays, 7 capstones and first 3
-    alphabetical), and the first 11 of the 48-entry r07 cohort in the
-    weighted order above: its 3 streaming replays (streaming_dq_gate,
-    streaming_model_gate_replay, streaming_model_update_replay), its
-    2 cross-family composition capstones
-    (model_rule_disagreement_report: rule×model confusion;
+    batch, stretch ask #7; bucket_version_delta: the same arrival
+    priced per length bucket — the version arc closed for BOTH loader
+    layouts), the COMPLETE remaining 35-entry r06-last-green cohort
+    (alphabetical — r10 already consumed that cohort's 2 streaming
+    replays, 7 capstones and first 3 alphabetical), and the first 10
+    of the 48-entry r07 cohort in the weighted order above: its 3
+    streaming replays (streaming_dq_gate, streaming_model_gate_replay,
+    streaming_model_update_replay), its 2 cross-family composition
+    capstones (model_rule_disagreement_report: rule×model confusion;
     curation_manifest_model_gate: manifest + model gate — the other
     r07 report sheets each compose a single parent, and sweeps are
-    classified alphabetical per the r06-cohort precedent), then 6
-    alphabetical (agg_stats_events … cross_join_region_pairs). The
-    remaining 37 r07 rows lead the r12 refresh queue. Everything
-    outside the window is covered by this session's verify_local
-    sweeps plus pytest.
+    classified alphabetical per the r06-cohort precedent), then 5
+    alphabetical (agg_stats_events … bpe_pair_counts). The remaining
+    38 r07 rows lead the r12 refresh queue. Everything outside the
+    window is covered by this session's verify_local sweeps plus
+    pytest.
 
-    Steady-state refresh floor (VERDICT r10 ask #8): at 231 entries
+    Steady-state refresh floor (VERDICT r10 ask #8): at 232 entries
     and a 50-slot window spending ~2 slots/round on flagships and a
     further few on new entries, a full refresh cycle spans ~5 rounds,
     so the steady-state evidence floor is r{N-5} with the weighted
@@ -580,18 +581,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # and v+batch, selection re-run exactly on v (VERDICT r10
         # stretch ask #7)
         "export_version_delta": sampling.export_version_delta,
+        # the bucketed layout's cross-version twin: per length bucket,
+        # what the arrival lands in and evicts from — completes the
+        # version arc for BOTH loader layouts
+        "bucket_version_delta": sampling.bucket_version_delta,
     }
     # The r11 driver window (first 50) — see the docstring for the
     # policy and this round's exact composition (VERDICT r10 ask #1;
     # arithmetic cross-checked against the mechanical ledger of all
     # ten CORRECTNESS files this session — ADVICE r10 item #1 asked
     # for comment/docstring agreement, both now say the same thing):
-    # 2 flagships + 2 NEW r11 entries + the COMPLETE remaining
+    # 2 flagships + 3 NEW r11 entries + the COMPLETE remaining
     # 35-entry r06-last-green cohort (alphabetical: its weighted head
     # — 2 streaming replays, 7 capstones, 3 alphabetical — was
-    # refreshed in r10) + the first 11 of the 48-entry r07 cohort in
+    # refreshed in r10) + the first 10 of the 48-entry r07 cohort in
     # the weighted order (3 streaming replays, 2 cross-family
-    # capstones, 6 alphabetical). 2+2+35+11 = 50; the remaining 37
+    # capstones, 5 alphabetical). 2+3+35+10 = 50; the remaining 38
     # r07 rows lead the r12 refresh queue.
     window = [
         "jovens",
@@ -599,6 +604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new r11 --
         "preference_export_manifest",
         "export_version_delta",
+        "bucket_version_delta",
         # -- the full remaining r06 cohort (35, alphabetical) --
         "ann_ivf_topk",
         "ann_lsh_bucketed",
@@ -647,7 +653,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_events",
         "avro_wire_roundtrip",
         "bpe_pair_counts",
-        "cross_join_region_pairs",
     ]
     assert len(window) == 50 and len(set(window)) == 50
     out = {k: all_q[k] for k in window}
@@ -5766,6 +5771,77 @@ def oracle_sql() -> dict[str, str]:
                coalesce(v1_docs, 0)::BIGINT AS v1_docs,
                coalesce(v1_tokens, 0)::BIGINT AS v1_tokens,
                coalesce(v1_bins, 0)::BIGINT AS v1_bins,
+               coalesce(added_docs, 0)::BIGINT AS added_docs,
+               coalesce(added_tokens, 0)::BIGINT AS added_tokens,
+               coalesce(removed_docs, 0)::BIGINT AS removed_docs,
+               coalesce(removed_tokens, 0)::BIGINT AS removed_tokens,
+               (CASE WHEN coalesce(v_tokens, 0) > 0
+                     THEN ((coalesce(added_tokens, 0)
+                            + coalesce(removed_tokens, 0)) * 1000000)
+                          // v_tokens
+                     ELSE 0 END)::BIGINT AS churn_ppm
+        FROM j
+    """
+    # the bucketed layout's cross-version twin: the same two selection
+    # versions under the bucket-manifest arithmetic, folded per bucket
+    # (the CASE-ladder bucket is version-stable per doc; eff_tok on
+    # both manifest and churn sides so the books balance)
+    _cap = sampling.LENGTH_BUCKETS[-1]
+    _bb_batch = f"{sampling.BUCKET_BATCH_TOKENS} // bucket"
+
+    def _bucket_fold_sql(sel_sql: str, pre: str) -> str:
+        return f"""
+            SELECT bucket, count(*)::BIGINT AS {pre}_docs,
+                   sum(eff_tok)::BIGINT AS {pre}_tokens,
+                   (count(DISTINCT batch_idx))::BIGINT AS {pre}_batches
+            FROM (SELECT doc_id, bucket, eff_tok,
+                         ((row_number() OVER (PARTITION BY bucket
+                                              ORDER BY doc_id) - 1)
+                          // ({_bb_batch}))::BIGINT AS batch_idx
+                  FROM (SELECT doc_id, ({_bb_bucket_case})::BIGINT
+                                   AS bucket,
+                               eff_tok
+                        FROM (SELECT doc_id,
+                                     least(n_tok, {_cap})::BIGINT
+                                         AS eff_tok
+                              FROM ({sel_sql}))))
+            GROUP BY bucket
+        """
+
+    def _bucket_churn_sql(a: str, b: str, pre: str) -> str:
+        return f"""
+            SELECT ({_bb_bucket_case})::BIGINT AS bucket,
+                   count(*)::BIGINT AS {pre}_docs,
+                   sum(eff_tok)::BIGINT AS {pre}_tokens
+            FROM (SELECT doc_id, least(n_tok, {_cap})::BIGINT AS eff_tok
+                  FROM {a}
+                  WHERE doc_id NOT IN (SELECT doc_id FROM {b}))
+            GROUP BY 1
+        """
+
+    oracles["bucket_version_delta"] = f"""
+        WITH v1 AS (SELECT doc_id, n_tok
+                    FROM ({oracles["token_budget_weighted"]})),
+        v0 AS (SELECT doc_id, n_tok FROM ({_sel_v_sql})),
+        m1 AS ({_bucket_fold_sql("SELECT * FROM v1", "v1")}),
+        m0 AS ({_bucket_fold_sql("SELECT * FROM v0", "v")}),
+        ad AS ({_bucket_churn_sql("v1", "v0", "added")}),
+        rm AS ({_bucket_churn_sql("v0", "v1", "removed")}),
+        j AS (SELECT bucket, v_docs, v_tokens, v_batches,
+                     v1_docs, v1_tokens, v1_batches,
+                     added_docs, added_tokens, removed_docs,
+                     removed_tokens
+              FROM m0
+              FULL JOIN m1 USING (bucket)
+              FULL JOIN ad USING (bucket)
+              FULL JOIN rm USING (bucket))
+        SELECT bucket::BIGINT AS bucket,
+               coalesce(v_docs, 0)::BIGINT AS v_docs,
+               coalesce(v_tokens, 0)::BIGINT AS v_tokens,
+               coalesce(v_batches, 0)::BIGINT AS v_batches,
+               coalesce(v1_docs, 0)::BIGINT AS v1_docs,
+               coalesce(v1_tokens, 0)::BIGINT AS v1_tokens,
+               coalesce(v1_batches, 0)::BIGINT AS v1_batches,
                coalesce(added_docs, 0)::BIGINT AS added_docs,
                coalesce(added_tokens, 0)::BIGINT AS added_tokens,
                coalesce(removed_docs, 0)::BIGINT AS removed_docs,

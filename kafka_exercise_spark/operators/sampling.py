@@ -1282,15 +1282,13 @@ def bucket_batch_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _bucket_batch_layout(base)
 
 
-def _bucket_batch_layout(per_doc: DataFrame) -> DataFrame:
-    """THE bucketed-batching writer-manifest rule, over any (doc_id,
-    n_tok) frame — ONE definition shared by the raw corpus
-    (``bucket_batch_manifest``) and the selected corpus
-    (``bucket_export_manifest``), the ``_shard_manifest`` discipline
-    applied to the other loader layout so raw and selected manifests
-    can never disagree on the batching rule: cap at the top rung,
-    CASE-ladder bucket, doc_id-order batch numbering at the bucket's
-    ``seqs_per_batch``, per-(bucket, batch) rollup."""
+def _eff_bucket(per_doc: DataFrame) -> DataFrame:
+    """(doc_id, n_tok) → (doc_id, bucket, eff_tok): THE capped
+    CASE-ladder bucket rule, factored out of ``_bucket_batch_layout``
+    (r11) so the cross-version bucket delta's membership-churn folds
+    bucket docs with the SAME rule the manifests use — the bucket of a
+    doc is version-stable (same tokenizer, same rungs), which is what
+    makes the per-bucket diff grain valid."""
     cap = LENGTH_BUCKETS[-1]
     step = per_doc.select(
         "doc_id",
@@ -1301,7 +1299,19 @@ def _bucket_batch_layout(per_doc: DataFrame) -> DataFrame:
         bucket = F.when(F.col("eff_tok") <= rung, F.lit(rung)).otherwise(
             bucket
         )
-    per_doc = step.select("doc_id", bucket.alias("bucket"), "eff_tok")
+    return step.select("doc_id", bucket.alias("bucket"), "eff_tok")
+
+
+def _bucket_batch_layout(per_doc: DataFrame) -> DataFrame:
+    """THE bucketed-batching writer-manifest rule, over any (doc_id,
+    n_tok) frame — ONE definition shared by the raw corpus
+    (``bucket_batch_manifest``) and the selected corpus
+    (``bucket_export_manifest``), the ``_shard_manifest`` discipline
+    applied to the other loader layout so raw and selected manifests
+    can never disagree on the batching rule: cap at the top rung,
+    CASE-ladder bucket, doc_id-order batch numbering at the bucket's
+    ``seqs_per_batch``, per-(bucket, batch) rollup."""
+    per_doc = _eff_bucket(per_doc)
     assigned = per_doc.withColumn(
         "batch_idx",
         F.expr(
@@ -1676,6 +1686,79 @@ def export_version_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     j = j.select(
         F.col("shard").cast("long").alias("shard"),
+        *[
+            F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c)
+            for c in z
+        ],
+    )
+    return j.withColumn(
+        "churn_ppm",
+        F.expr(
+            "CASE WHEN v_tokens > 0 THEN"
+            " ((added_tokens + removed_tokens) * 1000000) div v_tokens"
+            " ELSE 0 END"
+        ).cast("long"),
+    )
+
+
+def bucket_version_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``export_version_delta``'s twin for the BUCKETED loader layout —
+    completing the cross-version arc for BOTH layouts the way r10's
+    deltas completed the raw-vs-selected arc: per length bucket, what
+    the arriving ``INCREMENTAL_NEW_SOURCE`` batch changes in the
+    bucketed export manifest between corpus v and v+batch. The two
+    sheets answer different operational questions from the same
+    arrival: the shard delta says WHICH OUTPUT FILES to rewrite; this
+    one says WHICH SEQUENCE LENGTHS the arrival lands in and evicts
+    from — a batch of short boilerplate fattens the bottom rungs' pad
+    waste while its near-dup pressure evicts old short docs, and THIS
+    sheet is where that shows.
+
+    Grain: per bucket, never per (bucket, batch): batch numbering
+    re-flows under insertion/eviction, but the capped CASE-ladder
+    bucket of a doc is version-stable (``_eff_bucket`` — the SAME rule
+    the manifests use, shared verbatim). Token masses are eff_tok
+    (capped) on BOTH the manifest and churn sides, so the
+    reconciliation identities v1 − v ≡ added − removed hold per bucket
+    in docs AND tokens by construction (pinned in pytest). Both
+    selection frames are memo-served (no corpus re-scan); all four
+    diff inputs fold to ≤|buckets| (≤8) rows before the outer joins.
+    Oracle COMPOSED from the selection oracle run at both versions
+    (the same parameterized builders as the shard delta) under the
+    manifest oracle's own bucket/batch arithmetic.
+    """
+    sel_v1 = _selected_frame(spark, sf_dir)
+    sel_v = _version_selected_frame(spark, sf_dir)
+    man_v1 = _bucket_manifest_per_bucket(
+        _bucket_batch_layout(sel_v1), "v1"
+    )
+    man_v = _bucket_manifest_per_bucket(_bucket_batch_layout(sel_v), "v")
+
+    def churn_fold(df: DataFrame, prefix: str) -> DataFrame:
+        return _eff_bucket(df).groupBy("bucket").agg(
+            F.count("*").cast("long").alias(f"{prefix}_docs"),
+            F.sum("eff_tok").cast("long").alias(f"{prefix}_tokens"),
+        )
+
+    added = churn_fold(
+        sel_v1.join(sel_v.select("doc_id"), "doc_id", "left_anti"), "added"
+    )
+    removed = churn_fold(
+        sel_v.join(sel_v1.select("doc_id"), "doc_id", "left_anti"),
+        "removed",
+    )
+    j = (
+        man_v.join(man_v1, "bucket", "full_outer")
+        .join(added, "bucket", "full_outer")
+        .join(removed, "bucket", "full_outer")
+    )
+    z = [
+        "v_docs", "v_tokens", "v_batches",
+        "v1_docs", "v1_tokens", "v1_batches",
+        "added_docs", "added_tokens", "removed_docs", "removed_tokens",
+    ]
+    j = j.select(
+        F.col("bucket").cast("long").alias("bucket"),
         *[
             F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c)
             for c in z

@@ -3188,3 +3188,31 @@ def test_weighted_sel_sql_builder_matches_published_oracle(sf_dir):
     ).fetchall()
     assert a == b
     assert len(a) > 0
+
+
+def test_bucket_version_delta_reconciles(spark, sf_dir):
+    """The bucket-grain version delta's books must balance per bucket
+    (v1 − v ≡ added − removed in docs AND capped tokens), the v+1 side
+    must equal the published bucket export manifest's per-bucket fold,
+    and every bucket must be a ladder rung."""
+    from kafka_exercise_spark.operators import sampling
+
+    rows = sampling.bucket_version_delta(spark, sf_dir).collect()
+    assert 1 <= len(rows) <= len(sampling.LENGTH_BUCKETS)
+    for r in rows:
+        assert r.bucket in sampling.LENGTH_BUCKETS
+        assert r.v1_docs - r.v_docs == r.added_docs - r.removed_docs
+        assert r.v1_tokens - r.v_tokens == r.added_tokens - r.removed_tokens
+        expect = (
+            (r.added_tokens + r.removed_tokens) * 1_000_000 // r.v_tokens
+            if r.v_tokens > 0
+            else 0
+        )
+        assert r.churn_ppm == expect
+    pub = {}
+    for m in sampling.bucket_export_manifest(spark, sf_dir).collect():
+        d, t, b = pub.get(m.bucket, (0, 0, 0))
+        pub[m.bucket] = (d + m.n_seqs, t + m.real_tokens, b + 1)
+    assert {
+        r.bucket: (r.v1_docs, r.v1_tokens, r.v1_batches) for r in rows
+    } == pub

@@ -92,15 +92,19 @@ def test_tokens_shingles_hash_parity(spark, texts):
 
 def test_r11_window_composition():
     """The driver records only the first 50 queries() entries; the r11
-    window must be: flagships, the 2 new r11 entries, the COMPLETE
+    window must be: flagships, the 3 new r11 entries, the COMPLETE
     remaining 35-entry r06-last-green cohort (VERDICT r10 ask #1 —
     burning a slot elsewhere would strand an r06 row for another full
-    cycle), then the 11-entry weighted head of the r07 cohort (3
-    streaming replays, 2 cross-family capstones, 6 alphabetical)."""
+    cycle), then the 10-entry weighted head of the r07 cohort (3
+    streaming replays, 2 cross-family capstones, 5 alphabetical)."""
     import __spark_entry__ as entrymod
 
     first50 = list(entrymod.queries())[:50]
-    r11_new = {"preference_export_manifest", "export_version_delta"}
+    r11_new = {
+        "preference_export_manifest",
+        "export_version_delta",
+        "bucket_version_delta",
+    }
     # the full remaining r06-last-green cohort (mechanical ledger over
     # CORRECTNESS_r01..r10: entries whose newest green row is r06)
     r06_cohort = {
@@ -152,9 +156,8 @@ def test_r11_window_composition():
         "asof_join_events",
         "avro_wire_roundtrip",
         "bpe_pair_counts",
-        "cross_join_region_pairs",
     }
     assert first50[:2] == ["jovens", "idadecont"]  # flagships stay first
-    assert set(first50[2:4]) == r11_new
+    assert set(first50[2:5]) == r11_new
     assert set(first50) == {"jovens", "idadecont"} | r11_new | r06_cohort | r07_head
-    assert len(r06_cohort) == 35 and len(r07_head) == 11
+    assert len(r06_cohort) == 35 and len(r07_head) == 10

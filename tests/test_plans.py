@@ -651,6 +651,12 @@ def test_r11_export_sheets_plan_shape(spark, sf_dir):
     vd_scans = sorted(map(sorted, read_schema_columns(df_vd)))
     assert vd_scans == sel_scans  # v side memo-checkpointed: no extras
 
+    df_bv = sampling.bucket_version_delta(spark, sf_dir)
+    assert python_eval_count(df_bv) == 0
+    assert not has_cartesian_product(df_bv)
+    bv_scans = sorted(map(sorted, read_schema_columns(df_bv)))
+    assert bv_scans == sel_scans  # same two memo-served selections
+
 
 def test_scaling_ladder_chunks_partition_the_registry():
     """Every ladder entry must be timed in exactly one fresh-session

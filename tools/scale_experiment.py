@@ -196,6 +196,10 @@ QUERIES = {
     # the v+1 side is the warm selection memo)
     "preference_export_manifest": textops.preference_export_manifest,
     "export_version_delta": sampling.export_version_delta,
+    # the bucketed twin rides the same memo-served selections: its rung
+    # prices the bucket folds + joins alone (the shard delta above pays
+    # the v-side rerun in the same chunk)
+    "bucket_version_delta": sampling.bucket_version_delta,
 }
 
 #: Fresh-session ladder chunks (r10, VERDICT r9 ask #3). The single-JVM
@@ -300,6 +304,7 @@ CHUNKS: tuple[dict, ...] = (
             "bucket_export_delta",
             "packing_vs_bucketing_selected_report",
             "export_version_delta",
+            "bucket_version_delta",
         ],
     },
     {
