@@ -93,11 +93,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     r07 report sheets each compose a single parent, and sweeps are
     classified alphabetical per the r06-cohort precedent), then 5
     alphabetical (agg_stats_events … bpe_pair_counts). The remaining
-    38 r07 rows lead the r12 refresh queue. Everything outside the
-    window is covered by this session's verify_local sweeps plus
-    pytest.
+    38 r07 rows lead the r12 refresh queue, behind the positional
+    queue's one entry (preference_version_delta, landed after this
+    window froze). Everything outside the window is covered by this
+    session's verify_local sweeps plus pytest.
 
-    Steady-state refresh floor (VERDICT r10 ask #8): at 232 entries
+    Steady-state refresh floor (VERDICT r10 ask #8): at 233 entries
     and a 50-slot window spending ~2 slots/round on flagships and a
     further few on new entries, a full refresh cycle spans ~5 rounds,
     so the steady-state evidence floor is r{N-5} with the weighted
@@ -585,6 +586,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # what the arrival lands in and evicts from — completes the
         # version arc for BOTH loader layouts
         "bucket_version_delta": sampling.bucket_version_delta,
+        # the DPO export's cross-version delta (late r11, AFTER the r11
+        # window froze — leads the r12 positional queue): per lang,
+        # membership churn AND band-cut drift under the arriving batch
+        "preference_version_delta": textops.preference_version_delta,
     }
     # The r11 driver window (first 50) — see the docstring for the
     # policy and this round's exact composition (VERDICT r10 ask #1;
@@ -1099,6 +1104,118 @@ def _weighted_sel_sql(docs_where: str, comps_sql: str) -> str:
         SELECT source, doc_id, weight_ppm, n_tok,
                cum_tok::BIGINT AS cum_tok, budget_tokens
         FROM c WHERE cum_tok - n_tok < budget_tokens
+    """
+
+
+def _pref_pairs_sql(docs_where: str, scores_sql: str) -> str:
+    """Mirror-pairing oracle over a VERSION-FILTERED corpus — the
+    published ``preference_pairs`` oracle with the lang lookup (and so,
+    through the join, the score set) restricted by ``docs_where``. The
+    scores themselves are per-doc-pure (hashed-BoW logit of the doc's
+    own tokens), so the full classifier SQL is reused unfiltered and
+    the restriction rides the join — exactly the Spark side's broadcast
+    anti-join argument. With docs_where=TRUE this is value-equal to the
+    published oracle (pinned in pytest via the repair builder), so the
+    two versions' pairing semantics cannot drift."""
+    return f"""
+        WITH s AS (SELECT doc_id, logit FROM ({scores_sql})),
+        d AS (SELECT doc_id, lang FROM documents WHERE {docs_where}),
+        j AS (SELECT lang, s.doc_id AS doc_id, logit
+              FROM s JOIN d USING (doc_id)),
+        r AS (SELECT lang, doc_id, logit,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY logit DESC, doc_id ASC)
+                         AS rnk,
+                     count(*) OVER (PARTITION BY lang) AS n
+              FROM j),
+        p AS (SELECT lang, least(rnk, n + 1 - rnk) AS pair_idx,
+                     rnk * 2 <= n AS chosen_side, doc_id, logit
+              FROM r WHERE rnk * 2 != n + 1),
+        g AS (SELECT lang, pair_idx,
+                     max(CASE WHEN chosen_side THEN doc_id END)::BIGINT
+                         AS chosen_doc_id,
+                     max(CASE WHEN chosen_side THEN logit END)::BIGINT
+                         AS chosen_logit,
+                     max(CASE WHEN NOT chosen_side THEN doc_id END)::BIGINT
+                         AS rejected_doc_id,
+                     max(CASE WHEN NOT chosen_side THEN logit END)::BIGINT
+                         AS rejected_logit
+              FROM p GROUP BY lang, pair_idx)
+        SELECT lang, pair_idx::BIGINT AS pair_idx, chosen_doc_id,
+               chosen_logit, rejected_doc_id, rejected_logit,
+               (chosen_logit - rejected_logit)::BIGINT AS margin
+        FROM g
+        WHERE chosen_logit - rejected_logit >= {textops.PREF_MARGIN_MIN}
+    """
+
+
+def _pref_repaired_sql(
+    docs_where: str, scores_sql: str, comps_sql: str
+) -> str:
+    """Repaired preference set over a VERSION-FILTERED corpus — the
+    published ``preference_pair_repair_plan`` oracle parameterized the
+    ``_weighted_sel_sql`` way: pairs from ``_pref_pairs_sql`` at the
+    given corpus predicate, components from the given (version-matched)
+    component oracle, repair chain identical. The cross-version
+    preference delta runs this at both versions; a pytest pins
+    docs_where=TRUE + the published component oracle value-equal to the
+    published repair oracle, so the two definitions cannot drift."""
+    return f"""
+        WITH pp AS (SELECT *
+                    FROM ({_pref_pairs_sql(docs_where, scores_sql)})),
+        comp AS (SELECT doc_id, comp FROM ({comps_sql})),
+        j AS (SELECT pp.*, cc.comp AS comp_c, cr.comp AS comp_r
+              FROM pp
+              LEFT JOIN comp cc ON cc.doc_id = pp.chosen_doc_id
+              LEFT JOIN comp cr ON cr.doc_id = pp.rejected_doc_id),
+        kept AS (SELECT lang, pair_idx::BIGINT AS pair_idx,
+                        chosen_doc_id, chosen_logit,
+                        rejected_doc_id, rejected_logit, margin,
+                        'kept' AS provenance
+                 FROM j
+                 WHERE NOT (comp_c IS NOT NULL AND comp_r IS NOT NULL
+                            AND comp_c = comp_r)),
+        pois AS (SELECT * FROM j
+                 WHERE comp_c IS NOT NULL AND comp_r IS NOT NULL
+                   AND comp_c = comp_r),
+        rk AS (SELECT *,
+                      row_number() OVER (PARTITION BY lang
+                                         ORDER BY chosen_logit DESC,
+                                                  pair_idx) AS rnk,
+                      count(*) OVER (PARTITION BY lang) AS m
+               FROM pois),
+        sides AS (SELECT lang, rnk AS new_idx, TRUE AS is_chosen,
+                         chosen_doc_id AS doc, chosen_logit AS logit,
+                         comp_c AS comp
+                  FROM rk
+                  UNION ALL
+                  SELECT lang, m + 1 - rnk, FALSE,
+                         rejected_doc_id, rejected_logit, comp_r
+                  FROM rk),
+        g AS (SELECT lang, new_idx,
+                     max(CASE WHEN is_chosen THEN doc END)::BIGINT
+                         AS chosen_doc_id,
+                     max(CASE WHEN is_chosen THEN logit END)::BIGINT
+                         AS chosen_logit,
+                     max(CASE WHEN is_chosen THEN comp END)::BIGINT
+                         AS comp_chosen,
+                     max(CASE WHEN NOT is_chosen THEN doc END)::BIGINT
+                         AS rejected_doc_id,
+                     max(CASE WHEN NOT is_chosen THEN logit END)::BIGINT
+                         AS rejected_logit,
+                     max(CASE WHEN NOT is_chosen THEN comp END)::BIGINT
+                         AS comp_rejected
+              FROM sides GROUP BY lang, new_idx),
+        rep AS (SELECT lang, new_idx::BIGINT AS pair_idx,
+                       chosen_doc_id, chosen_logit,
+                       rejected_doc_id, rejected_logit,
+                       (chosen_logit - rejected_logit)::BIGINT AS margin,
+                       'repaired' AS provenance
+                FROM g
+                WHERE chosen_logit - rejected_logit
+                          >= {textops.PREF_MARGIN_MIN}
+                  AND comp_chosen != comp_rejected)
+        SELECT * FROM kept UNION ALL SELECT * FROM rep
     """
 
 
@@ -5708,15 +5825,16 @@ def oracle_sql() -> dict[str, str]:
     _batch_ids = (
         f"SELECT doc_id FROM documents WHERE source = '{_batch}'"
     )
-    _sel_v_sql = _weighted_sel_sql(
-        _not_batch,
-        _comps_reach_sql(
-            f"""SELECT id_a, id_b FROM verified
-                WHERE jaccard >= 0.08
-                  AND id_a NOT IN ({_batch_ids})
-                  AND id_b NOT IN ({_batch_ids})"""
-        ),
+    # v's component oracle — shared by the selection deltas' v side and
+    # the preference delta's v side (the Spark twin is the memo-served
+    # dedup.version_components)
+    _comps_v_sql = _comps_reach_sql(
+        f"""SELECT id_a, id_b FROM verified
+            WHERE jaccard >= 0.08
+              AND id_a NOT IN ({_batch_ids})
+              AND id_b NOT IN ({_batch_ids})"""
     )
+    _sel_v_sql = _weighted_sel_sql(_not_batch, _comps_v_sql)
     oracles["export_version_delta"] = f"""
         WITH v1 AS (SELECT doc_id, n_tok
                     FROM ({oracles["token_budget_weighted"]})),
@@ -5851,6 +5969,93 @@ def oracle_sql() -> dict[str, str]:
                             + coalesce(removed_tokens, 0)) * 1000000)
                           // v_tokens
                      ELSE 0 END)::BIGINT AS churn_ppm
+        FROM j
+    """
+
+    # cross-version preference delta (late r11): the repair-plan oracle
+    # at BOTH versions via the parameterized _pref_repaired_sql builder
+    # (v = corpus sans batch, components from the shared _comps_v_sql),
+    # each tagged with the filtered-export oracle's band/cut CTEs, then
+    # |langs|-row folds, pair-tuple anti-joins, and the per-lang diff
+    def _pref_ver_ctes(rep_cte: str, x: str, pre: str) -> str:
+        return f"""
+        b{x} AS (SELECT *,
+                     ({textops._margin_band_case("margin")})::BIGINT
+                         AS band
+              FROM {rep_cte}),
+        c{x} AS (SELECT lang, min(band)::BIGINT AS low_band,
+                     max(band)::BIGINT AS high_band
+              FROM b{x} GROUP BY lang),
+        t{x} AS (SELECT b{x}.*, low_band, high_band,
+                     CASE WHEN band = low_band THEN 'dropped_low'
+                          WHEN band = high_band THEN 'dropped_high'
+                          ELSE 'kept' END AS disp
+              FROM b{x} JOIN c{x} ON c{x}.lang = b{x}.lang),
+        f{x} AS (SELECT lang,
+                     coalesce(sum((disp = 'kept')::INT), 0)::BIGINT
+                         AS {pre}_kept,
+                     coalesce(sum(CASE WHEN disp = 'kept'
+                                       THEN margin END), 0)::BIGINT
+                         AS {pre}_margin_sum,
+                     min(low_band)::BIGINT AS {pre}_low_band,
+                     min(high_band)::BIGINT AS {pre}_high_band
+              FROM t{x} GROUP BY lang),
+        k{x} AS (SELECT lang, chosen_doc_id, rejected_doc_id, margin
+              FROM t{x} WHERE disp = 'kept')"""
+
+    oracles["preference_version_delta"] = f"""
+        WITH r1 AS (SELECT *
+                    FROM ({oracles["preference_pair_repair_plan"]})),
+        r0 AS (SELECT * FROM ({_pref_repaired_sql(
+            _not_batch,
+            oracles["classifier_quality_score"],
+            _comps_v_sql,
+        )})),
+        {_pref_ver_ctes("r1", "1", "v1")},
+        {_pref_ver_ctes("r0", "0", "v")},
+        ad AS (SELECT lang, count(*)::BIGINT AS added_pairs,
+                      sum(margin)::BIGINT AS added_margin_sum
+               FROM k1
+               WHERE NOT EXISTS (SELECT 1 FROM k0
+                                 WHERE k0.chosen_doc_id = k1.chosen_doc_id
+                                   AND k0.rejected_doc_id
+                                           = k1.rejected_doc_id)
+               GROUP BY lang),
+        rm AS (SELECT lang, count(*)::BIGINT AS removed_pairs,
+                      sum(margin)::BIGINT AS removed_margin_sum
+               FROM k0
+               WHERE NOT EXISTS (SELECT 1 FROM k1
+                                 WHERE k1.chosen_doc_id = k0.chosen_doc_id
+                                   AND k1.rejected_doc_id
+                                           = k0.rejected_doc_id)
+               GROUP BY lang),
+        j AS (SELECT lang,
+                     coalesce(v_kept, 0)::BIGINT AS v_kept,
+                     coalesce(v_margin_sum, 0)::BIGINT AS v_margin_sum,
+                     coalesce(v_low_band, -1)::BIGINT AS v_low_band,
+                     coalesce(v_high_band, -1)::BIGINT AS v_high_band,
+                     coalesce(v1_kept, 0)::BIGINT AS v1_kept,
+                     coalesce(v1_margin_sum, 0)::BIGINT AS v1_margin_sum,
+                     coalesce(v1_low_band, -1)::BIGINT AS v1_low_band,
+                     coalesce(v1_high_band, -1)::BIGINT AS v1_high_band,
+                     coalesce(added_pairs, 0)::BIGINT AS added_pairs,
+                     coalesce(added_margin_sum, 0)::BIGINT
+                         AS added_margin_sum,
+                     coalesce(removed_pairs, 0)::BIGINT AS removed_pairs,
+                     coalesce(removed_margin_sum, 0)::BIGINT
+                         AS removed_margin_sum
+              FROM f0
+              FULL JOIN f1 USING (lang)
+              FULL JOIN ad USING (lang)
+              FULL JOIN rm USING (lang))
+        SELECT *,
+               (CASE WHEN v_kept > 0
+                     THEN ((added_pairs + removed_pairs) * 1000000)
+                          // v_kept
+                     ELSE 0 END)::BIGINT AS churn_ppm,
+               (CASE WHEN v_low_band != v1_low_band
+                      OR v_high_band != v1_high_band
+                     THEN 1 ELSE 0 END)::BIGINT AS cut_moved
         FROM j
     """
     return oracles

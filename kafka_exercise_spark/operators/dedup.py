@@ -942,6 +942,48 @@ def _components_from_pairs(
 INCREMENTAL_NEW_SOURCE = "src0"
 
 
+def version_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup component frame of corpus v — the corpus WITHOUT the
+    arriving ``INCREMENTAL_NEW_SOURCE`` batch — shared by every
+    cross-version delta's v side (the packed/bucketed selection deltas
+    in sampling.py and the preference delta in textops.py), ONE
+    contraction per (application, sf_dir) instead of one per consumer.
+
+    Exact by restriction: a MinHash-LSH pair is a per-doc-pure function
+    of its two endpoints, so pairs(v) is the memo-served full pair
+    frame with both endpoints outside the batch (two broadcast
+    anti-joins — no second LSH run). Only the O(near-dup) contraction
+    re-runs, on the FILTERED edge list, because removing a bridge doc
+    can split a component — comp ids and sizes must come from v's own
+    graph. At 100 TB this frame is the previous day's persisted
+    component table, not a recompute; memo-served here the way
+    ``_selected_frame`` serves the selection."""
+    from kafka_exercise_spark.catalog import memo_frame  # noqa: PLC0415
+
+    def _build() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        batch_ids = docs.filter(
+            F.col("source") == INCREMENTAL_NEW_SOURCE
+        ).select("doc_id")
+        pairs_v = (
+            dedup_minhash_lsh(spark, sf_dir)
+            .select("id_a", "id_b")
+            .join(
+                F.broadcast(batch_ids.withColumnRenamed("doc_id", "id_a")),
+                "id_a",
+                "left_anti",
+            )
+            .join(
+                F.broadcast(batch_ids.withColumnRenamed("doc_id", "id_b")),
+                "id_b",
+                "left_anti",
+            )
+        )
+        return _components_from_pairs(spark, pairs_v, id_name="doc_id")
+
+    return memo_frame(spark, ("version_comps", sf_dir), _build)
+
+
 def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental near-dup check: an INCOMING batch against the EXISTING
     corpus — the shape every continuously-ingesting 100 TB pipeline actually

@@ -1568,7 +1568,8 @@ def _version_selected_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch-id list — no second LSH run — and only the O(near-dup)
     contraction re-runs (on the FILTERED edge list, because removing a
     bridge doc can split a component: comp_size must come from v's own
-    graph). At 100 TB the v side of all of this is the previous day's
+    graph; since late r11 that graph is ``dedup.version_components``,
+    itself memo-served and shared with the preference version delta). At 100 TB the v side of all of this is the previous day's
     persisted index/manifest, not a recompute; the fixture derives both
     sides from one corpus the way ``dedup_incremental`` does
     (dedup.py:945). Memo-served: the delta reads it twice (manifest
@@ -1577,32 +1578,19 @@ def _version_selected_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_exercise_spark.catalog import memo_frame  # noqa: PLC0415
     from kafka_exercise_spark.operators.dedup import (  # noqa: PLC0415
         INCREMENTAL_NEW_SOURCE,
-        _components_from_pairs,
-        dedup_minhash_lsh,
+        version_components,
     )
 
     def _build() -> DataFrame:
         docs = load_table(spark, sf_dir, "documents")
         is_batch = F.col("source") == INCREMENTAL_NEW_SOURCE
         docs_v = docs.filter(~is_batch)
-        batch_ids = docs.filter(is_batch).select("doc_id")
-        pairs_v = (
-            dedup_minhash_lsh(spark, sf_dir)
-            .select("id_a", "id_b")
-            .join(
-                F.broadcast(batch_ids.withColumnRenamed("doc_id", "id_a")),
-                "id_a",
-                "left_anti",
-            )
-            .join(
-                F.broadcast(batch_ids.withColumnRenamed("doc_id", "id_b")),
-                "id_b",
-                "left_anti",
-            )
+        # v's component graph is the memo-served shared frame (one
+        # contraction per session for ALL cross-version deltas — the
+        # preference delta reads comp ids from the same graph)
+        comps_v = version_components(spark, sf_dir).select(
+            "doc_id", "comp_size"
         )
-        comps_v = _components_from_pairs(
-            spark, pairs_v, id_name="doc_id"
-        ).select("doc_id", "comp_size")
         filled = _cumulate_fill(
             _weighted_survivor_from(docs_v, comps_v).join(
                 F.broadcast(_source_budgets_from(docs_v)), "source"

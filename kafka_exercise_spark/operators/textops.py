@@ -2710,13 +2710,24 @@ def preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     mod S) with per-shard mirror pairing, the ``token_budget_select``
     two-level extension of this exact plan.
     """
-    from pyspark.sql import Window  # noqa: PLC0415
-
     scores = classifier_quality_score(spark, sf_dir).select(
         "doc_id", "logit"
     )
     langs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
-    j = scores.join(langs, "doc_id")
+    return _mirror_pairs(scores.join(langs, "doc_id"))
+
+
+def _mirror_pairs(j: DataFrame) -> DataFrame:
+    """THE mirror-pairing rule, over any (lang, doc_id, logit) frame —
+    factored out of ``preference_pairs`` (late r11) so the cross-version
+    preference delta pairs corpus v's scored docs with the SAME rule the
+    published pairing uses. The pairing is deliberately NOT
+    restriction-stable (each lang's n and ranking shift when docs
+    arrive — that re-flow is exactly what the delta prices), so sharing
+    the rule, not the output, is what keeps the two versions
+    comparable."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
     w = Window.partitionBy("lang").orderBy(F.desc("logit"), F.asc("doc_id"))
     wn = Window.partitionBy("lang")
     ranked = (
@@ -2895,19 +2906,29 @@ def _preference_pairs_with_comps(
             dedup_components,
         )
 
-        pp = preference_pairs(spark, sf_dir)
-        comps = dedup_components(spark, sf_dir).select("doc_id", "comp")
-        c_ch = comps.withColumnsRenamed(
-            {"doc_id": "chosen_doc_id", "comp": "comp_chosen"}
-        )
-        c_re = comps.withColumnsRenamed(
-            {"doc_id": "rejected_doc_id", "comp": "comp_rejected"}
-        )
-        return pp.join(c_ch, "chosen_doc_id", "left").join(
-            c_re, "rejected_doc_id", "left"
+        return _with_comps(
+            preference_pairs(spark, sf_dir),
+            dedup_components(spark, sf_dir).select("doc_id", "comp"),
         )
 
     return memo_frame(spark, ("pref_pairs_comps", sf_dir), build)
+
+
+def _with_comps(pp: DataFrame, comps: DataFrame) -> DataFrame:
+    """The two doc-keyed component left-joins, factored (late r11) so
+    the published joined frame above and the cross-version delta's
+    v side attach component membership identically — the joins are
+    unhinted per the standing policy (AQE broadcasts the O(near-dup)
+    comp frame while it fits)."""
+    c_ch = comps.withColumnsRenamed(
+        {"doc_id": "chosen_doc_id", "comp": "comp_chosen"}
+    )
+    c_re = comps.withColumnsRenamed(
+        {"doc_id": "rejected_doc_id", "comp": "comp_rejected"}
+    )
+    return pp.join(c_ch, "chosen_doc_id", "left").join(
+        c_re, "rejected_doc_id", "left"
+    )
 
 
 def _pair_poisoned() -> F.Column:
@@ -3315,4 +3336,184 @@ def preference_export_manifest(
             .cast("long")
             .alias("last_chosen_doc_id"),
         )
+    )
+
+
+def _version_pref_tagged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The band-TAGGED repaired preference set of corpus v — the corpus
+    without the arriving ``INCREMENTAL_NEW_SOURCE`` batch — the v side
+    of ``preference_version_delta``, built stage-for-stage with the
+    SAME shared rules the published (v+1) set uses:
+
+    - scores: ``classifier_quality_score`` IS restriction-stable (a
+      doc's hashed-BoW logit is a pure function of its own tokens and
+      the fixed weight vector), so v's scores are the full score frame
+      minus the batch ids — one broadcast anti-join, no re-scoring. At
+      100 TB this side is the previous day's persisted scored table.
+    - pairing: ``_mirror_pairs`` re-runs on the filtered scores —
+      deliberately NOT restriction-stable (n and rankings shift), the
+      re-flow the delta exists to price.
+    - components: ``dedup.version_components`` — v's own contraction,
+      memo-served and shared with the selection deltas' v side.
+    - repair + band filter: ``_repair_preference_pairs`` /
+      ``_margin_filter_tagged`` — the shared rules, applied verbatim
+      (v's band cuts are data-dependent per lang, so they too re-run
+      on v's own repaired set).
+
+    Memo-served per (application, sf_dir): the delta reads this frame
+    three times (per-lang fold + both membership anti-joins).
+    """
+    from kafka_exercise_spark.operators.dedup import (  # noqa: PLC0415
+        INCREMENTAL_NEW_SOURCE,
+        version_components,
+    )
+
+    def build() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        is_batch = F.col("source") == INCREMENTAL_NEW_SOURCE
+        batch_ids = docs.filter(is_batch).select("doc_id")
+        scores_v = (
+            classifier_quality_score(spark, sf_dir)
+            .select("doc_id", "logit")
+            .join(F.broadcast(batch_ids), "doc_id", "left_anti")
+        )
+        langs_v = docs.filter(~is_batch).select("doc_id", "lang")
+        pp_v = _mirror_pairs(scores_v.join(langs_v, "doc_id"))
+        comps_v = version_components(spark, sf_dir).select(
+            "doc_id", "comp"
+        )
+        return _margin_filter_tagged(
+            _repair_preference_pairs(_with_comps(pp_v, comps_v))
+        )
+
+    return memo_frame(spark, ("version_pref_tagged", sf_dir), build)
+
+
+def preference_version_delta(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cross-VERSION delta of the DPO filtered export — the third
+    export family's version arc, closing the symmetry the packed
+    (``export_version_delta``) and bucketed (``bucket_version_delta``)
+    layouts already have: per language, what the arriving
+    ``INCREMENTAL_NEW_SOURCE`` batch changes in the kept preference-pair
+    set between corpus v and v+batch. Preference churn is structurally
+    WORSE than selection churn — the mirror pairing re-ranks every doc
+    in the language (one arriving doc shifts n and every rank below
+    it), and the band filter's cuts are data-dependent — so the sheet a
+    daily post-training refresh reads must price both MEMBERSHIP churn
+    (pairs added/removed, margin mass) and PREDICATE drift (did the
+    lang's (low, high) cut bands move — ``cut_moved``, the column no
+    selection delta needs because their rules are version-stable).
+
+    Grain: per lang, never per pair_idx (pair numbering re-flows under
+    re-ranking — the batch-numbering argument of the bucket delta);
+    membership is keyed by the (chosen_doc_id, rejected_doc_id) tuple,
+    the pair's actual training-row identity — a role FLIP (A chosen
+    over B at v, B over A at v+1) correctly prices as one removed plus
+    one added row. Books balance per lang by construction:
+    v1_kept − v_kept ≡ added_pairs − removed_pairs (and the margin-sum
+    twin), pinned in pytest along with v1-side agreement with the
+    published ``preference_filtered_export`` sheet. Absent-version
+    convention: counts coalesce to 0, band cuts to −1, and a lang with
+    no v-side pairs reads cut_moved = 1 (its predicate is new).
+    churn_ppm = (added + removed) · 1e6 div v_kept — the
+    previous-version base a refresh budgets re-exports against, 0 when
+    v kept nothing (the standing empty-cell convention).
+
+    Cost: the v1 side reads the memo-served ``pref_pairs_comps`` frame;
+    the v side is the memo-served ``_version_pref_tagged`` (scores
+    anti-joined, not re-scored; components shared with the selection
+    deltas). Both per-lang folds and the final outer joins are
+    |langs|-row frames; the two anti-joins are kept-pair-keyed — the
+    irreducible cost of "added/removed", O(pairs) with AQE free to
+    broadcast either side. Oracle COMPOSED from the repair-plan oracle
+    at both versions via the parameterized ``_pref_repaired_sql``
+    builder (builder-vs-published equality itself pinned in pytest)
+    under the same generated band-CASE/cut CTEs as the filtered-export
+    oracle.
+    """
+    kept_cols = ["lang", "chosen_doc_id", "rejected_doc_id", "margin"]
+    tagged_v1 = _margin_filter_tagged(
+        preference_pair_repair_plan(spark, sf_dir)
+    )
+    tagged_v = _version_pref_tagged(spark, sf_dir)
+
+    def fold(tagged: DataFrame, p: str) -> DataFrame:
+        kept = F.col("disp") == "kept"
+        return tagged.groupBy("lang").agg(
+            F.sum(kept.cast("int")).cast("long").alias(f"{p}_kept"),
+            F.coalesce(
+                F.sum(F.when(kept, F.col("margin"))), F.lit(0)
+            )
+            .cast("long")
+            .alias(f"{p}_margin_sum"),
+            F.min("low_band").cast("long").alias(f"{p}_low_band"),
+            F.min("high_band").cast("long").alias(f"{p}_high_band"),
+        )
+
+    kept_v1 = tagged_v1.filter(F.col("disp") == "kept").select(*kept_cols)
+    kept_v = tagged_v.filter(F.col("disp") == "kept").select(*kept_cols)
+    pair_key = ["chosen_doc_id", "rejected_doc_id"]
+
+    def churn_fold(df: DataFrame, p: str) -> DataFrame:
+        return df.groupBy("lang").agg(
+            F.count("*").cast("long").alias(f"{p}_pairs"),
+            F.sum("margin").cast("long").alias(f"{p}_margin_sum"),
+        )
+
+    added = churn_fold(
+        kept_v1.join(kept_v.select(*pair_key), pair_key, "left_anti"),
+        "added",
+    )
+    removed = churn_fold(
+        kept_v.join(kept_v1.select(*pair_key), pair_key, "left_anti"),
+        "removed",
+    )
+    j = (
+        fold(tagged_v, "v")
+        .join(fold(tagged_v1, "v1"), "lang", "full_outer")
+        .join(added, "lang", "full_outer")
+        .join(removed, "lang", "full_outer")
+    )
+    counts = [
+        "v_kept", "v_margin_sum", "v1_kept", "v1_margin_sum",
+        "added_pairs", "added_margin_sum",
+        "removed_pairs", "removed_margin_sum",
+    ]
+    bands = ["v_low_band", "v_high_band", "v1_low_band", "v1_high_band"]
+    j = j.select(
+        "lang",
+        *[F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c)
+          for c in counts],
+        *[F.coalesce(F.col(c), F.lit(-1)).cast("long").alias(c)
+          for c in bands],
+    )
+    return j.select(
+        "lang",
+        "v_kept",
+        "v_margin_sum",
+        "v_low_band",
+        "v_high_band",
+        "v1_kept",
+        "v1_margin_sum",
+        "v1_low_band",
+        "v1_high_band",
+        "added_pairs",
+        "added_margin_sum",
+        "removed_pairs",
+        "removed_margin_sum",
+        F.expr(
+            "CASE WHEN v_kept > 0 THEN"
+            " ((added_pairs + removed_pairs) * 1000000) div v_kept"
+            " ELSE 0 END"
+        )
+        .cast("long")
+        .alias("churn_ppm"),
+        F.expr(
+            "CASE WHEN v_low_band != v1_low_band"
+            " OR v_high_band != v1_high_band THEN 1 ELSE 0 END"
+        )
+        .cast("long")
+        .alias("cut_moved"),
     )

@@ -3216,3 +3216,73 @@ def test_bucket_version_delta_reconciles(spark, sf_dir):
     assert {
         r.bucket: (r.v1_docs, r.v1_tokens, r.v1_batches) for r in rows
     } == pub
+
+
+def test_pref_repaired_sql_builder_matches_published_oracle(sf_dir):
+    """The parameterized repaired-preference SQL builder at
+    docs_where=TRUE with the published component oracle must be
+    value-equal to the published composed repair-plan oracle — the pin
+    that lets the cross-version preference delta share one repair
+    definition without rebuilding the green oracle's text."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf_dir}/documents.parquet'"
+    )
+    oracles = entrymod.oracle_sql()
+    built = entrymod._pref_repaired_sql(
+        "TRUE",
+        oracles["classifier_quality_score"],
+        entrymod._comps_reach_sql(
+            "SELECT id_a, id_b FROM verified WHERE jaccard >= 0.08"
+        ),
+    )
+    published = oracles["preference_pair_repair_plan"]
+    order = "ORDER BY lang, provenance, pair_idx"
+    a = con.sql(f"SELECT * FROM ({built}) {order}").fetchall()
+    b = con.sql(f"SELECT * FROM ({published}) {order}").fetchall()
+    assert a == b
+    assert len(a) > 0
+
+
+def test_preference_version_delta_reconciles(spark, sf_dir):
+    """The preference version delta's books must balance per lang
+    (v1 − v ≡ added − removed in kept pairs AND margin mass), the v+1
+    side must agree with the published filtered-export sheet (counts
+    and band cuts), and churn_ppm / cut_moved must follow their pinned
+    arithmetic."""
+    from kafka_exercise_spark.operators import textops
+
+    rows = textops.preference_version_delta(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.v1_kept - r.v_kept == r.added_pairs - r.removed_pairs
+        assert (
+            r.v1_margin_sum - r.v_margin_sum
+            == r.added_margin_sum - r.removed_margin_sum
+        )
+        expect_churn = (
+            (r.added_pairs + r.removed_pairs) * 1_000_000 // r.v_kept
+            if r.v_kept > 0
+            else 0
+        )
+        assert r.churn_ppm == expect_churn
+        expect_moved = int(
+            r.v_low_band != r.v1_low_band
+            or r.v_high_band != r.v1_high_band
+        )
+        assert r.cut_moved == expect_moved
+    sheet = {
+        s.lang: (s.n_kept, s.low_band, s.high_band)
+        for s in textops.preference_filtered_export(spark, sf_dir).collect()
+    }
+    mine = {
+        r.lang: (r.v1_kept, r.v1_low_band, r.v1_high_band)
+        for r in rows
+        if r.v1_low_band != -1  # langs absent at v+1 have no sheet row
+    }
+    assert mine == sheet

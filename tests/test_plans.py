@@ -657,6 +657,15 @@ def test_r11_export_sheets_plan_shape(spark, sf_dir):
     bv_scans = sorted(map(sorted, read_schema_columns(df_bv)))
     assert bv_scans == sel_scans  # same two memo-served selections
 
+    # late-r11 preference delta: BOTH sides are checkpoint-served (v =
+    # the version_pref_tagged memo, v+1 = the pref_pairs_comps memo the
+    # repair plan transforms), so the delta's plan touches NO parquet
+    # at all — folds, anti-joins and outer joins over two checkpoints
+    df_pv = textops.preference_version_delta(spark, sf_dir)
+    assert python_eval_count(df_pv) == 0
+    assert not has_cartesian_product(df_pv)
+    assert read_schema_columns(df_pv) == []
+
 
 def test_scaling_ladder_chunks_partition_the_registry():
     """Every ladder entry must be timed in exactly one fresh-session

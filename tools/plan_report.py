@@ -139,6 +139,7 @@ SELECTED = [
     ("preference_export_manifest", "kept pairs tagged by the shared band rule; hash shard map-side; one (lang, shard) groupBy"),
     ("export_version_delta", "both selections memo-served; four <=8-row folds then outer joins — the diff never touches the corpus"),
     ("bucket_version_delta", "same memo-served selections priced per length bucket; version-stable CASE-ladder bucket, <=8-row folds"),
+    ("preference_version_delta", "both versions' repaired pair sets checkpoint-served — zero parquet scans; |langs|-row folds + pair-tuple anti-joins"),
 ]
 
 FULL_PLANS = ["q3_shipping_priority", "dedup_ngram_jaccard"]

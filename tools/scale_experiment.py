@@ -200,6 +200,12 @@ QUERIES = {
     # prices the bucket folds + joins alone (the shard delta above pays
     # the v-side rerun in the same chunk)
     "bucket_version_delta": sampling.bucket_version_delta,
+    # late r11: the DPO export's cross-version delta — its rung prices
+    # the v-side rerun (scores anti-join, re-pairing, re-contraction on
+    # the filtered pair list) plus the |langs|-row folds; the v+1 side
+    # is the warm pref_pairs_comps memo built by the repair plan timed
+    # earlier in the preference chunk
+    "preference_version_delta": textops.preference_version_delta,
 }
 
 #: Fresh-session ladder chunks (r10, VERDICT r9 ask #3). The single-JVM
@@ -318,6 +324,7 @@ CHUNKS: tuple[dict, ...] = (
             "preference_margin_histogram",
             "preference_filtered_export",
             "preference_export_manifest",
+            "preference_version_delta",
         ],
     },
 )
