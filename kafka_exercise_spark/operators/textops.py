@@ -3434,8 +3434,17 @@ def preference_version_delta(
     oracle.
     """
     kept_cols = ["lang", "chosen_doc_id", "rejected_doc_id", "margin"]
-    tagged_v1 = _margin_filter_tagged(
-        preference_pair_repair_plan(spark, sf_dir)
+    # the v+1 tagged set is read three times below (fold + both
+    # anti-joins); without its own checkpoint each consumer would
+    # replay the repair windows + cut broadcast from the pair memo —
+    # 2× the O(pairs) work and the plan's shuffle count — so it gets
+    # the same memo treatment the v side already has
+    tagged_v1 = memo_frame(
+        spark,
+        ("pref_tagged_v1", sf_dir),
+        lambda: _margin_filter_tagged(
+            preference_pair_repair_plan(spark, sf_dir)
+        ),
     )
     tagged_v = _version_pref_tagged(spark, sf_dir)
 
