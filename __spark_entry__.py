@@ -5979,14 +5979,14 @@ def oracle_sql() -> dict[str, str]:
     # |langs|-row folds, pair-tuple anti-joins, and the per-lang diff
     def _pref_ver_ctes(rep_cte: str, x: str, pre: str) -> str:
         return f"""
-        b{x} AS (SELECT *,
+        b{x} AS MATERIALIZED (SELECT *,
                      ({textops._margin_band_case("margin")})::BIGINT
                          AS band
               FROM {rep_cte}),
         c{x} AS (SELECT lang, min(band)::BIGINT AS low_band,
                      max(band)::BIGINT AS high_band
               FROM b{x} GROUP BY lang),
-        t{x} AS (SELECT b{x}.*, low_band, high_band,
+        t{x} AS MATERIALIZED (SELECT b{x}.*, low_band, high_band,
                      CASE WHEN band = low_band THEN 'dropped_low'
                           WHEN band = high_band THEN 'dropped_high'
                           ELSE 'kept' END AS disp
@@ -6000,17 +6000,41 @@ def oracle_sql() -> dict[str, str]:
                      min(low_band)::BIGINT AS {pre}_low_band,
                      min(high_band)::BIGINT AS {pre}_high_band
               FROM t{x} GROUP BY lang),
-        k{x} AS (SELECT lang, chosen_doc_id, rejected_doc_id, margin
+        k{x} AS MATERIALIZED (
+              SELECT lang, chosen_doc_id, rejected_doc_id, margin
               FROM t{x} WHERE disp = 'kept')"""
 
+    # Every multiply-referenced heavy chain is hoisted ONCE as a
+    # MATERIALIZED CTE: without this DuckDB inlines plain CTEs at each
+    # reference, and the delta's fold/anti-join fan-out would re-run
+    # the LSH + classifier chains up to 8x (observed ~10x the repair
+    # oracle's runtime at sf0.1). The shared `verified` pair list and
+    # the per-doc-pure score table are computed once and fed to BOTH
+    # versions' repair builders — the same reuse the Spark side gets
+    # from its memo frames; value-equality to the published composed
+    # oracles is anchored by the builder pin tests.
+    _vpairs_not_batch = (
+        f"SELECT id_a, id_b FROM vpairs "
+        f"WHERE id_a NOT IN ({_batch_ids}) "
+        f"AND id_b NOT IN ({_batch_ids})"
+    )
+    _pref_r1_sql = _pref_repaired_sql(
+        "TRUE",
+        "SELECT * FROM sc",
+        _comps_reach_sql("SELECT id_a, id_b FROM vpairs"),
+    )
+    _pref_r0_sql = _pref_repaired_sql(
+        _not_batch,
+        "SELECT * FROM sc",
+        _comps_reach_sql(_vpairs_not_batch),
+    )
     oracles["preference_version_delta"] = f"""
-        WITH r1 AS (SELECT *
-                    FROM ({oracles["preference_pair_repair_plan"]})),
-        r0 AS (SELECT * FROM ({_pref_repaired_sql(
-            _not_batch,
-            oracles["classifier_quality_score"],
-            _comps_v_sql,
-        )})),
+        WITH RECURSIVE {_lsh_ctes()},
+        vpairs AS MATERIALIZED (
+            SELECT id_a, id_b FROM verified WHERE jaccard >= 0.08),
+        sc AS MATERIALIZED ({oracles["classifier_quality_score"]}),
+        r1 AS MATERIALIZED (SELECT * FROM ({_pref_r1_sql})),
+        r0 AS MATERIALIZED (SELECT * FROM ({_pref_r0_sql})),
         {_pref_ver_ctes("r1", "1", "v1")},
         {_pref_ver_ctes("r0", "0", "v")},
         ad AS (SELECT lang, count(*)::BIGINT AS added_pairs,
