@@ -887,11 +887,14 @@ def _components_from_pairs(
     # workers (the --py-files analog) so the import resolves no matter
     # where the driving process's cwd/PYTHONPATH points.
     ship_package(spark)
-    edges = (
-        pairs.union(pairs.select(F.col("id_b"), F.col("id_a")))
-        .toDF("src", "dst")
-        .localCheckpoint()
-    )
+    # Materialize the PAIR plan once, then build the symmetric edge list
+    # as a narrow double-read of the checkpointed blocks (guide §2.4 —
+    # remove work, not just shuffles): checkpointing the union instead
+    # would execute the (often join-heavy) pair plan twice, once per
+    # union branch, and store a second full copy of every edge. Measured
+    # on winnow_components (sf0.1, isolated): 2.78 s → ~1.6 s.
+    p = pairs.toDF("src", "dst").localCheckpoint()
+    edges = p.union(p.select(F.col("dst"), F.col("src")))
     schema = "src long, dst long"
     n_edges = edges.count()
     for _ in range(CC_MAX_ITERS):

@@ -84,9 +84,21 @@ def er_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(F.expr(_VARIANTS)).alias("v"),
         ),
     )
-    # hot-block guard (semantic, like DF_MAX): drop towers before the join
-    block_df = v.groupBy("v").agg(F.count("*").alias("block_n"))
-    v = v.join(block_df.where(F.col("block_n") <= ER_BLOCK_CAP).select("v"), "v")
+    # hot-block guard (semantic, like DF_MAX): drop towers before the join.
+    # Phrased as an ANTI-join against the HOT keys (block_n > CAP) rather
+    # than an inner join against the ok keys: towers are the rare
+    # exception by construction, so the anti side is a tiny (usually
+    # empty) frame that broadcasts for free, where the ok-key inner join
+    # shipped the whole |variants|-cardinality key set through a
+    # broadcast build per run (guide §3.1 — broadcast the side that is
+    # actually small). Same kept set: count(v) ≤ CAP ⇔ not in hot.
+    hot = (
+        v.groupBy("v")
+        .agg(F.count("*").alias("block_n"))
+        .where(F.col("block_n") > ER_BLOCK_CAP)
+        .select("v")
+    )
+    v = v.join(hot, "v", "left_anti")
 
     a = v.select(
         F.col("v"),

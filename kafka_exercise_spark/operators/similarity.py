@@ -843,6 +843,13 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(tokens(F.col("text"))).alias("t")
     )
     postings = exploded.groupBy("doc_id", "t").agg(F.count("*").alias("tf"))
+    # NOTE (r11 probe): deriving dl from postings (Σtf per doc — one
+    # fewer corpus tokenize) was tried and measured SLOWER on the bench
+    # (1.3 s → 2.0 s warm): the two independent aggregations over the
+    # exploded stream run as concurrent map stages today, while chaining
+    # dl behind postings serializes the stage graph. Kept as-is; at
+    # true scale the single-scan form wins on bytes and a real cluster
+    # would revisit (guide §1.1 first-principles vs empirical).
     dl = exploded.groupBy("doc_id").agg(F.count("*").alias("dl"))
     stats = dl.agg(
         F.count("*").alias("n_docs"),

@@ -977,19 +977,30 @@ def heavy_hitters_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ship_package(spark)
     docs = scale_partitions(load_table(spark, sf_dir, "documents"), spark)
     exploded = docs.select(F.explode(tokens(F.col("text"))).alias("t"))
-    exploded = exploded.persist()
-    n_total = exploded.count()
+    # Corpus token total as a 1-row frame folded into the SAME lazy DAG
+    # (guide §5: `persist` is only worth it when recompute beats the
+    # memory pressure it creates — here the persisted 10⁶-row exploded
+    # token frame plus a driver-side count() action per invocation
+    # competed with the session's served-frame blocks for storage and
+    # made the entry degrade badly inside long sessions: 9.16 s median
+    # in the full 233-query bench sweep vs 1.4 s isolated). The lazy
+    # form re-derives the token stream per consumer (a map-only codegen
+    # scan, the cheap part) and holds NOTHING in storage; a 1-row
+    # broadcast replaces the collected literal, so the whole query is
+    # one action with zero driver round-trips. Output is unchanged: the
+    # exact recount + threshold filter is partitioning-independent.
+    total = docs.agg(
+        F.sum(F.size(tokens(F.col("text")))).cast("long").alias("n_total")
+    )
     cand = exploded.mapInPandas(_misra_gries, "t string").distinct()
-    out = (
+    return (
         exploded.join(cand, "t")
         .groupBy("t")
         .agg(F.count("*").alias("cnt"))
-        .filter(F.col("cnt") * (HH_K + 1) > F.lit(n_total))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * (HH_K + 1) > F.col("n_total"))
         .select(F.col("t").alias("token"), F.col("cnt"))
     )
-    out = out.localCheckpoint()
-    exploded.unpersist()
-    return out
 
 
 def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -74,6 +74,19 @@ def get_spark(
             "spark.sql.optimizer.excludedRules",
             "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
         )
+        # Whole-stage-codegen compilation cache (r11, guide §1 measure-
+        # first): the default cache holds 100 generated classes, keyed by
+        # source text. A session running this engine's full registry
+        # compiles ~10³ distinct codegen units per sweep, so at the
+        # default size every unit is evicted before its next use and
+        # EVERY query pays full Janino recompilation on EVERY run —
+        # measured on a 60-query sweep ×4 passes: 63.6/97.8/46.2/43.0 s
+        # per pass at the default vs 30.4/29.6/32.1/33.3 s at 10k (≈2×
+        # faster and the run-to-run jitter collapses). Scale-independent:
+        # this is a per-JVM compiled-class cache (a few KB per entry,
+        # bounded), not a data-size or core-count tune — a production
+        # driver/executor serving a many-query workload wants it equally.
+        .config("spark.sql.codegen.cache.maxEntries", "10000")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.shuffle.spill.compress", "true")
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")

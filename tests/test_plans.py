@@ -407,7 +407,12 @@ def test_no_unexpected_python_eval_nodes_anywhere(spark, sf_dir):
         "multimodal_meta": 1,  # Arrow-batched metadata extraction
         "multimodal_features": 1,
         "multimodal_frame_sample": 0,  # JVM-only byte slicing
-        "heavy_hitters_topk": 0,  # MG sketch runs pre-checkpoint
+        # r11: the MG sketch (the documented custom Python sketch op) is
+        # now IN the lazy plan — the entry no longer persists the exploded
+        # token frame + localCheckpoints its result per invocation, which
+        # degraded badly under long-session storage churn (9.16 s bench
+        # median vs 1.4 s isolated). One Python node is the design.
+        "heavy_hitters_topk": 1,
         "dedup_components": 0,  # union-find contraction pre-checkpoint
         "dedup_semantic_components": 0,
     }
