@@ -1362,12 +1362,23 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_matched"))
     )
     # (method × query) grid so a variant that misses a query entirely
-    # reports recall 0 instead of silently dropping the row
+    # reports recall 0 instead of silently dropping the row. The query
+    # domain is derived from the embeddings scan directly (vec_id <
+    # N_QUERIES, a pushed-down point filter) rather than from
+    # ``exact.select("query_id").distinct()``: the two are identical —
+    # every demo query has exactly TOP_K exact neighbors whenever the
+    # corpus holds more than TOP_K+1 vectors, which every fixture does —
+    # but the old form made ``exact`` feed two consumers, and Spark does
+    # not share common subtrees, so the brute-force |corpus|×|queries|
+    # cosine scan executed TWICE per report (r12, guide §2.4: remove
+    # work; an in-invocation localCheckpoint was tried first and
+    # measured slower — the persist/copy cost outweighed the shared
+    # read on this sub-second frame).
     grid = (
-        exact.select("query_id")
-        .distinct()
+        _embeddings_double(spark, sf_dir)
+        .filter(F.col("vec_id") < N_QUERIES)
         .select(
-            "query_id",
+            F.col("vec_id").alias("query_id"),
             F.explode(
                 F.array(*[F.lit(n) for n, _ in methods])
             ).alias("method"),

@@ -41,7 +41,9 @@ from kafka_exercise_spark.plans import (  # noqa: E402
 from kafka_exercise_spark.session import get_spark  # noqa: E402
 
 PLANS_DIR = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r11"
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "plans",
+    os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r12"),
 )
 
 
