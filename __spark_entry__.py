@@ -647,7 +647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_threshold_sweep",
         "winnowing_overlap_pairs",
         # -- r07 cohort, weighted head (3 streaming, 2 capstones,
-        #    6 alphabetical) --
+        #    5 alphabetical) --
         "streaming_dq_gate",
         "streaming_model_gate_replay",
         "streaming_model_update_replay",

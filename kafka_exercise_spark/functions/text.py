@@ -36,9 +36,27 @@ def folded_lower(col: Column | str) -> Column:
 
 
 def tokens(col: Column | str) -> Column:
-    """Lowercased (cross-engine folded) whitespace tokens, empties removed."""
+    """Lowercased (cross-engine folded) whitespace tokens, empties removed.
+
+    Implemented as btrim + guarded split, NOT ``filter(split(...), x != '')``:
+    the two are value-identical (splitting on ``WS_CLASS+`` can only produce
+    empty pieces at the ends, which the btrim removes up front; the guard
+    maps the all-whitespace/empty document to [] where split alone would
+    yield ['']), but ``F.filter`` is a higher-order function — CodegenFallback
+    — which forces the whole lower/translate/split subtree into interpreted
+    ``Expression.eval`` on every row. Those interpreted megamorphic call
+    sites are shared by every query in a long session, so tokenize-heavy
+    entries degraded 4-6x mid-sweep when the JIT re-profiled them (r12,
+    measured: heavy_hitters_topk 8.1 s in-sweep vs 1.4 s isolated, executor
+    stacks parked in ArrayFilter.eval/StringTranslate.eval). The btrim form
+    keeps tokenize fully inside whole-stage codegen: ~0.1 s/scan slower in a
+    virgin monomorphic session, stable under full-registry JIT pressure.
+    """
     c = F.col(col) if isinstance(col, str) else col
-    return F.filter(F.split(folded_lower(c), WS_CLASS + "+"), lambda x: x != "")
+    t = F.btrim(folded_lower(c), F.lit(" \t\n\x0B\f\r"))
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.split(t, WS_CLASS + "+")
+    )
 
 
 def md5_hash64(col: Column | str, seed: int | None = None) -> Column:

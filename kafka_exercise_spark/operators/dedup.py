@@ -783,38 +783,59 @@ CC_MAX_ITERS = 25
 CC_SINGLE_TASK_EDGES = 4_000_000
 
 
-def _forest_contract(batches):
-    """Union-find over all edges seen by this partition; emits the resulting
-    (node → local min-root) spanning forest. Union-by-min keeps every root
-    the smallest id in its local tree, so labels only ever decrease."""
-    import pandas as pd  # noqa: PLC0415
+def _forest_contract_fn():
+    """Union-find spanning-forest contraction over a partition's (src, dst)
+    edges, as a NESTED closure for ``mapInArrow``: emits one
+    (node → local min-root) edge per node. Union-by-min keeps every root
+    the smallest id in its local tree, so labels only ever decrease.
 
-    parent: dict = {}
-    seen: set = set()
+    Closure + Arrow (r12, guide §4.5/§4.1, same rationale as the
+    Misra-Gries sketch in textops): Spark hard-kills idle Python workers
+    after 60 s, and a module-level function pickled by reference forces
+    every fresh worker to import this package from the shipped zip plus
+    pandas — seconds of sum_cpu≈0 worker wait per cold fleet inside a
+    long session. The closure pickles by value and the Arrow path needs
+    only pyarrow, so the per-invocation contraction passes
+    (winnow/semantic components run one per call) stay at the fork floor
+    even on a cold pool.
+    """
 
-    def find(x):
-        r = x
-        while parent.get(r, r) != r:
-            r = parent[r]
-        while parent.get(x, x) != r:  # path compression
-            parent[x], x = r, parent[x]
-        return r
+    def contract(batches):
+        import pyarrow as pa  # noqa: PLC0415
 
-    for b in batches:
-        for s, d in zip(b["src"].values, b["dst"].values):
-            s, d = int(s), int(d)
-            seen.add(s)
-            seen.add(d)
-            rs, rd = find(s), find(d)
-            if rs != rd:
-                lo, hi = (rs, rd) if rs < rd else (rd, rs)
-                parent[hi] = lo
-    if seen:
-        # roots emit self-edges so every node survives into the next pass
-        nodes = list(seen)
-        yield pd.DataFrame(
-            {"src": nodes, "dst": [find(n) for n in nodes]}
-        ).astype("int64")
+        parent: dict = {}
+        seen: set = set()
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for b in batches:
+            for s, d in zip(
+                b.column(0).to_pylist(), b.column(1).to_pylist()
+            ):
+                seen.add(s)
+                seen.add(d)
+                rs, rd = find(s), find(d)
+                if rs != rd:
+                    lo, hi = (rs, rd) if rs < rd else (rd, rs)
+                    parent[hi] = lo
+        if seen:
+            # roots emit self-edges so every node survives the next pass
+            nodes = list(seen)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(nodes, type=pa.int64()),
+                    pa.array([find(n) for n in nodes], type=pa.int64()),
+                ],
+                names=["src", "dst"],
+            )
+
+    return contract
 
 
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -880,13 +901,9 @@ def _components_from_pairs(
     """Shared contraction driver: (id_a, id_b) pair frame → per-node
     (id, comp, comp_size, is_survivor). See dedup_components for the
     algorithm and scale story."""
-    from kafka_exercise_spark.deploy import ship_package
-
-    # _forest_contract is module-level (shared by the shrink and finish
-    # phases), so it pickles by reference: ship the package to the Python
-    # workers (the --py-files analog) so the import resolves no matter
-    # where the driving process's cwd/PYTHONPATH points.
-    ship_package(spark)
+    # the contraction closure pickles by value (see _forest_contract_fn):
+    # no package ship, no package import on fresh Python workers
+    contract = _forest_contract_fn()
     # Materialize the PAIR plan once, then build the symmetric edge list
     # as a narrow double-read of the checkpointed blocks (guide §2.4 —
     # remove work, not just shuffles): checkpointing the union instead
@@ -914,7 +931,7 @@ def _components_from_pairs(
         # forests at ~half the parallelism so components coalesce
         nparts = max(1, edges.rdd.getNumPartitions() // 2)
         edges = (
-            edges.mapInPandas(_forest_contract, schema)
+            edges.mapInArrow(contract, schema)
             .repartition(nparts)
             .localCheckpoint()
         )
@@ -925,7 +942,7 @@ def _components_from_pairs(
         )
     labels = (
         edges.repartition(1)
-        .mapInPandas(_forest_contract, schema)
+        .mapInArrow(contract, schema)
         .toDF("id", "comp")
         .localCheckpoint()
     )

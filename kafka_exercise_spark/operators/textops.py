@@ -935,26 +935,49 @@ def classifier_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 HH_K = 100
 
 
-def _misra_gries(batches):
-    """Per-partition Misra-Gries with HH_K counters over a `t` column;
-    emits the partition's surviving candidate tokens."""
-    import pandas as pd  # noqa: PLC0415
+def _misra_gries_sketch():
+    """Per-partition Misra-Gries (HH_K counters) over a `t` column as a
+    NESTED closure for ``mapInArrow`` — emits the partition's surviving
+    candidate tokens.
 
-    counters: dict[str, int] = {}
-    for b in batches:
-        for t in b["t"].values:
-            if t in counters:
-                counters[t] += 1
-            elif len(counters) < HH_K:
-                counters[t] = 1
-            else:  # decrement-all step, dropping zeroed counters
-                drop = [k for k in counters if counters[k] == 1]
-                for k in counters:
-                    counters[k] -= 1
-                for k in drop:
-                    del counters[k]
-    if counters:
-        yield pd.DataFrame({"t": list(counters.keys())})
+    Closure + Arrow on purpose (r12, guide §4.5 / §4.1): Spark's
+    PythonWorkerFactory hard-kills idle Python workers after 60 s, so in
+    a long many-query session this sketch regularly lands on FRESH
+    workers. A module-level function pickles by reference and makes
+    every fresh worker import this package from the shipped zip (plus
+    pandas for mapInPandas) — measured 4 s of sum_cpu≈0 worker wait per
+    cold fleet (event-log: the in-sweep 5-8 s medians were exactly
+    this). The closure pickles by value (no package import; no
+    ship_package needed) and ``mapInArrow`` needs only pyarrow, which
+    the Arrow stream machinery loads anyway — fresh-worker cost drops
+    to the bare fork+pyarrow floor, and the warm path skips the
+    Arrow→pandas transpose per batch.
+    """
+    hh_k = HH_K
+
+    def sketch(batches):
+        import pyarrow as pa  # noqa: PLC0415
+
+        counters: dict[str, int] = {}
+        for b in batches:
+            for t in b.column(0).to_pylist():
+                if t in counters:
+                    counters[t] += 1
+                elif len(counters) < hh_k:
+                    counters[t] = 1
+                else:  # decrement-all step, dropping zeroed counters
+                    drop = [k for k in counters if counters[k] == 1]
+                    for k in counters:
+                        counters[k] -= 1
+                    for k in drop:
+                        del counters[k]
+        if counters:
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(list(counters.keys()), type=pa.string())],
+                names=["t"],
+            )
+
+    return sketch
 
 
 def heavy_hitters_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -972,34 +995,40 @@ def heavy_hitters_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition, a vanishing fraction of the corpus). This is the two-phase
     pattern any exact-threshold frequent-items job uses at scale.
     """
-    from kafka_exercise_spark.deploy import ship_package  # noqa: PLC0415
+    from pyspark.sql import Window  # noqa: PLC0415
 
-    ship_package(spark)
     docs = scale_partitions(load_table(spark, sf_dir, "documents"), spark)
     exploded = docs.select(F.explode(tokens(F.col("text"))).alias("t"))
-    # Corpus token total as a 1-row frame folded into the SAME lazy DAG
-    # (guide §5: `persist` is only worth it when recompute beats the
-    # memory pressure it creates — here the persisted 10⁶-row exploded
-    # token frame plus a driver-side count() action per invocation
-    # competed with the session's served-frame blocks for storage and
-    # made the entry degrade badly inside long sessions: 9.16 s median
-    # in the full 233-query bench sweep vs 1.4 s isolated). The lazy
-    # form re-derives the token stream per consumer (a map-only codegen
-    # scan, the cheap part) and holds NOTHING in storage; a 1-row
-    # broadcast replaces the collected literal, so the whole query is
-    # one action with zero driver round-trips. Output is unchanged: the
-    # exact recount + threshold filter is partitioning-independent.
-    total = docs.agg(
-        F.sum(F.size(tokens(F.col("text")))).cast("long").alias("n_total")
+    cand = exploded.mapInArrow(_misra_gries_sketch(), "t string").distinct()
+    # ONE recount pass serves both the per-candidate counts AND the corpus
+    # total (r12, guide §2.3/§2.4; was: a third full tokenize scan just
+    # for the total, crossJoin-broadcast back). Every exploded token is
+    # left-joined to the candidate set and grouped under its own token
+    # when it is a candidate, or under ONE shared NULL key otherwise —
+    # map-side partial aggregation collapses the null group per task, so
+    # the shuffle still carries ≤ |candidates|+1 rows per partition, and
+    # the total is just the sum of ALL group counts (each token lands in
+    # exactly one group). The sum runs as a single-partition window over
+    # that ≤|candidates|+1-row frame — no second scan, no driver
+    # round-trip, no broadcast job. (The r11 lazy-DAG form held nothing
+    # in storage but tokenized the corpus 3×; this form tokenizes 2× —
+    # the MG pass and the recount — which is the floor: the sketch needs
+    # every token and the exact recount needs every token again.)
+    marked = exploded.join(
+        cand.withColumn("is_cand", F.lit(True)), "t", "left"
     )
-    cand = exploded.mapInPandas(_misra_gries, "t string").distinct()
+    grouped = marked.groupBy(
+        F.when(F.col("is_cand"), F.col("t")).alias("tk")
+    ).agg(F.count("*").alias("cnt"))
     return (
-        exploded.join(cand, "t")
-        .groupBy("t")
-        .agg(F.count("*").alias("cnt"))
-        .crossJoin(F.broadcast(total))
-        .filter(F.col("cnt") * (HH_K + 1) > F.col("n_total"))
-        .select(F.col("t").alias("token"), F.col("cnt"))
+        grouped.withColumn(
+            "n_total", F.sum("cnt").over(Window.partitionBy())
+        )
+        .filter(
+            F.col("tk").isNotNull()
+            & (F.col("cnt") * (HH_K + 1) > F.col("n_total"))
+        )
+        .select(F.col("tk").alias("token"), F.col("cnt"))
     )
 
 
